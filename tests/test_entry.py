@@ -1,0 +1,55 @@
+"""Smoke tests for the driver contract and the flagship query, with a
+DuckDB cross-check mirroring the driver's t2 gate."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+
+def _oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty", "count_order"}
+
+
+def test_queries_have_matching_oracles(spark):
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert q, "no queries registered"
+    # every oracle key must have a query
+    assert set(o) <= set(q)
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary"])
+def test_query_matches_duckdb(spark, sf_dir, name):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, sf_dir).toPandas()
+    ddf = _oracle(e.oracle_sql()[name], sf_dir)
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf)
+    sdf = sdf[sorted(sdf.columns)]
+    ddf = ddf[sorted(ddf.columns)]
+    for c in sdf.columns:
+        if sdf[c].dtype.kind == "f":
+            assert abs(sdf[c].astype(float) - ddf[c].astype(float)).max() < 1e-6
+        else:
+            assert (sdf[c].astype(str) == ddf[c].astype(str)).all()

@@ -1,0 +1,45 @@
+"""Query registry: the driver-checkable artifact of SURVEY.md §2.
+
+Every implemented operator gets a named entry here:
+
+- ``QUERIES[name]``  — ``(spark, sf_dir) -> DataFrame`` running the operator
+  through the engine's own API (DataFrame-first, Catalyst-optimized).
+- ``ORACLES[name]``  — the semantically-equivalent ANSI SQL that DuckDB runs
+  over the same parquet tables. Omitted only for genuinely
+  non-SQL-expressible ops (the driver then records a rows-only check).
+
+Column names are aliased identically on both sides — the driver's compare
+sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(
+    name: str, oracle: str | None = None
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
+    """Decorator registering a query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Import side-effect modules that populate the registry. Kept at the bottom
+# so `register` / `_table` exist when they run.
+from whisper_pandas_spark import queries_relational  # noqa: E402,F401
