@@ -1,0 +1,182 @@
+"""Golden tests for the Whisper DataSource + meta API, porting the
+reference's test strategy (SURVEY.md §5; reference assertions at
+/root/reference/test_whisper_pandas.py:19-103) onto synthetic fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.wsp_fixtures import DEFAULT_ARCHIVES, END_TS, build_wsp
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wsp")
+    (d / "sensors").mkdir()
+    golden = build_wsp(str(d / "sensors" / "temp.wsp"))
+    build_wsp(str(d / "sensors" / "hum.wsp"), seed=7)
+    build_wsp(str(d / "gz.wsp.gz"), gzip_out=True)
+    # header (16+36=52B) + a bit of data, well short of full size
+    build_wsp(str(d / "trunc.wsp"), truncate_to=5_000)
+    return d, golden
+
+
+def test_header_golden(fixtures):
+    from whisper_pandas_spark.sources.format import read_header
+
+    d, _ = fixtures
+    info = read_header(str(d / "sensors" / "temp.wsp"))
+    assert info.aggregation_method == "average"
+    assert info.x_files_factor == pytest.approx(0.5)
+    assert info.archive_count == 3
+    assert info.header_size == 16 + 12 * 3
+    assert [(a.seconds_per_point, a.points) for a in info.archives] == [
+        (10, 1600), (60, 5300), (3600, 90)
+    ]
+    assert info.archives[0].retention == 16000
+    assert info.archives[0].size == 12 * 1600
+    assert info.file_size == info.header_size + 12 * (1600 + 5300 + 90)
+    assert info.file_size_mismatch is False
+
+
+def test_header_truncated(fixtures):
+    """Truncated file: header parses, mismatch exposed, not enforced
+    (reference: test_whisper_pandas.py:100-103)."""
+    from whisper_pandas_spark.sources.format import read_header
+
+    d, _ = fixtures
+    info = read_header(str(d / "trunc.wsp"))
+    assert info.archive_count == 3
+    assert info.file_size_actual == 5_000
+    assert info.file_size_mismatch is True
+
+
+def test_header_gzip_and_bad_compression(fixtures):
+    from whisper_pandas_spark.sources.format import read_header
+
+    d, _ = fixtures
+    info = read_header(str(d / "gz.wsp.gz"))
+    assert info.archive_count == 3
+    assert info.file_size_mismatch is True  # compressed on-disk size differs
+    with pytest.raises(ValueError, match="Invalid compression"):
+        read_header(str(d / "gz.wsp.gz"), compression="bogus")
+
+
+def test_scan_golden(spark, fixtures):
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    d, golden = fixtures
+    df = spark.read.format("whisper").load(str(d / "sensors" / "temp.wsp"))
+    assert [f.name for f in df.schema.fields] == [
+        "metric", "archive", "slot", "timestamp", "value"
+    ]
+    pdf = df.toPandas()
+    # per-archive filled row counts match the generator
+    for i, (spp, points, fill) in enumerate(DEFAULT_ARCHIVES):
+        sub = pdf[pdf.archive == i]
+        assert len(sub) == len(golden[i].filled)
+        # chronological order within archive partitions → global compare via sort
+        sub = sub.sort_values("timestamp")
+        ts = sub.timestamp.astype("int64") // 10**9
+        np.testing.assert_array_equal(ts.to_numpy(), golden[i].filled[:, 0])
+        np.testing.assert_allclose(
+            sub.value.to_numpy(), golden[i].filled[:, 1], atol=1e-5
+        )
+        # timestamps unique + monotonic per archive (reference :62-67)
+        assert ts.is_unique and ts.is_monotonic_increasing
+        # newest point is END_TS
+        assert ts.iloc[-1] == END_TS
+    assert (pdf.metric == "temp").all()
+
+
+def test_scan_ring_wrap_slot(spark, fixtures):
+    """Earliest timestamp lives at a mid-buffer slot (ring wrap —
+    reference: test_whisper_pandas.py:47-51)."""
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    d, golden = fixtures
+    pdf = (
+        spark.read.format("whisper")
+        .load(str(d / "sensors" / "temp.wsp"))
+        .filter("archive = 0")
+        .toPandas()
+        .sort_values("timestamp")
+    )
+    first_slot = pdf.slot.iloc[0]
+    ts0 = int(pdf.timestamp.iloc[0].timestamp())
+    assert first_slot == (ts0 // 10) % 1600
+    assert first_slot != 0  # wrapped
+
+
+def test_scan_options(spark, fixtures):
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    d, golden = fixtures
+    path = str(d / "sensors" / "temp.wsp")
+    # to_datetime=false → LONG epoch; dtype=float32 → FLOAT
+    df = (
+        spark.read.format("whisper")
+        .option("to_datetime", "false")
+        .option("dtype", "float32")
+        .load(path)
+    )
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["timestamp"] == "bigint"
+    assert types["value"] == "float"
+    row = df.filter("archive = 2").orderBy("timestamp").limit(1).collect()[0]
+    assert row.timestamp == int(golden[2].filled[0, 0])
+    # drop_time_zero=false → all declared slots surface
+    df_all = (
+        spark.read.format("whisper").option("drop_time_zero", "false").load(path)
+    )
+    counts = {r["archive"]: r["count"] for r in df_all.groupBy("archive").count().collect()}
+    assert counts == {0: 1600, 1: 5300, 2: 90}
+
+
+def test_scan_directory_multi_file(spark, fixtures):
+    """A directory of .wsp files is ONE DataFrame with a metric column."""
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    d, _ = fixtures
+    df = spark.read.format("whisper").load(str(d / "sensors"))
+    metrics = {r.metric for r in df.select("metric").distinct().collect()}
+    assert metrics == {"temp", "hum"}
+
+
+def test_scan_gzip(spark, fixtures):
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    d, _ = fixtures
+    df = spark.read.format("whisper").load(str(d / "gz.wsp.gz"))
+    assert df.count() == sum(
+        max(1, int(p * f)) for _, p, f in DEFAULT_ARCHIVES
+    )
+
+
+def test_meta_dataframes(spark, fixtures):
+    from whisper_pandas_spark.sources.meta import archive_meta, file_meta
+
+    d, _ = fixtures
+    fm = file_meta(spark, str(d / "sensors")).toPandas()
+    assert len(fm) == 2
+    assert set(fm.aggregation_method) == {"average"}
+    am = archive_meta(spark, str(d / "sensors")).toPandas()
+    assert len(am) == 6
+    assert set(am.seconds_per_point) == {10, 60, 3600}
+
+
+def test_cli(fixtures, capsys):
+    from whisper_pandas_spark.cli import main
+
+    d, _ = fixtures
+    main([str(d / "sensors" / "temp.wsp")])
+    out = capsys.readouterr().out
+    assert "aggregation_method:  average" in out
+    assert "archive_count:       3" in out

@@ -1,0 +1,280 @@
+"""``spark.read.format("whisper")`` — a PySpark Python DataSource over
+Graphite WhisperDB files.
+
+Architecture (Spark-first; contrast with the reference's single-process
+whole-file-in-RAM decoder, ``/root/reference/whisper_pandas.py:244-275``):
+
+- **Driver**: globs the load path and peeks only headers (≤ 16+12·N bytes
+  per file, :func:`~whisper_pandas_spark.sources.format.read_header`), then
+  plans one input partition per (file, archive, slot-chunk). A directory of
+  .wsp files becomes ONE DataFrame with a ``metric`` column — the unit of
+  parallelism is the archive chunk, not the file, so a 100 TB tree of
+  metrics scans with full cluster width.
+- **Executors**: each partition slices its own byte range, decodes with a
+  zero-copy numpy structured view, applies scan-side pruning
+  (``drop_time_zero``, pushed timestamp bounds), normalizes endianness
+  once, and emits Arrow RecordBatches straight into the JVM.
+
+Options (names and defaults mirror the reference's ``to_frame`` /
+``read`` flags, whisper_pandas.py:186-192, 245):
+
+===================  =========  ====================================================
+option               default    meaning
+===================  =========  ====================================================
+``compression``      ``infer``  ``infer`` (by ``.gz`` suffix) / ``none`` / ``gzip``
+``dtype``            float64    value column type: ``float64`` or ``float32``
+``to_datetime``      true       timestamp column as TIMESTAMP (UTC); false → LONG epoch seconds
+``drop_time_zero``   true       drop never-filled ring slots (timestamp == 0)
+``time_sort``        true       chronological order within each archive partition
+``chunk_points``     4194304    max slots per scan partition (archive splitting)
+``base_dir``         (glob)     prefix stripped when deriving ``metric`` from the path
+===================  =========  ====================================================
+
+Output schema: ``metric STRING, archive INT, slot INT, timestamp
+TIMESTAMP|LONG, value DOUBLE|FLOAT`` — ``slot`` materializes the ring-buffer
+position the reference keeps as the pandas row index
+(whisper_pandas.py:207-210).
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from whisper_pandas_spark.sources.format import (
+    ArchiveInfo,
+    read_file_bytes,
+    read_header,
+    read_points,
+    resolve_compression,
+)
+
+DEFAULT_CHUNK_POINTS = 4 * 1024 * 1024  # 48 MiB of raw points per partition
+
+
+def _boolopt(options, key: str, default: bool) -> bool:
+    raw = options.get(key)
+    if raw is None:
+        return default
+    return str(raw).strip().lower() in ("true", "1", "yes")
+
+
+def metric_name(path: str, base_dir: str | None) -> str:
+    """Graphite metric name from a file path: relative to *base_dir*,
+    extensions stripped, path separators → dots (``a/b/cpu.wsp`` →
+    ``a.b.cpu``)."""
+    p = path
+    if base_dir and p.startswith(base_dir.rstrip(os.sep) + os.sep):
+        p = p[len(base_dir.rstrip(os.sep)) + 1 :]
+    if p.endswith(".gz"):
+        p = p[: -len(".gz")]
+    if p.endswith(".wsp"):
+        p = p[: -len(".wsp")]
+    return p.strip(os.sep).replace(os.sep, ".")
+
+
+@dataclass
+class WhisperPartition(InputPartition):
+    """One scan task: a slot range of one archive of one file."""
+
+    path: str
+    compression: str  # resolved: "none" | "gzip"
+    metric: str
+    archive_index: int
+    offset: int
+    seconds_per_point: int
+    points: int  # total slots in the archive (for slot math)
+    slot_start: int
+    slot_count: int
+
+
+class WhisperDataSource(DataSource):
+    """Python DataSource: ``spark.read.format("whisper").load(glob)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "whisper"
+
+    def schema(self) -> StructType:
+        to_datetime = _boolopt(self.options, "to_datetime", True)
+        dtype = str(self.options.get("dtype") or "float64").lower()
+        if dtype not in ("float64", "double", "float32", "float"):
+            raise ValueError(f"Invalid dtype: {dtype!r} (float64 or float32)")
+        ts_type = TimestampType() if to_datetime else LongType()
+        val_type = DoubleType() if dtype in ("float64", "double") else FloatType()
+        return StructType(
+            [
+                StructField("metric", StringType(), False),
+                StructField("archive", IntegerType(), False),
+                StructField("slot", IntegerType(), False),
+                StructField("timestamp", ts_type, False),
+                StructField("value", val_type, False),
+            ]
+        )
+
+    def reader(self, schema: StructType) -> "WhisperScanReader":
+        return WhisperScanReader(self.options)
+
+
+class WhisperScanReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.options = options
+        path = options.get("path")
+        if not path:
+            raise ValueError("whisper source requires a load path")
+        self.path = path
+        self.compression = str(options.get("compression") or "infer")
+        resolve_compression("x.wsp", self.compression)  # validate early
+        self.to_datetime = _boolopt(options, "to_datetime", True)
+        dtype = str(options.get("dtype") or "float64").lower()
+        self.value_dtype = "float32" if dtype in ("float32", "float") else "float64"
+        self.drop_time_zero = _boolopt(options, "drop_time_zero", True)
+        self.time_sort = _boolopt(options, "time_sort", True)
+        self.chunk_points = int(options.get("chunk_points") or DEFAULT_CHUNK_POINTS)
+        self.base_dir = options.get("base_dir")
+        # populated by pushFilters; applied during partition planning / scan
+        self._metric_eq: set[str] | None = None
+        self._archive_eq: set[int] | None = None
+        self._ts_lo: int | None = None  # inclusive epoch-seconds lower bound
+        self._ts_hi: int | None = None  # inclusive epoch-seconds upper bound
+
+    # -- filter pushdown -------------------------------------------------
+    def pushFilters(self, filters: list[Filter]):
+        """Consume metric/archive equality (exact partition pruning) and
+        timestamp bounds (exact scan-side mask); everything else is
+        returned for Spark to evaluate post-scan."""
+        for f in filters:
+            attr = ".".join(f.attribute) if isinstance(f.attribute, tuple) else str(f.attribute)
+            if isinstance(f, EqualTo) and attr == "metric":
+                self._metric_eq = {f.value}
+            elif isinstance(f, In) and attr == "metric":
+                self._metric_eq = set(f.values)
+            elif isinstance(f, EqualTo) and attr == "archive":
+                self._archive_eq = {int(f.value)}
+            elif isinstance(f, In) and attr == "archive":
+                self._archive_eq = {int(v) for v in f.values}
+            else:
+                yield f
+
+    # -- planning (driver) ------------------------------------------------
+    def _files(self) -> list[str]:
+        path = self.path
+        if os.path.isdir(path):
+            pats = [os.path.join(path, "**", "*.wsp"), os.path.join(path, "**", "*.wsp.gz")]
+            files = [f for pat in pats for f in globmod.glob(pat, recursive=True)]
+            self._base = path
+        else:
+            files = globmod.glob(path)
+            self._base = os.path.dirname(path.split("*")[0])
+        if not files:
+            raise FileNotFoundError(f"no whisper files match {self.path!r}")
+        return sorted(files)
+
+    def partitions(self) -> list[WhisperPartition]:
+        parts: list[WhisperPartition] = []
+        base = self.base_dir
+        for f in self._files():
+            metric = metric_name(f, base if base is not None else self._base)
+            if self._metric_eq is not None and metric not in self._metric_eq:
+                continue
+            info = read_header(f, self.compression)
+            for arch in info.archives:
+                if self._archive_eq is not None and arch.index not in self._archive_eq:
+                    continue
+                # gzip has no random access: keep the archive whole so each
+                # partition decompresses the file at most once.
+                chunk = arch.points if info.compression == "gzip" else self.chunk_points
+                for start in range(0, arch.points, chunk):
+                    parts.append(
+                        WhisperPartition(
+                            path=f,
+                            compression=info.compression,
+                            metric=metric,
+                            archive_index=arch.index,
+                            offset=arch.offset,
+                            seconds_per_point=arch.seconds_per_point,
+                            points=arch.points,
+                            slot_start=start,
+                            slot_count=min(chunk, arch.points - start),
+                        )
+                    )
+        return parts
+
+    # -- scan (executors) --------------------------------------------------
+    def read(self, partition: WhisperPartition):
+        import numpy as np
+        import pyarrow as pa
+
+        p = partition
+        if p.compression == "gzip":
+            buffer = read_file_bytes(p.path, "gzip")
+        else:
+            # Byte-range read: only this partition's slice leaves the disk.
+            with open(p.path, "rb") as fh:
+                fh.seek(p.offset + 12 * p.slot_start)
+                raw = fh.read(12 * p.slot_count)
+            buffer = raw
+            arch = ArchiveInfo(p.archive_index, 0, p.seconds_per_point, p.slot_count)
+            data = read_points(buffer, arch, 0, p.slot_count)
+        if p.compression == "gzip":
+            arch = ArchiveInfo(p.archive_index, p.offset, p.seconds_per_point, p.points)
+            data = read_points(buffer, arch, p.slot_start, p.slot_count)
+
+        ts = data["timestamp"].astype("int64")  # endianness + width normalize
+        slots = np.arange(p.slot_start, p.slot_start + p.slot_count, dtype="int32")
+
+        mask = None
+        if self.drop_time_zero:
+            mask = ts != 0
+        if mask is not None:
+            ts = ts[mask]
+            slots = slots[mask]
+            vals = data["value"][mask].astype(self.value_dtype)
+        else:
+            vals = data["value"].astype(self.value_dtype)
+
+        if self.time_sort and len(ts) > 1:
+            order = np.argsort(ts, kind="stable")
+            ts, slots, vals = ts[order], slots[order], vals[order]
+
+        if self.to_datetime:
+            ts_arr = pa.array(ts * 1_000_000, type=pa.timestamp("us", tz="UTC"))
+        else:
+            ts_arr = pa.array(ts, type=pa.int64())
+        val_type = pa.float32() if self.value_dtype == "float32" else pa.float64()
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([p.metric] * len(ts), type=pa.string()),
+                pa.array(np.full(len(ts), p.archive_index, dtype="int32"), type=pa.int32()),
+                pa.array(slots, type=pa.int32()),
+                ts_arr,
+                pa.array(vals, type=val_type),
+            ],
+            names=["metric", "archive", "slot", "timestamp", "value"],
+        )
+
+
+def register_whisper(spark) -> None:
+    """Register the source so ``spark.read.format("whisper")`` resolves."""
+    spark.dataSource.register(WhisperDataSource)
