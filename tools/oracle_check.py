@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Local replica of the driver's t2 gate: run every registry query on Spark
+and its oracle on DuckDB at sf0.01, compare row counts, column names, and
+values (sorted, atol=1e-9 on floats). Usage:
+
+    python tools/oracle_check.py [name_substring ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb
+import numpy as np
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    filters = sys.argv[1:]
+    queries = e.queries()
+    oracles = e.oracle_sql()
+    fails = 0
+    for name, fn in queries.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:
+            print(f"{name:35s} SPARK-ERROR {type(ex).__name__}: {str(ex)[:200]}")
+            fails += 1
+            continue
+        osql = oracles.get(name)
+        if osql is None:
+            print(f"{name:35s} rows-only   {len(sdf)} rows")
+            continue
+        try:
+            ddf = con.execute(osql).fetchdf()
+        except Exception as ex:
+            print(f"{name:35s} ORACLE-ERROR {type(ex).__name__}: {str(ex)[:200]}")
+            fails += 1
+            continue
+        problems = []
+        if len(sdf) != len(ddf):
+            problems.append(f"rows {len(sdf)} vs {len(ddf)}")
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+        if not problems:
+            cols = sorted(sdf.columns)
+            s = sdf[cols].sort_values(cols).reset_index(drop=True)
+            d = ddf[cols].sort_values(cols).reset_index(drop=True)
+            for c in cols:
+                if s[c].dtype.kind == "f" or d[c].dtype.kind == "f":
+                    a = s[c].astype(float).to_numpy()
+                    b = d[c].astype(float).to_numpy()
+                    if not np.allclose(a, b, atol=1e-9, equal_nan=True):
+                        i = int(np.nanargmax(np.abs(a - b)))
+                        problems.append(f"float col {c} (e.g. {a[i]} vs {b[i]})")
+                else:
+                    sa, sb = s[c].astype(str), d[c].astype(str)
+                    if not (sa == sb).all():
+                        i = (sa != sb).idxmax()
+                        problems.append(f"col {c} (e.g. {sa[i]!r} vs {sb[i]!r})")
+        if problems:
+            fails += 1
+            print(f"{name:35s} FAIL        {'; '.join(problems)}")
+        else:
+            print(f"{name:35s} OK          {len(sdf)} rows")
+    print(f"\nFAILURES: {fails}")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

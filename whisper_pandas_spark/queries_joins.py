@@ -1,0 +1,240 @@
+"""Registry entries: join family (SURVEY.md §2.5) — equi joins in every
+flavor, multiway star join, range join, as-of join.
+
+Scale notes: dimension sides (customer/nation/region/supplier) are
+broadcast — at TPC-H shapes the fact side is 4-6 orders of magnitude
+larger, so a shuffle join would move the fact table for nothing. The
+range/as-of joins use the bucketed / union-window formulations from
+:mod:`whisper_pandas_spark.operators.asof` — no nested-loop joins anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.operators.asof import asof_join, range_join
+from whisper_pandas_spark.registry import _table, register
+
+
+@register(
+    "join_inner_revenue",
+    oracle="""
+SELECT c_name, round(sum(o_totalprice), 6) AS total_spend, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name
+ORDER BY c_name
+""",
+)
+def join_inner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact→dim with the dim broadcast."""
+    o = _table(spark, sf_dir, "orders")
+    c = F.broadcast(_table(spark, sf_dir, "customer"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_name")
+    )
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+""",
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT coalesce(a.k, b.k) AS k, a.n_orders, b.n_events
+FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1) a
+FULL OUTER JOIN
+     (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1) b
+ON a.k = b.k
+ORDER BY k
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides."""
+    a = (
+        _table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    b = (
+        _table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        a.join(b, "k", "full_outer")
+        .select("k", "n_orders", "n_events")
+        .orderBy("k")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+ORDER BY c_custkey
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS (no row duplication, right side never
+    materialized into output)."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+ORDER BY c_custkey
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS (customers with no large order)."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_star_q3ish",
+    oracle="""
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       strftime(any_value(o_orderdate), '%Y-%m-%d %H:%M:%S') AS n_date
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def join_star_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style multiway join: dim filter → broadcast → fact-fact
+    shuffle join on the order key → agg → top-k."""
+    c = F.broadcast(
+        _table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.date_format(F.any_value("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+                "n_date"
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "join_range_pairs",
+    oracle="""
+SELECT e.event_id AS error_id, count(*) AS n_clicks_next_hour
+FROM events e
+JOIN events c
+  ON e.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND CAST(floor(epoch(c.ts)) AS BIGINT) >= CAST(floor(epoch(e.ts)) AS BIGINT)
+ AND CAST(floor(epoch(c.ts)) AS BIGINT) <= CAST(floor(epoch(e.ts)) AS BIGINT) + 3600
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+ORDER BY e.event_id
+""",
+)
+def join_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucket-equi-join + refine (operators/asof.py):
+    clicks within one hour after each error, same user."""
+    ev = _table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id").alias("eu"), F.col("ts").alias("ets")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    joined = range_join(
+        errors,
+        clicks,
+        left_ts="ets",
+        right_ts="cts",
+        lower_seconds=0,
+        upper_seconds=3600,
+        bucket_seconds=3600,
+        extra_condition=F.col("eu") == F.col("cu"),
+    )
+    # Exact second-level comparison to mirror the oracle's epoch() compare:
+    # range_join already compares at second granularity via unix_timestamp.
+    return (
+        joined.groupBy("error_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_next_hour"))
+        .orderBy("error_id")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+SELECT e.event_id, e.user_id, c.value AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click value at-or-before each error, per user —
+    the idiomatic time-series alignment (pd.merge_asof / DuckDB ASOF JOIN),
+    implemented as ONE window pass over a union (operators/asof.py)."""
+    ev = _table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(errors, clicks, on="user_id", value_cols=("value",), suffix="_x")
+    return (
+        out.select("event_id", "user_id", F.col("value_x").alias("value_asof"))
+        .orderBy("event_id")
+    )

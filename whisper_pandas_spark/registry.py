@@ -37,9 +37,14 @@ def register(
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from whisper_pandas_spark.sources.tables import load_table
+
+    return load_table(spark, name, sf_dir)
 
 
 # Import side-effect modules that populate the registry. Kept at the bottom
 # so `register` / `_table` exist when they run.
 from whisper_pandas_spark import queries_relational  # noqa: E402,F401
+from whisper_pandas_spark import queries_rollup  # noqa: E402,F401
+from whisper_pandas_spark import queries_joins  # noqa: E402,F401
+from whisper_pandas_spark import queries_windows  # noqa: E402,F401
