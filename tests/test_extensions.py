@@ -1,0 +1,102 @@
+"""Unit tests for the LLM-pipeline extension operators (X1–X4) on tiny
+in-memory data — semantic checks the DuckDB oracle can't express (planted
+duplicates, invariance properties)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.operators.dedup import (
+    exact_dedup,
+    lsh_pairs,
+    minhash_signature,
+    simhash_df,
+    simhash_pairs,
+)
+from whisper_pandas_spark.operators.similarity import cosine, cosine_topk
+from whisper_pandas_spark.operators.textstats import fingerprints, quality_score
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest to find some food for the long cold winter"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("winter", "summer")),  # near-dup of 0
+        (3, "completely different text about spark dataframes and shuffles "
+            "partitions executors drivers catalyst tungsten codegen stages"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse, representative is min id
+    assert out[2] == 1 and out[3] == 1
+    assert 1 not in out
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs):
+    sig = minhash_signature(docs, "doc_id", "text", num_perm=12)
+    # signatures must differ across permutations (regression: the lambda
+    # default-arg bug collapsed all 12 seeds into one hash)
+    first = sig.select("sig").first()["sig"]
+    assert len(set(first)) > 1
+    pairs = {
+        (r["doc_i"], r["doc_j"]): r["jaccard"]
+        for r in lsh_pairs(sig, bands=4, rows=3, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0  # planted near-dup
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_identical_and_near(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_df(docs, "doc_id", "text").collect()}
+    assert sh[0] == sh[1]  # identical text -> identical fingerprint
+    assert sh[0] != sh[3]
+    pairs = {(r["doc_i"], r["doc_j"]): r["hamming"] for r in
+             simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical direction to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [0.9, 0.1, 0.0]),   # close to 0
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    got = [(r["vec_id"], r["rnk"]) for r in out]
+    assert got == [(1, 1), (3, 2)]
+    assert out[0]["cos_sim"] == 1.0
+
+
+def test_cosine_nulls_on_zero_vector(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], ["a", "b"]
+    ).select(cosine(F.col("a"), F.col("b")).alias("c"))
+    assert df.first()["c"] is None  # 0/0 -> NULL, dropped by rank filters
+
+
+def test_quality_score_bounds(docs):
+    for r in quality_score(docs, "doc_id", "text").collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_fingerprints_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in fingerprints(df, "doc_id", "text").collect()}
+    assert rows[0]["bow_fp"] == rows[1]["bow_fp"]  # same vocabulary
+    assert rows[0]["roll_fp"] != rows[1]["roll_fp"]  # different order

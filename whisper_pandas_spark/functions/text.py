@@ -1,0 +1,99 @@
+"""Cross-engine deterministic text primitives.
+
+These are the shared building blocks for the dedup / text-analysis operator
+family (SURVEY.md §2.10 X1–X4). Every primitive here is expressible
+IDENTICALLY in Spark SQL and DuckDB SQL, which is what makes the MinHash /
+SimHash pipelines oracle-able bit-for-bit instead of "rows-only".
+
+The hash family is md5-based: ``hash64(s) = int(md5(s)[:15], 16)`` — a
+60-bit unsigned value that fits a signed BIGINT on both engines:
+
+- Spark : ``cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)``
+- DuckDB : ``('0x' || substr(md5(s), 1, 15))::BIGINT``
+
+(verified equal this session: md5('hello') prefix → 419982666956583591 on
+both). Seeded variants hash ``'{seed}:' || s``.
+
+Scale note: md5-per-shingle is JVM-side whole-stage-codegen work (no Python
+round trip). At 100 TB, ~K permutations × shingles per doc is the dominant
+CPU cost of MinHash; it is embarrassingly parallel, shuffle-free (all
+narrow, per-row), and beats any Python UDF path. If profiling ever demands
+more, the drop-in replacement is a vectorized pandas_udf over xxhash — the
+plumbing stays identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Number of md5 hex chars used for the 60-bit hash (15 chars × 4 bits).
+HASH_HEX_CHARS = 15
+SIMHASH_BITS = 4 * HASH_HEX_CHARS  # 60
+
+
+def tokenize(text: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics, split on runs of spaces.
+
+    Identical DuckDB form:
+    ``regexp_split_to_array(trim(regexp_replace(lower(t),'[^a-z0-9]+',' ','g')),' ')``
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    cleaned = F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+    return F.split(cleaned, " ")
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token array (order-preserving join by
+    single spaces). Empty array when the doc has < n tokens.
+
+    DuckDB form: ``list_distinct(list_transform(range(1, greatest(len(t)-n+1,0)+1),
+    i -> t[i] || ' ' || ... || t[i+n-1]))``
+    """
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not [] — guard
+    # short docs explicitly (DuckDB's range(1, 1) is already empty).
+    idx = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def hash64(s: Column) -> Column:
+    """60-bit deterministic hash of a string column (see module docstring)."""
+    return F.conv(F.substring(F.md5(s), 1, HASH_HEX_CHARS), 16, 10).cast("bigint")
+
+
+def seeded_hash64(s: Column, seed: int) -> Column:
+    """Seeded member of the hash family: hash64('{seed}:' || s)."""
+    return hash64(F.concat(F.lit(f"{seed}:"), s))
+
+
+# --- DuckDB-side SQL fragments (kept next to their Spark twins so a reader
+# can diff the two dialects line by line) -----------------------------------
+
+DUCK_TOKENIZE = (
+    "regexp_split_to_array("
+    "trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+def duck_shingles(tokens_expr: str, n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"{tokens_expr}[i+{j}]" if j else f"{tokens_expr}[i]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({tokens_expr})-{n - 1}, 0)+1), i -> {parts}))"
+    )
+
+
+def duck_hash64(s_expr: str) -> str:
+    return f"('0x' || substr(md5({s_expr}), 1, {HASH_HEX_CHARS}))::BIGINT"
+
+
+def duck_seeded_hash64(s_expr: str, seed: int) -> str:
+    return duck_hash64(f"'{seed}:' || {s_expr}")

@@ -1,0 +1,230 @@
+"""Registry entries: deduplication family over `documents` (X1/X2).
+
+Oracle strategy per entry:
+
+- dedup_exact        : independent SQL (GROUP BY text) — algorithm-free.
+- dedup_minhash_lsh  : full algorithm replication in DuckDB SQL (LSH has
+  false negatives by design, so ground-truth all-pairs would NOT match;
+  the md5 hash family is engine-portable, so the replication is exact).
+- dedup_simhash      : algorithm replication (60 generated bit votes).
+- dedup_simhash_pairs: INDEPENDENT oracle — brute-force O(n²) hamming
+  pairs. The Spark side uses pigeonhole banding, which provably has no
+  false negatives at hamming ≤ 3 over 4 bands, so the two different
+  algorithms must agree exactly.
+- dedup_ngram_jaccard: independent oracle (same math, different join
+  shape: Spark blocks by lang, oracle runs lang-partitioned all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.functions.text import (
+    HASH_HEX_CHARS,
+    duck_seeded_hash64,
+    tokenize,
+    word_shingles,
+)
+from whisper_pandas_spark.operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup,
+    lsh_pairs,
+    minhash_signature,
+    simhash_df,
+    simhash_pairs,
+)
+from whisper_pandas_spark.registry import _table, register
+
+NUM_PERM = 12
+BANDS = 4
+ROWS = 3
+JACCARD_T = 0.8
+
+_DUCK_TOKS = (
+    "regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n    ".join(
+        f"list_min(list_transform(s, x -> {duck_seeded_hash64('x', i)})) AS m{i}"
+        for i in range(NUM_PERM)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"m{b * ROWS + r}::VARCHAR" for r in range(ROWS)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), shing AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks
+), shf AS (
+  SELECT doc_id, s FROM shing WHERE len(s) > 0
+), sig AS (
+  SELECT doc_id, s,
+    {sig_cols}
+  FROM shf
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_i, doc_j,
+  round(len(list_intersect(x.s, y.s)) * 1.0
+        / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+FROM cand
+JOIN sig x ON cand.doc_i = x.doc_id
+JOIN sig y ON cand.doc_j = y.doc_id
+WHERE round(len(list_intersect(x.s, y.s)) * 1.0
+        / len(list_distinct(list_concat(x.s, y.s))), 6) >= {JACCARD_T}
+ORDER BY doc_i, doc_j
+"""
+
+
+def _simhash_cte() -> str:
+    """CTE producing (doc_id, simhash) — 60 generated bit votes."""
+    hash_expr = (
+        f"list_transform(t, x -> ('0x' || substr(md5(x), 1, {HASH_HEX_CHARS}))::BIGINT)"
+    )
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hashes, h -> "
+        f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), hashed AS (
+  SELECT doc_id, {hash_expr} AS hashes FROM toks
+), sh AS (
+  SELECT doc_id, {votes} AS simhash FROM hashed
+)"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keep_id
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: content-hash exact dedup. One shuffle on a uniform sha2 key —
+    skew-free at any scale; map-side partial agg halves the shuffle."""
+    return exact_dedup(
+        _table(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("keep_id")
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash(12 perms) → LSH(4 bands × 3 rows) → exact-Jaccard
+    verify at 0.8. Sub-quadratic: the only O(pairs) work happens inside
+    hash buckets. Signatures are narrow/shuffle-free; the bucket shuffle
+    carries (doc_id, band, 16-byte key) rows only."""
+    docs = _table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", NUM_PERM)
+    return lsh_pairs(sig, BANDS, ROWS, JACCARD_T).orderBy("doc_i", "doc_j")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_simhash_cte().lstrip()}
+SELECT doc_id, simhash FROM sh ORDER BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: 60-bit Charikar SimHash per doc — zero shuffles, one md5 per
+    token, 60 bit-vote folds inside whole-stage codegen."""
+    return simhash_df(_table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH {_simhash_cte().lstrip()}
+SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_i, doc_j
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: near-dup pairs at hamming ≤ 3 via 4×15-bit pigeonhole banding
+    (no false negatives ⟹ equals the oracle's brute force). The banded
+    join is an equi-join on a 15-bit key instead of an O(n²) cross join."""
+    return simhash_pairs(
+        _table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    ).orderBy("doc_i", "doc_j")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_DUCK_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, lang, {_DUCK_SHINGLES} AS s FROM toks
+), shf AS (
+  SELECT doc_id, lang, s FROM sh WHERE len(s) > 0
+)
+SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+  round(len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM shf a JOIN shf b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.6
+ORDER BY doc_i, doc_j
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 baseline: exact 3-gram Jaccard ≥ 0.6, blocked by lang. The
+    blocking key turns O(n²) into Σ O(n_lang²) and shuffles on lang; at
+    100 TB you'd block on (lang, length-bucket) — the shape is the same."""
+    docs = _table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        word_shingles(tokenize("text"), 3).alias("s"),
+    ).filter(F.size("s") > 0)
+    a = sh.select(
+        F.col("lang").alias("lang"),
+        F.col("doc_id").alias("doc_i"),
+        F.col("s").alias("s_i"),
+    )
+    b = sh.select(
+        F.col("lang").alias("lang"),
+        F.col("doc_id").alias("doc_j"),
+        F.col("s").alias("s_j"),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("s_i", "s_j")).cast("double")
+        / F.size(F.array_union("s_i", "s_j")).cast("double"),
+        6,
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .select("doc_i", "doc_j", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+        .orderBy("doc_i", "doc_j")
+    )

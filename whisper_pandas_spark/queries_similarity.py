@@ -1,0 +1,177 @@
+"""Registry entries: similarity search over `embeddings` (X3).
+
+Float-parity design: every cosine on BOTH engines is computed as the same
+left fold over the same element order with the same double casts
+(Spark ``aggregate(zip_with(...))`` ≡ DuckDB
+``list_reduce(list_prepend(0.0, list_transform(...)))``), so results are
+bit-identical, not merely close — `round(..., 6)` is then safe on both
+sides. We deliberately do NOT use DuckDB's `list_cosine_similarity`
+(different internal summation order ⇒ last-ulp drift ⇒ hash mismatches).
+
+- sim_topk_bruteforce : exact top-k; broadcast query side, corpus never
+  shuffles; window rank per query with deterministic tie-break.
+- sim_topk_lsh        : hyperplane-LSH bucketed ANN; oracle replicates the
+  same deterministic hyperplanes (literal doubles shared via repr →
+  exact parse on both engines).
+- sim_near_dup_pairs  : label-blocked near-dup pairs (the embedding
+  analogue of dedup_ngram_jaccard's blocking strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.operators.similarity import (
+    _hyperplane,
+    cosine,
+    cosine_topk,
+    cosine_topk_lsh,
+)
+from whisper_pandas_spark.registry import _table, register
+
+DIM = 64
+K = 10
+N_PLANES = 8
+NEAR_DUP_T = 0.3
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """Left-fold dot product, element order, double casts — Spark-parity."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _duck_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, "
+        f"v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return f"({_duck_dot(a, b)} / ({_duck_norm(a)} * {_duck_norm(b)}))"
+
+
+def _duck_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+
+
+def _duck_bucket(vec: str, planes: list[list[float]]) -> str:
+    bits = []
+    for p, plane in enumerate(planes):
+        dot = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, len({vec})+1), "
+            f"i -> {vec}[i]::DOUBLE * ({_duck_plane_literal(plane)})[i])), "
+            f"(x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {2 ** p}::BIGINT ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding AS cvec FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         round({_duck_cos("qvec", "cvec")}, 6) AS cos_sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rnk
+FROM ranked WHERE rnk <= {K}
+ORDER BY query_id, rnk
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 baseline: exact cosine top-{K} for 5 query vectors. Query side is
+    broadcast; corpus stays map-side until the tiny per-query window."""
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, q, K).orderBy("query_id", "rnk")
+
+
+def _lsh_oracle() -> str:
+    planes = [_hyperplane(0, p, DIM) for p in range(N_PLANES)]
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding AS cvec,
+         {_duck_bucket("embedding", planes)} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         {_duck_bucket("embedding", planes)} AS bucket
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         round({_duck_cos("qvec", "cvec")}, 6) AS cos_sim
+  FROM c JOIN q USING (bucket)
+  WHERE c.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rnk
+FROM ranked WHERE rnk <= {K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("sim_topk_lsh", oracle=_lsh_oracle())
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: random-hyperplane LSH bucket match then exact
+    re-rank — candidate work is O(|bucket|) per query, not O(|corpus|).
+    Deterministic md5-derived hyperplanes, replicated in the oracle."""
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh(emb, q, K, DIM, N_PLANES).orderBy("query_id", "rnk")
+
+
+@register(
+    "sim_near_dup_pairs",
+    oracle=f"""
+SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+       round({_duck_cos("a.embedding", "b.embedding")}, 6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_duck_cos("a.embedding", "b.embedding")}, 6) >= {NEAR_DUP_T}
+ORDER BY vec_i, vec_j
+""",
+)
+def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X2 hybrid: embedding-cosine near-dup pairs blocked by label
+    (cluster prior). Equi-join on the blocking key keeps the pair count
+    Σ n_label² instead of n²; at 100 TB the blocking key would be an LSH
+    bucket (sim_topk_lsh's) — identical join shape."""
+    emb = _table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("label"),
+        F.col("vec_id").alias("vec_i"),
+        F.col("embedding").alias("e_i"),
+    )
+    b = emb.select(
+        F.col("label").alias("label"),
+        F.col("vec_id").alias("vec_j"),
+        F.col("embedding").alias("e_j"),
+    )
+    sim = F.round(cosine(F.col("e_i"), F.col("e_j")), 6)
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_i") < F.col("vec_j"))
+        .select("vec_i", "vec_j", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEAR_DUP_T)
+        .orderBy("vec_i", "vec_j")
+    )

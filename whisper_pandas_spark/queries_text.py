@@ -1,0 +1,143 @@
+"""Registry entries: text analysis over `documents` (X4).
+
+Each oracle replicates the deterministic algorithm in DuckDB SQL with the
+same integer/left-fold arithmetic (see operators/textstats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from whisper_pandas_spark.functions.text import HASH_HEX_CHARS
+from whisper_pandas_spark.operators.textstats import (
+    LANG_PROFILES,
+    STOPWORDS,
+    fingerprints,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from whisper_pandas_spark.registry import _table, register
+
+_DUCK_TOKS = (
+    "regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents
+)
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(t) AS n_tokens,
+  len(list_distinct(t)) AS n_distinct_tokens,
+  round(list_reduce(list_prepend(0.0, list_transform(t, x -> length(x)::DOUBLE)),
+        (a, b) -> a + b) / len(t), 6) AS mean_token_len
+FROM toks ORDER BY doc_id
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-doc token/char statistics — single narrow projection."""
+    return token_stats(_table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS t,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct
+  FROM documents
+), ratios AS (
+  SELECT doc_id,
+    punct::DOUBLE / n_chars AS punct_ratio,
+    len(list_filter(t, x -> x IN ({stop_list})))::DOUBLE / len(t) AS stop_ratio,
+    CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END AS length_ok
+  FROM base
+)
+SELECT doc_id,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stop_ratio, 6) AS stop_ratio,
+  round(0.4 * length_ok + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+        + 0.3 * least(stop_ratio * 10, 1.0), 6) AS quality
+FROM ratios ORDER BY doc_id
+"""
+
+
+@register("text_quality", oracle=_quality_oracle())
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: composite quality score (length gate, punctuation ratio,
+    stopword ratio) — the pre-training corpus filter, pure codegen."""
+    return quality_score(
+        _table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+def _lang_oracle() -> str:
+    def score(bgs: list[str]) -> str:
+        terms = " + ".join(
+            f"(length(low) - length(replace(low, '{bg}', ''))) / 2" for bg in bgs
+        )
+        return f"({terms})::INT"
+
+    score_cols = ",\n    ".join(
+        f"{score(bgs)} AS s_{lang}" for lang, bgs in LANG_PROFILES
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang, _ in LANG_PROFILES) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang, _ in LANG_PROFILES
+    )
+    return f"""
+WITH low AS (
+  SELECT doc_id, lower(text) AS low FROM documents
+), scores AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM low
+), ranked AS (
+  SELECT doc_id, {best} AS best, * FROM scores
+)
+SELECT doc_id, CASE {case} END AS pred_lang, best AS lang_score
+FROM ranked ORDER BY doc_id
+"""
+
+
+@register("text_lang_id", oracle=_lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: character-bigram language ID — per-row closed form, no UDF,
+    deterministic argmax tie-break by profile order."""
+    return lang_id(_table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+)
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bow_fp,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(t, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT)),
+    (acc, h) -> (acc * 31 + h) & {(1 << 55) - 1}
+  ) AS roll_fp
+FROM toks ORDER BY doc_id
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: bag-of-words md5 fingerprint + order-sensitive 55-bit rolling
+    polynomial hash (masked so acc*31+h never overflows BIGINT on either
+    engine — DuckDB raises on overflow, the JVM silently wraps)."""
+    return fingerprints(
+        _table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("doc_id")

@@ -48,3 +48,6 @@ from whisper_pandas_spark import queries_relational  # noqa: E402,F401
 from whisper_pandas_spark import queries_rollup  # noqa: E402,F401
 from whisper_pandas_spark import queries_joins  # noqa: E402,F401
 from whisper_pandas_spark import queries_windows  # noqa: E402,F401
+from whisper_pandas_spark import queries_dedup  # noqa: E402,F401
+from whisper_pandas_spark import queries_similarity  # noqa: E402,F401
+from whisper_pandas_spark import queries_text  # noqa: E402,F401
