@@ -26,7 +26,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # join, window, dedup, similarity). Kept explicit so bench time stays
 # stable as the registry grows.
 HEADLINE = [
+    # scan → filter → agg → sort (the reference's pipeline shape, TPC-H Q1)
     "q1_pricing_summary",
+    # Whisper rollup family representative (tumbling-window agg + xff gate)
+    "rollup_average_xff",
+    # multi-way star join (broadcast dims + AQE)
+    "join_star_q3ish",
+    # time-series as-of join (union + last-observation window)
+    "join_asof",
+    # window functions over a big partition-ordered scan
+    "window_moving_avg_time",
+    # near-dup dedup: MinHash → LSH → verify (the 100 TB pipeline op)
+    "dedup_minhash_lsh",
+    # similarity search: broadcast brute-force cosine top-k
+    "sim_topk_bruteforce",
+    # text quality scoring (pure codegen scan)
+    "text_quality",
 ]
 
 

@@ -11,6 +11,7 @@ from whisper_pandas_spark.operators.dedup import (
     exact_dedup,
     lsh_pairs,
     minhash_signature,
+    minhash_signature_arrow,
     simhash_df,
     simhash_pairs,
 )
@@ -55,6 +56,18 @@ def test_minhash_lsh_finds_planted_near_dup(docs):
     assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
     assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0  # planted near-dup
     assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_arrow_matches_expression_path(docs):
+    expr = {
+        r["doc_id"]: (sorted(r["hh"]), r["sig"])
+        for r in minhash_signature(docs, "doc_id", "text", 12).collect()
+    }
+    arrow = {
+        r["doc_id"]: (sorted(r["hh"]), r["sig"])
+        for r in minhash_signature_arrow(docs, "doc_id", "text", 12).collect()
+    }
+    assert expr == arrow  # identical hash family, bit-for-bit
 
 
 def test_simhash_identical_and_near(docs):

@@ -47,6 +47,13 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a token array (order-preserving join by
     single spaces). Empty array when the doc has < n tokens.
 
+    PERF CONTRACT: pass a *materialized column reference*, never an inline
+    expression — ``tokens`` is referenced n times inside the lambda body,
+    and higher-order lambdas are interpreted, so an inline
+    ``tokenize(text)`` here would re-run the regex/split n× per shingle
+    (measured 6× slowdown at sf0.1). Project tokens into their own column
+    first; see minhash_signature.
+
     DuckDB form: ``list_distinct(list_transform(range(1, greatest(len(t)-n+1,0)+1),
     i -> t[i] || ' ' || ... || t[i+n-1]))``
     """
@@ -62,6 +69,36 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(sh)
+
+
+# MinHash universal-hash family: ONE md5 per shingle (32-bit base hash),
+# then num_perm cheap permutations h_i = (a_i*h + b_i) mod p — the standard
+# datasketch-style construction. Overflow-safe on both engines:
+# a_i < 2^30, h < 2^32 ⟹ a_i*h < 2^62; + b_i < 2^61 ⟹ sum < 2^63.
+MINHASH_P = (1 << 61) - 1  # Mersenne prime 2^61-1
+
+
+def minhash_perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs derived from md5 — identical literals
+    are embedded in the Spark plan and the DuckDB oracle SQL."""
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        a = int(hashlib.md5(f"minhash-a:{i}".encode()).hexdigest()[:8], 16)
+        b = int(hashlib.md5(f"minhash-b:{i}".encode()).hexdigest()[:15], 16)
+        out.append((a % ((1 << 30) - 1) + 1, b % MINHASH_P))
+    return out
+
+
+def base_hash32(s: Column) -> Column:
+    """32-bit base hash (md5 prefix) — one md5 per value, permutations are
+    arithmetic on top."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def duck_base_hash32(s_expr: str) -> str:
+    return f"('0x' || substr(md5({s_expr}), 1, 8))::BIGINT"
 
 
 def hash64(s: Column) -> Column:

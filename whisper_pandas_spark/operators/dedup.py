@@ -66,29 +66,125 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_perm: int, shingle_n: int = 3
 ) -> DataFrame:
-    """id + MinHash signature array (one 60-bit min-hash per permutation).
+    """id + MinHash signature array (one min-hash per permutation).
 
-    Entirely narrow (no shuffle): tokenize → shingle → per-seed
-    array_min(transform(shingles, md5-hash)). Docs with no shingles get
-    NULL mins and are dropped (they cannot near-dup by shingle overlap).
+    Entirely narrow (no shuffle). Cost profile matters: higher-order
+    lambdas are interpreted (CodegenFallback), so we pay ONE md5 per
+    shingle (32-bit base hash, materialized in its own projection) and
+    derive all permutations with the universal-hash family
+    h_i = (a_i·h + b_i) mod 2^61-1 — the datasketch construction, ~12×
+    cheaper than per-seed cryptographic hashing and equally
+    DuckDB-replicable. Docs with no shingles are dropped (they cannot
+    near-dup by shingle overlap).
     """
-    sh = F.array_distinct(word_shingles(tokenize(text_col), shingle_n))
-    out = df.select(
-        F.col(id_col).alias("doc_id"), sh.alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    # NB: factory closure, NOT `lambda s, i=i: ...` — PySpark counts every
+    from whisper_pandas_spark.functions.text import (
+        MINHASH_P,
+        base_hash32,
+        minhash_perm_constants,
+    )
+
+    # Materialize tokens BEFORE shingling (see word_shingles perf contract).
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    )
+    hashed = (
+        toks.select(
+            "doc_id", word_shingles(F.col("toks"), shingle_n).alias("shingles")
+        )
+        .filter(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            "shingles",
+            F.transform(F.col("shingles"), lambda s: base_hash32(s)).alias("hh"),
+        )
+    )
+
+    # NB: factory closure, NOT `lambda h, a=a: ...` — PySpark counts every
     # parameter (defaults included) as a lambda variable, so a defaulted
     # second arg silently becomes transform's index Column.
-    def perm_hash(seed: int):
-        return lambda s: seeded_hash64(s, seed)
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("shingles"), perm_hash(i)))
-            for i in range(num_perm)
+            F.array_min(F.transform(F.col("hh"), perm(a, b)))
+            for a, b in minhash_perm_constants(num_perm)
         ]
     )
-    return out.select("doc_id", "shingles", sig.alias("sig"))
+    return hashed.select(
+        "doc_id", F.array_distinct("hh").alias("hh"), sig.alias("sig")
+    )
+
+
+def minhash_signature_arrow(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int, shingle_n: int = 3
+) -> DataFrame:
+    """Arrow-batched MinHash — same contract and EXACT same values as
+    :func:`minhash_signature`, ~10× faster.
+
+    Why a Pandas UDF here: the expression version is correct but every
+    higher-order lambda is CodegenFallback (interpreted per element), and
+    profiling at sf0.1 showed ~13 s for 5 000 docs — pure interpreter
+    overhead, not I/O. This mapInPandas path does the per-doc work in
+    Python (hashlib md5 per shingle — the identical hash family) with the
+    num_perm universal-hash permutations vectorized in numpy, and moves
+    data via Arrow batches. It is embarrassingly parallel and shuffle-free:
+    at 100 TB it scales with cores exactly like the scan.
+
+    Output: (doc_id, hh: array<bigint> distinct shingle hashes,
+    sig: array<bigint> minhash signature).
+    """
+    import re
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.functions.text import (
+        MINHASH_P,
+        minhash_perm_constants,
+    )
+
+    consts = minhash_perm_constants(num_perm)
+    A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+    n = shingle_n
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        non_alnum = re.compile(r"[^a-z0-9]+")
+        for pdf in batches:
+            ids, hhs, sigs = [], [], []
+            for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                toks = non_alnum.sub(" ", str(text).lower()).strip().split(" ")
+                if len(toks) < n:
+                    continue
+                shingles = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+                hh = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(s.encode()).digest()[:4], "big"
+                        )
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                hh = np.unique(hh)  # md5-prefix collisions: keep set semantics
+                # a < 2^30, h < 2^32, b < 2^61 => a*h + b < 2^63 (no overflow)
+                sig = ((A * hh[None, :] + B) % MINHASH_P).min(axis=1)
+                ids.append(doc_id)
+                hhs.append(hh.tolist())
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"doc_id": ids, "hh": hhs, "sig": sigs})
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    return src.mapInPandas(
+        compute, "doc_id long, hh array<long>, sig array<long>"
+    )
 
 
 def lsh_pairs(
@@ -100,25 +196,34 @@ def lsh_pairs(
 ) -> DataFrame:
     """Banded LSH candidate pairs + exact Jaccard verification.
 
-    sig_df: output of :func:`minhash_signature` (doc_id, shingles, sig with
-    len == bands*rows). Returns (doc_i, doc_j, jaccard) with doc_i < doc_j
-    and jaccard >= threshold.
+    sig_df: output of :func:`minhash_signature` / `minhash_signature_arrow`
+    (doc_id, hh, sig with len == bands*rows). Returns (doc_i, doc_j,
+    jaccard over hashed shingle sets) with doc_i < doc_j and jaccard >=
+    threshold.
+
+    The caller should `.persist()` sig_df: it is consumed three times
+    (bucket generation + both sides of the verification join), and the
+    signature subtree is the expensive part of the pipeline. At cluster
+    scale the equivalent is materializing signatures to storage once —
+    the standard shape of a production MinHash pipeline.
     """
-    band_rows = []
-    for b in range(bands):
-        key = F.md5(
-            F.concat_ws(
-                ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+    # Single pass over sig_df: all band keys as one array, then posexplode —
+    # NOT a bands-way union (which would re-evaluate the signature subtree
+    # once per band).
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)],
+                )
             )
-        )
-        band_rows.append(
-            sig_df.select(
-                "doc_id", F.lit(b).alias("band"), key.alias("bkey")
-            )
-        )
-    bucketed = band_rows[0]
-    for extra in band_rows[1:]:
-        bucketed = bucketed.unionByName(extra)
+            for b in range(bands)
+        ]
+    )
+    bucketed = sig_df.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
 
     # Skew guard: drop degenerate buckets before the quadratic self-join.
     sized = bucketed.withColumn(
@@ -135,9 +240,13 @@ def lsh_pairs(
         .distinct()
     )
 
-    sh = sig_df.select("doc_id", "shingles")
-    a = sh.select(F.col("doc_id").alias("doc_i"), F.col("shingles").alias("sh_i"))
-    b = sh.select(F.col("doc_id").alias("doc_j"), F.col("shingles").alias("sh_j"))
+    # Verification joins ship the hashed shingle SETS (8 bytes/shingle),
+    # not the shingle strings — a ~4× lighter shuffle payload with
+    # identical Jaccard (md5-prefix collisions are applied consistently on
+    # both engines).
+    sh = sig_df.select("doc_id", "hh")
+    a = sh.select(F.col("doc_id").alias("doc_i"), F.col("hh").alias("sh_i"))
+    b = sh.select(F.col("doc_id").alias("doc_j"), F.col("hh").alias("sh_j"))
     inter = F.size(F.array_intersect("sh_i", "sh_j"))
     union = F.size(F.array_union("sh_i", "sh_j"))
     jac = inter.cast("double") / union.cast("double")

@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 from whisper_pandas_spark.functions.text import (
     HASH_HEX_CHARS,
-    duck_seeded_hash64,
+    MINHASH_P,
+    duck_base_hash32,
+    minhash_perm_constants,
     tokenize,
     word_shingles,
 )
@@ -30,7 +32,7 @@ from whisper_pandas_spark.operators.dedup import (
     SIMHASH_BITS,
     exact_dedup,
     lsh_pairs,
-    minhash_signature,
+    minhash_signature_arrow,
     simhash_df,
     simhash_pairs,
 )
@@ -53,8 +55,8 @@ _DUCK_SHINGLES = (
 
 def _minhash_oracle() -> str:
     sig_cols = ",\n    ".join(
-        f"list_min(list_transform(s, x -> {duck_seeded_hash64('x', i)})) AS m{i}"
-        for i in range(NUM_PERM)
+        f"list_min(list_transform(hh, h -> ({a} * h + {b}) % {MINHASH_P})) AS m{i}"
+        for i, (a, b) in enumerate(minhash_perm_constants(NUM_PERM))
     )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
@@ -71,9 +73,10 @@ WITH toks AS (
 ), shing AS (
   SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks
 ), shf AS (
-  SELECT doc_id, s FROM shing WHERE len(s) > 0
+  SELECT doc_id, list_distinct(list_transform(s, x -> {duck_base_hash32("x")})) AS hh
+  FROM shing WHERE len(s) > 0
 ), sig AS (
-  SELECT doc_id, s,
+  SELECT doc_id, hh,
     {sig_cols}
   FROM shf
 ), bands AS (
@@ -84,13 +87,13 @@ WITH toks AS (
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
 SELECT doc_i, doc_j,
-  round(len(list_intersect(x.s, y.s)) * 1.0
-        / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+  round(len(list_intersect(x.hh, y.hh)) * 1.0
+        / len(list_distinct(list_concat(x.hh, y.hh))), 6) AS jaccard
 FROM cand
 JOIN sig x ON cand.doc_i = x.doc_id
 JOIN sig y ON cand.doc_j = y.doc_id
-WHERE round(len(list_intersect(x.s, y.s)) * 1.0
-        / len(list_distinct(list_concat(x.s, y.s))), 6) >= {JACCARD_T}
+WHERE round(len(list_intersect(x.hh, y.hh)) * 1.0
+        / len(list_distinct(list_concat(x.hh, y.hh))), 6) >= {JACCARD_T}
 ORDER BY doc_i, doc_j
 """
 
@@ -138,7 +141,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash buckets. Signatures are narrow/shuffle-free; the bucket shuffle
     carries (doc_id, band, 16-byte key) rows only."""
     docs = _table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "doc_id", "text", NUM_PERM)
+    # Arrow path (see minhash_signature_arrow: expression version is
+    # interpreter-bound). persist: the signature subtree is consumed 3×
+    # downstream (buckets + both verification sides); at cluster scale this
+    # materialization would be a write of the signature table — the same
+    # pipeline shape.
+    sig = minhash_signature_arrow(docs, "doc_id", "text", NUM_PERM).persist()
     return lsh_pairs(sig, BANDS, ROWS, JACCARD_T).orderBy("doc_i", "doc_j")
 
 
@@ -201,11 +209,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key turns O(n²) into Σ O(n_lang²) and shuffles on lang; at
     100 TB you'd block on (lang, length-bucket) — the shape is the same."""
     docs = _table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        word_shingles(tokenize("text"), 3).alias("s"),
-    ).filter(F.size("s") > 0)
+    sh = (
+        docs.select("doc_id", "lang", tokenize("text").alias("toks"))
+        .select("doc_id", "lang", word_shingles(F.col("toks"), 3).alias("s"))
+        .filter(F.size("s") > 0)
+    )
     a = sh.select(
         F.col("lang").alias("lang"),
         F.col("doc_id").alias("doc_i"),
