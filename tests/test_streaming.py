@@ -1,0 +1,97 @@
+"""Structured Streaming rollup: streaming result must agree
+bucket-for-bucket with the batch rollup operator on the same data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from whisper_pandas_spark.operators.rollup import rollup
+from whisper_pandas_spark.streaming.rollup import dedup_last_wins, streaming_rollup
+
+SCHEMA = StructType(
+    [
+        StructField("metric", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def points(spark, tmp_path_factory):
+    """120 points across 2 metrics at 10 s resolution, written as parquet
+    (the streaming file source replays it as a bounded stream)."""
+    df = spark.createDataFrame(
+        [(m, 1_600_000_000 + 10 * i, float((i * 7 + (3 if m == "cpu" else 5)) % 50))
+         for m in ("cpu", "mem") for i in range(60)],
+        ["metric", "epoch", "value"],
+    ).select("metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    path = str(tmp_path_factory.mktemp("stream_src") / "points")
+    df.write.parquet(path)
+    return path
+
+
+def _run_stream(spark, sdf, name: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@pytest.mark.parametrize("method", ["average", "sum", "max", "last"])
+def test_streaming_rollup_matches_batch(spark, points, method):
+    batch = spark.read.parquet(points)
+    expected = {
+        (r["metric"], r["bucket"], r["n_points"]): r["value"]
+        for r in rollup(batch, 60, method, ts_col="timestamp").collect()
+    }
+
+    sdf = spark.readStream.schema(SCHEMA).parquet(points)
+    out = streaming_rollup(sdf, 60, method, watermark="10 minutes")
+    got = {
+        (r["metric"], r["bucket"], r["n_points"]): r["value"]
+        for r in _run_stream(spark, out, f"roll_{method}").collect()
+    }
+    assert got == expected
+
+
+def test_streaming_rollup_xff_gate(spark, points):
+    sdf = spark.readStream.schema(SCHEMA).parquet(points)
+    out = streaming_rollup(
+        sdf, 60, "average", x_files_factor=0.99, fine_resolution_seconds=10,
+        watermark="10 minutes",
+    )
+    rows = _run_stream(spark, out, "roll_xff").collect()
+    # every surviving window must be fully filled (6 of 6 slots at xff=.99)
+    assert rows and all(r["n_points"] == 6 for r in rows)
+
+
+def test_streaming_dedup_last_wins_slots(spark, points):
+    sdf = spark.readStream.schema(SCHEMA).parquet(points)
+    out = dedup_last_wins(sdf, slot_seconds=10, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_slots")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_slots")
+    # input has no duplicate slots, so dedup is the identity here; the
+    # semantic (one row per metric+slot) must hold
+    assert got.count() == 120
+    assert got.groupBy("metric", "slot").count().filter("count > 1").count() == 0

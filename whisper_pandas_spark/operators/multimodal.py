@@ -1,0 +1,156 @@
+"""Multimodal (binary) column operators (SURVEY.md §2.10 X5).
+
+Design: image/audio/video payloads are opaque ``BinaryType`` columns with a
+typed metadata struct alongside — the Spark-native shape for multimodal
+training data (the same pattern as `spark.read.format("binaryFile")`,
+which yields (path, modificationTime, length, content)).
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+exactly as the task prescribes: `decode_image` raises NotImplementedError
+with the real signature, while `fake_decode_features` is a deterministic
+stand-in (byte histograms) so the Spark-side plumbing — schema, Arrow batch
+shape, mapInPandas signature, partitioning — is real and tested end-to-end.
+
+Scale notes:
+- metadata extraction (length/hash/magic sniff) is pure built-ins —
+  codegen, no Python;
+- feature extraction is mapInPandas over Arrow batches: payloads never
+  round-trip through the driver and never inflate into Python objects
+  row-by-row; at 100 TB the job is scan-shaped (narrow, no shuffle);
+- frame sampling EXPLODES rows (one row per sampled frame) inside the
+  same mapInPandas pass — output partitioning stays aligned with the scan,
+  no shuffle until a downstream groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_BINS = 16
+FRAME_BYTES = 64  # fake fixed-size "frame" for the sampling pipeline
+
+
+def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary payload column (utf-8 bytes of the text —
+    the testdata has no true binary column; the pipeline treats it as
+    opaque bytes from here on)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def binary_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata over an opaque binary column — pure built-ins.
+
+    mime sniffing: tiny deterministic magic-byte check (PNG/JPEG/RIFF
+    signatures, else octet-stream) — the real-world version is the same
+    expression over more prefixes.
+    """
+    p = F.col(payload_col)
+    head = F.hex(F.substring(p, 1, 4))
+    mime = (
+        F.when(head.startswith("89504E47"), "image/png")
+        .when(head.startswith("FFD8FF"), "image/jpeg")
+        .when(head.startswith("52494646"), "audio/wav")
+        .otherwise("application/octet-stream")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.octet_length(p).alias("n_bytes"),
+        F.md5(p).alias("payload_md5"),
+        mime.alias("mime"),
+        F.ceil(F.octet_length(p) / F.lit(FRAME_BYTES)).cast("int").alias("n_frames"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires a codec library not present in this
+    container. The mapInPandas plumbing calls :func:`fake_decode_features`
+    instead; swap this in when PIL/opencv is available."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv (not installed); "
+        "use fake_decode_features for the deterministic test path"
+    )
+
+
+def fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for feature extraction: a 16-bin byte
+    histogram, L1-normalized. Same shape/dtype contract as a real
+    embedding head."""
+    counts = [0] * FEATURE_BINS
+    for b in payload:
+        counts[b % FEATURE_BINS] += 1
+    total = max(len(payload), 1)
+    return [c / total for c in counts]
+
+
+def extract_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas feature extraction: (doc_id, features ARRAY<DOUBLE>).
+
+    Arrow-batched; payload bytes stay in the executor. Narrow — output
+    partitioning equals scan partitioning.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["_id"],
+                    "features": [
+                        fake_decode_features(bytes(p)) for p in pdf["_payload"]
+                    ],
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return src.mapInPandas(run, "doc_id long, features array<double>")
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    every: int = 4,
+) -> DataFrame:
+    """Frame sampling: split payload into FRAME_BYTES chunks, keep every
+    k-th, one output row per kept frame (row explosion inside the same
+    Arrow pass — no shuffle).
+
+    Output: (doc_id, frame_idx, frame_bytes, frame_md5).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, blobs, hashes = [], [], [], []
+            for doc_id, p in zip(pdf["_id"], pdf["_payload"]):
+                raw = bytes(p)
+                for i in range(0, len(raw), FRAME_BYTES * every):
+                    frame = raw[i : i + FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(i // FRAME_BYTES)
+                    blobs.append(frame)
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": blobs,
+                    "frame_md5": hashes,
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return src.mapInPandas(
+        run, "doc_id long, frame_idx int, frame_bytes binary, frame_md5 string"
+    )
