@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the properties that decide whether a
+plan survives 100 TB (SURVEY.md §4). A query that silently loses filter
+pushdown or broadcasts stops being scale-safe long before it stops being
+correct — these tests pin the plan shape, not the results."""
+
+from __future__ import annotations
+
+import pytest
+
+from whisper_pandas_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+)
+from whisper_pandas_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_reaches_parquet_scan(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed  # predicate pushdown into the scan
+    # partial (map-side) + final aggregation — the shuffle carries one row
+    # per group, not per lineitem row
+    assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_filter_project_cast_pushdown(spark):
+    df = QUERIES["filter_project_cast"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "EqualTo(event_type" in pushed
+
+
+def test_sort_topk_never_total_sorts(spark):
+    # orderBy + limit must plan TakeOrderedAndProject (per-partition top-k
+    # + merge), not a global Sort — a total sort of 100 TB is a job killer
+    plan = formatted_plan(QUERIES["sort_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_star_join_broadcasts_small_dims(spark):
+    df = QUERIES["join_star_q3ish"](spark, SF)
+    assert has_broadcast_join(df)  # dims broadcast; fact table never shuffles
+
+
+def test_similarity_broadcasts_query_side(spark):
+    df = QUERIES["sim_topk_bruteforce"](spark, SF)
+    assert has_broadcast_join(df)  # corpus scans once, query set ships to it
+
+
+def test_rollup_is_single_shuffle(spark):
+    # one groupBy -> exactly one Exchange; partial agg before it
+    plan = formatted_plan(QUERIES["rollup_average"](spark, SF))
+    # Exactly two exchanges: one hash partition for the agg, one range
+    # partition for the final orderBy — anything more means the bucket
+    # expression broke partial aggregation.
+    import re
+
+    tree_exchanges = [
+        ln for ln in plan.splitlines() if re.match(r"\(\d+\) Exchange$", ln.strip())
+    ]
+    assert len(tree_exchanges) == 2, plan
+    assert "hashpartitioning" in plan and "rangepartitioning" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "text_quality"])
+def test_scan_only_reads_needed_columns(spark, name):
+    # column pruning: the documents scan must not read doc columns the
+    # query never touches (lang/source are untouched by these two)
+    plan = formatted_plan(QUERIES[name](spark, SF))
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines, plan
+    assert "source" not in " ".join(schema_lines)
