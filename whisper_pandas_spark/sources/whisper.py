@@ -69,7 +69,12 @@ from whisper_pandas_spark.sources.format import (
     resolve_compression,
 )
 
-DEFAULT_CHUNK_POINTS = 4 * 1024 * 1024  # 48 MiB of raw points per partition
+# 12 MiB of raw points per partition. Measured on the reference-geometry
+# 83 MB fixture (bench.py): 1M-point chunks cut the scan from 0.7 s to
+# 0.5 s on local[32] vs 4M chunks (8 tasks instead of 4); per-task decode
+# stays ~50 ms against ~5 ms scheduling overhead, so the split is still
+# coarse enough for a 1000-executor cluster.
+DEFAULT_CHUNK_POINTS = 1024 * 1024
 
 
 def _boolopt(options, key: str, default: bool) -> bool:
