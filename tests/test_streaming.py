@@ -95,3 +95,17 @@ def test_streaming_dedup_last_wins_slots(spark, points):
     # semantic (one row per metric+slot) must hold
     assert got.count() == 120
     assert got.groupBy("metric", "slot").count().filter("count > 1").count() == 0
+
+
+def test_streaming_session_window(spark, points):
+    """Session windows on a stream: 60 s-gap sessions over the 10 s-spaced
+    points collapse each metric into one long session."""
+    sdf = spark.readStream.schema(SCHEMA).parquet(points)
+    out = (
+        sdf.withWatermark("timestamp", "10 minutes")
+        .groupBy("metric", F.session_window("timestamp", "60 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("metric", F.col("w.start").alias("session_start"), "n")
+    )
+    got = _run_stream(spark, out, "sessions").collect()
+    assert {(r["metric"], r["n"]) for r in got} == {("cpu", 60), ("mem", 60)}

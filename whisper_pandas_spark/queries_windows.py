@@ -325,3 +325,85 @@ def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("size_class", "o_orderstatus")
     )
+
+
+@register(
+    "window_sliding_avg",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value FROM events
+), fanout AS (
+  SELECT user_id, value, unnest(generate_series(
+           CAST(ceil((ep - 3600 + 1) / 900.0) AS BIGINT) * 900,
+           (ep // 900) * 900, 900)) AS win_start
+  FROM e
+)
+SELECT to_timestamp(win_start)::TIMESTAMP AS win_start,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM fanout
+GROUP BY win_start
+ORDER BY win_start
+""",
+)
+def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: sliding tumbling windows (1 h length, 15 min slide) over the
+    event stream — ``F.window(ts, '1 hour', '15 minutes')``. Spark fans
+    each row out to length/slide windows before the single groupBy
+    shuffle (the oracle replicates the fan-out with generate_series)."""
+    ev = _table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "avg_value")
+        .orderBy("win_start")
+    )
+
+
+@register(
+    "window_session_agg",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0
+         END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: session windows (30 min inactivity gap) per user —
+    ``F.session_window``. The oracle is the classic gaps-and-islands SQL,
+    an INDEPENDENT algorithm that must agree session-for-session.
+    session_start is min(ts) (engine-neutral; Spark's window.start equals
+    it for event-time sessions)."""
+    ev = _table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+    )
