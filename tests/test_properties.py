@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis): randomized coverage the reference's
+golden-value suite lacks (SURVEY.md §5 — "no property-based testing").
+
+Spark actions are slow per example, so examples are capped and data kept
+tiny; the PROPERTIES (round-trip exactness, rollup algebra) are what the
+random geometry explores."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from wsp_fixtures import build_wsp  # noqa: E402
+
+from whisper_pandas_spark.operators.rollup import rollup  # noqa: E402
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+archive_geometry = st.lists(
+    st.tuples(
+        st.sampled_from([5, 10, 60, 300]),        # seconds_per_point
+        st.integers(min_value=4, max_value=200),  # points
+        st.floats(min_value=0.1, max_value=1.0),  # fill ratio
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@SLOW
+@given(archives=archive_geometry, agg=st.sampled_from(["average", "sum", "last"]))
+def test_whisper_roundtrip_exact(spark, tmp_path_factory, archives, agg):
+    """Whatever geometry we write, the distributed scan returns EXACTLY the
+    filled points (timestamps and float64 values bit-for-bit), per archive."""
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    path = str(tmp_path_factory.mktemp("prop") / "p.wsp")
+    synth = build_wsp(path, aggregation=agg, archives=archives)
+
+    df = spark.read.format("whisper").load(path)
+    rows = df.collect()
+    by_archive: dict[int, list] = {}
+    for r in rows:
+        by_archive.setdefault(r["archive"], []).append(r)
+
+    for i, arch in enumerate(synth):
+        got = sorted(
+            ((r["timestamp"].timestamp(), r["value"]) for r in by_archive.get(i, [])),
+        )
+        want = sorted((float(t), float(v)) for t, v in arch.filled)
+        assert len(got) == len(want)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        np.testing.assert_array_equal(
+            np.array([g[1] for g in got]), np.array([w[1] for w in want])
+        )
+
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=599),  # offset seconds within 10 min
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(pts=points_strategy)
+def test_rollup_sum_max_min_algebra(spark, pts):
+    """rollup() must agree with a direct numpy group-by for sum/max/min on
+    arbitrary points (dedup epoch seconds: whisper slots are unique)."""
+    base = 1_600_000_000
+    seen: dict[int, float] = {}
+    for off, v in pts:
+        seen[base + off] = v  # last write wins per second (slot semantics)
+    df = spark.createDataFrame(
+        [("m", t, v) for t, v in seen.items()], ["metric", "epoch", "value"]
+    ).selectExpr("metric", "timestamp_seconds(epoch) AS timestamp", "value")
+
+    out = {
+        (r["bucket"].timestamp(), ): (r["value"], r["n_points"])
+        for r in rollup(df, 60, "sum", ts_col="timestamp").collect()
+    }
+    want: dict[tuple, list] = {}
+    for t, v in seen.items():
+        want.setdefault((float(t // 60 * 60),), []).append(v)
+    assert set(out) == set(want)
+    for k, vs in want.items():
+        assert out[k][1] == len(vs)
+        assert out[k][0] == pytest.approx(sum(vs), rel=1e-12, abs=1e-9)
