@@ -12,6 +12,8 @@ from whisper_pandas_spark.operators.dedup import (
     lsh_pairs,
     minhash_signature,
     minhash_signature_arrow,
+    ngram_jaccard_pairs,
+    simhash_arrow,
     simhash_df,
     simhash_pairs,
 )
@@ -68,6 +70,28 @@ def test_minhash_arrow_matches_expression_path(docs):
         for r in minhash_signature_arrow(docs, "doc_id", "text", 12).collect()
     }
     assert expr == arrow  # identical hash family, bit-for-bit
+
+
+def test_simhash_arrow_matches_expression_path(docs):
+    expr = {r["doc_id"]: r["simhash"] for r in simhash_df(docs, "doc_id", "text").collect()}
+    arrow = {r["doc_id"]: r["simhash"] for r in simhash_arrow(docs, "doc_id", "text").collect()}
+    assert expr == arrow
+
+
+def test_ngram_inverted_index_matches_bruteforce(docs):
+    """Inverted-index Jaccard equals the direct intersect/union math."""
+    from pyspark.sql import functions as F2
+
+    tagged = docs.withColumn("lang", F2.lit("en"))
+    got = {
+        (r["doc_i"], r["doc_j"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            tagged, "doc_id", "text", "lang", threshold=0.5
+        ).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert 0.5 <= got[(0, 2)] < 1.0
+    assert not any(3 in p for p in got)
 
 
 def test_simhash_identical_and_near(docs):

