@@ -180,3 +180,37 @@ def test_cli(fixtures, capsys):
     out = capsys.readouterr().out
     assert "aggregation_method:  average" in out
     assert "archive_count:       3" in out
+
+
+def test_timestamp_pushdown_equivalence(spark, fixtures):
+    """Pushed timestamp bounds must be lossless: filtered scan == full scan
+    + post-filter, for both TIMESTAMP and LONG epoch columns."""
+    from pyspark.sql import functions as F
+
+    d, _ = fixtures
+    path = str(d / "sensors" / "temp.wsp")
+    full = spark.read.format("whisper").load(path).collect()
+    mid = sorted(r["timestamp"] for r in full)[len(full) // 2]
+
+    pushed = (
+        spark.read.format("whisper").load(path)
+        .filter(F.col("timestamp") >= F.lit(mid))
+        .collect()
+    )
+    want = [r for r in full if r["timestamp"] >= mid]
+    assert sorted((r["archive"], r["slot"]) for r in pushed) == sorted(
+        (r["archive"], r["slot"]) for r in want
+    )
+
+    # LONG epoch variant (to_datetime=false): bounds arrive as ints
+    full_l = (
+        spark.read.format("whisper").option("to_datetime", "false").load(path).collect()
+    )
+    mid_ep = sorted(r["timestamp"] for r in full_l)[len(full_l) // 2]
+    pushed_l = (
+        spark.read.format("whisper").option("to_datetime", "false").load(path)
+        .filter((F.col("timestamp") > F.lit(mid_ep)) & (F.col("timestamp") < F.lit(mid_ep + 7 * 86400)))
+        .collect()
+    )
+    want_l = [r for r in full_l if mid_ep < r["timestamp"] < mid_ep + 7 * 86400]
+    assert len(pushed_l) == len(want_l)

@@ -47,8 +47,12 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -164,10 +168,40 @@ class WhisperScanReader(DataSourceReader):
         self._ts_hi: int | None = None  # inclusive epoch-seconds upper bound
 
     # -- filter pushdown -------------------------------------------------
+    @staticmethod
+    def _epoch(value) -> int | None:
+        """Filter literal → epoch seconds, or None if not convertible.
+
+        With to_datetime=true the column is TIMESTAMP and literals arrive
+        as datetime objects (session TZ is pinned UTC); with false the
+        column is LONG epochs. Anything ambiguous returns None and the
+        filter is handed back to Spark — pushdown must never be lossy.
+        """
+        import datetime as dt
+
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return value
+        if isinstance(value, dt.datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=dt.timezone.utc)
+            ts = value.timestamp()
+            return int(ts) if ts == int(ts) else None
+        return None
+
     def pushFilters(self, filters: list[Filter]):
-        """Consume metric/archive equality (exact partition pruning) and
-        timestamp bounds (exact scan-side mask); everything else is
-        returned for Spark to evaluate post-scan."""
+        """Consume metric/archive equality (exact partition pruning on the
+        driver) and timestamp bounds (exact scan-side mask before the
+        Arrow batch is built — the same position as the reference's
+        ``drop_time_zero`` mask, whisper_pandas.py:214-215); everything
+        else is returned for Spark to evaluate post-scan.
+
+        Note: slot chunks are RING-BUFFER ranges, so a timestamp bound
+        cannot prune partitions (any slot range may hold any time range);
+        it only prunes rows inside the decode, which still saves the
+        Arrow transfer and all downstream work.
+        """
         for f in filters:
             attr = ".".join(f.attribute) if isinstance(f.attribute, tuple) else str(f.attribute)
             if isinstance(f, EqualTo) and attr == "metric":
@@ -178,6 +212,23 @@ class WhisperScanReader(DataSourceReader):
                 self._archive_eq = {int(f.value)}
             elif isinstance(f, In) and attr == "archive":
                 self._archive_eq = {int(v) for v in f.values}
+            elif attr == "timestamp" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                ep = self._epoch(f.value)
+                if ep is None:
+                    yield f
+                    continue
+                if isinstance(f, GreaterThan):
+                    lo = ep + 1
+                    self._ts_lo = lo if self._ts_lo is None else max(self._ts_lo, lo)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self._ts_lo = ep if self._ts_lo is None else max(self._ts_lo, ep)
+                elif isinstance(f, LessThan):
+                    hi = ep - 1
+                    self._ts_hi = hi if self._ts_hi is None else min(self._ts_hi, hi)
+                else:
+                    self._ts_hi = ep if self._ts_hi is None else min(self._ts_hi, ep)
             else:
                 yield f
 
@@ -251,6 +302,12 @@ class WhisperScanReader(DataSourceReader):
         mask = None
         if self.drop_time_zero:
             mask = ts != 0
+        if self._ts_lo is not None:
+            m = ts >= self._ts_lo
+            mask = m if mask is None else (mask & m)
+        if self._ts_hi is not None:
+            m = ts <= self._ts_hi
+            mask = m if mask is None else (mask & m)
         if mask is not None:
             ts = ts[mask]
             slots = slots[mask]
