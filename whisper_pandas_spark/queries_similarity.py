@@ -175,3 +175,51 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= NEAR_DUP_T)
         .orderBy("vec_i", "vec_j")
     )
+
+
+def _lsh_near_dup_oracle() -> str:
+    planes = [_hyperplane(0, p, DIM) for p in range(N_PLANES)]
+    return f"""
+WITH b AS (
+  SELECT vec_id, label, embedding,
+         {_duck_bucket("embedding", planes)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_i, x.vec_id AS vec_j,
+       round({_duck_cos("a.embedding", "x.embedding")}, 6) AS cos_sim
+FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+WHERE round({_duck_cos("a.embedding", "x.embedding")}, 6) >= {NEAR_DUP_T}
+ORDER BY vec_i, vec_j
+"""
+
+
+@register("sim_near_dup_lsh", oracle=_lsh_near_dup_oracle())
+def sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3: embedding near-dup pairs blocked by the SAME hyperplane-LSH
+    bucket (sign pattern agreement) instead of a label — the blocking key
+    that exists at 100 TB when no labels do. Same-bucket candidates get
+    the exact cosine; recall trades against bucket density via N_PLANES."""
+    from whisper_pandas_spark.operators.similarity import _hyperplane, lsh_bucket
+
+    planes = [_hyperplane(0, p, DIM) for p in range(N_PLANES)]
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding"), planes).alias("bucket")
+    )
+    a = emb.select(
+        F.col("bucket").alias("bucket"),
+        F.col("vec_id").alias("vec_i"),
+        F.col("embedding").alias("e_i"),
+    )
+    b = emb.select(
+        F.col("bucket").alias("bucket"),
+        F.col("vec_id").alias("vec_j"),
+        F.col("embedding").alias("e_j"),
+    )
+    sim = F.round(cosine(F.col("e_i"), F.col("e_j")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_i") < F.col("vec_j"))
+        .select("vec_i", "vec_j", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEAR_DUP_T)
+        .orderBy("vec_i", "vec_j")
+    )
