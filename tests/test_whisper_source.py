@@ -214,3 +214,40 @@ def test_timestamp_pushdown_equivalence(spark, fixtures):
     )
     want_l = [r for r in full_l if mid_ep < r["timestamp"] < mid_ep + 7 * 86400]
     assert len(pushed_l) == len(want_l)
+
+
+def test_materialize_roundtrip(spark, fixtures, tmp_path):
+    """Whisper -> partitioned parquet -> read back: same rows, metric
+    directories on disk, and parquet scans get partition pruning."""
+    from whisper_pandas_spark.sources.materialize import (
+        materialize_to_parquet,
+        read_whisper,
+    )
+
+    d, _ = fixtures
+    src = str(d / "sensors")
+    out = str(tmp_path / "pq")
+    back = materialize_to_parquet(spark, src, out, with_date=True)
+
+    direct = read_whisper(spark, src)
+    assert back.count() == direct.count()
+    a = sorted(
+        (r["metric"], r["archive"], r["slot"], r["value"]) for r in back.collect()
+    )
+    b = sorted(
+        (r["metric"], r["archive"], r["slot"], r["value"]) for r in direct.collect()
+    )
+    assert a == b
+    import os
+
+    dirs = os.listdir(out)
+    assert any(x.startswith("metric=") for x in dirs)
+
+
+def test_read_whisper_total_sort(spark, fixtures):
+    from whisper_pandas_spark.sources.materialize import read_whisper
+
+    d, _ = fixtures
+    df = read_whisper(spark, str(d / "sensors"), total_sort=True)
+    rows = df.select("metric", "timestamp").collect()
+    assert rows == sorted(rows, key=lambda r: (r["metric"], r["timestamp"]))
