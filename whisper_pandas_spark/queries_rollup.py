@@ -78,3 +78,52 @@ for _method in ("average", "sum", "last", "max", "min", "avg_zero", "absmax", "a
 # xFilesFactor gate: emit a window only when ≥ 50% of expected slots filled
 # (with ~2.8 events per (type, hour) and 6 slots, windows split both ways)
 _make("average", xff=0.5, suffix="_xff")
+
+
+@register(
+    "rollup_cascade",
+    oracle="""
+WITH fine AS (
+  SELECT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS bucket_epoch,
+         avg(value) AS value,
+         count(value) AS n_points
+  FROM events
+  GROUP BY user_id, bucket_epoch
+)
+SELECT user_id,
+       (bucket_epoch // 3600) * 3600 AS bucket_epoch,
+       round(avg(value), 6) AS value,
+       count(value) AS n_points
+FROM fine
+GROUP BY user_id, 2
+ORDER BY user_id, bucket_epoch
+""",
+)
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Whisper ARCHIVE CASCADE as one pipeline: raw → 60 s average →
+    3600 s average-of-averages. Graphite aggregates each coarser archive
+    from the next-FINER archive, not from raw points — so the unweighted
+    avg-of-avgs here is the exact reference semantic
+    (whisper_pandas.py:33-42 aggregation applied per archive level), and
+    the composition rollup(rollup(x, 60), 3600) is the materialized view
+    chain a Whisper file stores on disk. Two shuffles, each keyed on
+    (user, bucket), with the second operating on ~1/60th of the rows."""
+    ev = _table(spark, sf_dir, "events")
+    fine = rollup(
+        ev, 60, "average", keys=("user_id",), ts_col="ts", value_col="value"
+    )
+    coarse = rollup(
+        fine,
+        3600,
+        "average",
+        keys=("user_id",),
+        ts_col="bucket",
+        value_col="value",
+    )
+    return coarse.select(
+        "user_id",
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        F.round("value", 6).alias("value"),
+        "n_points",
+    ).orderBy("user_id", "bucket_epoch")
