@@ -302,3 +302,61 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.percentile_approx("value", 0.5).alias("approx_median"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+SELECT vec_id,
+  len(embedding) AS dim,
+  round(list_min(list_transform(embedding, v -> v::DOUBLE)), 6) AS min_v,
+  round(list_max(list_transform(embedding, v -> v::DOUBLE)), 6) AS max_v,
+  round(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        v -> v::DOUBLE * v::DOUBLE)), (a, b) -> a + b)), 6) AS l2_norm
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+""",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 array higher-order functions over ARRAY<FLOAT>: size,
+    array_min/max, L2 norm via the left-fold aggregate (the same
+    bit-parity fold as the similarity operators)."""
+    emb = _table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    l2 = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_v"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_v"),
+        F.round(l2, 6).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+SELECT event_id,
+  array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+  json_extract_string(props, '$.k') AS k_value
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+""",
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 map functions: events.props JSON → MapType via from_json,
+    then map_keys (sorted for determinism) and a key lookup."""
+    ev = _table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+        m.getItem("k").alias("k_value"),
+    ).orderBy("event_id")
