@@ -109,3 +109,32 @@ def test_streaming_session_window(spark, points):
     )
     got = _run_stream(spark, out, "sessions").collect()
     assert {(r["metric"], r["n"]) for r in got} == {("cpu", 60), ("mem", 60)}
+
+
+def test_streaming_ewma_matches_reference(spark, points):
+    """applyInPandasWithState EWMA equals the sequential pandas EWMA."""
+    from whisper_pandas_spark.streaming.stateful import streaming_ewma
+
+    sdf = spark.readStream.schema(SCHEMA).parquet(points)
+    out = streaming_ewma(sdf, alpha=0.3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["metric"], r["timestamp"]): r["ewma"]
+        for r in spark.table("ewma").collect()
+    }
+    assert len(got) == 120
+
+    batch = spark.read.parquet(points).orderBy("timestamp").collect()
+    state: dict[str, float] = {}
+    for r in batch:
+        m, v = r["metric"], r["value"]
+        e = v if m not in state else 0.3 * v + 0.7 * state[m]
+        state[m] = e
+        assert got[(m, r["timestamp"])] == pytest.approx(e, rel=1e-12)
