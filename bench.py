@@ -38,10 +38,20 @@ HEADLINE = [
     "window_moving_avg_time",
     # near-dup dedup: MinHash → LSH → verify (the 100 TB pipeline op)
     "dedup_minhash_lsh",
+    # SimHash banded hamming pairs (Arrow fingerprints + pigeonhole join)
+    "dedup_simhash_pairs",
+    # exact n-gram Jaccard via inverted-index join
+    "dedup_ngram_jaccard",
     # similarity search: broadcast brute-force cosine top-k
     "sim_topk_bruteforce",
     # text quality scoring (pure codegen scan)
     "text_quality",
+    # session windows (gaps-and-islands semantics, one shuffle)
+    "window_session_agg",
+    # the Whisper archive cascade (two chained rollups)
+    "rollup_cascade",
+    # multimodal Arrow feature extraction + explode
+    "mm_features",
 ]
 
 
