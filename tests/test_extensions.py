@@ -137,3 +137,26 @@ def test_fingerprints_order_sensitivity(spark):
     rows = {r["doc_id"]: r for r in fingerprints(df, "doc_id", "text").collect()}
     assert rows[0]["bow_fp"] == rows[1]["bow_fp"]  # same vocabulary
     assert rows[0]["roll_fp"] != rows[1]["roll_fp"]  # different order
+
+
+def test_null_and_empty_text_parity(spark):
+    """Arrow paths must mirror expression-path semantics on NULL/empty/
+    whitespace/short text exactly (regression: the Arrow minhash crashed
+    on NULL; Arrow simhash hashed the string 'None')."""
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "one two"),
+         (4, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    e_mh = {r["doc_id"]: r["sig"] for r in
+            minhash_signature(df, "doc_id", "text", 4).collect()}
+    a_mh = {r["doc_id"]: r["sig"] for r in
+            minhash_signature_arrow(df, "doc_id", "text", 4).collect()}
+    assert e_mh == a_mh  # only doc 4 (>= 3 tokens) survives, same sig
+    assert list(e_mh) == [4]
+
+    e_sh = {r["doc_id"]: r["simhash"] for r in
+            simhash_df(df, "doc_id", "text").collect()}
+    a_sh = {r["doc_id"]: r["simhash"] for r in
+            simhash_arrow(df, "doc_id", "text").collect()}
+    assert e_sh == a_sh  # incl. NULL -> 0 and '' == '   '

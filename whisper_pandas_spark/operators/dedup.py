@@ -157,6 +157,8 @@ def minhash_signature_arrow(
         for pdf in batches:
             ids, hhs, sigs = [], [], []
             for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                if text is None:
+                    continue  # expr path: size(NULL shingles) > 0 filter drops it
                 toks = non_alnum.sub(" ", str(text).lower()).strip().split(" ")
                 if len(toks) < n:
                     continue
@@ -179,7 +181,9 @@ def minhash_signature_arrow(
                 ids.append(doc_id)
                 hhs.append(hh.tolist())
                 sigs.append(sig.tolist())
-            yield pd.DataFrame({"doc_id": ids, "hh": hhs, "sig": sigs})
+            if ids:  # an all-skipped batch would yield untyped empty
+                # columns that Arrow can't map to array<long>
+                yield pd.DataFrame({"doc_id": ids, "hh": hhs, "sig": sigs})
 
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     return src.mapInPandas(
@@ -312,6 +316,12 @@ def simhash_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for pdf in batches:
             ids, out = [], []
             for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                if text is None:
+                    # expr path: votes over a NULL token array never pass
+                    # the > 0 test, so the fingerprint is 0 — mirror it
+                    ids.append(doc_id)
+                    out.append(0)
+                    continue
                 toks = non_alnum.sub(" ", str(text).lower()).strip().split(" ")
                 hs = np.fromiter(
                     (
@@ -326,7 +336,8 @@ def simhash_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 sim = int(((votes > 0).astype(np.int64) << shifts).sum())
                 ids.append(doc_id)
                 out.append(sim)
-            yield pd.DataFrame({"doc_id": ids, "simhash": out})
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "simhash": out})
 
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     return src.mapInPandas(compute, "doc_id long, simhash long")
@@ -356,6 +367,8 @@ def shingle_hashes_arrow(
         for pdf in batches:
             ids, hhs = [], []
             for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                if text is None:
+                    continue  # expr path drops NULL-text docs
                 toks = non_alnum.sub(" ", str(text).lower()).strip().split(" ")
                 if len(toks) < n:
                     continue
@@ -376,7 +389,8 @@ def shingle_hashes_arrow(
                 )
                 ids.append(doc_id)
                 hhs.append(hh.tolist())
-            yield pd.DataFrame({"doc_id": ids, "hh": hhs})
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "hh": hhs})
 
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     return src.mapInPandas(compute, "doc_id long, hh array<long>")
