@@ -111,26 +111,5 @@ def seeded_hash64(s: Column, seed: int) -> Column:
     return hash64(F.concat(F.lit(f"{seed}:"), s))
 
 
-# --- DuckDB-side SQL fragments (kept next to their Spark twins so a reader
-# can diff the two dialects line by line) -----------------------------------
-
-DUCK_TOKENIZE = (
-    "regexp_split_to_array("
-    "trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g')), ' ')"
-)
-
-
-def duck_shingles(tokens_expr: str, n: int = 3) -> str:
-    parts = " || ' ' || ".join(f"{tokens_expr}[i+{j}]" if j else f"{tokens_expr}[i]" for j in range(n))
-    return (
-        f"list_distinct(list_transform("
-        f"range(1, greatest(len({tokens_expr})-{n - 1}, 0)+1), i -> {parts}))"
-    )
-
-
-def duck_hash64(s_expr: str) -> str:
-    return f"('0x' || substr(md5({s_expr}), 1, {HASH_HEX_CHARS}))::BIGINT"
-
-
-def duck_seeded_hash64(s_expr: str, seed: int) -> str:
-    return duck_hash64(f"'{seed}:' || {s_expr}")
+# DuckDB-side twin of base_hash32 (the query modules inline their own
+# tokenize/shingle SQL next to each oracle for line-by-line diffability).

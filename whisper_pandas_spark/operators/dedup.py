@@ -39,7 +39,6 @@ from pyspark.sql.window import Window
 
 from whisper_pandas_spark.functions.text import (
     hash64,
-    seeded_hash64,
     tokenize,
     word_shingles,
 )
