@@ -223,3 +223,69 @@ def sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= NEAR_DUP_T)
         .orderBy("vec_i", "vec_j")
     )
+
+
+def _ivf_oracle() -> str:
+    """Full IVF replication: centroid assignment (argmin by cosine, ties
+    by centroid id), nprobe=4 query probes, exact re-rank in probed
+    cells. Same fold arithmetic as the Spark side."""
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS centroid FROM embeddings WHERE vec_id < 16
+), corpus_scored AS (
+  SELECT e.vec_id, e.embedding AS cvec, c.cid,
+         {_duck_cos("e.embedding", "c.centroid")} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+), cells AS (
+  SELECT vec_id, cvec, cid AS cell FROM (
+    SELECT vec_id, cvec, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM corpus_scored
+  ) WHERE rn = 1
+), query_scored AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+         {_duck_cos("e.embedding", "c.centroid")} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+  WHERE e.vec_id < 5
+), probes AS (
+  SELECT query_id, qvec, cid AS cell FROM (
+    SELECT query_id, qvec, cid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM query_scored
+  ) WHERE rn <= {IVF_NPROBE}
+), cand AS (
+  SELECT p.query_id, s.vec_id,
+         round({_duck_cos("p.qvec", "s.cvec")}, 6) AS cos_sim
+  FROM cells s JOIN probes p USING (cell)
+  WHERE s.vec_id != p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM cand
+)
+SELECT query_id, vec_id, cos_sim, rnk
+FROM ranked WHERE rnk <= {K}
+ORDER BY query_id, rnk
+"""
+
+
+IVF_K_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+@register("sim_topk_ivf", oracle=_ivf_oracle())
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2: IVF-flat ANN — coarse-quantize into 16 cells
+    (codebook = first 16 corpus vectors, standing in for an offline
+    k-means codebook), probe 4 cells per query, exact re-rank inside.
+    Candidate work ≈ nprobe·N/K per query; cell join is a hash equi-join
+    on an int key (the data-adaptive sibling of sim_topk_lsh)."""
+    from whisper_pandas_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_K_CENTROIDS)
+    q = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(emb, q, K, cent, IVF_NPROBE).orderBy("query_id", "rnk")
