@@ -338,5 +338,12 @@ class WhisperScanReader(DataSourceReader):
 
 
 def register_whisper(spark) -> None:
-    """Register the source so ``spark.read.format("whisper")`` resolves."""
+    """Register the source so ``spark.read.format("whisper")`` resolves.
+
+    Also enables Python-datasource filter pushdown on the session: Spark
+    REFUSES to initialize a reader that overrides ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false (the default), so
+    a host session that didn't set it would fail on first read.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(WhisperDataSource)
