@@ -1,0 +1,110 @@
+"""Regular-grid resampling with gap fill (forward-fill / linear
+interpolation) — the pandas idiom Whisper users reach for first
+(`df.resample(...).ffill()` / `.interpolate()`; the reference delegates
+exactly this to pandas, whisper_pandas.ipynb cell 25).
+
+Spark-first formulation, no UDFs and no joins: UNION the real points with
+the generated grid, then ONE window pass per direction —
+
+- prev value/ts : ``last(..., ignorenulls=True)`` over unbounded-preceding
+- next value/ts : ``first(..., ignorenulls=True)`` over current-to-following
+
+and keep only grid rows. Cost is a single shuffle on the series key (the
+same as any groupBy); grid generation is `sequence` + `explode`, sized
+span/step per key. Tie policy: a real point AT a grid instant sorts
+before the grid row (is_grid ascending), so both fills see it.
+
+Input points must be unique per (key, second) — pre-aggregate duplicates
+(`resample_prepare`) exactly as a Whisper slot holds one value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def resample_prepare(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """One row per (key, epoch second): mean of same-second points."""
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.unix_timestamp(ts_col).alias("ep"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("key", "ep")
+        .agg(F.round(F.avg("v"), 6).alias("v"))
+    )
+
+
+def resample_fill(
+    points: DataFrame,
+    step_seconds: int,
+) -> DataFrame:
+    """(key, grid_epoch, ffill, interp) on a step-aligned grid spanning
+    each key's [min, max] (grid start rounded UP to the step so every grid
+    instant is within the observed range; linear interp is exact at
+    observed instants and NULL-safe at range edges)."""
+    bounds = points.groupBy("key").agg(
+        F.min("ep").alias("mn"), F.max("ep").alias("mx")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(
+                (F.ceil(F.col("mn") / step_seconds) * step_seconds).cast("long"),
+                F.col("mx"),
+                F.lit(step_seconds),
+            )
+        ).alias("ep"),
+    )
+
+    data = points.select(
+        "key", "ep", "v", F.lit(0).alias("is_grid"), F.col("ep").alias("data_ep")
+    )
+    g = grid.select(
+        "key",
+        "ep",
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_grid"),
+        F.lit(None).cast("long").alias("data_ep"),
+    )
+    u = data.unionByName(g)
+
+    back = (
+        Window.partitionBy("key")
+        .orderBy("ep", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("key")
+        .orderBy("ep", "is_grid")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    w = u.select(
+        "key",
+        "ep",
+        "is_grid",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last("data_ep", ignorenulls=True).over(back).alias("pt"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first("data_ep", ignorenulls=True).over(fwd).alias("nt"),
+    )
+    frac = (F.col("ep") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    interp = F.when(F.col("ep") == F.col("pt"), F.col("pv")).otherwise(
+        F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6)
+    )
+    return (
+        w.filter(F.col("is_grid") == 1)
+        .select(
+            "key",
+            F.col("ep").alias("grid_epoch"),
+            F.col("pv").alias("ffill"),
+            interp.alias("interp"),
+        )
+    )

@@ -127,3 +127,59 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         "n_points",
     ).orderBy("user_id", "bucket_epoch")
+
+
+@register(
+    "resample_gapfill",
+    oracle="""
+WITH pts AS (
+  SELECT event_type AS key, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         round(avg(value), 6) AS v
+  FROM events GROUP BY key, ep
+), bounds AS (
+  SELECT key, min(ep) AS mn, max(ep) AS mx FROM pts GROUP BY key
+), grid AS (
+  SELECT key, unnest(generate_series(
+           CAST(ceil(mn / 3600.0) AS BIGINT) * 3600, mx, 3600)) AS ep
+  FROM bounds
+), u AS (
+  SELECT key, ep, v, 0 AS is_grid, ep AS data_ep FROM pts
+  UNION ALL
+  SELECT key, ep, NULL, 1, NULL FROM grid
+), w AS (
+  SELECT key, ep, is_grid,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY key ORDER BY ep, is_grid
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(data_ep IGNORE NULLS) OVER
+      (PARTITION BY key ORDER BY ep, is_grid
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY key ORDER BY ep, is_grid
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(data_ep IGNORE NULLS) OVER
+      (PARTITION BY key ORDER BY ep, is_grid
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM u
+)
+SELECT key, ep AS grid_epoch, pv AS ffill,
+  CASE WHEN ep = pt THEN pv
+       ELSE round(pv + (nv - pv) * ((ep - pt)::DOUBLE / (nt - pt)::DOUBLE), 6)
+  END AS interp
+FROM w WHERE is_grid = 1
+ORDER BY key, grid_epoch
+""",
+)
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward-fill AND linear interpolation
+    (the pandas .resample().ffill()/.interpolate() the reference delegates
+    to pandas) — one union + one window shuffle, no joins, no UDFs. The
+    oracle replicates the identical union+window algorithm."""
+    from whisper_pandas_spark.operators.resample import (
+        resample_fill,
+        resample_prepare,
+    )
+
+    ev = _table(spark, sf_dir, "events")
+    pts = resample_prepare(ev, "event_type", "ts", "value")
+    return resample_fill(pts, 3600).orderBy("key", "grid_epoch")
