@@ -156,18 +156,26 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster prior). Equi-join on the blocking key keeps the pair count
     Σ n_label² instead of n²; at 100 TB the blocking key would be an LSH
     bucket (sim_topk_lsh's) — identical join shape."""
-    emb = _table(spark, sf_dir, "embeddings")
+    from whisper_pandas_spark.operators.similarity import cosine_with_norms, norm
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
     a = emb.select(
         F.col("label").alias("label"),
         F.col("vec_id").alias("vec_i"),
         F.col("embedding").alias("e_i"),
+        F.col("nrm").alias("n_i"),
     )
     b = emb.select(
         F.col("label").alias("label"),
         F.col("vec_id").alias("vec_j"),
         F.col("embedding").alias("e_j"),
+        F.col("nrm").alias("n_j"),
     )
-    sim = F.round(cosine(F.col("e_i"), F.col("e_j")), 6)
+    sim = F.round(
+        cosine_with_norms(F.col("e_i"), F.col("e_j"), F.col("n_i"), F.col("n_j")), 6
+    )
     return (
         a.join(b, "label")
         .filter(F.col("vec_i") < F.col("vec_j"))
@@ -201,21 +209,30 @@ def sim_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact cosine; recall trades against bucket density via N_PLANES."""
     from whisper_pandas_spark.operators.similarity import _hyperplane, lsh_bucket
 
+    from whisper_pandas_spark.operators.similarity import cosine_with_norms, norm
+
     planes = [_hyperplane(0, p, DIM) for p in range(N_PLANES)]
     emb = _table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding"), planes).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
     )
     a = emb.select(
         F.col("bucket").alias("bucket"),
         F.col("vec_id").alias("vec_i"),
         F.col("embedding").alias("e_i"),
+        F.col("nrm").alias("n_i"),
     )
     b = emb.select(
         F.col("bucket").alias("bucket"),
         F.col("vec_id").alias("vec_j"),
         F.col("embedding").alias("e_j"),
+        F.col("nrm").alias("n_j"),
     )
-    sim = F.round(cosine(F.col("e_i"), F.col("e_j")), 6)
+    sim = F.round(
+        cosine_with_norms(F.col("e_i"), F.col("e_j"), F.col("n_i"), F.col("n_j")), 6
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_i") < F.col("vec_j"))
