@@ -144,6 +144,13 @@ class WhisperDataSource(DataSource):
     def reader(self, schema: StructType) -> "WhisperScanReader":
         return WhisperScanReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        # Write support exceeds reference parity (the reference leaves
+        # writing as TBD, whisper_pandas.ipynb cell 39).
+        from whisper_pandas_spark.sources.whisper_write import WhisperWriter
+
+        return WhisperWriter(self.options)
+
 
 class WhisperScanReader(DataSourceReader):
     def __init__(self, options) -> None:

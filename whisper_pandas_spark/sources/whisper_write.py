@@ -1,0 +1,246 @@
+"""Whisper WRITE support — ``df.write.format("whisper")``.
+
+The reference explicitly leaves writing out of scope ("create and update
+file" is TBD in whisper_pandas.ipynb cell 39; README.md:55-56 says the
+package only reads). This module goes beyond reference parity: it
+materializes a DataFrame of points as spec-conformant .wsp files —
+big-endian 16 B file header, 12 B archive headers, ring-buffered 12 B
+points (format laid out in sources/format.py, verified byte-level against
+the reference's own fixture).
+
+Semantics per the Whisper model:
+
+- finest archive: slot = (ts // spp) % points, LAST write per slot wins
+  (the reference's observed overwrite behavior, whisper_pandas.py:201-215);
+  points older than the archive's retention window (relative to the newest
+  point) are dropped, exactly like Graphite expiry.
+- coarser archives: rolled up from the next-FINER archive with the file's
+  aggregation method, gated by xFilesFactor on EXPECTED slots — the same
+  cascade the batch/streaming rollup operators implement
+  (operators/rollup.py), here in numpy at write time.
+
+Distribution contract: each executor task writes the files for the
+metrics it holds, so the caller must ensure one partition per metric —
+:func:`write_whisper` wraps ``df.repartition("metric")`` + the writer.
+Output layout: ``out_dir/<metric with dots as dirs>.wsp``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+from whisper_pandas_spark.sources.format import AGGREGATION_METHODS
+
+# method name -> numpy reducer over (ts, vals) of one coarse window
+_AGG_IDS = {name: i for i, name in AGGREGATION_METHODS.items()}
+
+
+def _reduce(method: str, ts, vals, expected_slots: int):
+    import numpy as np
+
+    if method == "average":
+        return float(np.mean(vals))
+    if method == "sum":
+        return float(np.sum(vals))
+    if method == "last":
+        return float(vals[np.argmax(ts)])
+    if method == "max":
+        return float(np.max(vals))
+    if method == "min":
+        return float(np.min(vals))
+    if method == "avg_zero":
+        return float(np.sum(vals) / expected_slots)
+    if method == "absmax":
+        return float(vals[np.argmax(np.abs(vals))])
+    if method == "absmin":
+        return float(vals[np.argmin(np.abs(vals))])
+    raise ValueError(f"unknown aggregation method {method!r}")
+
+
+def parse_archives(spec: str) -> list[tuple[int, int]]:
+    """``"10:1000,60:500,3600:100"`` → [(spp, points), ...]; coarser
+    archives must use multiples of the finer resolution (Whisper rule)."""
+    out = []
+    for part in spec.split(","):
+        spp, points = part.split(":")
+        out.append((int(spp), int(points)))
+    for (a, _), (b, _) in zip(out, out[1:]):
+        if b % a != 0 or b <= a:
+            raise ValueError(
+                f"archive resolutions must coarsen by integer multiples: {a} -> {b}"
+            )
+    return out
+
+
+def build_wsp_bytes(
+    points_ts,
+    points_val,
+    archives: list[tuple[int, int]],
+    aggregation: str = "average",
+    x_files_factor: float = 0.5,
+) -> bytes:
+    """Assemble one spec-conformant .wsp buffer from (epoch, value) arrays."""
+    import struct
+
+    import numpy as np
+
+    if aggregation not in _AGG_IDS:
+        raise ValueError(
+            f"invalid aggregation {aggregation!r}; one of {sorted(_AGG_IDS)}"
+        )
+    ts = np.asarray(points_ts, dtype="int64")
+    vals = np.asarray(points_val, dtype="float64")
+    order = np.argsort(ts, kind="stable")
+    ts, vals = ts[order], vals[order]
+
+    header_size = 16 + 12 * len(archives)
+    offsets, off = [], header_size
+    for _spp, pts in archives:
+        offsets.append(off)
+        off += 12 * pts
+    buf = bytearray(off)
+    max_retention = max(spp * pts for spp, pts in archives)
+    struct.pack_into(
+        ">LLfL", buf, 0, _AGG_IDS[aggregation], max_retention,
+        x_files_factor, len(archives),
+    )
+    for i, (spp, pts) in enumerate(archives):
+        struct.pack_into(">LLL", buf, 16 + 12 * i, offsets[i], spp, pts)
+
+    newest = int(ts[-1]) if len(ts) else 0
+    fine_ts, fine_vals = ts, vals
+    prev_spp = None
+    for i, (spp, pts) in enumerate(archives):
+        if i == 0:
+            # align to slots; last write per slot wins (stable sort ⇒ the
+            # latest input is the last occurrence)
+            slot_ts = (fine_ts // spp) * spp
+            a_ts, a_vals = slot_ts, fine_vals
+        else:
+            # roll up from the previous (finer) archive's aligned points
+            bucket = (fine_ts // spp) * spp
+            uniq, inverse = np.unique(bucket, return_inverse=True)
+            expected = spp // prev_spp
+            a_ts_list, a_vals_list = [], []
+            for u_i, u in enumerate(uniq):
+                mask = inverse == u_i
+                if float(mask.sum()) / expected < x_files_factor:
+                    continue
+                a_ts_list.append(int(u))
+                a_vals_list.append(
+                    _reduce(aggregation, fine_ts[mask], fine_vals[mask], expected)
+                )
+            a_ts = np.asarray(a_ts_list, dtype="int64")
+            a_vals = np.asarray(a_vals_list, dtype="float64")
+
+        # retention: drop points older than this archive's window
+        keep = a_ts > newest - spp * pts
+        a_ts, a_vals = a_ts[keep], a_vals[keep]
+
+        arch = np.zeros(pts, dtype=[("ts", ">u4"), ("val", ">f8")])
+        slots = (a_ts // spp) % pts
+        arch["ts"][slots] = a_ts
+        arch["val"][slots] = a_vals
+        buf[offsets[i] : offsets[i] + 12 * pts] = arch.tobytes()
+
+        fine_ts, fine_vals = a_ts, a_vals
+        prev_spp = spp
+    return bytes(buf)
+
+
+@dataclass
+class _Commit(WriterCommitMessage):
+    files: list[str]
+
+
+class WhisperWriter(DataSourceWriter):
+    """Executor-side writer: groups its partition's rows by metric and
+    emits one .wsp per metric (caller repartitions by metric)."""
+
+    def __init__(self, options) -> None:
+        self.out_dir = options.get("out_dir") or options.get("path")
+        if not self.out_dir:
+            raise ValueError("whisper write requires an output path")
+        self.archives = parse_archives(
+            str(options.get("archives") or "10:1000,60:500")
+        )
+        self.aggregation = str(options.get("aggregation") or "average")
+        if self.aggregation not in _AGG_IDS:
+            raise ValueError(
+                f"invalid aggregation {self.aggregation!r}; one of {sorted(_AGG_IDS)}"
+            )
+        self.xff = float(options.get("x_files_factor") or 0.5)
+
+    def write(self, iterator) -> _Commit:
+        by_metric: dict[str, list[tuple[int, float]]] = {}
+        for row in iterator:
+            ep = row["timestamp"]
+            if hasattr(ep, "timestamp"):  # datetime -> epoch seconds
+                ep = int(ep.timestamp())
+            by_metric.setdefault(row["metric"], []).append(
+                (int(ep), float(row["value"]))
+            )
+        written = []
+        for metric, pts in by_metric.items():
+            data = build_wsp_bytes(
+                [t for t, _ in pts],
+                [v for _, v in pts],
+                self.archives,
+                self.aggregation,
+                self.xff,
+            )
+            rel = metric.replace(".", os.sep) + ".wsp"
+            path = os.path.join(self.out_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(data)
+            written.append(path)
+        return _Commit(files=written)
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:
+        # best-effort cleanup of partial output
+        for m in messages:
+            if m is None:
+                continue
+            for f in getattr(m, "files", []):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
+
+def write_whisper(
+    df: DataFrame,
+    out_dir: str,
+    archives: str = "10:1000,60:500",
+    aggregation: str = "average",
+    x_files_factor: float = 0.5,
+) -> None:
+    """Write (metric, timestamp, value) rows as .wsp files under out_dir.
+
+    Repartitions by metric so each file is assembled by exactly one task
+    (ring-buffer assembly needs all of a metric's points together — the
+    same constraint Graphite's carbon daemon satisfies by routing each
+    metric to one writer).
+    """
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(df.sparkSession)
+    (
+        df.select("metric", "timestamp", "value")
+        .repartition("metric")
+        .write.format("whisper")
+        .option("out_dir", out_dir)
+        .option("archives", archives)
+        .option("aggregation", aggregation)
+        .option("x_files_factor", str(x_files_factor))
+        .mode("append")
+        .save()
+    )
