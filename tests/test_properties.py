@@ -102,3 +102,40 @@ def test_rollup_sum_max_min_algebra(spark, pts):
     for k, vs in want.items():
         assert out[k][1] == len(vs)
         assert out[k][0] == pytest.approx(sum(vs), rel=1e-12, abs=1e-9)
+
+
+write_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1999),  # offset seconds
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(pts=write_points)
+def test_writer_finest_archive_roundtrip(pts):
+    """build_wsp_bytes: the finest archive holds exactly the slot-aligned
+    last-write-wins image of the input, for arbitrary point sets."""
+    import numpy as np
+
+    from whisper_pandas_spark.sources.whisper_write import build_wsp_bytes
+
+    base = 1_599_999_960
+    ts = [base + off for off, _ in pts]
+    vals = [v for _, v in pts]
+    buf = build_wsp_bytes(ts, vals, [(10, 200)], "average")
+
+    # expected: last write per aligned slot (input order breaks ts ties)
+    expect: dict[int, float] = {}
+    for t, v in sorted(zip(ts, vals), key=lambda x: x[0]):
+        expect[t // 10 * 10] = v
+    newest = max(ts)
+    expect = {t: v for t, v in expect.items() if t > newest - 2000}
+
+    arr = np.frombuffer(buf, dtype=[("ts", ">u4"), ("val", ">f8")], offset=28)
+    got = {int(r["ts"]): float(r["val"]) for r in arr[arr["ts"] != 0]}
+    assert got == expect
