@@ -138,3 +138,26 @@ def test_streaming_ewma_matches_reference(spark, points):
         e = v if m not in state else 0.3 * v + 0.7 * state[m]
         state[m] = e
         assert got[(m, r["timestamp"])] == pytest.approx(e, rel=1e-12)
+
+
+def test_stream_to_whisper_sink(spark, points, tmp_path):
+    """Stream -> .wsp tree -> read back with our own reader."""
+    from whisper_pandas_spark.sources.whisper import register_whisper
+    from whisper_pandas_spark.streaming.sink import stream_to_whisper
+
+    out = str(tmp_path / "wsp_tree")
+    sdf = spark.readStream.schema(SCHEMA).parquet(points)
+    q = stream_to_whisper(
+        sdf, out, archives="10:100,60:20",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(5)
+    q.processAllAvailable()
+    q.stop()
+
+    register_whisper(spark)
+    back = spark.read.format("whisper").option("base_dir", out).load(out)
+    fine = back.filter(F.col("archive") == 0)
+    assert fine.count() == 120  # all 2x60 points survive (retention 1000 s)
+    got = {r["metric"] for r in fine.select("metric").distinct().collect()}
+    assert got == {"cpu", "mem"}

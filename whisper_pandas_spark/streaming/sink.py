@@ -1,0 +1,44 @@
+"""Streaming → Whisper sink: persist a metric stream as .wsp files.
+
+Composes Structured Streaming with the batch write path
+(sources/whisper_write.py) via ``foreachBatch`` — the idiomatic Spark
+pattern for sinks without a native streaming writer. Each micro-batch
+rewrites the files of the metrics it touches; because a Whisper file is a
+fixed-size ring buffer keyed by slot, rewriting from the latest window of
+points is idempotent (same points → same bytes), so foreachBatch's
+at-least-once delivery is safe.
+
+This makes the engine a (batch-fed) Graphite-compatible writer: stream →
+optional rollup/dedup → .wsp tree readable by Graphite tooling and by our
+own reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from whisper_pandas_spark.sources.whisper_write import write_whisper
+
+
+def stream_to_whisper(
+    sdf: DataFrame,
+    out_dir: str,
+    archives: str = "10:1000,60:500",
+    aggregation: str = "average",
+    x_files_factor: float = 0.5,
+    checkpoint_dir: str | None = None,
+):
+    """Start a streaming query writing (metric, timestamp, value) rows to
+    a .wsp tree. Returns the StreamingQuery (caller awaits/stops)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_whisper(
+            batch_df, out_dir, archives, aggregation, x_files_factor
+        )
+
+    writer = sdf.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
