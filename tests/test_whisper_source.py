@@ -251,3 +251,20 @@ def test_read_whisper_total_sort(spark, fixtures):
     df = read_whisper(spark, str(d / "sensors"), total_sort=True)
     rows = df.select("metric", "timestamp").collect()
     assert rows == sorted(rows, key=lambda r: (r["metric"], r["timestamp"]))
+
+
+def test_metric_filter_prunes_partitions(spark, fixtures):
+    """metric equality must prune at PARTITION PLANNING time (driver skips
+    whole files), not merely mask rows: the planned partition count drops."""
+    from pyspark.sql import functions as F
+
+    d, _ = fixtures
+    path = str(d / "sensors")
+    full = spark.read.format("whisper").load(path)
+    pruned = spark.read.format("whisper").load(path).filter(
+        F.col("metric") == "temp"
+    )
+    n_full = full.rdd.getNumPartitions()
+    n_pruned = pruned.rdd.getNumPartitions()
+    assert n_pruned < n_full  # one of two files planned
+    assert {r["metric"] for r in pruned.select("metric").distinct().collect()} == {"temp"}
