@@ -155,10 +155,19 @@ class WhisperDataSource(DataSource):
 class WhisperScanReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.options = options
+        # single path arrives as "path"; load([p1, p2, ...]) arrives as a
+        # JSON-encoded "paths" array
         path = options.get("path")
-        if not path:
+        multi = options.get("paths")
+        if multi:
+            import json
+
+            self.paths: list[str] = list(json.loads(multi))
+        elif path:
+            self.paths = [path]
+        else:
             raise ValueError("whisper source requires a load path")
-        self.path = path
+        self.path = self.paths[0]
         self.compression = str(options.get("compression") or "infer")
         resolve_compression("x.wsp", self.compression)  # validate early
         self.to_datetime = _boolopt(options, "to_datetime", True)
@@ -241,17 +250,24 @@ class WhisperScanReader(DataSourceReader):
 
     # -- planning (driver) ------------------------------------------------
     def _files(self) -> list[str]:
-        path = self.path
-        if os.path.isdir(path):
-            pats = [os.path.join(path, "**", "*.wsp"), os.path.join(path, "**", "*.wsp.gz")]
-            files = [f for pat in pats for f in globmod.glob(pat, recursive=True)]
-            self._base = path
-        else:
-            files = globmod.glob(path)
-            self._base = os.path.dirname(path.split("*")[0])
+        files: list[str] = []
+        bases: list[str] = []
+        for path in self.paths:
+            if os.path.isdir(path):
+                pats = [
+                    os.path.join(path, "**", "*.wsp"),
+                    os.path.join(path, "**", "*.wsp.gz"),
+                ]
+                files.extend(f for pat in pats for f in globmod.glob(pat, recursive=True))
+                bases.append(path)
+            else:
+                files.extend(globmod.glob(path))
+                bases.append(os.path.dirname(path.split("*")[0]))
+        # metric derivation base: common prefix of all contributing bases
+        self._base = os.path.commonpath(bases) if bases else ""
         if not files:
-            raise FileNotFoundError(f"no whisper files match {self.path!r}")
-        return sorted(files)
+            raise FileNotFoundError(f"no whisper files match {self.paths!r}")
+        return sorted(set(files))
 
     def partitions(self) -> list[WhisperPartition]:
         parts: list[WhisperPartition] = []
