@@ -133,9 +133,12 @@ def main() -> None:
         for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
-            # Force full execution without driver-side materialization
-            # cost dominating: count() executes the whole plan.
-            df.count()
+            # Force FULL materialization of every output column: count()
+            # would let Catalyst prune unreferenced projections (and whole
+            # Window operators) before the count aggregate, timing little
+            # more than a scan for projection-only queries. The noop sink
+            # evaluates the complete plan with no driver transfer.
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

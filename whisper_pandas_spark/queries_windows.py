@@ -245,27 +245,42 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_funcs",
     oracle="""
 SELECT l_linenumber,
-       round(avg(abs(l_discount - 0.05)), 6) AS avg_abs_dev,
-       round(sum(floor(l_quantity)), 6) AS sum_floor_qty,
-       round(sum(ceil(l_quantity)), 6) AS sum_ceil_qty,
-       round(avg(sqrt(l_extendedprice)), 6) AS avg_sqrt_price,
-       round(avg(ln(l_extendedprice + 1)), 6) AS avg_log_price
+       round(CAST(sum(CAST(round(abs(l_discount - 0.05), 6) AS DECIMAL(38,10))) AS DOUBLE)
+             / count(*), 6) AS avg_abs_dev,
+       round(CAST(sum(floor(l_quantity)) AS DOUBLE), 6) AS sum_floor_qty,
+       round(CAST(sum(ceil(l_quantity)) AS DOUBLE), 6) AS sum_ceil_qty,
+       round(CAST(sum(CAST(round(sqrt(l_extendedprice), 6) AS DECIMAL(38,10))) AS DOUBLE)
+             / count(*), 6) AS avg_sqrt_price,
+       round(CAST(sum(CAST(round(ln(l_extendedprice + 1), 6) AS DECIMAL(38,10))) AS DOUBLE)
+             / count(*), 6) AS avg_log_price
 FROM lineitem
 GROUP BY l_linenumber
 ORDER BY l_linenumber
 """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """abs/floor/ceil/sqrt/ln inside aggregates."""
+    """abs/floor/ceil/sqrt/ln inside aggregates.
+
+    Double summation is order-dependent (Spark's partial aggregation order
+    differs from a sequential oracle sum), so the hashed floats are made
+    order-independent: round per-row first, sum in exact DECIMAL(38,10)
+    arithmetic (associative ⇒ bit-identical under any partitioning), divide
+    once, round the final result.
+    """
     li = _table(spark, sf_dir, "lineitem")
+
+    def dec_avg(col, alias):
+        s = F.sum(F.round(col, 6).cast("decimal(38,10)")).cast("double")
+        return F.round(s / F.count(F.lit(1)), 6).alias(alias)
+
     return (
         li.groupBy("l_linenumber")
         .agg(
-            F.round(F.avg(F.abs(F.col("l_discount") - 0.05)), 6).alias("avg_abs_dev"),
-            F.round(F.sum(F.floor("l_quantity")), 6).alias("sum_floor_qty"),
-            F.round(F.sum(F.ceil("l_quantity")), 6).alias("sum_ceil_qty"),
-            F.round(F.avg(F.sqrt("l_extendedprice")), 6).alias("avg_sqrt_price"),
-            F.round(F.avg(F.log(F.col("l_extendedprice") + 1)), 6).alias("avg_log_price"),
+            dec_avg(F.abs(F.col("l_discount") - 0.05), "avg_abs_dev"),
+            F.round(F.sum(F.floor("l_quantity")).cast("double"), 6).alias("sum_floor_qty"),
+            F.round(F.sum(F.ceil("l_quantity")).cast("double"), 6).alias("sum_ceil_qty"),
+            dec_avg(F.sqrt("l_extendedprice"), "avg_sqrt_price"),
+            dec_avg(F.log(F.col("l_extendedprice") + 1), "avg_log_price"),
         )
         .orderBy("l_linenumber")
     )

@@ -44,12 +44,18 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Import side-effect modules that populate the registry. Kept at the bottom
 # so `register` / `_table` exist when they run.
-from whisper_pandas_spark import queries_relational  # noqa: E402,F401
-from whisper_pandas_spark import queries_rollup  # noqa: E402,F401
-from whisper_pandas_spark import queries_joins  # noqa: E402,F401
-from whisper_pandas_spark import queries_windows  # noqa: E402,F401
-from whisper_pandas_spark import queries_dedup  # noqa: E402,F401
+#
+# ORDER MATTERS: the driver walks the registry in insertion order and has a
+# bounded budget (round 1 stopped after 50 of 66 entries, leaving every
+# similarity/text/multimodal/whisper entry unchecked). The extension surface
+# therefore registers FIRST; the 8 near-identical rollup_* variants and the
+# window_* family — all driver-green in round 1 — register last.
+from whisper_pandas_spark import queries_whisper  # noqa: E402,F401
 from whisper_pandas_spark import queries_similarity  # noqa: E402,F401
 from whisper_pandas_spark import queries_text  # noqa: E402,F401
 from whisper_pandas_spark import queries_multimodal  # noqa: E402,F401
-from whisper_pandas_spark import queries_whisper  # noqa: E402,F401
+from whisper_pandas_spark import queries_dedup  # noqa: E402,F401
+from whisper_pandas_spark import queries_joins  # noqa: E402,F401
+from whisper_pandas_spark import queries_relational  # noqa: E402,F401
+from whisper_pandas_spark import queries_windows  # noqa: E402,F401
+from whisper_pandas_spark import queries_rollup  # noqa: E402,F401
