@@ -93,6 +93,29 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_part_counts",
+    oracle="""
+SELECT p_partkey, count(l_orderkey) AS n_lineitems
+FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey
+ORDER BY p_partkey
+""",
+)
+def join_right_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving parts with zero lineitems (§2.5 right).
+    The preserved side is the smaller dim — at scale Spark/AQE flips this
+    to a broadcast of `part` with the fact side streamed."""
+    li = _table(spark, sf_dir, "lineitem")
+    p = _table(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_partkey")
+        .agg(F.count("l_orderkey").alias("n_lineitems"))
+        .orderBy("p_partkey")
+    )
+
+
+@register(
     "join_semi",
     oracle="""
 SELECT c_custkey, c_name FROM customer

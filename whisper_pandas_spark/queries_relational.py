@@ -165,14 +165,37 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct")  # no oracle: HLL estimate is algorithm-specific
+@register(
+    "approx_distinct",
+    oracle="""
+SELECT event_type, TRUE AS within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path where exact
-    distinct is a full shuffle. Rows-only driver check by design."""
+    distinct is a full shuffle.
+
+    The HLL estimate is algorithm-specific, so no SQL engine can reproduce
+    the raw number — but its ACCURACY BOUND is checkable with an exact
+    hash: the engine emits ``|approx - exact| / exact <= 0.05`` computed
+    engine-side (HLL++ rsd default is 5%), and the oracle emits the same
+    deterministic TRUE rows. A broken sketch flips the boolean."""
     return (
         _table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
         .orderBy("event_type")
     )
 
@@ -293,13 +316,35 @@ def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_quantiles")  # no oracle: GK-sketch estimate
+@register(
+    "approx_quantiles",
+    oracle="""
+SELECT event_type, TRUE AS within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx — the sketch-based scale path. Rows-only check."""
+    """percentile_approx — the sketch-based scale path.
+
+    Same tolerance-oracle pattern as ``approx_distinct``: the sketch value
+    itself is algorithm-specific, but percentile_approx guarantees a rank
+    error ≤ n/accuracy, so the approx median must fall between the exact
+    p45 and p55 (rank tolerance 5% ≫ the sketch's 1/10000 default).
+    Both engines emit deterministic booleans the hash gate can compare."""
     return (
         _table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.percentile_approx("value", 0.5).alias("approx_median"))
+        .agg(
+            F.percentile_approx("value", 0.5).alias("am"),
+            F.expr("percentile(value, 0.45)").alias("lo"),
+            F.expr("percentile(value, 0.55)").alias("hi"),
+        )
+        .select(
+            "event_type",
+            ((F.col("am") >= F.col("lo")) & (F.col("am") <= F.col("hi"))).alias(
+                "within_tol"
+            ),
+        )
         .orderBy("event_type")
     )
 
