@@ -161,3 +161,41 @@ def test_stream_to_whisper_sink(spark, points, tmp_path):
     assert fine.count() == 120  # all 2x60 points survive (retention 1000 s)
     got = {r["metric"] for r in fine.select("metric").distinct().collect()}
     assert got == {"cpu", "mem"}
+
+
+def test_stream_to_whisper_sink_multibatch(spark, tmp_path):
+    """A metric whose points span SEVERAL micro-batches must keep the
+    earlier batches' points: the sink writes in merge mode, overlaying
+    each batch onto the stored ring slots."""
+    from whisper_pandas_spark.sources.whisper import register_whisper
+    from whisper_pandas_spark.streaming.sink import stream_to_whisper
+
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 30), (30, 60)):
+        spark.createDataFrame(
+            [("cpu", 1_600_000_000 + 10 * i, float(i)) for i in range(lo, hi)],
+            ["metric", "epoch", "value"],
+        ).select(
+            "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "wsp_tree")
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(src)
+    )
+    q = stream_to_whisper(
+        sdf, out, archives="10:100,60:20",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(5)
+    q.processAllAvailable()
+    q.stop()
+
+    register_whisper(spark)
+    fine = (
+        spark.read.format("whisper").option("base_dir", out).load(out)
+        .filter(F.col("archive") == 0)
+    )
+    assert fine.count() == 60  # batch-1 points survived batch 2

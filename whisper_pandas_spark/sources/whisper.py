@@ -218,16 +218,22 @@ class WhisperScanReader(DataSourceReader):
         it only prunes rows inside the decode, which still saves the
         Arrow transfer and all downstream work.
         """
+        def _narrow(current: set | None, new: set) -> set:
+            # Filters in a conjunction INTERSECT: `metric = 'a' AND metric
+            # IN ('a','b')` must keep {'a'} regardless of arrival order —
+            # overwriting would make pushdown lossy.
+            return new if current is None else (current & new)
+
         for f in filters:
             attr = ".".join(f.attribute) if isinstance(f.attribute, tuple) else str(f.attribute)
             if isinstance(f, EqualTo) and attr == "metric":
-                self._metric_eq = {f.value}
+                self._metric_eq = _narrow(self._metric_eq, {f.value})
             elif isinstance(f, In) and attr == "metric":
-                self._metric_eq = set(f.values)
+                self._metric_eq = _narrow(self._metric_eq, set(f.values))
             elif isinstance(f, EqualTo) and attr == "archive":
-                self._archive_eq = {int(f.value)}
+                self._archive_eq = _narrow(self._archive_eq, {int(f.value)})
             elif isinstance(f, In) and attr == "archive":
-                self._archive_eq = {int(v) for v in f.values}
+                self._archive_eq = _narrow(self._archive_eq, {int(v) for v in f.values})
             elif attr == "timestamp" and isinstance(
                 f, (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
             ):

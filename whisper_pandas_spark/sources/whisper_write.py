@@ -82,8 +82,20 @@ def build_wsp_bytes(
     archives: list[tuple[int, int]],
     aggregation: str = "average",
     x_files_factor: float = 0.5,
+    existing: bytes | None = None,
 ) -> bytes:
-    """Assemble one spec-conformant .wsp buffer from (epoch, value) arrays."""
+    """Assemble one spec-conformant .wsp buffer from (epoch, value) arrays.
+
+    With ``existing`` (a prior .wsp image with the SAME archive layout),
+    the new points are MERGED per archive: each archive starts from its
+    stored points and new/recomputed slots override on collision — the
+    update semantics of Graphite's carbon writer, and what makes the
+    streaming sink safe for metrics whose points arrive across many
+    micro-batches. Deviation from strict Graphite: every coarse bucket
+    derivable from the merged finer archive is recomputed (not only the
+    buckets the new points touch), so a bucket whose finer points partially
+    expired may be refreshed from the surviving ones.
+    """
     import struct
 
     import numpy as np
@@ -96,6 +108,28 @@ def build_wsp_bytes(
     vals = np.asarray(points_val, dtype="float64")
     order = np.argsort(ts, kind="stable")
     ts, vals = ts[order], vals[order]
+
+    old_arch: list[tuple] | None = None
+    if existing is not None:
+        from whisper_pandas_spark.sources.format import parse_header, read_points
+
+        info = parse_header(existing, "<existing>")
+        if [(a.seconds_per_point, a.points) for a in info.archives] != [
+            (spp, pts) for spp, pts in archives
+        ]:
+            raise ValueError(
+                "existing file archive layout differs from requested archives"
+            )
+        old_arch = []
+        for a in info.archives:
+            rec = read_points(existing, a)
+            filled = rec["timestamp"] != 0
+            old_arch.append(
+                (
+                    rec["timestamp"][filled].astype("int64"),
+                    rec["value"][filled].astype("float64"),
+                )
+            )
 
     header_size = 16 + 12 * len(archives)
     offsets, off = [], header_size
@@ -112,14 +146,28 @@ def build_wsp_bytes(
         struct.pack_into(">LLL", buf, 16 + 12 * i, offsets[i], spp, pts)
 
     newest = int(ts[-1]) if len(ts) else 0
+    if old_arch is not None and len(old_arch[0][0]):
+        newest = max(newest, int(old_arch[0][0].max()))
     fine_ts, fine_vals = ts, vals
     prev_spp = None
+
+    def _dedup_last(m_ts, m_vals):
+        # last occurrence per timestamp wins (inputs ts-sorted, stable)
+        if len(m_ts) == 0:
+            return m_ts, m_vals
+        uniq, first_idx = np.unique(m_ts, return_index=True)
+        last_idx = np.append(first_idx[1:], len(m_ts)) - 1
+        return uniq, m_vals[last_idx]
     for i, (spp, pts) in enumerate(archives):
         if i == 0:
-            # align to slots; last write per slot wins (stable sort ⇒ the
-            # latest input is the last occurrence)
+            # Align to slots and DEDUPLICATE per slot, keeping the last
+            # occurrence (ts-stable sort ⇒ the latest write). Graphite
+            # rolls coarser archives up from the STORED (last-write-wins)
+            # finer archive, so overwritten points must not leak into the
+            # cascade: they would inflate the xFilesFactor fill count and
+            # skew every aggregation method over the bucket.
             slot_ts = (fine_ts // spp) * spp
-            a_ts, a_vals = slot_ts, fine_vals
+            a_ts, a_vals = _dedup_last(slot_ts, fine_vals)
         else:
             # roll up from the previous (finer) archive's aligned points
             bucket = (fine_ts // spp) * spp
@@ -136,6 +184,15 @@ def build_wsp_bytes(
                 )
             a_ts = np.asarray(a_ts_list, dtype="int64")
             a_vals = np.asarray(a_vals_list, dtype="float64")
+
+        if old_arch is not None:
+            # overlay onto stored points: old first, so on a slot-ts tie
+            # the freshly written/recomputed value wins
+            o_ts, o_vals = old_arch[i]
+            m_ts = np.concatenate([o_ts, a_ts])
+            m_vals = np.concatenate([o_vals, a_vals])
+            order = np.argsort(m_ts, kind="stable")
+            a_ts, a_vals = _dedup_last(m_ts[order], m_vals[order])
 
         # retention: drop points older than this archive's window
         keep = a_ts > newest - spp * pts
@@ -174,6 +231,11 @@ class WhisperWriter(DataSourceWriter):
                 f"invalid aggregation {self.aggregation!r}; one of {sorted(_AGG_IDS)}"
             )
         self.xff = float(options.get("x_files_factor") or 0.5)
+        self.merge = str(options.get("merge") or "false").strip().lower() in (
+            "true",
+            "1",
+            "yes",
+        )
 
     def write(self, iterator) -> _Commit:
         by_metric: dict[str, list[tuple[int, float]]] = {}
@@ -186,15 +248,20 @@ class WhisperWriter(DataSourceWriter):
             )
         written = []
         for metric, pts in by_metric.items():
+            rel = metric.replace(".", os.sep) + ".wsp"
+            path = os.path.join(self.out_dir, rel)
+            existing = None
+            if self.merge and os.path.exists(path):
+                with open(path, "rb") as f:
+                    existing = f.read()
             data = build_wsp_bytes(
                 [t for t, _ in pts],
                 [v for _, v in pts],
                 self.archives,
                 self.aggregation,
                 self.xff,
+                existing=existing,
             )
-            rel = metric.replace(".", os.sep) + ".wsp"
-            path = os.path.join(self.out_dir, rel)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "wb") as f:
                 f.write(data)
@@ -222,6 +289,7 @@ def write_whisper(
     archives: str = "10:1000,60:500",
     aggregation: str = "average",
     x_files_factor: float = 0.5,
+    merge: bool = False,
 ) -> None:
     """Write (metric, timestamp, value) rows as .wsp files under out_dir.
 
@@ -229,6 +297,12 @@ def write_whisper(
     (ring-buffer assembly needs all of a metric's points together — the
     same constraint Graphite's carbon daemon satisfies by routing each
     metric to one writer).
+
+    ``merge=True`` makes the write an UPDATE: each metric's existing file
+    (if any) is read and new points overlay its stored slots — required
+    whenever one metric's points arrive across multiple writes (the
+    streaming sink's micro-batches). Default is the plain rebuild, which
+    assumes each write carries a metric's complete window.
     """
     from whisper_pandas_spark.sources.whisper import register_whisper
 
@@ -241,6 +315,7 @@ def write_whisper(
         .option("archives", archives)
         .option("aggregation", aggregation)
         .option("x_files_factor", str(x_files_factor))
+        .option("merge", "true" if merge else "false")
         .mode("append")
         .save()
     )

@@ -3,10 +3,11 @@
 Composes Structured Streaming with the batch write path
 (sources/whisper_write.py) via ``foreachBatch`` — the idiomatic Spark
 pattern for sinks without a native streaming writer. Each micro-batch
-rewrites the files of the metrics it touches; because a Whisper file is a
-fixed-size ring buffer keyed by slot, rewriting from the latest window of
-points is idempotent (same points → same bytes), so foreachBatch's
-at-least-once delivery is safe.
+writes in MERGE mode: a touched metric's existing file is read and the
+batch's points overlay its stored ring slots, so points that arrived in
+earlier micro-batches survive. Slot overlay is idempotent (replaying a
+batch writes the same values into the same slots), so foreachBatch's
+at-least-once delivery is safe too.
 
 This makes the engine a (batch-fed) Graphite-compatible writer: stream →
 optional rollup/dedup → .wsp tree readable by Graphite tooling and by our
@@ -35,7 +36,7 @@ def stream_to_whisper(
         if batch_df.isEmpty():
             return
         write_whisper(
-            batch_df, out_dir, archives, aggregation, x_files_factor
+            batch_df, out_dir, archives, aggregation, x_files_factor, merge=True
         )
 
     writer = sdf.writeStream.foreachBatch(sink)
