@@ -103,6 +103,50 @@ def test_simhash_identical_and_near(docs):
     assert pairs.get((0, 1)) == 0
 
 
+def test_simhash_pairs_max_bucket_guard(spark):
+    # planted skew: 6 identical docs share every band key, so each band
+    # bucket holds 6 fingerprints. max_bucket=5 drops those degenerate
+    # buckets BEFORE the self-join; without the guard all 15 pairs emerge.
+    rows = [(i, BASE) for i in range(6)] + [
+        (6, "completely different text about spark dataframes and shuffles"),
+        (7, "another unrelated document mentioning parquet files and arrow"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert len([r for r in full if r["doc_i"] < 6 and r["doc_j"] < 6]) == 15
+    guarded = simhash_pairs(
+        df, "doc_id", "text", max_hamming=3, max_bucket=5
+    ).collect()
+    assert not [r for r in guarded if r["doc_i"] < 6 and r["doc_j"] < 6]
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    # two tight clusters on orthogonal axes: k=2 must put them in
+    # different cells, and each centroid must be the exact member mean
+    from whisper_pandas_spark.operators.kmeans import kmeans_cosine
+    from whisper_pandas_spark.operators.similarity import ivf_assign
+
+    rows = [(i, [10.0 + i, 1.0]) for i in range(4)] + [
+        (10 + i, [1.0, 10.0 + i]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = kmeans_cosine(df, 2, iters=2, seed=0)
+    cents = cent.collect()
+    assert len(cents) == 2
+    assigned = ivf_assign(
+        df, cent.withColumnRenamed("cid", "vec_id"), 1
+    ).collect()
+    cells = {r["vec_id"]: r["cell"] for r in assigned}
+    assert len({cells[i] for i in range(4)}) == 1
+    assert len({cells[10 + i] for i in range(4)}) == 1
+    assert cells[0] != cells[10]
+    # centroid of the x-cluster = mean of its members
+    by_cid = {r["cid"]: r["embedding"] for r in cents}
+    x_cell = cells[0]
+    assert by_cid[x_cell][0] == pytest.approx(sum(10.0 + i for i in range(4)) / 4)
+    assert by_cid[x_cell][1] == pytest.approx(1.0)
+
+
 def test_cosine_topk_exact(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

@@ -49,6 +49,36 @@ def test_similarity_broadcasts_query_side(spark):
     assert has_broadcast_join(df)  # corpus scans once, query set ships to it
 
 
+def test_similarity_topk_is_two_stage(spark):
+    # The per-query rank must NOT shuffle every scored row into #queries
+    # partitions: stage 1 ranks per (query_id, SPARK_PARTITION_ID()) —
+    # balanced at any cluster width — and only the k survivors per
+    # partition reach the per-query window.
+    plan = formatted_plan(QUERIES["sim_topk_bruteforce"](spark, SF))
+    assert "SPARK_PARTITION_ID" in plan, plan
+    first = plan.find("hashpartitioning(query_id")
+    assert first != -1, plan
+    # the first query_id exchange also keys on the partition id
+    assert "SPARK_PARTITION_ID" in plan[first : first + 200] or "pid" in plan[
+        first : first + 200
+    ], plan[first : first + 200]
+
+
+def test_ivf_build_side_partial_aggregates(spark):
+    # nprobe=1 assignment reduces with groupBy+max_by: partial (map-side)
+    # aggregation means the shuffle ships one pre-reduced row per vector,
+    # not K scored rows per vector into a window sort.
+    from whisper_pandas_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = emb.limit(8)
+    plan = formatted_plan(ivf_assign(emb, cent, 1))
+    # struct-typed agg buffers plan as SortAggregate; the property that
+    # matters is the partial_max_by before the exchange
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_rollup_is_single_shuffle(spark):
     # one groupBy -> exactly one Exchange; partial agg before it
     plan = formatted_plan(QUERIES["rollup_average"](spark, SF))

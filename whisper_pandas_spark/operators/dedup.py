@@ -446,16 +446,22 @@ def ngram_jaccard_pairs(
         / (F.col("n_i") + F.col("n_j") - F.col("c")).cast("double"),
         6,
     )
-    return (
+    out = (
         shared.join(ni, "doc_i")
         .join(nj, "doc_j")
         .select("doc_i", "doc_j", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    out._wps_cached = [hashed]  # release via release_cached(out)
+    return out
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -465,6 +471,13 @@ def simhash_pairs(
     brute force (which is exactly what the DuckDB oracle computes,
     making this an independent-algorithm check, not a replication).
     Verification is `bit_count(xor) <= k`.
+
+    ``max_bucket`` is the skew guard for cluster scale (same knob as
+    :func:`lsh_pairs`): 15-bit bands have only 32 Ki distinct keys, so at
+    billions of docs every band key is a dense bucket and the self-join
+    goes quadratic. Capping drops degenerate buckets BEFORE the join —
+    trading recall (documented, observable) for a bounded pair count.
+    Default ``None`` keeps the exact no-false-negative guarantee.
     """
     # Arrow fingerprints, persisted (consumed by both join sides); bands
     # via one posexplode pass (a 4-way union would recompute the
@@ -479,13 +492,31 @@ def simhash_pairs(
     bands = base.select(
         "doc_id", "simhash", F.posexplode(band_keys).alias("band", "bkey")
     )
+    if max_bucket is not None:
+        bands = bands.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "bkey")),
+        ).filter(F.col("bucket_n") <= max_bucket)
     left = bands.select("band", "bkey", F.col("doc_id").alias("doc_i"), F.col("simhash").alias("sh_i"))
     right = bands.select("band", "bkey", F.col("doc_id").alias("doc_j"), F.col("simhash").alias("sh_j"))
     ham = F.bit_count(F.expr("sh_i ^ sh_j"))
-    return (
+    out = (
         left.join(right, ["band", "bkey"])
         .filter(F.col("doc_i") < F.col("doc_j"))
         .select("doc_i", "doc_j", ham.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    out._wps_cached = [base]  # release via release_cached(out)
+    return out
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist the intermediates an operator cached while building *df*.
+
+    Operators that ``persist()`` a subtree consumed multiple times attach
+    the handles as ``df._wps_cached``; long-lived sessions call this once
+    the result is materialized (cached entries are otherwise pinned by
+    Spark's CacheManager forever)."""
+    for cached in getattr(df, "_wps_cached", []):
+        cached.unpersist()

@@ -76,6 +76,41 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.try_divide(dot(a, b), na * nb)
 
 
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-stage per-query top-k over (query_id, vec_id, cos_sim) rows.
+
+    A single ``Window.partitionBy("query_id")`` is a scale-killer: with Q
+    query keys, EVERY scored row shuffles into Q partitions, each doing a
+    full sort — a Q-partition straggler at 1 B corpus rows. Instead:
+
+    1. local top-k per (query_id, input partition): the window key
+       includes ``spark_partition_id()``, so the first shuffle spreads
+       over Q × #partitions keys (balanced at any cluster width) and the
+       sort per key is bounded by the partition's rows;
+    2. global top-k over the survivors — at most Q × #partitions × k
+       rows, a trivial second shuffle.
+
+    Stage 1 cannot lose a global top-k row: within its own input
+    partition a row's local rank is ≤ its global rank (same total order
+    restricted to a subset), so every global top-k row survives the
+    local filter. Tie-break (cos_sim desc, vec_id asc) is a total order
+    per query, making both stages deterministic.
+    """
+    order = [F.col("cos_sim").desc(), F.col("vec_id")]
+    local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrnk", F.row_number().over(local_w))
+        .filter(F.col("lrnk") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -87,9 +122,8 @@ def cosine_topk(
 
     Result: (query_id, vec_id, cos_sim, rnk) with deterministic tie-break
     (cos desc, vec_id asc). Query side is broadcast — the corpus scan is
-    one pass, no shuffle before the final per-query window (which
-    repartitions on query_id: #queries keys, each holding the already
-    k-prunable candidates).
+    one pass with map-side scoring; ranking is the two-stage
+    :func:`topk_per_query` reduction (no per-query shuffle hotspot).
     """
     q = F.broadcast(
         queries.select(
@@ -103,14 +137,7 @@ def cosine_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id", "cos_sim", "rnk")
-    )
+    return topk_per_query(scored, k)
 
 
 def _hyperplane(seed: int, plane: int, dim: int) -> list[float]:
@@ -150,10 +177,11 @@ def ivf_assign(
     """Assign each vector to its `nprobe` nearest centroids by cosine.
 
     Centroids are broadcast (K is small by definition); the corpus scans
-    once and the per-vector argmin is a window over K candidate rows —
-    deterministic ties broken by centroid id. Output: (vec_id, vec, cell,
-    probe_rank). With nprobe=1 this is the IVF build step; with nprobe>1
-    it is the query-side multi-probe.
+    once. nprobe=1 (the IVF build step over the full corpus) reduces via
+    groupBy + max_by — partial aggregation keeps the K-way scoring
+    map-side. nprobe>1 (the query-side multi-probe, small input) ranks
+    with a window. Deterministic ties broken by centroid id. Output:
+    (vec_id, vec, cell, probe_rank).
     """
     # Norms precomputed per vector/centroid (one fold each) instead of per
     # (vector, centroid) pair — bit-identical cosines, K× less fold work.
@@ -177,6 +205,24 @@ def ivf_assign(
             F.col("vec"), F.col("centroid"), F.col("vnrm"), F.col("cnrm")
         ).alias("ccos"),
     )
+    if nprobe == 1:
+        # Build side (one cell per vector): a groupBy argmax instead of a
+        # window — max_by gets map-side PARTIAL aggregation, so the
+        # shuffle carries one pre-reduced row per vector instead of K
+        # scored rows per vector into a sort. Tie-break matches the
+        # window path: max over (ccos, -cid) == (ccos desc, cid asc).
+        best = scored.groupBy("vec_id").agg(
+            F.max_by(
+                F.struct(F.col("vec"), F.col("cid")),
+                F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid")),
+            ).alias("best")
+        )
+        return best.select(
+            "vec_id",
+            F.col("best.vec").alias("vec"),
+            F.col("best.cid").alias("cell"),
+            F.lit(1).alias("probe_rank"),
+        )
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cid"))
     return (
         scored.withColumn("probe_rank", F.row_number().over(w))
@@ -221,14 +267,7 @@ def cosine_topk_ivf(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id", "cos_sim", "rnk")
-    )
+    return topk_per_query(scored, k)
 
 
 def cosine_topk_lsh(
@@ -265,11 +304,4 @@ def cosine_topk_lsh(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id", "cos_sim", "rnk")
-    )
+    return topk_per_query(scored, k)

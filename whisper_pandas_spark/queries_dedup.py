@@ -31,10 +31,24 @@ from whisper_pandas_spark.operators.dedup import (
     lsh_pairs,
     minhash_signature_arrow,
     ngram_jaccard_pairs,
+    release_cached,
     simhash_arrow,
     simhash_pairs,
 )
 from whisper_pandas_spark.registry import _table, register
+
+
+def _finalize(df: DataFrame, *extra_cached: DataFrame) -> DataFrame:
+    """Materialize the (small) pair result eagerly, then unpersist every
+    cached intermediate: the signature/fingerprint caches would otherwise
+    stay pinned by Spark's CacheManager for the life of the session. The
+    checkpointed result blocks are GC-managed, so downstream collects
+    still reuse them without a leak."""
+    out = df.localCheckpoint(eager=True)
+    release_cached(df)
+    for c in extra_cached:
+        c.unpersist()
+    return out
 
 NUM_PERM = 12
 BANDS = 4
@@ -145,7 +159,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization would be a write of the signature table — the same
     # pipeline shape.
     sig = minhash_signature_arrow(docs, "doc_id", "text", NUM_PERM).persist()
-    return lsh_pairs(sig, BANDS, ROWS, JACCARD_T).orderBy("doc_i", "doc_j")
+    return _finalize(
+        lsh_pairs(sig, BANDS, ROWS, JACCARD_T).orderBy("doc_i", "doc_j"), sig
+    )
 
 
 @register(
@@ -179,9 +195,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: near-dup pairs at hamming ≤ 3 via 4×15-bit pigeonhole banding
     (no false negatives ⟹ equals the oracle's brute force). The banded
     join is an equi-join on a 15-bit key instead of an O(n²) cross join."""
-    return simhash_pairs(
+    pairs = simhash_pairs(
         _table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
-    ).orderBy("doc_i", "doc_j")
+    )
+    # _wps_cached lives on the operator's own result, not on the orderBy
+    return _finalize(pairs.orderBy("doc_i", "doc_j"), *getattr(pairs, "_wps_cached", []))
 
 
 @register(
@@ -212,10 +230,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreter-bound at 102 s/sf0.1, this runs ~1 s). The oracle is the
     INDEPENDENT all-pairs intersect/union formulation — two different
     algorithms, identical jaccard arithmetic over hashed shingle sets."""
-    return ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs(
         _table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         block_col="lang",
         threshold=0.6,
-    ).orderBy("doc_i", "doc_j")
+    )
+    return _finalize(pairs.orderBy("doc_i", "doc_j"), *getattr(pairs, "_wps_cached", []))

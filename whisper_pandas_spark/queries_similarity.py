@@ -291,6 +291,8 @@ ORDER BY query_id, rnk
 
 IVF_K_CENTROIDS = 16
 IVF_NPROBE = 4
+KM_K = 8
+KM_ITERS = 2
 
 
 @register("sim_topk_ivf", oracle=_ivf_oracle())
@@ -304,5 +306,105 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _table(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < IVF_K_CENTROIDS)
+    q = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(emb, q, K, cent, IVF_NPROBE).orderBy("query_id", "rnk")
+
+
+def _kmeans_iter_sql(prev: str, idx: int) -> str:
+    """One Lloyd iteration as CTE blocks: assignment (argmax cosine, ties
+    by cid) then exact-decimal element-wise mean — the same arithmetic the
+    Spark trainer runs (operators/kmeans.py)."""
+    return f"""asg{idx} AS (
+  SELECT e.vec_id, e.embedding AS vec, c.cid,
+         {_duck_cos("e.embedding", "c.centroid")} AS ccos
+  FROM embeddings e CROSS JOIN {prev} c
+), cell{idx} AS (
+  SELECT vec_id, vec, cid AS cell FROM (
+    SELECT vec_id, vec, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM asg{idx}
+  ) WHERE rn = 1
+), mean{idx} AS (
+  SELECT cell, r.range AS pos,
+         CAST(sum(CAST(CAST(vec[r.range + 1] AS DOUBLE) AS DECIMAL(38,12)))
+              AS DOUBLE) / count(*) AS mval
+  FROM cell{idx}, range(0, {DIM}) r
+  GROUP BY cell, r.range
+), cent{idx} AS (
+  SELECT cell AS cid, list(mval ORDER BY pos) AS centroid
+  FROM mean{idx} GROUP BY cell
+)"""
+
+
+def _ivf_trained_oracle() -> str:
+    iter_blocks = ",\n".join(
+        _kmeans_iter_sql(f"cent{i}" if i else "cent0", i + 1)
+        for i in range(KM_ITERS)
+    )
+    return f"""
+WITH init AS (
+  SELECT vec_id, embedding, md5('0:' || vec_id) AS h
+  FROM embeddings ORDER BY h LIMIT {KM_K}
+), cent0 AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
+         embedding::DOUBLE[] AS centroid
+  FROM init
+),
+{iter_blocks},
+corpus_scored AS (
+  SELECT e.vec_id, e.embedding AS cvec, c.cid,
+         {_duck_cos("e.embedding", "c.centroid")} AS ccos
+  FROM embeddings e CROSS JOIN cent{KM_ITERS} c
+), cells AS (
+  SELECT vec_id, cvec, cid AS cell FROM (
+    SELECT vec_id, cvec, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM corpus_scored
+  ) WHERE rn = 1
+), query_scored AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qvec, c.cid,
+         {_duck_cos("e.embedding", "c.centroid")} AS ccos
+  FROM embeddings e CROSS JOIN cent{KM_ITERS} c
+  WHERE e.vec_id < 5
+), probes AS (
+  SELECT query_id, qvec, cid AS cell FROM (
+    SELECT query_id, qvec, cid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM query_scored
+  ) WHERE rn <= {IVF_NPROBE}
+), cand AS (
+  SELECT p.query_id, s.vec_id,
+         round({_duck_cos("p.qvec", "s.cvec")}, 6) AS cos_sim
+  FROM cells s JOIN probes p USING (cell)
+  WHERE s.vec_id != p.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM cand
+)
+SELECT query_id, vec_id, cos_sim, rnk
+FROM ranked WHERE rnk <= {K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("sim_topk_ivf_trained", oracle=_ivf_trained_oracle())
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the IVF ANN path made self-contained — the codebook comes from
+    the deterministic distributed k-means trainer (operators/kmeans.py:
+    md5-seeded init, 2 Lloyd iterations, exact-decimal means) instead of
+    a caller-supplied centroid set. Same probe/re-rank machinery as
+    sim_topk_ivf."""
+    from whisper_pandas_spark.operators.kmeans import kmeans_cosine
+    from whisper_pandas_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cent = kmeans_cosine(emb, KM_K, KM_ITERS, seed=0).select(
+        F.col("cid").alias("vec_id"), F.col("embedding")
+    )
     q = emb.filter(F.col("vec_id") < 5)
     return cosine_topk_ivf(emb, q, K, cent, IVF_NPROBE).orderBy("query_id", "rnk")
