@@ -12,7 +12,12 @@ the generated grid, then ONE window pass per direction —
 and keep only grid rows. Cost is a single shuffle on the series key (the
 same as any groupBy); grid generation is `sequence` + `explode`, sized
 span/step per key. Tie policy: a real point AT a grid instant sorts
-before the grid row (is_grid ascending), so both fills see it.
+before the grid row (is_grid ascending), so only the BACKWARD fill sees
+it — the forward window (rowsBetween(0, unboundedFollowing)) starts at
+the grid row, so nv/nt point at the NEXT data point. Results stay
+correct because interp special-cases ep == pt (exact hit short-circuits
+before nv/nt are consulted); keep that branch if editing the interp
+expression.
 
 Input points must be unique per (key, second) — pre-aggregate duplicates
 (`resample_prepare`) exactly as a Whisper slot holds one value.

@@ -356,7 +356,9 @@ class WhisperScanReader(DataSourceReader):
 
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array([p.metric] * len(ts), type=pa.string()),
+                # C-level fill — a Python list of len(ts) identical strings
+                # costs ~100 ms per 1M-slot partition
+                pa.repeat(pa.scalar(p.metric, type=pa.string()), len(ts)),
                 pa.array(np.full(len(ts), p.archive_index, dtype="int32"), type=pa.int32()),
                 pa.array(slots, type=pa.int32()),
                 ts_arr,
