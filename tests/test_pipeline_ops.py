@@ -1,0 +1,80 @@
+"""Pipeline-engineering operators: deterministic sampling/splits and
+skew mitigation. Properties that matter at 100 TB: decisions are pure
+functions of the key (stable under repartition/append), and salting is
+semantically invisible."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.operators.sampling import hash_sample, split_assign
+from whisper_pandas_spark.operators.skew import salted_agg_count_sum, salted_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_stable_under_partitioning(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(13, "lang"), "doc_id", 0.3).collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+    # growing the fraction only ADDS rows — monotone thresholds mean
+    # yesterday's sample is always a subset of today's bigger one
+    c = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.6).collect()}
+    assert a < c
+
+
+def test_split_assign_consistent_and_total(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = split_assign(docs, "doc_id", 0.2, 0.1)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    # same key -> same split on a re-read (pure function of the key)
+    again = split_assign(spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", 0.2, 0.1)
+    merged = out.select("doc_id", F.col("split").alias("s1")).join(
+        again.select("doc_id", F.col("split").alias("s2")), "doc_id"
+    )
+    assert merged.filter(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_salted_join_equals_plain_join_with_planted_skew(spark):
+    # one hot key (90% of rows) — the scenario salting exists for
+    big = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "never")], ["k", "tag"])
+    plain = big.join(small, "k").groupBy("k", "tag").count()
+    salted = salted_join(big, small, "k", salt_factor=4).groupBy("k", "tag").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched big rows exactly once
+    big2 = big.union(spark.createDataFrame([(99, -1)], ["k", "payload"]))
+    left = salted_join(big2, small, "k", salt_factor=4, how="left")
+    assert left.filter(F.col("k") == 99).count() == 1
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.createDataFrame([(1, 1)], ["k", "v"])
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(df, df, "k", how="full")
+
+
+def test_salted_agg_matches_direct(spark):
+    from whisper_pandas_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", SF)  # TIMESTAMP_NANOS-safe read
+    direct = {
+        (r["event_type"], r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("user_id").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"], r["n_rows"], r["sum_value"])
+        for r in salted_agg_count_sum(ev, "event_type", "user_id", 8).collect()
+    }
+    assert direct == salted

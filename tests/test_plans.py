@@ -95,6 +95,41 @@ def test_rollup_is_single_shuffle(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # co-located join: both sides bucketed on the key with the same
+    # bucket count -> the sort-merge join must read bucket layout from
+    # the catalog and skip BOTH exchanges (the "materialize once, join
+    # forever" pattern for 100 TB fact tables)
+    from whisper_pandas_spark.sources.bucketed import materialize_bucketed
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    materialize_bucketed(
+        orders, "b_orders", "o_orderkey", 4,
+        sort_cols="o_orderkey", path=str(tmp_path / "b_orders"),
+    )
+    materialize_bucketed(
+        lineitem, "b_lineitem", "l_orderkey", 4,
+        sort_cols="l_orderkey", path=str(tmp_path / "b_lineitem"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey
+            == spark.table("b_orders").o_orderkey,
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 @pytest.mark.parametrize("name", ["dedup_exact", "text_quality"])
 def test_scan_only_reads_needed_columns(spark, name):
     # column pruning: the documents scan must not read doc columns the

@@ -1,0 +1,76 @@
+"""Deterministic hash-based sampling and dataset splits (LLM-pipeline).
+
+A 100 TB training-data pipeline cannot use `df.sample()` for anything
+that must be REPRODUCIBLE or CONSISTENT across runs and engines:
+Bernoulli sampling is seeded per-partition, so adding one file upstream
+reshuffles every decision. The standard fix is content-keyed hashing —
+each row's fate is a pure function of a stable key:
+
+- same key → same bucket, on any engine, any partitioning, any day;
+- sampling composes with incremental ingestion (yesterday's decisions
+  never flip);
+- train/test splits stay leak-free under joins: every row of a given
+  document lands on the same side.
+
+`md5` is used as the hash (not xxhash/crc) because every engine speaks
+it bit-identically — the same reason the dedup family uses it
+(operators/dedup.py). Cost is one codegen hash per row, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 16^8 — the hash bucket space (first 8 md5 hex chars).
+BUCKET_SPACE = 1 << 32
+
+
+def hash_bucket(key: Column, seed: int = 0) -> Column:
+    """Uniform bucket in [0, 2^32) from md5(seed:key) — deterministic,
+    engine-portable (DuckDB: ``('0x' || substr(md5(...), 1, 8))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), key)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep ~`fraction` of rows, decided by the key hash alone.
+
+    Unlike ``df.sample``, re-running on re-partitioned / appended data
+    keeps exactly the same rows (modulo new keys).
+    """
+    threshold = int(fraction * BUCKET_SPACE)
+    return df.filter(hash_bucket(F.col(key_col), seed) < threshold)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    val_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Add a ``split`` column ('train' / 'val' / 'test') keyed on the
+    row's stable key — the leak-free train/test split at any scale.
+
+    Bucket layout: [0, test) → test, [test, test+val) → val, rest train.
+    """
+    b = hash_bucket(F.col(key_col), seed)
+    t = int(test_fraction * BUCKET_SPACE)
+    v = t + int(val_fraction * BUCKET_SPACE)
+    return df.withColumn(
+        "split",
+        F.when(b < t, F.lit("test"))
+        .when(b < v, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def duck_hash_bucket(key_sql: str, seed: int = 0) -> str:
+    """DuckDB expression equal to :func:`hash_bucket` bit-for-bit."""
+    return (
+        f"('0x' || substr(md5('{seed}:' || {key_sql}), 1, 8))::BIGINT"
+    )

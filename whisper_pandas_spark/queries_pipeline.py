@@ -1,0 +1,130 @@
+"""Registry entries: pipeline-engineering operators — deterministic
+sampling / dataset splits (operators/sampling.py) and skew mitigation
+(operators/skew.py).
+
+The sampling entries verify the md5 bucket arithmetic bit-for-bit
+against DuckDB (same engine-portable hash the dedup family uses). The
+skew entries verify that salting is semantically invisible: the oracle
+is the PLAIN formulation — same rows, same values, no salt anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.operators.sampling import (
+    BUCKET_SPACE,
+    duck_hash_bucket,
+    hash_sample,
+    split_assign,
+)
+from whisper_pandas_spark.operators.skew import salted_agg_count_sum, salted_join
+from whisper_pandas_spark.registry import _table, register
+
+SAMPLE_FRAC = 0.25
+TEST_FRAC = 0.1
+VAL_FRAC = 0.1
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {duck_hash_bucket("doc_id")} < {int(SAMPLE_FRAC * BUCKET_SPACE)}
+ORDER BY doc_id
+""",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed ~25% sample of `documents`: each row's fate is
+    md5(seed:doc_id) — reproducible across runs, engines and
+    partitionings (df.sample() is none of those). Zero shuffles."""
+    return hash_sample(
+        _table(spark, sf_dir, "documents"), "doc_id", SAMPLE_FRAC
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "sample_train_test_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CASE
+           WHEN {duck_hash_bucket("doc_id")} < {int(TEST_FRAC * BUCKET_SPACE)}
+             THEN 'test'
+           WHEN {duck_hash_bucket("doc_id")}
+                < {int(TEST_FRAC * BUCKET_SPACE) + int(VAL_FRAC * BUCKET_SPACE)}
+             THEN 'val'
+           ELSE 'train'
+         END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, sum(doc_id) AS sum_ids
+FROM assigned GROUP BY split ORDER BY split
+""",
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/val/test assignment keyed on doc_id (a joined row
+    can never straddle splits), summarized per split. The split column
+    is a pure hash function — appending data never flips old rows."""
+    assigned = split_assign(
+        _table(spark, sf_dir, "documents"), "doc_id", TEST_FRAC, VAL_FRAC
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT n_name, count(*) AS n_customers, sum(c_acctbal_cents) AS sum_acctbal_cents
+FROM (SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+      FROM customer) c
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): the hot-key mitigation for
+    sort-merge joins AQE can't split. The oracle is the PLAIN join —
+    salting must be semantically invisible. acctbal in integer cents so
+    the sum is order-independent (exact under any partitioning)."""
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nkey"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("c_acctbal_cents"),
+    )
+    nat = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nkey"), "n_name"
+    )
+    return (
+        salted_join(cust, nat, "nkey", salt_factor=8)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal_cents").alias("sum_acctbal_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "agg_salted_twophase",
+    oracle="""
+SELECT event_type AS key, count(*) AS n_rows, sum(user_id) AS sum_value
+FROM events GROUP BY event_type ORDER BY key
+""",
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: partial (key, salt) combine then
+    final per-key merge — the explicit hot-key split. Counts/sums of
+    integers recombine exactly; oracle is the direct GROUP BY."""
+    out = salted_agg_count_sum(
+        _table(spark, sf_dir, "events"), "event_type", "user_id", salt_factor=8
+    )
+    return out.select(
+        F.col("event_type").alias("key"), "n_rows", "sum_value"
+    ).orderBy("key")

@@ -54,6 +54,7 @@ from whisper_pandas_spark import queries_whisper  # noqa: E402,F401
 from whisper_pandas_spark import queries_similarity  # noqa: E402,F401
 from whisper_pandas_spark import queries_text  # noqa: E402,F401
 from whisper_pandas_spark import queries_multimodal  # noqa: E402,F401
+from whisper_pandas_spark import queries_pipeline  # noqa: E402,F401
 from whisper_pandas_spark import queries_dedup  # noqa: E402,F401
 from whisper_pandas_spark import queries_joins  # noqa: E402,F401
 from whisper_pandas_spark import queries_relational  # noqa: E402,F401
