@@ -75,6 +75,7 @@ def main() -> int:
             cols = sorted(sdf.columns)
             s = sdf[cols].sort_values(cols).reset_index(drop=True)
             d = ddf[cols].sort_values(cols).reset_index(drop=True)
+            exact = True
             for c in cols:
                 if s[c].dtype.kind == "f" or d[c].dtype.kind == "f":
                     a = s[c].astype(float).to_numpy()
@@ -82,6 +83,13 @@ def main() -> int:
                     if not np.allclose(a, b, atol=1e-9, equal_nan=True):
                         i = int(np.nanargmax(np.abs(a - b)))
                         problems.append(f"float col {c} (e.g. {a[i]} vs {b[i]})")
+                    elif not (
+                        (a == b) | (np.isnan(a) & np.isnan(b))
+                    ).all():
+                        # atol-close but NOT bit-identical: the driver's
+                        # exact value-hash would flag this (how
+                        # scalar_math_funcs failed round 1)
+                        exact = False
                 else:
                     sa, sb = s[c].astype(str), d[c].astype(str)
                     if not (sa == sb).all():
@@ -90,6 +98,9 @@ def main() -> int:
         if problems:
             fails += 1
             print(f"{name:35s} FAIL        {'; '.join(problems)}")
+        elif not exact:
+            fails += 1
+            print(f"{name:35s} HASH-RISK   atol-close but not bit-identical")
         else:
             print(f"{name:35s} OK          {len(sdf)} rows")
     print(f"\nFAILURES: {fails}")
