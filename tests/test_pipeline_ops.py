@@ -78,3 +78,22 @@ def test_salted_agg_matches_direct(spark):
         for r in salted_agg_count_sum(ev, "event_type", "user_id", 8).collect()
     }
     assert direct == salted
+
+
+def test_pack_bins_contiguous_overflow_semantics(spark):
+    # budget 10, single block/shard, docs in id order with token counts
+    # 4,4,4,4: cum-before = 0,4,8,12 -> bins 0,0,0,1 (third doc STARTS
+    # inside bin 0 and overflows it; the bin where a doc starts wins)
+    from whisper_pandas_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame(
+        [(i, "en", 4) for i in range(4)], ["doc_id", "lang", "nt"]
+    )
+    out = pack_bins(df, "doc_id", F.col("nt"), "lang", 10, n_shards=1)
+    bins = {r["doc_id"]: r["bin_id"] for r in out.collect()}
+    assert bins == {0: 0, 1: 0, 2: 0, 3: 1}
+    # partitioning must not change assignments
+    out2 = pack_bins(
+        df.repartition(7), "doc_id", F.col("nt"), "lang", 10, n_shards=1
+    )
+    assert {r["doc_id"]: r["bin_id"] for r in out2.collect()} == bins

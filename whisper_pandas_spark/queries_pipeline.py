@@ -128,3 +128,60 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("event_type").alias("key"), "n_rows", "sum_value"
     ).orderBy("key")
+
+
+PACK_BUDGET = 2048
+PACK_SHARDS = 4
+
+_DUCK_TOKS = (
+    "regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, len({_DUCK_TOKS}) AS n_tok,
+         ({duck_hash_bucket("doc_id")} % {PACK_SHARDS}) AS shard
+  FROM documents
+), binned AS (
+  SELECT lang, shard, n_tok,
+         CAST(floor(
+           coalesce(sum(n_tok) OVER (PARTITION BY lang, shard
+                                     ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0)
+           / {PACK_BUDGET}) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT lang, shard, bin_id,
+       count(*) AS n_docs, sum(n_tok) AS n_tokens
+FROM binned GROUP BY lang, shard, bin_id
+ORDER BY lang, shard, bin_id
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.py): shard by the
+    engine-portable md5 bucket, pack each (lang, shard) contiguously into
+    {PACK_BUDGET}-token bins via one window cumsum. Bin summary per
+    (lang, shard, bin). Packing is the step between dedup and tokenizer
+    output in a real corpus pipeline."""
+    from whisper_pandas_spark.functions.text import tokenize
+    from whisper_pandas_spark.operators.packing import pack_bins
+
+    docs = _table(spark, sf_dir, "documents")
+    binned = pack_bins(
+        docs,
+        "doc_id",
+        F.size(tokenize("text")),
+        "lang",
+        PACK_BUDGET,
+        n_shards=PACK_SHARDS,
+    )
+    return (
+        binned.groupBy("lang", "shard", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("lang", "shard", "bin_id")
+    )
