@@ -268,3 +268,43 @@ def test_metric_filter_prunes_partitions(spark, fixtures):
     n_pruned = pruned.rdd.getNumPartitions()
     assert n_pruned < n_full  # one of two files planned
     assert {r["metric"] for r in pruned.select("metric").distinct().collect()} == {"temp"}
+
+
+def test_fetch_selects_archive_and_pushes_bounds(spark, tmp_path):
+    """Graphite fetch semantics: finest archive covering (now - from),
+    both predicates pushed into the source."""
+    from wsp_fixtures import END_TS, build_wsp
+
+    from whisper_pandas_spark.sources.fetch import fetch, select_archive
+
+    p = str(tmp_path / "f.wsp")
+    synth = build_wsp(p)  # archives: 10s x 1600 (16ks), 60s x 5300, 3600s x 90
+
+    # short span -> archive 0; beyond fine retention -> archive 1
+    assert select_archive(p, 1000) == 0
+    assert select_archive(p, 10 * 1600 + 1) == 1
+    assert select_archive(p, 10**9) == 2  # beyond all retentions -> coarsest
+
+    lo, hi = END_TS - 500, END_TS - 100
+    df = fetch(spark, p, lo, hi, now_epoch=END_TS)
+    rows = df.collect()
+    assert {r["archive"] for r in rows} == {0}
+    got = sorted(int(r["timestamp"].timestamp()) for r in rows)
+    exp = sorted(
+        int(t) for t, _ in synth[0].filled if lo <= t <= hi
+    )
+    assert got == exp and len(got) == 41
+
+    # the timestamp bounds and archive equality must reach the source
+    # (and be consumed: no residual post-scan Filter)
+    from whisper_pandas_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "EqualTo(archive,0)" in pushed, plan
+    assert "GreaterThanOrEqual(timestamp" in pushed, plan
+    assert "LessThanOrEqual(timestamp" in pushed, plan
+    assert "(3) Filter" not in plan, plan
+    # archive selection spanning into the coarse archive
+    df2 = fetch(spark, p, END_TS - 10 * 1600 - 50, END_TS, now_epoch=END_TS)
+    assert {r["archive"] for r in df2.collect()} == {1}

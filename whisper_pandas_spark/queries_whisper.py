@@ -64,3 +64,21 @@ def whisper_meta_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.withColumn(
         "path", F.element_at(F.split("path", "/"), -1)
     ).orderBy("path", "archive")
+
+
+@register("whisper_fetch_range")
+def whisper_fetch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graphite fetch semantics (sources/fetch.py): finest archive
+    covering the requested span, archive + timestamp predicates pushed
+    into the source (partition pruning + pre-Arrow row masking).
+    Rows-only check (no SQL engine reads .wsp); plan/pushdown goldens in
+    tests/test_whisper_source.py."""
+    from whisper_pandas_spark.sources.fetch import fetch
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+    from wsp_fixtures import END_TS
+
+    d = _fixture()
+    return fetch(
+        spark, f"{d}/cpu.wsp", END_TS - 3000, END_TS, now_epoch=END_TS
+    ).orderBy("timestamp")
