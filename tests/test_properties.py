@@ -139,3 +139,40 @@ def test_writer_finest_archive_roundtrip(pts):
     arr = np.frombuffer(buf, dtype=[("ts", ">u4"), ("val", ">f8")], offset=28)
     got = {int(r["ts"]): float(r["val"]) for r in arr[arr["ts"] != 0]}
     assert got == expect
+
+
+@SLOW
+@given(
+    n_points=st.integers(min_value=2, max_value=60),
+    split=st.floats(min_value=0.1, max_value=0.9),
+    dup_every=st.integers(min_value=2, max_value=7),
+    agg=st.sampled_from(["average", "sum", "last", "max"]),
+)
+def test_merge_write_equals_one_shot(n_points, split, dup_every, agg):
+    """Splitting a time-ordered point stream into two merge-mode writes
+    must produce byte-identical output to one single write — the property
+    the streaming sink relies on. Spans stay inside the fine retention
+    window (expiry semantics are tested separately)."""
+    from whisper_pandas_spark.sources.whisper_write import build_wsp_bytes
+
+    base = 1_600_000_000
+    layout = [(10, 400), (60, 80)]  # retention 4000 s >> span
+    ts, vals = [], []
+    for i in range(n_points):
+        t = base + 7 * i  # 7 s stride -> frequent same-slot collisions
+        ts.append(t)
+        vals.append(float(i))
+        if i % dup_every == 0:  # planted same-slot duplicate
+            ts.append(t + 1)
+            vals.append(float(100 + i))
+    order = sorted(range(len(ts)), key=lambda j: ts[j])
+    ts = [ts[j] for j in order]
+    vals = [vals[j] for j in order]
+
+    cut = max(1, min(len(ts) - 1, int(len(ts) * split)))
+    one_shot = build_wsp_bytes(ts, vals, layout, agg, 0.1)
+    first = build_wsp_bytes(ts[:cut], vals[:cut], layout, agg, 0.1)
+    merged = build_wsp_bytes(
+        ts[cut:], vals[cut:], layout, agg, 0.1, existing=first
+    )
+    assert merged == one_shot

@@ -180,6 +180,9 @@ def test_cli(fixtures, capsys):
     out = capsys.readouterr().out
     assert "aggregation_method:  average" in out
     assert "archive_count:       3" in out
+    # explicit subcommand form is equivalent (bare paths = reference CLI)
+    main(["info", str(d / "sensors" / "temp.wsp")])
+    assert "archive_count:       3" in capsys.readouterr().out
 
 
 def test_timestamp_pushdown_equivalence(spark, fixtures):

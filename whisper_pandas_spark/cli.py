@@ -1,8 +1,12 @@
-"""Console entry point: ``python -m whisper_pandas_spark PATH [PATH ...]``.
+"""Console entry point: ``python -m whisper_pandas_spark [info] PATH ...``.
 
-Prints file + archive metadata tables (reference CLI:
+``info`` (default) prints file + archive metadata tables (reference CLI:
 ``whisper-pandas PATH`` → whisper_pandas.py:288-295). Header-only read —
 no Spark session, no data scan.
+
+``fetch PATH FROM UNTIL`` reads a time range at the best resolution
+(Graphite fetch semantics, sources/fetch.py) through the Spark source
+and prints the points — the smallest end-to-end smoke of the engine.
 """
 
 from __future__ import annotations
@@ -12,19 +16,68 @@ import argparse
 from whisper_pandas_spark.sources.meta import print_info
 
 
-def main(argv: list[str] | None = None) -> None:
-    parser = argparse.ArgumentParser(
-        prog="whisper-pandas-spark", description="Whisper file info"
-    )
-    parser.add_argument("paths", nargs="+", help="Whisper .wsp / .wsp.gz files")
-    parser.add_argument(
-        "--compression", default="infer", choices=("infer", "none", "gzip")
-    )
-    args = parser.parse_args(argv)
+def _cmd_info(args) -> None:
     for i, path in enumerate(args.paths):
         if i:
             print()
         print_info(path, args.compression)
+
+
+def _cmd_fetch(args) -> None:
+    from whisper_pandas_spark.session import get_spark
+    from whisper_pandas_spark.sources.fetch import fetch
+
+    spark = get_spark(app_name="whisper_fetch_cli", master="local[4]",
+                      shuffle_partitions=4)
+    df = fetch(
+        spark, args.path, args.frm, args.until,
+        now_epoch=args.now, compression=args.compression,
+    ).orderBy("metric", "timestamp")
+    rows = df.collect()
+    print(f"{'metric':<30} {'archive':>7} {'timestamp':>20} {'value':>12}")
+    for r in rows[: args.limit]:
+        print(f"{r['metric']:<30} {r['archive']:>7} "
+              f"{r['timestamp'].isoformat():>20} {r['value']:>12.6f}")
+    if len(rows) > args.limit:
+        print(f"... ({len(rows)} rows total)")
+    spark.stop()
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="whisper-pandas-spark", description="Whisper tools"
+    )
+    sub = parser.add_subparsers(dest="cmd")
+
+    p_info = sub.add_parser("info", help="file + archive metadata (no Spark)")
+    p_info.add_argument("paths", nargs="+", help="Whisper .wsp / .wsp.gz files")
+    p_info.add_argument(
+        "--compression", default="infer", choices=("infer", "none", "gzip")
+    )
+
+    p_fetch = sub.add_parser("fetch", help="read a time range at best resolution")
+    p_fetch.add_argument("path", help="file, glob or directory")
+    p_fetch.add_argument("frm", type=int, help="from (epoch seconds)")
+    p_fetch.add_argument("until", type=int, help="until (epoch seconds)")
+    p_fetch.add_argument("--now", type=int, default=None,
+                         help="retention anchor (default: until)")
+    p_fetch.add_argument("--limit", type=int, default=50)
+    p_fetch.add_argument(
+        "--compression", default="infer", choices=("infer", "none", "gzip")
+    )
+
+    # back-compat: bare paths behave like the reference CLI (`info`)
+    if argv is None:
+        import sys
+
+        argv = sys.argv[1:]
+    if argv and argv[0] not in ("info", "fetch", "-h", "--help"):
+        argv = ["info", *argv]
+    args = parser.parse_args(argv)
+    if args.cmd == "fetch":
+        _cmd_fetch(args)
+    else:
+        _cmd_info(args)
 
 
 if __name__ == "__main__":
