@@ -204,3 +204,23 @@ def test_null_and_empty_text_parity(spark):
     a_sh = {r["doc_id"]: r["simhash"] for r in
             simhash_arrow(df, "doc_id", "text").collect()}
     assert e_sh == a_sh  # incl. NULL -> 0 and '' == '   '
+
+
+def test_fuzzy_pairs_catches_single_char_variant(spark):
+    # one flipped character: every shingle changes (MinHash may miss),
+    # edit distance is 1 (fuzzy catches); unrelated docs don't pair
+    from whisper_pandas_spark.operators.dedup import fuzzy_pairs
+
+    rows = [
+        (0, "en", BASE),
+        (1, "en", BASE.replace("quick", "quack")),  # inside the 80-char prefix
+        (2, "en", "a wholly different document discussing spark physical plans"),
+        (3, "de", BASE),  # other block: never compared to 0/1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    pairs = {
+        (r["doc_i"], r["doc_j"]): r["edit_dist"]
+        for r in fuzzy_pairs(df, "doc_id", "text", "lang", max_edit=5).collect()
+    }
+    assert pairs.get((0, 1)) == 1  # one substituted character
+    assert all(2 not in p and 3 not in p for p in pairs)

@@ -520,3 +520,63 @@ def release_cached(df: DataFrame) -> None:
     Spark's CacheManager forever)."""
     for cached in getattr(df, "_wps_cached", []):
         cached.unpersist()
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_edit: int = 5,
+    prefix_len: int = 80,
+) -> DataFrame:
+    """Near-dup pairs by edit distance on a normalized prefix.
+
+    The classic OCR/boilerplate-variant catch that hash-based dedup
+    misses (one flipped character changes every shingle, but moves the
+    edit distance by 1). Semantics:
+
+    - normalize: tokenized text re-joined with single spaces — pure
+      ``[a-z0-9 ]`` ASCII, which keeps Spark's CHARACTER-based
+      levenshtein and DuckDB's BYTE-based one bit-identical;
+    - bound the cost: compare only the first `prefix_len` chars (the DP
+      is O(prefix²) per pair instead of O(|doc|²));
+    - block by `block_col`, prefilter on |len_i − len_j| ≤ max_edit
+      (lev ≥ length difference, so the filter is lossless), DP only on
+      survivors. Spark's levenshtein threshold argument short-circuits
+      the DP at max_edit+1; the ≤ filter makes the -1 sentinel moot.
+
+    At 100 TB add a second blocking key (e.g. a SimHash band) before
+    the length prefilter — same join shape, tighter candidate set.
+    """
+    norm = F.substring(
+        F.concat_ws(" ", tokenize(F.col(text_col))), 1, prefix_len
+    )
+    base = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("doc_id"),
+        norm.alias("norm"),
+        F.length(norm).alias("ln"),
+    )
+    a = base.select(
+        "block",
+        F.col("doc_id").alias("doc_i"),
+        F.col("norm").alias("n_i"),
+        F.col("ln").alias("l_i"),
+    )
+    b = base.select(
+        "block",
+        F.col("doc_id").alias("doc_j"),
+        F.col("norm").alias("n_j"),
+        F.col("ln").alias("l_j"),
+    )
+    lev = F.levenshtein(F.col("n_i"), F.col("n_j"), max_edit)
+    return (
+        a.join(b, "block")
+        .filter(
+            (F.col("doc_i") < F.col("doc_j"))
+            & (F.abs(F.col("l_i") - F.col("l_j")) <= max_edit)
+        )
+        .select("doc_i", "doc_j", lev.alias("edit_dist"))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_edit))
+    )

@@ -18,6 +18,7 @@ Oracle strategy per entry:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from whisper_pandas_spark.functions.text import (
     HASH_HEX_CHARS,
@@ -238,3 +239,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6,
     )
     return _finalize(pairs.orderBy("doc_i", "doc_j"), *getattr(pairs, "_wps_cached", []))
+
+
+@register(
+    "dedup_fuzzy_pairs",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         substr(array_to_string({_DUCK_TOKS}, ' '), 1, 80) AS n
+  FROM documents
+)
+SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+       levenshtein(a.n, b.n) AS edit_dist
+FROM norm a JOIN norm b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.n, b.n) <= 5
+ORDER BY doc_i, doc_j
+""",
+)
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: edit-distance near-dups on the 80-char normalized prefix —
+    catches single-character variants that shift every shingle. Spark
+    side blocks by lang with a lossless length-difference prefilter and
+    a thresholded DP; the oracle is the INDEPENDENT plain all-pairs
+    formulation (no prefilter, no threshold). Normalized text is pure
+    ASCII, keeping Spark's char-based and DuckDB's byte-based
+    levenshtein identical."""
+    from whisper_pandas_spark.operators.dedup import fuzzy_pairs
+
+    return (
+        fuzzy_pairs(
+            _table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            block_col="lang",
+            max_edit=5,
+            prefix_len=80,
+        )
+        .withColumn("edit_dist", F.col("edit_dist").cast("long"))
+        .orderBy("doc_i", "doc_j")
+    )
