@@ -246,6 +246,16 @@ def test_materialize_roundtrip(spark, fixtures, tmp_path):
     dirs = os.listdir(out)
     assert any(x.startswith("metric=") for x in dirs)
 
+    # time_sorted layout: every written file is internally timestamp-
+    # ordered (tight disjoint row-group min/max ranges for skipping)
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    for f in g.glob(f"{out}/**/*.parquet", recursive=True):
+        ts = pq.read_table(f, columns=["timestamp"])["timestamp"].to_pylist()
+        assert ts == sorted(ts), f
+
 
 def test_read_whisper_total_sort(spark, fixtures):
     from whisper_pandas_spark.sources.materialize import read_whisper

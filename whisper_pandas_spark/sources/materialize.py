@@ -52,6 +52,7 @@ def materialize_to_parquet(
     partition_by: tuple[str, ...] = ("metric",),
     with_date: bool = False,
     mode: str = "overwrite",
+    time_sorted: bool = True,
     **options: str,
 ) -> DataFrame:
     """Decode a Whisper tree and write it as partitioned parquet; returns
@@ -60,12 +61,20 @@ def materialize_to_parquet(
     with_date adds a `ts_date` partition column (daily) — the layout for
     time-pruned queries: `WHERE ts_date = '2021-07-20'` prunes at the
     directory level before any I/O.
+
+    time_sorted (default) sorts rows by timestamp within each output
+    file: parquet row-group min/max statistics become tight disjoint
+    ranges, so a later `WHERE timestamp BETWEEN ...` skips whole row
+    groups instead of scanning them — the layout-level complement to the
+    directory-level partition pruning.
     """
     df = read_whisper(spark, whisper_path, **options)
     cols = list(partition_by)
     if with_date:
         df = df.withColumn("ts_date", F.to_date("timestamp"))
         cols.append("ts_date")
+    if time_sorted:
+        df = df.sortWithinPartitions(*cols, "timestamp")
     (
         df.write.partitionBy(*cols)
         .mode(mode)
