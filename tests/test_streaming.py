@@ -199,3 +199,54 @@ def test_stream_to_whisper_sink_multibatch(spark, tmp_path):
         .filter(F.col("archive") == 0)
     )
     assert fine.count() == 60  # batch-1 points survived batch 2
+
+
+def test_stream_near_dup_cross_batch(spark, tmp_path):
+    """A doc arriving in batch 2 that near-dups a batch-1 doc must emit a
+    cross-batch pair — the incremental question batch dedup can't answer."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from whisper_pandas_spark.streaming.dedup import stream_near_dup
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest to find some food for winter")
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    src = str(tmp_path / "docs")
+    batches = [
+        [(0, base), (1, "an unrelated text about catalyst optimizer rules "
+                        "and adaptive query execution in spark clusters")],
+        [(2, base.replace("winter", "summer")),  # near-dup of batch-1 doc 0
+         (3, "yet another distinct document mentioning arrow record batches "
+             "and python worker reuse across stages")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    pairs_dir = str(tmp_path / "pairs")
+    store_dir = str(tmp_path / "sigs")
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_near_dup(
+        sdf, pairs_dir, store_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(5)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["doc_i"], r["doc_j"]): r["jaccard"]
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert (0, 2) in got and 0.5 <= got[(0, 2)] <= 1.0
+    assert all(1 not in p and 3 not in p for p in got)
+    # signature store holds every ingested doc exactly once
+    assert spark.read.parquet(store_dir).count() == 4
