@@ -224,3 +224,39 @@ def test_fuzzy_pairs_catches_single_char_variant(spark):
     }
     assert pairs.get((0, 1)) == 1  # one substituted character
     assert all(2 not in p and 3 not in p for p in pairs)
+
+
+def test_ngram_max_df_drops_stop_shingles(spark):
+    # 6 docs share a boilerplate prefix (every prefix shingle has df=6);
+    # each doc body is unique. With max_df=5 the boilerplate postings
+    # drop from the index, the observed intersection shrinks, and the
+    # boilerplate-only pairs fall below threshold. True near-dups that
+    # ALSO share rare shingles still pair.
+    boiler = "terms of service apply to all documents in this collection"
+    rows = [
+        (i, "en", f"{boiler} unique body {i} alpha beta gamma delta epsilon")
+        for i in range(6)
+    ] + [
+        (10, "en", f"{boiler} same rare body zeta eta theta iota kappa"),
+        (11, "en", f"{boiler} same rare body zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    full = {
+        (r["doc_i"], r["doc_j"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", "lang", threshold=0.5
+        ).collect()
+    }
+    assert (10, 11) in full
+    # capped jaccard is a LOWER BOUND (capped shingles leave the
+    # intersection but not the set sizes), so the threshold drops with it
+    capped = {
+        (r["doc_i"], r["doc_j"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", "lang", threshold=0.2, max_df=5
+        ).collect()
+    }
+    assert (10, 11) in capped  # identical bodies: rare shingles keep them
+    # boilerplate-only pairs (i<6 x i<6) share ONLY capped shingles ->
+    # observed intersection 0 -> gone at any positive threshold
+    assert not [p for p in capped if p[0] < 6 and p[1] < 6]

@@ -402,6 +402,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     threshold: float,
     shingle_n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold via an INVERTED INDEX join.
 
@@ -414,10 +415,13 @@ def ngram_jaccard_pairs(
     codegen hash join / hash agg — no higher-order functions in the hot
     path. 0.9 s at sf0.1, identical output.
 
-    At 100 TB the known refinement is a document-frequency cap on posting
-    keys (stop-shingles explode the self-join quadratically); not applied
-    here because it changes semantics — the skew guard belongs to the
-    caller.
+    ``max_df`` is the 100 TB skew guard: posting keys held by more than
+    max_df documents (stop-shingles — boilerplate headers, "terms of
+    service") explode the self-join quadratically, so they are dropped
+    from the INDEX before the join. Capped shingles still count in
+    |set_i| and |set_j| but not in the observed intersection, so the
+    computed jaccard becomes a LOWER BOUND — recall loss only, never
+    false positives. Default None keeps exact semantics.
     """
     blocks = df.select(
         F.col(id_col).alias("doc_id"), F.col(block_col).alias("block")
@@ -429,6 +433,11 @@ def ngram_jaccard_pairs(
     )
     sizes = hashed.select("doc_id", F.size("hh").alias("n"))
     posting = hashed.select("block", "doc_id", F.explode("hh").alias("h"))
+    if max_df is not None:
+        posting = posting.withColumn(
+            "df",
+            F.count(F.lit(1)).over(Window.partitionBy("block", "h")),
+        ).filter(F.col("df") <= max_df).drop("df")
     shared = (
         posting.alias("a")
         .join(posting.alias("b"), ["block", "h"])
