@@ -321,3 +321,30 @@ def test_fetch_selects_archive_and_pushes_bounds(spark, tmp_path):
     # archive selection spanning into the coarse archive
     df2 = fetch(spark, p, END_TS - 10 * 1600 - 50, END_TS, now_epoch=END_TS)
     assert {r["archive"] for r in df2.collect()} == {1}
+
+
+def test_metric_prefix_pushdown_prunes_partitions(spark, fixtures):
+    """`metric LIKE 'sensors.%'` (StringStartsWith) must prune the other
+    files' partitions at PLANNING time and stay lossless."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.sources.whisper import WhisperScanReader
+
+    d, _ = fixtures
+    path = str(d / "sensors")
+
+    full = spark.read.format("whisper").option("base_dir", str(d)).load(path)
+    pushed = full.filter(F.col("metric").startswith("sensors.temp"))
+    expected = [r for r in full.collect() if r["metric"].startswith("sensors.temp")]
+    got = pushed.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+    assert {r["metric"] for r in got} == {"sensors.temp"}
+
+    # planner-level proof: the reader plans no partitions for hum.wsp
+    reader = WhisperScanReader({"path": path, "base_dir": str(d)})
+    from pyspark.sql.datasource import StringStartsWith
+
+    consumed = list(reader.pushFilters([StringStartsWith(("metric",), "sensors.temp")]))
+    assert consumed == []  # filter fully consumed
+    parts = reader.partitions()
+    assert parts and all(p.metric == "sensors.temp" for p in parts)

@@ -53,6 +53,9 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -179,6 +182,9 @@ class WhisperScanReader(DataSourceReader):
         self.base_dir = options.get("base_dir")
         # populated by pushFilters; applied during partition planning / scan
         self._metric_eq: set[str] | None = None
+        # conjunctive substring predicates on metric: ("prefix"|"suffix"|
+        # "contains", value) — the Graphite subtree pattern `srv.*`
+        self._metric_like: list[tuple[str, str]] = []
         self._archive_eq: set[int] | None = None
         self._ts_lo: int | None = None  # inclusive epoch-seconds lower bound
         self._ts_hi: int | None = None  # inclusive epoch-seconds upper bound
@@ -207,11 +213,13 @@ class WhisperScanReader(DataSourceReader):
         return None
 
     def pushFilters(self, filters: list[Filter]):
-        """Consume metric/archive equality (exact partition pruning on the
-        driver) and timestamp bounds (exact scan-side mask before the
-        Arrow batch is built — the same position as the reference's
-        ``drop_time_zero`` mask, whisper_pandas.py:214-215); everything
-        else is returned for Spark to evaluate post-scan.
+        """Consume metric equality/substring predicates (exact partition
+        pruning on the driver — `metric LIKE 'srv.%'` is the Graphite
+        subtree pattern), archive equality (same), and timestamp bounds
+        (exact scan-side mask before the Arrow batch is built — the same
+        position as the reference's ``drop_time_zero`` mask,
+        whisper_pandas.py:214-215); everything else is returned for Spark
+        to evaluate post-scan.
 
         Note: slot chunks are RING-BUFFER ranges, so a timestamp bound
         cannot prune partitions (any slot range may hold any time range);
@@ -230,6 +238,12 @@ class WhisperScanReader(DataSourceReader):
                 self._metric_eq = _narrow(self._metric_eq, {f.value})
             elif isinstance(f, In) and attr == "metric":
                 self._metric_eq = _narrow(self._metric_eq, set(f.values))
+            elif isinstance(f, StringStartsWith) and attr == "metric":
+                self._metric_like.append(("prefix", str(f.value)))
+            elif isinstance(f, StringEndsWith) and attr == "metric":
+                self._metric_like.append(("suffix", str(f.value)))
+            elif isinstance(f, StringContains) and attr == "metric":
+                self._metric_like.append(("contains", str(f.value)))
             elif isinstance(f, EqualTo) and attr == "archive":
                 self._archive_eq = _narrow(self._archive_eq, {int(f.value)})
             elif isinstance(f, In) and attr == "archive":
@@ -281,6 +295,13 @@ class WhisperScanReader(DataSourceReader):
         for f in self._files():
             metric = metric_name(f, base if base is not None else self._base)
             if self._metric_eq is not None and metric not in self._metric_eq:
+                continue
+            if not all(
+                (kind == "prefix" and metric.startswith(v))
+                or (kind == "suffix" and metric.endswith(v))
+                or (kind == "contains" and v in metric)
+                for kind, v in self._metric_like
+            ):
                 continue
             info = read_header(f, self.compression)
             for arch in info.archives:
