@@ -185,3 +185,143 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
         .orderBy("lang", "shard", "bin_id")
     )
+
+
+@register(
+    "profile_documents",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+       min(length(text)) AS min_len,
+       max(length(text)) AS max_len,
+       sum(length(text)) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling — the first query any pipeline runs on a new drop:
+    per-language row counts, source cardinality, empty-text rate, length
+    envelope. All integer aggregates (exact under any partitioning);
+    one shuffle with map-side partial agg."""
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(
+                F.when(
+                    F.col("text").isNull() | (F.col("text") == ""), 1
+                ).otherwise(0)
+            ).alias("n_empty"),
+            F.min(F.length("text")).alias("min_len"),
+            F.max(F.length("text")).alias("max_len"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+HIST_LO = 0.0
+HIST_W = 10.0
+HIST_BUCKETS = 10
+
+
+@register(
+    "profile_histogram",
+    oracle=f"""
+SELECT LEAST(GREATEST(CAST(floor((value - {HIST_LO}) / {HIST_W}) AS BIGINT), 0),
+             {HIST_BUCKETS - 1}) AS bucket,
+       count(*) AS n
+FROM events GROUP BY bucket ORDER BY bucket
+""",
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram with clamped edge buckets — the
+    scale-safe profiling shape (one groupBy on a derived int key; the
+    bucket arithmetic is a pure row-wise expression, exact on both
+    engines)."""
+    ev = _table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("value") - HIST_LO) / HIST_W).cast("bigint"), F.lit(0)
+        ),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+Z_THRESH = 3.0
+
+
+@register(
+    "anomaly_zscore",
+    oracle=f"""
+WITH us AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000000.0) AS DECIMAL(19,0)) AS v_us
+  FROM events
+), stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(v_us) AS s1,
+         sum(v_us * v_us) AS s2
+  FROM us GROUP BY event_type
+), scored AS (
+  SELECT u.event_id, u.event_type,
+         round(
+           (CAST(u.v_us AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n)
+           / sqrt((CAST(s.s2 AS DOUBLE)
+                   - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.n)
+                  / (s.n - 1)),
+           6) AS z
+  FROM us u JOIN stats s USING (event_type)
+)
+SELECT event_id, event_type, z FROM scored
+WHERE abs(z) >= {Z_THRESH}
+ORDER BY event_id
+""",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection: per-group z-score with |z| >= {Z_THRESH}.
+
+    The second moment is the order-dependence trap (sum of double
+    squares differs across partitionings), so both moments are EXACT:
+    values quantized to integer micros with floor (tie-free, unlike
+    round), squared and summed in DECIMAL — associative, bit-identical
+    under any partitioning — with the float math confined to the final
+    per-row expression. Stats side is tiny (one row per group) and
+    broadcast back onto the scan."""
+    ev = _table(spark, sf_dir, "events")
+    us = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000.0).cast("decimal(19,0)").alias("v_us"),
+    )
+    stats = us.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_us").alias("s1"),
+        F.sum(F.col("v_us") * F.col("v_us")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    z = F.round(
+        (F.col("v_us").cast("double") - s1d / F.col("n"))
+        / F.sqrt(
+            (F.col("s2").cast("double") - s1d * s1d / F.col("n"))
+            / (F.col("n") - 1)
+        ),
+        6,
+    )
+    return (
+        us.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= Z_THRESH)
+        .orderBy("event_id")
+    )
