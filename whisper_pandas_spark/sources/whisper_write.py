@@ -31,7 +31,11 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
 
 from whisper_pandas_spark.sources.format import AGGREGATION_METHODS
 
@@ -214,9 +218,14 @@ class _Commit(WriterCommitMessage):
     files: list[str]
 
 
-class WhisperWriter(DataSourceWriter):
+class WhisperWriter(DataSourceArrowWriter):
     """Executor-side writer: groups its partition's rows by metric and
-    emits one .wsp per metric (caller repartitions by metric)."""
+    emits one .wsp per metric (caller repartitions by metric).
+
+    Arrow variant (``DataSourceArrowWriter``): each task receives
+    RecordBatches, so column extraction and the per-metric grouping are
+    vectorized numpy — no per-Row Python objects on the write path,
+    matching the reader's Arrow-out design."""
 
     def __init__(self, options) -> None:
         self.out_dir = options.get("out_dir") or options.get("path")
@@ -238,16 +247,43 @@ class WhisperWriter(DataSourceWriter):
         )
 
     def write(self, iterator) -> _Commit:
-        by_metric: dict[str, list[tuple[int, float]]] = {}
-        for row in iterator:
-            ep = row["timestamp"]
-            if hasattr(ep, "timestamp"):  # datetime -> epoch seconds
-                ep = int(ep.timestamp())
-            by_metric.setdefault(row["metric"], []).append(
-                (int(ep), float(row["value"]))
+        import numpy as np
+        import pyarrow as pa
+
+        # accumulate (ts, val) chunks per metric; batch arrival order is
+        # preserved (stable grouping), so last-write-wins ties resolve to
+        # the latest input row exactly like the row-at-a-time path did
+        by_metric: dict[str, list[tuple]] = {}
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            ts_col = batch.column(batch.schema.get_field_index("timestamp"))
+            if pa.types.is_timestamp(ts_col.type):
+                div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+                    ts_col.type.unit
+                ]
+                ts = ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False) // div
+            else:
+                ts = ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            vals = (
+                batch.column(batch.schema.get_field_index("value"))
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
             )
+            mets = np.asarray(
+                batch.column(batch.schema.get_field_index("metric")).to_pylist(),
+                dtype=object,
+            )
+            order = np.argsort(mets, kind="stable")
+            sm = mets[order]
+            uniq, starts = np.unique(sm, return_index=True)
+            bounds = np.append(starts, len(sm))
+            for m, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
+                sel = order[lo:hi]
+                by_metric.setdefault(str(m), []).append((ts[sel], vals[sel]))
+
         written = []
-        for metric, pts in by_metric.items():
+        for metric, chunks in by_metric.items():
             rel = metric.replace(".", os.sep) + ".wsp"
             path = os.path.join(self.out_dir, rel)
             existing = None
@@ -255,8 +291,8 @@ class WhisperWriter(DataSourceWriter):
                 with open(path, "rb") as f:
                     existing = f.read()
             data = build_wsp_bytes(
-                [t for t, _ in pts],
-                [v for _, v in pts],
+                np.concatenate([t for t, _ in chunks]),
+                np.concatenate([v for _, v in chunks]),
                 self.archives,
                 self.aggregation,
                 self.xff,
