@@ -348,3 +348,21 @@ def test_metric_prefix_pushdown_prunes_partitions(spark, fixtures):
     assert consumed == []  # filter fully consumed
     parts = reader.partitions()
     assert parts and all(p.metric == "sensors.temp" for p in parts)
+
+
+def test_fully_pruned_scan_returns_empty(spark, fixtures):
+    """Filters that prune EVERY partition must yield an empty DataFrame,
+    not crash (Spark invokes read(None) on an empty partition list; the
+    planner emits an explicit empty sentinel instead)."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    d, _ = fixtures
+    df = spark.read.format("whisper").option("base_dir", str(d)).load(
+        str(d / "sensors")
+    )
+    assert df.filter(F.col("metric") == "no.such.metric").count() == 0
+    assert df.filter(F.col("metric").startswith("zzz")).count() == 0
+    assert df.filter(F.col("archive") == 99).count() == 0

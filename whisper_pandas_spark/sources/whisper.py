@@ -324,6 +324,17 @@ class WhisperScanReader(DataSourceReader):
                             slot_count=min(chunk, arch.points - start),
                         )
                     )
+        if not parts:
+            # every partition pruned (e.g. metric filter matched nothing):
+            # Spark invokes read(None) when the list is empty, so plan one
+            # explicit empty sentinel instead
+            parts.append(
+                WhisperPartition(
+                    path="", compression="none", metric="", archive_index=0,
+                    offset=0, seconds_per_point=0, points=0,
+                    slot_start=0, slot_count=0,
+                )
+            )
         return parts
 
     # -- scan (executors) --------------------------------------------------
@@ -332,6 +343,8 @@ class WhisperScanReader(DataSourceReader):
         import pyarrow as pa
 
         p = partition
+        if not p.path:  # the pruned-to-nothing sentinel: no rows
+            return
         if p.compression == "gzip":
             buffer = read_file_bytes(p.path, "gzip")
         else:
