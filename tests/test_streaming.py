@@ -250,3 +250,43 @@ def test_stream_near_dup_cross_batch(spark, tmp_path):
     assert all(1 not in p and 3 not in p for p in got)
     # signature store holds every ingested doc exactly once
     assert spark.read.parquet(store_dir).count() == 4
+
+
+def test_whisper_stream_source_tails_new_points(spark, tmp_path):
+    """spark.readStream.format('whisper'): the tree's finest archive is a
+    live stream — batch 1 emits the stored points, a merge-write of new
+    points emits exactly the delta (watermark = newest emitted ts)."""
+    from whisper_pandas_spark.sources.whisper import register_whisper
+    from whisper_pandas_spark.sources.whisper_write import write_whisper
+
+    register_whisper(spark)
+    d = str(tmp_path / "tree")
+    base = 1_599_999_960
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [("srv.cpu", base + 10 * i, float(i)) for i in range(lo, hi)],
+            ["metric", "epoch", "value"],
+        ).select(
+            "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+        )
+
+    write_whisper(batch(0, 30), d, archives="10:200,60:50", merge=True)
+    sdf = spark.readStream.format("whisper").option("base_dir", d).load(d)
+    q = (
+        sdf.writeStream.format("memory").queryName("wsp_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("wsp_tail").count() == 30
+        write_whisper(batch(30, 60), d, archives="10:200,60:50", merge=True)
+        q.processAllAvailable()
+        got = spark.table("wsp_tail").collect()
+        assert len(got) == 60
+        assert len({r["timestamp"] for r in got}) == 60  # no re-emission
+        assert {r["metric"] for r in got} == {"srv.cpu"}
+    finally:
+        q.stop()

@@ -154,6 +154,13 @@ class WhisperDataSource(DataSource):
 
         return WhisperWriter(self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        # `spark.readStream.format("whisper")` — tail the tree's finest
+        # archive as a live stream (streaming/source.py).
+        from whisper_pandas_spark.streaming.source import WhisperStreamReader
+
+        return WhisperStreamReader(self.options)
+
 
 class WhisperScanReader(DataSourceReader):
     def __init__(self, options) -> None:
