@@ -260,3 +260,18 @@ def test_ngram_max_df_drops_stop_shingles(spark):
     # boilerplate-only pairs (i<6 x i<6) share ONLY capped shingles ->
     # observed intersection 0 -> gone at any positive threshold
     assert not [p for p in capped if p[0] < 6 and p[1] < 6]
+
+
+def test_kmeans_empty_cells_drop(spark):
+    # k exceeds the number of distinct directions: empty cells disappear
+    # (k shrinks) and the trained codebook still drives assignment
+    from whisper_pandas_spark.operators.kmeans import kmeans_cosine
+    from whisper_pandas_spark.operators.similarity import ivf_assign
+
+    rows = [(i, [1.0, 0.0]) for i in range(3)] + [(10, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = kmeans_cosine(df, 4, iters=2, seed=0)
+    cents = cent.collect()
+    assert 1 <= len(cents) <= 4
+    assigned = ivf_assign(df, cent.withColumnRenamed("cid", "vec_id"), 1)
+    assert assigned.count() == 4  # every vector still lands in a cell
