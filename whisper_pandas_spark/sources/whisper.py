@@ -107,7 +107,13 @@ def metric_name(path: str, base_dir: str | None) -> str:
 
 @dataclass
 class WhisperPartition(InputPartition):
-    """One scan task: a slot range of one archive of one file."""
+    """One scan task: a slot range of one archive of one file.
+
+    ts_lo/ts_hi are OPTIONAL per-partition inclusive epoch bounds — the
+    streaming reader plans each micro-batch's window into its partitions
+    (executors apply them in the decode mask exactly like pushed
+    timestamp filters); batch partitions leave them None.
+    """
 
     path: str
     compression: str  # resolved: "none" | "gzip"
@@ -118,6 +124,8 @@ class WhisperPartition(InputPartition):
     points: int  # total slots in the archive (for slot math)
     slot_start: int
     slot_count: int
+    ts_lo: int | None = None
+    ts_hi: int | None = None
 
 
 class WhisperDataSource(DataSource):
@@ -154,9 +162,10 @@ class WhisperDataSource(DataSource):
 
         return WhisperWriter(self.options)
 
-    def simpleStreamReader(self, schema: StructType):
+    def streamReader(self, schema: StructType):
         # `spark.readStream.format("whisper")` — tail the tree's finest
-        # archive as a live stream (streaming/source.py).
+        # archive as a live stream with DISTRIBUTED micro-batch scans
+        # (streaming/source.py).
         from whisper_pandas_spark.streaming.source import WhisperStreamReader
 
         return WhisperStreamReader(self.options)
@@ -372,11 +381,17 @@ class WhisperScanReader(DataSourceReader):
         mask = None
         if self.drop_time_zero:
             mask = ts != 0
-        if self._ts_lo is not None:
-            m = ts >= self._ts_lo
+        lo = self._ts_lo
+        if p.ts_lo is not None:
+            lo = p.ts_lo if lo is None else max(lo, p.ts_lo)
+        hi = self._ts_hi
+        if p.ts_hi is not None:
+            hi = p.ts_hi if hi is None else min(hi, p.ts_hi)
+        if lo is not None:
+            m = ts >= lo
             mask = m if mask is None else (mask & m)
-        if self._ts_hi is not None:
-            m = ts <= self._ts_hi
+        if hi is not None:
+            m = ts <= hi
             mask = m if mask is None else (mask & m)
         if mask is not None:
             ts = ts[mask]

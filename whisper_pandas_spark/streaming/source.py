@@ -6,36 +6,38 @@ this reader turns that tree into a Structured Streaming source so the
 engine's streaming operators (rollup, EWMA, sinks) run directly off the
 files — the live twin of the batch scan.
 
-Offset model: a single high-water mark ``{"wm": <epoch seconds>}`` over
-the FINEST archive (new writes land there; coarser archives are derived
-rollups and would double-count). Each micro-batch emits points with
-``wm_start < timestamp <= wm_end`` across the tree, where wm_end is the
-newest timestamp currently stored. Replay (``readBetweenOffsets``) is
-deterministic for any committed offset range because stored points are
-keyed by timestamp.
+Architecture (``DataSourceStreamReader`` — the DISTRIBUTED variant):
+
+- **Offsets** are a single high-water mark ``{"wm": <epoch seconds>}``
+  over the FINEST archive (new writes land there; coarser archives are
+  derived rollups and would double-count). ``latestOffset`` peeks each
+  file's newest stored timestamp on the driver, with an mtime cache so
+  only files modified since the last trigger are rescanned.
+- **Partitions** for a micro-batch reuse the batch scan's planning —
+  one task per (file, archive-0, slot-chunk) with the batch's
+  ``wm_start < ts <= wm_end`` window carried IN the partition;
+  executors do the byte-range decode and apply the window pre-Arrow.
+  The driver never touches point data for planning (headers + changed-
+  file peeks only), so a wide tree streams with cluster parallelism.
+- **Replay** is deterministic for any committed offset range because
+  stored points are keyed by timestamp (``partitions(start, end)`` is a
+  pure function of the offsets and the ring contents above the
+  committed watermark).
 
 Assumption (documented, inherent to tailing a last-write-wins ring):
 ingestion is append-style — a new point carries a timestamp newer than
 the high-water mark. An in-place OVERWRITE of an already-emitted slot
 does not re-emit (its timestamp is ≤ wm). Retention wrap-around is
 safe: expired points only ever disappear below the watermark.
-
-Scale note: this is a ``SimpleDataSourceStreamReader`` — offsets and
-rows are produced driver-side, the right trade for the metric-tree
-sizes a single Graphite node serves (the batch scan stays fully
-distributed). A cluster-scale firehose would instead land points on a
-message bus or parquet drop directory and use the distributed file
-source; `materialize_to_parquet` is that bridge.
 """
 
 from __future__ import annotations
 
 import glob as globmod
 import os
-from datetime import datetime, timezone
-from typing import Iterator, Tuple
+from typing import Iterator, Sequence, Tuple
 
-from pyspark.sql.datasource import SimpleDataSourceStreamReader
+from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
 from whisper_pandas_spark.sources.format import (
     read_file_bytes,
@@ -53,61 +55,86 @@ def _files(path: str) -> list[str]:
     return sorted(globmod.glob(path))
 
 
-class WhisperStreamReader(SimpleDataSourceStreamReader):
-    """Tail the finest archive of every file under the load path."""
+def _file_max_ts(path: str) -> int:
+    """Newest stored timestamp in the file's finest archive (0 if empty)."""
+    info = read_header(path)
+    buf = read_file_bytes(path, info.compression)
+    data = read_points(buf, info.archives[0])
+    ts = data["timestamp"]
+    return int(ts.max()) if len(ts) else 0
+
+
+class WhisperStreamReader(DataSourceStreamReader):
+    """Distributed tail of the finest archive of every file in the tree."""
 
     def __init__(self, options) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("whisper stream source requires a load path")
-        self.base_dir = options.get("base_dir")
-        self.to_datetime = str(
-            options.get("to_datetime") or "true"
-        ).strip().lower() in ("true", "1", "yes")
+        self.options = dict(options)
+        # driver-side peek cache: path -> (mtime, max_ts)
+        self._peek: dict[str, tuple[float, int]] = {}
 
-    # -- offset bookkeeping -------------------------------------------------
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_peek", None)  # executors don't need the driver cache
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._peek = {}
+
+    # -- offsets (driver) ---------------------------------------------------
     def initialOffset(self) -> dict:
-        # start of time: the first batch picks up every stored point
         return {"wm": 0}
 
-    def _scan(self, lo: int, hi: int | None) -> Tuple[list, int]:
-        """Points with lo < ts <= hi (hi=None → no upper bound) plus the
-        tree's current high-water mark."""
-        from whisper_pandas_spark.sources.whisper import metric_name
-
-        rows: list = []
-        wm = lo
+    def latestOffset(self) -> dict:
+        wm = 0
         for f in _files(self.path):
-            info = read_header(f)
-            arch = info.archives[0]
-            buf = read_file_bytes(f, info.compression)
-            data = read_points(buf, arch)
-            metric = metric_name(f, self.base_dir)
-            ts_all = data["timestamp"].astype("int64")
-            mask = (ts_all > lo) if hi is None else ((ts_all > lo) & (ts_all <= hi))
-            mask &= ts_all != 0
-            sel = mask.nonzero()[0]
-            for slot in sel:
-                ts = int(ts_all[slot])
-                wm = max(wm, ts)
-                out_ts = (
-                    datetime.fromtimestamp(ts, tz=timezone.utc)
-                    if self.to_datetime
-                    else ts
-                )
-                rows.append(
-                    (metric, 0, int(slot), out_ts, float(data["value"][slot]))
-                )
-        return rows, wm
+            mtime = os.stat(f).st_mtime
+            cached = self._peek.get(f)
+            if cached is None or cached[0] != mtime:
+                self._peek[f] = (mtime, _file_max_ts(f))
+            wm = max(wm, self._peek[f][1])
+        return {"wm": wm}
 
-    # -- contract -----------------------------------------------------------
-    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
-        rows, wm = self._scan(int(start["wm"]), None)
-        return iter(rows), {"wm": wm}
+    # -- planning (driver) --------------------------------------------------
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        from whisper_pandas_spark.sources.whisper import (
+            WhisperPartition,
+            WhisperScanReader,
+        )
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
-        rows, _ = self._scan(int(start["wm"]), int(end["wm"]))
-        return iter(rows)
+        lo, hi = int(start["wm"]), int(end["wm"])
+        planner = WhisperScanReader(self.options)
+        planner._archive_eq = {0}
+        parts = []
+        for p in planner.partitions():
+            if not p.path:
+                continue
+            # peek cache prunes files with nothing above the low mark
+            peek = self._peek.get(p.path)
+            if peek is not None and peek[1] <= lo:
+                continue
+            p.ts_lo = lo + 1
+            p.ts_hi = hi
+            parts.append(p)
+        return parts or [
+            WhisperPartition(
+                path="", compression="none", metric="", archive_index=0,
+                offset=0, seconds_per_point=0, points=0,
+                slot_start=0, slot_count=0,
+            )
+        ]
 
-    def commit(self, end: dict) -> None:  # nothing to clean up
+    # -- scan (executors) ---------------------------------------------------
+    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+        # identical decode path to the batch scan; the micro-batch window
+        # rides in the partition and masks rows before Arrow
+        from whisper_pandas_spark.sources.whisper import WhisperScanReader
+
+        reader = WhisperScanReader(self.options)
+        yield from reader.read(partition)
+
+    def commit(self, end: dict) -> None:
         return None
