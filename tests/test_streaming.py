@@ -290,3 +290,57 @@ def test_whisper_stream_source_tails_new_points(spark, tmp_path):
         assert {r["metric"] for r in got} == {"srv.cpu"}
     finally:
         q.stop()
+
+
+def test_live_reaggregation_pipeline(spark, tmp_path):
+    """Whisper tree -> readStream -> watermarked 60 s rollup -> whisper
+    sink: the full live re-aggregation loop, all through this engine's
+    own source and sink. The sink tree's points must equal the BATCH
+    rollup of the source tree."""
+    from whisper_pandas_spark.operators.rollup import rollup
+    from whisper_pandas_spark.sources.whisper import register_whisper
+    from whisper_pandas_spark.sources.whisper_write import write_whisper
+    from whisper_pandas_spark.streaming.rollup import streaming_rollup
+    from whisper_pandas_spark.streaming.sink import stream_to_whisper
+
+    register_whisper(spark)
+    src_tree = str(tmp_path / "fine")
+    base = 1_599_999_960
+    fine = spark.createDataFrame(
+        [("srv.cpu", base + 10 * i, float((i * 3) % 17)) for i in range(60)],
+        ["metric", "epoch", "value"],
+    ).select("metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    write_whisper(fine, src_tree, archives="10:200,60:50", merge=True)
+
+    sdf = spark.readStream.format("whisper").option("base_dir", src_tree).load(
+        src_tree
+    )
+    rolled = streaming_rollup(
+        sdf.select("metric", "timestamp", "value"),
+        60,
+        "average",
+        watermark="10 minutes",
+    ).select("metric", F.col("bucket").alias("timestamp"), "value")
+    out_tree = str(tmp_path / "coarse")
+    q = stream_to_whisper(
+        rolled, out_tree, archives="60:100",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="update",  # aggregation: flush windows every trigger
+    )
+    q.awaitTermination(5)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        int(r["timestamp"].timestamp()): r["value"]
+        for r in spark.read.format("whisper")
+        .option("base_dir", out_tree)
+        .load(out_tree)
+        .filter(F.col("archive") == 0)
+        .collect()
+    }
+    expected = {
+        int(r["bucket"].timestamp()): r["value"]
+        for r in rollup(fine, 60, "average", ts_col="timestamp").collect()
+    }
+    assert got == expected and len(got) == 10

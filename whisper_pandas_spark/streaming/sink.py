@@ -28,9 +28,16 @@ def stream_to_whisper(
     aggregation: str = "average",
     x_files_factor: float = 0.5,
     checkpoint_dir: str | None = None,
+    output_mode: str = "append",
 ):
     """Start a streaming query writing (metric, timestamp, value) rows to
-    a .wsp tree. Returns the StreamingQuery (caller awaits/stops)."""
+    a .wsp tree. Returns the StreamingQuery (caller awaits/stops).
+
+    ``output_mode``: "append" for raw point streams; "update" when *sdf*
+    is a streaming AGGREGATION (windows then flush their current value
+    every trigger instead of waiting for watermark expiry, and the
+    merge-mode slot overlay makes re-writes of a window idempotent —
+    last update wins, exactly Whisper's own slot semantics)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -39,7 +46,7 @@ def stream_to_whisper(
             batch_df, out_dir, archives, aggregation, x_files_factor, merge=True
         )
 
-    writer = sdf.writeStream.foreachBatch(sink)
+    writer = sdf.writeStream.foreachBatch(sink).outputMode(output_mode)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
