@@ -69,6 +69,30 @@ def split_assign(
     )
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — `df.sampleBy`'s reproducible
+    twin (language rebalancing, source capping). Each stratum gets its
+    own bucket threshold; strata not listed get `default_fraction`.
+    Same hash ⇒ composing with :func:`hash_sample` or
+    :func:`split_assign` on the SAME seed correlates decisions — use
+    distinct seeds for independent draws.
+    """
+    thr: Column = F.lit(int(default_fraction * BUCKET_SPACE))
+    for value, frac in sorted(fractions.items()):
+        thr = (
+            F.when(F.col(strata_col) == value, F.lit(int(frac * BUCKET_SPACE)))
+            .otherwise(thr)
+        )
+    return df.filter(hash_bucket(F.col(key_col), seed) < thr)
+
+
 def duck_hash_bucket(key_sql: str, seed: int = 0) -> str:
     """DuckDB expression equal to :func:`hash_bucket` bit-for-bit."""
     return (

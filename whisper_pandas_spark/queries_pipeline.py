@@ -325,3 +325,42 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) >= Z_THRESH)
         .orderBy("event_id")
     )
+
+
+STRATA_FRACS = {"en": 0.5, "zh": 0.1}
+STRATA_DEFAULT = 0.25
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_ids
+FROM documents
+WHERE {duck_hash_bucket("doc_id")} <
+      CASE lang
+        WHEN 'en' THEN {int(0.5 * BUCKET_SPACE)}
+        WHEN 'zh' THEN {int(0.1 * BUCKET_SPACE)}
+        ELSE {int(0.25 * BUCKET_SPACE)}
+      END
+GROUP BY lang ORDER BY lang
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (language rebalancing: keep
+    half the English, a tenth of the Chinese, a quarter of the rest) —
+    df.sampleBy's reproducible twin. Summarized per language so the
+    check covers both the kept-set and its membership."""
+    from whisper_pandas_spark.operators.sampling import stratified_hash_sample
+
+    kept = stratified_hash_sample(
+        _table(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        STRATA_FRACS,
+        default_fraction=STRATA_DEFAULT,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("lang")
+    )
