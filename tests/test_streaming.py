@@ -344,3 +344,43 @@ def test_live_reaggregation_pipeline(spark, tmp_path):
         for r in rollup(fine, 60, "average", ts_col="timestamp").collect()
     }
     assert got == expected and len(got) == 10
+
+
+def test_whisper_stream_source_multi_file(spark, tmp_path):
+    """The stream source tails a TREE: two metrics' files, new points in
+    either file surface in the next micro-batch."""
+    from whisper_pandas_spark.sources.whisper import register_whisper
+    from whisper_pandas_spark.sources.whisper_write import write_whisper
+
+    register_whisper(spark)
+    d = str(tmp_path / "tree")
+    base = 1_599_999_960
+
+    def pts(metric, lo, hi):
+        return spark.createDataFrame(
+            [(metric, base + 10 * i, float(i)) for i in range(lo, hi)],
+            ["metric", "epoch", "value"],
+        ).select(
+            "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+        )
+
+    write_whisper(pts("srv.cpu", 0, 10), d, archives="10:200", merge=True)
+    write_whisper(pts("srv.mem", 0, 10), d, archives="10:200", merge=True)
+    sdf = spark.readStream.format("whisper").option("base_dir", d).load(d)
+    q = (
+        sdf.writeStream.format("memory").queryName("tree_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("tree_tail").count() == 20
+        # append to only ONE file: only its delta streams
+        write_whisper(pts("srv.mem", 10, 15), d, archives="10:200", merge=True)
+        q.processAllAvailable()
+        got = spark.table("tree_tail").groupBy("metric").count().collect()
+        counts = {r["metric"]: r["count"] for r in got}
+        assert counts == {"srv.cpu": 10, "srv.mem": 15}
+    finally:
+        q.stop()

@@ -366,3 +366,25 @@ def test_fully_pruned_scan_returns_empty(spark, fixtures):
     assert df.filter(F.col("metric") == "no.such.metric").count() == 0
     assert df.filter(F.col("metric").startswith("zzz")).count() == 0
     assert df.filter(F.col("archive") == 99).count() == 0
+
+
+def test_fetch_gzip_and_directory(spark, tmp_path):
+    """fetch() resolves gzip files and directory trees (archive selected
+    from the first file's header — uniform-retention assumption)."""
+    from wsp_fixtures import END_TS, build_wsp
+
+    from whisper_pandas_spark.sources.fetch import fetch
+
+    d = tmp_path / "tree"
+    (d / "sub").mkdir(parents=True)
+    build_wsp(str(d / "sub" / "a.wsp"))
+    build_wsp(str(d / "sub" / "b.wsp.gz"), seed=5, gzip_out=True)
+
+    lo, hi = END_TS - 300, END_TS
+    rows = fetch(spark, str(d), lo, hi, now_epoch=END_TS).collect()
+    mets = {r["metric"] for r in rows}
+    assert len(mets) == 2  # both plain and gzip files contribute
+    assert {r["archive"] for r in rows} == {0}
+    assert all(
+        lo <= int(r["timestamp"].timestamp()) <= hi for r in rows
+    )
