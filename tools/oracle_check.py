@@ -81,7 +81,17 @@ def main() -> int:
             s = sdf[cols].sort_values(cols).reset_index(drop=True)
             d = ddf[cols].sort_values(cols).reset_index(drop=True)
             exact = True
+            risks = []
             for c in cols:
+                sk, dk = s[c].dtype.kind, d[c].dtype.kind
+                if sk != dk and "f" in (sk, dk) and {sk, dk} <= set("iuf"):
+                    # Integer on one side, float on the other: values reach
+                    # the driver's exact hash as 124750 vs 124750.0 even
+                    # when allclose passes. This is exactly how DuckDB's
+                    # sum(BIGINT)->HUGEINT->float64 widening slipped past
+                    # this gate in round 2 (6 driver hash fails). Oracle
+                    # must CAST to match Spark's output type.
+                    risks.append(f"dtype {c}: {s[c].dtype} vs {d[c].dtype}")
                 if s[c].dtype.kind == "f" or d[c].dtype.kind == "f":
                     a = s[c].astype(float).to_numpy()
                     b = d[c].astype(float).to_numpy()
@@ -103,6 +113,9 @@ def main() -> int:
         if problems:
             fails += 1
             print(f"{name:35s} FAIL        {'; '.join(problems)}")
+        elif risks:
+            fails += 1
+            print(f"{name:35s} HASH-RISK   {'; '.join(risks)}")
         elif not exact:
             fails += 1
             print(f"{name:35s} HASH-RISK   atol-close but not bit-identical")

@@ -60,7 +60,7 @@ WITH assigned AS (
          END AS split
   FROM documents
 )
-SELECT split, count(*) AS n_docs, sum(doc_id) AS sum_ids
+SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
 FROM assigned GROUP BY split ORDER BY split
 """,
 )
@@ -81,7 +81,8 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_salted_skew",
     oracle="""
-SELECT n_name, count(*) AS n_customers, sum(c_acctbal_cents) AS sum_acctbal_cents
+SELECT n_name, count(*) AS n_customers,
+       CAST(sum(c_acctbal_cents) AS BIGINT) AS sum_acctbal_cents
 FROM (SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
       FROM customer) c
 JOIN nation ON c_nationkey = n_nationkey
@@ -114,7 +115,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_salted_twophase",
     oracle="""
-SELECT event_type AS key, count(*) AS n_rows, sum(user_id) AS sum_value
+SELECT event_type AS key, count(*) AS n_rows,
+       CAST(sum(user_id) AS BIGINT) AS sum_value
 FROM events GROUP BY event_type ORDER BY key
 """,
 )
@@ -157,7 +159,7 @@ WITH toks AS (
   FROM toks
 )
 SELECT lang, shard, bin_id,
-       count(*) AS n_docs, sum(n_tok) AS n_tokens
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
 FROM binned GROUP BY lang, shard, bin_id
 ORDER BY lang, shard, bin_id
 """,
@@ -165,7 +167,7 @@ ORDER BY lang, shard, bin_id
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (operators/packing.py): shard by the
     engine-portable md5 bucket, pack each (lang, shard) contiguously into
-    {PACK_BUDGET}-token bins via one window cumsum. Bin summary per
+    PACK_BUDGET(=2048)-token bins via one window cumsum. Bin summary per
     (lang, shard, bin). Packing is the step between dedup and tokenizer
     output in a real corpus pipeline."""
     from whisper_pandas_spark.functions.text import tokenize
@@ -193,10 +195,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT lang,
        count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
-       sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+       CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
        min(length(text)) AS min_len,
        max(length(text)) AS max_len,
-       sum(length(text)) AS total_chars
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """,
 )
@@ -290,7 +293,7 @@ ORDER BY event_id
 """,
 )
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outlier detection: per-group z-score with |z| >= {Z_THRESH}.
+    """Outlier detection: per-group z-score with |z| >= Z_THRESH (3.0).
 
     The second moment is the order-dependence trap (sum of double
     squares differs across partitionings), so both moments are EXACT:
@@ -334,7 +337,7 @@ STRATA_DEFAULT = 0.25
 @register(
     "sample_stratified",
     oracle=f"""
-SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_ids
+SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
 FROM documents
 WHERE {duck_hash_bucket("doc_id")} <
       CASE lang

@@ -61,20 +61,45 @@ from whisper_pandas_spark import queries_relational  # noqa: E402,F401
 from whisper_pandas_spark import queries_windows  # noqa: E402,F401
 from whisper_pandas_spark import queries_rollup  # noqa: E402,F401
 
-# Entries whose result or oracle CHANGED this round (r1 recorded a hash
-# fail or no oracle for them) are promoted to just after the never-checked
-# extension block, so a bounded driver sweep (r1 stopped at 50 entries)
-# re-records them; the entries pushed past the cutoff are exactly the
-# window_*/rollup_* family that r1 already recorded fully green.
-_PROMOTED = [
-    "scalar_math_funcs",
-    "approx_distinct",
-    "approx_quantiles",
-    "join_right_part_counts",
-]
-_rest = [n for n in QUERIES if n not in _PROMOTED]
-_cut = _rest.index("join_inner_revenue")  # first r1-green entry
-_final = _rest[:_cut] + _PROMOTED + _rest[_cut:]
+# The driver walks the registry in insertion order with a bounded budget
+# (~50 entries per round), so ordering decides what gets (re-)recorded.
+# Rather than a hand-written promoted list (fragile — round 2's had to be
+# rewritten by hand), derive the order from the CORRECTNESS_r*.json records
+# the driver leaves in the repo root:
+#
+#   1. entries whose LATEST record is non-green (a fix must be re-recorded),
+#   2. entries with NO record yet (new this round),
+#   3. green entries, oldest record first (refresh stale rows),
+#
+# stable within each bucket. This self-maintains: when the driver drops
+# CORRECTNESS_r03.json, round 4's import picks it up with no code change.
+import glob as _glob  # noqa: E402
+import json as _json  # noqa: E402
+import os as _os  # noqa: E402
+
+_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_latest: dict[str, tuple[int, dict]] = {}
+for _i, _path in enumerate(
+    sorted(_glob.glob(_os.path.join(_ROOT, "CORRECTNESS_r*.json")))
+):
+    try:
+        with open(_path) as _f:
+            _data = _json.load(_f)
+    except (OSError, ValueError):
+        continue
+    for _name, _rec in _data.items():
+        _latest[_name] = (_i, _rec)
+
+
+def _order_key(name: str) -> tuple[int, int]:
+    if name not in _latest:
+        return (1, 0)
+    rnd, rec = _latest[name]
+    green = rec.get("hash_match") is True or rec.get("err") == "no_oracle"
+    return (2, rnd) if green else (0, 0)
+
+
+_final = sorted(QUERIES, key=_order_key)
 _q = {n: QUERIES[n] for n in _final}
 QUERIES.clear()
 QUERIES.update(_q)
