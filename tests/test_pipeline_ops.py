@@ -63,6 +63,25 @@ def test_salted_join_rejects_right_outer(spark):
         salted_join(df, df, "k", how="full")
 
 
+def test_salted_join_complex_type_columns(spark):
+    """Salt must not be derived from row content: array/map columns on the
+    big side used to fail analysis under a concat_ws-based salt."""
+    big = spark.createDataFrame(
+        [(1, [1, 2]), (1, [3]), (2, [])], ["k", "arr"]
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "tag"])
+    got = salted_join(big, small, "k", salt_factor=4)
+    assert got.count() == 3
+
+
+def test_salted_helpers_reject_reserved_column(spark):
+    df = spark.createDataFrame([(1, 1)], ["k", "__wps_salt"])
+    with pytest.raises(ValueError, match="__wps_salt"):
+        salted_join(df, df.drop("__wps_salt"), "k")
+    with pytest.raises(ValueError, match="__wps_salt"):
+        salted_agg_count_sum(df, "k", "k")
+
+
 def test_salted_agg_matches_direct(spark):
     from whisper_pandas_spark.sources.tables import load_table
 

@@ -384,3 +384,48 @@ def test_whisper_stream_source_multi_file(spark, tmp_path):
         assert counts == {"srv.cpu": 10, "srv.mem": 15}
     finally:
         q.stop()
+
+
+def test_whisper_stream_source_lagging_file(spark, tmp_path):
+    """Cross-file timestamp skew: a file whose series LAGS the tree-wide
+    max (different flush cadence — normal in real Graphite trees) must
+    still emit its new points, even though they sit below every other
+    file's high-water mark. This is why offsets are per-file, not one
+    global watermark."""
+    from whisper_pandas_spark.sources.whisper import register_whisper
+    from whisper_pandas_spark.sources.whisper_write import write_whisper
+
+    register_whisper(spark)
+    d = str(tmp_path / "tree")
+    base = 1_599_999_960
+
+    def pts(metric, lo, hi):
+        return spark.createDataFrame(
+            [(metric, base + 10 * i, float(i)) for i in range(lo, hi)],
+            ["metric", "epoch", "value"],
+        ).select(
+            "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+        )
+
+    write_whisper(pts("srv.fast", 0, 30), d, archives="10:200", merge=True)
+    write_whisper(pts("srv.slow", 0, 10), d, archives="10:200", merge=True)
+    sdf = spark.readStream.format("whisper").option("base_dir", d).load(d)
+    q = (
+        sdf.writeStream.format("memory").queryName("lag_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("lag_tail").count() == 40
+        # slow file catches up: its new points (ts base+100..base+190) are
+        # ALL below srv.fast's max (base+290) — a global watermark drops
+        # them; per-file marks emit exactly the delta
+        write_whisper(pts("srv.slow", 10, 20), d, archives="10:200", merge=True)
+        q.processAllAvailable()
+        got = spark.table("lag_tail").groupBy("metric").count().collect()
+        counts = {r["metric"]: r["count"] for r in got}
+        assert counts == {"srv.fast": 30, "srv.slow": 20}
+    finally:
+        q.stop()

@@ -185,6 +185,18 @@ def test_cli(fixtures, capsys):
     assert "archive_count:       3" in capsys.readouterr().out
 
 
+def test_cli_no_args_usage(capsys):
+    """Bare invocation prints usage and exits 2 (no AttributeError)."""
+    import pytest
+
+    from whisper_pandas_spark.cli import main
+
+    with pytest.raises(SystemExit) as exc:
+        main([])
+    assert exc.value.code == 2
+    assert "usage:" in capsys.readouterr().out
+
+
 def test_timestamp_pushdown_equivalence(spark, fixtures):
     """Pushed timestamp bounds must be lossless: filtered scan == full scan
     + post-filter, for both TIMESTAMP and LONG epoch columns."""

@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> None:
     if argv and argv[0] not in ("info", "fetch", "-h", "--help"):
         argv = ["info", *argv]
     args = parser.parse_args(argv)
+    if args.cmd is None:  # bare invocation: usage error, like the reference
+        parser.print_usage()
+        raise SystemExit(2)
     if args.cmd == "fetch":
         _cmd_fetch(args)
     else:

@@ -19,6 +19,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Internal plumbing column. Collision-safe: double-underscore prefix is
+# outside every table's namespace, and both helpers raise if a caller's
+# frame already carries it rather than silently shadowing.
+_SALT = "__wps_salt"
+
+
+def _uniform_salt(salt_factor: int):
+    """Uniform per-row salt expression. Derived from
+    ``monotonically_increasing_id`` — not from row content — so it (a)
+    spreads a hot key even when its rows are byte-identical duplicates,
+    and (b) never touches column values (content-derived salts fail
+    analysis on array/map/struct columns). The salt only spreads rows
+    across reducers; it never affects matching, so nondeterminism across
+    task retries cannot change the result (Spark re-runs indeterminate
+    stages whole)."""
+    return F.pmod(
+        F.crc32(F.monotonically_increasing_id().cast("string")),
+        F.lit(salt_factor),
+    ).cast("int")
+
 
 def salted_join(
     big: DataFrame,
@@ -30,8 +50,8 @@ def salted_join(
     """Equi-join where each of the big side's key groups is split across
     ``salt_factor`` reducers.
 
-    The big side gets ``salt = crc32(row identity) % S`` (any uniform
-    per-row value works — the salt only spreads rows, it never affects
+    The big side gets a uniform per-row salt in 0..S-1 (any uniform
+    value works — the salt only spreads rows, it never affects
     matching); the small side is replicated S× with salts 0..S-1, so
     every (key, salt) pair still meets its matches. Output ==
     ``big.join(small, key, how)`` exactly; the shuffle key becomes
@@ -47,15 +67,12 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer", "semi", "left_semi", "anti", "left_anti"):
         raise ValueError(f"salted_join does not preserve semantics for how={how!r}")
-    salted_big = big.withColumn(
-        "_salt",
-        F.pmod(F.crc32(F.concat_ws("|", *[F.col(c) for c in big.columns])), F.lit(salt_factor)).cast("int"),
-    )
+    if _SALT in big.columns or _SALT in small.columns:
+        raise ValueError(f"input already carries internal column {_SALT!r}")
+    salted_big = big.withColumn(_SALT, _uniform_salt(salt_factor))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
-    salted_small = small.withColumn("_salt", salts)
-    return (
-        salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")
-    )
+    salted_small = small.withColumn(_SALT, salts)
+    return salted_big.join(salted_small, [key, _SALT], how).drop(_SALT)
 
 
 def salted_agg_count_sum(
@@ -69,10 +86,10 @@ def salted_agg_count_sum(
     Returns (key, n_rows, sum_value). Counts and sums recombine exactly,
     so the result equals the direct groupBy.
     """
-    salted = df.withColumn(
-        "_salt", F.pmod(F.crc32(F.col(value_col).cast("string")), F.lit(salt_factor))
-    )
-    partial = salted.groupBy(key, "_salt").agg(
+    if _SALT in df.columns:
+        raise ValueError(f"input already carries internal column {_SALT!r}")
+    salted = df.withColumn(_SALT, _uniform_salt(salt_factor))
+    partial = salted.groupBy(key, _SALT).agg(
         F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_s")
     )
     return partial.groupBy(key).agg(

@@ -68,11 +68,20 @@ def stream_near_dup(
         new_sig = minhash_signature_arrow(
             batch_df, id_col, text_col, num_perm
         ).persist()
-        try:
+        # Explicit existence probe for the first batch. Catching the read
+        # error instead would also swallow REAL failures (corrupt store,
+        # transient FS error) and silently dedup against nothing — those
+        # must fail the micro-batch so the checkpoint retries it.
+        import glob
+        import os
+
+        if glob.glob(os.path.join(sig_store_dir, "*.parquet")) or glob.glob(
+            os.path.join(sig_store_dir, "_SUCCESS")
+        ):
             store = spark.read.parquet(sig_store_dir)
             all_sig = store.unionByName(new_sig)
-        except Exception:  # first batch: no store yet
-            all_sig = new_sig
+        else:
+            all_sig = new_sig  # first batch: no store yet
         all_sig = all_sig.persist()
 
         pairs = lsh_pairs(all_sig, bands, rows, jaccard_threshold)

@@ -8,11 +8,17 @@ files — the live twin of the batch scan.
 
 Architecture (``DataSourceStreamReader`` — the DISTRIBUTED variant):
 
-- **Offsets** are a single high-water mark ``{"wm": <epoch seconds>}``
-  over the FINEST archive (new writes land there; coarser archives are
-  derived rollups and would double-count). ``latestOffset`` peeks each
+- **Offsets** are PER-FILE high-water marks ``{"files": {path: <epoch
+  seconds>}}`` over the FINEST archive (new writes land there; coarser
+  archives are derived rollups and would double-count). One mark per
+  file — not a tree-wide max — because real Graphite trees have mixed
+  flush cadences/resolutions: under a single global mark, a file whose
+  series lags the tree-wide max would have its new points arrive below
+  the watermark and be silently pruned. ``latestOffset`` peeks each
   file's newest stored timestamp on the driver, with an mtime cache so
-  only files modified since the last trigger are rescanned.
+  only files modified since the last trigger are rescanned. (Offset
+  JSON is O(files); at ~10⁶ files the checkpoint row is ~100 MB —
+  beyond that, shard the tree across multiple streams by prefix.)
 - **Partitions** for a micro-batch reuse the batch scan's planning —
   one task per (file, archive-0, slot-chunk) with the batch's
   ``wm_start < ts <= wm_end`` window carried IN the partition;
@@ -86,17 +92,28 @@ class WhisperStreamReader(DataSourceStreamReader):
 
     # -- offsets (driver) ---------------------------------------------------
     def initialOffset(self) -> dict:
-        return {"wm": 0}
+        return {"files": {}}
 
     def latestOffset(self) -> dict:
-        wm = 0
+        marks: dict[str, int] = {}
         for f in _files(self.path):
             mtime = os.stat(f).st_mtime
             cached = self._peek.get(f)
             if cached is None or cached[0] != mtime:
                 self._peek[f] = (mtime, _file_max_ts(f))
-            wm = max(wm, self._peek[f][1])
-        return {"wm": wm}
+            marks[f] = self._peek[f][1]
+        return {"files": marks}
+
+    @staticmethod
+    def _mark_fn(offset: dict):
+        """path -> committed mark, from an offset dict. Unknown (newly
+        appearing) files read as 0; legacy single-``wm`` checkpoints
+        (pre per-file upgrade) read as "every file at wm"."""
+        if "files" in offset:
+            files = offset["files"]
+            return lambda p: int(files.get(p, 0))
+        wm = int(offset.get("wm", 0))
+        return lambda p: wm
 
     # -- planning (driver) --------------------------------------------------
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -105,16 +122,18 @@ class WhisperStreamReader(DataSourceStreamReader):
             WhisperScanReader,
         )
 
-        lo, hi = int(start["wm"]), int(end["wm"])
+        lo_of, hi_of = self._mark_fn(start), self._mark_fn(end)
         planner = WhisperScanReader(self.options)
         planner._archive_eq = {0}
         parts = []
         for p in planner.partitions():
             if not p.path:
                 continue
-            # peek cache prunes files with nothing above the low mark
-            peek = self._peek.get(p.path)
-            if peek is not None and peek[1] <= lo:
+            # each file's micro-batch window is planned from ITS OWN
+            # committed mark — a file lagging the tree-wide max still
+            # emits its new points (they'd sit below a global watermark)
+            lo, hi = lo_of(p.path), hi_of(p.path)
+            if hi <= lo:
                 continue
             p.ts_lo = lo + 1
             p.ts_hi = hi
