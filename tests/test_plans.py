@@ -130,6 +130,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_registry_bucketed_join_elides_join_exchanges(spark):
+    # the driver-checked entry: the join itself must add NO exchange
+    # (bucket layout from the catalog) — the only shuffles in the plan
+    # are the groupBy's hash exchange and the orderBy's range exchange
+    import re
+
+    from whisper_pandas_spark.queries_materialize import join_bucketed_colocated
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(join_bucketed_colocated(spark, SF))
+        assert "SortMergeJoin" in plan, plan
+        exchanges = [
+            ln for ln in plan.splitlines()
+            if re.match(r"\(\d+\) Exchange$", ln.strip())
+        ]
+        assert len(exchanges) == 2, plan  # agg hash + sort range only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 @pytest.mark.parametrize("name", ["dedup_exact", "text_quality"])
 def test_scan_only_reads_needed_columns(spark, name):
     # column pruning: the documents scan must not read doc columns the

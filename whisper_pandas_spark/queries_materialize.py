@@ -1,0 +1,186 @@
+"""Registry entries for the MATERIALIZATION surfaces (SURVEY §2.11 Y4 +
+the whisper WRITE path).
+
+Both entries follow the same doctrine as the salted-join family: the
+materialization must be semantically INVISIBLE, so the DuckDB oracle is
+the plain formulation with no bucketing / no .wsp files anywhere.
+
+- ``join_bucketed_colocated`` — writes customer+orders as bucketed
+  catalog tables (sources/bucketed.py) and joins them. At 100 TB this is
+  the "materialize once, join forever" step: the sort-merge join reads
+  the bucket layout from the catalog and skips both exchanges (the
+  zero-Exchange plan is asserted in tests/test_plans.py); the oracle is
+  the plain join, proving bucketing changes nothing but the plan.
+- ``whisper_write_roundtrip`` — df.write.format("whisper") is the
+  flagship beyond-parity feature (the reference leaves write TBD:
+  whisper_pandas.ipynb cell 39, README.md:55-56). Deterministic points
+  derived from `events` are written through the full writer (ring-buffer
+  assembly, cascade rollup to the coarse archive, xFilesFactor gate) and
+  scanned back; the oracle recomputes every stored point — fine slots
+  verbatim, coarse slots as sum/count averages with the m >= xff*expected
+  gate — so the check is value-level PER SLOT, not just an aggregate.
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.registry import _table, register
+
+# ---------------------------------------------------------------------------
+# Y4: bucketed co-located join
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 16
+_BUCKETED_DONE: set[str] = set()
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize customer+orders bucketed by custkey, once per process
+    per sf_dir (table names carry the sf_dir so scales don't collide)."""
+    from whisper_pandas_spark.sources.bucketed import materialize_bucketed
+
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    t_cust, t_ord = f"wps_bkt_customer_{tag}", f"wps_bkt_orders_{tag}"
+    if sf_dir not in _BUCKETED_DONE:
+        base = tempfile.mkdtemp(prefix="wps_bucketed_")
+        materialize_bucketed(
+            _table(spark, sf_dir, "customer"), t_cust, "c_custkey",
+            _BUCKETS, sort_cols="c_custkey", path=f"{base}/customer",
+        )
+        materialize_bucketed(
+            _table(spark, sf_dir, "orders"), t_ord, "o_custkey",
+            _BUCKETS, sort_cols="o_custkey", path=f"{base}/orders",
+        )
+        _BUCKETED_DONE.add(sf_dir)
+    return t_cust, t_ord
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_totalprice_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join over two tables bucketed on the join key: the merge hint
+    forces SMJ, and the catalog's bucket metadata elides both shuffle
+    exchanges (plan-asserted in tests/test_plans.py). Oracle is the
+    PLAIN join — bucketing must be semantically invisible. totalprice in
+    integer cents so the sum is exact under any partitioning."""
+    t_cust, t_ord = _bucketed_tables(spark, sf_dir)
+    cust = spark.table(t_cust)
+    orders = spark.table(t_ord).withColumn(
+        "o_totalprice_cents",
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+    )
+    return (
+        orders.hint("merge")
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice_cents").alias("sum_totalprice_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Whisper write -> scan round trip
+# ---------------------------------------------------------------------------
+
+RT_BASE = 1_599_999_960  # multiple of 60: coarse buckets align at slot 0
+RT_CAP = 5000  # per-metric point cap: bounds runtime + stays in retention
+RT_ARCHIVES = "10:8000,60:2000"  # fine span 50 000 s < both retentions
+RT_XFF = 0.5  # coarse slot kept iff >= 3 of its 6 expected fine slots
+
+_ROUNDTRIP_DIR: dict[str, str] = {}
+
+
+def _roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (metric, timestamp, value) frame from `events`:
+    metric = event_type, timestamps a 10 s ramp per metric in arrival
+    (event_id) order, values integer-valued doubles so every stored
+    float — including the cascade's sum/count averages — is exact."""
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return (
+        ev.select("event_type", "event_id", "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RT_CAP)
+        .select(
+            F.col("event_type").alias("metric"),
+            F.timestamp_seconds(
+                F.lit(RT_BASE) + 10 * F.col("rn")
+            ).alias("timestamp"),
+            (F.col("user_id") % 997).cast("double").alias("value"),
+        )
+    )
+
+
+def _roundtrip_tree(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _ROUNDTRIP_DIR:
+        from whisper_pandas_spark.sources.whisper_write import write_whisper
+
+        d = tempfile.mkdtemp(prefix="wps_roundtrip_")
+        write_whisper(
+            _roundtrip_points(spark, sf_dir), d,
+            archives=RT_ARCHIVES, aggregation="average",
+            x_files_factor=RT_XFF,
+        )
+        _ROUNDTRIP_DIR[sf_dir] = d
+    return _ROUNDTRIP_DIR[sf_dir]
+
+
+@register(
+    "whisper_write_roundtrip",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type AS metric, user_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+), pts AS (
+  SELECT metric, {RT_BASE} + 10 * rn AS epoch,
+         CAST(user_id % 997 AS DOUBLE) AS value
+  FROM ranked WHERE rn <= {RT_CAP}
+), coarse AS (
+  SELECT metric, epoch - (epoch % 60) AS bepoch,
+         sum(value) AS s, count(*) AS m
+  FROM pts GROUP BY metric, bepoch
+)
+SELECT metric, 0 AS archive, epoch, value FROM pts
+UNION ALL
+SELECT metric, 1 AS archive, bepoch AS epoch, s / m AS value
+FROM coarse WHERE m >= 3
+ORDER BY metric, archive, epoch
+""",
+)
+def whisper_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write deterministic points as .wsp (cascade + xff ON), scan them
+    back, return EVERY stored point of both archives. The oracle
+    recomputes the fine slots verbatim and the coarse slots as exact
+    sum/count averages gated by m >= ceil(xff * 60/10) = 3 — so header
+    assembly, ring-slot addressing, the rollup cascade, and the
+    xFilesFactor gate are all value-checked slot by slot. Values are
+    integer-valued doubles: per-bucket sums are exact in binary, and the
+    single closing division is bit-identical on both engines."""
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    d = _roundtrip_tree(spark, sf_dir)
+    scan = spark.read.format("whisper").option("base_dir", d).load(d)
+    return scan.select(
+        "metric",
+        "archive",
+        F.col("timestamp").cast("long").alias("epoch"),
+        "value",
+    ).orderBy("metric", "archive", "epoch")

@@ -51,6 +51,7 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # therefore registers FIRST; the 8 near-identical rollup_* variants and the
 # window_* family — all driver-green in round 1 — register last.
 from whisper_pandas_spark import queries_whisper  # noqa: E402,F401
+from whisper_pandas_spark import queries_materialize  # noqa: E402,F401
 from whisper_pandas_spark import queries_similarity  # noqa: E402,F401
 from whisper_pandas_spark import queries_text  # noqa: E402,F401
 from whisper_pandas_spark import queries_multimodal  # noqa: E402,F401
