@@ -82,6 +82,65 @@ def test_salted_helpers_reject_reserved_column(spark):
         salted_agg_count_sum(df, "k", "k")
 
 
+def test_asof_bucketed_matches_sequential(spark):
+    """The skew-immune (key, time-bucket) plan must be row-identical to
+    the one-window plan, including: empty buckets between right rows
+    (boundary carry), left rows before any right row (inner drop), and
+    the inclusive equal-timestamp match."""
+    import random
+
+    from whisper_pandas_spark.operators.asof import asof_join
+
+    rng = random.Random(13)
+    lefts = [
+        (f"k{i % 3}", rng.randrange(0, 100_000), i) for i in range(400)
+    ]
+    # sparse right side: long gaps => many buckets with no right rows
+    rights = [
+        (f"k{i % 3}", rng.randrange(0, 100_000) // 1000 * 1000, float(i))
+        for i in range(40)
+    ]
+    rights.append(("k0", lefts[0][1], 999.0))  # exact-tie with a left ts
+    left = spark.createDataFrame(lefts, ["k", "ts", "payload"])
+    right = spark.createDataFrame(rights, ["k", "ts", "value"])
+
+    def run(**kw):
+        return sorted(
+            map(
+                tuple,
+                asof_join(
+                    left, right, on="k", value_cols=("value",), **kw
+                ).collect(),
+            )
+        )
+
+    seq = run()
+    for bucket in (500, 7_919, 1_000_000):  # incl. one bucket >> ts span
+        assert run(time_bucket_seconds=bucket) == seq, bucket
+    # outer flavor keeps unmatched left rows on both plans
+    seq_outer = run(inner=False)
+    assert run(inner=False, time_bucket_seconds=500) == seq_outer
+    assert len(seq_outer) == len(lefts)
+
+
+def test_asof_bucketed_timestamp_column(spark):
+    """Bucketing works on TIMESTAMP ts columns (unix_timestamp path)."""
+    from whisper_pandas_spark.operators.asof import asof_join
+
+    mk = lambda rows, cols: spark.createDataFrame(rows, cols).withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    left = mk([("a", 100, 1), ("a", 2_000, 2), ("b", 50, 3)], ["k", "ts", "id"])
+    right = mk([("a", 90, 7.0), ("a", 150, 8.0)], ["k", "ts", "value"])
+    got = asof_join(
+        left, right, on="k", value_cols=("value",), time_bucket_seconds=60
+    )
+    assert {(r["id"], r["value_asof"]) for r in got.collect()} == {
+        (1, 7.0),
+        (2, 8.0),
+    }
+
+
 def test_salted_agg_matches_direct(spark):
     from whisper_pandas_spark.sources.tables import load_table
 

@@ -10,6 +10,15 @@ no Pandas UDF, no cross join:
   the last right-side value forward (``last(..., ignorenulls=True)``).
   Cost: ONE shuffle on the key — same as any groupBy — versus the naive
   range-join + max_by which explodes candidate pairs.
+
+  **Hot-key ceiling + mitigation**: the one-window form partitions by the
+  join key ONLY, so one pathological key (billions of points) sorts in a
+  single task. ``time_bucket_seconds`` switches to a sub-bucketed plan:
+  the big window shuffles on (key, time-bucket) — bounded partitions no
+  matter how hot the key — and a second, TINY window over one row per
+  (key, bucket) carries the last right value across bucket boundaries.
+  Same semantics (equivalence is pytest- and oracle-checked); ~3 extra
+  small shuffles buy an unbounded-cardinality key budget.
 - **range join**: equi-join on coarse time buckets (left rows fan out to
   every bucket their window overlaps) + exact refine filter. Turns an
   O(n·m) theta join into a co-partitioned hash join; bucket width tunes
@@ -20,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 
 def asof_join(
@@ -31,6 +41,7 @@ def asof_join(
     value_cols: tuple[str, ...] = ("value",),
     suffix: str = "_asof",
     inner: bool = True,
+    time_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row at-or-before its
     timestamp (``right.ts <= left.ts``), per key *on*.
@@ -39,6 +50,17 @@ def asof_join(
     ``ASOF JOIN ... ON l.ts >= r.ts`` semantics (ties: the right row at the
     exact same timestamp wins). ``inner=True`` drops left rows with no
     preceding right row.
+
+    ``time_bucket_seconds`` selects the skew-immune plan for hot keys
+    (see module docstring): the carry window partitions by (key,
+    time-bucket) instead of key alone, so no single task ever sorts more
+    than one bucket's worth of one key's rows. Pick it so a bucket holds
+    ~10^5-10^6 points of the hottest key. Duplicate right-side (key, ts)
+    rows are unspecified-tie territory (as in pd.merge_asof): the
+    bucketed plan deterministically keeps the largest value; the
+    one-window plan keeps whichever sorts last. With unique (key, ts) —
+    e.g. anything scanned from whisper slots — the two plans are
+    row-identical.
     """
     lcols = left.columns
     marker = F.lit(1)
@@ -56,22 +78,99 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
-    # Right rows sort before left rows at equal timestamps → inclusive match.
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__is_left")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
-    )
-    out = carried.filter(F.col("__is_left") == 1).select(
-        *lcols, *[f"{c}{suffix}" for c in value_cols]
-    )
+    u = l_tag.unionByName(r_tag)
+    if time_bucket_seconds is None:
+        # Right rows sort before left rows at equal timestamps → inclusive.
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__is_left")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = (
+            u.select(
+                "*",
+                *[
+                    F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+                    for c in value_cols
+                ],
+            )
+            .filter(F.col("__is_left") == 1)
+            .select(*lcols, *[f"{c}{suffix}" for c in value_cols])
+        )
+    else:
+        ts_epoch = (
+            F.unix_timestamp(F.col("__ts"))
+            if isinstance(u.schema["__ts"].dataType, TimestampType)
+            else F.col("__ts").cast("long")
+        )
+        u = u.withColumn(
+            "__b", F.floor(ts_epoch / F.lit(time_bucket_seconds)).cast("long")
+        )
+        # 1. within-bucket carry — the BIG window, shuffled on (key, bucket)
+        #    so a hot key's rows split across its time range
+        w1 = (
+            Window.partitionBy("__k", "__b")
+            .orderBy("__ts", "__is_left")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        within = u.select(
+            "*",
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(w1).alias(f"__w_{c}")
+                for c in value_cols
+            ],
+        )
+        # 2. final right value of each (key, bucket) that HAS right rows:
+        #    one row per key×bucket — the frame every later step works on
+        heads = (
+            u.filter(F.col("__is_left") == 0)
+            .groupBy("__k", "__b")
+            .agg(
+                *[
+                    F.max_by(
+                        F.col(f"__r_{c}"),
+                        F.struct(F.col("__ts"), F.col(f"__r_{c}")),
+                    ).alias(f"__f_{c}")
+                    for c in value_cols
+                ]
+            )
+        )
+        # 3. carry across bucket boundaries on the bucket SPINE (buckets of
+        #    either side, so left-only buckets inherit too). Window is per
+        #    key over ~points/bucket_size rows — thousands of times smaller
+        #    than the data; the hot key is harmless here.
+        wprev = (
+            Window.partitionBy("__k")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = (
+            u.select("__k", "__b")
+            .distinct()
+            .join(heads, ["__k", "__b"], "left")
+            .select(
+                "__k",
+                "__b",
+                *[
+                    F.last(f"__f_{c}", ignorenulls=True).over(wprev).alias(f"__p_{c}")
+                    for c in value_cols
+                ],
+            )
+        )
+        # 4. stitch: same-bucket carry wins, else the boundary carry.
+        #    `within` is already partitioned by (__k, __b) from w1, so this
+        #    join reuses that exchange; `prev` is broadcast-size in practice.
+        out = (
+            within.filter(F.col("__is_left") == 1)
+            .join(prev, ["__k", "__b"], "left")
+            .select(
+                *lcols,
+                *[
+                    F.coalesce(f"__w_{c}", f"__p_{c}").alias(f"{c}{suffix}")
+                    for c in value_cols
+                ],
+            )
+        )
     if inner:
         out = out.filter(F.col(f"{value_cols[0]}{suffix}").isNotNull())
     return out

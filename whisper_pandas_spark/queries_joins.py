@@ -261,3 +261,32 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("event_id", "user_id", F.col("value_x").alias("value_asof"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_asof_bucketed",
+    oracle="""
+SELECT e.event_id, e.user_id, c.value AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
+""",
+)
+def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of join through the skew-immune plan: the carry window
+    shuffles on (user_id, time-bucket) so one hot user can never pin a
+    single task, with a tiny per-(key, bucket) spine window carrying
+    values across bucket edges (operators/asof.py). Identical oracle to
+    join_asof — sub-bucketing must be semantically invisible."""
+    ev = _table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(
+        errors, clicks, on="user_id", value_cols=("value",), suffix="_x",
+        time_bucket_seconds=6 * 3600,
+    )
+    return (
+        out.select("event_id", "user_id", F.col("value_x").alias("value_asof"))
+        .orderBy("event_id")
+    )
