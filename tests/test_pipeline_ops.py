@@ -141,6 +141,72 @@ def test_asof_bucketed_timestamp_column(spark):
     }
 
 
+def test_connected_components_chain_and_clique(spark):
+    """Transitive chains collapse to one component labeled by the min id;
+    disjoint clusters stay separate; convergence beats max_iters on a
+    long path (the worst-case diameter)."""
+    from whisper_pandas_spark.operators.components import connected_components
+
+    # chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (20, 21)],
+        ["doc_i", "doc_j"],
+    )
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components(pairs).collect()
+    }
+    want = (
+        {(n, 1) for n in (1, 2, 3, 4, 5)}
+        | {(n, 10) for n in (10, 11, 12)}
+        | {(n, 20) for n in (20, 21)}
+    )
+    assert got == want
+
+
+def test_canonical_filter_keeps_min_and_untouched(spark):
+    from whisper_pandas_spark.operators.components import canonical_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 7, 8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_i", "doc_j"])
+    kept = {r["doc_id"] for r in canonical_filter(docs, pairs).collect()}
+    assert kept == {1, 7, 8}  # cluster {1,2,3} -> 1; 7, 8 untouched
+
+
+def test_ngram_contamination_flags_shared_shingles(spark):
+    from whisper_pandas_spark.operators.decontam import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here entirely now friend"),
+        ],
+        ["doc_id", "text"],
+    )
+    heldout = spark.createDataFrame(
+        [(99, "a sentence with the quick brown fox inside")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_shared"] for r in ngram_contamination(train, heldout).collect()}
+    # shared 3-grams: "the quick brown", "quick brown fox" -> doc 1 only
+    assert got == {1: 2}
+
+
+def test_per_group_quota_plan_uses_window_group_limit(spark):
+    """The rank-filter must compile to WindowGroupLimit (map-side per-
+    partition top-k) — the property that makes the quota skew-immune."""
+    from whisper_pandas_spark.operators.sampling import per_group_quota
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = per_group_quota(docs, "source", "doc_id", 5)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts and all(v <= 5 for v in counts.values())
+
+
 def test_salted_agg_matches_direct(spark):
     from whisper_pandas_spark.sources.tables import load_table
 

@@ -53,6 +53,9 @@ def __getattr__(name: str):
         "simhash_pairs": "whisper_pandas_spark.operators.dedup",
         "ngram_jaccard_pairs": "whisper_pandas_spark.operators.dedup",
         "fuzzy_pairs": "whisper_pandas_spark.operators.dedup",
+        "connected_components": "whisper_pandas_spark.operators.components",
+        "canonical_filter": "whisper_pandas_spark.operators.components",
+        "ngram_contamination": "whisper_pandas_spark.operators.decontam",
         # similarity / ANN
         "cosine_topk": "whisper_pandas_spark.operators.similarity",
         "cosine_topk_lsh": "whisper_pandas_spark.operators.similarity",
@@ -61,6 +64,8 @@ def __getattr__(name: str):
         # pipeline engineering
         "hash_sample": "whisper_pandas_spark.operators.sampling",
         "split_assign": "whisper_pandas_spark.operators.sampling",
+        "stratified_hash_sample": "whisper_pandas_spark.operators.sampling",
+        "per_group_quota": "whisper_pandas_spark.operators.sampling",
         "salted_join": "whisper_pandas_spark.operators.skew",
         "pack_bins": "whisper_pandas_spark.operators.packing",
         # streaming

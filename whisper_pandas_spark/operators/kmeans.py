@@ -68,6 +68,9 @@ def kmeans_cosine(
         .orderBy("h")
         .limit(k)
     )
+    # Global (unpartitioned) window — Spark logs a single-partition warning,
+    # but the frame is the k-row limit() above, not the corpus: the "all
+    # data" it moves is <= k centroids, constant at any corpus scale.
     w = Window.orderBy("h")
     cent = init.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("cid"),

@@ -93,6 +93,28 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(key_col), seed) < thr)
 
 
+def per_group_quota(
+    df: DataFrame, group_col: str, order_col: str, quota: int
+) -> DataFrame:
+    """Cap each group at its first *quota* rows in *order_col* order —
+    source/domain balancing (no single crawl domain may dominate the
+    corpus). Deterministic: the kept set is a pure function of the data.
+
+    Scale: rank-then-filter compiles to WindowGroupLimit, which prunes
+    each group to *quota* rows map-side BEFORE the shuffle (per-partition
+    top-k), so a hot group moves ~quota rows per input partition, not its
+    full bulk — the window-skew ceiling the as-of join needs bucketing
+    for does not apply here."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
 def duck_hash_bucket(key_sql: str, seed: int = 0) -> str:
     """DuckDB expression equal to :func:`hash_bucket` bit-for-bit."""
     return (

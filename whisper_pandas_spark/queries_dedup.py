@@ -66,7 +66,10 @@ _DUCK_SHINGLES = (
 )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """CTE chain ending in ``mh_pairs (doc_i, doc_j, jaccard)`` — the full
+    MinHash→LSH→verify replication, shared by the pair/component/canonical
+    oracles so the algorithm is written down exactly once."""
     sig_cols = ",\n    ".join(
         f"list_min(list_transform(hh, h -> ({a} * h + {b}) % {MINHASH_P})) AS m{i}"
         for i, (a, b) in enumerate(minhash_perm_constants(NUM_PERM))
@@ -80,8 +83,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(BANDS)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
 ), shing AS (
   SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks
@@ -98,17 +100,41 @@ WITH toks AS (
   SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-)
-SELECT doc_i, doc_j,
-  round(len(list_intersect(x.hh, y.hh)) * 1.0
-        / len(list_distinct(list_concat(x.hh, y.hh))), 6) AS jaccard
-FROM cand
-JOIN sig x ON cand.doc_i = x.doc_id
-JOIN sig y ON cand.doc_j = y.doc_id
-WHERE round(len(list_intersect(x.hh, y.hh)) * 1.0
-        / len(list_distinct(list_concat(x.hh, y.hh))), 6) >= {JACCARD_T}
-ORDER BY doc_i, doc_j
+), scored AS (
+  SELECT doc_i, doc_j,
+    round(len(list_intersect(x.hh, y.hh)) * 1.0
+          / len(list_distinct(list_concat(x.hh, y.hh))), 6) AS jaccard
+  FROM cand
+  JOIN sig x ON cand.doc_i = x.doc_id
+  JOIN sig y ON cand.doc_j = y.doc_id
+), mh_pairs AS (
+  SELECT * FROM scored WHERE jaccard >= {JACCARD_T}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes()}
+SELECT doc_i, doc_j, jaccard FROM mh_pairs ORDER BY doc_i, doc_j
 """
+
+
+def _components_ctes() -> str:
+    """Recursive transitive closure over mh_pairs → ``comp (node, comp)``
+    with comp = min reachable node id (the oracle twin of
+    operators/components.py's min-label propagation)."""
+    return f"""{_minhash_pairs_ctes()},
+edges AS (
+  SELECT doc_i AS a, doc_j AS b FROM mh_pairs
+  UNION
+  SELECT doc_j AS a, doc_i AS b FROM mh_pairs
+), reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(comp) AS comp FROM reach GROUP BY node
+)"""
 
 
 def _simhash_cte() -> str:
@@ -278,3 +304,117 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_dist", F.col("edit_dist").cast("long"))
         .orderBy("doc_i", "doc_j")
     )
+
+
+def _minhash_pairs_df(spark: SparkSession, sf_dir: str):
+    """(pairs, sig) through the engine pipeline — shared by the
+    component/canonical entries."""
+    docs = _table(spark, sf_dir, "documents")
+    sig = minhash_signature_arrow(docs, "doc_id", "text", NUM_PERM).persist()
+    return lsh_pairs(sig, BANDS, ROWS, JACCARD_T), sig
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_components_ctes()}
+SELECT node AS doc_id, comp AS component FROM comp ORDER BY doc_id
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 completion: near-dup PAIRS clustered into components (pairs
+    chain — A~B, B~C must dedup as one group). Min-label propagation to a
+    fixpoint (operators/components.py): O(diameter) rounds of two uniform
+    shuffles each, over only the paired nodes. The oracle is an
+    INDEPENDENT algorithm — DuckDB recursive transitive closure — over
+    the same replicated MinHash pair set."""
+    from whisper_pandas_spark.operators.components import connected_components
+
+    pairs, sig = _minhash_pairs_df(spark, sf_dir)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    return _finalize(
+        comp.orderBy("doc_id"), sig, *getattr(pairs, "_wps_cached", [])
+    )
+
+
+@register(
+    "dedup_canonical",
+    oracle=f"""
+WITH RECURSIVE {_components_ctes()}
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)
+ORDER BY d.doc_id
+""",
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: every near-dup cluster keeps only
+    its min-id member, untouched docs pass through — one left-anti join
+    against the (tiny) drop list. This is the operator a training
+    pipeline actually calls; components/pairs are its internals."""
+    from whisper_pandas_spark.operators.components import canonical_filter
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs, sig = _minhash_pairs_df(spark, sf_dir)
+    kept = canonical_filter(docs, pairs).select("doc_id", "lang")
+    return _finalize(
+        kept.orderBy("doc_id"), sig, *getattr(pairs, "_wps_cached", [])
+    )
+
+
+TEST_FRAC = 0.1
+VAL_FRAC = 0.1
+
+
+def _split_case() -> str:
+    from whisper_pandas_spark.operators.sampling import (
+        BUCKET_SPACE,
+        duck_hash_bucket,
+    )
+
+    t = int(TEST_FRAC * BUCKET_SPACE)
+    v = int(VAL_FRAC * BUCKET_SPACE)
+    return f"""CASE
+    WHEN {duck_hash_bucket("doc_id")} < {t} THEN 'test'
+    WHEN {duck_hash_bucket("doc_id")} < {t + v} THEN 'val'
+    ELSE 'train' END"""
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, text, {_split_case()} AS split FROM documents
+), toks AS (
+  SELECT doc_id, split, {_DUCK_TOKS} AS t FROM assigned
+), shing AS (
+  SELECT doc_id, split, {_DUCK_SHINGLES} AS s FROM toks
+), shf AS (
+  SELECT doc_id, split,
+         list_distinct(list_transform(s, x -> {duck_base_hash32("x")})) AS hh
+  FROM shing WHERE len(s) > 0
+), held AS (
+  SELECT DISTINCT unnest(hh) AS h FROM shf WHERE split = 'test'
+), train_h AS (
+  SELECT doc_id, unnest(hh) AS h FROM shf WHERE split = 'train'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM train_h JOIN held USING (h)
+GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators/decontam.py) composed with
+    the deterministic splitter: flag train docs sharing any 3-gram with
+    the test split. The held-out shingle set is the small join side
+    (broadcast-shaped at scale); the corpus side is one scan + one
+    groupBy."""
+    from whisper_pandas_spark.operators.decontam import ngram_contamination
+    from whisper_pandas_spark.operators.sampling import split_assign
+
+    docs = _table(spark, sf_dir, "documents")
+    assigned = split_assign(docs, "doc_id", TEST_FRAC, VAL_FRAC)
+    train = assigned.filter(F.col("split") == "train")
+    test = assigned.filter(F.col("split") == "test")
+    return ngram_contamination(train, test).orderBy("doc_id")

@@ -227,6 +227,39 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUOTA_N = 25
+
+
+@register(
+    "sample_source_quota",
+    oracle=f"""
+SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= {QUOTA_N}
+GROUP BY source ORDER BY source
+""",
+)
+def sample_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap every source at its first QUOTA_N(=25) docs by
+    doc_id (operators/sampling.py per_group_quota — WindowGroupLimit
+    prunes map-side, so a dominant crawl domain never floods one
+    reducer). Summarized per source so the check covers both the cap and
+    the membership."""
+    from whisper_pandas_spark.operators.sampling import per_group_quota
+
+    kept = per_group_quota(
+        _table(spark, sf_dir, "documents"), "source", "doc_id", QUOTA_N
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("source")
+    )
+
+
 HIST_LO = 0.0
 HIST_W = 10.0
 HIST_BUCKETS = 10
