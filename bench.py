@@ -114,7 +114,7 @@ def _bench_whisper_scan(spark) -> float:
 
 
 def main() -> None:
-    from whisper_pandas_spark.registry import QUERIES
+    from whisper_pandas_spark.registry import QUERIES, reset_result_caches
 
     spark = get_spark(app_name="whisper_pandas_spark_bench")
 
@@ -137,6 +137,9 @@ def main() -> None:
         # steady-state number is what a capacity plan would use.
         best = float("inf")
         for _ in range(2):
+            # drop shared result materializations (e.g. the MinHash pair
+            # checkpoint) so every timed run pays the FULL pipeline
+            reset_result_caches()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             # Force FULL materialization of every output column: count()

@@ -42,6 +42,24 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def reset_result_caches() -> None:
+    """Drop every per-process result materialization the registry entries
+    share (MinHash pair table, whisper round-trip tree, bucketed-table
+    marker). The caches make repeated driver/oracle runs cheap; the BENCH
+    calls this before every timed run so a timing always covers the full
+    pipeline, never a checkpoint read."""
+    import sys
+
+    mods = sys.modules
+    qd = mods.get("whisper_pandas_spark.queries_dedup")
+    if qd is not None:
+        qd._PAIRS_CACHE.clear()
+    qm = mods.get("whisper_pandas_spark.queries_materialize")
+    if qm is not None:
+        qm._ROUNDTRIP_DIR.clear()
+        qm._BUCKETED_DONE.clear()
+
+
 # Import side-effect modules that populate the registry. Kept at the bottom
 # so `register` / `_table` exist when they run.
 #
