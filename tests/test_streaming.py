@@ -386,6 +386,55 @@ def test_whisper_stream_source_multi_file(spark, tmp_path):
         q.stop()
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: the streamed result must
+    equal the same operator applied to the batch frames (including the
+    boundary-inclusive interval edges and the non-matching key)."""
+    from whisper_pandas_spark.streaming.joins import stream_interval_join
+
+    base = 1_599_999_960
+    ldf = spark.createDataFrame(
+        [("m1", base + 60 * i, float(i)) for i in range(10)]
+        + [("m2", base, -1.0)],
+        ["k", "epoch", "lv"],
+    ).select("k", F.timestamp_seconds("epoch").alias("lts"), "lv")
+    rdf = spark.createDataFrame(
+        # +30 s offsets: inside [0, 45] of their own minute only
+        [("m1", base + 60 * i + 30, 100.0 + i) for i in range(10)]
+        + [("m3", base + 30, -2.0)],
+        ["k", "epoch", "rv"],
+    ).select("k", F.timestamp_seconds("epoch").alias("rts"), "rv")
+    ldf.write.parquet(str(tmp_path / "l"))
+    rdf.write.parquet(str(tmp_path / "r"))
+
+    def key_rows(df):
+        return sorted(
+            (r["k"], int(r["lts"].timestamp()), int(r["rts"].timestamp()),
+             r["lv"], r["rv"])
+            for r in df.select("k", "lts", "rts", "lv", "rv").collect()
+        )
+
+    batch = key_rows(
+        stream_interval_join(ldf, rdf, "k", "lts", "rts", 0, 45)
+    )
+    assert len(batch) == 10  # each m1 minute matches exactly its +30 s row
+
+    ls = spark.readStream.schema(ldf.schema).parquet(str(tmp_path / "l"))
+    rs = spark.readStream.schema(rdf.schema).parquet(str(tmp_path / "r"))
+    q = (
+        stream_interval_join(ls, rs, "k", "lts", "rts", 0, 45)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert key_rows(spark.table("ssj")) == batch
+    finally:
+        q.stop()
+
+
 def test_whisper_stream_source_lagging_file(spark, tmp_path):
     """Cross-file timestamp skew: a file whose series LAGS the tree-wide
     max (different flush cadence — normal in real Graphite trees) must
