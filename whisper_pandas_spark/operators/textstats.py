@@ -54,6 +54,28 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: GPT-2-style pre-tokenizer, simplified to the regex subset Java
+#: (Spark) and RE2 (DuckDB) execute identically: no lookaround, no
+#: backreferences, ASCII classes only. Contraction suffixes, then
+#: space-prefixed letter runs, digit runs, and symbol runs — the match
+#: COUNT approximates a BPE tokenizer's sequence length well enough for
+#: token budgeting (the real tokenizer only splits these further).
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+"
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, n_bpe): BPE-ish pre-token count per document — the
+    token-budget estimator (whitespace counts undershoot code/punctuated
+    text badly). Pure codegen regex, zero shuffle. NULL texts are
+    dropped (no token budget to estimate)."""
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))
+        ).cast("long").alias("n_bpe"),
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Composite quality score in [0, 1]; the LLM-pipeline pre-filter.
 

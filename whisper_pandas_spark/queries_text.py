@@ -47,6 +47,27 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s'']+'
+       )) AS BIGINT) AS n_bpe
+FROM documents WHERE text IS NOT NULL ORDER BY doc_id
+""",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: BPE-ish pre-token counts (operators/textstats.py:BPE_REGEX) —
+    the token-budget estimator. The regex stays inside the Java∩RE2
+    subset so both engines tokenize identically."""
+    from whisper_pandas_spark.operators.textstats import bpe_token_count
+
+    return bpe_token_count(
+        _table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
 def _quality_oracle() -> str:
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""
