@@ -151,11 +151,7 @@ WHERE round({_duck_cos("a.embedding", "b.embedding")}, 6) >= {NEAR_DUP_T}
 ORDER BY vec_i, vec_j
 """,
 )
-def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3/X2 hybrid: embedding-cosine near-dup pairs blocked by label
-    (cluster prior). Equi-join on the blocking key keeps the pair count
-    Σ n_label² instead of n²; at 100 TB the blocking key would be an LSH
-    bucket (sim_topk_lsh's) — identical join shape."""
+def _near_dup_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whisper_pandas_spark.operators.similarity import cosine_with_norms, norm
 
     emb = _table(spark, sf_dir, "embeddings").select(
@@ -181,7 +177,51 @@ def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_i") < F.col("vec_j"))
         .select("vec_i", "vec_j", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= NEAR_DUP_T)
-        .orderBy("vec_i", "vec_j")
+    )
+
+
+def sim_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X2 hybrid: embedding-cosine near-dup pairs blocked by label
+    (cluster prior). Equi-join on the blocking key keeps the pair count
+    Σ n_label² instead of n²; at 100 TB the blocking key would be an LSH
+    bucket (sim_topk_lsh's) — identical join shape."""
+    return _near_dup_pairs_df(spark, sf_dir).orderBy("vec_i", "vec_j")
+
+
+@register(
+    "sim_components",
+    oracle=f"""
+WITH RECURSIVE sim_pairs AS (
+  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_duck_cos("a.embedding", "b.embedding")}, 6) >= {NEAR_DUP_T}
+), edges AS (
+  SELECT vec_i AS a, vec_j AS b FROM sim_pairs
+  UNION
+  SELECT vec_j AS a, vec_i AS b FROM sim_pairs
+), reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS vec_id, min(comp) AS component
+FROM reach GROUP BY node ORDER BY vec_id
+""",
+)
+def sim_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering operator is family-generic: the same min-label
+    propagation (operators/components.py) that clusters MinHash text
+    pairs clusters embedding-cosine pairs — semantic dedup groups over
+    the `embeddings` table. Independent recursive-closure oracle."""
+    from whisper_pandas_spark.operators.components import connected_components
+
+    comp = connected_components(
+        _near_dup_pairs_df(spark, sf_dir), src="vec_i", dst="vec_j"
+    )
+    return comp.select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("component")
+    ).orderBy("vec_id"
     )
 
 
