@@ -168,6 +168,37 @@ def test_cosine_nulls_on_zero_vector(spark):
     assert df.first()["c"] is None  # 0/0 -> NULL, dropped by rank filters
 
 
+def test_bpe_token_count_matches_python_re(spark):
+    """BPE_REGEX must behave identically under Java regex (Spark), RE2
+    (DuckDB oracle) and Python re — adversarial cases: contractions, CJK
+    runs, bare apostrophes, mixed alnum, tabs, empty."""
+    import re
+
+    from whisper_pandas_spark.operators.textstats import BPE_REGEX, bpe_token_count
+
+    cases = [
+        "it's a test",
+        "我爱 Spark 3.5!",
+        "don't... stop-me_now",
+        "a1b2 c3",
+        "",
+        "'''",
+        "tab\there",
+        "mixed中文words",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["n_bpe"] for r in bpe_token_count(df, "doc_id", "text").collect()}
+    want = {
+        i: len(re.findall(BPE_REGEX, s))
+        for i, s in enumerate(cases)
+        if s is not None  # NULL text rows are dropped
+    }
+    assert got == want
+
+
 def test_quality_score_bounds(docs):
     for r in quality_score(docs, "doc_id", "text").collect():
         assert 0.0 <= r["quality"] <= 1.0
