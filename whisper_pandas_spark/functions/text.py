@@ -43,9 +43,12 @@ def tokenize(text: Column | str) -> Column:
     return F.split(cleaned, " ")
 
 
-def word_shingles(tokens: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a token array (order-preserving join by
-    single spaces). Empty array when the doc has < n tokens.
+def word_shingles(tokens: Column, n: int = 3, distinct: bool = True) -> Column:
+    """n-word shingles of a token array (order-preserving join by single
+    spaces), DISTINCT by default (the dedup/minhash set semantics);
+    ``distinct=False`` keeps the multiset (repetition analysis needs the
+    duplicates the set view throws away). Empty array when the doc has
+    < n tokens.
 
     PERF CONTRACT: pass a *materialized column reference*, never an inline
     expression — ``tokens`` is referenced n times inside the lambda body,
@@ -68,7 +71,7 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
             " ", *[F.element_at(tokens, i + j) for j in range(n)]
         ),
     )
-    return F.array_distinct(sh)
+    return F.array_distinct(sh) if distinct else sh
 
 
 # MinHash universal-hash family: ONE md5 per shingle (32-bit base hash),

@@ -76,15 +76,9 @@ def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Composite quality score in [0, 1]; the LLM-pipeline pre-filter.
-
-    length_ok   : 1 if 50 <= n_chars <= 5000 (hard gates at both ends)
-    punct_ratio : non-alnum-non-space chars / chars (lower is better)
-    stop_ratio  : stopword tokens / tokens (a floor of real language)
-    score       = 0.4*length_ok + 0.3*(1 - min(punct_ratio*5, 1))
-                + 0.3*min(stop_ratio*10, 1)
-    """
+def _quality_exprs(text_col: str) -> tuple[Column, Column, Column]:
+    """(punct_ratio, stop_ratio, quality) — shared by the scorer and the
+    gate filter so both compute byte-identical values."""
     toks = tokenize(text_col)
     n_chars = F.length(text_col)
     punct = F.length(F.regexp_replace(text_col, "[a-zA-Z0-9 ]", ""))
@@ -99,12 +93,89 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + 0.3 * (1.0 - F.least(punct_ratio * 5, F.lit(1.0)))
         + 0.3 * F.least(stop_ratio * 10, F.lit(1.0))
     )
+    return punct_ratio, stop_ratio, score
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality score in [0, 1]; the LLM-pipeline pre-filter.
+
+    length_ok   : 1 if 50 <= n_chars <= 5000 (hard gates at both ends)
+    punct_ratio : non-alnum-non-space chars / chars (lower is better)
+    stop_ratio  : stopword tokens / tokens (a floor of real language)
+    score       = 0.4*length_ok + 0.3*(1 - min(punct_ratio*5, 1))
+                + 0.3*min(stop_ratio*10, 1)
+    """
+    punct_ratio, stop_ratio, score = _quality_exprs(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(score, 6).alias("quality"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, n_shingles, n_distinct, dup_ratio): Gopher-style
+    intra-document repetition — the fraction of repeated word n-grams
+    (shingle MULTISET, not the dedup path's distinct set).
+    Boilerplate/generated text repeats its own n-grams long before it
+    duplicates another document, so this is the quality signal near-dup
+    detection cannot provide. Docs with no full shingle are dropped.
+    Pure projection, zero shuffle; tokens/shingles are materialized as
+    columns per word_shingles' perf contract."""
+    from whisper_pandas_spark.functions.text import word_shingles
+
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__t"))
+        .select(
+            "doc_id",
+            word_shingles(F.col("__t"), shingle_n, distinct=False).alias("__s"),
+        )
+    )
+    out = sh.select(
+        "doc_id",
+        F.size("__s").alias("n_shingles"),
+        F.size(F.array_distinct("__s")).alias("n_distinct"),
+    ).filter(F.col("n_shingles") > 0)
+    return out.withColumn(
+        "dup_ratio",
+        F.round(
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles"), 6
+        ),
+    )
+
+
+def quality_gate_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.6,
+    max_dup_ratio: float = 0.3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The corpus filter itself: keep rows passing BOTH the composite
+    quality floor and the repetition ceiling. All gates are row-local
+    expressions fused into ONE scan — zero shuffles, zero joins; at
+    100 TB this is a free rider on whatever scan follows it. Comparisons
+    use the same 6-dp rounded values the scorer emits, so the kept set
+    is engine-portable."""
+    from whisper_pandas_spark.functions.text import word_shingles
+
+    _, _, score = _quality_exprs(text_col)
+    tagged = df.withColumn("__toks", tokenize(text_col)).withColumn(
+        "__sh", word_shingles(F.col("__toks"), shingle_n, distinct=False)
+    )
+    total = F.size("__sh")
+    dup = F.round(
+        1.0 - F.size(F.array_distinct("__sh")).cast("double") / total, 6
+    )
+    return tagged.filter(
+        (F.round(score, 6) >= min_quality)
+        & (total > 0)
+        & (dup <= max_dup_ratio)
+    ).drop("__toks", "__sh")
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -7,6 +7,7 @@ same integer/left-fold arithmetic (see operators/textstats.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from whisper_pandas_spark.functions.text import HASH_HEX_CHARS
 from whisper_pandas_spark.operators.textstats import (
@@ -99,6 +100,84 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(
         _table(spark, sf_dir, "documents"), "doc_id", "text"
     ).orderBy("doc_id")
+
+
+_DUCK_RAW_SHINGLES = (
+    "list_transform(range(1, greatest(len(t)-2, 0)+1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, {_DUCK_RAW_SHINGLES} AS s FROM toks
+)
+SELECT doc_id, len(s) AS n_shingles, len(list_distinct(s)) AS n_distinct,
+       round(1.0 - len(list_distinct(s))::DOUBLE / len(s), 6) AS dup_ratio
+FROM sh WHERE len(s) > 0 ORDER BY doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: Gopher-style intra-doc repetition (repeated word 3-gram
+    fraction) — the quality signal near-dup detection can't provide
+    (generated/boilerplate text repeats itself before it duplicates
+    another doc). Shingle MULTISET, duplicates kept."""
+    from whisper_pandas_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(
+        _table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+GATE_MIN_QUALITY = 0.6
+GATE_MAX_DUP = 0.3
+
+
+def _gate_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {_DUCK_TOKS} AS t,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    round(0.4 * (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * (1.0 - least(punct::DOUBLE / n_chars * 5, 1.0))
+      + 0.3 * least(len(list_filter(t, x -> x IN ({stop_list})))::DOUBLE
+                    / len(t) * 10, 1.0), 6) AS quality,
+    {_DUCK_RAW_SHINGLES} AS s
+  FROM base
+)
+SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM scored
+WHERE quality >= {GATE_MIN_QUALITY} AND len(s) > 0
+  AND round(1.0 - len(list_distinct(s))::DOUBLE / len(s), 6) <= {GATE_MAX_DUP}
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("filter_quality_gates", oracle=_gate_oracle())
+def filter_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus filter itself (quality floor + repetition ceiling),
+    fused into ONE scan — zero shuffles before the summary groupBy.
+    Summarized per lang so the check covers the kept-set membership."""
+    from whisper_pandas_spark.operators.textstats import quality_gate_filter
+
+    kept = quality_gate_filter(
+        _table(spark, sf_dir, "documents"), "doc_id", "text",
+        min_quality=GATE_MIN_QUALITY, max_dup_ratio=GATE_MAX_DUP,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("lang")
+    )
 
 
 def _lang_oracle() -> str:
