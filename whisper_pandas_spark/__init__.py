@@ -56,6 +56,9 @@ def __getattr__(name: str):
         "connected_components": "whisper_pandas_spark.operators.components",
         "canonical_filter": "whisper_pandas_spark.operators.components",
         "ngram_contamination": "whisper_pandas_spark.operators.decontam",
+        "repetition_stats": "whisper_pandas_spark.operators.textstats",
+        "quality_gate_filter": "whisper_pandas_spark.operators.textstats",
+        "bpe_token_count": "whisper_pandas_spark.operators.textstats",
         # similarity / ANN
         "cosine_topk": "whisper_pandas_spark.operators.similarity",
         "cosine_topk_lsh": "whisper_pandas_spark.operators.similarity",
