@@ -199,6 +199,33 @@ def test_bpe_token_count_matches_python_re(spark):
     assert got == want
 
 
+def test_quality_gate_equals_scorer_join(spark):
+    """The fused single-scan gate must keep exactly the docs that the
+    standalone scorers (quality_score ⋈ repetition_stats) would keep."""
+    from whisper_pandas_spark.operators.textstats import (
+        quality_gate_filter,
+        quality_score,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = {
+        r["doc_id"]
+        for r in quality_gate_filter(
+            docs, "doc_id", "text", min_quality=0.6, max_dup_ratio=0.3
+        ).select("doc_id").collect()
+    }
+    q = quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    rep = repetition_stats(docs, "doc_id", "text").select("doc_id", "dup_ratio")
+    want = {
+        r["doc_id"]
+        for r in q.join(rep, "doc_id")
+        .filter((F.col("quality") >= 0.6) & (F.col("dup_ratio") <= 0.3))
+        .collect()
+    }
+    assert kept == want and kept  # non-empty at sf0.001
+
+
 def test_quality_score_bounds(docs):
     for r in quality_score(docs, "doc_id", "text").collect():
         assert 0.0 <= r["quality"] <= 1.0
