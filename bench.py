@@ -52,6 +52,9 @@ HEADLINE = [
     "rollup_cascade",
     # multimodal Arrow feature extraction + explode
     "mm_features",
+    # the INTEGRATED corpus pipeline: gate -> dedup -> split -> decontam
+    # -> pack in one plan (the 100 TB end-to-end shape)
+    "pipeline_corpus_end_to_end",
 ]
 
 

@@ -26,6 +26,12 @@ from whisper_pandas_spark.functions.text import tokenize
 # Tiny stopword lexicon, shared verbatim with the DuckDB oracle.
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
 
+# Default corpus-gate thresholds (shared by queries_text / queries_pipeline;
+# they live here, registry-free, so oracle builders can import them without
+# touching the query modules' import order).
+GATE_MIN_QUALITY = 0.6
+GATE_MAX_DUP = 0.3
+
 # (language, profile-bigrams) — deterministic n-gram heuristic profiles.
 LANG_PROFILES: list[tuple[str, list[str]]] = [
     ("en", ["th", "he", "in", "er", "an"]),
@@ -151,8 +157,8 @@ def quality_gate_filter(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    min_quality: float = 0.6,
-    max_dup_ratio: float = 0.3,
+    min_quality: float = GATE_MIN_QUALITY,
+    max_dup_ratio: float = GATE_MAX_DUP,
     shingle_n: int = 3,
 ) -> DataFrame:
     """The corpus filter itself: keep rows passing BOTH the composite

@@ -400,3 +400,156 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
         .orderBy("lang")
     )
+
+
+def _e2e_oracle() -> str:
+    """Full corpus-pipeline replica: every stage is the same formula an
+    individual entry already proves bit-exact (gate ≡ filter_quality_gates,
+    dedup ≡ dedup_exact, split ≡ sample_train_test_split, decontam ≡
+    decontam_ngram_overlap, packing ≡ pack_sequences)."""
+    from whisper_pandas_spark.functions.text import duck_base_hash32
+    from whisper_pandas_spark.operators.textstats import (
+        GATE_MAX_DUP,
+        GATE_MIN_QUALITY,
+        STOPWORDS,
+    )
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    raw_sh = (
+        "list_transform(range(1, greatest(len(t)-2, 0)+1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+    )
+    t_thr = int(TEST_FRAC * BUCKET_SPACE)
+    v_thr = t_thr + int(VAL_FRAC * BUCKET_SPACE)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {_DUCK_TOKS} AS t,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, text, t,
+    round(0.4 * (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+      + 0.3 * (1.0 - least(punct::DOUBLE / n_chars * 5, 1.0))
+      + 0.3 * least(len(list_filter(t, x -> x IN ({stop_list})))::DOUBLE
+                    / len(t) * 10, 1.0), 6) AS quality,
+    {raw_sh} AS s
+  FROM base
+), gated AS (
+  SELECT doc_id, lang, text, t FROM scored
+  WHERE quality >= {GATE_MIN_QUALITY} AND len(s) > 0
+    AND round(1.0 - len(list_distinct(s))::DOUBLE / len(s), 6) <= {GATE_MAX_DUP}
+), deduped AS (
+  SELECT doc_id, lang, text, t FROM gated
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+), assigned AS (
+  SELECT doc_id, lang, t,
+    CASE WHEN {duck_hash_bucket("doc_id")} < {t_thr} THEN 'test'
+         WHEN {duck_hash_bucket("doc_id")} < {v_thr} THEN 'val'
+         ELSE 'train' END AS split
+  FROM deduped
+), shf AS (
+  SELECT doc_id, split,
+         list_distinct(list_transform(list_distinct({raw_sh}),
+                                      x -> {duck_base_hash32("x")})) AS hh
+  FROM assigned WHERE len(t) >= 3
+), held AS (
+  SELECT DISTINCT unnest(hh) AS h FROM shf WHERE split = 'test'
+), cont AS (
+  SELECT DISTINCT tr.doc_id
+  FROM (SELECT doc_id, unnest(hh) AS h FROM shf WHERE split = 'train') tr
+  JOIN held USING (h)
+), clean AS (
+  SELECT doc_id, lang, split, len(t) AS n_tok,
+         ({duck_hash_bucket("doc_id")} % {PACK_SHARDS}) AS shard
+  FROM assigned
+  WHERE split <> 'train' OR doc_id NOT IN (SELECT doc_id FROM cont)
+), binned AS (
+  SELECT split, lang, doc_id, n_tok, shard,
+    CAST(floor(
+      coalesce(sum(n_tok) OVER (PARTITION BY split, lang, shard
+                                ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)
+      / {PACK_BUDGET}) AS BIGINT) AS bin_id
+  FROM clean
+)
+SELECT split, lang,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       count(DISTINCT shard * 1000000000 + bin_id) AS n_bins
+FROM binned GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+@register("pipeline_corpus_end_to_end", oracle=_e2e_oracle())
+def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship INTEGRATED corpus pipeline — the five stages a real
+    pre-training data build runs, chained end to end over `documents`:
+
+      1. quality gate (composite score floor + repetition ceiling) —
+         row-local expressions fused into the scan, zero shuffles;
+      2. exact dedup — min-doc_id keeper per content digest; the window
+         shuffles on sha2(text), never on the document itself;
+      3. leak-free train/val/test split — md5-bucket assignment, a pure
+         function of doc_id (appends never flip old rows);
+      4. decontamination — train docs sharing any word-3-gram with the
+         TEST split are scrubbed; the held-out shingle set is the small
+         join side (broadcast-shaped at scale);
+      5. sequence packing — contiguous 2048-token bins per
+         (split, lang, shard) via one window cumsum, shard count is the
+         parallelism/skew dial.
+
+    Output: per (split, lang) doc/token/bin totals (+ id-sum membership
+    check). Every stage reuses an operator whose own registry entry is
+    independently bit-exact vs DuckDB; this entry proves the COMPOSITION
+    stays exact. Shuffle budget at 100 TB: gate rides the scan; dedup,
+    decontam-groupBy and packing are one hash shuffle each — no stage is
+    quadratic and no key concentrates more than a shard's documents."""
+    from pyspark.sql.window import Window
+
+    from whisper_pandas_spark.functions.text import tokenize
+    from whisper_pandas_spark.operators.decontam import ngram_contamination
+    from whisper_pandas_spark.operators.packing import pack_bins
+    from whisper_pandas_spark.operators.textstats import quality_gate_filter
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    gated = quality_gate_filter(docs, "doc_id", "text")
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    deduped = (
+        gated.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    assigned = split_assign(deduped, "doc_id", TEST_FRAC, VAL_FRAC).persist()
+    train = assigned.filter(F.col("split") == "train")
+    heldout = assigned.filter(F.col("split") == "test")
+    dirty = ngram_contamination(train, heldout).select("doc_id")
+    corpus = train.join(dirty, "doc_id", "left_anti").unionByName(
+        assigned.filter(F.col("split") != "train")
+    )
+    corpus = corpus.withColumn("blk", F.concat_ws("|", "split", "lang"))
+    binned = pack_bins(
+        corpus,
+        "doc_id",
+        F.size(tokenize("text")),
+        "blk",
+        PACK_BUDGET,
+        n_shards=PACK_SHARDS,
+    )
+    out = (
+        binned.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct(
+                F.col("shard").cast("bigint") * F.lit(1000000000)
+                + F.col("bin_id")
+            ).alias("n_bins"),
+        )
+        .orderBy("split", "lang")
+    )
+    out._wps_cached = [assigned]
+    return out

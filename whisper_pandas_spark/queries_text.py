@@ -133,8 +133,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-GATE_MIN_QUALITY = 0.6
-GATE_MAX_DUP = 0.3
+from whisper_pandas_spark.operators.textstats import (  # noqa: E402
+    GATE_MAX_DUP,
+    GATE_MIN_QUALITY,
+)
 
 
 def _gate_oracle() -> str:
