@@ -1,0 +1,92 @@
+"""int8 quantization family (operators/embeddings.py): parity of the
+quantized ANN ranking against an independent float ground truth, and the
+analytic reconstruction-error bound the codes must satisfy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.operators.embeddings import int8_topk, quantize_int8
+from whisper_pandas_spark.sources.tables import load_table
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark, sf_dir):
+    df = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    rows = df.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def test_quantize_reconstruction_within_int8_bound(spark, sf_dir):
+    # |v_i - q_i * s / 127| <= s/254 by construction of floor(x+0.5);
+    # in micro units: err_micro_max <= scale_micro/254 (+ float slack).
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = quantize_int8(emb, "vec_id", "embedding").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["err_micro_max"] <= r["scale_micro"] / 254.0 + 5.0
+
+
+def test_quantize_codes_match_numpy(spark, sf_dir, emb_np):
+    ids, mat = emb_np
+    emb = load_table(spark, "embeddings", sf_dir)
+    got = {r["vec_id"]: r for r in quantize_int8(emb, "vec_id", "embedding").collect()}
+    scales = np.abs(mat).max(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor(mat / scales[:, None] * 127.0 + 0.5)
+    q[scales == 0.0] = 0.0
+    for i, vid in enumerate(ids):
+        r = got[int(vid)]
+        assert r["scale_micro"] == int(np.floor(scales[i] * 1e6))
+        assert r["sum_q"] == int(q[i].sum())
+        assert r["l1_q"] == int(np.abs(q[i]).sum())
+        # codes stay inside the symmetric int8 range
+        assert np.abs(q[i]).max() <= 127
+
+
+def test_int8_topk_parity_with_float_dot(spark, sf_dir, emb_np):
+    """The quantized ranking must (a) score every pair within the analytic
+    quantization-error bound of the exact float inner product and (b) agree
+    with the exact-dot top-K at >= 80% recall per query."""
+    ids, mat = emb_np
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    got = int8_topk(emb, q, K).collect()
+    assert len(got) == 5 * K
+
+    dots = mat @ mat.T  # exact float64 inner products
+    scales = np.abs(mat).max(axis=1)
+    idx = {int(v): i for i, v in enumerate(ids)}
+
+    by_query: dict[int, list] = {}
+    for r in got:
+        qi, di = idx[r["query_id"]], idx[r["vec_id"]]
+        exact = dots[qi, di]
+        # per-element error <= s_a*s_b/254 + s_b*s_a/254 + (s_a s_b)/254^2
+        bound = mat.shape[1] * scales[qi] * scales[di] / 127.0
+        assert abs(r["score"] - exact) <= bound
+        by_query.setdefault(r["query_id"], []).append(r["vec_id"])
+
+    for qid, picked in by_query.items():
+        qi = idx[qid]
+        order = np.argsort(-dots[qi])
+        truth = [int(ids[j]) for j in order if int(ids[j]) != qid][:K]
+        overlap = len(set(picked) & set(truth))
+        assert overlap >= int(0.8 * K), (qid, overlap)
+
+
+def test_int8_topk_ranks_are_dense_and_deterministic(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    a = int8_topk(emb, q, K).orderBy("query_id", "rnk").collect()
+    b = int8_topk(emb.repartition(7), q, K).orderBy("query_id", "rnk").collect()
+    assert a == b  # partition-geometry independent
+    for r in a:
+        assert 1 <= r["rnk"] <= K

@@ -333,3 +333,35 @@ def test_kmeans_empty_cells_drop(spark):
     assert 1 <= len(cents) <= 4
     assigned = ivf_assign(df, cent.withColumnRenamed("cid", "vec_id"), 1)
     assert assigned.count() == 4  # every vector still lands in a cell
+
+
+def test_lsh_multi_recall_vs_bruteforce(spark, sf_dir):
+    """Multi-table LSH (the billion-vector recall fix, SCALE.md) must
+    recover >= 0.9 of the exact-cosine top-10 per query on the real
+    embeddings table at the registered geometry."""
+    from whisper_pandas_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh_multi,
+    )
+    from whisper_pandas_spark.queries_similarity import (
+        DIM,
+        K,
+        N_PLANES_MULTI,
+        N_TABLES,
+    )
+    from whisper_pandas_spark.sources.tables import load_table
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, q, K).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_lsh_multi(
+            emb, q, K, DIM, n_tables=N_TABLES, n_planes=N_PLANES_MULTI
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall

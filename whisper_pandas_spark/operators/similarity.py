@@ -270,6 +270,61 @@ def cosine_topk_ivf(
     return topk_per_query(scored, k)
 
 
+def cosine_topk_lsh_multi(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with MULTI-TABLE hyperplane LSH — the 1 B-vector recall
+    fix single-table LSH needs (SCALE.md: at realistic plane counts one
+    table's bucket-match probability collapses for mid-similarity pairs;
+    K independent tables raise recall to 1-(1-p^b)^K).
+
+    Shape: ONE pass computes all K buckets per vector (K·b literal-plane
+    dots, map-side), explodes to K (table, bucket) rows, and a single
+    hash equi-join on the composite (table, bucket) key IS the union of
+    K bucketed joins — same shuffle volume, one exchange instead of K.
+    Candidates that collide in several tables are de-duplicated on
+    (query_id, vec_id) before the exact cosine re-rank, so each pair is
+    scored once. No cross join anywhere; corpus-side work after the join
+    is Σ|bucket| over probed buckets, not |corpus|.
+    """
+    table_planes = [
+        (t, [_hyperplane(t, p, dim) for p in range(n_planes)])
+        for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, idc: str, vecc: str, ida: str, veca: str) -> DataFrame:
+        tb = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(F.col(vecc), planes).alias("b"),
+                )
+                for t, planes in table_planes
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(ida), F.col(vecc).alias(veca), F.explode(tb).alias("tb")
+        ).select(ida, veca, F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket"))
+
+    c = with_buckets(corpus, id_col, vec_col, "vec_id", "cvec")
+    q = F.broadcast(with_buckets(queries, id_col, vec_col, "query_id", "qvec"))
+    cand = (
+        c.join(q, ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    scored = cand.select("query_id", "vec_id", sim.alias("cos_sim"))
+    return topk_per_query(scored, k)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -225,6 +225,66 @@ def sim_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-table geometry is a recall/candidate-count dial: planes/table b
+# sets per-table collision prob p^b, tables K sets recall 1-(1-p^b)^K.
+# The test embeddings are near-random (top-10 cosine ~0.3 => p ~0.6), so
+# b=3, K=16 is what reaches >=0.9 recall HERE (asserted in
+# test_extensions.py); at 1 B clustered vectors p rises toward 1 for true
+# neighbors and b grows with ln(n) while K stays O(10) — same operator,
+# different dial settings (SCALE.md).
+N_TABLES = 16
+N_PLANES_MULTI = 3
+
+
+def _lsh_multi_oracle() -> str:
+    conds = []
+    for t in range(N_TABLES):
+        planes = [_hyperplane(t, p, DIM) for p in range(N_PLANES_MULTI)]
+        conds.append(
+            f"{_duck_bucket('c.embedding', planes)} = {_duck_bucket('qx.embedding', planes)}"
+        )
+    any_table = " OR ".join(conds)
+    return f"""
+WITH qx AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5
+), cand AS (
+  SELECT DISTINCT qx.vec_id AS query_id, qx.embedding AS qvec,
+                  c.vec_id, c.embedding AS cvec
+  FROM embeddings c JOIN qx ON ({any_table})
+  WHERE c.vec_id != qx.vec_id
+), scored AS (
+  SELECT query_id, vec_id,
+         round({_duck_cos("qvec", "cvec")}, 6) AS cos_sim
+  FROM cand
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rnk
+FROM ranked WHERE rnk <= {K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("sim_topk_lsh_multi", oracle=_lsh_multi_oracle())
+def sim_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 recall fix for billion-vector scale: {N_TABLES} independent
+    hyperplane tables, candidates = bucket match in ANY table, exact
+    re-rank once per distinct pair. Spark side realizes the union of K
+    bucketed joins as ONE hash join on a composite (table, bucket) key
+    (operators/similarity.py:cosine_topk_lsh_multi); recall vs the
+    bruteforce ground truth is asserted >= 0.9 in tests."""
+    from whisper_pandas_spark.operators.similarity import cosine_topk_lsh_multi
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_lsh_multi(emb, q, K, DIM, N_TABLES, N_PLANES_MULTI).orderBy(
+        "query_id", "rnk"
+    )
+
+
 def _lsh_near_dup_oracle() -> str:
     planes = [_hyperplane(0, p, DIM) for p in range(N_PLANES)]
     return f"""

@@ -31,20 +31,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as LONG nanoseconds
-    (``nanosAsLong``) and convert to a microsecond TIMESTAMP with integer
-    division — bit-identical to DuckDB's ns→µs truncation.
+    ``events.ts`` has shipped in two layouts across driver generations:
+    parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    read as LONG nanoseconds via ``nanosAsLong`` and truncate to µs,
+    bit-identical to DuckDB's ns→µs truncation) and plain TIMESTAMP(µs)
+    without timezone (read natively as TIMESTAMP_NTZ). Both normalize to
+    a session-zone TIMESTAMP (UTC sessions everywhere) so every
+    downstream query sees one stable type.
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):  # TIMESTAMP(NANOS) layout
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
