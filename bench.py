@@ -104,11 +104,11 @@ def _bench_whisper_scan(spark) -> float:
 
         build_wsp(str(tiny), archives=[(10, 16, 1.0)])
     spark.read.format("whisper").load(str(tiny)).count()
-    # best of 2 — the same steady-state protocol every other headline
+    # best of N — the same steady-state protocol every other headline
     # query uses (a capacity plan sizes on the repeated-read rate; the
     # one-time Python DataSource spin-up is not the engine's scan cost)
     best = float("inf")
-    for _ in range(2):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
         t0 = time.perf_counter()
         df = spark.read.format("whisper").load(path)
         df.groupBy("archive").count().collect()
@@ -131,15 +131,27 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # ... and the noop-sink write path (its first use JIT-compiles the
+    # whole WriteFiles stack — measured ~2.5 s of one-time cost that would
+    # otherwise land on the first timed query).
+    spark.read.parquet(f"{SF_DIR}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     timings["whisper_scan_83mb"] = _bench_whisper_scan(spark)
     for name in names:
         fn = QUERIES[name]
-        # best of 2: damp single-run noise from co-tenant load — the
+        # Ask the JVM to collect BEFORE the timed reps so one query's
+        # garbage doesn't bill the next query's first run (single shared
+        # heap on local[32]; cross-query GC debt was the dominant
+        # run-to-run noise source, not CPU).
+        spark._jvm.System.gc()
+        # best of N: damp JIT-warmup and co-tenant noise — the
         # steady-state number is what a capacity plan would use.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             # drop shared result materializations (e.g. the MinHash pair
             # checkpoint) so every timed run pays the FULL pipeline
             reset_result_caches()
