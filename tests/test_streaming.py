@@ -478,3 +478,18 @@ def test_whisper_stream_source_lagging_file(spark, tmp_path):
         assert counts == {"srv.fast": 30, "srv.slow": 20}
     finally:
         q.stop()
+
+
+def test_stream_rollup_replay_entry_reentrant(spark, sf_dir):
+    """The driver-visible availableNow replay entry must (a) equal the
+    batch rollup bucket-for-bucket and (b) survive being invoked twice in
+    one session (memory-sink queryName reuse)."""
+    from whisper_pandas_spark.queries_rollup import _oracle_rollup, _spark_rollup
+    from whisper_pandas_spark.queries_streaming import _ORACLE, stream_rollup_replay
+
+    # the inlined oracle must stay in lock-step with rollup_average's
+    assert " ".join(_ORACLE.split()) == " ".join(_oracle_rollup("average").split())
+    got1 = stream_rollup_replay(spark, sf_dir).collect()
+    got2 = stream_rollup_replay(spark, sf_dir).collect()
+    batch = _spark_rollup(spark, sf_dir, "average").collect()
+    assert got1 == got2 == batch

@@ -72,6 +72,7 @@ from whisper_pandas_spark import queries_whisper  # noqa: E402,F401
 from whisper_pandas_spark import queries_materialize  # noqa: E402,F401
 from whisper_pandas_spark import queries_similarity  # noqa: E402,F401
 from whisper_pandas_spark import queries_embeddings  # noqa: E402,F401
+from whisper_pandas_spark import queries_streaming  # noqa: E402,F401
 from whisper_pandas_spark import queries_text  # noqa: E402,F401
 from whisper_pandas_spark import queries_multimodal  # noqa: E402,F401
 from whisper_pandas_spark import queries_pipeline  # noqa: E402,F401
