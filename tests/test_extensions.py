@@ -365,3 +365,20 @@ def test_lsh_multi_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_kmeans_checkpoint_bit_identical_and_bounded_plan(spark, sf_dir):
+    """checkpoint=True must change the PLAN (lineage truncated to a
+    LogicalRDD scan, exchange count constant in iters), never the BITS."""
+    from whisper_pandas_spark.operators.kmeans import kmeans_cosine
+    from whisper_pandas_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    plain = kmeans_cosine(emb, 8, iters=3, seed=0).orderBy("cid").collect()
+    ckpt = kmeans_cosine(emb, 8, iters=3, seed=0, checkpoint=True)
+    assert ckpt.orderBy("cid").collect() == plain
+
+    # plan boundedness: the checkpointed frame's plan is a scan of the
+    # materialized k-row RDD — no Lloyd-iteration operators remain
+    plan = ckpt._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

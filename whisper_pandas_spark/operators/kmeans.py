@@ -46,6 +46,7 @@ def kmeans_cosine(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Train k cosine-space centroids; returns (cid BIGINT, embedding
     ARRAY<DOUBLE>) with cid = 0..k-1 assigned in init-hash order.
@@ -56,6 +57,17 @@ def kmeans_cosine(
     members. Cosine is scale-invariant, so the mean is used un-normalized
     (spherical k-means' normalization step only rescales — it cannot
     change any subsequent assignment).
+
+    ``checkpoint=True`` materializes the (tiny, k-row) centroid frame
+    after every iteration with an eager ``localCheckpoint``, truncating
+    lineage so the downstream plan contains ONE iteration's operators
+    regardless of ``iters`` — the production shape for iterative training
+    (without it, ``iters`` iterations compound into a single plan whose
+    exchange count grows linearly and whose corpus scan is repeated per
+    iteration). Results are bit-identical either way (asserted in tests):
+    the exact-decimal means make every iteration's centroids independent
+    of partitioning, and checkpointing only changes WHERE the bits come
+    from, not the bits.
     """
     src = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
@@ -100,5 +112,7 @@ def kmeans_cosine(
                 lambda s: s.mval,
             ).alias("embedding")
         ).select(F.col("cell").alias("cid"), "embedding")
+        if checkpoint:
+            cent = cent.localCheckpoint(eager=True)
 
     return cent

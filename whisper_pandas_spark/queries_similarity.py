@@ -508,3 +508,24 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = emb.filter(F.col("vec_id") < 5)
     return cosine_topk_ivf(emb, q, K, cent, IVF_NPROBE).orderBy("query_id", "rnk")
+
+
+@register("sim_topk_ivf_ckpt", oracle=_ivf_trained_oracle())
+def sim_topk_ivf_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: sim_topk_ivf_trained with the trainer's PER-ITERATION
+    lineage checkpoint — the production plan shape for iterative training.
+    Without it, KM_ITERS Lloyd iterations compound into one tree (PLANS.md
+    r3: 17 exchanges); with it the downstream plan holds one iteration's
+    operators and a LogicalRDD scan of the k-row codebook, constant in
+    ``iters``. Same oracle as sim_topk_ivf_trained: the exact-decimal
+    means make the checkpointed and single-tree trainers bit-identical
+    (also asserted in tests/test_extensions.py)."""
+    from whisper_pandas_spark.operators.kmeans import kmeans_cosine
+    from whisper_pandas_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cent = kmeans_cosine(emb, KM_K, KM_ITERS, seed=0, checkpoint=True).select(
+        F.col("cid").alias("vec_id"), F.col("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_ivf(emb, q, K, cent, IVF_NPROBE).orderBy("query_id", "rnk")
