@@ -400,3 +400,148 @@ def test_fetch_gzip_and_directory(spark, tmp_path):
     assert all(
         lo <= int(r["timestamp"].timestamp()) <= hi for r in rows
     )
+
+
+def _raw_wsp(path, archives, points_by_archive, agg=1, xff=0.5):
+    """Hand-craft a .wsp: archives = [(offset, spp, points)], points_by_archive
+    = {archive_index: [(slot, ts, value), ...]}. Returns nothing; slots not
+    listed stay zeroed (empty)."""
+    import struct
+
+    FILE_HEADER = struct.Struct(">LLfL")
+    ARCHIVE_HEADER = struct.Struct(">LLL")
+    POINT = struct.Struct(">Ld")
+    max_ret = max(spp * pts for _, spp, pts in archives)
+    buf = bytearray(FILE_HEADER.pack(agg, max_ret, xff, len(archives)))
+    for off, spp, pts in archives:
+        buf += ARCHIVE_HEADER.pack(off, spp, pts)
+    end = max(off + 12 * pts for off, _, pts in archives)
+    buf += b"\x00" * (end - len(buf))
+    for ai, pb in points_by_archive.items():
+        off = archives[ai][0]
+        for slot, ts, val in pb:
+            POINT.pack_into(buf, off + 12 * slot, ts, val)
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+
+def test_epoch_zero_is_empty_not_a_timestamp(spark, tmp_path):
+    """SURVEY §7 hard point 5: ts==0 means EMPTY SLOT, never the epoch —
+    a slot explicitly written as (0, value) must vanish under the default
+    drop_time_zero and surface (with its value) only when the option is
+    off, exactly the reference convention (whisper_pandas.py:214-215)."""
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    p = str(tmp_path / "zero.wsp")
+    header = 16 + 12
+    # one archive, 8 slots; slot 3 holds (ts=0, value=7.5) — an "empty"
+    # slot that nonetheless carries bytes; slots 1,2 are real points
+    _raw_wsp(
+        p,
+        [(header, 10, 8)],
+        {0: [(1, 1000, 1.0), (2, 1010, 2.0), (3, 0, 7.5)]},
+    )
+    dropped = (
+        spark.read.format("whisper").option("to_datetime", "false").load(p)
+    )
+    got = {(r.timestamp, r.value) for r in dropped.collect()}
+    assert got == {(1000, 1.0), (1010, 2.0)}  # (0, 7.5) gone by default
+    kept = (
+        spark.read.format("whisper")
+        .option("to_datetime", "false")
+        .option("drop_time_zero", "false")
+        .load(p)
+    )
+    by_slot = {r.slot: (r.timestamp, r.value) for r in kept.collect()}
+    assert len(by_slot) == 8  # every declared slot surfaces
+    assert by_slot[3] == (0, 7.5)  # the zero-epoch slot keeps its bytes
+
+
+def test_overlapping_archive_offsets_decode_independently(spark, tmp_path):
+    """Archive headers whose data regions OVERLAP (corrupt/adversarial
+    header) must not crash or cross-contaminate: each archive decodes its
+    declared (offset, points) window; shared bytes appear in both."""
+    from whisper_pandas_spark.sources.format import read_header
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    p = str(tmp_path / "overlap.wsp")
+    header = 16 + 2 * 12
+    # archive 1's offset points INSIDE archive 0's region: arch0 covers
+    # slots [0,8) at `header`, arch1 claims 4 slots starting at slot 2
+    _raw_wsp(
+        p,
+        [(header, 10, 8), (header + 12 * 2, 60, 4)],
+        {0: [(2, 2000, 9.0), (3, 2010, 8.0)]},
+    )
+    info = read_header(p)
+    assert info.archives[1].offset < info.archives[0].offset + 12 * 8
+    pdf = (
+        spark.read.format("whisper")
+        .option("to_datetime", "false")
+        .load(p)
+        .toPandas()
+    )
+    a0 = pdf[pdf.archive == 0].set_index("slot")
+    a1 = pdf[pdf.archive == 1].set_index("slot")
+    # archive 0 sees its two points at slots 2,3
+    assert {(int(r.timestamp), r.value) for r in a0.itertuples()} == {
+        (2000, 9.0), (2010, 8.0)
+    }
+    # archive 1 reads the SAME bytes as its slots 0,1 — byte-window
+    # semantics, no error, no phantom rows beyond its declared 4 slots
+    assert {(int(r.timestamp), r.value) for r in a1.itertuples()} == {
+        (2000, 9.0), (2010, 8.0)
+    }
+
+
+def test_gzip_decompressed_size_mismatch(spark, tmp_path):
+    """A .wsp.gz whose DECOMPRESSED size is short of the header's implied
+    size: header parsing succeeds, file_size_mismatch is exposed (not
+    enforced, whisper_pandas.py:142-145), intact archives still scan, and
+    the archive extending past EOF fails with the clean truncation error."""
+    import gzip as _gzip
+
+    import pytest as _pytest
+
+    from whisper_pandas_spark.sources.format import (
+        read_file_bytes,
+        read_header,
+        read_points,
+    )
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    plain = tmp_path / "sz.wsp"
+    header = 16 + 2 * 12
+    # arch0: 4 slots right after header; arch1: 6 slots after arch0
+    _raw_wsp(
+        str(plain),
+        [(header, 10, 4), (header + 12 * 4, 60, 6)],
+        {0: [(0, 3000, 1.0)], 1: [(0, 3600, 2.0)]},
+    )
+    raw = plain.read_bytes()
+    cut = raw[: header + 12 * 4 + 12 * 2]  # arch1 loses its last 4 slots
+    gz = tmp_path / "sz_cut.wsp.gz"
+    gz.write_bytes(_gzip.compress(cut))
+
+    info = read_header(str(gz))
+    assert info.compression == "gzip"
+    assert info.file_size_mismatch  # declared > actual — flagged, tolerated
+    buf = read_file_bytes(str(gz))
+    # intact archive decodes fine
+    pts = read_points(buf, info.archives[0])
+    assert int(pts["timestamp"][0]) == 3000
+    # the truncated archive's full-slot read reports truncation cleanly
+    with _pytest.raises(ValueError, match="truncated"):
+        read_points(buf, info.archives[1])
+    # the Spark scan of the intact archive (archive pruning) still works
+    rows = (
+        spark.read.format("whisper")
+        .option("to_datetime", "false")
+        .load(str(gz))
+        .filter("archive = 0")
+        .collect()
+    )
+    assert {(r.timestamp, r.value) for r in rows} == {(3000, 1.0)}
