@@ -76,12 +76,15 @@ from whisper_pandas_spark.sources.format import (
     resolve_compression,
 )
 
-# 12 MiB of raw points per partition. Measured on the reference-geometry
-# 83 MB fixture (bench.py): 1M-point chunks cut the scan from 0.7 s to
-# 0.5 s on local[32] vs 4M chunks (8 tasks instead of 4); per-task decode
-# stays ~50 ms against ~5 ms scheduling overhead, so the split is still
-# coarse enough for a 1000-executor cluster.
-DEFAULT_CHUNK_POINTS = 1024 * 1024
+# 6 MiB of raw points per partition. Measured on the reference-geometry
+# 83 MB fixture (bench.py, best-of-3 per size): 2M→1.07 s, 1M→0.95 s,
+# 512K→0.80 s, 256K→0.86 s, 128K→1.46 s on local[32] — 512K chunks (14
+# tasks) balance parallelism against per-task Python-worker overhead.
+# Per-task decode stays ~25 ms against ~5 ms scheduling overhead, so the
+# split remains coarse enough for a 1000-executor cluster (where
+# cross-FILE parallelism dominates and within-file splitting only has to
+# keep a few giant files from serializing).
+DEFAULT_CHUNK_POINTS = 512 * 1024
 
 
 def _boolopt(options, key: str, default: bool) -> bool:
