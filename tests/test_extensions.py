@@ -382,3 +382,61 @@ def test_kmeans_checkpoint_bit_identical_and_bounded_plan(spark, sf_dir):
     # materialized k-row RDD — no Lloyd-iteration operators remain
     plan = ckpt._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_bm25_matches_reference_math(spark):
+    """BM25 scores must equal a direct numpy/python computation of the
+    Robertson/Lucene formula on a tiny hand-checkable corpus."""
+    import math
+
+    from whisper_pandas_spark.operators.textrank import bm25_topk
+
+    corpus = {
+        0: "spark join spark window",
+        1: "join table",
+        2: "vector vector vector stream",
+        3: "the quick brown fox",
+    }
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    terms = ["spark", "join", "vector"]
+    got = {r["doc_id"]: r for r in bm25_topk(df, terms, topk=10).collect()}
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfq = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    k1, b = 1.2, 0.75
+    want = {}
+    for d, tk in toks.items():
+        s, m = 0.0, 0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log((n - dfq[t] + 0.5) / (dfq[t] + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if m:
+            want[d] = (m, round(s, 6))
+    assert set(got) == set(want)  # doc 3 (no query terms) absent
+    for d, (m, s) in want.items():
+        assert got[d]["n_terms"] == m
+        assert got[d]["score"] == pytest.approx(s, abs=1e-6)
+    # ranking: higher score first, ties by doc_id, dense 1..k
+    ranks = sorted((r["rnk"], r["doc_id"]) for r in got.values())
+    scores = [got[d]["score"] for _, d in ranks]
+    assert scores == sorted(scores, reverse=True)
+    assert [r for r, _ in ranks] == list(range(1, len(got) + 1))
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """Top-k must compile to TakeOrderedAndProject; df/stats joins must
+    broadcast (no shuffle join for |Q|-row sides)."""
+    from whisper_pandas_spark.operators.textrank import bm25_topk
+    from whisper_pandas_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    top = bm25_topk(docs, ["spark", "join"], topk=5)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2  # dfreq + stats

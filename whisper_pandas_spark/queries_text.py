@@ -243,3 +243,59 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(
         _table(spark, sf_dir, "documents"), "doc_id", "text"
     ).orderBy("doc_id")
+
+
+BM25_TERMS = ["spark", "join", "vector", "stream"]
+BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    from whisper_pandas_spark.operators.textrank import B, K1
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    contrib = (
+        f"ln((n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0)"
+        f" * (tf * {K1 + 1.0!r})"
+        f" / (tf + {K1!r} * ({1.0 - B!r} + {B!r} * dl / (CAST(total_len AS DOUBLE) / n_docs)))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, sum(len(t)) AS total_len FROM toks
+), exploded AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), pairs AS (
+  SELECT * FROM exploded WHERE term IN ({terms})
+), tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM pairs GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(*) AS dfq FROM tf GROUP BY term
+), scored AS (
+  SELECT doc_id, count(*) AS n_terms,
+         round(CAST(sum(CAST({contrib} AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, n_terms, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, n_terms, score, rnk FROM ranked
+WHERE rnk <= {BM25_TOPK} ORDER BY rnk
+"""
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: BM25 lexical retrieval (operators/textrank.py) — top-20 docs
+    against a fixed term query. Query-term filter lands BEFORE any
+    shuffle, df/stats broadcast, DECIMAL(38,12) score fold so the result
+    is partition-order independent, sort-limit compiles to
+    TakeOrderedAndProject."""
+    from whisper_pandas_spark.operators.textrank import bm25_topk
+
+    return bm25_topk(
+        _table(spark, sf_dir, "documents"), BM25_TERMS, BM25_TOPK
+    ).orderBy("rnk")
