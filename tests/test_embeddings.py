@@ -90,3 +90,31 @@ def test_int8_topk_ranks_are_dense_and_deterministic(spark, sf_dir):
     assert a == b  # partition-geometry independent
     for r in a:
         assert 1 <= r["rnk"] <= K
+
+
+def test_int8_ivf_topk_subset_of_exhaustive_and_deterministic(spark, sf_dir):
+    """IVF+SQ8 scores must agree with the exhaustive int8 scan wherever
+    both rank a pair (same quantized arithmetic — IVF only restricts the
+    candidate set), recall the exhaustive top-K reasonably at this
+    geometry, and be partition-geometry independent."""
+    from pyspark.sql import functions as F2
+
+    from whisper_pandas_spark.operators.embeddings import int8_topk, int8_topk_ivf
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = emb.filter(F2.col("vec_id") < 16)
+    q = emb.filter(F2.col("vec_id") < 5)
+
+    full = {(r["query_id"], r["vec_id"]): r["score"]
+            for r in int8_topk(emb, q, K).collect()}
+    ivf = int8_topk_ivf(emb, q, K, cent, nprobe=4).collect()
+    assert len(ivf) == 5 * K
+    for r in ivf:
+        key = (r["query_id"], r["vec_id"])
+        if key in full:  # same pair scored by both paths -> same bits
+            assert full[key] == r["score"]
+    got = {k for k in full if k in {(r["query_id"], r["vec_id"]) for r in ivf}}
+    assert len(got) / len(full) >= 0.5  # nprobe=4/16 recall floor
+
+    again = int8_topk_ivf(emb.repartition(7), q, K, cent, nprobe=4)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, ivf))

@@ -90,6 +90,86 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def int8_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + SQ8: the production billion-scale ANN shape — coarse
+    quantization (IVF cells) bounds WHICH pairs are scored, scalar int8
+    quantization bounds WHAT each comparison costs.
+
+    Corpus vectors land in their 1 nearest cell (``ivf_assign``,
+    broadcast centroids, map-side argmax); queries probe their ``nprobe``
+    nearest cells; candidates = cell-equality join (each (query, vec)
+    pair at most once, since a corpus vector lives in exactly one cell).
+    Candidate scoring is the exact BIGINT code dot rescaled by the two
+    stored float scales — identical arithmetic to :func:`int8_topk`, but
+    over Σ|probed cells| candidates instead of |corpus|.
+
+    Result: (query_id, vec_id, dot_q, score, rnk), ties (score desc,
+    vec_id asc), ranked by the same two-stage local/global reduction.
+    """
+    from pyspark.sql.window import Window
+
+    from whisper_pandas_spark.operators.similarity import ivf_assign
+
+    def coded(assigned: DataFrame, ida: str, prefix: str) -> DataFrame:
+        v = F.col("vec")
+        scale = _vabs_max(v)
+        return assigned.select(
+            F.col("vec_id").alias(ida),
+            F.col("cell"),
+            _quantize(v, scale).alias(f"{prefix}_q"),
+            scale.alias(f"{prefix}_scale"),
+        )
+
+    cells = coded(ivf_assign(corpus, centroids, 1, id_col, vec_col), "doc_id", "doc")
+    probes = F.broadcast(
+        coded(ivf_assign(queries, centroids, nprobe, id_col, vec_col), "qry_id", "qry")
+    )
+    dot_q = F.aggregate(
+        F.zip_with(F.col("qry_q"), F.col("doc_q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    score = F.round(
+        F.col("dot_q").cast("double")
+        * F.col("qry_scale")
+        * F.col("doc_scale")
+        / F.lit(Q_LEVELS * Q_LEVELS),
+        6,
+    )
+    scored = (
+        cells.join(probes, "cell")
+        .filter(F.col("doc_id") != F.col("qry_id"))
+        .withColumn("dot_q", dot_q)
+        .select(
+            F.col("qry_id").alias("query_id"),
+            F.col("doc_id").alias("vec_id"),
+            F.col("dot_q"),
+            score.alias("score"),
+        )
+    )
+    order = [F.col("score").desc(), F.col("vec_id")]
+    local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrnk", F.row_number().over(local_w))
+        .filter(F.col("lrnk") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "dot_q", "score", "rnk")
+    )
+
+
 def int8_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -139,3 +139,82 @@ def emb_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return int8_topk(emb, q, K).orderBy("query_id", "rnk")
+
+
+IVF_K_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_sq8_oracle() -> str:
+    from whisper_pandas_spark.queries_similarity import _duck_cos
+
+    dot = _duck_isum(
+        "list_transform(range(1, len(doc_q)+1), i -> qry_q[i] * doc_q[i])"
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS centroid FROM embeddings
+  WHERE vec_id < {IVF_K_CENTROIDS}
+), corpus_scored AS (
+  SELECT e.vec_id, e.embedding AS v, c.cid,
+         {_duck_cos("e.embedding", "c.centroid")} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+), cells AS (
+  SELECT vec_id AS doc_id, cid AS cell,
+         {_duck_scale("v")} AS doc_scale,
+         {_duck_codes("v", _duck_scale("v"))} AS doc_q
+  FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM corpus_scored
+  ) WHERE rn = 1
+), query_scored AS (
+  SELECT e.vec_id, e.embedding AS v, c.cid,
+         {_duck_cos("e.embedding", "c.centroid")} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+  WHERE e.vec_id < 5
+), probes AS (
+  SELECT vec_id AS qry_id, cid AS cell,
+         {_duck_scale("v")} AS qry_scale,
+         {_duck_codes("v", _duck_scale("v"))} AS qry_q
+  FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM query_scored
+  ) WHERE rn <= {IVF_NPROBE}
+), cand AS (
+  SELECT p.qry_id AS query_id, s.doc_id AS vec_id,
+         {dot} AS dot_q,
+         p.qry_scale, s.doc_scale
+  FROM cells s JOIN probes p USING (cell)
+  WHERE s.doc_id != p.qry_id
+), rescored AS (
+  SELECT query_id, vec_id, dot_q,
+         round(dot_q::DOUBLE * qry_scale * doc_scale / 16129.0, 6) AS score
+  FROM cand
+), ranked AS (
+  SELECT query_id, vec_id, dot_q, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rnk
+  FROM rescored
+)
+SELECT query_id, vec_id, dot_q, score, rnk
+FROM ranked WHERE rnk <= {K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("emb_int8_ivf_topk", oracle=_ivf_sq8_oracle())
+def emb_int8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: IVF + SQ8 — the production billion-scale ANN composition
+    (operators/embeddings.py:int8_topk_ivf). Coarse cells bound WHICH
+    pairs score (nprobe={IVF_NPROBE} of {IVF_K_CENTROIDS} cells), int8
+    codes bound WHAT each comparison costs (BIGINT dot + one rescale)."""
+    from whisper_pandas_spark.operators.embeddings import int8_topk_ivf
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_K_CENTROIDS)
+    q = emb.filter(F.col("vec_id") < 5)
+    return int8_topk_ivf(emb, q, K, cent, IVF_NPROBE).orderBy("query_id", "rnk")
