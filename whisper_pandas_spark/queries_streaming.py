@@ -90,3 +90,84 @@ def stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_epoch")
     )
+
+
+_JOIN_SINK = "stream_interval_join_replay_sink"
+_JOIN_UB = 3600  # seconds: purchase within an hour of the click
+
+
+@register(
+    "stream_interval_join_replay",
+    oracle=f"""
+SELECT l.user_id,
+       l.event_id AS click_id,
+       CAST(floor(epoch(l.ts)) AS BIGINT) AS click_epoch,
+       r.event_id AS purchase_id,
+       CAST(floor(epoch(r.ts)) AS BIGINT) AS purchase_epoch
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL {_JOIN_UB} SECOND
+ORDER BY l.user_id, click_id, purchase_id
+""",
+)
+def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: the stream-stream interval join (streaming/joins.py —
+    watermark-bounded state on both sides) replayed over the static
+    events table: clicks joined to purchases by the same user within an
+    hour. An inner join's result SET is order-independent, so the replay
+    is deterministic and carries a plain SQL join oracle — the strongest
+    correctness statement available for a stream-stream operator."""
+    from pyspark.sql.types import LongType
+
+    from whisper_pandas_spark.streaming.joins import stream_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        sdf = (
+            spark.readStream.schema(raw.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+        return sdf.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+
+    joined = stream_interval_join(
+        side("click", "click"),
+        side("purchase", "purchase"),
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower_seconds=0,
+        upper_seconds=_JOIN_UB,
+        watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(_JOIN_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.table(_JOIN_SINK)
+        .select(
+            "user_id",
+            "click_id",
+            F.unix_timestamp("click_ts").alias("click_epoch"),
+            "purchase_id",
+            F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
