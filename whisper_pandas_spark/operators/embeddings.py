@@ -114,9 +114,7 @@ def int8_topk_ivf(
     Result: (query_id, vec_id, dot_q, score, rnk), ties (score desc,
     vec_id asc), ranked by the same two-stage local/global reduction.
     """
-    from pyspark.sql.window import Window
-
-    from whisper_pandas_spark.operators.similarity import ivf_assign
+    from whisper_pandas_spark.operators.similarity import ivf_assign, two_stage_topk
 
     def coded(assigned: DataFrame, ida: str, prefix: str) -> DataFrame:
         v = F.col("vec")
@@ -155,19 +153,7 @@ def int8_topk_ivf(
             score.alias("score"),
         )
     )
-    order = [F.col("score").desc(), F.col("vec_id")]
-    local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
-    pruned = (
-        scored.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrnk", F.row_number().over(local_w))
-        .filter(F.col("lrnk") <= k)
-    )
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        pruned.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id", "dot_q", "score", "rnk")
-    )
+    return two_stage_topk(scored, k, score_col="score", extra_cols=("dot_q",))
 
 
 def int8_topk(
@@ -193,7 +179,7 @@ def int8_topk(
     ties break (score desc, vec_id). Result:
     (query_id, vec_id, dot_q, score, rnk).
     """
-    from pyspark.sql.window import Window
+    from whisper_pandas_spark.operators.similarity import two_stage_topk
 
     def coded(df: DataFrame, idc: str, vecc: str, prefix: str) -> DataFrame:
         v = F.col(vecc)
@@ -229,16 +215,4 @@ def int8_topk(
             score.alias("score"),
         )
     )
-    order = [F.col("score").desc(), F.col("vec_id")]
-    local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
-    pruned = (
-        scored.withColumn("pid", F.spark_partition_id())
-        .withColumn("lrnk", F.row_number().over(local_w))
-        .filter(F.col("lrnk") <= k)
-    )
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        pruned.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id", "dot_q", "score", "rnk")
-    )
+    return two_stage_topk(scored, k, score_col="score", extra_cols=("dot_q",))

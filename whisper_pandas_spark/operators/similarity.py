@@ -96,7 +96,20 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     local filter. Tie-break (cos_sim desc, vec_id asc) is a total order
     per query, making both stages deterministic.
     """
-    order = [F.col("cos_sim").desc(), F.col("vec_id")]
+    return two_stage_topk(scored, k, score_col="cos_sim")
+
+
+def two_stage_topk(
+    scored: DataFrame,
+    k: int,
+    score_col: str = "cos_sim",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The reduction behind :func:`topk_per_query`, generalized over the
+    score column (the int8 family ranks by rescaled integer dots and
+    carries the raw ``dot_q`` through). Output columns:
+    (query_id, vec_id, *extra_cols, score_col, rnk)."""
+    order = [F.col(score_col).desc(), F.col("vec_id")]
     local_w = Window.partitionBy("query_id", "pid").orderBy(*order)
     pruned = (
         scored.withColumn("pid", F.spark_partition_id())
@@ -107,7 +120,7 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     return (
         pruned.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "vec_id", "cos_sim", "rnk")
+        .select("query_id", "vec_id", *extra_cols, score_col, "rnk")
     )
 
 
