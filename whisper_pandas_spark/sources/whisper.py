@@ -26,7 +26,7 @@ option               default    meaning
 ``to_datetime``      true       timestamp column as TIMESTAMP (UTC); false → LONG epoch seconds
 ``drop_time_zero``   true       drop never-filled ring slots (timestamp == 0)
 ``time_sort``        true       chronological order within each archive partition
-``chunk_points``     4194304    max slots per scan partition (archive splitting)
+``chunk_points``     adaptive   max slots per scan partition (archive splitting); default sizes the tree to ~2 tasks/core within [512K, 4M] — pin explicitly on a cluster
 ``base_dir``         (glob)     prefix stripped when deriving ``metric`` from the path
 ===================  =========  ====================================================
 
@@ -197,7 +197,11 @@ class WhisperScanReader(DataSourceReader):
         self.value_dtype = "float32" if dtype in ("float32", "float") else "float64"
         self.drop_time_zero = _boolopt(options, "drop_time_zero", True)
         self.time_sort = _boolopt(options, "time_sort", True)
-        self.chunk_points = int(options.get("chunk_points") or DEFAULT_CHUNK_POINTS)
+        # None → adaptive at plan time (see partitions()); explicit option
+        # pins it (the right call on a real cluster, where driver cores say
+        # nothing about executor count).
+        _cp = options.get("chunk_points")
+        self.chunk_points = int(_cp) if _cp else None
         self.base_dir = options.get("base_dir")
         # populated by pushFilters; applied during partition planning / scan
         self._metric_eq: set[str] | None = None
@@ -309,7 +313,8 @@ class WhisperScanReader(DataSourceReader):
         return sorted(set(files))
 
     def partitions(self) -> list[WhisperPartition]:
-        parts: list[WhisperPartition] = []
+        # Survivors of metric pruning, with headers read once.
+        planned: list[tuple[str, str, "FileInfo"]] = []
         base = self.base_dir
         for f in self._files():
             metric = metric_name(f, base if base is not None else self._base)
@@ -322,13 +327,34 @@ class WhisperScanReader(DataSourceReader):
                 for kind, v in self._metric_like
             ):
                 continue
-            info = read_header(f, self.compression)
+            planned.append((f, metric, read_header(f, self.compression)))
+
+        chunk_points = self.chunk_points
+        if chunk_points is None:
+            # Adaptive sizing: ~2 tasks per local core over the WHOLE tree,
+            # clamped to [DEFAULT_CHUNK_POINTS, 4M]. One 83 MB file → the
+            # floor (14 tasks, measured best); a 1 GB/12-file tree → ~1.3M
+            # chunks (tree-level parallelism already saturates the pool, so
+            # fewer, larger tasks cut per-task Python-worker overhead —
+            # 512K chunks measured 1.8× slower there). Cluster deployments
+            # should pin `chunk_points` explicitly.
+            total = sum(
+                a.points
+                for _, _, info in planned
+                for a in info.archives
+                if self._archive_eq is None or a.index in self._archive_eq
+            )
+            target = 2 * (os.cpu_count() or 8)
+            chunk_points = min(max(total // max(target, 1), DEFAULT_CHUNK_POINTS), 4 * 1024 * 1024)
+
+        parts: list[WhisperPartition] = []
+        for f, metric, info in planned:
             for arch in info.archives:
                 if self._archive_eq is not None and arch.index not in self._archive_eq:
                     continue
                 # gzip has no random access: keep the archive whole so each
                 # partition decompresses the file at most once.
-                chunk = arch.points if info.compression == "gzip" else self.chunk_points
+                chunk = arch.points if info.compression == "gzip" else chunk_points
                 for start in range(0, arch.points, chunk):
                     parts.append(
                         WhisperPartition(
