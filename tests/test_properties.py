@@ -176,3 +176,60 @@ def test_merge_write_equals_one_shot(n_points, split, dup_every, agg):
         ts[cut:], vals[cut:], layout, agg, 0.1, existing=first
     )
     assert merged == one_shot
+
+
+@SLOW
+@given(
+    n_left=st.integers(min_value=1, max_value=60),
+    n_right=st.integers(min_value=1, max_value=60),
+    n_keys=st.integers(min_value=1, max_value=4),
+    span=st.integers(min_value=10, max_value=5000),
+    bucket=st.sampled_from([None, 7, 100]),
+    data=st.data(),
+)
+def test_asof_join_matches_pandas_merge_asof(
+    spark, n_left, n_right, n_keys, span, bucket, data
+):
+    """asof_join (both the sequential and the skew-immune bucketed plan)
+    must agree with pd.merge_asof(direction='backward') — the reference
+    semantics it claims — on random keys/timestamps, including exact-tie
+    timestamps and keys with no preceding right row."""
+    import pandas as pd
+
+    from whisper_pandas_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    # distinct right-side (key, ts): duplicate (key, ts) is documented
+    # unspecified-tie territory, so the property avoids it
+    lk = rng.integers(0, n_keys, n_left)
+    lt = rng.integers(0, span, n_left)
+    rk = rng.integers(0, n_keys, n_right)
+    rt = rng.integers(0, span, n_right)
+    right_pairs = {(int(k), int(t)): float(rng.normal()) for k, t in zip(rk, rt)}
+
+    left = spark.createDataFrame(
+        [(int(k), int(t)) for k, t in zip(lk, lt)], "key long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right_pairs.items()],
+        "key long, ts long, value double",
+    )
+    got = asof_join(
+        left, right, on="key", left_ts="ts", right_ts="ts",
+        time_bucket_seconds=bucket,
+    ).collect()
+
+    lpd = pd.DataFrame({"key": lk.astype("int64"), "ts": lt.astype("int64")})
+    rpd = pd.DataFrame(
+        [(k, t, v) for (k, t), v in right_pairs.items()],
+        columns=["key", "ts", "value"],
+    ).sort_values("ts")
+    want = pd.merge_asof(
+        lpd.sort_values("ts"), rpd, on="ts", by="key", direction="backward"
+    ).dropna(subset=["value"])
+
+    got_set = sorted((r["key"], r["ts"], r["value_asof"]) for r in got)
+    want_set = sorted(
+        (int(r.key), int(r.ts), float(r.value)) for r in want.itertuples()
+    )
+    assert got_set == want_set
