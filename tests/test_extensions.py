@@ -440,3 +440,34 @@ def test_bm25_plan_shape(spark, sf_dir):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastExchange") >= 2  # dfreq + stats
+
+
+def test_substring_spans_finds_planted_run(spark):
+    """A 10-token run copied between two docs at DIFFERENT offsets must
+    surface with max_run == 10 exactly; unrelated docs must not pair."""
+    from whisper_pandas_spark.operators.dedup import substring_span_pairs
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "intro words here " + run + " trailing bits"),
+        (1, run + " completely different ending material now"),
+        (2, "nothing shared with anybody in this document at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_i"], r["doc_j"]): (r["max_run"], r["n_runs"])
+        for r in substring_span_pairs(df, "doc_id", "text", k=3, min_run=8).collect()
+    }
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)][0] == 10
+
+    # df guard: a stop-shingle repeated across many docs must not anchor
+    boiler = "common header line repeated everywhere always " * 2
+    many = [(i, boiler + f"unique tail {i}") for i in range(10)]
+    df2 = spark.createDataFrame(many, ["doc_id", "text"])
+    full = substring_span_pairs(df2, "doc_id", "text", k=3, min_run=8).collect()
+    assert len(full) == 45  # all pairs share the boilerplate run
+    guarded = substring_span_pairs(
+        df2, "doc_id", "text", k=3, min_run=8, max_df=5
+    ).collect()
+    assert guarded == []  # stop-shingles dropped before the join

@@ -589,3 +589,82 @@ def fuzzy_pairs(
         .select("doc_i", "doc_j", lev.alias("edit_dist"))
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_edit))
     )
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_run: int = 8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact cross-document substring spans (the suffix-array-style dedup
+    signal, distributed): for each doc pair sharing at least one run of
+    ``min_run`` consecutive tokens, the LONGEST shared run.
+
+    Distributed shape (no suffix array, same answer for runs ≥ k):
+
+    1. positional k-token shingles per doc (scan-shaped);
+    2. equi-join on the shingle — each match is an ANCHOR
+       (doc_i, doc_j, pos_i, diag = pos_i − pos_j). A run of R shared
+       tokens produces R−k+1 anchors on ONE diagonal;
+    3. gaps-and-islands per (pair, diag): consecutive pos_i values
+       collapse via the ``pos_i − row_number()`` trick, island size s ⇒
+       run of s+k−1 tokens;
+    4. per-pair max.
+
+    Shuffles: one on the shingle (the df-guard window and the self-join
+    share it), one window on (pair, diag), one pre-aggregated pair
+    groupBy. ``max_df`` drops stop-shingles BEFORE the self-join — the
+    O(df²) fan-out guard every inverted-index method here uses; a
+    dropped shingle can only shorten runs passing through it, so the
+    result is exact for corpora under the cap and conservative above it
+    (real deployments use k≈50-token fingerprints, where df is tiny).
+
+    Output: (doc_i, doc_j, max_run BIGINT, n_runs BIGINT), doc_i < doc_j,
+    filtered to max_run ≥ min_run. All-integer — oracle-exact under any
+    partitioning.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__t")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("__t"), k, distinct=False)).alias(
+            "pos", "shingle"
+        ),
+    )
+    if max_df is not None:
+        dfw = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(dfw))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    a = sh.select(
+        F.col("doc_id").alias("doc_i"), F.col("pos").alias("pos_i"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_j"), F.col("pos").alias("pos_j"), "shingle"
+    )
+    anchors = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .select("doc_i", "doc_j", "pos_i", (F.col("pos_i") - F.col("pos_j")).alias("diag"))
+    )
+    iw = Window.partitionBy("doc_i", "doc_j", "diag").orderBy("pos_i")
+    islands = anchors.withColumn(
+        "grp", F.col("pos_i") - F.row_number().over(iw)
+    )
+    runs = islands.groupBy("doc_i", "doc_j", "diag", "grp").agg(
+        (F.count(F.lit(1)) + F.lit(k - 1)).alias("run_tokens")
+    )
+    return (
+        runs.groupBy("doc_i", "doc_j")
+        .agg(
+            F.max("run_tokens").alias("max_run"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+        .filter(F.col("max_run") >= min_run)
+    )

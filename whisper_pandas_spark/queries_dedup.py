@@ -429,3 +429,66 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = assigned.filter(F.col("split") == "train")
     test = assigned.filter(F.col("split") == "test")
     return ngram_contamination(train, test).orderBy("doc_id")
+
+
+SPAN_K = 3
+SPAN_MIN_RUN = 8
+SPAN_MAX_DF = 100
+
+_SPAN_TOKS = (
+    "regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SPAN_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, unnest(range(1, greatest(len(t) - {SPAN_K} + 1, 0) + 1)) AS u(i)
+), guarded AS (
+  SELECT * FROM (
+    SELECT doc_id, pos, shingle,
+           count(*) OVER (PARTITION BY shingle) AS df
+    FROM sh
+  ) WHERE df <= {SPAN_MAX_DF}
+), anchors AS (
+  SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, a.pos AS pos_i,
+         a.pos - b.pos AS diag
+  FROM guarded a JOIN guarded b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+), isl AS (
+  SELECT doc_i, doc_j, diag, pos_i,
+         pos_i - row_number() OVER (PARTITION BY doc_i, doc_j, diag
+                                    ORDER BY pos_i) AS grp
+  FROM anchors
+), runs AS (
+  SELECT doc_i, doc_j, diag, grp, count(*) + {SPAN_K} - 1 AS run_tokens
+  FROM isl GROUP BY doc_i, doc_j, diag, grp
+)
+SELECT doc_i, doc_j, max(run_tokens) AS max_run, count(*) AS n_runs
+FROM runs GROUP BY doc_i, doc_j
+HAVING max(run_tokens) >= {SPAN_MIN_RUN}
+ORDER BY doc_i, doc_j
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+: exact cross-document substring spans — the suffix-array-style
+    training-data dedup signal (longest shared run of >= {SPAN_MIN_RUN}
+    consecutive tokens per doc pair), distributed as positional-shingle
+    anchors + gaps-and-islands (operators/dedup.py:substring_span_pairs).
+    All-integer output; stop-shingle df guard bounds the anchor join."""
+    from whisper_pandas_spark.operators.dedup import substring_span_pairs
+
+    return substring_span_pairs(
+        _table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=SPAN_K,
+        min_run=SPAN_MIN_RUN,
+        max_df=SPAN_MAX_DF,
+    ).orderBy("doc_i", "doc_j")
