@@ -115,6 +115,20 @@ def minhash_signature(
     )
 
 
+def _spread(src: DataFrame) -> DataFrame:
+    """Give an Arrow (mapInPandas) stage real parallelism when the scan
+    didn't: a small parquet file arrives as ONE partition, which would run
+    the whole Python stage on one worker (measured 2× on the sf0.1
+    signature pass). Round-robin up to the session's default parallelism —
+    a tiny shuffle of (id, text) rows, and every downstream result here is
+    partition-layout independent (verified at 3/8/32-shuffle geometries).
+    At real scale the scan already arrives wide and this is a no-op."""
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < min(target, 8):
+        return src.repartition(min(target, 8))
+    return src
+
+
 def minhash_signature_arrow(
     df: DataFrame, id_col: str, text_col: str, num_perm: int, shingle_n: int = 3
 ) -> DataFrame:
@@ -184,7 +198,7 @@ def minhash_signature_arrow(
                 # columns that Arrow can't map to array<long>
                 yield pd.DataFrame({"doc_id": ids, "hh": hhs, "sig": sigs})
 
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    src = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
     return src.mapInPandas(
         compute, "doc_id long, hh array<long>, sig array<long>"
     )
@@ -338,7 +352,7 @@ def simhash_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             if ids:
                 yield pd.DataFrame({"doc_id": ids, "simhash": out})
 
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    src = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
     return src.mapInPandas(compute, "doc_id long, simhash long")
 
 
@@ -391,7 +405,7 @@ def shingle_hashes_arrow(
             if ids:
                 yield pd.DataFrame({"doc_id": ids, "hh": hhs})
 
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    src = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
     return src.mapInPandas(compute, "doc_id long, hh array<long>")
 
 

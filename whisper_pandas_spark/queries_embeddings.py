@@ -146,7 +146,7 @@ IVF_NPROBE = 4
 
 
 def _ivf_sq8_oracle() -> str:
-    from whisper_pandas_spark.queries_similarity import _duck_cos
+    from whisper_pandas_spark.functions.duck import duck_cos as _duck_cos
 
     dot = _duck_isum(
         "list_transform(range(1, len(doc_q)+1), i -> qry_q[i] * doc_q[i])"

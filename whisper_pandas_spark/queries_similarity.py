@@ -36,23 +36,11 @@ N_PLANES = 8
 NEAR_DUP_T = 0.3
 
 
-def _duck_dot(a: str, b: str) -> str:
-    """Left-fold dot product, element order, double casts — Spark-parity."""
-    return (
-        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1), "
-        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
-    )
-
-
-def _duck_norm(a: str) -> str:
-    return (
-        f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, "
-        f"v -> v::DOUBLE * v::DOUBLE)), (x, y) -> x + y))"
-    )
-
-
-def _duck_cos(a: str, b: str) -> str:
-    return f"({_duck_dot(a, b)} / ({_duck_norm(a)} * {_duck_norm(b)}))"
+from whisper_pandas_spark.functions.duck import (  # noqa: E402
+    duck_cos as _duck_cos,
+    duck_dot as _duck_dot,
+    duck_norm as _duck_norm,
+)
 
 
 def _duck_plane_literal(plane: list[float]) -> str:
