@@ -233,3 +233,53 @@ def test_asof_join_matches_pandas_merge_asof(
         (int(r.key), int(r.ts), float(r.value)) for r in want.itertuples()
     )
     assert got_set == want_set
+
+
+@SLOW
+@given(
+    n_docs=st.integers(min_value=2, max_value=6),
+    doc_len=st.integers(min_value=3, max_value=25),
+    vocab=st.integers(min_value=2, max_value=5),
+    data=st.data(),
+)
+def test_substring_spans_match_bruteforce(spark, n_docs, doc_len, vocab, data):
+    """substring_span_pairs must equal a brute-force longest-common-run
+    scan over every doc pair, on random small-vocabulary token streams
+    (small vocab => plenty of accidental shared runs and multi-diagonal
+    repeats, the hard cases for the islands logic)."""
+    from whisper_pandas_spark.operators.dedup import substring_span_pairs
+
+    k, min_run = 2, 3
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    words = [f"w{c}" for c in range(vocab)]
+    docs = {
+        d: [words[i] for i in rng.integers(0, vocab, doc_len)]
+        for d in range(n_docs)
+    }
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_i"], r["doc_j"]): r["max_run"]
+        for r in substring_span_pairs(
+            df, "doc_id", "text", k=k, min_run=min_run, max_df=None
+        ).collect()
+    }
+
+    def longest_run(a, b):
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                r = 0
+                while i + r < len(a) and j + r < len(b) and a[i + r] == b[j + r]:
+                    r += 1
+                best = max(best, r)
+        return best
+
+    want = {}
+    for i in range(n_docs):
+        for j in range(i + 1, n_docs):
+            lr = longest_run(docs[i], docs[j])
+            if lr >= min_run:
+                want[(i, j)] = lr
+    assert got == want
