@@ -545,3 +545,43 @@ def test_gzip_decompressed_size_mismatch(spark, tmp_path):
         .collect()
     )
     assert {(r.timestamp, r.value) for r in rows} == {(3000, 1.0)}
+
+
+def test_on_error_skip_tolerates_corrupt_files(spark, tmp_path):
+    """A million-file tree must survive half-written members: with
+    on_error=skip a garbage-header file and a data-truncated file are
+    dropped (plan time / scan time respectively) while every healthy
+    file still decodes fully; the default mode still fails fast."""
+    import pytest as _pytest
+
+    from wsp_fixtures import build_wsp
+
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    d = tmp_path / "tree"
+    d.mkdir()
+    golden = build_wsp(str(d / "good.wsp"), archives=[(10, 64, 1.0)])
+    # header garbage: not even a parseable archive count
+    (d / "badheader.wsp").write_bytes(b"\x00\x01")
+    # valid header, data section cut mid-archive
+    build_wsp(str(d / "cut.wsp"), archives=[(10, 64, 1.0)], truncate_to=100)
+
+    skipped = (
+        spark.read.format("whisper")
+        .option("on_error", "skip")
+        .option("to_datetime", "false")
+        .load(str(d))
+    )
+    rows = skipped.collect()
+    metrics = {r.metric for r in rows}
+    assert metrics == {"good"}  # both bad files dropped, good intact
+    assert len([r for r in rows]) == len(golden[0].filled)
+
+    with _pytest.raises(Exception):
+        spark.read.format("whisper").load(str(d)).collect()
+
+    with _pytest.raises(Exception):
+        spark.read.format("whisper").option("on_error", "bogus").load(
+            str(d)
+        ).collect()

@@ -28,6 +28,7 @@ option               default    meaning
 ``time_sort``        true       chronological order within each archive partition
 ``chunk_points``     adaptive   max slots per scan partition (archive splitting); default sizes the tree to ~2 tasks/core within [512K, 4M] — pin explicitly on a cluster
 ``base_dir``         (glob)     prefix stripped when deriving ``metric`` from the path
+``on_error``         fail       ``skip`` drops unreadable files (plan time) and truncated data ranges (scan time) instead of failing the job — parquet's ``ignoreCorruptFiles`` contract
 ===================  =========  ====================================================
 
 Output schema: ``metric STRING, archive INT, slot INT, timestamp
@@ -41,6 +42,7 @@ from __future__ import annotations
 import glob as globmod
 import os
 from dataclasses import dataclass
+from struct import error as struct_error
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -202,6 +204,15 @@ class WhisperScanReader(DataSourceReader):
         # nothing about executor count).
         _cp = options.get("chunk_points")
         self.chunk_points = int(_cp) if _cp else None
+        # fail (default): any unreadable/corrupt file aborts the scan.
+        # skip: log-and-drop it at plan time — at a million-file tree one
+        # half-written file must not kill the job (parquet's
+        # ignoreCorruptFiles, same contract).
+        self.on_error = str(options.get("on_error") or "fail").lower()
+        if self.on_error not in ("fail", "skip"):
+            raise ValueError(
+                f"on_error must be 'fail' or 'skip', got {self.on_error!r}"
+            )
         self.base_dir = options.get("base_dir")
         # populated by pushFilters; applied during partition planning / scan
         self._metric_eq: set[str] | None = None
@@ -327,7 +338,19 @@ class WhisperScanReader(DataSourceReader):
                 for kind, v in self._metric_like
             ):
                 continue
-            planned.append((f, metric, read_header(f, self.compression)))
+            try:
+                info = read_header(f, self.compression)
+            except (ValueError, KeyError, OSError, struct_error) as exc:
+                if self.on_error == "skip":
+                    import sys
+
+                    print(
+                        f"whisper: skipping unreadable file {f}: {exc}",
+                        file=sys.stderr,
+                    )
+                    continue
+                raise
+            planned.append((f, metric, info))
 
         chunk_points = self.chunk_points
         if chunk_points is None:
@@ -390,19 +413,36 @@ class WhisperScanReader(DataSourceReader):
         p = partition
         if not p.path:  # the pruned-to-nothing sentinel: no rows
             return
-        if p.compression == "gzip":
-            buffer = read_file_bytes(p.path, "gzip")
-        else:
-            # Byte-range read: only this partition's slice leaves the disk.
-            with open(p.path, "rb") as fh:
-                fh.seek(p.offset + 12 * p.slot_start)
-                raw = fh.read(12 * p.slot_count)
-            buffer = raw
-            arch = ArchiveInfo(p.archive_index, 0, p.seconds_per_point, p.slot_count)
-            data = read_points(buffer, arch, 0, p.slot_count)
-        if p.compression == "gzip":
-            arch = ArchiveInfo(p.archive_index, p.offset, p.seconds_per_point, p.points)
-            data = read_points(buffer, arch, p.slot_start, p.slot_count)
+        try:
+            if p.compression == "gzip":
+                buffer = read_file_bytes(p.path, "gzip")
+                arch = ArchiveInfo(
+                    p.archive_index, p.offset, p.seconds_per_point, p.points
+                )
+                data = read_points(buffer, arch, p.slot_start, p.slot_count)
+            else:
+                # Byte-range read: only this partition's slice leaves the disk.
+                with open(p.path, "rb") as fh:
+                    fh.seek(p.offset + 12 * p.slot_start)
+                    raw = fh.read(12 * p.slot_count)
+                buffer = raw
+                arch = ArchiveInfo(
+                    p.archive_index, 0, p.seconds_per_point, p.slot_count
+                )
+                data = read_points(buffer, arch, 0, p.slot_count)
+        except (ValueError, OSError, struct_error) as exc:
+            # Header parsed at plan time but the DATA section is short or
+            # unreadable (half-written file). skip: this partition yields
+            # nothing; other partitions — and other files — are unaffected.
+            if self.on_error == "skip":
+                import sys
+
+                print(
+                    f"whisper: skipping unreadable range of {p.path}: {exc}",
+                    file=sys.stderr,
+                )
+                return
+            raise
 
         ts = data["timestamp"].astype("int64")  # endianness + width normalize
         slots = np.arange(p.slot_start, p.slot_start + p.slot_count, dtype="int32")
