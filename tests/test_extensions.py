@@ -471,3 +471,38 @@ def test_substring_spans_finds_planted_run(spark):
         df2, "doc_id", "text", k=3, min_run=8, max_df=5
     ).collect()
     assert guarded == []  # stop-shingles dropped before the join
+
+
+def test_lsh_multi_arrow_buckets_match_expression(spark, sf_dir):
+    """The Arrow bucket stage must produce bit-identical (table, bucket)
+    assignments to the interpreted lsh_bucket expression it replaced."""
+    from whisper_pandas_spark.operators.similarity import (
+        _hyperplane,
+        lsh_bucket,
+        multi_table_buckets,
+    )
+    from whisper_pandas_spark.queries_similarity import (
+        DIM,
+        N_PLANES_MULTI,
+        N_TABLES,
+    )
+    from whisper_pandas_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    table_planes = [
+        (t, [_hyperplane(t, p, DIM) for p in range(N_PLANES_MULTI)])
+        for t in range(N_TABLES)
+    ]
+    expr = {}
+    for t, planes in table_planes:
+        for r in emb.select(
+            "vec_id", lsh_bucket(F.col("embedding"), planes).alias("b")
+        ).collect():
+            expr[(r["vec_id"], t)] = r["b"]
+    arrow = {
+        (r["vec_id"], r["t"]): r["bucket"]
+        for r in multi_table_buckets(
+            emb, "vec_id", "embedding", "vec_id", "vec", table_planes
+        ).collect()
+    }
+    assert arrow == expr
