@@ -160,3 +160,28 @@ def test_scan_only_reads_needed_columns(spark, name):
     schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert schema_lines, plan
     assert "source" not in " ".join(schema_lines)
+
+
+def test_round4_entries_have_scale_safe_plans(spark):
+    """Round-4 additions: no cartesian product anywhere, broadcasts where
+    a small side exists, two-stage rank where a per-query top-k runs."""
+    equi = ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    cases = {
+        # entry -> (required fragments, forbidden fragments, needs equi join)
+        # int8_topk is the documented exhaustive BASELINE: broadcast
+        # nested-loop over the broadcast query side is its intended shape
+        "emb_int8_topk": (["BroadcastNestedLoopJoin", "SPARK_PARTITION_ID"], [], False),
+        "emb_int8_ivf_topk": (["BroadcastHashJoin", "SPARK_PARTITION_ID"], ["CartesianProduct"], True),
+        "sim_topk_lsh_multi": (["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"], True),
+        "sim_topk_ivf_ckpt": (["BroadcastHashJoin"], ["CartesianProduct"], True),
+        "text_bm25_topk": (["TakeOrderedAndProject", "BroadcastHashJoin"], ["CartesianProduct"], True),
+        "dedup_substring_spans": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], True),
+    }
+    for name, (need, forbid, needs_equi) in cases.items():
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        if needs_equi:
+            assert any(j in plan for j in equi), f"{name}: no equi-join found"
+        for frag in need:
+            assert frag in plan, f"{name}: missing {frag}"
+        for frag in forbid:
+            assert frag not in plan, f"{name}: must not contain {frag}"
