@@ -493,3 +493,65 @@ def test_stream_rollup_replay_entry_reentrant(spark, sf_dir):
     got2 = stream_rollup_replay(spark, sf_dir).collect()
     batch = _spark_rollup(spark, sf_dir, "average").collect()
     assert got1 == got2 == batch
+
+
+def test_whisper_stream_survives_corrupt_file(spark, tmp_path):
+    """A half-written file appearing in a LIVE tree must not kill the
+    stream when on_error=skip: the healthy file keeps emitting, the
+    corrupt one contributes nothing, and once it heals (is rewritten
+    whole) its points flow."""
+    from whisper_pandas_spark.sources.whisper import register_whisper
+    from whisper_pandas_spark.sources.whisper_write import write_whisper
+
+    register_whisper(spark)
+    d = tmp_path / "tree"
+    base = 1_599_999_960
+
+    def batch(metric, lo, hi):
+        return spark.createDataFrame(
+            [(metric, base + 10 * i, float(i)) for i in range(lo, hi)],
+            ["metric", "epoch", "value"],
+        ).select(
+            "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+        )
+
+    write_whisper(batch("srv.cpu", 0, 20), str(d), archives="10:200,60:50", merge=True)
+    sdf = (
+        spark.readStream.format("whisper")
+        .option("base_dir", str(d))
+        .option("on_error", "skip")
+        .load(str(d))
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("wsp_skip_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("wsp_skip_tail").count() == 20
+
+        # a corrupt file lands mid-stream (half-written copy)
+        bad = d / "srv" / "broken.wsp"
+        bad.parent.mkdir(parents=True, exist_ok=True)
+        bad.write_bytes(b"\x00\x02garbage")
+        write_whisper(batch("srv.cpu", 20, 40), str(d), archives="10:200,60:50", merge=True)
+        q.processAllAvailable()
+        assert q.isActive  # stream survived the corrupt file
+        got = spark.table("wsp_skip_tail").collect()
+        assert len(got) == 40
+        assert {r["metric"] for r in got} == {"srv.cpu"}
+
+        # the file heals (full rewrite) -> its points start flowing
+        import shutil
+
+        shutil.rmtree(bad.parent)
+        write_whisper(
+            batch("srv.disk", 0, 5), str(d), archives="10:200,60:50", merge=True
+        )
+        q.processAllAvailable()
+        metrics = {r["metric"] for r in spark.table("wsp_skip_tail").collect()}
+        assert metrics == {"srv.cpu", "srv.disk"}
+    finally:
+        q.stop()

@@ -95,12 +95,31 @@ class WhisperStreamReader(DataSourceStreamReader):
         return {"files": {}}
 
     def latestOffset(self) -> dict:
+        from struct import error as struct_error
+
+        skip = str(self.options.get("on_error") or "fail").lower() == "skip"
         marks: dict[str, int] = {}
         for f in _files(self.path):
-            mtime = os.stat(f).st_mtime
-            cached = self._peek.get(f)
-            if cached is None or cached[0] != mtime:
-                self._peek[f] = (mtime, _file_max_ts(f))
+            try:
+                mtime = os.stat(f).st_mtime
+                cached = self._peek.get(f)
+                if cached is None or cached[0] != mtime:
+                    self._peek[f] = (mtime, _file_max_ts(f))
+            except (ValueError, KeyError, OSError, struct_error) as exc:
+                # a corrupt/half-written file appearing in a LIVE tree
+                # must not kill the stream: with on_error=skip it simply
+                # contributes no offset this trigger (and is retried on
+                # the next — a file mid-copy heals itself)
+                if skip:
+                    import sys
+
+                    self._peek.pop(f, None)
+                    print(
+                        f"whisper stream: skipping unreadable {f}: {exc}",
+                        file=sys.stderr,
+                    )
+                    continue
+                raise
             marks[f] = self._peek[f][1]
         return {"files": marks}
 
