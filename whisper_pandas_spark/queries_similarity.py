@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from whisper_pandas_spark.operators.similarity import (
     _hyperplane,
-    cosine,
     cosine_topk,
     cosine_topk_lsh,
 )

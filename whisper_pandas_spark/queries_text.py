@@ -9,7 +9,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from whisper_pandas_spark.functions.text import HASH_HEX_CHARS
 from whisper_pandas_spark.operators.textstats import (
     LANG_PROFILES,
     STOPWORDS,

@@ -32,7 +32,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql.datasource import (
-    DataSource,
     DataSourceArrowWriter,
     WriterCommitMessage,
 )
