@@ -74,3 +74,44 @@ def test_sample_frames_explosion(payloads):
     assert bytes(f1[0]["frame_bytes"]) == raw[:FRAME_BYTES]
     assert f1[0]["frame_md5"] == hashlib.md5(raw[:FRAME_BYTES]).hexdigest()
     assert len(bytes(f1[2]["frame_bytes"])) == 160 - 2 * FRAME_BYTES
+
+
+def test_resize_images_matches_numpy_nearest(spark):
+    """resize_images must equal an independent numpy nearest-neighbor
+    computation byte-for-byte, including the zero-pad of short payloads."""
+    import hashlib
+
+    import numpy as np
+
+    from whisper_pandas_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(7)
+    rows = []
+    shapes = {}
+    for i, (h, w) in enumerate([(16, 16), (10, 7), (3, 5)]):
+        n = h * w if i != 1 else h * w - 13  # one short (padded) payload
+        payload = bytes(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+        rows.append((i, payload, h, w))
+        shapes[i] = (payload, h, w)
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, height int, width int"
+    )
+    out_h, out_w = 4, 4
+    got = {
+        r["doc_id"]: r
+        for r in resize_images(
+            df, "doc_id", out_h=out_h, out_w=out_w
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for i, (payload, h, w) in shapes.items():
+        img = np.zeros(h * w, dtype=np.uint8)
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        img[: min(len(raw), h * w)] = raw[: h * w]
+        img = img.reshape(h, w)
+        rr = (np.arange(out_h) * h) // out_h
+        cc = (np.arange(out_w) * w) // out_w
+        want = img[rr][:, cc].tobytes()
+        assert bytes(got[i]["resized"]) == want
+        assert got[i]["resized_md5"] == hashlib.md5(want).hexdigest()
+        assert (got[i]["out_h"], got[i]["out_w"]) == (out_h, out_w)

@@ -154,3 +154,71 @@ def sample_frames(
     return src.mapInPandas(
         run, "doc_id long, frame_idx int, frame_bytes binary, frame_md5 string"
     )
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    h_col: str = "height",
+    w_col: str = "width",
+    out_h: int = 8,
+    out_w: int = 8,
+) -> DataFrame:
+    """Nearest-neighbor resize of raw single-channel images — REAL pixel
+    math (index arithmetic needs no codec), run as one Arrow pass.
+
+    The payload is interpreted as a row-major ``h × w`` single-channel
+    image (shorter payloads zero-pad, the tolerant-decode convention);
+    output pixel (r, c) = input pixel (floor(r·h/out_h), floor(c·w/out_w))
+    — the standard nearest-neighbor map, byte-exact and deterministic, so
+    tests can assert against an independent numpy computation. A codec-
+    backed path would only swap the byte→pixel interpretation
+    (:func:`decode_image`); the Spark-side contract — schema, Arrow batch
+    shape, narrow partition alignment — is exactly what a PIL/opencv
+    version would keep.
+
+    Output: (doc_id, out_h INT, out_w INT, resized BINARY, resized_md5).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, blobs, hashes = [], [], []
+            for doc_id, p, h, w in zip(
+                pdf["_id"], pdf["_payload"], pdf["_h"], pdf["_w"]
+            ):
+                h, w = int(h), int(w)
+                raw = np.frombuffer(bytes(p), dtype=np.uint8)
+                img = np.zeros(h * w, dtype=np.uint8)
+                img[: min(len(raw), h * w)] = raw[: h * w]
+                img = img.reshape(h, w)
+                rr = (np.arange(out_h) * h) // out_h
+                cc = (np.arange(out_w) * w) // out_w
+                small = img[rr][:, cc]
+                blob = small.tobytes()
+                ids.append(doc_id)
+                blobs.append(blob)
+                hashes.append(hashlib.md5(blob).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "out_h": np.full(len(ids), out_h, dtype=np.int32),
+                    "out_w": np.full(len(ids), out_w, dtype=np.int32),
+                    "resized": blobs,
+                    "resized_md5": hashes,
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(payload_col).alias("_payload"),
+        F.col(h_col).alias("_h"),
+        F.col(w_col).alias("_w"),
+    )
+    return src.mapInPandas(
+        run, "doc_id long, out_h int, out_w int, resized binary, resized_md5 string"
+    )
