@@ -283,3 +283,50 @@ def test_substring_spans_match_bruteforce(spark, n_docs, doc_len, vocab, data):
             if lr >= min_run:
                 want[(i, j)] = lr
     assert got == want
+
+
+@SLOW
+@given(
+    n_vecs=st.integers(min_value=1, max_value=12),
+    dim=st.integers(min_value=2, max_value=16),
+    n_tables=st.integers(min_value=1, max_value=4),
+    n_planes=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_multi_table_buckets_bit_equal_expression(
+    spark, n_vecs, dim, n_tables, n_planes, data
+):
+    """The Arrow bucket stage's dim-sequential numpy fold must equal the
+    interpreted lsh_bucket expression BIT-FOR-BIT on random float32
+    vectors at random geometries (the claim that justifies swapping the
+    expression path out)."""
+    from whisper_pandas_spark.operators.similarity import (
+        _hyperplane,
+        lsh_bucket,
+        multi_table_buckets,
+    )
+    from pyspark.sql import functions as F2
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    vecs = rng.normal(scale=2.0, size=(n_vecs, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    table_planes = [
+        (t, [_hyperplane(t, p, dim) for p in range(n_planes)])
+        for t in range(n_tables)
+    ]
+    expr = {}
+    for t, planes in table_planes:
+        for r in df.select(
+            "vec_id", lsh_bucket(F2.col("embedding"), planes).alias("b")
+        ).collect():
+            expr[(r["vec_id"], t)] = r["b"]
+    arrow = {
+        (r["vec_id"], r["t"]): r["bucket"]
+        for r in multi_table_buckets(
+            df, "vec_id", "embedding", "vec_id", "vec", table_planes
+        ).collect()
+    }
+    assert arrow == expr
