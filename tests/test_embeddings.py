@@ -118,3 +118,40 @@ def test_int8_ivf_topk_subset_of_exhaustive_and_deterministic(spark, sf_dir):
 
     again = int8_topk_ivf(emb.repartition(7), q, K, cent, nprobe=4)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, ivf))
+
+
+def test_vector_pipeline_end_to_end_partition_independent(spark, sf_dir):
+    """The vector side composed the way a production corpus job chains it:
+    int8 quantization audit -> checkpointed k-means codebook -> IVF+SQ8
+    ANN -> connected components over the ANN pair graph. The whole chain
+    must produce identical results at different partition geometries."""
+    from pyspark.sql import functions as F2
+
+    from whisper_pandas_spark.operators.components import connected_components
+    from whisper_pandas_spark.operators.embeddings import int8_topk_ivf, quantize_int8
+    from whisper_pandas_spark.operators.kmeans import kmeans_cosine
+
+    def run(emb):
+        audit = quantize_int8(emb, "vec_id", "embedding")
+        assert audit.filter(F2.col("err_micro_max") < 0).count() == 0
+        cent = kmeans_cosine(emb, 8, iters=2, seed=0, checkpoint=True).select(
+            F2.col("cid").alias("vec_id"), "embedding"
+        )
+        q = emb.filter(F2.col("vec_id") < 20)
+        ann = int8_topk_ivf(emb, q, 5, cent, nprobe=2)
+        pairs = ann.filter(F2.col("score") > 0).select(
+            F2.col("query_id").alias("vec_i"), F2.col("vec_id").alias("vec_j")
+        )
+        comp = connected_components(pairs, src="vec_i", dst="vec_j")
+        return (
+            sorted(map(tuple, ann.collect())),
+            sorted(map(tuple, comp.collect())),
+        )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a_ann, a_comp = run(emb)
+    b_ann, b_comp = run(emb.repartition(7))
+    assert a_ann == b_ann
+    assert a_comp == b_comp
+    assert len(a_ann) == 20 * 5
+    assert a_comp  # the ANN graph links something
