@@ -473,6 +473,40 @@ def test_substring_spans_finds_planted_run(spark):
     assert guarded == []  # stop-shingles dropped before the join
 
 
+def test_substring_spans_max_df_is_document_frequency(spark):
+    """max_df caps DISTINCT docs per shingle, not total occurrences: one
+    doc repeating a shingle many times must not evict it corpus-wide, so
+    a 2-doc corpus under max_df still surfaces its shared run."""
+    from whisper_pandas_spark.operators.dedup import substring_span_pairs
+
+    run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # doc 0 repeats the run 8x -> every shingle occurs >= 8 times
+        (0, " ".join([run] * 8)),
+        (1, "prefix words " + run + " suffix words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = substring_span_pairs(
+        df, "doc_id", "text", k=3, min_run=8, max_df=5
+    ).collect()
+    # df per shingle is 2 (two distinct docs) <= 5, so the pair survives
+    assert len(got) == 1
+    assert (got[0]["doc_i"], got[0]["doc_j"]) == (0, 1)
+    assert got[0]["max_run"] >= 10
+
+
+def test_bm25_empty_query_terms_raises(spark):
+    """bm25_topk([]) must fail fast with a clear contract error, not an
+    opaque Column.isin() failure deep in planning."""
+    import pytest
+
+    from whisper_pandas_spark.operators.textrank import bm25_topk
+
+    df = spark.createDataFrame([(0, "some text")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="query_terms must be non-empty"):
+        bm25_topk(df, [])
+
+
 def test_lsh_multi_arrow_buckets_match_expression(spark, sf_dir):
     """The Arrow bucket stage must produce bit-identical (table, bucket)
     assignments to the interpreted lsh_bucket expression it replaced."""

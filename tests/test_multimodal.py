@@ -115,3 +115,40 @@ def test_resize_images_matches_numpy_nearest(spark):
         assert bytes(got[i]["resized"]) == want
         assert got[i]["resized_md5"] == hashlib.md5(want).hexdigest()
         assert (got[i]["out_h"], got[i]["out_w"]) == (out_h, out_w)
+
+
+def test_resize_images_degenerate_dims_emit_zero_block(spark):
+    """h==0 or w==0 must not crash the Arrow task (tolerant-decode
+    convention): degenerate rows emit an all-zero out_h*out_w block and
+    healthy rows in the same batch are unaffected."""
+    import hashlib
+
+    import numpy as np
+
+    from whisper_pandas_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(11)
+    healthy = bytes(rng.integers(0, 256, 6 * 6, dtype=np.uint8).tobytes())
+    rows = [
+        (0, healthy, 6, 6),
+        (1, b"\x01\x02\x03", 0, 6),   # h == 0
+        (2, b"", 6, 0),               # w == 0
+        (3, b"\xff", 0, 0),           # both
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, height int, width int"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in resize_images(df, "doc_id", out_h=4, out_w=4).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    zero = bytes(16)
+    for i in (1, 2, 3):
+        assert bytes(got[i]["resized"]) == zero
+        assert got[i]["resized_md5"] == hashlib.md5(zero).hexdigest()
+    # healthy row still does real nearest-neighbor math
+    img = np.frombuffer(healthy, dtype=np.uint8).reshape(6, 6)
+    rr = (np.arange(4) * 6) // 4
+    want = img[rr][:, rr].tobytes()
+    assert bytes(got[0]["resized"]) == want

@@ -555,3 +555,61 @@ def test_whisper_stream_survives_corrupt_file(spark, tmp_path):
         assert metrics == {"srv.cpu", "srv.disk"}
     finally:
         q.stop()
+
+
+def test_stream_offsets_carry_mark_through_transient_error(spark, tmp_path):
+    """A TRACKED file whose peek fails transiently must keep its last
+    known high-water mark in the offset map (on_error=skip). Omitting it
+    would make the next committed offset read the file's mark as 0, so
+    the whole ring would re-emit once the file heals — duplicating every
+    already-emitted point and breaking deterministic replay."""
+    import os
+
+    from whisper_pandas_spark.sources.whisper_write import write_whisper
+    from whisper_pandas_spark.streaming.source import WhisperStreamReader
+
+    d = tmp_path / "tree"
+    base = 1_599_999_960
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [("srv.cpu", base + 10 * i, float(i)) for i in range(lo, hi)],
+            ["metric", "epoch", "value"],
+        ).select(
+            "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+        )
+
+    write_whisper(batch(0, 20), str(d), archives="10:200,60:50", merge=True)
+    opts = {"path": str(d), "base_dir": str(d), "on_error": "skip"}
+    reader = WhisperStreamReader(opts)
+    off1 = reader.latestOffset()
+    [f] = list(off1["files"])
+    mark = off1["files"][f]
+    assert mark == base + 10 * 19
+
+    # the tracked file turns unreadable (half-written rewrite in place)
+    good_bytes = open(f, "rb").read()
+    with open(f, "wb") as fh:
+        fh.write(b"\x00\x02garbage")
+    os.utime(f, (1, 1))  # force an mtime change -> cache miss -> re-peek
+    off2 = reader.latestOffset()
+    assert off2["files"].get(f) == mark  # carried forward, not dropped
+    # and nothing is planned for re-emission across that offset range
+    parts = reader.partitions(off1, off2)
+    assert all(p.path == "" for p in parts)
+
+    # cold-cache path (driver restart): a fresh reader that has only
+    # seen commit() must also carry the committed mark forward
+    r2 = WhisperStreamReader(opts)
+    r2.commit(off1)
+    off3 = r2.latestOffset()
+    assert off3["files"].get(f) == mark
+
+    # the file heals with 5 NEW points -> exactly the delta is planned
+    with open(f, "wb") as fh:
+        fh.write(good_bytes)
+    write_whisper(batch(0, 25), str(d), archives="10:200,60:50", merge=True)
+    off4 = reader.latestOffset()
+    assert off4["files"][f] == base + 10 * 24
+    delta = [p for p in reader.partitions(off2, off4) if p.path]
+    assert delta and all(p.ts_lo == mark + 1 for p in delta)

@@ -631,10 +631,12 @@ def substring_span_pairs(
     Shuffles: one on the shingle (the df-guard window and the self-join
     share it), one window on (pair, diag), one pre-aggregated pair
     groupBy. ``max_df`` drops stop-shingles BEFORE the self-join — the
-    O(df²) fan-out guard every inverted-index method here uses; a
-    dropped shingle can only shorten runs passing through it, so the
-    result is exact for corpora under the cap and conservative above it
-    (real deployments use k≈50-token fingerprints, where df is tiny).
+    O(df²) fan-out guard every inverted-index method here uses. df is
+    true DOCUMENT frequency (distinct docs containing the shingle), so
+    one doc repeating a shingle cannot evict it corpus-wide; a dropped
+    shingle can only shorten runs passing through it, so the result is
+    exact for corpora under the cap and conservative above it (real
+    deployments use k≈50-token fingerprints, where df is tiny).
 
     Output: (doc_i, doc_j, max_run BIGINT, n_runs BIGINT), doc_i < doc_j,
     filtered to max_run ≥ min_run. All-integer — oracle-exact under any
@@ -650,9 +652,14 @@ def substring_span_pairs(
         ),
     )
     if max_df is not None:
+        # true DOCUMENT frequency (distinct docs per shingle), not total
+        # occurrences — a single doc repeating a shingle must not push
+        # it over the cap. dense_rank over doc_id + max over the frame
+        # = exact distinct count, both windows share the one shuffle.
+        dfw_o = Window.partitionBy("shingle").orderBy("doc_id")
         dfw = Window.partitionBy("shingle")
         sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(dfw))
+            sh.withColumn("__df", F.max(F.dense_rank().over(dfw_o)).over(dfw))
             .filter(F.col("__df") <= max_df)
             .drop("__df")
         )

@@ -192,14 +192,20 @@ def resize_images(
                 pdf["_id"], pdf["_payload"], pdf["_h"], pdf["_w"]
             ):
                 h, w = int(h), int(w)
-                raw = np.frombuffer(bytes(p), dtype=np.uint8)
-                img = np.zeros(h * w, dtype=np.uint8)
-                img[: min(len(raw), h * w)] = raw[: h * w]
-                img = img.reshape(h, w)
-                rr = (np.arange(out_h) * h) // out_h
-                cc = (np.arange(out_w) * w) // out_w
-                small = img[rr][:, cc]
-                blob = small.tobytes()
+                if h <= 0 or w <= 0:
+                    # degenerate dimensions: emit an all-zero block
+                    # instead of crashing the Arrow task (tolerant-
+                    # decode convention, same as short payloads)
+                    blob = bytes(out_h * out_w)
+                else:
+                    raw = np.frombuffer(bytes(p), dtype=np.uint8)
+                    img = np.zeros(h * w, dtype=np.uint8)
+                    img[: min(len(raw), h * w)] = raw[: h * w]
+                    img = img.reshape(h, w)
+                    rr = (np.arange(out_h) * h) // out_h
+                    cc = (np.arange(out_w) * w) // out_w
+                    small = img[rr][:, cc]
+                    blob = small.tobytes()
                 ids.append(doc_id)
                 blobs.append(blob)
                 hashes.append(hashlib.md5(blob).hexdigest())

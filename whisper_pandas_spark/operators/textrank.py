@@ -55,6 +55,8 @@ def bm25_topk(
     idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)   [Robertson/Lucene]
     w(t, d) = idf * tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
     )

@@ -453,7 +453,7 @@ WITH toks AS (
 ), guarded AS (
   SELECT * FROM (
     SELECT doc_id, pos, shingle,
-           count(*) OVER (PARTITION BY shingle) AS df
+           count(DISTINCT doc_id) OVER (PARTITION BY shingle) AS df
     FROM sh
   ) WHERE df <= {SPAN_MAX_DF}
 ), anchors AS (

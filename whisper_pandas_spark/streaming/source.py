@@ -80,15 +80,22 @@ class WhisperStreamReader(DataSourceStreamReader):
         self.options = dict(options)
         # driver-side peek cache: path -> (mtime, max_ts)
         self._peek: dict[str, tuple[float, int]] = {}
+        # path -> last committed mark; floor for carry-forward when a
+        # tracked file errors transiently and the peek cache is cold
+        # (e.g. right after a driver restart)
+        self._committed: dict[str, int] = {}
 
     def __getstate__(self):
         state = dict(self.__dict__)
-        state.pop("_peek", None)  # executors don't need the driver cache
+        # executors don't need the driver caches
+        state.pop("_peek", None)
+        state.pop("_committed", None)
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._peek = {}
+        self._committed = {}
 
     # -- offsets (driver) ---------------------------------------------------
     def initialOffset(self) -> dict:
@@ -107,13 +114,24 @@ class WhisperStreamReader(DataSourceStreamReader):
                     self._peek[f] = (mtime, _file_max_ts(f))
             except (ValueError, KeyError, OSError, struct_error) as exc:
                 # a corrupt/half-written file appearing in a LIVE tree
-                # must not kill the stream: with on_error=skip it simply
-                # contributes no offset this trigger (and is retried on
-                # the next — a file mid-copy heals itself)
+                # must not kill the stream. With on_error=skip:
+                #  - a file NEVER successfully peeked contributes no
+                #    offset this trigger (retried next — a file mid-copy
+                #    heals itself);
+                #  - a file with a known mark keeps that mark, so the
+                #    committed offset never forgets it. Omitting it
+                #    would make _mark_fn read 0 once it heals and the
+                #    whole ring would re-emit, breaking deterministic
+                #    replay. The stale cache mtime is kept so the next
+                #    trigger re-peeks.
                 if skip:
                     import sys
 
-                    self._peek.pop(f, None)
+                    cached = self._peek.get(f)
+                    if cached is not None:
+                        marks[f] = cached[1]
+                    elif f in self._committed:
+                        marks[f] = self._committed[f]
                     print(
                         f"whisper stream: skipping unreadable {f}: {exc}",
                         file=sys.stderr,
@@ -175,4 +193,8 @@ class WhisperStreamReader(DataSourceStreamReader):
         yield from reader.read(partition)
 
     def commit(self, end: dict) -> None:
+        if isinstance(end, dict) and "files" in end:
+            for p, wm in end["files"].items():
+                prev = self._committed.get(p, 0)
+                self._committed[p] = max(prev, int(wm))
         return None
