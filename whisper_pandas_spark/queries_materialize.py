@@ -103,6 +103,20 @@ RT_CAP = 5000  # per-metric point cap: bounds runtime + stays in retention
 RT_ARCHIVES = "10:8000,60:2000"  # fine span 50 000 s < both retentions
 RT_XFF = 0.5  # coarse slot kept iff >= 3 of its 6 expected fine slots
 
+# SQL CTE recomputing the exact points the writer stored, straight from
+# the `events` parquet — the shared oracle base for every entry that
+# reads the roundtrip tree (this module + queries_whisper.py).
+RT_PTS_CTE = f"""
+WITH ranked AS (
+  SELECT event_type AS metric, user_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+), pts AS (
+  SELECT metric, {RT_BASE} + 10 * rn AS epoch,
+         CAST(user_id % 997 AS DOUBLE) AS value
+  FROM ranked WHERE rn <= {RT_CAP}
+)"""
+
 _ROUNDTRIP_DIR: dict[str, str] = {}
 
 
@@ -144,15 +158,7 @@ def _roundtrip_tree(spark: SparkSession, sf_dir: str) -> str:
 @register(
     "whisper_write_roundtrip",
     oracle=f"""
-WITH ranked AS (
-  SELECT event_type AS metric, user_id,
-         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
-  FROM events
-), pts AS (
-  SELECT metric, {RT_BASE} + 10 * rn AS epoch,
-         CAST(user_id % 997 AS DOUBLE) AS value
-  FROM ranked WHERE rn <= {RT_CAP}
-), coarse AS (
+{RT_PTS_CTE}, coarse AS (
   SELECT metric, epoch - (epoch % 60) AS bepoch,
          sum(value) AS s, count(*) AS m
   FROM pts GROUP BY metric, bepoch
