@@ -613,3 +613,22 @@ def test_stream_offsets_carry_mark_through_transient_error(spark, tmp_path):
     assert off4["files"][f] == base + 10 * 24
     delta = [p for p in reader.partitions(off2, off4) if p.path]
     assert delta and all(p.ts_lo == mark + 1 for p in delta)
+
+
+def test_stream_near_dup_replay_matches_batch(spark, sf_dir):
+    """The incremental replay entry must (a) carry the same oracle text
+    as the batch minhash entry, (b) equal the batch lsh_pairs result
+    pair-for-pair (each pair emitted exactly once, in the younger side's
+    micro-batch), and (c) survive being invoked twice in one session."""
+    from whisper_pandas_spark.queries_dedup import _minhash_oracle, dedup_minhash_lsh
+    from whisper_pandas_spark.queries_streaming import stream_near_dup_replay
+    from whisper_pandas_spark.registry import ORACLES
+
+    assert " ".join(ORACLES["stream_near_dup_replay"].split()) == " ".join(
+        _minhash_oracle().split()
+    ), "streaming replay oracle drifted from the batch minhash oracle"
+    got1 = stream_near_dup_replay(spark, sf_dir).collect()
+    got2 = stream_near_dup_replay(spark, sf_dir).collect()
+    batch = dedup_minhash_lsh(spark, sf_dir).collect()
+    assert got1 == got2 == batch
+    assert len(got1) > 0  # the corpus has planted near-dups at every sf

@@ -116,3 +116,65 @@ def seeded_hash64(s: Column, seed: int) -> Column:
 
 # DuckDB-side twin of base_hash32 (the query modules inline their own
 # tokenize/shingle SQL next to each oracle for line-by-line diffability).
+
+
+DUCK_TOKS = (
+    "regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+def duck_minhash_pairs_ctes(
+    num_perm: int, bands: int, rows: int, jaccard_t: float
+) -> str:
+    """DuckDB CTE chain ending in ``mh_pairs (doc_i, doc_j, jaccard)`` —
+    the full MinHash→LSH→verify replication over `documents`. Shared by
+    the batch dedup oracles (queries_dedup) and the streaming replay
+    oracle (queries_streaming), so the algorithm is written down exactly
+    once. LSH has false negatives by design — ground-truth all-pairs
+    would NOT match — but the md5 hash family is engine-portable, so the
+    replication is exact."""
+    sig_cols = ",\n    ".join(
+        f"list_min(list_transform(hh, h -> ({a} * h + {b}) % {MINHASH_P})) AS m{i}"
+        for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"m{b * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""toks AS (
+  SELECT doc_id, {DUCK_TOKS} AS t FROM documents
+), shing AS (
+  SELECT doc_id, {DUCK_SHINGLES} AS s FROM toks
+), shf AS (
+  SELECT doc_id, list_distinct(list_transform(s, x -> {duck_base_hash32("x")})) AS hh
+  FROM shing WHERE len(s) > 0
+), sig AS (
+  SELECT doc_id, hh,
+    {sig_cols}
+  FROM shf
+), bands AS (
+{band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT doc_i, doc_j,
+    round(len(list_intersect(x.hh, y.hh)) * 1.0
+          / len(list_distinct(list_concat(x.hh, y.hh))), 6) AS jaccard
+  FROM cand
+  JOIN sig x ON cand.doc_i = x.doc_id
+  JOIN sig y ON cand.doc_j = y.doc_id
+), mh_pairs AS (
+  SELECT * FROM scored WHERE jaccard >= {jaccard_t}
+)"""

@@ -21,10 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from whisper_pandas_spark.functions.text import (
+    DUCK_SHINGLES as _DUCK_SHINGLES,
+    DUCK_TOKS as _DUCK_TOKS,
     HASH_HEX_CHARS,
-    MINHASH_P,
     duck_base_hash32,
-    minhash_perm_constants,
+    duck_minhash_pairs_ctes,
 )
 from whisper_pandas_spark.operators.dedup import (
     SIMHASH_BITS,
@@ -56,60 +57,12 @@ BANDS = 4
 ROWS = 3
 JACCARD_T = 0.8
 
-_DUCK_TOKS = (
-    "regexp_split_to_array(trim(regexp_replace(lower(text), "
-    "'[^a-z0-9]+', ' ', 'g')), ' ')"
-)
-_DUCK_SHINGLES = (
-    "list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1), "
-    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
-)
-
-
 def _minhash_pairs_ctes() -> str:
     """CTE chain ending in ``mh_pairs (doc_i, doc_j, jaccard)`` — the full
-    MinHash→LSH→verify replication, shared by the pair/component/canonical
-    oracles so the algorithm is written down exactly once."""
-    sig_cols = ",\n    ".join(
-        f"list_min(list_transform(hh, h -> ({a} * h + {b}) % {MINHASH_P})) AS m{i}"
-        for i, (a, b) in enumerate(minhash_perm_constants(NUM_PERM))
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
-            b=b,
-            key=" || ',' || ".join(
-                f"m{b * ROWS + r}::VARCHAR" for r in range(ROWS)
-            ),
-        )
-        for b in range(BANDS)
-    )
-    return f"""toks AS (
-  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
-), shing AS (
-  SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks
-), shf AS (
-  SELECT doc_id, list_distinct(list_transform(s, x -> {duck_base_hash32("x")})) AS hh
-  FROM shing WHERE len(s) > 0
-), sig AS (
-  SELECT doc_id, hh,
-    {sig_cols}
-  FROM shf
-), bands AS (
-{band_selects}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-), scored AS (
-  SELECT doc_i, doc_j,
-    round(len(list_intersect(x.hh, y.hh)) * 1.0
-          / len(list_distinct(list_concat(x.hh, y.hh))), 6) AS jaccard
-  FROM cand
-  JOIN sig x ON cand.doc_i = x.doc_id
-  JOIN sig y ON cand.doc_j = y.doc_id
-), mh_pairs AS (
-  SELECT * FROM scored WHERE jaccard >= {JACCARD_T}
-)"""
+    MinHash→LSH→verify replication (functions/text.py builds it; shared
+    with the streaming replay oracle), instantiated at this module's
+    parameters so the pair/component/canonical oracles agree."""
+    return duck_minhash_pairs_ctes(NUM_PERM, BANDS, ROWS, JACCARD_T)
 
 
 def _minhash_oracle() -> str:

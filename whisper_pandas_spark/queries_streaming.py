@@ -1,4 +1,5 @@
-"""Registry entry: batch replay of the §2.9 Structured Streaming rollup.
+"""Registry entries: batch replays of the §2.9 Structured Streaming
+operators (rollup, stream-stream interval join, incremental near-dup).
 
 The streaming surface (streaming/rollup.py) is covered by stream≡batch
 pytest, but Structured Streaming can't run inside the driver's DuckDB
@@ -21,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from whisper_pandas_spark.functions.text import duck_minhash_pairs_ctes
 from whisper_pandas_spark.registry import register
 
 _SINK = "stream_rollup_replay_sink"
@@ -170,4 +172,65 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
         )
         .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
+# Same MinHash/LSH parameters as the batch dedup family (queries_dedup);
+# the shared oracle builder lives in functions/text.py so this module
+# doesn't import queries_dedup (registration order stays put). Parameter
+# parity with the batch entry is asserted in tests/test_streaming.py.
+_ND_NUM_PERM, _ND_BANDS, _ND_ROWS, _ND_JACCARD_T = 12, 4, 3, 0.8
+
+
+@register(
+    "stream_near_dup_replay",
+    oracle=f"""
+WITH {duck_minhash_pairs_ctes(_ND_NUM_PERM, _ND_BANDS, _ND_ROWS, _ND_JACCARD_T)}
+SELECT doc_i, doc_j, jaccard FROM mh_pairs ORDER BY doc_i, doc_j
+""",
+)
+def stream_near_dup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × §2.10: the INCREMENTAL MinHash-LSH near-dup stream
+    (streaming/dedup.py — foreachBatch around the batch operators with a
+    persistent signature store) replayed over `documents` split into 3
+    files with maxFilesPerTrigger=1 + availableNow, so the store really
+    grows across micro-batches. A pair is emitted exactly once, in the
+    micro-batch where the YOUNGER side arrives; band assignment and the
+    Jaccard verify are deterministic per document, so the union of all
+    emissions equals the batch lsh_pairs over the full corpus — the same
+    full algorithm-replication oracle as dedup_minhash_lsh."""
+    import os
+    import tempfile
+
+    from whisper_pandas_spark.registry import _table
+    from whisper_pandas_spark.streaming.dedup import stream_near_dup
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="wps_stream_neardup_")
+    src = os.path.join(base, "in")
+    # 3 files -> 3 micro-batches under maxFilesPerTrigger=1: batch 2's
+    # docs are deduped against batches 0-1 through the signature store
+    docs.repartition(3).write.parquet(src)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_near_dup(
+        sdf,
+        pairs_dir=os.path.join(base, "pairs"),
+        sig_store_dir=os.path.join(base, "sigs"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        num_perm=_ND_NUM_PERM,
+        bands=_ND_BANDS,
+        rows=_ND_ROWS,
+        jaccard_threshold=_ND_JACCARD_T,
+        available_now=True,
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.read.parquet(os.path.join(base, "pairs"))
+        .select("doc_i", "doc_j", "jaccard")
+        .orderBy("doc_i", "doc_j")
     )

@@ -52,13 +52,17 @@ def stream_near_dup(
     bands: int = 4,
     rows: int = 3,
     jaccard_threshold: float = 0.8,
+    available_now: bool = False,
 ):
     """Start the incremental near-dup stream over (doc_id, text) rows.
 
     Emits (doc_i, doc_j, jaccard) rows to *pairs_dir* (parquet, append)
     where at least one side arrived in the current micro-batch; maintains
     the MinHash signature store at *sig_store_dir*. Returns the
-    StreamingQuery.
+    StreamingQuery. ``available_now=True`` replays the currently-visible
+    input to exhaustion and stops — the backfill/verification mode (pair
+    it with ``maxFilesPerTrigger`` on the source to exercise the
+    incremental store across multiple micro-batches).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -101,4 +105,6 @@ def stream_near_dup(
     writer = sdf.writeStream.foreachBatch(sink)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()
