@@ -374,7 +374,11 @@ def test_kmeans_checkpoint_bit_identical_and_bounded_plan(spark, sf_dir):
     from whisper_pandas_spark.sources.tables import load_table
 
     emb = load_table(spark, "embeddings", sf_dir)
-    plain = kmeans_cosine(emb, 8, iters=3, seed=0).orderBy("cid").collect()
+    plain = (
+        kmeans_cosine(emb, 8, iters=3, seed=0, checkpoint=False)
+        .orderBy("cid")
+        .collect()
+    )
     ckpt = kmeans_cosine(emb, 8, iters=3, seed=0, checkpoint=True)
     assert ckpt.orderBy("cid").collect() == plain
 

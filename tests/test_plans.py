@@ -173,7 +173,9 @@ def test_round4_entries_have_scale_safe_plans(spark):
         "emb_int8_topk": (["BroadcastNestedLoopJoin", "SPARK_PARTITION_ID"], [], False),
         "emb_int8_ivf_topk": (["BroadcastHashJoin", "SPARK_PARTITION_ID"], ["CartesianProduct"], True),
         "sim_topk_lsh_multi": (["BroadcastHashJoin"], ["CartesianProduct", "BroadcastNestedLoopJoin"], True),
-        "sim_topk_ivf_ckpt": (["BroadcastHashJoin"], ["CartesianProduct"], True),
+        # trained IVF: the default path checkpoints the trainer, so the
+        # downstream tree must stay bounded (one iteration's exchanges)
+        "sim_topk_ivf_trained": (["BroadcastHashJoin"], ["CartesianProduct"], True),
         "text_bm25_topk": (["TakeOrderedAndProject", "BroadcastHashJoin"], ["CartesianProduct"], True),
         "dedup_substring_spans": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"], True),
     }
@@ -185,3 +187,21 @@ def test_round4_entries_have_scale_safe_plans(spark):
             assert frag in plan, f"{name}: missing {frag}"
         for frag in forbid:
             assert frag not in plan, f"{name}: must not contain {frag}"
+
+
+def test_trained_ivf_default_plan_bounded_in_iters(spark):
+    """The DEFAULT trained-IVF path must carry the checkpointed trainer:
+    its plan holds ONE Lloyd iteration's exchanges (r3's single tree
+    measured 17), so training depth can't bloat the serving plan."""
+    import re
+
+    def exchanges(name: str) -> int:
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"\bExchange\b", plan))
+
+    n_default = exchanges("sim_topk_ivf_trained")
+    n_single = exchanges("sim_topk_ivf_single_tree")
+    assert n_default <= 8, f"expected a bounded plan, got {n_default} exchanges"
+    # and the labelled baseline really is the unbounded twin
+    assert n_single > n_default, (n_single, n_default)

@@ -46,7 +46,7 @@ def kmeans_cosine(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    checkpoint: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Train k cosine-space centroids; returns (cid BIGINT, embedding
     ARRAY<DOUBLE>) with cid = 0..k-1 assigned in init-hash order.
@@ -58,16 +58,18 @@ def kmeans_cosine(
     (spherical k-means' normalization step only rescales — it cannot
     change any subsequent assignment).
 
-    ``checkpoint=True`` materializes the (tiny, k-row) centroid frame
+    ``checkpoint=True`` (the DEFAULT — it is the production shape for
+    iterative training) materializes the (tiny, k-row) centroid frame
     after every iteration with an eager ``localCheckpoint``, truncating
     lineage so the downstream plan contains ONE iteration's operators
-    regardless of ``iters`` — the production shape for iterative training
-    (without it, ``iters`` iterations compound into a single plan whose
-    exchange count grows linearly and whose corpus scan is repeated per
-    iteration). Results are bit-identical either way (asserted in tests):
-    the exact-decimal means make every iteration's centroids independent
-    of partitioning, and checkpointing only changes WHERE the bits come
-    from, not the bits.
+    regardless of ``iters``. ``checkpoint=False`` compounds the
+    iterations into a single plan whose exchange count grows linearly
+    and whose corpus scan repeats per iteration — kept only as the
+    labelled single-tree baseline proving bit-parity. Results are
+    bit-identical either way (asserted in tests): the exact-decimal
+    means make every iteration's centroids independent of partitioning,
+    and checkpointing only changes WHERE the bits come from, not the
+    bits.
     """
     src = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")

@@ -485,7 +485,11 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic distributed k-means trainer (operators/kmeans.py:
     md5-seeded init, 2 Lloyd iterations, exact-decimal means) instead of
     a caller-supplied centroid set. Same probe/re-rank machinery as
-    sim_topk_ivf."""
+    sim_topk_ivf. Uses the trainer's DEFAULT per-iteration lineage
+    checkpoint, so the downstream plan holds one iteration's operators
+    plus a LogicalRDD scan of the k-row codebook — constant in iters
+    (the production iterative-training shape; the unbounded single-tree
+    twin is the labelled baseline sim_topk_ivf_single_tree)."""
     from whisper_pandas_spark.operators.kmeans import kmeans_cosine
     from whisper_pandas_spark.operators.similarity import cosine_topk_ivf
 
@@ -497,21 +501,20 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, q, K, cent, IVF_NPROBE).orderBy("query_id", "rnk")
 
 
-@register("sim_topk_ivf_ckpt", oracle=_ivf_trained_oracle())
-def sim_topk_ivf_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3: sim_topk_ivf_trained with the trainer's PER-ITERATION
-    lineage checkpoint — the production plan shape for iterative training.
-    Without it, KM_ITERS Lloyd iterations compound into one tree (PLANS.md
-    r3: 17 exchanges); with it the downstream plan holds one iteration's
-    operators and a LogicalRDD scan of the k-row codebook, constant in
-    ``iters``. Same oracle as sim_topk_ivf_trained: the exact-decimal
-    means make the checkpointed and single-tree trainers bit-identical
-    (also asserted in tests/test_extensions.py)."""
+@register("sim_topk_ivf_single_tree", oracle=_ivf_trained_oracle())
+def sim_topk_ivf_single_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 BASELINE: sim_topk_ivf_trained with checkpoint=False — the
+    KM_ITERS Lloyd iterations compound into ONE plan tree (r3 measured 17
+    exchanges vs 5 checkpointed), scanning the corpus once per iteration.
+    Kept as the explicitly-labelled single-tree baseline: same oracle as
+    the default path, so the driver re-proves the two trainers are
+    bit-identical every round (also asserted in tests/test_extensions.py).
+    Not a production shape — use the default."""
     from whisper_pandas_spark.operators.kmeans import kmeans_cosine
     from whisper_pandas_spark.operators.similarity import cosine_topk_ivf
 
     emb = _table(spark, sf_dir, "embeddings")
-    cent = kmeans_cosine(emb, KM_K, KM_ITERS, seed=0, checkpoint=True).select(
+    cent = kmeans_cosine(emb, KM_K, KM_ITERS, seed=0, checkpoint=False).select(
         F.col("cid").alias("vec_id"), F.col("embedding")
     )
     q = emb.filter(F.col("vec_id") < 5)
