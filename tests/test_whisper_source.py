@@ -585,3 +585,57 @@ def test_on_error_skip_tolerates_corrupt_files(spark, tmp_path):
         spark.read.format("whisper").option("on_error", "bogus").load(
             str(d)
         ).collect()
+
+
+def test_on_error_skip_mixed_tree_chunked_and_adaptive(spark, tmp_path):
+    """The 48-file scale scenario in miniature: a tree with one healthy
+    member, one data-truncated member (half-written copy), and one
+    garbage-header member. With explicit chunking, the truncated file's
+    chunks BELOW the cut still decode (scan-time skip is per-partition);
+    with the adaptive splitter its single chunk drops whole. The healthy
+    file is byte-complete in every case and the garbage header never
+    reaches an executor (plan-time drop)."""
+    from wsp_fixtures import build_wsp
+
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    register_whisper(spark)
+    d = tmp_path / "tree"
+    d.mkdir()
+    good = build_wsp(str(d / "good.wsp"), archives=[(10, 5000, 1.0)])
+    # header = 16 + 12 = 28 bytes; cut the data section at slot 2500
+    build_wsp(
+        str(d / "cut.wsp"),
+        archives=[(10, 5000, 1.0)],
+        truncate_to=28 + 12 * 2500,
+    )
+    (d / "garbage.wsp").write_bytes(b"\x00\x01junk")
+
+    # explicit 1000-slot chunks: slots [0,2000) of cut.wsp are intact
+    # chunks and decode; [2000,3000) reads short and is skipped; good.wsp
+    # is untouched by its neighbor's corruption
+    df = (
+        spark.read.format("whisper")
+        .option("on_error", "skip")
+        .option("chunk_points", "1000")
+        .option("to_datetime", "false")
+        .load(str(d))
+    )
+    counts = {
+        r["metric"]: r["count"] for r in df.groupBy("metric").count().collect()
+    }
+    assert counts == {"good": len(good[0].filled), "cut": 2000}
+
+    # adaptive splitter (no chunk_points): this tiny tree sizes to one
+    # chunk per archive, so the truncated member drops whole — counts are
+    # exactly clean-tree-minus-bad-files
+    df2 = (
+        spark.read.format("whisper")
+        .option("on_error", "skip")
+        .option("to_datetime", "false")
+        .load(str(d))
+    )
+    counts2 = {
+        r["metric"]: r["count"] for r in df2.groupBy("metric").count().collect()
+    }
+    assert counts2 == {"good": len(good[0].filled)}

@@ -8,7 +8,13 @@ address at all (one file at a time, whole file in RAM, README.md:64):
 the engine's scan should hold its per-file cost roughly constant as the
 tree grows — the 100 TB argument in miniature. Usage:
 
-    python tools/scale_bench.py [n_files=12]
+    python tools/scale_bench.py [n_files=12] [--corrupt]
+
+``--corrupt`` injects a garbage-header member into the tree and rescans
+with on_error=skip: row counts must equal the clean scan exactly (the
+bad file is dropped at plan time, costing zero executor work), and the
+throughput with the adaptive splitter is reported — the million-file
+deployment reality where some member is always mid-write.
 """
 
 from __future__ import annotations
@@ -38,8 +44,50 @@ def build_tree(n: int) -> list[Path]:
     return files
 
 
+def corrupt_scan(spark, files: list[Path]) -> None:
+    """Clean scan vs same tree + an injected garbage-header member under
+    on_error=skip: counts must match exactly, and throughput is reported
+    with the adaptive splitter active (no chunk_points option)."""
+    mb = sum(p.stat().st_size for p in files) / 1e6
+    paths = [str(p) for p in files]
+
+    clean = (
+        spark.read.format("whisper")
+        .load(paths)
+        .groupBy("archive")
+        .count()
+        .collect()
+    )
+    clean_total = sum(r["count"] for r in clean)
+
+    bad = files[0].parent / "corrupt_member.wsp"
+    bad.write_bytes(b"\x00\x02not-a-whisper-header" * 64)
+    try:
+        t0 = time.perf_counter()
+        mixed = (
+            spark.read.format("whisper")
+            .option("on_error", "skip")
+            .load(paths + [str(bad)])
+            .groupBy("archive")
+            .count()
+            .collect()
+        )
+        dt = time.perf_counter() - t0
+        mixed_total = sum(r["count"] for r in mixed)
+        assert mixed_total == clean_total, (mixed_total, clean_total)
+        print(
+            f"corrupt-member scan: {len(files)} good + 1 garbage file  "
+            f"{mb:8.1f} MB  {mixed_total:>10} points  "
+            f"{dt:6.2f} s  {mb / dt:8.0f} MB/s  (counts == clean scan)"
+        )
+    finally:
+        bad.unlink(missing_ok=True)
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 12
+    corrupt = "--corrupt" in sys.argv[1:]
     files = build_tree(n)
     size_mb = sum(f.stat().st_size for f in files) / 1e6
 
@@ -50,6 +98,11 @@ def main() -> None:
     register_whisper(spark)
     # warm the DataSource machinery on one small read
     spark.read.format("whisper").load(str(files[0])).limit(1).count()
+
+    if corrupt:
+        corrupt_scan(spark, files)
+        spark.stop()
+        return
 
     for label, paths in [
         ("1 file", [files[0]]),
