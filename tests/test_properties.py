@@ -330,3 +330,73 @@ def test_multi_table_buckets_bit_equal_expression(
         ).collect()
     }
     assert arrow == expr
+
+
+@SLOW
+@given(
+    n_docs=st.integers(min_value=1, max_value=8),
+    vocab=st.integers(min_value=2, max_value=5),
+    data=st.data(),
+)
+def test_bm25_matches_bruteforce_scorer(spark, n_docs, vocab, data):
+    """bm25_topk must equal a direct Python implementation of the
+    Robertson/Lucene formula on random small corpora — including
+    REPEATED query terms (deduped: the implementation treats the query
+    as a set) and docs with no alphanumerics (tokenize yields [''], so
+    dl == 1 on both sides)."""
+    import math
+    import re
+
+    from whisper_pandas_spark.operators.textrank import B, K1, bm25_topk
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    words = [f"w{c}" for c in range(vocab)]
+    texts = []
+    for d in range(n_docs):
+        if rng.random() < 0.15:
+            texts.append("!!! ??? ...")  # no alphanumerics -> empty token
+        else:
+            n = int(rng.integers(1, 20))
+            texts.append(" ".join(words[i] for i in rng.integers(0, vocab, n)))
+    # query: sampled WITH repeats, plus sometimes a term absent from the
+    # corpus entirely
+    q = data.draw(
+        st.lists(st.sampled_from(words + ["zzz"]), min_size=1, max_size=6)
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = bm25_topk(df, q, topk=n_docs + 1).collect()
+
+    def toks(text):
+        return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+
+    tokenized = {d: toks(t) for d, t in enumerate(texts)}
+    n = len(tokenized)
+    avgdl = sum(len(t) for t in tokenized.values()) / n
+    qset = sorted(set(q))
+    dfreq = {
+        t: sum(1 for tk in tokenized.values() if t in tk) for t in qset
+    }
+    want = {}
+    for d, tk in tokenized.items():
+        score, n_terms = 0.0, 0
+        for t in qset:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            n_terms += 1
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            score += idf * tf * (K1 + 1) / (
+                tf + K1 * (1 - B + B * len(tk) / avgdl)
+            )
+        if n_terms:
+            want[d] = (n_terms, round(score, 6))
+
+    assert {r["doc_id"] for r in got} == set(want)
+    for r in got:
+        w_terms, w_score = want[r["doc_id"]]
+        assert r["n_terms"] == w_terms
+        assert abs(r["score"] - w_score) <= 2e-6, (r, want[r["doc_id"]])
+    # rnk must be 1..k in (score desc, doc_id asc) order of the RETURNED rows
+    ranked = sorted(got, key=lambda r: (-r["score"], r["doc_id"]))
+    assert [r["rnk"] for r in ranked] == list(range(1, len(got) + 1))

@@ -46,7 +46,8 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-k documents by BM25 against a bag of query terms.
+    """Top-k documents by BM25 against a SET of query terms (duplicates
+    in *query_terms* are ignored — each distinct term scores once).
 
     Returns (doc_id, n_terms, score, rnk): n_terms = how many distinct
     query terms the doc contains, score rounded to 6 dp, rnk 1..k with
