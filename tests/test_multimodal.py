@@ -27,9 +27,21 @@ def payloads(spark):
     return with_payload(df)
 
 
-def test_decode_stub_raises():
+def test_decode_image_real_png_and_jpeg_stub():
+    """decode_image is REAL for PNG (pure zlib+numpy); only entropy-coded
+    JPEG remains the NotImplementedError leaf."""
+    import numpy as np
+
+    from whisper_pandas_spark.functions.codecs import CodecError, encode_png
+
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    h, w, c, out = decode_image(encode_png(img))
+    assert (h, w, c) == (2, 4, 3)
+    assert (out == img).all()
+    with pytest.raises(CodecError):
+        decode_image(b"\x89PNG")  # truncated magic -> malformed, not stub
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0 jfif")
 
 
 def test_binary_metadata_values(payloads):

@@ -241,3 +241,29 @@ def test_pack_bins_contiguous_overflow_semantics(spark):
         df.repartition(7), "doc_id", F.col("nt"), "lang", 10, n_shards=1
     )
     assert {r["doc_id"]: r["bin_id"] for r in out2.collect()} == bins
+
+
+def test_pii_redact_counts_and_replacement_order(spark):
+    """pii_redact: counts on the original text; email -> ipv4 -> phone
+    replacement order; non-PII text untouched."""
+    from whisper_pandas_spark.operators.redact import pii_redact
+
+    rows = [
+        (0, "mail a.user+tag@sub.example.org and b@x.io, done"),
+        (1, "ips 10.0.0.1 and 192.168.255.3; ver 1.2 stays"),
+        (2, "call +44 123 4567 or +1-555-0100 now"),
+        (3, "plain text with no identifiers at all"),
+        (4, "mix u@h.co at 8.8.8.8 dial +1 555 0100"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_redact(df, "doc_id").collect()}
+    assert (got[0]["n_emails"], got[0]["n_ipv4"], got[0]["n_phones"]) == (2, 0, 0)
+    assert got[0]["clean_text"] == "mail <EMAIL> and <EMAIL>, done"
+    assert (got[1]["n_emails"], got[1]["n_ipv4"]) == (0, 2)
+    assert got[1]["clean_text"] == "ips <IP> and <IP>; ver 1.2 stays"
+    # +44 123 4567 matches (3-digit then 4-digit groups); +1-555-0100 too
+    assert got[2]["n_phones"] == 2
+    assert got[2]["clean_text"] == "call <PHONE> or <PHONE> now"
+    assert got[3]["clean_text"] == rows[3][1]
+    assert (got[3]["n_emails"], got[3]["n_ipv4"], got[3]["n_phones"]) == (0, 0, 0)
+    assert got[4]["clean_text"] == "mix <EMAIL> at <IP> dial <PHONE>"

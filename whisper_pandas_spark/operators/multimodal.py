@@ -5,11 +5,14 @@ typed metadata struct alongside — the Spark-native shape for multimodal
 training data (the same pattern as `spark.read.format("binaryFile")`,
 which yields (path, modificationTime, length, content)).
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-exactly as the task prescribes: `decode_image` raises NotImplementedError
-with the real signature, while `fake_decode_features` is a deterministic
-stand-in (byte histograms) so the Spark-side plumbing — schema, Arrow batch
-shape, mapInPandas signature, partitioning — is real and tested end-to-end.
+The container has no codec LIBRARIES (no PIL/opencv/soundfile), but
+several container formats need nothing beyond zlib + struct + numpy, so
+the decode step is REAL for PNG / BMP / PGM / PPM images and RIFF-PCM WAV
+audio (`functions/codecs.py`); only entropy-coded formats (JPEG) remain a
+clearly-marked ``NotImplementedError`` leaf. `fake_decode_features` is
+kept as the deterministic oracle-able feature path (byte histograms) —
+the DuckDB oracle can recompute it in SQL, which no real pixel decode
+allows.
 
 Scale notes:
 - metadata extraction (length/hash/magic sniff) is pure built-ins —
@@ -64,14 +67,16 @@ def binary_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") ->
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires a codec library not present in this
-    container. The mapInPandas plumbing calls :func:`fake_decode_features`
-    instead; swap this in when PIL/opencv is available."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv (not installed); "
-        "use fake_decode_features for the deterministic test path"
-    )
+def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL image decode — PNG / BMP / PGM / PPM via the pure-stdlib
+    codecs in :mod:`whisper_pandas_spark.functions.codecs` (zlib + struct
+    + numpy; no external library). Returns ``(h, w, channels,
+    ndarray[h, w, channels] uint8)``. Raises ``CodecError`` on malformed
+    bytes and ``NotImplementedError`` for JPEG (entropy decoding needs a
+    codec library this container lacks)."""
+    from whisper_pandas_spark.functions import codecs
+
+    return codecs.decode_image(payload)
 
 
 def fake_decode_features(payload: bytes) -> list[float]:
@@ -153,6 +158,152 @@ def sample_frames(
     )
     return src.mapInPandas(
         run, "doc_id long, frame_idx int, frame_bytes binary, frame_md5 string"
+    )
+
+
+def decode_image_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    on_error: str = "skip",
+) -> DataFrame:
+    """Decode real image payloads (PNG/BMP/PGM/PPM) and emit per-image
+    stats: (doc_id, height, width, channels, mean_px, px_md5).
+
+    One Arrow `mapInPandas` pass — payload bytes never leave the
+    executor, output partitioning stays aligned with the scan (narrow,
+    no shuffle). ``on_error``:
+
+    - ``"skip"``  — undecodable rows (malformed bytes OR unsupported
+      codecs like JPEG) are dropped, mirroring the whisper source's
+      corrupt-file tolerance;
+    - ``"null"``  — emit the row with null stats (doc_id kept, so the
+      caller can count/inspect failures);
+    - ``"fail"``  — re-raise (fail the task).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.functions.codecs import CodecError, decode_image as _dec
+
+    if on_error not in ("skip", "null", "fail"):
+        raise ValueError(f"on_error must be skip|null|fail, got {on_error!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, hs, ws, chs, means, hashes = [], [], [], [], [], []
+            for doc_id, p in zip(pdf["_id"], pdf["_payload"]):
+                try:
+                    h, w, c, img = _dec(bytes(p))
+                except (CodecError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    ids.append(doc_id)
+                    hs.append(None)
+                    ws.append(None)
+                    chs.append(None)
+                    means.append(None)
+                    hashes.append(None)
+                    continue
+                ids.append(doc_id)
+                hs.append(h)
+                ws.append(w)
+                chs.append(c)
+                means.append(float(np.asarray(img, dtype=np.float64).mean()))
+                hashes.append(hashlib.md5(img.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "height": pd.array(hs, dtype="Int32"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "mean_px": pd.array(means, dtype="Float64"),
+                    "px_md5": hashes,
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return src.mapInPandas(
+        run,
+        "doc_id long, height int, width int, channels int, "
+        "mean_px double, px_md5 string",
+    )
+
+
+def decode_audio_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    on_error: str = "skip",
+) -> DataFrame:
+    """Decode RIFF-PCM WAV payloads and emit per-clip stats:
+    (doc_id, sample_rate, channels, n_samples, duration_s, rms).
+
+    Same Arrow / narrow / tolerant-decode contract as
+    :func:`decode_image_stats`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.functions.codecs import CodecError, decode_wav as _dec
+
+    if on_error not in ("skip", "null", "fail"):
+        raise ValueError(f"on_error must be skip|null|fail, got {on_error!r}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "channels": [],
+                "n_samples": [], "duration_s": [], "rms": [],
+            }
+            for doc_id, p in zip(pdf["_id"], pdf["_payload"]):
+                try:
+                    rate, ch, samples = _dec(bytes(p))
+                except (CodecError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    rows["doc_id"].append(doc_id)
+                    for k in ("sample_rate", "channels", "n_samples",
+                              "duration_s", "rms"):
+                        rows[k].append(None)
+                    continue
+                n = samples.shape[0]
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(n / rate if rate else None)
+                rows["rms"].append(
+                    float(np.sqrt(np.mean(np.square(samples.astype(np.float64)))))
+                    if n
+                    else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+                    "channels": pd.array(rows["channels"], dtype="Int32"),
+                    "n_samples": pd.array(rows["n_samples"], dtype="Int64"),
+                    "duration_s": pd.array(rows["duration_s"], dtype="Float64"),
+                    "rms": pd.array(rows["rms"], dtype="Float64"),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return src.mapInPandas(
+        run,
+        "doc_id long, sample_rate int, channels int, n_samples long, "
+        "duration_s double, rms double",
     )
 
 

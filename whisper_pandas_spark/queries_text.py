@@ -298,3 +298,71 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _table(spark, sf_dir, "documents"), BM25_TERMS, BM25_TOPK
     ).orderBy("rnk")
+
+
+# -- PII redaction (round 5) ----------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\+\d{1,3}[- ]\d{3}[- ]\d{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH pii AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.0.7 call +1 555 01'
+         || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+  FROM documents
+), red AS (
+  SELECT doc_id, t,
+    regexp_replace(regexp_replace(regexp_replace(t,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_IPV4}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+  FROM pii
+)
+SELECT doc_id, md5(clean) AS clean_md5,
+  CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+FROM red ORDER BY doc_id
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: PII redaction (operators/redact.py) — emails / IPv4 / phones
+    counted on the original text then redacted sequentially; the oracle
+    applies the LITERAL same Java∩RE2 patterns in the same order.
+
+    The corpus is synthetic, so each doc gets a deterministic PII suffix
+    derived from its doc_id (same concat on both engines) — every row
+    then provably exercises all three pattern classes; md5(clean_text)
+    value-checks the redacted bytes without shipping 500 full texts.
+
+    Scale: scan-shaped codegen regex pass — zero shuffles, zero Python.
+    """
+    from whisper_pandas_spark.operators.redact import pii_redact
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.7 call +1 555 01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    out = pii_redact(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+    ).orderBy("doc_id")
