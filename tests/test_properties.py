@@ -400,3 +400,66 @@ def test_bm25_matches_bruteforce_scorer(spark, n_docs, vocab, data):
     # rnk must be 1..k in (score desc, doc_id asc) order of the RETURNED rows
     ranked = sorted(got, key=lambda r: (-r["score"], r["doc_id"]))
     assert [r["rnk"] for r in ranked] == list(range(1, len(got) + 1))
+
+
+# -- codecs (round 5): pure-Python, fast — higher example counts ----------
+
+_img_strategy = st.tuples(
+    st.integers(min_value=1, max_value=12),        # h
+    st.integers(min_value=1, max_value=12),        # w
+    st.sampled_from([1, 2, 3, 4]),                 # channels
+    st.integers(min_value=0, max_value=2**32 - 1), # pixel seed
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_img_strategy)
+def test_png_roundtrip_property(geom):
+    """encode_png → decode_image is the identity for every 8-bit
+    geometry/channel count (the decoder also exercises the filter-0
+    path's stride handling at odd widths)."""
+    from whisper_pandas_spark.functions.codecs import decode_image, encode_png
+
+    h, w, c, seed = geom
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    dh, dw, dc, out = decode_image(encode_png(img))
+    assert (dh, dw, dc) == (h, w, c)
+    assert (out == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.sampled_from([1, 2]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_roundtrip_property(n, channels, seed):
+    from whisper_pandas_spark.functions.codecs import decode_wav, encode_wav
+
+    s = (
+        np.random.default_rng(seed)
+        .integers(-32768, 32768, size=(n, channels))
+        .astype(np.int16)
+    )
+    rate, ch, out = decode_wav(encode_wav(s, 22050))
+    assert (rate, ch) == (22050, channels)
+    assert (out == s).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=400))
+def test_codec_fuzz_never_crashes_unexpectedly(data):
+    """Arbitrary bytes must yield a decoded image, CodecError, or the
+    JPEG NotImplementedError — never any other exception (the tolerant
+    Arrow passes rely on this contract to skip rows safely)."""
+    from whisper_pandas_spark.functions.codecs import (
+        CodecError,
+        decode_image,
+        decode_wav,
+    )
+
+    for fn in (decode_image, decode_wav):
+        try:
+            fn(data)
+        except (CodecError, NotImplementedError):
+            pass
