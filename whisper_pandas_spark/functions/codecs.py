@@ -106,22 +106,27 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             cur = line
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        else:
+        elif ftype == 1:
+            # Sub: out[i] = in[i] + out[i-nch] mod 256 — a per-channel
+            # prefix sum; uint8 add.accumulate wraps mod 256 natively,
+            # so the whole scanline vectorizes (no per-pixel Python)
+            acc = np.add.accumulate(
+                line.astype(np.uint8).reshape(w, nch), axis=0, dtype=np.uint8
+            )
+            cur = acc.reshape(-1).astype(np.int32)
+        elif ftype == 3:  # Average — left-dependence stays sequential
             cur = line.copy()
-            if ftype == 1:  # Sub — sequential in x
-                for i in range(nch, stride):
-                    cur[i] = (cur[i] + cur[i - nch]) & 0xFF
-            elif ftype == 3:  # Average
-                for i in range(stride):
-                    left = cur[i - nch] if i >= nch else 0
-                    cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-            elif ftype == 4:  # Paeth
-                for i in range(stride):
-                    left = cur[i - nch] if i >= nch else 0
-                    ul = prev[i - nch] if i >= nch else 0
-                    cur[i] = (cur[i] + _paeth(int(left), int(prev[i]), int(ul))) & 0xFF
-            else:
-                raise CodecError(f"bad filter type {ftype}")
+            for i in range(stride):
+                left = cur[i - nch] if i >= nch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth — left-dependence stays sequential
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - nch] if i >= nch else 0
+                ul = prev[i - nch] if i >= nch else 0
+                cur[i] = (cur[i] + _paeth(int(left), int(prev[i]), int(ul))) & 0xFF
+        else:
+            raise CodecError(f"bad filter type {ftype}")
         out[r] = cur.astype(np.uint8)
         prev = cur
     img = out.reshape(h, w, nch)
