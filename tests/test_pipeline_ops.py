@@ -267,3 +267,57 @@ def test_pii_redact_counts_and_replacement_order(spark):
     assert got[3]["clean_text"] == rows[3][1]
     assert (got[3]["n_emails"], got[3]["n_ipv4"], got[3]["n_phones"]) == (0, 0, 0)
     assert got[4]["clean_text"] == "mix <EMAIL> at <IP> dial <PHONE>"
+
+
+def test_deterministic_shuffle_stable_across_partitioning(spark):
+    """Same permutation at any input partitioning; different seed gives a
+    different (still reproducible) permutation."""
+    from whisper_pandas_spark.operators.sampling import deterministic_shuffle
+
+    df1 = spark.range(200).withColumnRenamed("id", "k")
+    df2 = df1.repartition(7)
+    o1 = [r["k"] for r in deterministic_shuffle(df1, "k", seed=1).collect()]
+    o2 = [r["k"] for r in deterministic_shuffle(df2, "k", seed=1).collect()]
+    o3 = [r["k"] for r in deterministic_shuffle(df1, "k", seed=2).collect()]
+    assert o1 == o2
+    assert sorted(o1) == list(range(200))
+    assert o1 != o3 and sorted(o3) == list(range(200))
+    assert o1 != list(range(200))  # actually shuffled
+
+
+def test_table_diff_classes_and_schema_drift(spark):
+    from whisper_pandas_spark.operators.diffing import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 30), (4, "D", 40), (5, "e", 50)],
+        "k long, s string, v int",
+    )
+    got = {r["key"]: r["change"] for r in table_diff(old, new, "k").collect()}
+    # 1 removed, 2 unchanged (absent), 3 changed (NULL -> 30),
+    # 4 changed (d -> D), 5 added
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+    drifted = new.withColumnRenamed("v", "w")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="schema drift"):
+        table_diff(old, drifted, "k")
+    # explicit shared subset still works under drift
+    got2 = {
+        r["key"]: r["change"]
+        for r in table_diff(old, drifted, "k", value_cols=["s"]).collect()
+    }
+    assert got2 == {1: "removed", 4: "changed", 5: "added"}
+
+
+def test_table_diff_null_vs_empty_string_distinct(spark):
+    from whisper_pandas_spark.operators.diffing import table_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "")], "k long, s string")
+    got = [(r["key"], r["change"]) for r in table_diff(old, new, "k").collect()]
+    assert got == [(1, "changed")]

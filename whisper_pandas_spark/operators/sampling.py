@@ -120,3 +120,19 @@ def duck_hash_bucket(key_sql: str, seed: int = 0) -> str:
     return (
         f"('0x' || substr(md5('{seed}:' || {key_sql}), 1, 8))::BIGINT"
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Global reproducible training-order shuffle: sort by
+    ``hash_bucket(key, seed)`` (ties broken by the key itself). Epoch N
+    uses seed N — each epoch is a different but REPRODUCIBLE permutation,
+    stable across partitioning, engines, and runs, unlike
+    ``orderBy(rand(seed))`` whose draws are partition-seeded.
+
+    Scale: one range-partitioned sort (the usual pre-training global
+    shuffle job); downstream sharded writes inherit the order. The sort
+    key is 8 bytes/row — no payload amplification in the exchange.
+    """
+    return df.orderBy(hash_bucket(F.col(key_col), seed), F.col(key_col))
