@@ -205,3 +205,17 @@ def test_trained_ivf_default_plan_bounded_in_iters(spark):
     assert n_default <= 8, f"expected a bounded plan, got {n_default} exchanges"
     # and the labelled baseline really is the unbounded twin
     assert n_single > n_default, (n_single, n_default)
+
+
+def test_pii_redact_is_scan_shaped(spark):
+    """text_pii_redact: codegen regex pass — no Python eval, no
+    aggregation, and the only exchange is the presentation sort."""
+    import re
+
+    plan = formatted_plan(QUERIES["text_pii_redact"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if re.match(r"\(\d+\) Exchange$", ln.strip())
+    ]
+    assert len(exchanges) <= 1, plan
+    assert "HashAggregate" not in plan

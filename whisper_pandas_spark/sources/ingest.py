@@ -1,0 +1,102 @@
+"""Tolerant JSONL / CSV ingestion (extension beyond the reference —
+whisper_pandas.py reads only `.wsp`; a training-data pipeline's edge is
+JSONL/CSV crawls long before anything becomes parquet).
+
+Design:
+
+- EXPLICIT schema always. Schema inference at 100 TB means an extra full
+  pass over the data AND a silently drifting contract (one malformed
+  shard flips a column to string); callers pass the DDL they expect.
+- Malformed records follow the package's tolerant-decode convention
+  (sources/whisper.py `on_error`): ``skip`` drops them, ``keep`` emits
+  them with typed columns null + the raw line in ``_corrupt``, ``fail``
+  aborts the job on the first bad record (FAILFAST).
+- Readers are thin over `spark.read.json/csv` — Spark's native sources
+  are distributed, splittable (uncompressed / bzip2), and push column
+  pruning; there is nothing to hand-roll.
+
+Scale: one narrow scan per read; corrupt handling is per-record inside
+the scan (PERMISSIVE mode), no extra pass. `write_jsonl` round-trips
+through the same schema so ingest → engine → export is lossless for the
+supported types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CORRUPT = "_corrupt"
+
+
+def _validated(on_error: str) -> str:
+    if on_error not in ("skip", "keep", "fail"):
+        raise ValueError(f"on_error must be skip|keep|fail, got {on_error!r}")
+    return on_error
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Read newline-delimited JSON with an explicit DDL *schema*.
+
+    ``skip``: malformed lines are dropped (a well-formed row must parse
+    every declared column type). ``keep``: malformed lines survive with
+    nulls + the raw text in ``_corrupt``. ``fail``: FAILFAST.
+    """
+    mode = {"skip": "PERMISSIVE", "keep": "PERMISSIVE", "fail": "FAILFAST"}[
+        _validated(on_error)
+    ]
+    full_schema = schema + f", {_CORRUPT} string" if on_error != "fail" else schema
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+    )
+    if on_error == "skip":
+        return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    on_error: str = "skip",
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Read CSV with an explicit DDL *schema*; same tolerance contract
+    as :func:`read_jsonl` (a row with the wrong arity or an uncastable
+    cell is malformed)."""
+    mode = {"skip": "PERMISSIVE", "keep": "PERMISSIVE", "fail": "FAILFAST"}[
+        _validated(on_error)
+    ]
+    full_schema = schema + f", {_CORRUPT} string" if on_error != "fail" else schema
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+    if on_error == "skip":
+        return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    return df
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Export as newline-delimited JSON (the interchange format every
+    downstream tokenizer/trainer toolchain reads)."""
+    df.write.mode(mode).json(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
