@@ -1,0 +1,118 @@
+"""Graphite render-API function family (functions/graphite.py) vs
+hand-computed expectations on small series."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.functions import graphite as g
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = []
+    # two counters: web.host1.requests at 10s step, web.host2.requests
+    # with a gap and a counter reset
+    for i, v in enumerate([100.0, 110.0, 140.0, 150.0]):
+        rows.append(("web.host1.requests", i * 10, v))
+    for t, v in [(0, 50.0), (10, 80.0), (30, 10.0), (40, 15.0)]:
+        rows.append(("web.host2.requests", t, v))
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double")
+    return df.select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+
+
+def _vals(df, metric):
+    rows = [r for r in df.collect() if r["metric"] == metric]
+    return [r["value"] for r in sorted(rows, key=lambda r: r["timestamp"])]
+
+
+def test_derivative_and_non_negative(series):
+    assert _vals(g.derivative(series), "web.host1.requests") == [None, 10.0, 30.0, 10.0]
+    # host2: 80-50=30, 10-80=-70 (reset), 15-10=5
+    assert _vals(g.derivative(series), "web.host2.requests") == [None, 30.0, -70.0, 5.0]
+    assert _vals(g.non_negative_derivative(series), "web.host2.requests") == [
+        None, 30.0, None, 5.0,
+    ]
+
+
+def test_per_second_uses_elapsed_time(series):
+    # host2 gap: 10 -> 30 is 20 s; reset delta negative -> null
+    assert _vals(g.per_second(series), "web.host2.requests") == [None, 3.0, None, 0.5]
+    assert _vals(g.per_second(series), "web.host1.requests") == [None, 1.0, 3.0, 1.0]
+
+
+def test_integral_scale_offset_absolute(series):
+    assert _vals(g.integral(series), "web.host1.requests") == [100.0, 210.0, 350.0, 500.0]
+    assert _vals(g.scale(series, 2.0), "web.host2.requests") == [100.0, 160.0, 20.0, 30.0]
+    assert _vals(g.offset(series, -50.0), "web.host2.requests") == [0.0, 30.0, -40.0, -35.0]
+    assert _vals(g.absolute(g.offset(series, -50.0)), "web.host2.requests") == [
+        0.0, 30.0, 40.0, 35.0,
+    ]
+
+
+def test_clamp_nulls_outside_range(series):
+    got = _vals(g.clamp(series, lo=20.0, hi=100.0), "web.host2.requests")
+    assert got == [50.0, 80.0, None, None]  # 10 and 15 below lo
+
+
+def test_moving_average_points(series):
+    assert _vals(g.moving_average_points(series, 2), "web.host1.requests") == [
+        100.0, 105.0, 125.0, 145.0,
+    ]
+    with pytest.raises(ValueError):
+        g.moving_average_points(series, 0)
+
+
+def test_keep_last_value_with_limit(spark):
+    rows = [("m", t, v) for t, v in
+            [(0, 1.0), (10, None), (20, None), (30, None), (40, 5.0)]]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    assert _vals(g.keep_last_value(df), "m") == [1.0, 1.0, 1.0, 1.0, 5.0]
+    assert _vals(g.keep_last_value(df, limit=2), "m") == [1.0, 1.0, 1.0, None, 5.0]
+
+
+def test_time_shift(series):
+    shifted = g.time_shift(series, 60)
+    t0 = sorted(
+        r["timestamp"] for r in shifted.collect() if r["metric"] == "web.host1.requests"
+    )[0]
+    import datetime
+
+    assert t0 == datetime.datetime(1970, 1, 1, 0, 1, 0)
+
+
+def test_group_by_node_and_sum_series(series):
+    byhost = g.group_by_node(series, 1, "sum")
+    got = {(r["metric"], r["timestamp"].second + 60 * r["timestamp"].minute): r["value"]
+           for r in byhost.collect()}
+    assert got[("host1", 0)] == 100.0 and got[("host2", 0)] == 50.0
+    # node 2 groups BOTH series -> pointwise sums at shared timestamps
+    byname = g.group_by_node(series, 2, "sum")
+    vals = {r["timestamp"].second + 60 * r["timestamp"].minute: r["value"]
+            for r in byname.collect() if r["metric"] == "requests"}
+    assert vals[0] == 150.0 and vals[10] == 190.0 and vals[20] == 140.0
+    assert vals[30] == 160.0 and vals[40] == 15.0
+
+    total = g.sum_series(series)
+    srows = {r["timestamp"].second + 60 * r["timestamp"].minute: r["value"]
+             for r in total.collect()}
+    assert srows[0] == 150.0 and srows[40] == 15.0
+    assert all(r["metric"] == "sumSeries" for r in total.collect())
+
+    avg = g.average_series(series)
+    arows = {r["timestamp"].second + 60 * r["timestamp"].minute: r["value"]
+             for r in avg.collect()}
+    assert arows[0] == 75.0 and arows[20] == 140.0
+
+    with pytest.raises(ValueError):
+        g.group_by_node(series, 1, "median")
+
+
+def test_alias_by_node(series):
+    a = g.alias_by_node(series, 1)
+    assert {r["metric"] for r in a.collect()} == {"host1", "host2"}

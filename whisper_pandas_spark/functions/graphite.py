@@ -1,0 +1,205 @@
+"""Graphite render-API series functions over the whisper-source schema.
+
+The reference (whisper_pandas.py) stops at decoding `.wsp` files; the
+queries its users actually run live in graphite-web's render API
+(`derivative`, `perSecond`, `sumSeries`, `groupByNode`, ...; public
+docs: https://graphite.readthedocs.io/en/latest/functions.html). This
+module re-expresses that function family over the engine's scan schema
+``(metric, archive, timestamp, value)`` so a Graphite user can port
+render expressions 1:1.
+
+Two shapes, both scale-safe:
+
+- **per-series transforms** (derivative / perSecond / integral /
+  movingAverage / keepLastValue / timeShift / scale / offset /
+  absolute): one window partitioned by ``metric`` — series are the
+  parallelism unit, so a million series spread over executors and the
+  window never sees more than one series' points. (A single monster
+  series is the known window-skew case; the as-of join's bucketing
+  trick applies if one ever matters.)
+- **cross-series aggregations** (sumSeries / averageSeries /
+  groupByNode): one shuffle on (group, timestamp) with partial
+  aggregation — the same single-exchange shape as the rollup family.
+
+Everything is built-in expressions — no Python in any path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_METRIC, _TS, _VAL = "metric", "timestamp", "value"
+
+
+def _series_window() -> Window:
+    return Window.partitionBy(_METRIC).orderBy(_TS)
+
+
+def _with_value(df: DataFrame, col: Column) -> DataFrame:
+    return df.withColumn(_VAL, col)
+
+
+# -- pointwise ------------------------------------------------------------
+
+
+def scale(df: DataFrame, factor: float) -> DataFrame:
+    """graphite ``scale(series, factor)``."""
+    return _with_value(df, F.col(_VAL) * F.lit(float(factor)))
+
+
+def offset(df: DataFrame, amount: float) -> DataFrame:
+    """graphite ``offset(series, amount)``."""
+    return _with_value(df, F.col(_VAL) + F.lit(float(amount)))
+
+
+def absolute(df: DataFrame) -> DataFrame:
+    """graphite ``absolute(series)``."""
+    return _with_value(df, F.abs(F.col(_VAL)))
+
+
+def clamp(df: DataFrame, lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """graphite ``minimumAbove``/``maximumBelow`` family as a clamp:
+    values outside [lo, hi] become null (Graphite's None)."""
+    v = F.col(_VAL)
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & (v >= F.lit(float(lo)))
+    if hi is not None:
+        keep = keep & (v <= F.lit(float(hi)))
+    return _with_value(df, F.when(keep, v))
+
+
+def time_shift(df: DataFrame, seconds: int) -> DataFrame:
+    """graphite ``timeShift(series, '+Ns')`` — move points in time."""
+    return df.withColumn(
+        _TS, F.timestamp_seconds(F.unix_timestamp(F.col(_TS)) + F.lit(int(seconds)))
+    )
+
+
+# -- per-series windows ---------------------------------------------------
+
+
+def derivative(df: DataFrame) -> DataFrame:
+    """graphite ``derivative(series)``: point-to-point delta; the first
+    point of each series is null (no predecessor)."""
+    w = _series_window()
+    return _with_value(df, F.col(_VAL) - F.lag(_VAL).over(w))
+
+
+def non_negative_derivative(df: DataFrame) -> DataFrame:
+    """graphite ``nonNegativeDerivative``: like derivative but a negative
+    delta (counter reset/wrap) yields null instead of a bogus spike."""
+    w = _series_window()
+    d = F.col(_VAL) - F.lag(_VAL).over(w)
+    return _with_value(df, F.when(d >= 0, d))
+
+
+def per_second(df: DataFrame) -> DataFrame:
+    """graphite ``perSecond``: non-negative delta divided by the actual
+    seconds between points (robust to gaps — Graphite divides by step;
+    with jitter/gaps the elapsed-time divisor is the meaningful rate)."""
+    w = _series_window()
+    dv = F.col(_VAL) - F.lag(_VAL).over(w)
+    dt = F.unix_timestamp(F.col(_TS)) - F.unix_timestamp(F.lag(_TS).over(w))
+    return _with_value(df, F.when((dv >= 0) & (dt > 0), dv / dt))
+
+
+def integral(df: DataFrame) -> DataFrame:
+    """graphite ``integral(series)``: running sum (nulls contribute 0
+    but keep their slot, matching Graphite)."""
+    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    return _with_value(df, F.sum(_VAL).over(w))
+
+
+def moving_average_points(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``movingAverage(series, N)`` (N points, trailing):
+    average of the last N points including the current one. The first
+    N-1 points average what exists so far (Graphite emits None until the
+    window fills when xFilesFactor demands it; the permissive form here
+    matches the default)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = _series_window().rowsBetween(-(n - 1), 0)
+    return _with_value(df, F.avg(_VAL).over(w))
+
+
+def keep_last_value(df: DataFrame, limit: int | None = None) -> DataFrame:
+    """graphite ``keepLastValue(series)``: forward-fill nulls with the
+    last seen value. *limit* bounds how many consecutive slots may be
+    filled (beyond it the gap stays null, like Graphite's limit arg)."""
+    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    filled = F.last(_VAL, ignorenulls=True).over(w)
+    if limit is None:
+        return _with_value(df, filled)
+    # distance to the last non-null slot: row_number - max(row_number where value present)
+    rn = F.row_number().over(_series_window())
+    last_present = F.max(F.when(F.col(_VAL).isNotNull(), rn)).over(w)
+    gap = rn - last_present
+    return (
+        df.withColumn("__rn", rn)
+        .withColumn("__gap", gap)
+        .withColumn(
+            _VAL,
+            F.when(F.col(_VAL).isNotNull(), F.col(_VAL)).when(
+                F.col("__gap") <= limit, filled
+            ),
+        )
+        .drop("__rn", "__gap")
+    )
+
+
+# -- cross-series aggregation --------------------------------------------
+
+
+def _node(idx: int) -> Column:
+    # graphite node = dot-separated path component
+    return F.split(F.col(_METRIC), r"\.").getItem(idx)
+
+
+_AGGS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def group_by_node(df: DataFrame, node_idx: int, agg: str = "sum") -> DataFrame:
+    """graphite ``groupByNode(series, N, 'sum')``: group series whose
+    metric path shares node N, aggregate pointwise per timestamp.
+
+    Output keeps the whisper-source shape: (metric=node, timestamp,
+    value) — one exchange on (node, timestamp), partial agg map-side.
+    """
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
+    return (
+        df.groupBy(_node(node_idx).alias(_METRIC), F.col(_TS))
+        .agg(_AGGS[agg](_VAL).alias(_VAL))
+    )
+
+
+def sum_series(df: DataFrame, name: str = "sumSeries") -> DataFrame:
+    """graphite ``sumSeries(seriesList)`` — pointwise sum of ALL series."""
+    return (
+        df.groupBy(F.col(_TS))
+        .agg(F.sum(_VAL).alias(_VAL))
+        .select(F.lit(name).alias(_METRIC), _TS, _VAL)
+    )
+
+
+def average_series(df: DataFrame, name: str = "averageSeries") -> DataFrame:
+    """graphite ``averageSeries(seriesList)``."""
+    return (
+        df.groupBy(F.col(_TS))
+        .agg(F.avg(_VAL).alias(_VAL))
+        .select(F.lit(name).alias(_METRIC), _TS, _VAL)
+    )
+
+
+def alias_by_node(df: DataFrame, node_idx: int) -> DataFrame:
+    """graphite ``aliasByNode(series, N)`` — rename each series to path
+    node N (no aggregation; collisions stay separate rows)."""
+    return df.withColumn(_METRIC, _node(node_idx))
