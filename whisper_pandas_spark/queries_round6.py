@@ -1,0 +1,243 @@
+"""STAGED registry entries for round 6 — implemented and DuckDB-proven
+now, registered later.
+
+The grading driver records ~50 entries per round (README: driver
+contract); round 5 already spends its ≤3-new-entry budget, so these
+five ship as a staging dict that `tests/test_round6_staged.py`
+value-checks against DuckDB TODAY. Round 6 promotes them with one line
+in `registry.py`:
+
+    from whisper_pandas_spark.queries_round6 import promote; promote()
+
+Entries:
+- graphite_per_second      render-function family over a rollup grid
+- graphite_group_by_node   cross-series pointwise aggregation by path node
+- ingest_jsonl_roundtrip   documents -> JSONL -> engine, lossless
+- snapshot_diff_keys       table_diff over deterministic mutations
+- sample_shuffle_epoch     deterministic training-order permutation
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.registry import _table
+
+STAGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {}
+
+
+def _staged(name: str, oracle: str):
+    def deco(fn):
+        STAGED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def promote() -> None:
+    """Register every staged entry in the live registry (round-6 hook)."""
+    from whisper_pandas_spark.registry import ORACLES, QUERIES
+
+    for name, (fn, oracle) in STAGED.items():
+        QUERIES[name] = fn
+        ORACLES[name] = oracle
+
+
+# -- graphite render functions over a rollup grid --------------------------
+
+_GRID = 600  # 10-minute buckets; coarse enough that every metric has gaps
+
+
+def _metric_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (metric, timestamp, value): dot-path metric per
+    event_type, value summed on a 10-min grid (unique ts per metric, so
+    window order is total and the oracle deterministic)."""
+    ev = _table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.concat(F.lit("app."), F.col("event_type"), F.lit(".value")).alias(
+                "metric"
+            ),
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / _GRID).cast("long") * _GRID
+            ).alias("timestamp"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("value"))
+    )
+
+
+_METRIC_SERIES_SQL = f"""
+  SELECT 'app.' || event_type || '.value' AS metric,
+         to_timestamp((floor(epoch(ts))::BIGINT // {_GRID}) * {_GRID})::TIMESTAMP AS timestamp,
+         round(sum(value), 6) AS value
+  FROM events GROUP BY 1, 2
+"""
+
+
+@_staged(
+    "graphite_per_second",
+    oracle=f"""
+WITH series AS ({_METRIC_SERIES_SQL}),
+deltas AS (
+  SELECT metric, timestamp, value,
+         value - lag(value) OVER w AS dv,
+         epoch(timestamp)::BIGINT - epoch(lag(timestamp) OVER w)::BIGINT AS dt
+  FROM series
+  WINDOW w AS (PARTITION BY metric ORDER BY timestamp)
+)
+SELECT metric, timestamp,
+       round(CASE WHEN dv >= 0 AND dt > 0 THEN dv / dt END, 6) AS rate
+FROM deltas ORDER BY metric, timestamp
+""",
+)
+def graphite_per_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10+: graphite ``perSecond`` over the rollup grid — counter-rate
+    semantics (negative delta -> null) with the elapsed-time divisor."""
+    from whisper_pandas_spark.functions.graphite import per_second
+
+    out = per_second(_metric_series(spark, sf_dir))
+    return out.select(
+        "metric", "timestamp", F.round("value", 6).alias("rate")
+    ).orderBy("metric", "timestamp")
+
+
+@_staged(
+    "graphite_group_by_node",
+    oracle=f"""
+WITH series AS ({_METRIC_SERIES_SQL})
+SELECT str_split(metric, '.')[2] AS metric_node, timestamp,
+       round(sum(value), 6) AS value
+FROM series GROUP BY 1, 2 ORDER BY metric_node, timestamp
+""",
+)
+def graphite_group_by_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10+: graphite ``groupByNode(series, 1, 'sum')`` — pointwise
+    cross-series aggregation keyed on a metric path component."""
+    from whisper_pandas_spark.functions.graphite import group_by_node
+
+    out = group_by_node(_metric_series(spark, sf_dir), 1, "sum")
+    return out.select(
+        F.col("metric").alias("metric_node"),
+        "timestamp",
+        F.round("value", 6).alias("value"),
+    ).orderBy("metric_node", "timestamp")
+
+
+# -- JSONL ingest round trip ----------------------------------------------
+
+
+@_staged(
+    "ingest_jsonl_roundtrip",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id
+""",
+)
+def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+: documents -> JSONL export -> tolerant explicit-schema read.
+    Losslessness IS the assertion: the oracle reads the original parquet,
+    so any encode/decode drift (quoting, unicode, nulls) hash-fails."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from whisper_pandas_spark.sources.ingest import read_jsonl, write_jsonl
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = Path(tempfile.gettempdir()) / f"wps_jsonl_{tag}"
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_jsonl(docs, str(out))
+    back = read_jsonl(
+        spark,
+        str(out),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.orderBy("doc_id")
+
+
+# -- snapshot diff ---------------------------------------------------------
+
+
+@_staged(
+    "snapshot_diff_keys",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, text FROM documents
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN text || '!' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 5
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'fresh doc ' || doc_id AS text
+  FROM documents WHERE doc_id < 3
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS key,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+WHERE old.doc_id IS NULL OR new.doc_id IS NULL OR old.text <> new.text
+ORDER BY key
+""",
+)
+def snapshot_diff_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y20: table_diff between the documents snapshot and a
+    deterministically mutated successor (edits at doc_id%31, deletes at
+    doc_id%97==5, three added docs)."""
+    from whisper_pandas_spark.operators.diffing import table_diff
+
+    old = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _table(spark, sf_dir, "documents")
+    new = (
+        base.filter(F.col("doc_id") % 97 != 5)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit("!"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") < 3).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.lit("fresh doc "), F.col("doc_id").cast("string")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    return table_diff(old, new, "doc_id").orderBy("key")
+
+
+# -- deterministic epoch shuffle -------------------------------------------
+
+
+@_staged(
+    "sample_shuffle_epoch",
+    oracle="""
+SELECT row_number() OVER (
+         ORDER BY ('0x' || substr(md5('3:' || doc_id), 1, 8))::BIGINT, doc_id
+       ) AS pos,
+       doc_id
+FROM documents ORDER BY pos
+""",
+)
+def sample_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y19: the epoch-3 training permutation of documents — position is
+    a pure function of (doc_id, seed), reproducible on any engine."""
+    from whisper_pandas_spark.operators.sampling import (
+        deterministic_shuffle,
+        hash_bucket,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    shuffled = deterministic_shuffle(docs, "doc_id", seed=3)
+    w = Window.orderBy(hash_bucket(F.col("doc_id"), 3), F.col("doc_id"))
+    return shuffled.select(
+        F.row_number().over(w).alias("pos"), "doc_id"
+    ).orderBy("pos")
