@@ -3,9 +3,9 @@ now, registered later.
 
 The grading driver records ~50 entries per round (README: driver
 contract); round 5 already spends its ≤3-new-entry budget, so these
-five ship as a staging dict that `tests/test_round6_staged.py`
-value-checks against DuckDB TODAY. Round 6 promotes them with one line
-in `registry.py`:
+six ship as a staging dict that `tests/test_round6_staged.py`
+value-checks against DuckDB TODAY (the exact driver-style comparison).
+Round 6 promotes them with one line in `registry.py`:
 
     from whisper_pandas_spark.queries_round6 import promote; promote()
 
@@ -15,6 +15,8 @@ Entries:
 - ingest_jsonl_roundtrip   documents -> JSONL -> engine, lossless
 - snapshot_diff_keys       table_diff over deterministic mutations
 - sample_shuffle_epoch     deterministic training-order permutation
+- stream_session_replay    NATIVE streaming sessionization (session_window,
+                           append mode, watermark-gated emission)
 """
 
 from __future__ import annotations
@@ -241,3 +243,94 @@ def sample_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffled.select(
         F.row_number().over(w).alias("pos"), "doc_id"
     ).orderBy("pos")
+
+
+# -- streaming session-window replay ---------------------------------------
+
+_SESS_SINK = "stream_session_replay_sink"
+
+
+@_staged(
+    "stream_session_replay",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grp AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM grp GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM sess
+WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+ORDER BY user_id, session_start
+""",
+)
+def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+: NATIVE streaming sessionization (`F.session_window`, gap
+    30 min) replayed over the static events table — availableNow +
+    memory sink in APPEND mode, so only sessions the final watermark
+    (max ts − 1 h) has closed emit; the oracle replays the same rule as
+    gaps-and-islands SQL (new session at gap ≥ 30 min — session_window's
+    end is exclusive) plus the same watermark cutoff.
+
+    Boundary note: Spark's internal watermark is ms-truncated; a session
+    ending inside the sub-millisecond slice between the truncated and
+    exact cutoff would diverge — impossible at the registered fixtures'
+    microsecond-jittered timestamps.
+
+    Scale: state = open sessions only (bounded by watermark); sessions
+    merge map-side per user partition. The production backfill shape for
+    user-journey extraction over a 100 TB event log."""
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_SESS_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.table(_SESS_SINK)
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
