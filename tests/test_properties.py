@@ -447,11 +447,18 @@ def test_wav_roundtrip_property(n, channels, seed):
 
 
 @settings(max_examples=60, deadline=None)
-@given(st.binary(max_size=400))
-def test_codec_fuzz_never_crashes_unexpectedly(data):
-    """Arbitrary bytes must yield a decoded image, CodecError, or the
-    JPEG NotImplementedError — never any other exception (the tolerant
-    Arrow passes rely on this contract to skip rows safely)."""
+@given(
+    st.sampled_from(
+        [b"", b"\x89PNG\r\n\x1a\n", b"BM", b"P5 ", b"P6\n", b"RIFF", b"\xff\xd8\xff"]
+    ),
+    st.binary(max_size=400),
+)
+def test_codec_fuzz_never_crashes_unexpectedly(prefix, data):
+    """Arbitrary bytes — including each codec's magic prefix, so every
+    decoder branch gets fuzzed past its dispatch check — must yield a
+    decoded result, CodecError, or the JPEG NotImplementedError; never
+    any other exception (the tolerant Arrow passes rely on this contract
+    to skip rows safely)."""
     from whisper_pandas_spark.functions.codecs import (
         CodecError,
         decode_image,
@@ -460,6 +467,6 @@ def test_codec_fuzz_never_crashes_unexpectedly(data):
 
     for fn in (decode_image, decode_wav):
         try:
-            fn(data)
+            fn(prefix + data)
         except (CodecError, NotImplementedError):
             pass

@@ -88,12 +88,18 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             f"interlace={interlace}); only 8-bit non-interlaced supported"
         )
     nch = _CHANNELS[color_type]
+    stride = w * nch
+    expected = h * (stride + 1)
+    if expected > 1 << 31:
+        raise CodecError("image dimensions exceed decoder limit")
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a malicious tiny IDAT cannot expand past the
+        # declared geometry (+1 byte to detect overrun as a mismatch)
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:  # pragma: no cover - corrupt stream
         raise CodecError(f"bad IDAT stream: {exc}") from exc
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected or d.unconsumed_tail:
         raise CodecError("IDAT size mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
@@ -133,7 +139,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if color_type == 3:
         if palette is None:
             raise CodecError("palette image without PLTE")
-        img = palette[img[:, :, 0]]
+        idx = img[:, :, 0]
+        if idx.size and int(idx.max()) >= len(palette):
+            raise CodecError("palette index out of range")
+        img = palette[idx]
         nch = 3
     return h, w, nch, img
 
@@ -206,6 +215,8 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
     ncolors_field = struct.unpack_from("<I", data, 46)[0]
     ncolors = ncolors_field or 256
     pal_off = 14 + hdr_size
+    if ncolors > 256 or pal_off + ncolors * 4 > len(data):
+        raise CodecError("palette table out of bounds")
     pal = np.frombuffer(
         data, dtype=np.uint8, count=ncolors * 4, offset=pal_off
     ).reshape(ncolors, 4)[:, :3][:, ::-1]  # BGRA -> RGB
@@ -242,7 +253,10 @@ def decode_pnm(data: bytes) -> tuple[int, int, int, np.ndarray]:
             start = pos
             while pos < len(data) and not data[pos : pos + 1].isspace():
                 pos += 1
-            fields.append(int(data[start:pos]))
+            tok = data[start:pos]
+            if not tok.isdigit():
+                raise CodecError(f"non-numeric PNM header token {tok!r}")
+            fields.append(int(tok))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = fields
     if maxval > 255:
