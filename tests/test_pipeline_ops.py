@@ -321,3 +321,43 @@ def test_table_diff_null_vs_empty_string_distinct(spark):
     new = spark.createDataFrame([(1, "")], "k long, s string")
     got = [(r["key"], r["change"]) for r in table_diff(old, new, "k").collect()]
     assert got == [(1, "changed")]
+
+
+def test_bigram_lm_score_matches_python_reference(spark):
+    """bigram_lm_score vs an independent add-one bigram LM in plain
+    Python (own tokenizer, own counts) on a small corpus."""
+    import math
+    import re
+    from collections import Counter
+
+    from whisper_pandas_spark.operators.lm import bigram_lm_score
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat sat",
+        2: "dogs chase the cat",
+        3: "zzz",              # single token -> no bigrams
+        4: "the cat sat on the mat again and again",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_score(df).collect()}
+
+    def toks(s):
+        return [t for t in re.sub(r"[^a-z0-9]+", " ", s.lower()).strip().split(" ")]
+
+    bigrams = lambda ts: list(zip(ts, ts[1:]))
+    allbi = Counter(b for s in texts.values() for b in bigrams(toks(s)))
+    c1 = Counter(b[0] for s in texts.values() for b in bigrams(toks(s)))
+    vocab = len({w for s in texts.values() for w in toks(s)})
+    for i, s in texts.items():
+        bs = bigrams(toks(s))
+        assert got[i]["n_bigrams"] == len(bs)
+        if not bs:
+            assert got[i]["lm_score"] is None
+            continue
+        want = sum(
+            math.log((allbi[b] + 1) / (c1[b[0]] + vocab)) for b in bs
+        ) / len(bs)
+        assert got[i]["lm_score"] == pytest.approx(want, abs=1e-6)
+    # docs repeating corpus-typical bigrams score higher than outliers
+    assert got[0]["lm_score"] > got[2]["lm_score"]

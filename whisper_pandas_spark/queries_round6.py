@@ -17,6 +17,7 @@ Entries:
 - sample_shuffle_epoch     deterministic training-order permutation
 - stream_session_replay    NATIVE streaming sessionization (session_window,
                            append mode, watermark-gated emission)
+- text_lm_bigram_score     add-one bigram LM corpus-typicality scoring
 """
 
 from __future__ import annotations
@@ -231,7 +232,14 @@ FROM documents ORDER BY pos
 )
 def sample_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Y19: the epoch-3 training permutation of documents — position is
-    a pure function of (doc_id, seed), reproducible on any engine."""
+    a pure function of (doc_id, seed), reproducible on any engine.
+
+    The materialized ``pos`` column (global row_number) exists for the
+    oracle comparison only — it funnels rows through one window
+    partition and would NOT be the 100 TB shape. Production epoch
+    shuffling is `deterministic_shuffle` alone: a range-partitioned
+    SORT whose output order IS the permutation; shard files inherit it
+    without any global rank being materialized."""
     from whisper_pandas_spark.operators.sampling import (
         deterministic_shuffle,
         hash_bucket,
@@ -334,3 +342,51 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# -- bigram LM quality scoring ---------------------------------------------
+
+_DUCK_TOKS_LM = (
+    "regexp_split_to_array(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+
+
+@_staged(
+    "text_lm_bigram_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS_LM} AS t FROM documents
+), big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+), vocab AS (
+  SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)
+), scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(
+           (sum(CAST(ln((c12 + 1.0) / (c1 + v)) AS DECIMAL(38,12)))::DOUBLE)
+           / count(*), 6) AS lm_score
+  FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+  GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       coalesce(scored.n_bigrams, 0) AS n_bigrams,
+       scored.lm_score
+FROM toks LEFT JOIN scored ON toks.doc_id = scored.doc_id
+ORDER BY toks.doc_id
+""",
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: add-one bigram LM self-scoring (operators/lm.py) — the
+    CCNet-style corpus-typicality signal as pure relational algebra.
+    DECIMAL(38,12) log-prob fold -> partition-order-independent scores;
+    the oracle replays the identical counts, smoothing, and fold."""
+    from whisper_pandas_spark.operators.lm import bigram_lm_score
+
+    docs = _table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, "doc_id", "text").orderBy("doc_id")
