@@ -87,3 +87,30 @@ def test_csv_skip_and_roundtrip(spark, tmp_path):
     write_csv(src, out)
     back = read_csv(spark, out, SCHEMA)
     assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_write_sharded_caps_rows_and_preserves_order(spark, tmp_path):
+    from whisper_pandas_spark.sources.ingest import write_sharded
+
+    df = spark.range(1000).withColumnRenamed("id", "k").repartition(3)
+    out = str(tmp_path / "shards")
+    manifest = write_sharded(df, out, rows_per_shard=120, order_col="k").collect()
+    assert sum(r["n_rows"] for r in manifest) == 1000
+    assert all(r["n_rows"] <= 120 for r in manifest)
+    assert len(manifest) >= 9  # ceil(1000/120) at minimum
+
+    # global order survives into the shard layout: per-file (min, max)
+    # ranges must not interleave
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(out)
+    ranges = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # contents are exactly the input
+    assert back.count() == 1000 and back.agg(F.sum("k")).collect()[0][0] == 499500

@@ -100,3 +100,44 @@ def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
 ) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_col: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Export as size-bounded parquet shards for training consumption
+    and return a shard manifest (shard_path, n_rows).
+
+    - ``rows_per_shard`` caps each output file (Spark's
+      ``maxRecordsPerFile`` splits a task's output as it exceeds the
+      cap) — trainers get uniform shards regardless of upstream
+      partition sizes;
+    - ``order_col`` range-partitions + sorts first, so global order
+      (e.g. a `deterministic_shuffle` epoch permutation) survives into
+      the shard layout: shard N's rows all precede shard N+1's.
+
+    The manifest is derived by re-scanning the output with
+    ``input_file_name`` — shard accounting a resume/verify step can
+    trust because it reflects what is actually on disk.
+
+    Scale: one range exchange (only when ordering) + the write; the
+    manifest scan reads footer-only row counts per file.
+    """
+    w = df
+    if order_col is not None:
+        w = w.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
+    (
+        w.write.mode(mode)
+        .option("maxRecordsPerFile", int(rows_per_shard))
+        .parquet(path)
+    )
+    out = w.sparkSession.read.parquet(path)
+    return (
+        out.groupBy(F.input_file_name().alias("shard_path"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("shard_path")
+    )
