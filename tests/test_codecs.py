@@ -283,3 +283,58 @@ def test_decode_audio_stats(spark):
     assert got[1]["rms"] == pytest.approx(
         float(np.sqrt(np.mean(np.square(stereo.astype(np.float64)))))
     )
+
+
+def test_decode_stats_tolerate_null_payloads(spark):
+    """A NULL binary cell must follow the on_error contract, not
+    TypeError-crash the Arrow task."""
+    from whisper_pandas_spark.operators.multimodal import (
+        decode_audio_stats,
+        decode_image_stats,
+    )
+
+    img = encode_png(np.zeros((2, 2), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(0, img), (1, None)], "doc_id long, payload binary"
+    )
+    assert [r["doc_id"] for r in decode_image_stats(df, "doc_id").collect()] == [0]
+    nulled = {r["doc_id"]: r for r in
+              decode_image_stats(df, "doc_id", on_error="null").collect()}
+    assert nulled[1]["px_md5"] is None
+    wav = encode_wav(np.zeros(10, dtype=np.int16))
+    adf = spark.createDataFrame(
+        [(0, wav), (1, None)], "doc_id long, payload binary"
+    )
+    assert [r["doc_id"] for r in decode_audio_stats(adf, "doc_id").collect()] == [0]
+
+
+def test_codecs_reject_review_payloads():
+    """The hostile payloads the round-5 review found escaping as
+    struct.error / bare ValueError must raise CodecError."""
+    import struct as _s
+
+    from whisper_pandas_spark.functions.codecs import decode_bmp, decode_png
+
+    # IHDR declaring a 5-byte body
+    short_ihdr = (
+        _PNG_MAGIC + _chunk(b"IHDR", b"\x00" * 5) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(CodecError):
+        decode_png(short_ihdr)
+    # PLTE not a multiple of 3
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad_plte = (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", b"\x00" * 4)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(CodecError):
+        decode_png(bad_plte)
+    # BMP with negative width
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    neg = bytearray(_bmp24(img))
+    _s.pack_into("<i", neg, 18, -2)
+    with pytest.raises(CodecError):
+        decode_bmp(bytes(neg))

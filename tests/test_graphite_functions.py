@@ -66,14 +66,36 @@ def test_moving_average_points(series):
         g.moving_average_points(series, 0)
 
 
-def test_keep_last_value_with_limit(spark):
-    rows = [("m", t, v) for t, v in
-            [(0, 1.0), (10, None), (20, None), (30, None), (40, 5.0)]]
-    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
-        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
-    )
+def _series_of(spark, vals):
+    rows = [("m", 10 * i, v) for i, v in enumerate(vals)]
+    return spark.createDataFrame(
+        rows, "metric string, epoch long, value double"
+    ).select("metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+
+
+def test_keep_last_value_whole_run_rule(spark):
+    """graphite-web fills a null run only when the ENTIRE run fits the
+    limit (backfilled on the next non-None; trailing runs included) —
+    a longer gap stays fully null, never partially filled."""
+    df = _series_of(spark, [1.0, None, None, None, 5.0])
     assert _vals(g.keep_last_value(df), "m") == [1.0, 1.0, 1.0, 1.0, 5.0]
-    assert _vals(g.keep_last_value(df, limit=2), "m") == [1.0, 1.0, 1.0, None, 5.0]
+    # 3-slot run > limit=2 -> untouched (graphite parity)
+    assert _vals(g.keep_last_value(df, limit=2), "m") == [1.0, None, None, None, 5.0]
+    assert _vals(g.keep_last_value(df, limit=3), "m") == [1.0, 1.0, 1.0, 1.0, 5.0]
+
+    # short interior run fills; long trailing run does not; short does
+    df2 = _series_of(spark, [1.0, None, 3.0, None, None])
+    assert _vals(g.keep_last_value(df2, limit=2), "m") == [1.0, 1.0, 3.0, 3.0, 3.0]
+    df3 = _series_of(spark, [1.0, None, 3.0, None, None, None])
+    assert _vals(g.keep_last_value(df3, limit=2), "m") == [1.0, 1.0, 3.0, None, None, None]
+    # leading nulls have no last value -> stay null
+    df4 = _series_of(spark, [None, 2.0])
+    assert _vals(g.keep_last_value(df4, limit=5), "m") == [None, 2.0]
+
+
+def test_integral_preserves_null_slots(spark):
+    df = _series_of(spark, [1.0, None, 2.0])
+    assert _vals(g.integral(df), "m") == [1.0, None, 3.0]
 
 
 def test_time_shift(series):

@@ -114,3 +114,20 @@ def test_write_sharded_caps_rows_and_preserves_order(spark, tmp_path):
         assert hi1 < lo2
     # contents are exactly the input
     assert back.count() == 1000 and back.agg(F.sum("k")).collect()[0][0] == 499500
+
+
+def test_skip_mode_count_works(spark, jsonl_dir, tmp_path):
+    """Regression: skip mode must survive aggressive column pruning —
+    the previous corrupt-column-filter implementation made .count()
+    raise (Spark disallows querying only the internal corrupt column);
+    DROPMALFORMED does not. The documented flip side: under a
+    zero-column count() only SYNTACTICALLY bad lines are dropped (no
+    columns are parsed, so no type mismatches can be detected) — the
+    count is an upper bound; reading the declared columns gives exact
+    semantics (4 vs 3 below)."""
+    df = read_jsonl(spark, jsonl_dir, SCHEMA)
+    assert df.count() == 4          # garbage line dropped; typecheck pruned away
+    assert len(df.collect()) == 3   # full-schema read: bad-typed line dropped too
+    p = tmp_path / "c.csv"
+    p.write_text("doc_id,text,score\n1,a,0.5\nbad,b,zzz\n")
+    assert len(read_csv(spark, str(p), SCHEMA).collect()) == 1

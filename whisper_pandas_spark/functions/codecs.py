@@ -70,10 +70,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if len(body) != length:
             raise CodecError("truncated chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise CodecError(f"IHDR must be 13 bytes, got {len(body)}")
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
         elif ctype == b"PLTE":
+            if not body or len(body) % 3:
+                raise CodecError(f"PLTE length {len(body)} not a multiple of 3")
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
@@ -200,6 +204,8 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise CodecError(f"{bpp}-bpp BMP unsupported (8/24 only)")
     flip = h_signed > 0  # positive height = bottom-up rows
     h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise CodecError(f"bad BMP dimensions {w}x{h_signed}")
     row_bytes = (w * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
     need = pix_off + row_bytes * h
     if len(data) < need:

@@ -106,10 +106,13 @@ def per_second(df: DataFrame) -> DataFrame:
 
 
 def integral(df: DataFrame) -> DataFrame:
-    """graphite ``integral(series)``: running sum (nulls contribute 0
-    but keep their slot, matching Graphite)."""
+    """graphite ``integral(series)``: running sum; a null slot stays
+    null (graphite-web preserves None — gaps remain visible) while
+    still contributing nothing to later sums."""
     w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
-    return _with_value(df, F.sum(_VAL).over(w))
+    return _with_value(
+        df, F.when(F.col(_VAL).isNotNull(), F.sum(_VAL).over(w))
+    )
 
 
 def moving_average_points(df: DataFrame, n: int) -> DataFrame:
@@ -125,27 +128,32 @@ def moving_average_points(df: DataFrame, n: int) -> DataFrame:
 
 
 def keep_last_value(df: DataFrame, limit: int | None = None) -> DataFrame:
-    """graphite ``keepLastValue(series)``: forward-fill nulls with the
-    last seen value. *limit* bounds how many consecutive slots may be
-    filled (beyond it the gap stays null, like Graphite's limit arg)."""
-    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
-    filled = F.last(_VAL, ignorenulls=True).over(w)
+    """graphite ``keepLastValue(series[, limit])``: forward-fill nulls
+    with the last seen value. graphite-web fills a null RUN only when
+    the ENTIRE run is <= *limit* slots (it backfills on reaching the
+    next non-None, and fills a trailing run the same way) — a longer
+    gap stays fully null, it is not partially filled."""
+    wp = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    filled = F.last(_VAL, ignorenulls=True).over(wp)
     if limit is None:
         return _with_value(df, filled)
-    # distance to the last non-null slot: row_number - max(row_number where value present)
     rn = F.row_number().over(_series_window())
-    last_present = F.max(F.when(F.col(_VAL).isNotNull(), rn)).over(w)
-    gap = rn - last_present
-    return (
-        df.withColumn("__rn", rn)
-        .withColumn("__gap", gap)
-        .withColumn(
-            _VAL,
-            F.when(F.col(_VAL).isNotNull(), F.col(_VAL)).when(
-                F.col("__gap") <= limit, filled
-            ),
+    last_present = F.max(F.when(F.col(_VAL).isNotNull(), rn)).over(wp)
+    wf = _series_window().rowsBetween(0, Window.unboundedFollowing)
+    next_present = F.min(F.when(F.col(_VAL).isNotNull(), rn)).over(wf)
+    n_rows = F.count(F.lit(1)).over(
+        Window.partitionBy(_METRIC).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
-        .drop("__rn", "__gap")
+    )
+    # whole-run length: bounded by the next non-null slot, or the series
+    # end for a trailing run (graphite fills those too)
+    run_len = F.coalesce(next_present - F.lit(1), n_rows) - last_present
+    return _with_value(
+        df,
+        F.when(F.col(_VAL).isNotNull(), F.col(_VAL)).when(
+            last_present.isNotNull() & (run_len <= limit), filled
+        ),
     )
 
 

@@ -196,6 +196,8 @@ def decode_image_stats(
             ids, hs, ws, chs, means, hashes = [], [], [], [], [], []
             for doc_id, p in zip(pdf["_id"], pdf["_payload"]):
                 try:
+                    if p is None:
+                        raise CodecError("null payload")
                     h, w, c, img = _dec(bytes(p))
                 except (CodecError, NotImplementedError):
                     if on_error == "fail":
@@ -264,6 +266,8 @@ def decode_audio_stats(
             }
             for doc_id, p in zip(pdf["_id"], pdf["_payload"]):
                 try:
+                    if p is None:
+                        raise CodecError("null payload")
                     rate, ch, samples = _dec(bytes(p))
                 except (CodecError, NotImplementedError):
                     if on_error == "fail":

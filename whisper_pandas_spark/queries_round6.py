@@ -301,19 +301,9 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state = open sessions only (bounded by watermark); sessions
     merge map-side per user partition. The production backfill shape for
     user-journey extraction over a 100 TB event log."""
-    from pyspark.sql.types import LongType
+    from whisper_pandas_spark.sources.tables import stream_events
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    sdf = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if isinstance(raw.schema["ts"].dataType, LongType):
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    sdf = stream_events(spark, sf_dir)
     out = (
         sdf.withWatermark("ts", "1 hour")
         .groupBy("user_id", F.session_window("ts", "30 minutes"))

@@ -44,26 +44,10 @@ def stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the static events table via availableNow + memory sink. Complete
     output mode re-emits all windows at end-of-replay (append mode would
     hold back windows the final watermark hasn't passed)."""
-    from pyspark.sql.types import LongType
-
+    from whisper_pandas_spark.sources.tables import stream_events
     from whisper_pandas_spark.streaming.rollup import streaming_rollup
 
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(path)
-    # The file stream source requires a DIRECTORY; narrow it to the one
-    # table file with a glob filter.
-    sdf = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # Same ts normalization as sources/tables.py (both driver layouts).
-    if isinstance(raw.schema["ts"].dataType, LongType):
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
-
+    sdf = stream_events(spark, sf_dir)
     out = streaming_rollup(
         sdf,
         _RES,
@@ -120,23 +104,11 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour. An inner join's result SET is order-independent, so the replay
     is deterministic and carries a plain SQL join oracle — the strongest
     correctness statement available for a stream-stream operator."""
-    from pyspark.sql.types import LongType
-
+    from whisper_pandas_spark.sources.tables import stream_events
     from whisper_pandas_spark.streaming.joins import stream_interval_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-
     def side(event_type: str, prefix: str) -> DataFrame:
-        sdf = (
-            spark.readStream.schema(raw.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        if isinstance(raw.schema["ts"].dataType, LongType):
-            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        else:
-            sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+        sdf = stream_events(spark, sf_dir)
         return sdf.filter(F.col("event_type") == event_type).select(
             "user_id",
             F.col("event_id").alias(f"{prefix}_id"),

@@ -43,23 +43,29 @@ def read_jsonl(
 ) -> DataFrame:
     """Read newline-delimited JSON with an explicit DDL *schema*.
 
-    ``skip``: malformed lines are dropped (a well-formed row must parse
-    every declared column type). ``keep``: malformed lines survive with
-    nulls + the raw text in ``_corrupt``. ``fail``: FAILFAST.
+    ``skip``: malformed lines are dropped (DROPMALFORMED — Spark
+    disallows filtering on the internal corrupt-record column when
+    pruning leaves it as the only referenced column, so skip must be
+    the source's own mode, not a filter). ``keep``: malformed lines
+    survive with nulls + the raw text in ``_corrupt``. ``fail``:
+    FAILFAST.
+
+    DROPMALFORMED caveat (Spark-documented): malformedness is judged
+    against the columns a query actually reads, so a pruned projection
+    can retain a row whose UNREAD columns are malformed. Select the
+    full declared schema (as every entry here does) for exact
+    semantics.
     """
-    mode = {"skip": "PERMISSIVE", "keep": "PERMISSIVE", "fail": "FAILFAST"}[
+    mode = {"skip": "DROPMALFORMED", "keep": "PERMISSIVE", "fail": "FAILFAST"}[
         _validated(on_error)
     ]
-    full_schema = schema + f", {_CORRUPT} string" if on_error != "fail" else schema
-    df = (
+    full_schema = schema + f", {_CORRUPT} string" if on_error == "keep" else schema
+    return (
         spark.read.schema(full_schema)
         .option("mode", mode)
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     )
-    if on_error == "skip":
-        return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    return df
 
 
 def read_csv(
@@ -71,13 +77,13 @@ def read_csv(
     sep: str = ",",
 ) -> DataFrame:
     """Read CSV with an explicit DDL *schema*; same tolerance contract
-    as :func:`read_jsonl` (a row with the wrong arity or an uncastable
-    cell is malformed)."""
-    mode = {"skip": "PERMISSIVE", "keep": "PERMISSIVE", "fail": "FAILFAST"}[
+    (and DROPMALFORMED pruning caveat) as :func:`read_jsonl` — a row
+    with the wrong arity or an uncastable cell is malformed."""
+    mode = {"skip": "DROPMALFORMED", "keep": "PERMISSIVE", "fail": "FAILFAST"}[
         _validated(on_error)
     ]
-    full_schema = schema + f", {_CORRUPT} string" if on_error != "fail" else schema
-    df = (
+    full_schema = schema + f", {_CORRUPT} string" if on_error == "keep" else schema
+    return (
         spark.read.schema(full_schema)
         .option("mode", mode)
         .option("columnNameOfCorruptRecord", _CORRUPT)
@@ -85,9 +91,6 @@ def read_csv(
         .option("sep", sep)
         .csv(path)
     )
-    if on_error == "skip":
-        return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    return df
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -65,3 +65,29 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as a file STREAM with the same ts normalization as
+    :func:`load_table` (both driver parquet layouts: TIMESTAMP_NANOS
+    stored as long, or a native timestamp column).
+
+    The single shared reader for every availableNow replay entry — the
+    driver's events layout is normalized in exactly one place, batch
+    (`load_table`) and stream (here).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file stream source requires a DIRECTORY; narrow it to the one
+    # table file with a glob filter
+    sdf = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
