@@ -84,7 +84,7 @@ def _whisper_fixture() -> str:
     return str(path)
 
 
-def _bench_whisper_scan(spark) -> float:
+def _bench_whisper_scan(spark) -> list[float]:
     """Full decode of the reference-geometry file + a per-archive aggregate
     (forces both timestamp and value columns through Arrow)."""
     from whisper_pandas_spark.sources.whisper import register_whisper
@@ -104,9 +104,10 @@ def _bench_whisper_scan(spark) -> float:
 
         build_wsp(str(tiny), archives=[(10, 16, 1.0)])
     spark.read.format("whisper").load(str(tiny)).count()
-    # best of N — the same steady-state protocol every other headline
-    # query uses (a capacity plan sizes on the repeated-read rate; the
-    # one-time Python DataSource spin-up is not the engine's scan cost)
+    # N timed reps (the caller records best + spread) — the same
+    # steady-state protocol every other headline query uses (a capacity
+    # plan sizes on the repeated-read rate; the one-time Python
+    # DataSource spin-up is not the engine's scan cost)
     times = []
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
         t0 = time.perf_counter()
@@ -152,7 +153,10 @@ def main() -> None:
         timings[name] = round(ts[0], 4)
         stats[name] = {
             "best": round(ts[0], 4),
-            "median": round(ts[len(ts) // 2], 4),
+            # true median: average the two middle elements for even N
+            "median": round(
+                (ts[(len(ts) - 1) // 2] + ts[len(ts) // 2]) / 2, 4
+            ),
             "max": round(ts[-1], 4),
         }
 

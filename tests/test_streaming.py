@@ -632,3 +632,48 @@ def test_stream_near_dup_replay_matches_batch(spark, sf_dir):
     batch = dedup_minhash_lsh(spark, sf_dir).collect()
     assert got1 == got2 == batch
     assert len(got1) > 0  # the corpus has planted near-dups at every sf
+
+
+def test_stream_offsets_never_regress_on_stale_overwrite(spark, tmp_path):
+    """A tracked file overwritten IN PLACE by an OLDER parseable copy
+    (stale rsync, half-restored backup) reports a regressed max_ts from
+    a successful peek — the mark must still floor at the committed
+    high-water mark, or every point in (stale, committed] re-emits when
+    the file catches back up."""
+    import os
+
+    from whisper_pandas_spark.sources.whisper_write import write_whisper
+    from whisper_pandas_spark.streaming.source import WhisperStreamReader
+
+    d = tmp_path / "tree"
+    base = 1_599_999_960
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [("srv.cpu", base + 10 * i, float(i)) for i in range(lo, hi)],
+            ["metric", "epoch", "value"],
+        ).select(
+            "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+        )
+
+    write_whisper(batch(0, 10), str(d), archives="10:200", merge=True)
+    opts = {"path": str(d), "base_dir": str(d), "on_error": "skip"}
+    reader = WhisperStreamReader(opts)
+    [f] = list(reader.latestOffset()["files"])
+    stale_bytes = open(f, "rb").read()  # snapshot at mark base+90
+
+    write_whisper(batch(10, 20), str(d), archives="10:200", merge=True)
+    off_new = reader.latestOffset()
+    mark = off_new["files"][f]
+    assert mark == base + 10 * 19
+    reader.commit(off_new)
+
+    # stale overwrite: parses fine, reports base+90 < committed mark
+    with open(f, "wb") as fh:
+        fh.write(stale_bytes)
+    os.utime(f, (1, 1))
+    off_stale = reader.latestOffset()
+    assert off_stale["files"][f] == mark  # floored, not regressed
+    assert all(
+        p.path == "" for p in reader.partitions(off_new, off_stale)
+    )  # nothing re-emits

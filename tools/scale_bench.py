@@ -47,7 +47,12 @@ def build_tree(n: int) -> list[Path]:
 def corrupt_scan(spark, files: list[Path]) -> None:
     """Clean scan vs same tree + an injected garbage-header member under
     on_error=skip: counts must match exactly, and throughput is reported
-    with the adaptive splitter active (no chunk_points option)."""
+    with the adaptive splitter active (no chunk_points option).
+
+    Cache note: the first clean scan warms the OS page cache, so BOTH
+    timed scans below run warm — the clean-vs-mixed comparison is
+    apples-to-apples, but neither number is comparable to the COLD
+    multi-file rows in BASELINE.md."""
     mb = sum(p.stat().st_size for p in files) / 1e6
     paths = [str(p) for p in files]
 
@@ -59,6 +64,15 @@ def corrupt_scan(spark, files: list[Path]) -> None:
         .collect()
     )
     clean_total = sum(r["count"] for r in clean)
+    # timed WARM clean scan — the baseline the mixed scan is compared to
+    t0 = time.perf_counter()
+    spark.read.format("whisper").load(paths).groupBy("archive").count().collect()
+    clean_dt = time.perf_counter() - t0
+    print(
+        f"clean scan (warm):   {len(files)} files           "
+        f"{mb:8.1f} MB  {clean_total:>10} points  "
+        f"{clean_dt:6.2f} s  {mb / clean_dt:6.0f} MB/s"
+    )
 
     bad = files[0].parent / "corrupt_member.wsp"
     bad.write_bytes(b"\x00\x02not-a-whisper-header" * 64)

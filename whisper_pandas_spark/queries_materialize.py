@@ -98,24 +98,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Whisper write -> scan round trip
 # ---------------------------------------------------------------------------
 
-RT_BASE = 1_599_999_960  # multiple of 60: coarse buckets align at slot 0
-RT_CAP = 5000  # per-metric point cap: bounds runtime + stays in retention
-RT_ARCHIVES = "10:8000,60:2000"  # fine span 50 000 s < both retentions
-RT_XFF = 0.5  # coarse slot kept iff >= 3 of its 6 expected fine slots
-
-# SQL CTE recomputing the exact points the writer stored, straight from
-# the `events` parquet — the shared oracle base for every entry that
-# reads the roundtrip tree (this module + queries_whisper.py).
-RT_PTS_CTE = f"""
-WITH ranked AS (
-  SELECT event_type AS metric, user_id,
-         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
-  FROM events
-), pts AS (
-  SELECT metric, {RT_BASE} + 10 * rn AS epoch,
-         CAST(user_id % 997 AS DOUBLE) AS value
-  FROM ranked WHERE rn <= {RT_CAP}
-)"""
+from whisper_pandas_spark.rt_fixture import (  # noqa: E402
+    RT_ARCHIVES,
+    RT_BASE,
+    RT_CAP,
+    RT_PTS_CTE,
+    RT_XFF,
+)
 
 _ROUNDTRIP_DIR: dict[str, str] = {}
 

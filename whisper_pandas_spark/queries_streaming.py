@@ -152,6 +152,8 @@ def stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doesn't import queries_dedup (registration order stays put). Parameter
 # parity with the batch entry is asserted in tests/test_streaming.py.
 _ND_NUM_PERM, _ND_BANDS, _ND_ROWS, _ND_JACCARD_T = 12, 4, 3, 0.8
+#: sf_dir -> materialized replay dir (cleared by reset_result_caches)
+_ND_REPLAY_DIR: dict[str, str] = {}
 
 
 @register(
@@ -172,13 +174,30 @@ def stream_near_dup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     emissions equals the batch lsh_pairs over the full corpus — the same
     full algorithm-replication oracle as dedup_minhash_lsh."""
     import os
+    import shutil
     import tempfile
 
     from whisper_pandas_spark.registry import _table
     from whisper_pandas_spark.streaming.dedup import stream_near_dup
 
+    # per-process result cache (same pattern as queries_dedup._PAIRS_CACHE
+    # / queries_materialize._ROUNDTRIP_DIR, cleared by
+    # registry.reset_result_caches) — without it every driver/oracle/test
+    # invocation leaves a full corpus copy + checkpoint under /tmp
+    cached = _ND_REPLAY_DIR.get(sf_dir)
+    if cached is not None and os.path.isdir(os.path.join(cached, "pairs")):
+        return (
+            spark.read.parquet(os.path.join(cached, "pairs"))
+            .select("doc_i", "doc_j", "jaccard")
+            .orderBy("doc_i", "doc_j")
+        )
+
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    stale = _ND_REPLAY_DIR.pop(sf_dir, None)
+    if stale is not None:
+        shutil.rmtree(stale, ignore_errors=True)
     base = tempfile.mkdtemp(prefix="wps_stream_neardup_")
+    _ND_REPLAY_DIR[sf_dir] = base
     src = os.path.join(base, "in")
     # 3 files -> 3 micro-batches under maxFilesPerTrigger=1: batch 2's
     # docs are deduped against batches 0-1 through the signature store

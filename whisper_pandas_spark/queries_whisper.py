@@ -18,13 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from whisper_pandas_spark.queries_materialize import (
-    RT_ARCHIVES,
-    RT_BASE,
-    RT_PTS_CTE,
-    _roundtrip_tree,
-)
 from whisper_pandas_spark.registry import register
+from whisper_pandas_spark.rt_fixture import RT_ARCHIVES, RT_BASE, RT_PTS_CTE
 
 # fetch window: archive 0 (retention 80 000 s) must cover now - from
 FETCH_FROM = RT_BASE + 10
@@ -53,6 +48,8 @@ def whisper_scan_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whisper_pandas_spark.sources.whisper import register_whisper
 
     register_whisper(spark)
+    from whisper_pandas_spark.queries_materialize import _roundtrip_tree
+
     d = _roundtrip_tree(spark, sf_dir)
     df = spark.read.format("whisper").option("base_dir", d).load(d)
     fine = df.filter(F.col("archive") == 0)
@@ -92,6 +89,8 @@ def whisper_meta_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked, not just counted."""
     from whisper_pandas_spark.sources.meta import archive_meta
 
+    from whisper_pandas_spark.queries_materialize import _roundtrip_tree
+
     d = _roundtrip_tree(spark, sf_dir)
     meta = archive_meta(spark, d)
     # basename only: the temp-dir prefix varies per process and would make
@@ -118,6 +117,8 @@ def whisper_fetch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the pushed-down decode window is value-checked end to end;
     plan/pushdown goldens stay in tests/test_whisper_source.py."""
     from whisper_pandas_spark.sources.fetch import fetch
+
+    from whisper_pandas_spark.queries_materialize import _roundtrip_tree
 
     d = _roundtrip_tree(spark, sf_dir)
     return (

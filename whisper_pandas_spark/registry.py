@@ -58,6 +58,13 @@ def reset_result_caches() -> None:
     if qm is not None:
         qm._ROUNDTRIP_DIR.clear()
         qm._BUCKETED_DONE.clear()
+    qs = mods.get("whisper_pandas_spark.queries_streaming")
+    if qs is not None:
+        import shutil
+
+        for d in qs._ND_REPLAY_DIR.values():
+            shutil.rmtree(d, ignore_errors=True)
+        qs._ND_REPLAY_DIR.clear()
 
 
 # Import side-effect modules that populate the registry. Kept at the bottom

@@ -128,17 +128,22 @@ class WhisperStreamReader(DataSourceStreamReader):
                     import sys
 
                     cached = self._peek.get(f)
-                    if cached is not None:
-                        marks[f] = cached[1]
-                    elif f in self._committed:
-                        marks[f] = self._committed[f]
+                    known = cached[1] if cached is not None else None
+                    if known is not None or f in self._committed:
+                        marks[f] = max(known or 0, self._committed.get(f, 0))
                     print(
                         f"whisper stream: skipping unreadable {f}: {exc}",
                         file=sys.stderr,
                     )
                     continue
                 raise
-            marks[f] = self._peek[f][1]
+            # floor at the committed mark even when the peek SUCCEEDS: a
+            # tracked file overwritten in place by an older copy (stale
+            # rsync, half-written restore) parses fine but reports a
+            # regressed max_ts — emitting from there would re-send every
+            # already-committed point in (peeked, committed]. The mark is
+            # a high-water mark; it never moves backwards.
+            marks[f] = max(self._peek[f][1], self._committed.get(f, 0))
         return {"files": marks}
 
     @staticmethod
