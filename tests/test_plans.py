@@ -219,3 +219,31 @@ def test_pii_redact_is_scan_shaped(spark):
     ]
     assert len(exchanges) <= 1, plan
     assert "HashAggregate" not in plan
+
+
+def test_staged_entries_have_scale_safe_plans(spark):
+    """Pin the staged round-6 entries' plan shapes BEFORE promotion:
+    per-series graphite windows must partition by metric (never a
+    global window over the raw series), and the LM scorer must stay
+    JVM-side with no cartesian product on two large sides."""
+    import re
+
+    from whisper_pandas_spark.queries_round6 import STAGED
+
+    def plan_of(name):
+        return formatted_plan(STAGED[name][0](spark, SF))
+
+    p = plan_of("graphite_per_second")
+    # the lag window runs partitioned: a partition-less Window over the
+    # full series table would single-thread 100 TB
+    assert re.search(r"Window .*metric", p) or "partitionBy" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = plan_of("text_lm_bigram_score")
+    assert "CartesianProduct" not in p  # only the broadcast 1-row vocab
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final for both counts
+
+    p = plan_of("snapshot_diff_keys")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
