@@ -138,3 +138,27 @@ def test_group_by_node_and_sum_series(series):
 def test_alias_by_node(series):
     a = g.alias_by_node(series, 1)
     assert {r["metric"] for r in a.collect()} == {"host1", "host2"}
+
+
+def test_non_negative_derivative_counter_wrap(spark):
+    """maxValue turns a counter wrap into the true rate: graphite-web
+    computes delta + maxValue + 1 for negative deltas."""
+    df = _series_of(spark, [250.0, 254.0, 2.0])  # 8-bit counter wraps at 255
+    assert _vals(g.non_negative_derivative(df), "m") == [None, 4.0, None]
+    got = _vals(g.non_negative_derivative(df, max_value=255), "m")
+    assert got == [None, 4.0, 4.0]  # 2 - 254 + 255 + 1 = 4
+
+
+def test_summarize_rebuckets_epoch_aligned(spark):
+    rows = [("a.x", t, v) for t, v in [(0, 1.0), (15, 2.0), (30, 4.0), (65, 8.0)]]
+    rows += [("a.y", 10, 100.0)]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    out = g.summarize(df, 30, "sum").collect()
+    got = {(r["metric"], r["timestamp"].minute * 60 + r["timestamp"].second): r["value"]
+           for r in out}
+    assert got == {("a.x", 0): 3.0, ("a.x", 30): 4.0, ("a.x", 60): 8.0, ("a.y", 0): 100.0}
+    assert _vals(g.summarize(df, 30, "max"), "a.x") == [2.0, 4.0, 8.0]
+    with pytest.raises(ValueError):
+        g.summarize(df, 30, "median")

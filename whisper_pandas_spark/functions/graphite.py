@@ -87,12 +87,24 @@ def derivative(df: DataFrame) -> DataFrame:
     return _with_value(df, F.col(_VAL) - F.lag(_VAL).over(w))
 
 
-def non_negative_derivative(df: DataFrame) -> DataFrame:
-    """graphite ``nonNegativeDerivative``: like derivative but a negative
-    delta (counter reset/wrap) yields null instead of a bogus spike."""
+def non_negative_derivative(
+    df: DataFrame, max_value: float | None = None
+) -> DataFrame:
+    """graphite ``nonNegativeDerivative(series[, maxValue])``: like
+    derivative but a negative delta (counter reset) yields null — or,
+    when *max_value* is given (the counter's wrap point, e.g. 2^32-1),
+    the wrap-corrected rate ``delta + maxValue + 1`` as graphite-web
+    computes for wrapping counters."""
     w = _series_window()
     d = F.col(_VAL) - F.lag(_VAL).over(w)
-    return _with_value(df, F.when(d >= 0, d))
+    if max_value is None:
+        return _with_value(df, F.when(d >= 0, d))
+    return _with_value(
+        df,
+        F.when(d >= 0, d).when(
+            d < 0, d + F.lit(float(max_value)) + F.lit(1.0)
+        ),
+    )
 
 
 def per_second(df: DataFrame) -> DataFrame:
@@ -204,6 +216,22 @@ def average_series(df: DataFrame, name: str = "averageSeries") -> DataFrame:
         df.groupBy(F.col(_TS))
         .agg(F.avg(_VAL).alias(_VAL))
         .select(F.lit(name).alias(_METRIC), _TS, _VAL)
+    )
+
+
+def summarize(df: DataFrame, interval_s: int, func: str = "sum") -> DataFrame:
+    """graphite ``summarize(series, 'Ns', 'sum')``: re-bucket each series
+    onto an *interval_s* grid (epoch-aligned, like Whisper slots) and
+    aggregate pointwise — the render-API face of the engine's rollup
+    family. One exchange on (metric, bucket), partial agg map-side."""
+    if func not in _AGGS:
+        raise ValueError(f"func must be one of {sorted(_AGGS)}, got {func!r}")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(_TS)) / interval_s).cast("long") * interval_s
+    )
+    return (
+        df.groupBy(F.col(_METRIC), bucket.alias(_TS))
+        .agg(_AGGS[func](_VAL).alias(_VAL))
     )
 
 
