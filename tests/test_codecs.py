@@ -218,8 +218,8 @@ def test_wav_roundtrip_16bit_stereo_and_8bit_rescale():
 
 
 def test_decode_image_stats_mixed_payloads(spark):
-    """PNG + BMP + PNM in one binary column; corrupt and JPEG rows are
-    skipped (on_error=skip), nulled (on_error=null), or fail the task."""
+    """PNG + BMP + PNM in one binary column; corrupt rows are skipped
+    (on_error=skip), nulled (on_error=null), or fail the task."""
     from whisper_pandas_spark.operators.multimodal import decode_image_stats
 
     rng = np.random.default_rng(21)
@@ -230,7 +230,7 @@ def test_decode_image_stats_mixed_payloads(spark):
         (0, encode_png(png)),
         (1, _bmp24(bmp)),
         (2, b"P5 7 2 255 " + gray.tobytes()),
-        (3, b"\xff\xd8\xff\xe0 jpeg"),       # unsupported codec
+        (3, b"\xff\xd8\xff\xe0 jpeg"),       # truncated JPEG
         (4, b"garbage bytes"),                # unrecognised
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")

@@ -27,21 +27,25 @@ def payloads(spark):
     return with_payload(df)
 
 
-def test_decode_image_real_png_and_jpeg_stub():
-    """decode_image is REAL for PNG (pure zlib+numpy); only entropy-coded
-    JPEG remains the NotImplementedError leaf."""
+def test_decode_image_real_png_and_jpeg():
+    """decode_image is REAL for PNG (pure zlib+numpy) AND baseline JPEG
+    (functions/jpeg.py); malformed payloads of either raise CodecError."""
     import numpy as np
 
     from whisper_pandas_spark.functions.codecs import CodecError, encode_png
+    from whisper_pandas_spark.functions.jpeg import encode_jpeg
 
     img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
     h, w, c, out = decode_image(encode_png(img))
     assert (h, w, c) == (2, 4, 3)
     assert (out == img).all()
+    h, w, c, out = decode_image(encode_jpeg(img, quality=100))
+    assert (h, w, c) == (2, 4, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
     with pytest.raises(CodecError):
-        decode_image(b"\x89PNG")  # truncated magic -> malformed, not stub
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jfif")
+        decode_image(b"\x89PNG")  # truncated magic -> malformed
+    with pytest.raises(CodecError):
+        decode_image(b"\xff\xd8\xff\xe0 jfif")  # truncated JPEG
 
 
 def test_binary_metadata_values(payloads):

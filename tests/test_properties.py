@@ -455,10 +455,10 @@ def test_wav_roundtrip_property(n, channels, seed):
 )
 def test_codec_fuzz_never_crashes_unexpectedly(prefix, data):
     """Arbitrary bytes — including each codec's magic prefix, so every
-    decoder branch gets fuzzed past its dispatch check — must yield a
-    decoded result, CodecError, or the JPEG NotImplementedError; never
-    any other exception (the tolerant Arrow passes rely on this contract
-    to skip rows safely)."""
+    decoder branch (PNG/BMP/PNM/JPEG/WAV) gets fuzzed past its dispatch
+    check — must yield a decoded result or CodecError; never any other
+    exception (the tolerant Arrow passes rely on this contract to skip
+    rows safely)."""
     from whisper_pandas_spark.functions.codecs import (
         CodecError,
         decode_image,

@@ -123,6 +123,40 @@ def main() -> None:
         f"{px/1e6/best:.0f} Mpx/s"
     )
 
+    # JPEG: entropy decode is a sequential Python bit walk (the other
+    # codecs inflate/IDCT vectorized), so it is the slowest decoder —
+    # measured separately so SCALE.md can state the per-core budget.
+    from whisper_pandas_spark.functions.jpeg import encode_jpeg
+
+    n_jpegs = max(n_images // 8, 8)
+    jr_id, jr_payload, jpeg_bytes = [], [], 0
+    for i in range(n_jpegs):
+        g = (np.arange(side * side).reshape(side, side) % 256).astype(np.uint8)
+        img = np.stack([g, g.T, (g + g.T)], axis=2).astype(np.uint8)
+        if i % 2:
+            img = rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+        p = encode_jpeg(img, quality=85, subsample=bool(i % 2))
+        jr_id.append(i)
+        jr_payload.append(p)
+        jpeg_bytes += len(p)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(jr_id, pa.int64()),
+                  "payload": pa.array(jr_payload, pa.binary())}),
+        tmp / "jpegs.parquet",
+    )
+    jpg_df = spark.read.parquet(str(tmp / "jpegs.parquet")).repartition(32)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = decode_image_stats(jpg_df, "doc_id").count()
+        best = min(best, time.perf_counter() - t0)
+    px = n_jpegs * side * side
+    print(
+        f"jpegs: {n} decoded of {n_jpegs}, {jpeg_bytes/1e6:.1f} MB encoded, "
+        f"best {best:.2f} s -> {jpeg_bytes/1e6/best:.1f} MB/s encoded, "
+        f"{px/1e6/best:.1f} Mpx/s"
+    )
+
     wav_df = spark.read.parquet(str(tmp / "audio.parquet")).repartition(32)
     best = float("inf")
     for _ in range(3):

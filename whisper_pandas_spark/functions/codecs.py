@@ -12,9 +12,12 @@ several common container formats need nothing beyond ``zlib`` + ``struct``
 - **WAV** (RIFF PCM, 8-bit unsigned / 16-bit signed little-endian).
 
 plus minimal ENCODERS for PNG (filter 0) and WAV so tests can round-trip
-random arrays without any external fixture. JPEG stays unsupported
-(entropy-coded DCT needs a real codec library) and raises a clear
-``NotImplementedError`` — the one genuinely-stubbed leaf.
+random arrays without any external fixture. **JPEG** (baseline DCT:
+huffman entropy decode, dequant, vectorized IDCT, chroma upsampling,
+restart intervals) lives in the sibling :mod:`.jpeg` module and is
+dispatched from :func:`decode_image` — no stubbed leaf remains;
+recognised-but-unsupported JPEG variants (progressive, arithmetic,
+12-bit) raise :class:`CodecError` like every other decoder here.
 
 Everything is deterministic and byte-exact, so the Spark operators built
 on top (`operators/multimodal.py`) can be golden-tested. Decoders return
@@ -282,11 +285,11 @@ def decode_pnm(data: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode PNG / BMP / PGM / PPM by magic bytes.
+    """Decode PNG / BMP / PGM / PPM / baseline JPEG by magic bytes.
 
-    Raises :class:`CodecError` on malformed input and
-    ``NotImplementedError`` for recognised-but-unsupported codecs (JPEG,
-    which genuinely requires an entropy-decoding library).
+    Raises :class:`CodecError` on malformed input and on
+    recognised-but-unsupported codec variants (progressive JPEG,
+    interlaced PNG, compressed BMP, ...), so tolerant callers can skip.
     """
     data = bytes(data)
     if data[:8] == _PNG_MAGIC:
@@ -295,11 +298,10 @@ def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
         return decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
         return decode_pnm(data)
-    if data[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires an entropy-decoding codec library "
-            "(PIL/opencv, not installed in this container)"
-        )
+    if data[:2] == b"\xff\xd8":
+        from whisper_pandas_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise CodecError("unrecognised image magic")
 
 

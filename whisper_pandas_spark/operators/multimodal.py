@@ -5,11 +5,12 @@ typed metadata struct alongside — the Spark-native shape for multimodal
 training data (the same pattern as `spark.read.format("binaryFile")`,
 which yields (path, modificationTime, length, content)).
 
-The container has no codec LIBRARIES (no PIL/opencv/soundfile), but
-several container formats need nothing beyond zlib + struct + numpy, so
-the decode step is REAL for PNG / BMP / PGM / PPM images and RIFF-PCM WAV
-audio (`functions/codecs.py`); only entropy-coded formats (JPEG) remain a
-clearly-marked ``NotImplementedError`` leaf. `fake_decode_features` is
+The container has no codec LIBRARIES (no PIL/opencv/soundfile), but the
+common container formats need nothing beyond zlib + struct + numpy, so
+the decode step is REAL for PNG / BMP / PGM / PPM / baseline JPEG images
+(`functions/codecs.py` + `functions/jpeg.py`: huffman entropy decode,
+dequant, vectorized IDCT, chroma upsampling) and RIFF-PCM WAV audio —
+no stubbed decode leaf remains. `fake_decode_features` is
 kept as the deterministic oracle-able feature path (byte histograms) —
 the DuckDB oracle can recompute it in SQL, which no real pixel decode
 allows.
@@ -68,12 +69,12 @@ def binary_metadata(df: DataFrame, id_col: str, payload_col: str = "payload") ->
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
-    """REAL image decode — PNG / BMP / PGM / PPM via the pure-stdlib
-    codecs in :mod:`whisper_pandas_spark.functions.codecs` (zlib + struct
-    + numpy; no external library). Returns ``(h, w, channels,
+    """REAL image decode — PNG / BMP / PGM / PPM / baseline JPEG via the
+    pure-stdlib codecs in :mod:`whisper_pandas_spark.functions.codecs`
+    and :mod:`~whisper_pandas_spark.functions.jpeg` (zlib + struct +
+    numpy; no external library). Returns ``(h, w, channels,
     ndarray[h, w, channels] uint8)``. Raises ``CodecError`` on malformed
-    bytes and ``NotImplementedError`` for JPEG (entropy decoding needs a
-    codec library this container lacks)."""
+    bytes and on unsupported codec variants (progressive JPEG, ...)."""
     from whisper_pandas_spark.functions import codecs
 
     return codecs.decode_image(payload)
@@ -167,16 +168,17 @@ def decode_image_stats(
     payload_col: str = "payload",
     on_error: str = "skip",
 ) -> DataFrame:
-    """Decode real image payloads (PNG/BMP/PGM/PPM) and emit per-image
-    stats: (doc_id, height, width, channels, mean_px, px_md5).
+    """Decode real image payloads (PNG/BMP/PGM/PPM/baseline JPEG) and
+    emit per-image stats: (doc_id, height, width, channels, mean_px,
+    px_md5).
 
     One Arrow `mapInPandas` pass — payload bytes never leave the
     executor, output partitioning stays aligned with the scan (narrow,
     no shuffle). ``on_error``:
 
     - ``"skip"``  — undecodable rows (malformed bytes OR unsupported
-      codecs like JPEG) are dropped, mirroring the whisper source's
-      corrupt-file tolerance;
+      codec variants like progressive JPEG) are dropped, mirroring the
+      whisper source's corrupt-file tolerance;
     - ``"null"``  — emit the row with null stats (doc_id kept, so the
       caller can count/inspect failures);
     - ``"fail"``  — re-raise (fail the task).
