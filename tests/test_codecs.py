@@ -1,6 +1,8 @@
 """Pure-stdlib codec correctness (functions/codecs.py): PNG round-trips
-and hand-built filter streams, BMP 24-bit + palette, binary PNM, RIFF-PCM
-WAV — plus the Spark decode_image_stats / decode_audio_stats operators
+and hand-built filter streams, BMP 24-bit + palette, binary PNM, GIF
+(independent dictionary-growing LZW streams, interlace, multi-frame),
+WAV (PCM / float32 / G.711) and AIFF — plus the Spark
+decode_image_stats / decode_audio_stats / decode_frame_stats operators
 over mixed clean/corrupt/unsupported payload columns."""
 
 from __future__ import annotations
@@ -338,3 +340,291 @@ def test_codecs_reject_review_payloads():
     _s.pack_into("<i", neg, 18, -2)
     with pytest.raises(CodecError):
         decode_bmp(bytes(neg))
+
+
+# -- GIF -------------------------------------------------------------------
+
+
+def _lzw_compress(min_code: int, pixels: bytes) -> bytes:
+    """Independent REAL GIF-LZW compressor (dictionary growth, width
+    growth, clear only at start) — exercises the decoder's table-build
+    and KwKwK paths that the repo's clear-per-symbol encoder never hits."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    out_codes = [clear]
+    run = b""
+    for px in pixels:
+        cand = run + bytes([px])
+        if cand in table:
+            run = cand
+        else:
+            out_codes.append(table[run])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+            run = bytes([px])
+    if run:
+        out_codes.append(table[run])
+    out_codes.append(eoi)
+    # pack LSB-first with width growth mirroring the decoder's schedule:
+    # the decoder adds NO entry for the first data code after a clear,
+    # then one entry per subsequent code, widening at next_code == 2^w
+    acc = nbits = 0
+    stream = bytearray()
+    wtrack = min_code + 1
+    ntrack = eoi + 1
+    first = True
+    for code in out_codes:
+        acc |= code << nbits
+        nbits += wtrack
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            wtrack, ntrack, first = min_code + 1, eoi + 1, True
+        elif code != eoi:
+            if first:
+                first = False
+            elif ntrack < 4096:
+                ntrack += 1
+                if ntrack == (1 << wtrack) and wtrack < 12:
+                    wtrack += 1
+    if nbits:
+        stream.append(acc & 0xFF)
+    return bytes(stream)
+
+
+def _gif_single(idx: np.ndarray, pal: np.ndarray, interlace=False, compressed=True) -> bytes:
+    """Hand-built one-frame GIF using the independent compressor."""
+    h, w = idx.shape
+    n = len(pal)
+    depth = max(n.bit_length() - 1, 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += np.asarray(pal, dtype=np.uint8).tobytes()
+    iflags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    rows = idx
+    if interlace:  # store rows in pass order
+        order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, h, step)]
+        rows = idx[order]
+    min_code = max(depth, 2)
+    stream = _lzw_compress(min_code, rows.reshape(-1).tobytes())
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_real_lzw_roundtrip_with_dictionary_growth():
+    from whisper_pandas_spark.functions.codecs import decode_gif
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    # long runs force KwKwK and multi-width codes
+    idx = np.repeat(rng.integers(0, 8, (40, 7), dtype=np.uint8), 5, axis=1)
+    h, w, c, img = decode_gif(_gif_single(idx, pal))
+    assert (h, w, c) == (40, 35, 3)
+    assert (img == pal[idx]).all()
+
+
+def test_gif_interlaced_rows_reassemble():
+    from whisper_pandas_spark.functions.codecs import decode_gif
+
+    pal = np.stack([np.arange(0, 256, 16)] * 3, axis=1).astype(np.uint8)
+    idx = (np.arange(16)[:, None] % 16 * np.ones((1, 5))).astype(np.uint8)
+    plain = decode_gif(_gif_single(idx, pal, interlace=False))[3]
+    inter = decode_gif(_gif_single(idx, pal, interlace=True))[3]
+    assert (plain == inter).all()
+    assert (plain == pal[idx]).all()
+
+
+def test_gif_multiframe_and_extension_blocks():
+    from whisper_pandas_spark.functions.codecs import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(32)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    f0 = rng.integers(0, 4, (6, 5), dtype=np.uint8)
+    f1 = rng.integers(0, 4, (6, 5), dtype=np.uint8)
+    data = bytearray(encode_gif([f0, f1], pal))
+    # splice a graphics-control extension before the first image block
+    at = data.index(0x2C)
+    data[at:at] = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+    sw, sh, frames = decode_gif_frames(bytes(data))
+    assert (sw, sh) == (5, 6) and len(frames) == 2
+    assert (frames[0][4] == pal[f0]).all() and (frames[1][4] == pal[f1]).all()
+
+
+def test_gif_malformed_variants_raise():
+    from whisper_pandas_spark.functions.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(33)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    data = encode_gif([rng.integers(0, 4, (5, 5), dtype=np.uint8)], pal)
+    for bad in (
+        b"GIF89a",                    # bare header
+        data[: len(data) // 2],       # truncated mid-stream
+        data[:13],                    # header without color table
+        data.replace(b"\x2c", b"\x7f", 1),  # unknown block type
+    ):
+        with pytest.raises(CodecError):
+            decode_gif(bad)
+
+
+def test_decode_frame_stats_mixed_gif_and_single_frame(spark):
+    from whisper_pandas_spark.functions.codecs import encode_gif
+    from whisper_pandas_spark.operators.multimodal import decode_frame_stats
+
+    rng = np.random.default_rng(34)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 16, (4, 6), dtype=np.uint8) for _ in range(5)]
+    png = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_gif(frames, pal))),
+        (2, bytearray(encode_png(png))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = decode_frame_stats(df, "doc_id").collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 1, 2, 3, 4]
+    assert all((r["height"], r["width"]) == (4, 6) for r in by_doc[1])
+    assert by_doc[1][0]["mean_px"] == pytest.approx(float(pal[frames[0]].mean()))
+    assert (by_doc[2][0]["height"], by_doc[2][0]["width"]) == (3, 3)
+    # every=2 keeps frames 0, 2, 4
+    sampled = decode_frame_stats(df.where("doc_id = 1"), "doc_id", every=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2, 4]
+
+
+# -- extended audio: float32 / G.711 / AIFF --------------------------------
+
+
+def _wav_with_fmt(fmt_tag: int, bits: int, payload: bytes, rate=8000, ch=1) -> bytes:
+    block = max(bits // 8 * ch, 1)
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, rate * block, block, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_float32_clips_and_scales():
+    f = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -2.0], dtype="<f4")
+    rate, ch, out = decode_wav(_wav_with_fmt(3, 32, f.tobytes()))
+    expect = [0, 16384, -16384, 32767, -32767, 32767, -32767]
+    assert out[:, 0].tolist() == expect
+
+
+def test_wav_g711_mulaw_and_alaw_reference_points():
+    from whisper_pandas_spark.functions.codecs import _alaw_to_int16, _mulaw_to_int16
+
+    # mu-law reference points from the ITU expansion (Sun g711.c values):
+    # 0xFF -> 0, 0x7F -> -0 (negative zero = 0), 0x80 -> -32124, 0x00 -> +... 
+    mu = _mulaw_to_int16(np.array([0xFF, 0x7F, 0x00, 0x80], dtype=np.uint8))
+    assert mu[0] == 0 and mu[1] == 0
+    assert abs(int(mu[2])) == 32124 and abs(int(mu[3])) == 32124
+    assert int(mu[2]) == -int(mu[3])
+    # A-law: 0x55 -> magnitude 8 (the smallest), full-scale at 0x2A/0xAA
+    al = _alaw_to_int16(np.array([0x55, 0xD5, 0x2A, 0xAA], dtype=np.uint8))
+    assert abs(int(al[0])) == 8 and abs(int(al[1])) == 8
+    assert int(al[0]) == -int(al[1])
+    assert abs(int(al[2])) == 32256 and abs(int(al[3])) == 32256
+    # monotonicity within one segment: larger mantissa -> larger magnitude
+    seg = _mulaw_to_int16(np.array([0xFE, 0xFD, 0xFC], dtype=np.uint8))
+    assert seg[0] < seg[1] < seg[2]
+    # via the WAV container (format tags 7 and 6); after the complement,
+    # encoded 0x80 carries a CLEAR sign bit -> positive full scale, and
+    # 0x00 the set sign bit -> negative full scale (g711 mask semantics)
+    rate, ch, out = decode_wav(_wav_with_fmt(7, 8, bytes([0xFF, 0x80, 0x00])))
+    assert out[0, 0] == 0 and out[1, 0] == 32124 and out[2, 0] == -32124
+    rate, ch, out = decode_wav(_wav_with_fmt(6, 8, bytes([0x55, 0x2A])))
+    assert abs(int(out[0, 0])) == 8 and abs(int(out[1, 0])) == 32256
+
+
+def _aiff(samples: np.ndarray, rate_bytes: bytes, bits=16, ch=None) -> bytes:
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    if bits == 16:
+        pcm = samples.astype(">i2").tobytes()
+    else:
+        pcm = samples.astype(np.int8).tobytes()
+    comm = struct.pack(">hIh", ch, n, bits) + rate_bytes
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = b"AIFF"
+    body += b"COMM" + struct.pack(">I", len(comm)) + comm
+    body += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def _ext80(x: float) -> bytes:
+    import math
+
+    m, e = math.frexp(x)  # x = m * 2^e, m in [0.5, 1)
+    mant = int(m * (1 << 64))
+    return struct.pack(">H", e - 1 + 16383) + mant.to_bytes(8, "big")
+
+
+def test_aiff_16bit_stereo_and_8bit_signed():
+    from whisper_pandas_spark.functions.codecs import decode_aiff, decode_audio
+
+    rng = np.random.default_rng(41)
+    s = rng.integers(-32768, 32768, size=(64, 2)).astype(np.int16)
+    rate, ch, out = decode_aiff(_aiff(s, _ext80(44100.0)))
+    assert (rate, ch) == (44100, 2)
+    assert (out == s).all()
+    s8 = rng.integers(-128, 128, size=32).astype(np.int8)
+    rate, ch, out = decode_audio(_aiff(s8.astype(np.int16)[:, None], _ext80(8000.0), bits=8))
+    assert (rate, ch) == (8000, 1)
+    assert (out[:, 0] == (s8.astype(np.int16) << 8)).all()
+
+
+def test_aiff_malformed_raise():
+    from whisper_pandas_spark.functions.codecs import decode_aiff, decode_audio
+
+    s = np.zeros((4, 1), dtype=np.int16)
+    good = _aiff(s, _ext80(8000.0))
+    with pytest.raises(CodecError):
+        decode_aiff(b"FORM\x00\x00\x00\x04AIFC")  # AIFC unsupported
+    with pytest.raises(CodecError):
+        decode_aiff(good[:20])  # missing SSND
+    bad_rate = _aiff(s, struct.pack(">H", 0x7FFF) + b"\x80" + b"\x00" * 7)
+    with pytest.raises(CodecError):
+        decode_aiff(bad_rate)  # non-finite extended rate
+    with pytest.raises(CodecError):
+        decode_audio(b"not audio at all")
+
+
+def test_decode_audio_stats_mixed_wav_aiff_g711(spark):
+    from whisper_pandas_spark.operators.multimodal import decode_audio_stats
+
+    rng = np.random.default_rng(42)
+    s = rng.integers(-30000, 30000, size=(8000, 1)).astype(np.int16)
+    rows = [
+        (1, bytearray(encode_wav(s, 8000))),
+        (2, bytearray(_aiff(s, _ext80(8000.0)))),
+        (3, bytearray(_wav_with_fmt(7, 8, bytes([0xFF] * 4000)))),  # mu-law silence
+        (4, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_audio_stats(df, "doc_id").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_samples"] == 8000 and got[1]["sample_rate"] == 8000
+    # WAV and AIFF carry the same PCM -> identical rms
+    assert got[1]["rms"] == pytest.approx(got[2]["rms"])
+    assert got[3]["rms"] == pytest.approx(0.0)
+    assert got[3]["duration_s"] == pytest.approx(0.5)

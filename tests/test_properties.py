@@ -449,16 +449,26 @@ def test_wav_roundtrip_property(n, channels, seed):
 @settings(max_examples=60, deadline=None)
 @given(
     st.sampled_from(
-        [b"", b"\x89PNG\r\n\x1a\n", b"BM", b"P5 ", b"P6\n", b"RIFF", b"\xff\xd8\xff"]
+        [
+            b"",
+            b"\x89PNG\r\n\x1a\n",
+            b"BM",
+            b"P5 ",
+            b"P6\n",
+            b"RIFF",
+            b"\xff\xd8\xff",
+            b"GIF89a",
+            b"GIF87a",
+        ]
     ),
     st.binary(max_size=400),
 )
 def test_codec_fuzz_never_crashes_unexpectedly(prefix, data):
     """Arbitrary bytes — including each codec's magic prefix, so every
-    decoder branch (PNG/BMP/PNM/JPEG/WAV) gets fuzzed past its dispatch
-    check — must yield a decoded result or CodecError; never any other
-    exception (the tolerant Arrow passes rely on this contract to skip
-    rows safely)."""
+    decoder branch (PNG/BMP/PNM/JPEG/GIF/WAV) gets fuzzed past its
+    dispatch check — must yield a decoded result or CodecError; never
+    any other exception (the tolerant Arrow passes rely on this contract
+    to skip rows safely)."""
     from whisper_pandas_spark.functions.codecs import (
         CodecError,
         decode_image,

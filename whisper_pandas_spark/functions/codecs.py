@@ -9,7 +9,12 @@ several common container formats need nothing beyond ``zlib`` + ``struct``
   per the public PNG spec (RFC 2083 / ISO 15948);
 - **BMP** (uncompressed BI_RGB 24-bit and 8-bit palette, BITMAPINFOHEADER);
 - **PGM/PPM** (binary ``P5``/``P6`` netpbm);
-- **WAV** (RIFF PCM, 8-bit unsigned / 16-bit signed little-endian).
+- **GIF** (87a/89a LZW, global/local palettes, interlace, multi-frame —
+  `decode_gif_frames` exposes every frame for the frame-sampling ops);
+- **WAV** (RIFF: integer PCM 8/16-bit, IEEE float32, G.711 mu-law and
+  A-law via the ITU expansion formulas);
+- **AIFF** (big-endian signed PCM 8/16-bit, 80-bit extended-float
+  sample rate), dispatched with WAV through `decode_audio`.
 
 plus minimal ENCODERS for PNG (filter 0) and WAV so tests can round-trip
 random arrays without any external fixture. **JPEG** (baseline DCT:
@@ -280,6 +285,206 @@ def decode_pnm(data: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 # --------------------------------------------------------------------------
+# GIF (87a/89a, LZW)
+# --------------------------------------------------------------------------
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
+    """GIF-variant LZW: LSB-first bit packing, 3..12-bit growing codes,
+    clear/EOI codes, dictionary rebuilt on clear."""
+    if not 2 <= min_code_size <= 11:
+        raise CodecError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1, eoi + 1
+
+    table, width, next_code = reset()
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, next_code = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise CodecError("LZW code before dictionary entry")
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise CodecError("LZW code out of range")
+            out += entry
+            if len(out) > max_pixels:
+                raise CodecError("LZW output exceeds declared geometry")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out  # missing EOI tolerated (common in the wild)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_frames(data: bytes):
+    """Decode every frame of a GIF87a/89a.
+
+    Returns ``(screen_w, screen_h, [ (left, top, h, w, ndarray[h, w, 3]
+    uint8) per frame ])`` — frames are the raw sub-rectangles in draw
+    order (disposal/compositing is a renderer concern, not a decoder
+    one; frame 0 of a typical file covers the full canvas).
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecError("not a GIF")
+    if len(data) < 13:
+        raise CodecError("truncated GIF header")
+    sw, sh, flags, _bg, _ratio = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            raise CodecError("truncated global color table")
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks, skipped
+            if pos >= len(data):
+                raise CodecError("truncated GIF extension")
+            pos += 1
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 9 > len(data):
+                raise CodecError("truncated image descriptor")
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                if pos + 3 * n > len(data):
+                    raise CodecError("truncated local color table")
+                ct = np.frombuffer(
+                    data, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise CodecError("GIF frame without a color table")
+            if w == 0 or h == 0 or w * h > 1 << 28:
+                raise CodecError(f"bad GIF frame geometry {w}x{h}")
+            if pos >= len(data):
+                raise CodecError("truncated GIF image data")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos]:
+                ln = data[pos]
+                block = data[pos + 1 : pos + 1 + ln]
+                if len(block) != ln:
+                    raise CodecError("truncated GIF data sub-block")
+                lzw += block
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = _lzw_decode(min_code, bytes(lzw), w * h)
+            if len(idx) < w * h:
+                raise CodecError("LZW output shorter than frame")
+            arr = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows stored in 4 passes
+                out_rows = np.empty_like(arr)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for r in range(start, h, step):
+                        out_rows[r] = arr[src]
+                        src += 1
+                arr = out_rows
+            if int(arr.max(initial=0)) >= len(ct):
+                raise CodecError("GIF palette index out of range")
+            frames.append((left, top, h, w, ct[arr].copy()))
+        else:
+            raise CodecError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise CodecError("GIF contains no image frames")
+    return sw, sh, frames
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode the FIRST frame of a GIF as (h, w, 3, array[h,w,3])."""
+    _sw, _sh, frames = decode_gif_frames(data)
+    _left, _top, h, w, img = frames[0]
+    return h, w, 3, img
+
+
+def encode_gif(frames, palette: np.ndarray, screen=None) -> bytes:
+    """Minimal GIF89a encoder for tests: shared global palette, one image
+    block per frame at (0, 0), clear-code-per-symbol LZW (valid, merely
+    uncompressed). ``frames`` is a list of uint8 index arrays (h, w);
+    ``palette`` is (n, 3) uint8 with n a power of two >= 2."""
+    palette = np.asarray(palette, dtype=np.uint8)
+    n = len(palette)
+    if n & (n - 1) or not 2 <= n <= 256:
+        raise ValueError("palette size must be a power of two in [2, 256]")
+    depth = max(n.bit_length() - 1, 1)
+    h0, w0 = frames[0].shape
+    sw, sh = screen or (w0, h0)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (depth - 1), 0, 0)
+    out += palette.tobytes()
+    min_code = max(depth, 2)
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    for frame in frames:
+        frame = np.asarray(frame, dtype=np.uint8)
+        h, w = frame.shape
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([min_code])
+        # bit-pack: clear before every pixel so the code width never grows
+        acc = 0
+        nbits = 0
+        stream = bytearray()
+        for sym in [clear] + [
+            v for px in frame.reshape(-1).tolist() for v in (px, clear)
+        ][:-1] + [eoi]:
+            acc |= sym << nbits
+            nbits += width
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            stream.append(acc & 0xFF)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # dispatch
 # --------------------------------------------------------------------------
 
@@ -298,6 +503,8 @@ def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
         return decode_bmp(data)
     if data[:2] in (b"P5", b"P6"):
         return decode_pnm(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     if data[:2] == b"\xff\xd8":
         from whisper_pandas_spark.functions.jpeg import decode_jpeg
 
@@ -310,11 +517,37 @@ def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
 # --------------------------------------------------------------------------
 
 
-def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode RIFF PCM WAV (8-bit unsigned or 16-bit signed LE).
+def _mulaw_to_int16(raw: np.ndarray) -> np.ndarray:
+    """G.711 mu-law expansion (ITU-T G.711 table formula), vectorized."""
+    u = (~raw) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u.astype(np.int32) >> 4) & 0x07
+    mant = u.astype(np.int32) & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
 
-    Returns (sample_rate, channels, samples[n, channels] int16); 8-bit
-    input is rescaled to int16 ((x - 128) << 8) so callers see one dtype.
+
+def _alaw_to_int16(raw: np.ndarray) -> np.ndarray:
+    """G.711 A-law expansion, vectorized (after the 0x55 toggle, a SET
+    sign bit means positive — the opposite convention to mu-law)."""
+    a = raw ^ 0x55
+    positive = (a & 0x80) != 0
+    exp = (a.astype(np.int32) >> 4) & 0x07
+    mant = a.astype(np.int32) & 0x0F
+    mag = np.where(
+        exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0)
+    )
+    return np.where(positive, mag, -mag).astype(np.int16)
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode RIFF WAV: PCM (8-bit unsigned / 16-bit signed LE), IEEE
+    float32, G.711 mu-law and A-law.
+
+    Returns (sample_rate, channels, samples[n, channels] int16); every
+    encoding is rescaled to int16 so callers see one dtype (8-bit PCM
+    via (x - 128) << 8, float32 clipped to [-1, 1] then scaled by
+    32767, G.711 via the ITU expansion tables).
     """
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise CodecError("not a RIFF/WAVE file")
@@ -333,20 +566,102 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     if fmt is None or pcm is None:
         raise CodecError("missing fmt/data chunk")
     audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
-    if audio_fmt != 1:
-        raise CodecError(f"non-PCM WAV (format {audio_fmt}) unsupported")
     if channels < 1:
         raise CodecError("zero-channel WAV")
-    if bits == 16:
-        n = len(pcm) // (2 * channels)
-        arr = np.frombuffer(pcm, dtype="<i2", count=n * channels)
-    elif bits == 8:
+    if audio_fmt == 1:  # integer PCM
+        if bits == 16:
+            n = len(pcm) // (2 * channels)
+            arr = np.frombuffer(pcm, dtype="<i2", count=n * channels)
+        elif bits == 8:
+            n = len(pcm) // channels
+            raw = np.frombuffer(pcm, dtype=np.uint8, count=n * channels)
+            arr = ((raw.astype(np.int16) - 128) << 8).astype(np.int16)
+        else:
+            raise CodecError(f"{bits}-bit PCM WAV unsupported (8/16 only)")
+    elif audio_fmt == 3:  # IEEE float
+        if bits != 32:
+            raise CodecError(f"{bits}-bit float WAV unsupported (32 only)")
+        n = len(pcm) // (4 * channels)
+        f = np.frombuffer(pcm, dtype="<f4", count=n * channels)
+        arr = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int16)
+    elif audio_fmt in (6, 7):  # G.711 A-law / mu-law
+        if bits != 8:
+            raise CodecError(f"{bits}-bit G.711 WAV invalid (8 only)")
         n = len(pcm) // channels
         raw = np.frombuffer(pcm, dtype=np.uint8, count=n * channels)
-        arr = ((raw.astype(np.int16) - 128) << 8).astype(np.int16)
+        arr = _alaw_to_int16(raw) if audio_fmt == 6 else _mulaw_to_int16(raw)
     else:
-        raise CodecError(f"{bits}-bit WAV unsupported (8/16 only)")
+        raise CodecError(f"WAV format tag {audio_fmt} unsupported")
     return rate, channels, arr.reshape(n, channels).copy()
+
+
+def _extended80_to_float(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF sample-rate field)."""
+    if len(b) < 10:
+        raise CodecError("truncated extended float")
+    (se,) = struct.unpack(">H", b[:2])
+    exp = se & 0x7FFF
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise CodecError("non-finite AIFF sample rate")
+    val = mant / float(1 << 63) * 2.0 ** (exp - 16383)
+    return -val if se & 0x8000 else val
+
+
+def decode_aiff(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode AIFF (big-endian signed PCM, 8/16-bit).
+
+    Returns (sample_rate, channels, samples[n, channels] int16) — the
+    same contract as :func:`decode_wav` (8-bit is SIGNED in AIFF, unlike
+    WAV, and is shifted to int16 full scale).
+    """
+    if data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise CodecError("not an AIFF file")
+    pos = 12
+    comm = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + length]
+        if cid == b"COMM" and len(body) >= 18:
+            channels, _frames, bits = struct.unpack_from(">hIh", body, 0)
+            rate = _extended80_to_float(body[8:18])
+            comm = (channels, bits, rate)
+        elif cid == b"SSND" and len(body) >= 8:
+            (offset,) = struct.unpack_from(">I", body, 0)
+            pcm = body[8 + offset :]
+        pos += 8 + length + (length & 1)  # chunks pad to even
+    if comm is None or pcm is None:
+        raise CodecError("missing COMM/SSND chunk")
+    channels, bits, rate = comm
+    if channels < 1:
+        raise CodecError("zero-channel AIFF")
+    if not 1.0 <= rate <= 1e7:
+        raise CodecError(f"implausible AIFF sample rate {rate}")
+    if bits == 16:
+        n = len(pcm) // (2 * channels)
+        arr = np.frombuffer(pcm, dtype=">i2", count=n * channels).astype("<i2")
+    elif bits == 8:
+        n = len(pcm) // channels
+        raw = np.frombuffer(pcm, dtype=np.int8, count=n * channels)
+        arr = (raw.astype(np.int16) << 8).astype(np.int16)
+    else:
+        raise CodecError(f"{bits}-bit AIFF unsupported (8/16 only)")
+    return int(round(rate)), channels, arr.reshape(n, channels).copy()
+
+
+def decode_audio(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode WAV (PCM / float32 / G.711) or AIFF by magic bytes —
+    the audio twin of :func:`decode_image`."""
+    data = bytes(data)
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    if data[:4] == b"FORM":
+        return decode_aiff(data)
+    raise CodecError("unrecognised audio magic")
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:

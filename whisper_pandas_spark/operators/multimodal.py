@@ -7,10 +7,12 @@ which yields (path, modificationTime, length, content)).
 
 The container has no codec LIBRARIES (no PIL/opencv/soundfile), but the
 common container formats need nothing beyond zlib + struct + numpy, so
-the decode step is REAL for PNG / BMP / PGM / PPM / baseline JPEG images
-(`functions/codecs.py` + `functions/jpeg.py`: huffman entropy decode,
-dequant, vectorized IDCT, chroma upsampling) and RIFF-PCM WAV audio —
-no stubbed decode leaf remains. `fake_decode_features` is
+the decode step is REAL for PNG / BMP / PGM / PPM / GIF / baseline JPEG
+images (`functions/codecs.py` + `functions/jpeg.py`: huffman entropy
+decode, dequant, vectorized IDCT, chroma upsampling, LZW) and RIFF-PCM
+WAV audio — no stubbed decode leaf remains; animated GIFs give the
+frame-sampling ops real multi-frame containers (`decode_frame_stats`).
+`fake_decode_features` is
 kept as the deterministic oracle-able feature path (byte histograms) —
 the DuckDB oracle can recompute it in SQL, which no real pixel decode
 allows.
@@ -240,13 +242,109 @@ def decode_image_stats(
     )
 
 
+def decode_frame_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    every: int = 1,
+    on_error: str = "skip",
+) -> DataFrame:
+    """REAL frame extraction from multi-frame containers (animated GIF):
+    one output row per sampled frame — (doc_id, frame_idx, left, top,
+    height, width, mean_px, px_md5). ``every`` keeps every k-th frame
+    (k=1 keeps all), the same sampling contract as `sample_frames` but
+    over decoded container frames instead of fixed byte chunks.
+
+    Single-frame formats (PNG/BMP/PNM/JPEG) emit exactly one row at
+    frame_idx 0 and offset (0, 0), so a mixed corpus needs no dispatch
+    upstream. Same Arrow `mapInPandas` shape and ``on_error`` contract
+    as :func:`decode_image_stats` (frames stay on executors; narrow, no
+    shuffle — row explosion happens inside the pass).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.functions.codecs import (
+        CodecError,
+        decode_gif_frames,
+        decode_image as _dec,
+    )
+
+    if on_error not in ("skip", "null", "fail"):
+        raise ValueError(f"on_error must be skip|null|fail, got {on_error!r}")
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def frames_of(raw: bytes):
+        if raw[:6] in (b"GIF87a", b"GIF89a"):
+            _sw, _sh, frames = decode_gif_frames(raw)
+            return frames
+        h, w, _c, img = _dec(raw)
+        return [(0, 0, h, w, img)]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ("doc_id", "frame_idx", "left", "top", "height", "width")
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            means, hashes = [], []
+            for doc_id, p in zip(pdf["_id"], pdf["_payload"]):
+                try:
+                    if p is None:
+                        raise CodecError("null payload")
+                    frames = frames_of(bytes(p))
+                except (CodecError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    for c in cols:
+                        rows[c].append(doc_id if c == "doc_id" else None)
+                    means.append(None)
+                    hashes.append(None)
+                    continue
+                for idx in range(0, len(frames), every):
+                    left, top, h, w, img = frames[idx]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["left"].append(left)
+                    rows["top"].append(top)
+                    rows["height"].append(h)
+                    rows["width"].append(w)
+                    means.append(float(np.asarray(img, dtype=np.float64).mean()))
+                    hashes.append(hashlib.md5(img.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                    "left": pd.array(rows["left"], dtype="Int32"),
+                    "top": pd.array(rows["top"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "mean_px": pd.array(means, dtype="Float64"),
+                    "px_md5": hashes,
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return src.mapInPandas(
+        run,
+        "doc_id long, frame_idx int, left int, top int, height int, "
+        "width int, mean_px double, px_md5 string",
+    )
+
+
 def decode_audio_stats(
     df: DataFrame,
     id_col: str,
     payload_col: str = "payload",
     on_error: str = "skip",
 ) -> DataFrame:
-    """Decode RIFF-PCM WAV payloads and emit per-clip stats:
+    """Decode audio payloads (WAV: PCM / IEEE-float32 / G.711 mu-law /
+    A-law; AIFF: big-endian PCM) and emit per-clip stats:
     (doc_id, sample_rate, channels, n_samples, duration_s, rms).
 
     Same Arrow / narrow / tolerant-decode contract as
@@ -255,7 +353,7 @@ def decode_audio_stats(
     import numpy as np
     import pandas as pd
 
-    from whisper_pandas_spark.functions.codecs import CodecError, decode_wav as _dec
+    from whisper_pandas_spark.functions.codecs import CodecError, decode_audio as _dec
 
     if on_error not in ("skip", "null", "fail"):
         raise ValueError(f"on_error must be skip|null|fail, got {on_error!r}")
