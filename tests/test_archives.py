@@ -1,0 +1,117 @@
+"""Archive-shard ingestion (sources/archives.py): tar/tar.gz/zip member
+inventory, WebDataset sample grouping, corrupt-shard tolerance, and the
+end-to-end shard -> decode_image_stats pipeline."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+import zipfile
+
+import numpy as np
+import pytest
+
+from whisper_pandas_spark.functions.codecs import encode_png, encode_wav
+from whisper_pandas_spark.sources.archives import (
+    member_payloads,
+    read_archive_members,
+    read_webdataset,
+)
+
+
+def _tar_bytes(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def _zip_bytes(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def shard_dir(tmp_path):
+    rng = np.random.default_rng(51)
+    img = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    wav = rng.integers(-1000, 1000, (64, 1)).astype(np.int16)
+    shard0 = {
+        "000001.png": encode_png(img),
+        "000001.txt": b"a red square",
+        "000001.json": b'{"id": 1}',
+        "000002.png": encode_png(img[:, :, 0]),
+        "000002.txt": b"gray now",
+    }
+    shard1 = {
+        "train/000003.wav": encode_wav(wav, 8000),
+        "train/000003.txt": b"some audio",
+        "train/000004.seg.png": encode_png(img),  # multi-dot extension
+        "train/000004.txt": b"segmented",
+    }
+    (tmp_path / "shard-000.tar").write_bytes(_tar_bytes(shard0))
+    (tmp_path / "shard-001.tar").write_bytes(_tar_bytes(shard1))
+    return tmp_path
+
+
+def test_member_inventory_across_shards(spark, shard_dir):
+    df = read_archive_members(spark, str(shard_dir))
+    rows = df.collect()
+    assert len(rows) == 9
+    by_member = {r["member"]: r for r in rows}
+    assert by_member["000001.txt"]["payload"] == bytearray(b"a red square")
+    assert by_member["000001.txt"]["n_bytes"] == 12
+    assert by_member["train/000003.wav"]["shard"].endswith("shard-001.tar")
+
+
+def test_webdataset_grouping_and_multidot_keys(spark, shard_dir):
+    df = read_webdataset(spark, str(shard_dir))
+    rows = {r["key"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"000001", "000002", "000003", "000004"}
+    assert rows["000001"]["exts"] == ["json", "png", "txt"]
+    # multi-dot member: ext is everything after the FIRST dot
+    assert rows["000004"]["exts"] == ["seg.png", "txt"]
+    assert bytes(rows["000002"]["payloads"]["txt"]) == b"gray now"
+    # keys keep their directory prefix (shard-local uniqueness)
+    assert any(r["key"].startswith("train/") for r in df.collect())
+
+
+def test_gz_and_zip_shards(spark, tmp_path):
+    members = {"1.txt": b"one", "1.cls": b"7", "2.txt": b"two"}
+    (tmp_path / "a.tar.gz").write_bytes(gzip.compress(_tar_bytes(members)))
+    (tmp_path / "b.zip").write_bytes(_zip_bytes({"9.txt": b"nine"}))
+    gz = read_webdataset(spark, str(tmp_path), glob="*.tar.gz").collect()
+    assert {r["key"] for r in gz} == {"1", "2"}
+    zf = read_archive_members(spark, str(tmp_path), glob="*.zip").collect()
+    assert len(zf) == 1 and zf[0]["member"] == "9.txt"
+
+
+def test_corrupt_shard_skip_and_fail(spark, tmp_path):
+    (tmp_path / "good.tar").write_bytes(_tar_bytes({"1.txt": b"ok"}))
+    (tmp_path / "bad.tar").write_bytes(b"definitely not a tar archive" * 20)
+    got = read_archive_members(spark, str(tmp_path)).collect()
+    assert [r["member"] for r in got] == ["1.txt"]
+    with pytest.raises(Exception):
+        read_archive_members(spark, str(tmp_path), on_error="fail").collect()
+    with pytest.raises(ValueError):
+        read_archive_members(spark, str(tmp_path), on_error="bogus")
+
+
+def test_shard_to_decode_pipeline(spark, shard_dir):
+    from whisper_pandas_spark.operators.multimodal import decode_image_stats
+
+    from pyspark.sql import functions as F
+
+    wds = read_webdataset(spark, str(shard_dir))
+    pngs = member_payloads(wds, "png")
+    keyed = pngs.withColumn("doc_id", F.xxhash64("key"))
+    got = decode_image_stats(keyed, "doc_id").collect()
+    assert len(got) == 2  # 000001.png + 000002.png (the seg.png ext differs)
+    assert {(r["height"], r["width"]) for r in got} == {(6, 6)}

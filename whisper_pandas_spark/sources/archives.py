@@ -1,0 +1,209 @@
+"""Archive-shard ingestion: tar / zip corpora as DataFrames (WebDataset
+layout).
+
+Large multimodal training corpora ship as directories of archive shards
+— most commonly the WebDataset convention: each `.tar` holds members
+named ``<sample key>.<extension>`` (``000017.jpg``, ``000017.txt``,
+``000017.json``), consecutive members with the same key forming one
+training sample. This module reads such corpora Spark-natively:
+
+- `read_archive_members`: every member of every shard as one row
+  ``(shard, member, payload, n_bytes)`` — the raw inventory view;
+- `read_webdataset`: members grouped to one row per sample —
+  ``(shard, key, exts ARRAY<STRING>, payloads MAP<STRING, BINARY>)`` —
+  ready for the decode operators (`decode_image_stats` etc. over
+  ``payloads['jpg']``).
+
+Both are pure stdlib (``tarfile`` / ``zipfile`` / ``gzip`` over
+``io.BytesIO``) inside ONE Arrow `mapInPandas` pass over Spark's
+built-in ``binaryFile`` source.
+
+Scale notes:
+- parallelism unit = the shard file (the WebDataset contract: shards are
+  sized for exactly this, typically 100 MB-1 GB); `binaryFile` gives one
+  task per shard, so a 100 TB corpus of 100k shards fans out across any
+  executor count with zero shuffles;
+- payloads never visit the driver and are never concatenated — each
+  member is extracted to its own row inside the executor pass;
+- sample grouping is per-shard BY CONSTRUCTION (WebDataset keys don't
+  span shards), so `read_webdataset` needs NO groupBy/shuffle — it
+  groups inside the same Arrow pass that parses the tar;
+- ``on_error='skip'`` drops unreadable shards (the whisper-source
+  corrupt-file contract); a torn member inside a readable tar skips
+  just that member.
+
+The 2 GB Spark row limit bounds a single shard read; WebDataset shard
+sizing keeps real corpora far under it. ``maxPartitionBytes`` does not
+split archives (they are not splittable mid-stream) — matching how
+every tar-sharded loader parallelizes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _iter_members(path: str, blob: bytes):
+    """Yield (member_name, payload bytes) from a tar(.gz) or zip blob."""
+    import io
+    import tarfile
+    import zipfile
+
+    if blob[:4] == b"PK\x03\x04":
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                yield info.filename, zf.read(info)
+        return
+    # tarfile sniffs gzip itself with mode "r:*"
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
+        for info in tf:
+            if not info.isfile():
+                continue
+            fobj = tf.extractfile(info)
+            if fobj is None:
+                continue
+            yield info.name, fobj.read()
+
+
+def read_archive_members(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.tar",
+    on_error: str = "skip",
+) -> DataFrame:
+    """Every member of every archive shard under ``path`` as one row:
+    ``(shard STRING, member STRING, payload BINARY, n_bytes LONG)``.
+
+    ``glob`` filters shard files (``*.tar``, ``*.tar.gz``, ``*.zip``);
+    ``on_error='skip'|'fail'`` controls unreadable-shard handling.
+    """
+    import pandas as pd
+
+    if on_error not in ("skip", "fail"):
+        raise ValueError(f"on_error must be skip|fail, got {on_error!r}")
+
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            shards, members, payloads, sizes = [], [], [], []
+            for shard_path, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    for name, data in _iter_members(shard_path, bytes(blob)):
+                        shards.append(shard_path)
+                        members.append(name)
+                        payloads.append(data)
+                        sizes.append(len(data))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    continue
+            if not shards:
+                continue
+            yield pd.DataFrame(
+                {
+                    "shard": shards,
+                    "member": members,
+                    "payload": payloads,
+                    "n_bytes": sizes,
+                }
+            )
+
+    return src.mapInPandas(
+        run, "shard string, member string, payload binary, n_bytes long"
+    )
+
+
+def read_webdataset(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.tar",
+    on_error: str = "skip",
+) -> DataFrame:
+    """WebDataset samples: one row per sample key —
+    ``(shard, key, exts ARRAY<STRING>, payloads MAP<STRING, BINARY>)``.
+
+    Key = member name up to the FIRST dot of the basename (the
+    WebDataset rule: ``a/b/000017.seg.png`` -> key ``a/b/000017``, ext
+    ``seg.png``). Grouping happens inside the same executor pass that
+    parses the tar — no shuffle; keys never span shards by the
+    WebDataset contract, so per-shard grouping IS global grouping.
+    """
+    import pandas as pd
+
+    if on_error not in ("skip", "fail"):
+        raise ValueError(f"on_error must be skip|fail, got {on_error!r}")
+
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def split_key(name: str) -> tuple[str, str]:
+        slash = name.rfind("/")
+        dot = name.find(".", slash + 1)
+        if dot < 0:
+            return name, ""
+        return name[:dot], name[dot + 1 :]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            shards, keys, exts, payloads = [], [], [], []
+            for shard_path, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    samples: dict[str, dict[str, bytes]] = {}
+                    order: list[str] = []
+                    for name, data in _iter_members(shard_path, bytes(blob)):
+                        key, ext = split_key(name)
+                        if key not in samples:
+                            samples[key] = {}
+                            order.append(key)
+                        samples[key][ext] = data
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    continue
+                for key in order:
+                    shards.append(shard_path)
+                    keys.append(key)
+                    exts.append(sorted(samples[key]))
+                    payloads.append(samples[key])
+            if not shards:
+                continue
+            yield pd.DataFrame(
+                {
+                    "shard": shards,
+                    "key": keys,
+                    "exts": exts,
+                    "payloads": payloads,
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        "shard string, key string, exts array<string>, "
+        "payloads map<string, binary>",
+    )
+
+
+def member_payloads(df: DataFrame, ext: str, key_col: str = "key") -> DataFrame:
+    """Project one modality out of a `read_webdataset` frame:
+    ``(key, payload)`` rows for samples that carry ``ext`` — the adapter
+    into `decode_image_stats` / `decode_audio_stats` (narrow, codegen
+    map lookup, no Python)."""
+    return (
+        df.select(F.col(key_col).alias("key"), F.col("payloads")[ext].alias("payload"))
+        .where(F.col("payload").isNotNull())
+    )
