@@ -3,7 +3,7 @@ now, registered later.
 
 The grading driver records ~50 entries per round (README: driver
 contract); round 5 already spends its ≤3-new-entry budget, so these
-six ship as a staging dict that `tests/test_round6_staged.py`
+nine ship as a staging dict that `tests/test_round6_staged.py`
 value-checks against DuckDB TODAY (the exact driver-style comparison).
 Round 6 promotes them with one line in `registry.py`:
 
@@ -12,7 +12,9 @@ Round 6 promotes them with one line in `registry.py`:
 Entries:
 - graphite_per_second      render-function family over a rollup grid
 - graphite_group_by_node   cross-series pointwise aggregation by path node
+- graphite_summarize       epoch-aligned re-bucketing ('1h', 'max')
 - ingest_jsonl_roundtrip   documents -> JSONL -> engine, lossless
+- ingest_csv_roundtrip     typed columns + text md5 through the CSV path
 - snapshot_diff_keys       table_diff over deterministic mutations
 - sample_shuffle_epoch     deterministic training-order permutation
 - stream_session_replay    NATIVE streaming sessionization (session_window,
@@ -129,6 +131,28 @@ def graphite_group_by_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("metric_node", "timestamp")
 
 
+@_staged(
+    "graphite_summarize",
+    oracle=f"""
+WITH series AS ({_METRIC_SERIES_SQL})
+SELECT metric,
+       to_timestamp((epoch(timestamp)::BIGINT // 3600) * 3600)::TIMESTAMP AS timestamp,
+       round(max(value), 6) AS value
+FROM series GROUP BY 1, 2 ORDER BY metric, timestamp
+""",
+)
+def graphite_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10+: graphite ``summarize(series, '1h', 'max')`` — epoch-aligned
+    re-bucketing of every series, the render-API face of the rollup
+    family (one (metric, bucket) exchange, map-side partial agg)."""
+    from whisper_pandas_spark.functions.graphite import summarize
+
+    out = summarize(_metric_series(spark, sf_dir), 3600, "max")
+    return out.select(
+        "metric", "timestamp", F.round("value", 6).alias("value")
+    ).orderBy("metric", "timestamp")
+
+
 # -- JSONL ingest round trip ----------------------------------------------
 
 
@@ -158,6 +182,43 @@ def ingest_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         str(out),
         "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.orderBy("doc_id")
+
+
+@_staged(
+    "ingest_csv_roundtrip",
+    oracle="""
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+FROM documents ORDER BY doc_id
+""",
+)
+def ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+: documents -> CSV export -> tolerant explicit-schema read.
+    Typed columns plus an md5 text fingerprint (computed BEFORE export,
+    so the quoting/escape round trip is what the hash gate checks on the
+    carried-through value columns; raw multi-line text itself rides the
+    JSONL twin, which is the lossless-text path)."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from whisper_pandas_spark.sources.ingest import read_csv, write_csv
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = Path(tempfile.gettempdir()) / f"wps_csv_{tag}"
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+    )
+    write_csv(docs, str(out))
+    back = read_csv(
+        spark,
+        str(out),
+        "doc_id long, lang string, source string, n_chars long, text_md5 string",
     )
     return back.orderBy("doc_id")
 
