@@ -115,3 +115,31 @@ def test_shard_to_decode_pipeline(spark, shard_dir):
     got = decode_image_stats(keyed, "doc_id").collect()
     assert len(got) == 2  # 000001.png + 000002.png (the seg.png ext differs)
     assert {(r["height"], r["width"]) for r in got} == {(6, 6)}
+
+
+def test_torn_shard_keeps_pretear_prefix_in_both_readers(spark, tmp_path):
+    """A tar truncated mid-member yields the members before the tear —
+    the SAME contract in the inventory and the webdataset reader."""
+    full = _tar_bytes({"1.txt": b"first", "2.txt": b"second" * 100})
+    torn = full[: full.index(b"second") + 20]  # inside member 2's data
+    (tmp_path / "torn.tar").write_bytes(torn)
+    inv = read_archive_members(spark, str(tmp_path)).collect()
+    assert [r["member"] for r in inv] == ["1.txt"]
+    wds = read_webdataset(spark, str(tmp_path)).collect()
+    assert [r["key"] for r in wds] == ["1"]
+    with pytest.raises(Exception):
+        read_webdataset(spark, str(tmp_path), on_error="fail").collect()
+
+
+def test_member_size_cap(monkeypatch):
+    from whisper_pandas_spark.sources import archives
+
+    monkeypatch.setattr(archives, "MAX_MEMBER_BYTES", 16)
+    blob = _tar_bytes({"small.txt": b"ok", "big.bin": b"x" * 64})
+    got = archives._members_tolerant(blob, "skip")
+    assert [name for name, _ in got] == ["small.txt"]
+    with pytest.raises(ValueError, match="exceeds"):
+        archives._members_tolerant(blob, "fail")
+    zblob = _zip_bytes({"a.txt": b"ok", "bomb.bin": b"y" * 64})
+    zgot = archives._members_tolerant(zblob, "skip")
+    assert [name for name, _ in zgot] == ["a.txt"]

@@ -628,3 +628,36 @@ def test_decode_audio_stats_mixed_wav_aiff_g711(spark):
     assert got[1]["rms"] == pytest.approx(got[2]["rms"])
     assert got[3]["rms"] == pytest.approx(0.0)
     assert got[3]["duration_s"] == pytest.approx(0.5)
+
+
+def test_gif_bad_lzw_min_code_size_is_codec_error_not_crash():
+    from whisper_pandas_spark.functions.codecs import decode_gif, encode_gif
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    data = bytearray(encode_gif([np.zeros((3, 3), dtype=np.uint8)], pal))
+    at = data.index(0x2C)  # image descriptor; min code byte is 10 later
+    data[at + 10] = 9
+    with pytest.raises(CodecError):
+        decode_gif(bytes(data))
+
+
+def test_gif_container_level_frame_sampling():
+    from whisper_pandas_spark.functions.codecs import decode_gif_frames, encode_gif
+
+    rng = np.random.default_rng(61)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 8, (4, 4), dtype=np.uint8) for _ in range(7)]
+    data = encode_gif(frames, pal)
+    _, _, full = decode_gif_frames(data)
+    _, _, sampled = decode_gif_frames(data, every=3)
+    assert len(sampled) == 3  # frames 0, 3, 6
+    for j, orig in enumerate((0, 3, 6)):
+        assert (sampled[j][4] == full[orig][4]).all()
+    with pytest.raises(ValueError):
+        decode_gif_frames(data, every=0)
+
+
+def test_wav_float32_nan_inf_sanitized():
+    f = np.array([np.nan, np.inf, -np.inf, 0.25], dtype="<f4")
+    rate, ch, out = decode_wav(_wav_with_fmt(3, 32, f.tobytes()))
+    assert out[:, 0].tolist() == [0, 32767, -32767, 8192]

@@ -251,3 +251,23 @@ def test_mutation_fuzz_decoder_never_crashes():
             decode_jpeg(bytes(mutant))
         except CodecError:
             pass
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker."""
+    img = _gradient(16, 16)
+    data = encode_jpeg(img, quality=100)
+    base = decode_jpeg(data)[3]
+    i = data.find(b"\xff\xc0")  # pad before SOF0 and before SOS
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]
+    j = padded.find(b"\xff\xda")
+    padded = padded[:j] + b"\xff" + padded[j:]
+    assert np.array_equal(decode_jpeg(padded)[3], base)
+
+
+def test_truncated_sof_component_list_raises_codec_error():
+    data = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = bytes(data).find(b"\xff\xc0")
+    struct.pack_into(">H", data, i + 2, 8)  # body shrinks to 6 bytes
+    with pytest.raises(CodecError):
+        decode_jpeg(bytes(data))

@@ -291,8 +291,10 @@ def decode_pnm(data: bytes) -> tuple[int, int, int, np.ndarray]:
 
 def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
     """GIF-variant LZW: LSB-first bit packing, 3..12-bit growing codes,
-    clear/EOI codes, dictionary rebuilt on clear."""
-    if not 2 <= min_code_size <= 11:
+    clear/EOI codes, dictionary rebuilt on clear. ``min_code_size`` is
+    capped at 8 — GIF palettes hold at most 256 entries, and root codes
+    must be single bytes."""
+    if not 2 <= min_code_size <= 8:
         raise CodecError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
@@ -343,14 +345,24 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif_frames(data: bytes):
-    """Decode every frame of a GIF87a/89a.
+def decode_gif_frames(data: bytes, every: int = 1):
+    """Decode the frames of a GIF87a/89a.
 
     Returns ``(screen_w, screen_h, [ (left, top, h, w, ndarray[h, w, 3]
     uint8) per frame ])`` — frames are the raw sub-rectangles in draw
     order (disposal/compositing is a renderer concern, not a decoder
     one; frame 0 of a typical file covers the full canvas).
+
+    ``every`` keeps every k-th frame, sampled AT THE CONTAINER LEVEL:
+    unsampled frames' image blocks are structurally skipped without LZW
+    decode / de-interlace / palette expansion (each GIF frame is an
+    independent LZW stream), so the cost of a sampled read is
+    ~len(frames)/every pixel decodes, not all of them. The returned
+    list holds frames 0, every, 2*every, ... in order — original index
+    of entry j is j * every.
     """
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise CodecError("not a GIF")
     if len(data) < 13:
@@ -365,6 +377,7 @@ def decode_gif_frames(data: bytes):
         gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
     frames = []
+    n_blocks = 0
     while pos < len(data):
         b = data[pos]
         pos += 1
@@ -399,15 +412,20 @@ def decode_gif_frames(data: bytes):
                 raise CodecError("truncated GIF image data")
             min_code = data[pos]
             pos += 1
+            sampled = n_blocks % every == 0
+            n_blocks += 1
             lzw = bytearray()
             while pos < len(data) and data[pos]:
                 ln = data[pos]
                 block = data[pos + 1 : pos + 1 + ln]
                 if len(block) != ln:
                     raise CodecError("truncated GIF data sub-block")
-                lzw += block
+                if sampled:
+                    lzw += block
                 pos += 1 + ln
             pos += 1  # block terminator
+            if not sampled:
+                continue
             idx = _lzw_decode(min_code, bytes(lzw), w * h)
             if len(idx) < w * h:
                 raise CodecError("LZW output shorter than frame")
@@ -583,6 +601,8 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
             raise CodecError(f"{bits}-bit float WAV unsupported (32 only)")
         n = len(pcm) // (4 * channels)
         f = np.frombuffer(pcm, dtype="<f4", count=n * channels)
+        # NaN/inf -> 0/clip BEFORE the int cast (astype(NaN) is undefined)
+        f = np.nan_to_num(f, nan=0.0, posinf=1.0, neginf=-1.0)
         arr = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype(np.int16)
     elif audio_fmt in (6, 7):  # G.711 A-law / mu-law
         if bits != 8:

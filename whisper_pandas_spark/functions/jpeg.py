@@ -321,6 +321,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise CodecError(f"marker expected at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -374,6 +377,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 raise CodecError("zero JPEG dimension")
             if h * w * ncomp > _MAX_PIXELS:
                 raise CodecError("image dimensions exceed decoder limit")
+            if len(body) < 6 + 3 * ncomp:
+                raise CodecError("truncated SOF component list")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)

@@ -278,8 +278,11 @@ def decode_frame_stats(
         raise ValueError(f"every must be >= 1, got {every}")
 
     def frames_of(raw: bytes):
+        """Sampled frames; entry j carries original frame index j*every
+        (decode_gif_frames samples at the container level, so unsampled
+        frames are never LZW-decoded)."""
         if raw[:6] in (b"GIF87a", b"GIF89a"):
-            _sw, _sh, frames = decode_gif_frames(raw)
+            _sw, _sh, frames = decode_gif_frames(raw, every=every)
             return frames
         h, w, _c, img = _dec(raw)
         return [(0, 0, h, w, img)]
@@ -304,10 +307,9 @@ def decode_frame_stats(
                     means.append(None)
                     hashes.append(None)
                     continue
-                for idx in range(0, len(frames), every):
-                    left, top, h, w, img = frames[idx]
+                for j, (left, top, h, w, img) in enumerate(frames):
                     rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(idx)
+                    rows["frame_idx"].append(j * every)
                     rows["left"].append(left)
                     rows["top"].append(top)
                     rows["height"].append(h)

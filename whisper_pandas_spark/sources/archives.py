@@ -28,9 +28,16 @@ Scale notes:
 - sample grouping is per-shard BY CONSTRUCTION (WebDataset keys don't
   span shards), so `read_webdataset` needs NO groupBy/shuffle — it
   groups inside the same Arrow pass that parses the tar;
-- ``on_error='skip'`` drops unreadable shards (the whisper-source
-  corrupt-file contract); a torn member inside a readable tar skips
-  just that member.
+- ``on_error='skip'`` tolerates corruption (the whisper-source
+  corrupt-file contract): an unreadable shard contributes nothing; a
+  shard torn MID-STREAM keeps every member decoded before the tear
+  (identical semantics in both readers — an archive stream cannot be
+  resynchronized past a tear, so "skip just the bad member" is not a
+  thing either format supports);
+- each member is capped at ``MAX_MEMBER_BYTES`` (1 GiB) declared AND
+  actual size, so a hostile deflate bomb inside a zip shard cannot
+  balloon executor memory (the same bounded-decode stance as the PNG
+  geometry cap and the LZW output cap in `functions/codecs.py`).
 
 The 2 GB Spark row limit bounds a single shard read; WebDataset shard
 sizing keeps real corpora far under it. ``maxPartitionBytes`` does not
@@ -45,9 +52,13 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+MAX_MEMBER_BYTES = 1 << 30
 
-def _iter_members(path: str, blob: bytes):
-    """Yield (member_name, payload bytes) from a tar(.gz) or zip blob."""
+
+def _iter_members(blob: bytes):
+    """Yield (member_name, payload bytes) from a tar(.gz) or zip blob,
+    sniffed by magic bytes. Raises mid-iteration on a torn stream;
+    callers decide whether already-yielded members survive."""
     import io
     import tarfile
     import zipfile
@@ -57,17 +68,46 @@ def _iter_members(path: str, blob: bytes):
             for info in zf.infolist():
                 if info.is_dir():
                     continue
-                yield info.filename, zf.read(info)
+                if info.file_size > MAX_MEMBER_BYTES:
+                    raise ValueError(
+                        f"member {info.filename} exceeds {MAX_MEMBER_BYTES} bytes"
+                    )
+                with zf.open(info) as fobj:
+                    # declared size can lie; read one byte past the cap
+                    data = fobj.read(MAX_MEMBER_BYTES + 1)
+                if len(data) > MAX_MEMBER_BYTES:
+                    raise ValueError(f"member {info.filename} exceeds size cap")
+                yield info.filename, data
         return
     # tarfile sniffs gzip itself with mode "r:*"
     with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
         for info in tf:
             if not info.isfile():
                 continue
+            if info.size > MAX_MEMBER_BYTES:
+                raise ValueError(
+                    f"member {info.name} exceeds {MAX_MEMBER_BYTES} bytes"
+                )
             fobj = tf.extractfile(info)
             if fobj is None:
                 continue
             yield info.name, fobj.read()
+
+
+def _members_tolerant(blob: bytes, on_error: str) -> list:
+    """Decode as many members as the stream yields before any tear.
+
+    ``skip`` keeps the pre-tear prefix (possibly empty); ``fail``
+    re-raises — ONE contract shared by both readers.
+    """
+    members: list = []
+    try:
+        for item in _iter_members(blob):
+            members.append(item)
+    except Exception:
+        if on_error == "fail":
+            raise
+    return members
 
 
 def read_archive_members(
@@ -80,7 +120,8 @@ def read_archive_members(
     ``(shard STRING, member STRING, payload BINARY, n_bytes LONG)``.
 
     ``glob`` filters shard files (``*.tar``, ``*.tar.gz``, ``*.zip``);
-    ``on_error='skip'|'fail'`` controls unreadable-shard handling.
+    ``on_error='skip'`` keeps each shard's pre-tear member prefix
+    (nothing for an unreadable shard), ``'fail'`` fails the task.
     """
     import pandas as pd
 
@@ -98,16 +139,11 @@ def read_archive_members(
         for pdf in batches:
             shards, members, payloads, sizes = [], [], [], []
             for shard_path, blob in zip(pdf["path"], pdf["content"]):
-                try:
-                    for name, data in _iter_members(shard_path, bytes(blob)):
-                        shards.append(shard_path)
-                        members.append(name)
-                        payloads.append(data)
-                        sizes.append(len(data))
-                except Exception:
-                    if on_error == "fail":
-                        raise
-                    continue
+                for name, data in _members_tolerant(bytes(blob), on_error):
+                    shards.append(shard_path)
+                    members.append(name)
+                    payloads.append(data)
+                    sizes.append(len(data))
             if not shards:
                 continue
             yield pd.DataFrame(
@@ -162,19 +198,14 @@ def read_webdataset(
         for pdf in batches:
             shards, keys, exts, payloads = [], [], [], []
             for shard_path, blob in zip(pdf["path"], pdf["content"]):
-                try:
-                    samples: dict[str, dict[str, bytes]] = {}
-                    order: list[str] = []
-                    for name, data in _iter_members(shard_path, bytes(blob)):
-                        key, ext = split_key(name)
-                        if key not in samples:
-                            samples[key] = {}
-                            order.append(key)
-                        samples[key][ext] = data
-                except Exception:
-                    if on_error == "fail":
-                        raise
-                    continue
+                samples: dict[str, dict[str, bytes]] = {}
+                order: list[str] = []
+                for name, data in _members_tolerant(bytes(blob), on_error):
+                    key, ext = split_key(name)
+                    if key not in samples:
+                        samples[key] = {}
+                        order.append(key)
+                    samples[key][ext] = data
                 for key in order:
                     shards.append(shard_path)
                     keys.append(key)
