@@ -162,3 +162,57 @@ def test_summarize_rebuckets_epoch_aligned(spark):
     assert _vals(g.summarize(df, 30, "max"), "a.x") == [2.0, 4.0, 8.0]
     with pytest.raises(ValueError):
         g.summarize(df, 30, "median")
+
+
+def test_moving_median_and_offset_to_zero(series):
+    # host1 values 100,110,140,150; trailing 3-point medians
+    assert _vals(g.moving_median_points(series, 3), "web.host1.requests") == [
+        100.0, 105.0, 110.0, 140.0,
+    ]
+    assert _vals(g.offset_to_zero(series), "web.host1.requests") == [
+        0.0, 10.0, 40.0, 50.0,
+    ]
+    assert _vals(g.offset_to_zero(series), "web.host2.requests") == [
+        40.0, 70.0, 0.0, 5.0,
+    ]
+    with pytest.raises(ValueError):
+        g.moving_median_points(series, 0)
+
+
+def test_as_percent_per_timestamp_totals(series):
+    got = g.as_percent(series)
+    # t=0: total 150 -> host1 100/150
+    h1 = _vals(got, "web.host1.requests")
+    assert h1[0] == pytest.approx(100 / 150 * 100)
+    assert h1[1] == pytest.approx(110 / 190 * 100)
+    # t=20: host1 is alone at that timestamp -> 100%
+    assert h1[2] == pytest.approx(100.0)
+    h2 = _vals(got, "web.host2.requests")
+    assert h2[0] == pytest.approx(50 / 150 * 100)
+
+
+def test_divide_series_broadcast_null_on_zero(spark):
+    rows = [
+        ("a.cpu", 0, 10.0), ("a.cpu", 10, 20.0), ("a.cpu", 20, 5.0),
+        ("total", 0, 20.0), ("total", 10, 0.0),  # zero divisor; 20 missing
+    ]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double")
+    df = df.select("metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    got = _vals(g.divide_series(df, "total"), "a.cpu")
+    assert got == [0.5, None, None]
+
+
+def test_highest_selects_top_series(spark):
+    rows = []
+    for m, base in [("m.a", 10), ("m.b", 100), ("m.c", 50)]:
+        for t in range(3):
+            rows.append((m, t * 10, float(base + t)))
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double")
+    df = df.select("metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    top2 = g.highest(df, 2, "max")
+    assert {r["metric"] for r in top2.collect()} == {"m.b", "m.c"}
+    assert top2.count() == 6  # full point sets survive
+    top1_avg = g.highest(df, 1, "avg")
+    assert {r["metric"] for r in top1_avg.collect()} == {"m.b"}
+    with pytest.raises(ValueError):
+        g.highest(df, 2, "bogus")

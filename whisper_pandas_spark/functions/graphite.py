@@ -169,6 +169,32 @@ def keep_last_value(df: DataFrame, limit: int | None = None) -> DataFrame:
     )
 
 
+def moving_median_points(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``movingMedian(series, N)`` (N points, trailing) — the
+    same permissive partial-window form as `moving_average_points`."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    # median()/percentile() reject window frames; an exact median over
+    # the trailing N points via sorted collect_list stays codegen-side
+    # and the array is bounded by N
+    w = _series_window().rowsBetween(-(n - 1), 0)
+    arr = F.array_sort(F.collect_list(_VAL).over(w))
+    k = F.size(arr)
+    mid_hi = F.element_at(arr, (k / 2).cast("int") + 1)
+    mid_lo = F.element_at(arr, ((k + 1) / 2).cast("int"))
+    return _with_value(df, F.when(k > 0, (mid_lo + mid_hi) / 2.0))
+
+
+def offset_to_zero(df: DataFrame) -> DataFrame:
+    """graphite ``offsetToZero(series)``: subtract each series' own
+    minimum, so every series bottoms at 0 (one unordered full-partition
+    window per series — no extra exchange beyond the metric partition)."""
+    wall = Window.partitionBy(_METRIC).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return _with_value(df, F.col(_VAL) - F.min(_VAL).over(wall))
+
+
 # -- cross-series aggregation --------------------------------------------
 
 
@@ -239,3 +265,56 @@ def alias_by_node(df: DataFrame, node_idx: int) -> DataFrame:
     """graphite ``aliasByNode(series, N)`` — rename each series to path
     node N (no aggregation; collisions stay separate rows)."""
     return df.withColumn(_METRIC, _node(node_idx))
+
+
+def as_percent(df: DataFrame) -> DataFrame:
+    """graphite ``asPercent(series_list)``: each point as a percentage
+    of that timestamp's cross-series total (null when the total is 0 or
+    null — Graphite's None). One exchange on timestamp; the per-ts
+    totals window never holds more than the series count."""
+    wt = Window.partitionBy(_TS)
+    total = F.sum(_VAL).over(wt)
+    return _with_value(
+        df, F.when(total != 0, F.col(_VAL) / total * F.lit(100.0))
+    )
+
+
+def divide_series(df: DataFrame, divisor_metric: str) -> DataFrame:
+    """graphite ``divideSeries(dividend_list, divisor)``: every series
+    divided pointwise by the named divisor series (null where the
+    divisor is 0 or missing at that timestamp). The divisor is ONE
+    series — small by construction — so it broadcasts; dividends never
+    shuffle."""
+    divisor = (
+        df.where(F.col(_METRIC) == divisor_metric)
+        .select(F.col(_TS).alias("_div_ts"), F.col(_VAL).alias("_div_val"))
+    )
+    out = (
+        df.where(F.col(_METRIC) != divisor_metric)
+        .join(F.broadcast(divisor), F.col(_TS) == F.col("_div_ts"), "left")
+        .drop("_div_ts")
+    )
+    return _with_value(
+        out,
+        F.when(F.col("_div_val") != 0, F.col(_VAL) / F.col("_div_val")),
+    ).drop("_div_val")
+
+
+def highest(df: DataFrame, n: int, func: str = "max") -> DataFrame:
+    """graphite ``highest(series_list, N, 'max')`` (and ``highestMax`` /
+    ``highestAverage`` via *func*): keep only the N series whose
+    aggregate is largest. One per-series agg exchange; the winner set is
+    N metric names, broadcast back as a semi join — the full point set
+    never shuffles."""
+    if func not in _AGGS:
+        raise ValueError(f"func must be one of {sorted(_AGGS)}, got {func!r}")
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    winners = (
+        df.groupBy(_METRIC)
+        .agg(_AGGS[func](_VAL).alias("_rank_val"))
+        .orderBy(F.col("_rank_val").desc(), F.col(_METRIC))
+        .limit(n)
+        .select(_METRIC)
+    )
+    return df.join(F.broadcast(winners), _METRIC, "left_semi")

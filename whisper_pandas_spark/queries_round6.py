@@ -3,7 +3,7 @@ now, registered later.
 
 The grading driver records ~50 entries per round (README: driver
 contract); round 5 already spends its ≤3-new-entry budget, so these
-nine ship as a staging dict that `tests/test_round6_staged.py`
+ten ship as a staging dict that `tests/test_round6_staged.py`
 value-checks against DuckDB TODAY (the exact driver-style comparison).
 Round 6 promotes them with one line in `registry.py`:
 
@@ -15,6 +15,7 @@ Entries:
 - graphite_summarize       epoch-aligned re-bucketing ('1h', 'max')
 - ingest_jsonl_roundtrip   documents -> JSONL -> engine, lossless
 - ingest_csv_roundtrip     typed columns + text md5 through the CSV path
+- mm_archive_inventory     tar-shard write -> read_archive_members round trip
 - snapshot_diff_keys       table_diff over deterministic mutations
 - sample_shuffle_epoch     deterministic training-order permutation
 - stream_session_replay    NATIVE streaming sessionization (session_window,
@@ -221,6 +222,59 @@ def ingest_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, lang string, source string, n_chars long, text_md5 string",
     )
     return back.orderBy("doc_id")
+
+
+@_staged(
+    "mm_archive_inventory",
+    oracle="""
+SELECT doc_id || '.txt' AS member,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents WHERE doc_id % 50 < 3 ORDER BY member
+""",
+)
+def mm_archive_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5+: archive-shard round trip — pack a deterministic documents
+    slice into tar shards (one per doc_id%3), read them back with
+    `read_archive_members`, emit (member, n_bytes, payload_md5). The
+    oracle recomputes all three straight from the documents table, so
+    the tar write + binaryFile scan + member extraction chain is
+    value-checked end to end (the whisper fixture-from-parquet recipe
+    applied to the WebDataset source)."""
+    import hashlib
+    import io
+    import tarfile
+    import tempfile
+    from pathlib import Path
+
+    from whisper_pandas_spark.sources.archives import read_archive_members
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 50 < 3)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )  # small deterministic slice (~6% of docs) — fixture build only
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = Path(tempfile.gettempdir()) / f"wps_tar_{tag}"
+    out.mkdir(exist_ok=True)
+    bufs = {s: io.BytesIO() for s in range(3)}
+    tars = {s: tarfile.open(fileobj=b, mode="w") for s, b in bufs.items()}
+    for row in docs:
+        data = row["text"].encode("utf-8")
+        info = tarfile.TarInfo(f"{row['doc_id']}.txt")
+        info.size = len(data)
+        tars[row["doc_id"] % 3].addfile(info, io.BytesIO(data))
+    for s, tf in tars.items():
+        tf.close()
+        (out / f"shard-{s}.tar").write_bytes(bufs[s].getvalue())
+    inv = read_archive_members(spark, str(out))
+    return inv.select(
+        "member",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("member")
 
 
 # -- snapshot diff ---------------------------------------------------------
