@@ -361,3 +361,38 @@ def test_bigram_lm_score_matches_python_reference(spark):
         assert got[i]["lm_score"] == pytest.approx(want, abs=1e-6)
     # docs repeating corpus-typical bigrams score higher than outliers
     assert got[0]["lm_score"] > got[2]["lm_score"]
+
+
+def test_scd2_from_log_compresses_runs(spark):
+    from whisper_pandas_spark.operators.scd import scd2_from_log
+
+    rows = [
+        (1, 10, "bronze"), (1, 20, "bronze"), (1, 30, "silver"),
+        (1, 40, "silver"), (1, 50, "bronze"),   # flip back -> new version
+        (2, 15, "gold"),
+        (3, 5, None), (3, 9, "trial"),          # null attr -> real change
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, tier string")
+    got = sorted(
+        (
+            (r["key"], r["tier"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_from_log(df, "user_id", "ts", ["tier"]).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        (1, "bronze", 10, 30, False),
+        (1, "silver", 30, 50, False),
+        (1, "bronze", 50, None, True),
+        (2, "gold", 15, None, True),
+        (3, None, 5, 9, False),
+        (3, "trial", 9, None, True),
+    ]
+    # idempotent: replaying the compressed versions yields themselves
+    versions = scd2_from_log(df, "user_id", "ts", ["tier"]).select(
+        F.col("key").alias("user_id"), F.col("valid_from").alias("ts"), "tier"
+    )
+    again = scd2_from_log(versions, "user_id", "ts", ["tier"])
+    assert again.count() == 6
+    with pytest.raises(ValueError):
+        scd2_from_log(df, "user_id", "ts", [])

@@ -247,3 +247,32 @@ def test_staged_entries_have_scale_safe_plans(spark):
     p = plan_of("snapshot_diff_keys")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_new_staged_entries_plan_shapes(spark):
+    """Plan pins for the late-round-5 staged entries: summarize is one
+    partial-agg exchange; the SCD2 window partitions by the key; the
+    archive inventory never shuffles payload rows (scan-shaped Arrow
+    pass + sort only for the oracle's determinism)."""
+    from whisper_pandas_spark.queries_round6 import STAGED
+
+    def plan_of(name):
+        return formatted_plan(STAGED[name][0](spark, SF))
+
+    p = plan_of("graphite_summarize")
+    assert p.count("HashAggregate") >= 2  # map-side partial + final
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+    p = plan_of("scd2_user_event_versions")
+    assert "user_id" in p and "Window" in p  # key-partitioned windows
+    assert "CartesianProduct" not in p
+    # change detection + interval assignment must not add a second
+    # shuffle beyond the key partition (windows share the partitioning)
+    assert p.count("Exchange hashpartitioning") <= 1
+
+    p = plan_of("mm_archive_inventory")
+    assert "CartesianProduct" not in p
+    # payload rows flow scan -> Arrow extraction; the only exchange is
+    # the final orderBy range partition the oracle comparison needs
+    assert "Exchange hashpartitioning" not in p

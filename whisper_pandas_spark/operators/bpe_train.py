@@ -1,0 +1,207 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merge
+learning) over a document corpus.
+
+The public BPE algorithm (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units"): start from characters,
+repeatedly merge the most frequent adjacent symbol pair. This module
+fits the merge table Spark-natively, and segments documents with a
+learned table — the tokenizer-fitting step of a training-data pipeline
+(the existing `text_bpe_token_count` is a regex approximation; this is
+the real thing).
+
+Scale shape (the part that matters at 100 TB):
+
+- **Corpus -> word vocabulary once.** BPE statistics depend only on
+  (unique word, frequency) — one corpus-level shuffle TOTAL, after
+  which every iteration works on the vocab table (Zipf: orders of
+  magnitude smaller than the corpus, and still fully distributed).
+- **Per merge iteration:** one partial-agg exchange over the vocab
+  (adjacent-pair counts, map-side combined), a driver-side top-1 (a
+  single 2-string row), and one Arrow map applying the merge. The
+  driver only ever holds the merge list (num_merges pairs), never the
+  vocab.
+- **Lineage truncation per iteration** (`localCheckpoint(eager=True)`),
+  the `kmeans_cosine(checkpoint=True)` pattern: the plan stays constant
+  in the iteration count instead of compounding K map stages deep.
+- **Segmentation** re-uses the same vocab trick: apply merges to the
+  UNIQUE words of the batch (Arrow pass), then join token counts back
+  to documents — per-document Python never touches full texts twice.
+
+Determinism: ties on pair frequency break lexicographically, so the
+merge table is a pure function of the corpus — reproducible on any
+engine, any partitioning (asserted in tests against an independent
+single-node reference implementation).
+
+No reference-repo parity: whisper_pandas has no text surface; this
+backs SURVEY.md §2.10 X4 / §2.11.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.functions.text import tokenize
+
+END = "</w>"  # end-of-word marker, per the original BPE formulation
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-level shuffle."""
+    return (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_syms(syms: list, a: str, b: str) -> list:
+    """Apply one merge (a, b) -> a+b left-to-right, the BPE rule."""
+    out = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus; returns the
+    ordered merge list. Stops early when no pair reaches
+    ``min_pair_freq``."""
+    import pandas as pd
+
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+
+    def to_syms(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "syms": [list(w) + [END] for w in pdf["word"]],
+                    "freq": pdf["freq"],
+                }
+            )
+
+    vocab = (
+        _word_vocab(df, text_col)
+        .mapInPandas(to_syms, "syms array<string>, freq long")
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("a"),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] < min_pair_freq:
+            break
+        a, b = pairs[0]["a"], pairs[0]["b"]
+        merges.append((a, b))
+
+        def apply_merge(
+            batches: Iterator["pd.DataFrame"], a=a, b=b
+        ) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "syms": [
+                            _merge_syms(list(s), a, b) for s in pdf["syms"]
+                        ],
+                        "freq": pdf["freq"],
+                    }
+                )
+
+        vocab = vocab.mapInPandas(
+            apply_merge, "syms array<string>, freq long"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Token statistics per document under a learned merge table:
+    (doc_id, n_words, n_bpe_tokens).
+
+    Merges apply to the batch's UNIQUE words (the vocab trick again —
+    one Arrow pass over distinct words, a broadcast-sized merge list in
+    the closure), then per-word token lengths join back to documents on
+    the word: two exchanges total (distinct words; the docs-words join
+    re-aggregation), independent of the merge count.
+    """
+    import pandas as pd
+
+    words = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(F.col(text_col))).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    uniq = words.select("word").distinct()
+
+    def seg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # rebuild the merge ranking once per task, not per word
+        rank = {pair: i for i, pair in enumerate(merges)}
+
+        def word_len(w: str) -> int:
+            syms = list(w) + [END]
+            while len(syms) > 1:
+                best = None
+                best_rank = len(rank)
+                for i in range(len(syms) - 1):
+                    r = rank.get((syms[i], syms[i + 1]), None)
+                    if r is not None and r < best_rank:
+                        best, best_rank = (syms[i], syms[i + 1]), r
+                if best is None:
+                    break
+                syms = _merge_syms(syms, best[0], best[1])
+            return len(syms)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_syms": [word_len(w) for w in pdf["word"]],
+                }
+            )
+
+    lengths = uniq.mapInPandas(seg, "word string, n_syms int")
+    return (
+        words.join(F.broadcast(lengths), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+    )

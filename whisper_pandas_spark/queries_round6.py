@@ -3,7 +3,7 @@ now, registered later.
 
 The grading driver records ~50 entries per round (README: driver
 contract); round 5 already spends its ≤3-new-entry budget, so these
-ten ship as a staging dict that `tests/test_round6_staged.py`
+eleven ship as a staging dict that `tests/test_round6_staged.py`
 value-checks against DuckDB TODAY (the exact driver-style comparison).
 Round 6 promotes them with one line in `registry.py`:
 
@@ -16,6 +16,7 @@ Entries:
 - ingest_jsonl_roundtrip   documents -> JSONL -> engine, lossless
 - ingest_csv_roundtrip     typed columns + text md5 through the CSV path
 - mm_archive_inventory     tar-shard write -> read_archive_members round trip
+- scd2_user_event_versions SCD2 dimension materialization from the event log
 - snapshot_diff_keys       table_diff over deterministic mutations
 - sample_shuffle_epoch     deterministic training-order permutation
 - stream_session_replay    NATIVE streaming sessionization (session_window,
@@ -330,6 +331,39 @@ def snapshot_diff_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(old, new, "doc_id").orderBy("key")
+
+
+@_staged(
+    "scd2_user_event_versions",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER w AS prev_et,
+         lag(ts) OVER w AS prev_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+), changes AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et
+), v AS (
+  SELECT user_id AS key, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS valid_to
+  FROM changes
+)
+SELECT key, event_type, valid_from, valid_to, (valid_to IS NULL) AS is_current
+FROM v ORDER BY key, valid_from
+""",
+)
+def scd2_user_event_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y21: SCD2 dimension materialization (operators/scd.py) — each
+    user's event_type history compressed to versioned rows with
+    half-open validity intervals; the oracle replays the identical
+    gaps-and-islands SQL. One key-partitioned window, no second
+    exchange."""
+    from whisper_pandas_spark.operators.scd import scd2_from_log
+
+    ev = _table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    out = scd2_from_log(ev, "user_id", "ts", ["event_type"])
+    return out.orderBy("key", "valid_from")
 
 
 # -- deterministic epoch shuffle -------------------------------------------
