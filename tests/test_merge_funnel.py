@@ -1,0 +1,127 @@
+"""Copy-on-write MERGE (operators/merge.py) and funnel analysis
+(operators/funnel.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.operators.funnel import funnel_counts, funnel_steps
+from whisper_pandas_spark.operators.merge import (
+    current_version_path,
+    merge_changes,
+    merge_into_parquet,
+)
+
+
+# -- merge -----------------------------------------------------------------
+
+
+@pytest.fixture()
+def table(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+
+
+def test_merge_changes_update_insert_delete(spark, table):
+    changes = spark.createDataFrame(
+        [(2, "B", 200, False), (4, "d", 40, False), (3, None, 0, True)],
+        "id long, s string, v long, is_delete boolean",
+    )
+    got = {
+        r["id"]: (r["s"], r["v"])
+        for r in merge_changes(table, changes, "id", "is_delete").collect()
+    }
+    assert got == {1: ("a", 10), 2: ("B", 200), 4: ("d", 40)}  # 3 deleted
+    # without a delete column every change row upserts
+    up_only = changes.drop("is_delete")
+    got2 = {r["id"] for r in merge_changes(table, up_only, "id").collect()}
+    assert got2 == {1, 2, 3, 4}
+
+
+def test_merge_into_parquet_versions_and_pointer(spark, table, tmp_path):
+    base = str(tmp_path / "tbl")
+    v0 = merge_into_parquet(spark, base, table, "id")
+    assert v0.endswith("v0") and current_version_path(base) == v0
+    changes = spark.createDataFrame(
+        [(1, "A", 100, False), (3, None, 0, True), (9, "z", 90, False)],
+        "id long, s string, v long, is_delete boolean",
+    )
+    v1 = merge_into_parquet(spark, base, changes, "id", "is_delete")
+    assert v1.endswith("v1") and current_version_path(base) == v1
+    live = {
+        r["id"]: (r["s"], r["v"])
+        for r in spark.read.parquet(current_version_path(base)).collect()
+    }
+    assert live == {1: ("A", 100), 2: ("b", 20), 9: ("z", 90)}
+    # old version untouched (time travel / rollback)
+    old = {r["id"] for r in spark.read.parquet(v0).collect()}
+    assert old == {1, 2, 3}
+
+
+def test_merge_crash_before_flip_leaves_old_version_live(spark, table, tmp_path):
+    import pathlib
+
+    base = str(tmp_path / "tbl")
+    v0 = merge_into_parquet(spark, base, table, "id")
+    # simulate a crashed writer: a half-written v1 with NO pointer flip
+    (pathlib.Path(base) / "v1").mkdir()
+    (pathlib.Path(base) / "v1" / "part-garbage.parquet").write_bytes(b"torn")
+    assert current_version_path(base) == v0  # readers still see v0
+
+
+# -- funnel ----------------------------------------------------------------
+
+
+@pytest.fixture()
+def journeys(spark):
+    rows = [
+        # u1 completes in order
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # u2 clicks before viewing -> click doesn't count; re-click later
+        (2, 100, "click"), (2, 150, "view"), (2, 160, "click"),
+        # u3 views only
+        (3, 50, "view"),
+        # u4 purchase first then view -> purchase must NOT match
+        (4, 10, "purchase"), (4, 20, "view"), (4, 30, "click"),
+        # u5 completes but too slowly for the 100 s window
+        (5, 0, "view"), (5, 50, "click"), (5, 500, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, epoch long, event_type string")
+    return df.select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_type"
+    )
+
+
+def test_funnel_steps_order_and_window(journeys):
+    got = {
+        r["user_id"]: tuple(
+            None if r[f"step_{k}_ts"] is None else int(r[f"step_{k}_ts"].timestamp())
+            for k in (1, 2, 3)
+        )
+        for r in funnel_steps(
+            journeys, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert got[1] == (100, 200, 300)
+    assert got[2] == (150, 160, None)   # pre-view click ignored
+    assert got[3] == (50, None, None)
+    assert got[4] == (20, 30, None)     # pre-view purchase never matches
+    assert got[5] == (0, 50, 500)       # no window -> slow completion counts
+
+
+def test_funnel_counts_with_conversion_window(journeys):
+    got = [
+        (r["step"], r["step_name"], r["users_reached"])
+        for r in funnel_counts(
+            journeys, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], within_seconds=250,
+        ).collect()
+    ]
+    # u1 (view 100 -> purchase 300) converts inside 250 s; u5's purchase
+    # at +500 s falls outside the window
+    assert got == [(1, "view", 5), (2, "click", 4), (3, "purchase", 1)]
+    with pytest.raises(ValueError):
+        funnel_counts(journeys, "user_id", "ts", "event_type", ["view"])

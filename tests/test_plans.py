@@ -276,3 +276,23 @@ def test_new_staged_entries_plan_shapes(spark):
     # payload rows flow scan -> Arrow extraction; the only exchange is
     # the final orderBy range partition the oracle comparison needs
     assert "Exchange hashpartitioning" not in p
+
+
+def test_funnel_and_merge_staged_plans(spark):
+    """Funnel stays window-algebra (no joins, no Python, no cartesian);
+    MERGE applies the change set via broadcast joins — the full table
+    never hash-shuffles."""
+    from whisper_pandas_spark.queries_round6 import STAGED
+
+    def plan_of(name):
+        return formatted_plan(STAGED[name][0](spark, SF))
+
+    p = plan_of("funnel_view_click_purchase")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert p.count("Window") >= 3  # one conditional min per funnel step
+    assert "SortMergeJoin" not in p  # steps compose as windows, not joins
+
+    p = plan_of("merge_upsert_documents")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert p.count("BroadcastHashJoin") >= 1  # anti-join broadcasts keys
+    assert "Exchange hashpartitioning" not in p  # table rows never shuffle

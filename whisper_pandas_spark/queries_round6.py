@@ -3,7 +3,7 @@ now, registered later.
 
 The grading driver records ~50 entries per round (README: driver
 contract); round 5 already spends its ≤3-new-entry budget, so these
-eleven ship as a staging dict that `tests/test_round6_staged.py`
+thirteen ship as a staging dict that `tests/test_round6_staged.py`
 value-checks against DuckDB TODAY (the exact driver-style comparison).
 Round 6 promotes them with one line in `registry.py`:
 
@@ -17,6 +17,8 @@ Entries:
 - ingest_csv_roundtrip     typed columns + text md5 through the CSV path
 - mm_archive_inventory     tar-shard write -> read_archive_members round trip
 - scd2_user_event_versions SCD2 dimension materialization from the event log
+- funnel_view_click_purchase ordered-sequence funnel with conversion window
+- merge_upsert_documents   relational MERGE (update/insert/delete) state
 - snapshot_diff_keys       table_diff over deterministic mutations
 - sample_shuffle_epoch     deterministic training-order permutation
 - stream_session_replay    NATIVE streaming sessionization (session_window,
@@ -364,6 +366,104 @@ def scd2_user_event_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     out = scd2_from_log(ev, "user_id", "ts", ["event_type"])
     return out.orderBy("key", "valid_from")
+
+
+@_staged(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS step_name,
+         (SELECT count(*) FROM s1) AS users_reached
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+) ORDER BY step
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y22: ordered-sequence funnel (operators/funnel.py) — users who
+    viewed, then clicked, then purchased, each step strictly after the
+    previous greedy match and inside a 7-day conversion window. Spark
+    runs it as chained conditional windows over ONE user_id exchange;
+    the oracle replays the same greedy-earliest semantics as cascaded
+    min-joins."""
+    from whisper_pandas_spark.operators.funnel import funnel_counts
+
+    ev = _table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_seconds=7 * 86400,
+    )
+
+
+@_staged(
+    "merge_upsert_documents",
+    oracle="""
+WITH changes AS (
+  SELECT doc_id, text || ' [rev]' AS text, false AS is_delete
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 97 <> 2
+  UNION ALL
+  SELECT doc_id + 500000, 'new doc ' || doc_id, false
+  FROM documents WHERE doc_id < 3
+  UNION ALL
+  SELECT doc_id, NULL, true FROM documents WHERE doc_id % 97 = 2
+)
+SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM changes)
+UNION ALL
+SELECT doc_id, text FROM changes WHERE NOT is_delete
+ORDER BY doc_id
+""",
+)
+def merge_upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y23: relational MERGE (operators/merge.py) — a deterministic
+    change set (updates at doc_id%7, three inserts, deletes at
+    doc_id%97==2) applied to documents; the oracle recomputes the merged
+    state as anti-join + union SQL. One broadcast anti-join, no
+    full-table shuffle."""
+    from whisper_pandas_spark.operators.merge import merge_changes
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    changes = (
+        docs.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 97 != 2))
+        .select(
+            "doc_id",
+            F.concat("text", F.lit(" [rev]")).alias("text"),
+            F.lit(False).alias("is_delete"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") < 3).select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+                F.lit(False).alias("is_delete"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 97 == 2).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                F.lit(True).alias("is_delete"),
+            )
+        )
+    )
+    out = merge_changes(docs, changes, "doc_id", "is_delete")
+    return out.orderBy("doc_id")
 
 
 # -- deterministic epoch shuffle -------------------------------------------
