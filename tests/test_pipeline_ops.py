@@ -396,3 +396,81 @@ def test_scd2_from_log_compresses_runs(spark):
     assert again.count() == 6
     with pytest.raises(ValueError):
         scd2_from_log(df, "user_id", "ts", [])
+
+
+# -- mixture_sample / mixture_quotas ---------------------------------------
+
+
+def _naive_mixture(spark, df, quotas):
+    """Single-window greedy reference (the oracle's shape)."""
+    from pyspark.sql import Window
+
+    from whisper_pandas_spark.operators.sampling import hash_bucket
+
+    w = (
+        Window.partitionBy("dom")
+        .orderBy(hash_bucket(F.col("k")), "k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    q = F.lit(None).cast("long")
+    for d, v in quotas.items():
+        q = F.when(F.col("dom") == d, F.lit(v)).otherwise(q)
+    return (
+        df.filter(F.col("dom").isin(*quotas))
+        .withColumn("__b4", F.coalesce(F.sum("wt").over(w), F.lit(0)))
+        .filter(F.col("__b4") < q)
+        .drop("__b4")
+    )
+
+
+@pytest.mark.parametrize("bits", [0, 1, 3, 12])
+def test_mixture_sample_equals_naive_greedy(spark, bits):
+    from whisper_pandas_spark.operators.sampling import mixture_sample
+
+    rows = [(i, f"d{i % 3}", 10 + (i * 7) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, dom string, wt long")
+    quotas = {"d0": 700, "d1": 150, "d2": 100000}  # mid / tiny / no-cap
+    got = mixture_sample(
+        df, "dom", quotas, weight_col="wt", key_col="k", coarse_bits=bits
+    )
+    want = _naive_mixture(spark, df, quotas)
+    assert sorted(got.select("k").toPandas()["k"]) == sorted(
+        want.select("k").toPandas()["k"]
+    )
+    # the uncapped domain keeps everything; each capped one overshoots
+    # its quota by at most one row
+    pdf = got.toPandas()
+    assert (pdf["dom"] == "d2").sum() == (df.toPandas()["dom"] == "d2").sum()
+    for d, q in (("d0", 700), ("d1", 150)):
+        sel = pdf[pdf["dom"] == d].sort_values("k")
+        tot = sel["wt"].sum()
+        assert tot >= min(q, 1)  # picked something
+        assert tot - sel["wt"].max() < q  # before-last < quota
+
+
+def test_mixture_sample_drops_unlisted_and_zero_quota(spark):
+    from whisper_pandas_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5), (3, "c", 5)], "k long, dom string, wt long"
+    )
+    out = mixture_sample(
+        df, "dom", {"a": 100, "b": 0}, weight_col="wt", key_col="k"
+    ).toPandas()
+    assert sorted(out["dom"]) == ["a"]  # c unlisted, b zero-quota
+    with pytest.raises(ValueError):
+        mixture_sample(df, "dom", {}, weight_col="wt", key_col="k")
+
+
+def test_mixture_quotas_largest_remainder():
+    from whisper_pandas_spark.operators.sampling import mixture_quotas
+
+    q = mixture_quotas({"web": 0.5, "code": 0.3, "books": 0.2}, 1001)
+    assert sum(q.values()) == 1001
+    assert q == {"web": 501, "code": 300, "books": 200}
+    # ties break by name: both .5 remainders, 'a' wins the odd token
+    assert mixture_quotas({"a": 1, "b": 1}, 3) == {"a": 2, "b": 1}
+    with pytest.raises(ValueError):
+        mixture_quotas({"a": 0.0}, 10)
+    with pytest.raises(ValueError):
+        mixture_quotas({"a": -1.0, "b": 2.0}, 10)

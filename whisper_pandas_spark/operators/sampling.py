@@ -136,3 +136,128 @@ def deterministic_shuffle(
     key is 8 bytes/row — no payload amplification in the exchange.
     """
     return df.orderBy(hash_bucket(F.col(key_col), seed), F.col(key_col))
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    quotas: dict[str, int],
+    weight_col: str,
+    key_col: str,
+    seed: int = 0,
+    coarse_bits: int = 12,
+) -> DataFrame:
+    """Greedy per-domain token-budget sampling — the data-mixture step of
+    a pre-training pipeline (e.g. "30% web, 30% code, 40% books" turned
+    into per-domain token budgets by :func:`mixture_quotas`).
+
+    Semantics (what the oracle replicates with ONE window): within each
+    domain, walk the rows in ``hash_bucket(key, seed)`` order and keep a
+    row iff the summed ``weight_col`` of the rows BEFORE it is still
+    under the domain's quota — i.e. keep the shortest deterministic
+    hash-prefix covering the budget (overshoot ≤ one row). Domains
+    absent from *quotas* are dropped. Decisions are content-keyed, so
+    re-running on re-partitioned or incrementally-grown data never flips
+    a kept row that still fits its prefix.
+
+    Scale: the naive form is a full sort per domain — ONE ordering
+    window over each domain's entire bulk, exactly the single-partition
+    skew ceiling a 100 TB corpus with 5 domains cannot pay. This
+    implementation is two-phase and never globally sorts a domain:
+
+    1. coarse pass — bucket the hash into ``2**coarse_bits`` ranges and
+       aggregate per (domain, bucket) weights (one partial-agg shuffle
+       of ``domains x 2^bits`` ROWS, not bytes of text); a window over
+       that SMALL frame classifies each bucket as fully-kept (prefix
+       weight + bucket weight <= quota), fully-dropped (prefix weight
+       already >= quota), or THE boundary bucket (at most one per
+       domain).
+    2. exact pass — rows in kept buckets pass through via one broadcast
+       semi-join; only the boundary bucket's rows (expected bulk /
+       2^coarse_bits) get the exact within-bucket ordering window,
+       offset by the coarse prefix weight.
+
+    Buckets are hash-prefix ranges, so bucket order IS global hash
+    order and the two-phase result is exactly the single-window greedy
+    prefix. Raise *coarse_bits* until bulk / 2^bits fits one task.
+    """
+    from pyspark.sql import Window
+
+    if not quotas:
+        raise ValueError("quotas must be non-empty")
+    shift = 32 - coarse_bits
+    quota_col: Column = F.lit(None).cast("long")
+    for dom, q in sorted(quotas.items()):
+        quota_col = F.when(F.col(domain_col) == dom, F.lit(int(q))).otherwise(
+            quota_col
+        )
+    base = (
+        df.filter(F.col(domain_col).isin(*quotas.keys()))
+        .withColumn("__h", hash_bucket(F.col(key_col), seed))
+        .withColumn("__b", F.shiftright(F.col("__h"), shift))
+    )
+    per_bucket = base.groupBy(domain_col, "__b").agg(
+        F.sum(weight_col).alias("__t")
+    )
+    cw = (
+        Window.partitionBy(domain_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    classified = (
+        per_bucket.withColumn(
+            "__before", F.coalesce(F.sum("__t").over(cw), F.lit(0))
+        )
+        .withColumn("__q", quota_col)
+        .withColumn(
+            "__cls",
+            F.when(F.col("__before") >= F.col("__q"), F.lit("drop"))
+            .when(
+                F.col("__before") + F.col("__t") <= F.col("__q"), F.lit("keep")
+            )
+            .otherwise(F.lit("edge")),
+        )
+    )
+    cls = F.broadcast(
+        classified.filter(F.col("__cls") != "drop").select(
+            domain_col, "__b", "__before", "__cls"
+        )
+    )
+    tagged = base.join(cls, [domain_col, "__b"])
+    kept_whole = tagged.filter(F.col("__cls") == "keep")
+    ew = (
+        Window.partitionBy(domain_col)
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        tagged.filter(F.col("__cls") == "edge")
+        .withColumn(
+            "__ebefore",
+            F.col("__before")
+            + F.coalesce(F.sum(weight_col).over(ew), F.lit(0)),
+        )
+        .filter(F.col("__ebefore") < quota_col)
+        .drop("__ebefore")
+    )
+    return kept_whole.unionByName(boundary).select(*df.columns)
+
+
+def mixture_quotas(
+    weights: dict[str, float], total: int
+) -> dict[str, int]:
+    """Turn mixture *weights* (any positive scale) into integer
+    per-domain budgets summing exactly to *total* — largest-remainder
+    apportionment, ties broken by domain name for determinism."""
+    if total < 0 or not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative, total >= 0")
+    s = float(sum(weights.values()))
+    if s <= 0:
+        raise ValueError("at least one weight must be positive")
+    raw = {d: total * w / s for d, w in weights.items()}
+    floors = {d: int(v) for d, v in raw.items()}
+    short = total - sum(floors.values())
+    order = sorted(raw, key=lambda d: (-(raw[d] - floors[d]), d))
+    for d in order[:short]:
+        floors[d] += 1
+    return floors

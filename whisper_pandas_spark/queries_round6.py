@@ -629,3 +629,58 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents")
     return bigram_lm_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# -- data-mixture sampling (per-domain token budgets) ----------------------
+
+_MIX_DOMS = ("src0", "src1", "src2", "src3")
+_MIX_QUOTAS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
+_MIX_CASE = (
+    "CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 3000 "
+    "WHEN 'src2' THEN 2000 ELSE 1000 END"
+)
+
+
+@_staged(
+    "sample_mixture_tokens",
+    f"""
+WITH cum AS (
+  SELECT doc_id, source, n_chars,
+         ('0x' || substr(md5('0:' || doc_id), 1, 8))::BIGINT AS h
+  FROM documents WHERE source IN {_MIX_DOMS!r}
+), o AS (
+  SELECT doc_id, source, n_chars,
+         coalesce(SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM cum
+)
+SELECT doc_id, source, n_chars FROM o
+WHERE before < {_MIX_CASE}
+ORDER BY doc_id
+""",
+)
+def sample_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y: data-mixture sampling — per-domain char budgets (web 4k /
+    wiki 3k / ... here played by src0-3) filled by the deterministic
+    hash-prefix greedy (operators/sampling.py:mixture_sample). The
+    oracle is the NAIVE one-window-per-domain greedy; the engine runs
+    the two-phase coarse-bucket form (no full-domain sort, boundary
+    bucket only gets the exact window) with coarse_bits=2 so a 4-way
+    bucket split and the boundary path are genuinely exercised at this
+    fixture size. Both must pick the identical prefix."""
+    from whisper_pandas_spark.operators.sampling import mixture_sample
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(
+            docs,
+            "source",
+            _MIX_QUOTAS,
+            weight_col="n_chars",
+            key_col="doc_id",
+            seed=0,
+            coarse_bits=2,
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
