@@ -544,3 +544,53 @@ def test_lsh_multi_arrow_buckets_match_expression(spark, sf_dir):
         ).collect()
     }
     assert arrow == expr
+
+
+# -- semantic_dedup (SemDeDup) ---------------------------------------------
+
+
+def test_semantic_dedup_keeps_min_id_per_component(spark):
+    from whisper_pandas_spark.operators.dedup import semantic_dedup
+
+    # two well-separated centroids; vectors 1,2,3 near +x (one cell),
+    # 10,11 near +y (other cell); 1~2~3 are mutual near-dups, 10~11 too,
+    # 20 is alone in the +x cell but dissimilar to everyone
+    def v(x, y, z):
+        return [float(x), float(y), float(z)]
+
+    rows = [
+        (1, v(1, 0, 0)),
+        (2, v(0.99, 0.05, 0)),
+        (3, v(0.98, -0.05, 0)),
+        (20, v(0.7, 0, 0.7)),
+        (10, v(0, 1, 0)),
+        (11, v(0.05, 0.99, 0)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, v(1, 0, 0)), (1, v(0, 1, 0))],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(emb, cent, threshold=0.9).toPandas()
+    got = dict(zip(out["vec_id"], out["keep"]))
+    assert got == {1: True, 2: False, 3: False, 20: True, 10: True, 11: False}
+    assert len(out) == 6  # every input vector gets a verdict
+
+
+def test_semantic_dedup_max_cell_skips_pairing_not_rows(spark):
+    from whisper_pandas_spark.operators.dedup import semantic_dedup
+
+    # 4 identical vectors in one cell: with the guard below the cell
+    # size, pairing is skipped and ALL are kept (logged-cell semantics)
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)] + [(9, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(emb, cent, threshold=0.9, max_cell=3).toPandas()
+    assert out["keep"].all() and len(out) == 5
+    out2 = semantic_dedup(emb, cent, threshold=0.9, max_cell=10).toPandas()
+    assert sorted(out2[out2["keep"]]["vec_id"]) == [0, 9]

@@ -689,3 +689,92 @@ def substring_span_pairs(
         )
         .filter(F.col("max_run") >= min_run)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """X2+: SemDeDup — embedding-space near-duplicate removal blocked by
+    k-means cell (Abbas et al. 2023, arXiv:2303.09540: cluster the
+    corpus, compare only within clusters, keep one representative per
+    near-dup group).
+
+    Pipeline: assign every vector to its nearest *centroid* by cosine
+    (centroids broadcast, corpus scans once — similarity.py:ivf_assign);
+    self-equi-join on the cell id for candidate pairs with
+    ``round(cos, 6) >= threshold``; min-label connected components over
+    the pair graph; each component keeps its min-id member.
+
+    Returns (id_col, cell, keep) for EVERY input vector — callers filter
+    ``keep`` to drop duplicates, or audit the flagged set.
+
+    Scale: the only corpus-sized shuffle is the equi-join on ``cell``
+    (pair work Σ n_cell², n_cell ≈ n/K by construction — K grows with
+    the corpus, √n keeps cells constant-sized). Cross-cell near-dups are
+    missed by design (the SemDeDup approximation). ``max_cell`` is the
+    skew guard: cells that collapse onto one centroid (degenerate
+    embeddings, all-zero vectors) skip pairing — their members are all
+    kept, and at 100 TB you would log and re-shard such cells with a
+    finer local codebook. Components run on the PAIR set (tiny), not the
+    corpus.
+    """
+    from whisper_pandas_spark.operators.components import connected_components
+    from whisper_pandas_spark.operators.similarity import (
+        cosine_with_norms,
+        ivf_assign,
+        norm,
+    )
+
+    cells = ivf_assign(
+        vectors, centroids, nprobe=1, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "vec", "cell", norm(F.col("vec")).alias("nrm"))
+    pairable = cells
+    if max_cell is not None:
+        sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+        pairable = cells.join(
+            F.broadcast(sizes.filter(F.col("__n") <= max_cell)), "cell"
+        )
+    a = pairable.select(
+        "cell",
+        F.col("vec_id").alias("vec_i"),
+        F.col("vec").alias("e_i"),
+        F.col("nrm").alias("n_i"),
+    )
+    b = pairable.select(
+        "cell",
+        F.col("vec_id").alias("vec_j"),
+        F.col("vec").alias("e_j"),
+        F.col("nrm").alias("n_j"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_i") < F.col("vec_j"))
+        .select(
+            "vec_i",
+            "vec_j",
+            F.round(
+                cosine_with_norms(
+                    F.col("e_i"), F.col("e_j"), F.col("n_i"), F.col("n_j")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    comp = connected_components(pairs, src="vec_i", dst="vec_j").select(
+        F.col("node").alias("vec_id"), "comp"
+    )
+    return (
+        cells.select("vec_id", "cell")
+        .join(comp, "vec_id", "left")
+        .withColumn(
+            "keep",
+            F.col("comp").isNull() | (F.col("comp") == F.col("vec_id")),
+        )
+        .select(F.col("vec_id").alias(id_col), "cell", "keep")
+    )

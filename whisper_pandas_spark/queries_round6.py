@@ -684,3 +684,83 @@ def sample_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# -- SemDeDup: cluster-blocked embedding near-dup removal ------------------
+
+_SEM_T = 0.3  # same cosine bar as the sim_near_dup family
+
+
+def _semantic_dedup_oracle() -> str:
+    from whisper_pandas_spark.queries_similarity import (
+        KM_ITERS,
+        KM_K,
+        _duck_cos,
+        _kmeans_iter_sql,
+    )
+
+    iter_blocks = ",\n".join(
+        _kmeans_iter_sql(f"cent{i}" if i else "cent0", i + 1)
+        for i in range(KM_ITERS)
+    )
+    return f"""
+WITH RECURSIVE init AS (
+  SELECT vec_id, embedding, md5('0:' || vec_id) AS h
+  FROM embeddings ORDER BY h LIMIT {KM_K}
+), cent0 AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
+         embedding::DOUBLE[] AS centroid
+  FROM init
+),
+{iter_blocks},
+scored AS (
+  SELECT e.vec_id, e.embedding AS vec, c.cid,
+         {_duck_cos("e.embedding", "c.centroid")} AS ccos
+  FROM embeddings e CROSS JOIN cent{KM_ITERS} c
+), cells AS (
+  SELECT vec_id, vec, cid AS cell FROM (
+    SELECT vec_id, vec, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), sim_pairs AS (
+  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_duck_cos("a.vec", "b.vec")}, 6) >= {_SEM_T}
+), edges AS (
+  SELECT vec_i AS a, vec_j AS b FROM sim_pairs
+  UNION
+  SELECT vec_j AS a, vec_i AS b FROM sim_pairs
+), reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+), lab AS (
+  SELECT node, min(comp) AS comp FROM reach GROUP BY node
+)
+SELECT c.vec_id, c.cell,
+       (lab.node IS NULL OR lab.comp = c.vec_id) AS keep
+FROM cells c LEFT JOIN lab ON lab.node = c.vec_id
+ORDER BY c.vec_id
+"""
+
+
+@_staged("dedup_semantic", _semantic_dedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+: SemDeDup (operators/dedup.py:semantic_dedup) made fully
+    self-contained — the blocking codebook comes from the in-engine
+    deterministic k-means trainer (same init/iters/seed as
+    sim_topk_ivf_trained), so the oracle replays training, cell
+    assignment, within-cell cosine pairs, AND the recursive component
+    closure in SQL. keep = min-id member of each near-dup component
+    (vectors in no pair pass through)."""
+    from whisper_pandas_spark.operators.dedup import semantic_dedup
+    from whisper_pandas_spark.operators.kmeans import kmeans_cosine
+    from whisper_pandas_spark.queries_similarity import KM_ITERS, KM_K
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cent = kmeans_cosine(emb, KM_K, KM_ITERS, seed=0).select(
+        F.col("cid").alias("vec_id"), F.col("embedding")
+    )
+    return semantic_dedup(emb, cent, _SEM_T).orderBy("vec_id")
