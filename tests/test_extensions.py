@@ -594,3 +594,64 @@ def test_semantic_dedup_max_cell_skips_pairing_not_rows(spark):
     assert out["keep"].all() and len(out) == 5
     out2 = semantic_dedup(emb, cent, threshold=0.9, max_cell=10).toPandas()
     assert sorted(out2[out2["keep"]]["vec_id"]) == [0, 9]
+
+
+# -- pagerank --------------------------------------------------------------
+
+
+def _py_pagerank(edges, iters=3, d=0.85):
+    """Plain-Python reference: same synchronous updates, double math."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            s[b] += r[a] / out[a]
+        r = {v: (1.0 - d) / n + d * s[v] for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from whisper_pandas_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 3), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(df, iters=4).collect()
+    }
+    want = _py_pagerank(edges, iters=4)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    # stochastic + no dangling mass leaks (node 4 has an out-edge)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_checkpoint_bit_identical_and_edge_cases(spark):
+    from whisper_pandas_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 3) % 7) for i in range(7) if i != (i * 3) % 7]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, pagerank(df, 3, checkpoint=True).collect()))
+    b = sorted(map(tuple, pagerank(df, 3, checkpoint=False).collect()))
+    assert a == b  # checkpointing changes the plan, never the bits
+    # iters=0: uniform start, every node present
+    z = pagerank(df, 0).toPandas()
+    assert (abs(z["rank"] - 1.0 / len(z)) < 1e-15).all()
+    with pytest.raises(ValueError):
+        pagerank(df, -1)
+
+
+def test_pagerank_dangling_node_keeps_teleport_only(spark):
+    from whisper_pandas_spark.operators.graph import pagerank
+
+    # 2 -> 1 only: node 1 has no out-edges (dangling, simplified rule)
+    df = spark.createDataFrame([(2, 1)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, 1).collect()}
+    assert abs(got[2] - 0.15 / 2) < 1e-12  # nothing points at 2
+    assert abs(got[1] - (0.15 / 2 + 0.85 * 0.5)) < 1e-12

@@ -764,3 +764,86 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("vec_id"), F.col("embedding")
     )
     return semantic_dedup(emb, cent, _SEM_T).orderBy("vec_id")
+
+
+# -- PageRank over the customer<->supplier trade graph ---------------------
+
+_PR_ITERS = 3
+_PR_TOPN = 50
+
+
+def _pagerank_oracle() -> str:
+    # doubles forced explicitly: DuckDB parses 0.85 / 1.0 as DECIMAL
+    # literals, and (1.0 - 0.85) in decimal is exactly 0.15 while the
+    # engine computes the IEEE double 1.0 - 0.85 — cast first so both
+    # run the identical float expression.
+    tele = "CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)"
+    it = []
+    for i in range(1, _PR_ITERS + 1):
+        it.append(f"""c{i} AS (
+  SELECT e.dst AS node, CAST(r.rank / o.od AS DECIMAL(38,12)) AS c
+  FROM e JOIN r{i - 1} r ON e.src = r.node JOIN outdeg o ON o.src = e.src
+), s{i} AS (
+  SELECT node, sum(c) AS s FROM c{i} GROUP BY node
+), r{i} AS (
+  SELECT n.node,
+         ({tele}) / (SELECT n FROM nn)
+         + CAST(0.85 AS DOUBLE) * coalesce(CAST(s AS DOUBLE), 0.0) AS rank
+  FROM nodes n LEFT JOIN s{i} USING (node)
+)""")
+    iter_blocks = ",\n".join(it)
+    return f"""
+WITH base AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), e AS (
+  SELECT src, dst FROM base UNION SELECT dst, src FROM base
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+), nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+),
+{iter_blocks}
+SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+       node // 2 AS key,
+       round(rank * (SELECT n FROM nn), 6) AS rank_rel
+FROM r{_PR_ITERS} ORDER BY rank DESC, node LIMIT {_PR_TOPN}
+"""
+
+
+@_staged("graph_pagerank_trade", _pagerank_oracle())
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics (operators/graph.py:pagerank): 3 power
+    iterations over the symmetrized customer<->supplier trade graph
+    (edge iff a customer's order has a lineitem from the supplier; ~1.6k
+    nodes / ~97k directed edges at sf0.01). Checkpointed per iteration
+    (plan constant in iters), DECIMAL(38,12) contribution fold so ranks
+    are partition-order independent — which is what lets the oracle
+    unroll the identical recursion in SQL. Top-50 by rank, normalized
+    so 1.0 = uniform mass."""
+    from whisper_pandas_spark.operators.graph import pagerank
+
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    base = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iters=_PR_ITERS)
+    n = F.lit(pr.count())  # node count for the 1.0-=-uniform rescale
+    return (
+        pr.orderBy(F.col("rank").desc(), "node")
+        .limit(_PR_TOPN)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("c"))
+            .otherwise(F.lit("s"))
+            .alias("kind"),
+            F.floor(F.col("node") / 2).alias("key"),
+            F.round(F.col("rank") * n.cast("double"), 6).alias("rank_rel"),
+        )
+    )
