@@ -132,3 +132,68 @@ def test_segment_counts_match_reference(docs):
 def test_validation_errors(docs):
     with pytest.raises(ValueError):
         bpe_train(docs, "text", num_merges=0)
+
+
+# -- bpe_encode ------------------------------------------------------------
+
+
+def test_encode_matches_reference_and_decodes(docs, spark):
+    from whisper_pandas_spark.operators.bpe_train import (
+        bpe_alphabet,
+        bpe_encode,
+        bpe_vocab,
+    )
+
+    merges = bpe_train(docs, "text", 12)
+    alpha = bpe_alphabet(docs, "text")
+    vocab = bpe_vocab(alpha, merges)
+    inv = {i: t for t, i in vocab.items()}
+    out = {
+        r["doc_id"]: (list(r["ids"]), r["n_tokens"])
+        for r in bpe_encode(docs, "doc_id", "text", merges, vocab).collect()
+    }
+    for doc_id, text in enumerate(CORPUS):
+        want_syms = [
+            s for w in _ref_tokenize(text) for s in _ref_segment(w, merges)
+        ]
+        ids, n = out[doc_id]
+        assert n == len(ids) == len(want_syms)
+        assert [inv[i] for i in ids] == want_syms
+        # decode: joining symbols and splitting on END recovers the words
+        assert "".join(inv[i] for i in ids).split(END)[:-1] == _ref_tokenize(
+            text
+        )
+
+
+def test_encode_consistent_with_segment_counts(docs):
+    from whisper_pandas_spark.operators.bpe_train import (
+        bpe_alphabet,
+        bpe_encode,
+        bpe_vocab,
+    )
+
+    merges = bpe_train(docs, "text", 8)
+    vocab = bpe_vocab(bpe_alphabet(docs, "text"), merges)
+    enc = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode(docs, "doc_id", "text", merges, vocab).collect()
+    }
+    seg = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_segment_counts(docs, "doc_id", "text", merges).collect()
+    }
+    assert enc == seg
+
+
+def test_encode_unknown_chars_get_unk_id(spark):
+    from whisper_pandas_spark.operators.bpe_train import (
+        bpe_encode,
+        bpe_vocab,
+    )
+
+    train = spark.createDataFrame([(0, "aa ab")], "doc_id long, text string")
+    merges = []  # no merges: every char is its own token
+    vocab = bpe_vocab(["a", "b", END], merges)
+    new = spark.createDataFrame([(0, "az")], "doc_id long, text string")
+    row = bpe_encode(new, "doc_id", "text", merges, vocab, unk_id=-7).collect()[0]
+    assert list(row["ids"]) == [vocab["a"], -7, vocab[END]]

@@ -205,3 +205,112 @@ def bpe_segment_counts(
             F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_alphabet(df: DataFrame, text_col: str) -> list[str]:
+    """Sorted distinct characters of the corpus word stream (+ END) —
+    the base symbol set id assignment starts from. Driver-sized by
+    nature (a few hundred code points, aggregated distributively)."""
+    rows = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+        .select(F.explode(F.split(F.col("word"), "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted({r["ch"] for r in rows} | {END})
+
+
+def bpe_vocab(
+    alphabet: list[str], merges: list[tuple[str, str]]
+) -> dict[str, int]:
+    """token -> id: the sorted base alphabet first, then each merge's
+    output in training order (skipping outputs two merge paths both
+    produce) — the standard deterministic BPE id assignment."""
+    vocab = {tok: i for i, tok in enumerate(alphabet)}
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode every document to its BPE token-id sequence:
+    (doc_id, ids array<int>, n_tokens) — the step that feeds sequence
+    packing (operators/packing.py) and sharded export.
+
+    Same vocab trick as :func:`bpe_segment_counts`: the rank-greedy
+    merge loop runs once per UNIQUE word (one Arrow pass, merge table +
+    vocab in the closure), per-word id arrays join back to the
+    positional word stream, and each document reassembles with ONE
+    aggregation (sort_array over (pos, ids) structs, then flatten) —
+    order-correct under any partitioning, no window needed. Symbols
+    outside *vocab* (characters unseen at train time) encode as
+    ``unk_id``.
+
+    Scale: two exchanges (distinct words; the doc reassembly groupBy) —
+    independent of merge count and document length. The unique-word
+    frame is Zipf-small relative to the corpus; at 100 TB the
+    words<->ids join is a plain shuffle join on ``word`` (skew-free:
+    word frequency doesn't matter, only distinctness).
+    """
+    import pandas as pd
+
+    words = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokenize(F.col(text_col))).alias("pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    uniq = words.select("word").distinct()
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def enc(batches) -> "pd.DataFrame":
+        def word_ids(w: str) -> list[int]:
+            syms = list(w) + [END]
+            while len(syms) > 1:
+                best = None
+                best_rank = len(rank)
+                for i in range(len(syms) - 1):
+                    r = rank.get((syms[i], syms[i + 1]), None)
+                    if r is not None and r < best_rank:
+                        best, best_rank = (syms[i], syms[i + 1]), r
+                if best is None:
+                    break
+                syms = _merge_syms(syms, best[0], best[1])
+            return [vocab.get(s, unk_id) for s in syms]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "ids": [word_ids(w) for w in pdf["word"]],
+                }
+            )
+
+    encoded = uniq.mapInPandas(enc, "word string, ids array<int>")
+    return (
+        words.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "ids"))
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias("ids")
+        )
+        .withColumn("n_tokens", F.size("ids"))
+    )
