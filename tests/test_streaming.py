@@ -677,3 +677,87 @@ def test_stream_offsets_never_regress_on_stale_overwrite(spark, tmp_path):
     assert all(
         p.path == "" for p in reader.partitions(off_new, off_stale)
     )  # nothing re-emits
+
+
+# -- streaming CDC merge sink ---------------------------------------------
+
+
+def test_stream_merge_into_parquet_matches_batch_merge(spark, tmp_path):
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.sink import stream_merge_into_parquet
+
+    # change log: two parquet files = (at least) two micro-batches under
+    # maxFilesPerTrigger; later seq for key 1 must win, key 2 deleted,
+    # key 5 inserted late
+    c1 = spark.createDataFrame(
+        [(1, "a", 10, False), (2, "b", 11, False), (3, "c", 12, False)],
+        "k long, v string, seq long, del boolean",
+    )
+    c2 = spark.createDataFrame(
+        [(1, "a2", 20, False), (2, None, 21, True), (5, "e", 22, False)],
+        "k long, v string, seq long, del boolean",
+    )
+    src = tmp_path / "changes"
+    c1.coalesce(1).write.parquet(str(src / "f1"))
+    c2.coalesce(1).write.parquet(str(src / "f2"))
+    sdf = (
+        spark.readStream.schema("k long, v string, seq long, del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    base = str(tmp_path / "table")
+    q = stream_merge_into_parquet(
+        sdf,
+        base,
+        "k",
+        "seq",
+        delete_col="del",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # availableNow semantics via awaiting the bounded file stream
+    q.processAllAvailable()
+    q.stop()
+    cur = current_version_path(base)
+    got = {
+        r["k"]: r["v"] for r in spark.read.parquet(cur).collect()
+    }
+    assert got == {1: "a2", 3: "c", 5: "e"}  # update / keep / insert; 2 deleted
+
+
+def test_stream_merge_batch_replay_is_skipped(spark, tmp_path):
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.sink import stream_merge_into_parquet
+
+    changes = spark.createDataFrame(
+        [(1, "x", 1, False), (1, "y", 2, False)],
+        "k long, v string, seq long, del boolean",
+    )
+    src = tmp_path / "changes"
+    changes.coalesce(1).write.parquet(str(src / "f1"))
+    sdf = spark.readStream.schema(
+        "k long, v string, seq long, del boolean"
+    ).parquet(str(src / "*"))
+    base = str(tmp_path / "table")
+
+    q = stream_merge_into_parquet(
+        sdf, base, "k", "seq", delete_col="del",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    cur1 = current_version_path(base)
+    # within-batch compression: seq 2 wins
+    assert [r["v"] for r in spark.read.parquet(cur1).collect()] == ["y"]
+    assert (Path(cur1) / "_LAST_BATCH").read_text() == "0"
+
+    # restart the stream from the SAME source with a FRESH checkpoint —
+    # batch 0 replays; the marker must suppress a double apply
+    q2 = stream_merge_into_parquet(
+        sdf, base, "k", "seq", delete_col="del",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert current_version_path(base) == cur1  # no new version appeared

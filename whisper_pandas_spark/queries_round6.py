@@ -847,3 +847,73 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rank") * n.cast("double"), 6).alias("rank_rel"),
         )
     )
+
+
+# -- streaming CDC apply: change log -> copy-on-write parquet table --------
+
+
+@_staged(
+    "stream_merge_replay",
+    """
+SELECT doc_id AS k,
+       CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS v
+FROM documents
+WHERE doc_id % 5 = 0 AND doc_id % 15 <> 0
+ORDER BY k
+""",
+)
+def stream_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+: the streaming CDC sink (streaming/sink.py:
+    stream_merge_into_parquet) replayed end-to-end — a deterministic
+    change log derived from `documents` (inserts for doc_id%5==0, then
+    updates for %10==0 and deletes for %15==0 at higher sequence
+    numbers) streams through foreachBatch merges into a versioned
+    copy-on-write parquet table; the entry returns the FINAL table
+    state. Robust to micro-batch geometry: per-key max_by(seq)
+    compression makes any batch split of the log converge to the same
+    state the oracle computes relationally."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.sink import stream_merge_into_parquet
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    c1 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("k"),
+        F.col("n_chars").alias("v"),
+        F.col("doc_id").alias("seq"),
+        F.lit(False).alias("del"),
+    )
+    c2 = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("k"),
+            (F.col("n_chars") + 1000).alias("v"),
+            (F.col("doc_id") + 100000).alias("seq"),
+            F.lit(False).alias("del"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 15 == 0).select(
+                F.col("doc_id").alias("k"),
+                F.lit(None).cast("long").alias("v"),
+                (F.col("doc_id") + 200000).alias("seq"),
+                F.lit(True).alias("del"),
+            )
+        )
+    )
+    d = tempfile.mkdtemp(prefix="wps_cdc_")
+    c1.coalesce(1).write.parquet(f"{d}/changes/f1")
+    c2.coalesce(1).write.parquet(f"{d}/changes/f2")
+    sdf = (
+        spark.readStream.schema("k long, v long, seq long, del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/changes/*")
+    )
+    q = stream_merge_into_parquet(
+        sdf, f"{d}/table", "k", "seq", delete_col="del",
+        checkpoint_dir=f"{d}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    cur = current_version_path(f"{d}/table")
+    return spark.read.parquet(cur).select("k", "v").orderBy("k")
