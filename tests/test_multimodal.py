@@ -168,3 +168,73 @@ def test_resize_images_degenerate_dims_emit_zero_block(spark):
     rr = (np.arange(4) * 6) // 4
     want = img[rr][:, rr].tobytes()
     assert bytes(got[0]["resized"]) == want
+
+
+# -- audio_features --------------------------------------------------------
+
+
+def test_audio_features_pure_tone_vs_silence(spark):
+    import numpy as np
+
+    from whisper_pandas_spark.functions.codecs import encode_wav
+    from whisper_pandas_spark.operators.multimodal import audio_features
+
+    rate = 8000
+    t = np.arange(rate)  # 1 s
+    tone = (
+        (0.5 * np.sin(2 * np.pi * 1000.0 * t / rate)) * 32767
+    ).astype(np.int16)[:, None]
+    silence = np.zeros((rate, 1), dtype=np.int16)
+    half = np.concatenate([tone[: rate // 2], silence[: rate // 2]])
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(tone, rate))),
+            (2, bytearray(encode_wav(silence, rate))),
+            (3, bytearray(encode_wav(half, rate))),
+            (4, None),
+            (5, bytearray(b"not audio")),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in audio_features(df, "doc_id", on_error="null").collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # 1 kHz tone: centroid near 1 kHz, tight bandwidth, no silent frames
+    assert abs(out[1]["spectral_centroid_hz"] - 1000.0) < 50.0
+    assert out[1]["spectral_bandwidth_hz"] < 200.0
+    assert out[1]["silence_ratio"] == 0.0
+    assert abs(out[1]["peak"] - 0.5) < 0.01
+    # 1 kHz sine crosses zero 2x per cycle: zcr ~ 2*f/rate
+    assert abs(out[1]["zcr"] - 2 * 1000.0 / rate) < 0.02
+    # pure silence: every frame silent, no spectral stats
+    assert out[2]["silence_ratio"] == 1.0
+    assert out[2]["spectral_centroid_hz"] is None
+    assert out[2]["rms_max"] == 0.0
+    # half tone / half silence: ratio in between
+    assert 0.3 < out[3]["silence_ratio"] < 0.7
+    # tolerant decode: null row for bad payloads
+    assert out[4]["n_frames"] is None and out[5]["n_frames"] is None
+
+
+def test_audio_features_skip_and_validation(spark):
+    import numpy as np
+
+    from whisper_pandas_spark.functions.codecs import encode_wav
+    from whisper_pandas_spark.operators.multimodal import audio_features
+
+    ok = bytearray(
+        encode_wav(np.ones((1000, 1), dtype=np.int16) * 1000, 8000)
+    )
+    df = spark.createDataFrame(
+        [(1, ok), (2, bytearray(b"xx"))], "doc_id long, payload binary"
+    )
+    got = audio_features(df, "doc_id", on_error="skip").collect()
+    assert [r["doc_id"] for r in got] == [1]
+    # short clip pads to one frame
+    assert got[0]["n_frames"] == ((1000 - 512) // 256) + 1
+    with pytest.raises(ValueError):
+        audio_features(df, "doc_id", frame=4, hop=8)
+    with pytest.raises(ValueError):
+        audio_features(df, "doc_id", on_error="explode")

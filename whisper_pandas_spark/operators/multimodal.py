@@ -485,3 +485,121 @@ def resize_images(
     return src.mapInPandas(
         run, "doc_id long, out_h int, out_w int, resized binary, resized_md5 string"
     )
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    frame: int = 512,
+    hop: int = 256,
+    silence_db: float = -40.0,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Frame-based audio DSP features per clip — the audio analogue of
+    :func:`decode_image_stats`'s feature leaf, over the same pure-stdlib
+    codec path (functions/codecs.py): mono mixdown, then overlapping
+    frames of *frame* samples every *hop*, and per clip:
+
+    (doc_id, n_frames, zcr, spectral_centroid_hz, spectral_bandwidth_hz,
+    spectral_rolloff_hz, peak, rms_mean, rms_max, silence_ratio)
+
+    - zcr: mean zero-crossing rate across frames (fraction per sample)
+    - spectral_*: magnitude-weighted rfft statistics averaged over
+      non-silent frames (centroid / bandwidth in Hz, 85% rolloff)
+    - silence_ratio: fraction of frames under *silence_db* dBFS
+    All framing is a strided view + one vectorized rfft per clip batch —
+    numpy inside the Arrow task, no per-sample Python. Same
+    skip/null/fail tolerant-decode contract as the other decode leaves.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.functions.codecs import (
+        CodecError,
+        decode_audio as _dec,
+    )
+
+    if on_error not in ("skip", "null", "fail"):
+        raise ValueError(f"on_error must be skip|null|fail, got {on_error!r}")
+    if hop < 1 or frame < 2 or hop > frame:
+        raise ValueError("need frame >= 2, 1 <= hop <= frame")
+
+    cols = [
+        "n_frames", "zcr", "spectral_centroid_hz", "spectral_bandwidth_hz",
+        "spectral_rolloff_hz", "peak", "rms_mean", "rms_max",
+        "silence_ratio",
+    ]
+
+    def clip_features(rate: int, samples: "np.ndarray") -> list:
+        mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+        n = mono.shape[0]
+        if n < frame:
+            mono = np.pad(mono, (0, frame - n))
+            n = frame
+        n_frames = 1 + (n - frame) // hop
+        idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+        fr = mono[idx]  # (n_frames, frame)
+        rms = np.sqrt(np.mean(fr * fr, axis=1))
+        peak = float(np.max(np.abs(mono)))
+        zcr = float(
+            np.mean(np.abs(np.diff(np.signbit(fr), axis=1)).sum(axis=1))
+            / frame
+        )
+        silent = rms < 10.0 ** (silence_db / 20.0)
+        silence_ratio = float(np.mean(silent))
+        voiced = fr[~silent]
+        if voiced.shape[0]:
+            mag = np.abs(np.fft.rfft(voiced, axis=1))
+            freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+            w = mag.sum(axis=1)
+            w[w == 0] = 1.0
+            cent = (mag * freqs).sum(axis=1) / w
+            bw = np.sqrt(
+                (mag * (freqs[None, :] - cent[:, None]) ** 2).sum(axis=1) / w
+            )
+            cum = np.cumsum(mag, axis=1)
+            roll_idx = np.argmax(cum >= 0.85 * cum[:, -1:], axis=1)
+            roll = freqs[roll_idx]
+            spec = [float(cent.mean()), float(bw.mean()), float(roll.mean())]
+        else:
+            spec = [None, None, None]
+        return [
+            int(n_frames), zcr, *spec, peak,
+            float(rms.mean()), float(rms.max()), silence_ratio,
+        ]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[list] = []
+            for doc_id, p in zip(pdf["_id"], pdf["_payload"]):
+                try:
+                    if p is None:
+                        raise CodecError("null payload")
+                    rate, _ch, samples = _dec(bytes(p))
+                    if rate <= 0 or samples.shape[0] == 0:
+                        raise CodecError("empty clip")
+                except (CodecError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    out.append([doc_id] + [None] * len(cols))
+                    continue
+                out.append([doc_id] + clip_features(rate, samples))
+            if not out:
+                continue
+            yield pd.DataFrame(out, columns=["doc_id"] + cols).astype(
+                {"doc_id": "int64", "n_frames": "Int64"}
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return src.mapInPandas(
+        run,
+        "doc_id long, n_frames long, zcr double, "
+        "spectral_centroid_hz double, spectral_bandwidth_hz double, "
+        "spectral_rolloff_hz double, peak double, rms_mean double, "
+        "rms_max double, silence_ratio double",
+    )
