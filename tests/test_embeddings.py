@@ -155,3 +155,89 @@ def test_vector_pipeline_end_to_end_partition_independent(spark, sf_dir):
     assert a_comp == b_comp
     assert len(a_ann) == 20 * 5
     assert a_comp  # the ANN graph links something
+
+
+# -- product quantization --------------------------------------------------
+
+
+def _clustered_vectors(n_per=20, dim=8, centers=((5.0, 1), (-5.0, 3), (0.0, 6))):
+    """Three tight clusters; vector i of cluster c = center + small
+    deterministic jitter."""
+    rows = []
+    vid = 0
+    for base, axis in centers:
+        for i in range(n_per):
+            v = [0.0] * dim
+            v[axis] = base
+            v[(axis + 1) % dim] = 0.01 * (i % 7)
+            rows.append((vid, v))
+            vid += 1
+    return rows
+
+
+def test_pq_identical_vectors_share_codes_and_validation(spark):
+    from whisper_pandas_spark.operators.embeddings import pq_encode, pq_train
+
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>"
+    )
+    cb = pq_train(emb, 8, 2, 4, iters=1)
+    codes = pq_encode(emb, cb, 8, 2).toPandas()
+    assert set(codes["sub"]) == {0, 1}
+    by_vec = codes.pivot(index="vec_id", columns="sub", values="code")
+    # vectors 0 and 7 are identical by construction (i%7 jitter repeats)
+    assert tuple(by_vec.loc[0]) == tuple(by_vec.loc[7])
+    with pytest.raises(ValueError):
+        pq_train(emb, 8, 3, 4)
+    with pytest.raises(ValueError):
+        pq_encode(emb, cb, 8, 5)
+    with pytest.raises(ValueError):
+        pq_train(emb, 8, 2, 4, iters=-1)
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.embeddings import (
+        l2sq,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>"
+    )
+    cb = pq_train(emb, 8, 2, 6, iters=2)
+    codes = pq_encode(emb, cb, 8, 2)
+    q = emb.filter(F.col("vec_id").isin(0, 25, 45))
+    got = pq_topk(codes, q, cb, 10, 8, 2).toPandas()
+    # exact L2 top-10 per query (same tie rule)
+    a = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id"), F.col("embedding").alias("cv"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", l2sq(F.col("qv"), F.col("cv")).alias("d"))
+    ).toPandas()
+    for qid, grp in got.groupby("query_id"):
+        ex = exact[exact["query_id"] == qid].sort_values(["d", "vec_id"])
+        want = set(ex.head(10)["vec_id"])
+        recall = len(set(grp["vec_id"]) & want) / 10
+        assert recall >= 0.9, (qid, recall)
+        # ADC distances are monotone with rank
+        g = grp.sort_values("rnk")
+        assert (g["adc_dist"].diff().dropna() >= 0).all()
+
+
+def test_pq_train_checkpoint_bit_identical(spark):
+    from whisper_pandas_spark.operators.embeddings import pq_train
+
+    emb = spark.createDataFrame(
+        _clustered_vectors(n_per=10), "vec_id long, embedding array<double>"
+    )
+    a = pq_train(emb, 8, 2, 4, iters=2, checkpoint=True).collect()
+    b = pq_train(emb, 8, 2, 4, iters=2, checkpoint=False).collect()
+    ka = {(r["sub"], r["cid"]): list(r["centroid"]) for r in a}
+    kb = {(r["sub"], r["cid"]): list(r["centroid"]) for r in b}
+    assert ka == kb

@@ -28,3 +28,13 @@ def duck_norm(a: str) -> str:
 
 def duck_cos(a: str, b: str) -> str:
     return f"({duck_dot(a, b)} / ({duck_norm(a)} * {duck_norm(b)}))"
+
+
+def duck_l2sq(a: str, b: str) -> str:
+    """Left-fold squared-L2 distance, element order, double casts —
+    exact twin of operators/embeddings.py:l2sq."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a})+1), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+        f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), (x, y) -> x + y)"
+    )

@@ -216,3 +216,234 @@ def int8_topk(
         )
     )
     return two_stage_topk(scored, k, score_col="score", extra_cols=("dot_q",))
+
+
+# -- product quantization (PQ) ---------------------------------------------
+#
+# The 1 B-vector compression standard (Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"): split each vector into M
+# subspaces, k-means each subspace independently, store M small codes per
+# vector (dim 64, M=4, k=16 -> 4 bytes/vector vs 256), and answer queries
+# with asymmetric distance computation (ADC): per query, a (M x k) lookup
+# table of exact subspace distances, then each candidate costs M table
+# lookups + a sum instead of a D-dim float fold. Composes with the IVF
+# cell join (int8_topk_ivf's shape) for IVF-PQ at full scale.
+#
+# Same determinism contract as the rest of the module: left-fold L2
+# distances (bit-identical to functions/duck.py:duck_l2sq), exact-decimal
+# subspace means, ties by centroid id — so the whole train/encode/query
+# pipeline is SQL-oracle-able.
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance — left fold in element order, double casts
+    (the distance twin of similarity.py:dot)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(
+    df: DataFrame, m: int, d_sub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, sub, svec) — every vector split into its m subspaces.
+    One narrow projection; the explode multiplies rows m times but each
+    carries only a d/m slice."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "vec_id",
+        "sub",
+        F.slice(F.col("__v"), F.col("sub") * d_sub + 1, d_sub)
+        .cast("array<double>")
+        .alias("svec"),
+    )
+
+
+def _pq_assign(subv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, sub, svec, code): nearest centroid per subspace by
+    squared L2, ties by centroid id. Codebooks broadcast (m*k rows);
+    the argmin is a map-side partial max_by — no sort, one exchange."""
+    cb = F.broadcast(
+        codebooks.select("sub", F.col("cid").alias("code"), "centroid")
+    )
+    scored = subv.join(cb, "sub").select(
+        "vec_id",
+        "sub",
+        "svec",
+        "code",
+        l2sq(F.col("svec"), F.col("centroid")).alias("__d"),
+    )
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min_by(
+            F.struct("svec", "code"), F.struct(F.col("__d"), F.col("code"))
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id", "sub", F.col("b.svec").alias("svec"), F.col("b.code").alias("code")
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    iters: int = 2,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Train the M per-subspace L2 codebooks JOINTLY (one loop, every
+    subspace a group key — not M sequential jobs): returns
+    (sub, cid, centroid ARRAY<DOUBLE>), cid = 0..k-1 per subspace in
+    init-hash order.
+
+    Init: per subspace, the k vectors with smallest
+    md5(seed:sub:vec_id) seed that subspace's codebook (deterministic,
+    engine-portable). Each Lloyd iteration: broadcast codebooks join +
+    partial-agg argmin, then exact-decimal per-(sub, cell, pos) means —
+    bit-identical under any partitioning; ``checkpoint`` truncates
+    lineage per iteration (the kmeans_cosine contract). Empty cells
+    drop out, mirroring the cosine trainer.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    d_sub = dim // m
+    from pyspark.sql.window import Window
+
+    subv = _subvectors(vectors, m, d_sub, id_col, vec_col)
+    w = Window.partitionBy("sub").orderBy("h")
+    cent = (
+        subv.withColumn(
+            "h",
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.col("sub"), F.col("vec_id")
+                )
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "sub",
+            (F.col("rn") - 1).cast("bigint").alias("cid"),
+            F.col("svec").alias("centroid"),
+        )
+    )
+    if checkpoint:
+        cent = cent.localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _pq_assign(subv, cent)
+        means = (
+            assigned.select(
+                "sub", F.col("code").alias("cell"),
+                F.posexplode("svec").alias("pos", "val"),
+            )
+            .groupBy("sub", "cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mval")
+            )
+        )
+        cent = (
+            means.groupBy("sub", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s.mval,
+                ).alias("centroid")
+            )
+            .select("sub", F.col("cell").alias("cid"), "centroid")
+        )
+        if checkpoint:
+            cent = cent.localCheckpoint(eager=True)
+    return cent
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub, code) — every vector's PQ code in long form (the
+    join-ready shape ADC consumes; pivot to an array for storage)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subv = _subvectors(vectors, m, dim // m, id_col, vec_col)
+    return _pq_assign(subv, codebooks).select("vec_id", "sub", "code")
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k_top: int,
+    dim: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: (query_id, vec_id, adc_dist, rnk) — smallest
+    approximate squared-L2 first.
+
+    Per query, the EXACT distance from its subvector to every codebook
+    centroid builds the (m x k) lookup table (queries and codebooks both
+    broadcast-sized); candidates then cost one (sub, code) equi-join
+    against the table and a DECIMAL(38,12) sum of m looked-up doubles —
+    partition-order-independent, no D-dim fold per pair. Self-matches
+    excluded; ties by vec_id. At full scale restrict ``codes`` to IVF
+    probe cells first (IVF-PQ) — the table side never changes.
+    """
+    qsub = _subvectors(queries, m, dim // m, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("svec").alias("qvec")
+    )
+    cb = codebooks.select("sub", F.col("cid").alias("code"), "centroid")
+    dtable = F.broadcast(
+        qsub.join(cb, "sub").select(
+            "query_id",
+            "sub",
+            "code",
+            l2sq(F.col("qvec"), F.col("centroid"))
+            .cast("decimal(38,12)")
+            .alias("__d"),
+        )
+    )
+    scored = (
+        codes.join(dtable, ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("__d").cast("double").alias("adc_dist"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_top)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("adc_dist"), 6).alias("adc_dist"),
+            "rnk",
+        )
+    )

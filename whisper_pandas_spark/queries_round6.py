@@ -917,3 +917,111 @@ def stream_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     cur = current_version_path(f"{d}/table")
     return spark.read.parquet(cur).select("k", "v").orderBy("k")
+
+
+# -- product quantization ANN ----------------------------------------------
+
+_PQ_M = 4
+_PQ_K = 16
+_PQ_ITERS = 2
+_PQ_TOP = 10
+
+
+def _pq_oracle() -> str:
+    from whisper_pandas_spark.functions.duck import duck_l2sq
+    from whisper_pandas_spark.queries_similarity import DIM
+
+    d_sub = DIM // _PQ_M
+
+    def iter_block(prev: str, i: int) -> str:
+        return f"""pasg{i} AS (
+  SELECT s.vec_id, s.sub, s.svec, c.cid,
+         {duck_l2sq("s.svec", "c.centroid")} AS d
+  FROM subv s JOIN {prev} c ON s.sub = c.sub
+), pcell{i} AS (
+  SELECT vec_id, sub, svec, cid AS cell FROM (
+    SELECT vec_id, sub, svec, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d, cid) AS rn
+    FROM pasg{i}
+  ) WHERE rn = 1
+), pmean{i} AS (
+  SELECT sub, cell, r.range AS pos,
+         CAST(sum(CAST(svec[r.range + 1] AS DECIMAL(38,12)))
+              AS DOUBLE) / count(*) AS mval
+  FROM pcell{i}, range(0, {d_sub}) r
+  GROUP BY sub, cell, r.range
+), pcent{i} AS (
+  SELECT sub, cell AS cid, list(mval ORDER BY pos) AS centroid
+  FROM pmean{i} GROUP BY sub, cell
+)"""
+
+    iters = ",\n".join(
+        iter_block(f"pcent{i}" if i else "pcent0", i + 1)
+        for i in range(_PQ_ITERS)
+    )
+    return f"""
+WITH subv AS (
+  SELECT vec_id, s.range AS sub,
+         (embedding[s.range * {d_sub} + 1 : s.range * {d_sub} + {d_sub}])::DOUBLE[] AS svec
+  FROM embeddings, range(0, {_PQ_M}) s
+), pcent0 AS (
+  SELECT sub, row_number() OVER (PARTITION BY sub
+           ORDER BY md5('0:' || sub || ':' || vec_id)) - 1 AS cid,
+         svec AS centroid
+  FROM subv
+  QUALIFY cid < {_PQ_K}
+),
+{iters},
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT s.vec_id, s.sub, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {duck_l2sq("s.svec", "c.centroid")}, c.cid) AS rn
+    FROM subv s JOIN pcent{_PQ_ITERS} c ON s.sub = c.sub
+  ) WHERE rn = 1
+), dtable AS (
+  SELECT s.vec_id AS query_id, s.sub, c.cid AS code,
+         CAST({duck_l2sq("s.svec", "c.centroid")} AS DECIMAL(38,12)) AS d
+  FROM subv s JOIN pcent{_PQ_ITERS} c ON s.sub = c.sub
+  WHERE s.vec_id < 5
+), scored AS (
+  SELECT t.query_id, c.vec_id, CAST(sum(t.d) AS DOUBLE) AS adc_dist
+  FROM codes c JOIN dtable t ON c.sub = t.sub AND c.code = t.code
+  WHERE c.vec_id != t.query_id
+  GROUP BY t.query_id, c.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(adc_dist, 6) AS adc_dist, rnk
+FROM ranked WHERE rnk <= {_PQ_TOP}
+ORDER BY query_id, rnk
+"""
+
+
+@_staged("emb_pq_topk", _pq_oracle())
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: product-quantization ANN end-to-end in-engine — M=4
+    per-subspace L2 codebooks trained jointly (checkpointed Lloyd,
+    exact-decimal means), corpus encoded to 4 codes/vector, queries
+    answered by ADC (per-query (M x k) exact lookup table broadcast,
+    DECIMAL(38,12) sum of looked-up distances). The oracle replays
+    training, encoding, table build, and ranking in SQL — every stage
+    of the 1 B-vector compression standard value-checked."""
+    from whisper_pandas_spark.operators.embeddings import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from whisper_pandas_spark.queries_similarity import DIM
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, DIM, _PQ_M, _PQ_K, iters=_PQ_ITERS, seed=0)
+    codes = pq_encode(emb, cb, DIM, _PQ_M)
+    q = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(codes, q, cb, _PQ_TOP, DIM, _PQ_M).orderBy(
+        "query_id", "rnk"
+    )
