@@ -197,3 +197,23 @@ def test_encode_unknown_chars_get_unk_id(spark):
     new = spark.createDataFrame([(0, "az")], "doc_id long, text string")
     row = bpe_encode(new, "doc_id", "text", merges, vocab, unk_id=-7).collect()[0]
     assert list(row["ids"]) == [vocab["a"], -7, vocab[END]]
+
+
+def test_encode_empty_doc_yields_empty_ids(spark):
+    from whisper_pandas_spark.operators.bpe_train import (
+        bpe_encode,
+        bpe_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "ab ab"), (1, "!!! ..."), (2, "")],
+        "doc_id long, text string",
+    )
+    vocab = bpe_vocab(["a", "b", END], [])
+    out = {
+        r["doc_id"]: (list(r["ids"]), r["n_tokens"])
+        for r in bpe_encode(df, "doc_id", "text", [], vocab).collect()
+    }
+    assert set(out) == {0, 1, 2}  # no silently dropped documents
+    assert out[1] == ([], 0) and out[2] == ([], 0)
+    assert out[0][1] == 6  # a b </w> a b </w>

@@ -125,3 +125,39 @@ def test_funnel_counts_with_conversion_window(journeys):
     assert got == [(1, "view", 5), (2, "click", 4), (3, "purchase", 1)]
     with pytest.raises(ValueError):
         funnel_counts(journeys, "user_id", "ts", "event_type", ["view"])
+
+
+def test_merge_changes_ordered_seq_wins_and_atomic_ties(spark):
+    from whisper_pandas_spark.operators.merge import merge_changes_ordered
+
+    table = spark.createDataFrame(
+        [(1, "cur", 20, False), (2, None, 30, True)],
+        "k long, v string, seq long, del boolean",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "stale", 10, False),   # lower seq: must NOT regress
+            (2, "zombie", 25, False),  # lower than tombstone: stays dead
+            (3, "new", 5, False),      # new key lands
+        ],
+        "k long, v string, seq long, del boolean",
+    )
+    out = {
+        r["k"]: (r["v"], r["seq"], r["del"])
+        for r in merge_changes_ordered(table, changes, "k", "seq").collect()
+    }
+    assert out[1] == ("cur", 20, False)
+    assert out[2] == (None, 30, True)  # tombstone retained
+    assert out[3] == ("new", 5, False)
+
+    # (key, seq) tie: ONE input row wins atomically (greatest full row),
+    # never a column-stitched hybrid
+    t2 = spark.createDataFrame([(1, "a", 1, True)], "k long, v string, seq long, del boolean")
+    c2 = spark.createDataFrame([(1, "b", 1, False)], "k long, v string, seq long, del boolean")
+    row = merge_changes_ordered(t2, c2, "k", "seq").collect()[0]
+    assert (row["v"], row["del"]) == ("b", False)  # 'b' > 'a' picks c2's row whole
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        merge_changes_ordered(t2, c2.drop("del"), "k", "seq")

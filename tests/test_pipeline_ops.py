@@ -474,3 +474,22 @@ def test_mixture_quotas_largest_remainder():
         mixture_quotas({"a": 0.0}, 10)
     with pytest.raises(ValueError):
         mixture_quotas({"a": -1.0, "b": 2.0}, 10)
+
+
+def test_mixture_sample_zero_weight_rows_at_exact_quota(spark):
+    """A bucket that exactly fills the quota must route through the
+    exact window: trailing zero-weight rows have prefix == quota and
+    are dropped by the naive greedy — the two-phase path must agree."""
+    from whisper_pandas_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "d", 50) for i in range(8)] + [(100 + i, "d", 0) for i in range(4)]
+    df = spark.createDataFrame(rows, "k long, dom string, wt long")
+    for bits in (0, 2, 12):
+        got = mixture_sample(
+            df, "dom", {"d": 400}, weight_col="wt", key_col="k",
+            coarse_bits=bits,
+        )
+        want = _naive_mixture(spark, df, {"d": 400})
+        assert sorted(got.toPandas()["k"]) == sorted(
+            want.toPandas()["k"]
+        ), bits

@@ -683,7 +683,7 @@ def test_stream_offsets_never_regress_on_stale_overwrite(spark, tmp_path):
 
 
 def test_stream_merge_into_parquet_matches_batch_merge(spark, tmp_path):
-    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.operators.merge import read_current_state
     from whisper_pandas_spark.streaming.sink import stream_merge_into_parquet
 
     # change log: two parquet files = (at least) two micro-batches under
@@ -717,17 +717,18 @@ def test_stream_merge_into_parquet_matches_batch_merge(spark, tmp_path):
     # availableNow semantics via awaiting the bounded file stream
     q.processAllAvailable()
     q.stop()
-    cur = current_version_path(base)
-    got = {
-        r["k"]: r["v"] for r in spark.read.parquet(cur).collect()
-    }
+    state = read_current_state(spark, base, delete_col="del", seq_col="seq")
+    got = {r["k"]: r["v"] for r in state.collect()}
     assert got == {1: "a2", 3: "c", 5: "e"}  # update / keep / insert; 2 deleted
 
 
-def test_stream_merge_batch_replay_is_skipped(spark, tmp_path):
+def test_stream_merge_batch_replay_and_fresh_checkpoint(spark, tmp_path):
     from pathlib import Path
 
-    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        read_current_state,
+    )
     from whisper_pandas_spark.streaming.sink import stream_merge_into_parquet
 
     changes = spark.createDataFrame(
@@ -740,24 +741,80 @@ def test_stream_merge_batch_replay_is_skipped(spark, tmp_path):
         "k long, v string, seq long, del boolean"
     ).parquet(str(src / "*"))
     base = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
 
     q = stream_merge_into_parquet(
-        sdf, base, "k", "seq", delete_col="del",
-        checkpoint_dir=str(tmp_path / "ckpt"),
+        sdf, base, "k", "seq", delete_col="del", checkpoint_dir=ckpt
     )
     q.processAllAvailable()
     q.stop()
     cur1 = current_version_path(base)
-    # within-batch compression: seq 2 wins
-    assert [r["v"] for r in spark.read.parquet(cur1).collect()] == ["y"]
-    assert (Path(cur1) / "_LAST_BATCH").read_text() == "0"
+    # within-batch compression: seq 2 wins, picked as a whole row
+    state = read_current_state(spark, base, delete_col="del", seq_col="seq")
+    assert [r["v"] for r in state.collect()] == ["y"]
+    # marker is checkpoint-scoped
+    assert (Path(cur1) / "_LAST_BATCH").read_text() == f"{ckpt}:0"
 
-    # restart the stream from the SAME source with a FRESH checkpoint —
-    # batch 0 replays; the marker must suppress a double apply
+    # same checkpoint, same batch replayed (fresh query, same ckpt dir
+    # with no new input): nothing new to process — chain unchanged
+    q1b = stream_merge_into_parquet(
+        sdf, base, "k", "seq", delete_col="del", checkpoint_dir=ckpt
+    )
+    q1b.processAllAvailable()
+    q1b.stop()
+    assert current_version_path(base) == cur1
+
+    # FRESH checkpoint: a different stream id — its batch 0 is NEW data
+    # as far as the marker knows, so it re-merges... idempotently: the
+    # version may advance but the visible state cannot change
     q2 = stream_merge_into_parquet(
         sdf, base, "k", "seq", delete_col="del",
         checkpoint_dir=str(tmp_path / "ckpt2"),
     )
     q2.processAllAvailable()
     q2.stop()
-    assert current_version_path(base) == cur1  # no new version appeared
+    state2 = read_current_state(spark, base, delete_col="del", seq_col="seq")
+    assert [r["v"] for r in state2.collect()] == ["y"]
+
+
+def test_stream_merge_out_of_order_batches_converge(spark, tmp_path):
+    """The file source delivers f1 before f2 (mtime order); f1 carries
+    the NEWER seqs. The seq-aware merge must not let f2's stale batch
+    regress state or resurrect f1's delete."""
+    import time
+
+    from whisper_pandas_spark.operators.merge import read_current_state
+    from whisper_pandas_spark.streaming.sink import stream_merge_into_parquet
+
+    newer = spark.createDataFrame(
+        [(1, "new", 20, False), (2, None, 21, True)],
+        "k long, v string, seq long, del boolean",
+    )
+    stale = spark.createDataFrame(
+        [(1, "old", 10, False), (2, "zombie", 11, False), (3, "c", 12, False)],
+        "k long, v string, seq long, del boolean",
+    )
+    src = tmp_path / "changes"
+    newer.coalesce(1).write.parquet(str(src / "f1"))
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    stale.coalesce(1).write.parquet(str(src / "f2"))
+    sdf = (
+        spark.readStream.schema("k long, v string, seq long, del boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    base = str(tmp_path / "table")
+    q = stream_merge_into_parquet(
+        sdf, base, "k", "seq", delete_col="del",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["k"]: r["v"]
+        for r in read_current_state(
+            spark, base, delete_col="del", seq_col="seq"
+        ).collect()
+    }
+    # k=1 keeps the newer value, k=2 stays deleted, k=3 (new key) lands
+    assert got == {1: "new", 3: "c"}

@@ -299,7 +299,7 @@ def bpe_encode(
             )
 
     encoded = uniq.mapInPandas(enc, "word string, ids array<int>")
-    return (
+    assembled = (
         words.join(encoded, "word")
         .groupBy("doc_id")
         .agg(
@@ -311,6 +311,19 @@ def bpe_encode(
                     lambda s: s["ids"],
                 )
             ).alias("ids")
+        )
+    )
+    # every input document gets a verdict — a doc that tokenizes to zero
+    # words (empty / punctuation-only text) encodes as ids=[], not as a
+    # silently missing row (callers zip output back to the corpus)
+    all_docs = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        all_docs.join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("ids"), F.array().cast("array<int>")).alias(
+                "ids"
+            ),
         )
         .withColumn("n_tokens", F.size("ids"))
     )

@@ -730,9 +730,14 @@ def semantic_dedup(
         norm,
     )
 
-    cells = ivf_assign(
-        vectors, centroids, nprobe=1, id_col=id_col, vec_col=vec_col
-    ).select("vec_id", "vec", "cell", norm(F.col("vec")).alias("nrm"))
+    # persisted: feeds the size guard, both self-join sides, and the
+    # final keep join — without it the corpus-wide assignment (scan +
+    # K-way scoring) would recompute up to four times in one action
+    cells = (
+        ivf_assign(vectors, centroids, nprobe=1, id_col=id_col, vec_col=vec_col)
+        .select("vec_id", "vec", "cell", norm(F.col("vec")).alias("nrm"))
+        .persist()
+    )
     pairable = cells
     if max_cell is not None:
         sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))

@@ -74,12 +74,53 @@ def current_version_path(base: str) -> str | None:
     return str(Path(base) / name)
 
 
+def merge_changes_ordered(
+    table: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Sequence-aware MERGE: per key, the row with the HIGHEST
+    ``seq_col`` wins — regardless of which side it came from, so
+    applying change sets out of arrival order converges to the same
+    state (the CDC requirement plain :func:`merge_changes` does not
+    give: there, change rows win unconditionally and a late-delivered
+    stale batch would regress newer table state).
+
+    Both sides must share the full schema (``seq_col`` included — the
+    table RETAINS each row's winning sequence number; deletions are
+    carried as tombstone rows by the caller so a late lower-seq update
+    cannot resurrect a deleted key). Rows tied on (key, seq) resolve by
+    the greatest full row (struct comparison over the remaining columns)
+    — deterministic, and the row is picked ATOMICALLY, never stitched
+    column-by-column from different inputs.
+
+    One partial-agg shuffle on the key; no join.
+    """
+    cols = table.columns
+    if set(cols) != set(changes.columns):
+        raise ValueError(
+            f"schema mismatch: table {cols} vs changes {changes.columns}"
+        )
+    others = [c for c in cols if c not in (key_col, seq_col)]
+    both = table.select(*cols).unionByName(changes.select(*cols))
+    picked = both.groupBy(key_col).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in cols]),
+            F.struct(F.col(seq_col), *[F.col(c) for c in others]),
+        ).alias("__r")
+    )
+    return picked.select(*[F.col(f"__r.{c}").alias(c) for c in cols])
+
+
 def merge_into_parquet(
     spark: SparkSession,
     base: str,
     changes: DataFrame,
     key_col: str,
     delete_col: str | None = None,
+    seq_col: str | None = None,
+    extra_files: dict[str, str] | None = None,
 ) -> str:
     """Apply ``changes`` to the keyed parquet table rooted at ``base``
     and return the new version directory.
@@ -89,6 +130,17 @@ def merge_into_parquet(
     pointer flips (single-file rename-class operation), so readers see
     either the old or the new table, never a torn mix; old versions
     remain for time travel / rollback until vacuumed.
+
+    ``seq_col=None`` (default): classic MERGE — change rows win
+    unconditionally, ``delete_col`` rows drop their keys.
+    ``seq_col`` given: sequence-aware CDC apply via
+    :func:`merge_changes_ordered` — highest seq wins across ANY
+    delivery order, and ``delete_col`` rows are retained as TOMBSTONES
+    (read the live state with :func:`read_current_state`).
+
+    ``extra_files`` (name -> content) are written into the new version
+    directory BEFORE the pointer flips, so markers land atomically with
+    the version they describe.
     """
     from pathlib import Path
 
@@ -96,7 +148,9 @@ def merge_into_parquet(
     root.mkdir(parents=True, exist_ok=True)
     cur = current_version_path(base)
     if cur is None:
-        if delete_col is not None:
+        if seq_col is not None:
+            new_state = changes  # tombstones retained from day one
+        elif delete_col is not None:
             new_state = changes.where(
                 ~F.coalesce(F.col(delete_col), F.lit(False))
             ).drop(delete_col)
@@ -105,11 +159,38 @@ def merge_into_parquet(
         next_n = 0
     else:
         table = spark.read.parquet(cur)
-        new_state = merge_changes(table, changes, key_col, delete_col)
+        if seq_col is not None:
+            new_state = merge_changes_ordered(table, changes, key_col, seq_col)
+        else:
+            new_state = merge_changes(table, changes, key_col, delete_col)
         next_n = int(Path(cur).name[1:]) + 1
     new_dir = root / f"v{next_n}"
     new_state.write.mode("errorifexists").parquet(str(new_dir))
+    for name, content in (extra_files or {}).items():
+        (new_dir / name).write_text(content)
     tmp = root / f"{_CURRENT}.tmp"
     tmp.write_text(new_dir.name)
     tmp.replace(root / _CURRENT)  # atomic pointer flip
     return str(new_dir)
+
+
+def read_current_state(
+    spark: SparkSession,
+    base: str,
+    delete_col: str | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """The live, user-visible table: resolve the pointer, read the
+    current version, and (for sequence-aware tables) hide tombstone
+    rows and the bookkeeping columns."""
+    cur = current_version_path(base)
+    if cur is None:
+        raise FileNotFoundError(f"no current version under {base}")
+    df = spark.read.parquet(cur)
+    if delete_col is not None and delete_col in df.columns:
+        df = df.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    if seq_col is not None and seq_col in df.columns:
+        df = df.drop(seq_col)
+    return df

@@ -211,9 +211,12 @@ def mixture_sample(
         .withColumn("__q", quota_col)
         .withColumn(
             "__cls",
+            # strict <: a bucket that exactly fills the quota goes to the
+            # exact path — its trailing ZERO-weight rows have prefix ==
+            # quota and must drop, which only the per-row window sees
             F.when(F.col("__before") >= F.col("__q"), F.lit("drop"))
             .when(
-                F.col("__before") + F.col("__t") <= F.col("__q"), F.lit("keep")
+                F.col("__before") + F.col("__t") < F.col("__q"), F.lit("keep")
             )
             .otherwise(F.lit("edge")),
         )

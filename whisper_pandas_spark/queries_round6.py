@@ -868,13 +868,15 @@ def stream_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     change log derived from `documents` (inserts for doc_id%5==0, then
     updates for %10==0 and deletes for %15==0 at higher sequence
     numbers) streams through foreachBatch merges into a versioned
-    copy-on-write parquet table; the entry returns the FINAL table
-    state. Robust to micro-batch geometry: per-key max_by(seq)
-    compression makes any batch split of the log converge to the same
-    state the oracle computes relationally."""
+    copy-on-write parquet table; the entry returns the FINAL visible
+    state (read_current_state hides tombstones + bookkeeping). Robust
+    to micro-batch geometry AND order: whole-row per-key max_by(seq)
+    compression plus the sequence-aware tombstone merge make any batch
+    split or delivery order of the log converge to the state the
+    oracle computes relationally."""
     import tempfile
 
-    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.operators.merge import read_current_state
     from whisper_pandas_spark.streaming.sink import stream_merge_into_parquet
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -915,8 +917,11 @@ def stream_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    cur = current_version_path(f"{d}/table")
-    return spark.read.parquet(cur).select("k", "v").orderBy("k")
+    return (
+        read_current_state(spark, f"{d}/table", delete_col="del", seq_col="seq")
+        .select("k", "v")
+        .orderBy("k")
+    )
 
 
 # -- product quantization ANN ----------------------------------------------

@@ -64,20 +64,35 @@ def stream_merge_into_parquet(
     (operators/merge.py) from a stream of change rows — the
     Delta-`MERGE`-from-CDC pattern on plain parquet.
 
-    Per micro-batch: compress the batch to its LAST change per key
-    (``max_by`` over ``seq_col``, key tiebreak deterministic), then
-    ``merge_into_parquet`` writes version N+1 and flips the pointer.
-    Exactly-once across restarts: the applied batch id is recorded in a
-    ``_LAST_BATCH`` marker INSIDE the new version directory before the
-    pointer flips, so a replayed batch (foreachBatch is at-least-once)
-    is detected and skipped — the table never double-applies and the
-    version chain stays one-per-batch.
+    Correctness is carried by the MERGE, not by delivery order: every
+    micro-batch compresses to one row per key (whole-row ``max_by`` over
+    ``(seq, remaining columns)`` — a (key, seq) tie resolves to ONE
+    input row, never stitched column-by-column), and the table merge is
+    sequence-aware (`merge_changes_ordered`): highest seq wins across
+    batches, deletes persist as TOMBSTONE rows. Consequences:
 
-    Returns the StreamingQuery. Scale shape is merge_into_parquet's (one
-    key join + full rewrite per batch — partition the base path and
-    merge per partition to bound rewrite amplification); the per-batch
-    key compression is one partial-agg exchange over the BATCH, not the
-    table.
+    - batches may arrive in any order (a backfill file sorted late by
+      the file source cannot regress newer state or resurrect a delete);
+    - re-applying any batch is IDEMPOTENT, so foreachBatch's
+      at-least-once delivery — including a restart from a fresh
+      checkpoint — converges to the same table.
+
+    On top of that, a ``_LAST_BATCH`` marker (checkpoint-scoped:
+    ``<stream id>:<batch id>``) is written INTO the new version
+    directory before the pointer flips; a replay under the SAME
+    checkpoint skips cleanly so the version chain stays one-per-batch.
+    A different checkpoint dir is a different stream id — its batch
+    numbering restarts, and its batches re-merge (harmlessly, by
+    idempotence) instead of being wrongly skipped.
+
+    Read the live state with ``read_current_state(spark, base,
+    delete_col=..., seq_col=...)`` — the raw versions keep tombstones
+    and sequence numbers on purpose.
+
+    Returns the StreamingQuery. Scale shape: one partial-agg exchange
+    over the BATCH (compression) + merge_into_parquet's key-grouped
+    rewrite; partition the base path and merge per partition to bound
+    rewrite amplification.
     """
     from pathlib import Path
 
@@ -88,7 +103,9 @@ def stream_merge_into_parquet(
         merge_into_parquet,
     )
 
-    data_cols = [c for c in sdf.columns if c != key_col]
+    stream_id = checkpoint_dir or "<no-checkpoint>"
+    cols = list(sdf.columns)
+    others = [c for c in cols if c not in (key_col, seq_col)]
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -96,19 +113,29 @@ def stream_merge_into_parquet(
         cur = current_version_path(base)
         if cur is not None:
             marker = Path(cur) / "_LAST_BATCH"
-            if marker.exists() and int(marker.read_text()) >= batch_id:
-                return  # replayed batch — already applied
-        latest = batch_df.groupBy(key_col).agg(
-            *[
-                F.max_by(F.col(c), F.struct(F.col(seq_col), F.col(key_col)))
-                .alias(c)
-                for c in data_cols
-            ]
+            if marker.exists():
+                sid, _, last = marker.read_text().rpartition(":")
+                if sid == stream_id and int(last) >= batch_id:
+                    return  # same stream replaying — already applied
+        latest = (
+            batch_df.groupBy(key_col)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in cols]),
+                    F.struct(F.col(seq_col), *[F.col(c) for c in others]),
+                ).alias("__r")
+            )
+            .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
         )
-        new_dir = merge_into_parquet(
-            batch_df.sparkSession, base, latest, key_col, delete_col
+        merge_into_parquet(
+            batch_df.sparkSession,
+            base,
+            latest,
+            key_col,
+            delete_col=delete_col,
+            seq_col=seq_col,
+            extra_files={"_LAST_BATCH": f"{stream_id}:{batch_id}"},
         )
-        (Path(new_dir) / "_LAST_BATCH").write_text(str(batch_id))
 
     writer = sdf.writeStream.foreachBatch(apply).outputMode("append")
     if checkpoint_dir:
