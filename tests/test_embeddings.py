@@ -241,3 +241,38 @@ def test_pq_train_checkpoint_bit_identical(spark):
     ka = {(r["sub"], r["cid"]): list(r["centroid"]) for r in a}
     kb = {(r["sub"], r["cid"]): list(r["centroid"]) for r in b}
     assert ka == kb
+
+
+def test_pq_topk_ivf_composes_cells_and_codes(spark):
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.embeddings import (
+        pq_encode,
+        pq_topk,
+        pq_topk_ivf,
+        pq_train,
+    )
+    from whisper_pandas_spark.operators.kmeans import kmeans_cosine
+
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>"
+    )
+    cb = pq_train(emb, 8, 2, 6, iters=2)
+    cent = kmeans_cosine(emb, 3, 2, seed=0).select(
+        F.col("cid").alias("vec_id"), F.col("embedding")
+    )
+    q = emb.filter(F.col("vec_id").isin(0, 25))
+    # probing EVERY cell == plain exhaustive PQ (identical rows)
+    full = pq_topk_ivf(emb, q, cb, cent, 10, 8, 2, nprobe=3).toPandas()
+    plain = pq_topk(pq_encode(emb, cb, 8, 2), q, cb, 10, 8, 2).toPandas()
+    key = ["query_id", "vec_id", "adc_dist", "rnk"]
+    assert full.sort_values(key).reset_index(drop=True).equals(
+        plain.sort_values(key).reset_index(drop=True)
+    )
+    # nprobe=1: a subset of candidates, ADC values agree on shared pairs
+    one = pq_topk_ivf(emb, q, cb, cent, 10, 8, 2, nprobe=1).toPandas()
+    merged = one.merge(
+        plain, on=["query_id", "vec_id"], suffixes=("_ivf", "_pq"), how="inner"
+    )
+    assert len(merged) > 0
+    assert (merged["adc_dist_ivf"] == merged["adc_dist_pq"]).all()

@@ -447,3 +447,75 @@ def pq_topk(
             "rnk",
         )
     )
+
+
+def pq_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    k_top: int,
+    dim: int,
+    m: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the full 1 B-vector serving shape — IVF cells bound WHICH
+    codes score (similarity.py:ivf_assign, same cell join as
+    int8_topk_ivf), PQ/ADC bounds what each candidate costs (pq_topk's
+    lookup-table sum). (query_id, vec_id, adc_dist, rnk), ties by
+    vec_id, self excluded.
+
+    The corpus appears ONLY as (vec_id, cell, sub, code) rows — cell
+    assignment and encoding each scan it once (both broadcast-join
+    shapes); at serving time those are precomputed tables and a query
+    touches nprobe cells' codes, never the vectors.
+    """
+    from whisper_pandas_spark.operators.similarity import ivf_assign
+
+    cells = ivf_assign(
+        vectors, centroids, nprobe=1, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", "cell")
+    codes = pq_encode(vectors, codebooks, dim, m, id_col, vec_col).join(
+        cells, "vec_id"
+    )
+    probes = ivf_assign(
+        queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    qsub = _subvectors(queries, m, dim // m, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("svec").alias("qvec")
+    )
+    cb = codebooks.select("sub", F.col("cid").alias("code"), "centroid")
+    dtable = F.broadcast(
+        qsub.join(cb, "sub").select(
+            "query_id",
+            "sub",
+            "code",
+            l2sq(F.col("qvec"), F.col("centroid"))
+            .cast("decimal(38,12)")
+            .alias("__d"),
+        )
+    )
+    cand = codes.join(F.broadcast(probes), "cell")
+    scored = (
+        cand.join(dtable, ["query_id", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("__d").cast("double").alias("adc_dist"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_top)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("adc_dist"), 6).alias("adc_dist"),
+            "rnk",
+        )
+    )

@@ -3,7 +3,7 @@ now, registered later.
 
 The grading driver records ~50 entries per round (README: driver
 contract); round 5 already spends its ≤3-new-entry budget, so these
-thirteen ship as a staging dict that `tests/test_round6_staged.py`
+twenty ship as a staging dict that `tests/test_round6_staged.py`
 value-checks against DuckDB TODAY (the exact driver-style comparison).
 Round 6 promotes them with one line in `registry.py`:
 
@@ -24,6 +24,12 @@ Entries:
 - stream_session_replay    NATIVE streaming sessionization (session_window,
                            append mode, watermark-gated emission)
 - text_lm_bigram_score     add-one bigram LM corpus-typicality scoring
+- sample_mixture_tokens    per-domain token-budget mixture sampling
+- dedup_semantic           SemDeDup (k-means-cell-blocked near-dup keep)
+- graph_pagerank_trade     checkpointed PageRank, unrolled SQL recursion
+- stream_merge_replay      streaming CDC apply -> final table state
+- emb_pq_topk              product quantization ANN (trained, ADC)
+- emb_pq_ivf_topk          IVF-PQ: both codebooks trained in-engine
 """
 
 from __future__ import annotations
@@ -932,7 +938,10 @@ _PQ_ITERS = 2
 _PQ_TOP = 10
 
 
-def _pq_oracle() -> str:
+def _pq_chain() -> str:
+    """Shared CTE chain: subspace split -> trained PQ codebooks ->
+    corpus codes -> per-query ADC lookup tables (queries = vec_id < 5).
+    Used by both the exhaustive-PQ and the IVF-PQ oracles."""
     from whisper_pandas_spark.functions.duck import duck_l2sq
     from whisper_pandas_spark.queries_similarity import DIM
 
@@ -965,8 +974,7 @@ def _pq_oracle() -> str:
         iter_block(f"pcent{i}" if i else "pcent0", i + 1)
         for i in range(_PQ_ITERS)
     )
-    return f"""
-WITH subv AS (
+    return f"""subv AS (
   SELECT vec_id, s.range AS sub,
          (embedding[s.range * {d_sub} + 1 : s.range * {d_sub} + {d_sub}])::DOUBLE[] AS svec
   FROM embeddings, range(0, {_PQ_M}) s
@@ -990,12 +998,11 @@ codes AS (
          CAST({duck_l2sq("s.svec", "c.centroid")} AS DECIMAL(38,12)) AS d
   FROM subv s JOIN pcent{_PQ_ITERS} c ON s.sub = c.sub
   WHERE s.vec_id < 5
-), scored AS (
-  SELECT t.query_id, c.vec_id, CAST(sum(t.d) AS DOUBLE) AS adc_dist
-  FROM codes c JOIN dtable t ON c.sub = t.sub AND c.code = t.code
-  WHERE c.vec_id != t.query_id
-  GROUP BY t.query_id, c.vec_id
-), ranked AS (
+)"""
+
+
+def _pq_rank_tail() -> str:
+    return f""", ranked AS (
   SELECT query_id, vec_id, adc_dist,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adc_dist, vec_id) AS rnk
@@ -1005,6 +1012,16 @@ SELECT query_id, vec_id, round(adc_dist, 6) AS adc_dist, rnk
 FROM ranked WHERE rnk <= {_PQ_TOP}
 ORDER BY query_id, rnk
 """
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH {_pq_chain()}, scored AS (
+  SELECT t.query_id, c.vec_id, CAST(sum(t.d) AS DOUBLE) AS adc_dist
+  FROM codes c JOIN dtable t ON c.sub = t.sub AND c.code = t.code
+  WHERE c.vec_id != t.query_id
+  GROUP BY t.query_id, c.vec_id
+){_pq_rank_tail()}"""
 
 
 @_staged("emb_pq_topk", _pq_oracle())
@@ -1030,3 +1047,78 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, q, cb, _PQ_TOP, DIM, _PQ_M).orderBy(
         "query_id", "rnk"
     )
+
+
+_PQ_NPROBE = 2
+
+
+def _pq_ivf_oracle() -> str:
+    from whisper_pandas_spark.queries_similarity import (
+        KM_ITERS,
+        KM_K,
+        _duck_cos,
+        _kmeans_iter_sql,
+    )
+
+    ivf_iters = ",\n".join(
+        _kmeans_iter_sql(f"cent{i}" if i else "cent0", i + 1)
+        for i in range(KM_ITERS)
+    )
+    return f"""
+WITH {_pq_chain()}, init AS (
+  SELECT vec_id, embedding, md5('0:' || vec_id) AS h
+  FROM embeddings ORDER BY h LIMIT {KM_K}
+), cent0 AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
+         embedding::DOUBLE[] AS centroid
+  FROM init
+),
+{ivf_iters},
+cellsv AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_duck_cos("e.embedding", "c.centroid")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent{KM_ITERS} c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT e.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_duck_cos("e.embedding", "c.centroid")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent{KM_ITERS} c
+    WHERE e.vec_id < 5
+  ) WHERE rn <= {_PQ_NPROBE}
+), scored AS (
+  SELECT p.query_id, c.vec_id, CAST(sum(t.d) AS DOUBLE) AS adc_dist
+  FROM codes c
+  JOIN cellsv v ON v.vec_id = c.vec_id
+  JOIN probes p ON p.cell = v.cell
+  JOIN dtable t ON t.query_id = p.query_id AND t.sub = c.sub
+               AND t.code = c.code
+  WHERE c.vec_id != p.query_id
+  GROUP BY p.query_id, c.vec_id
+){_pq_rank_tail()}"""
+
+
+@_staged("emb_pq_ivf_topk", _pq_ivf_oracle())
+def emb_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: IVF-PQ — the full 1 B-vector serving shape with BOTH
+    trainers in-engine: cosine-k-means IVF cells bound WHICH codes
+    score, PQ/ADC lookup tables bound what each candidate costs
+    (operators/embeddings.py:pq_topk_ivf). The oracle replays IVF
+    training, PQ training, cell assignment, probing, encoding, and ADC
+    ranking — the entire two-codebook pipeline value-checked in SQL."""
+    from whisper_pandas_spark.operators.embeddings import pq_topk_ivf, pq_train
+    from whisper_pandas_spark.operators.kmeans import kmeans_cosine
+    from whisper_pandas_spark.queries_similarity import DIM, KM_ITERS, KM_K
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, DIM, _PQ_M, _PQ_K, iters=_PQ_ITERS, seed=0)
+    cent = kmeans_cosine(emb, KM_K, KM_ITERS, seed=0).select(
+        F.col("cid").alias("vec_id"), F.col("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return pq_topk_ivf(
+        emb, q, cb, cent, _PQ_TOP, DIM, _PQ_M, nprobe=_PQ_NPROBE
+    ).orderBy("query_id", "rnk")
