@@ -480,3 +480,110 @@ def test_codec_fuzz_never_crashes_unexpectedly(prefix, data):
             fn(prefix + data)
         except (CodecError, NotImplementedError):
             pass
+
+
+# -- mixture_sample: two-phase == naive greedy on random corpora -----------
+
+mix_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),          # key
+        st.sampled_from(["a", "b", "c"]),                    # domain
+        st.integers(min_value=0, max_value=40),              # weight
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda r: r[0],
+)
+mix_quotas = st.fixed_dictionaries(
+    {
+        "a": st.integers(min_value=0, max_value=400),
+        "b": st.integers(min_value=0, max_value=60),
+    }
+)
+
+
+@SLOW
+@given(rows=mix_rows, quotas=mix_quotas, bits=st.sampled_from([0, 2, 11]))
+def test_mixture_two_phase_equals_naive_property(spark, rows, quotas, bits):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.sampling import (
+        hash_bucket,
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(rows, "k long, dom string, wt long")
+    got = mixture_sample(
+        df, "dom", quotas, weight_col="wt", key_col="k", coarse_bits=bits
+    )
+    w = (
+        Window.partitionBy("dom")
+        .orderBy(hash_bucket(F.col("k")), "k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    q = F.when(F.col("dom") == "a", quotas["a"]).when(
+        F.col("dom") == "b", quotas["b"]
+    )
+    want = (
+        df.filter(F.col("dom").isin("a", "b"))
+        .withColumn("__b4", F.coalesce(F.sum("wt").over(w), F.lit(0)))
+        .filter(F.col("__b4") < q)
+    )
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+
+
+# -- CDC ordered merge: ANY delivery order converges -----------------------
+
+cdc_log = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.text(alphabet="xyz", max_size=3),     # value
+        st.booleans(),                           # delete?
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@SLOW
+@given(log=cdc_log, cut=st.integers(min_value=0, max_value=14), flip=st.booleans())
+def test_cdc_merge_order_insensitive_property(spark, log, cut, flip, tmp_path_factory):
+    """Split a change log at any point, apply the two halves in either
+    order through seq-aware merge_into_parquet: the visible state must
+    equal the log's last-write-wins reduction."""
+    from whisper_pandas_spark.operators.merge import (
+        merge_into_parquet,
+        read_current_state,
+    )
+
+    rows = [
+        (k, v if not d else None, seq, d)
+        for seq, (k, v, d) in enumerate(log)
+    ]
+    cut = min(cut, len(rows))
+    parts = [rows[:cut], rows[cut:]]
+    if flip:
+        parts = parts[::-1]
+    base = str(tmp_path_factory.mktemp("cdc_prop") / "t")
+    schema = "k long, v string, seq long, del boolean"
+    for part in parts:
+        if not part:
+            continue
+        merge_into_parquet(
+            spark, base, spark.createDataFrame(part, schema), "k",
+            delete_col="del", seq_col="seq",
+        )
+    want = {}
+    for seq, (k, v, d) in enumerate(log):
+        want[k] = None if d else v
+    want = {k: v for k, v in want.items() if v is not None}
+    got = {
+        r["k"]: r["v"]
+        for r in read_current_state(
+            spark, base, delete_col="del", seq_col="seq"
+        ).collect()
+    }
+    assert got == want

@@ -43,3 +43,27 @@ def test_staged_entry_matches_duckdb(spark, duck, name):
             assert np.allclose(a, b, atol=1e-9, equal_nan=True), (name, c)
         else:
             assert (s[c].astype(str) == d[c].astype(str)).all(), (name, c)
+
+
+def test_promote_registers_every_staged_entry_with_oracle():
+    """Round-6 promotion integrity: no name collisions with the live
+    registry, every staged entry lands in QUERIES with its oracle, and
+    existing entries are untouched."""
+    from whisper_pandas_spark.queries_round6 import STAGED, promote
+    from whisper_pandas_spark.registry import ORACLES, QUERIES
+
+    before_q = dict(QUERIES)
+    before_o = dict(ORACLES)
+    assert not (set(STAGED) & set(before_q)), "staged name collides with live"
+    try:
+        promote()
+        for name, (fn, oracle) in STAGED.items():
+            assert QUERIES[name] is fn
+            assert ORACLES[name] == oracle
+        for name in before_q:
+            assert QUERIES[name] is before_q[name]
+    finally:
+        for name in STAGED:
+            QUERIES.pop(name, None)
+            ORACLES.pop(name, None)
+        assert dict(QUERIES) == before_q and dict(ORACLES) == before_o

@@ -149,7 +149,12 @@ def merge_into_parquet(
     cur = current_version_path(base)
     if cur is None:
         if seq_col is not None:
-            new_state = changes  # tombstones retained from day one
+            # tombstones retained from day one; the change set itself
+            # still reduces to one row per key (a raw log may carry
+            # several changes for a key even in its first batch)
+            new_state = merge_changes_ordered(
+                changes.limit(0), changes, key_col, seq_col
+            )
         elif delete_col is not None:
             new_state = changes.where(
                 ~F.coalesce(F.col(delete_col), F.lit(False))
