@@ -655,3 +655,41 @@ def test_pagerank_dangling_node_keeps_teleport_only(spark):
     got = {r["node"]: r["rank"] for r in pagerank(df, 1).collect()}
     assert abs(got[2] - 0.15 / 2) < 1e-12  # nothing points at 2
     assert abs(got[1] - (0.15 / 2 + 0.85 * 0.5)) < 1e-12
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 300-node path graph has diameter 299 — one-hop propagation
+    alone would need 299 rounds (far past the 25-round cap and would
+    now RAISE); pointer doubling must converge it in <= 25."""
+    from whisper_pandas_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "doc_i long, doc_j long"
+    )
+    out = connected_components(chain).collect()
+    assert len(out) == 300
+    assert all(r["comp"] == 0 for r in out)  # one component, min id 0
+
+
+def test_connected_components_raises_when_capped(spark):
+    import pytest as _pt
+
+    from whisper_pandas_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_i long, doc_j long"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    # and a disjoint pair of cliques still labels by component minimum
+    cliques = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 2) for b in (0, 1, 2) if a < b]
+        + [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b],
+        "doc_i long, doc_j long",
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(cliques).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}

@@ -6,25 +6,30 @@ cluster them transitively and keep one canonical document per cluster.
 The reference has no dedup surface at all (it is a single-file decoder);
 this is the engine's own 100 TB bar.
 
-Algorithm: min-label propagation to a fixpoint. Every node starts
-labeled with itself; each round, every node takes the min label among
-itself and its neighbors. Converges in O(cluster diameter) rounds —
-near-dup graphs are clique-ish (diameter 2-3 in practice) because pair
-emission is threshold-based, so a handful of rounds suffices even for
-billion-doc corpora.
+Algorithm: min-label propagation with pointer doubling, to a fixpoint.
+Every node starts labeled with itself; each round, every node takes the
+min label among itself and its neighbors (one-hop flow), then jumps to
+its label's label (``comp <- comp[comp]`` — the path-halving step).
+Neighbor flow alone converges in O(cluster diameter) rounds — fine for
+the clique-ish graphs threshold-based pair emission usually makes, but
+a CHAIN-shaped cluster (exactly what substring-span dedup emits for a
+document serialized into overlapping shards) has diameter O(length).
+The doubling step makes convergence O(log diameter): 25 rounds cover
+diameters past 2^25 instead of 25 hops, and non-convergence raises
+instead of silently returning partial labels.
 
 Scale properties:
-- each round is one edges⋈labels join + one min-groupBy — two shuffles
-  on node id, both uniform (doc ids), no skew;
+- each round is one edges⋈labels join + one min-groupBy (both keyed on
+  uniform doc ids) plus the doubling self-join keyed on the label;
+  label keys skew as clusters grow (every member carries its root) —
+  AQE skew-join handles the hot roots, and the joined payload is 16
+  bytes/row;
 - the frame a round touches is one row per node IN SOME PAIR (the
   near-dup minority, not the corpus);
 - lineage is truncated per round with an eager localCheckpoint (the
   cluster-scale twin is a parquet checkpoint per round);
 - the convergence probe is a scalar changed-row count per round — an
-  aggregate action, not a collect;
-- ``max_iters`` bounds pathological chains (a path graph of length L
-  needs ~log L doubling rounds more than a clique; 25 covers any
-  realistic near-dup topology).
+  aggregate action, not a collect.
 """
 
 from __future__ import annotations
@@ -56,14 +61,25 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         prop = edges.join(
             labels.select(F.col("node").alias("a"), "comp"), "a"
         ).select(F.col("b").alias("node"), "comp")
-        new = (
+        cand = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer doubling: comp <- comp[comp]. Labels only decrease, so
+        # comp[comp] <= comp; every comp value IS a labeled node (it is
+        # the id of some node in the pair graph), so the join is total.
+        hop = cand.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        new = (
+            cand.join(hop, "comp")
+            .select("node", F.least("comp", "comp2").alias("comp"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -74,8 +90,14 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(diameter past 2^iters — raise max_iters)"
+        )
     return labels
 
 
