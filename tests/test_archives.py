@@ -143,3 +143,97 @@ def test_member_size_cap(monkeypatch):
     zblob = _zip_bytes({"a.txt": b"ok", "bomb.bin": b"y" * 64})
     zgot = archives._members_tolerant(zblob, "skip")
     assert [name for name, _ in zgot] == ["a.txt"]
+
+
+# -- write_webdataset_shards -----------------------------------------------
+
+
+def _sample_rows(n=40):
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                f"doc{i:04d}",
+                {
+                    "txt": bytearray(f"text {i}".encode()),
+                    "json": bytearray(b'{"i": %d}' % i),
+                },
+            )
+        )
+    return rows
+
+
+def test_webdataset_write_read_roundtrip(spark, tmp_path):
+    from whisper_pandas_spark.sources.archives import (
+        read_webdataset,
+        write_webdataset_shards,
+    )
+
+    df = spark.createDataFrame(
+        _sample_rows(), "key string, payloads map<string, binary>"
+    )
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset_shards(df, out, n_shards=3).toPandas()
+    assert manifest["n_samples"].sum() == 40
+    assert manifest["n_members"].sum() == 80
+    back = read_webdataset(spark, out).toPandas()
+    assert len(back) == 40
+    got = {
+        r["key"]: {e: bytes(p) for e, p in r["payloads"].items()}
+        for _, r in back.iterrows()
+    }
+    for key, payloads in _sample_rows():
+        assert got[key] == {e: bytes(p) for e, p in payloads.items()}
+    # keys never span shards (the WebDataset contract we rely on)
+    span = back.groupby("key")["shard"].nunique()
+    assert (span == 1).all()
+
+
+def test_webdataset_write_is_deterministic_and_stable(spark, tmp_path):
+    import hashlib
+    from pathlib import Path
+
+    from whisper_pandas_spark.sources.archives import write_webdataset_shards
+
+    df = spark.createDataFrame(
+        _sample_rows(20), "key string, payloads map<string, binary>"
+    )
+
+    def digest(d):
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted(Path(d).glob("shard-*.tar"))
+        }
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_webdataset_shards(df, a, n_shards=2)
+    write_webdataset_shards(df.repartition(7), b, n_shards=2)
+    assert digest(a) == digest(b)  # byte-identical under any partitioning
+
+    # append-stability: a grown corpus keeps old keys in their shards
+    from whisper_pandas_spark.operators.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    shard_of = {
+        r["key"]: r["s"]
+        for r in df.select(
+            "key", F.pmod(hash_bucket(F.col("key")), F.lit(2)).alias("s")
+        ).collect()
+    }
+    df2 = spark.createDataFrame(
+        _sample_rows(30), "key string, payloads map<string, binary>"
+    )
+    shard_of2 = {
+        r["key"]: r["s"]
+        for r in df2.select(
+            "key", F.pmod(hash_bucket(F.col("key")), F.lit(2)).alias("s")
+        ).collect()
+    }
+    assert all(shard_of2[k] == v for k, v in shard_of.items())
+
+    import pytest as _pt
+
+    with _pt.raises(FileExistsError):
+        write_webdataset_shards(df, a, n_shards=2, mode="error")
+    with _pt.raises(ValueError):
+        write_webdataset_shards(df, a, n_shards=0)

@@ -238,3 +238,118 @@ def member_payloads(df: DataFrame, ext: str, key_col: str = "key") -> DataFrame:
         df.select(F.col(key_col).alias("key"), F.col("payloads")[ext].alias("payload"))
         .where(F.col("payload").isNotNull())
     )
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_col: str = "key",
+    payloads_col: str = "payloads",
+    seed: int = 0,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """The export half of the WebDataset loop: write (key, {ext: bytes})
+    samples as ``out_dir/shard-%05d.tar`` — the layout
+    :func:`read_webdataset` (and every WebDataset loader) consumes.
+    Returns the manifest: (shard, n_samples, n_members, n_bytes).
+
+    Placement and bytes are DETERMINISTIC: shard =
+    ``hash_bucket(key, seed) % n_shards`` (the engine-portable md5
+    bucket — append-stable, so yesterday's keys keep their shards),
+    members sort by (key, ext), and tar headers pin mtime/uid/gid/mode —
+    re-exporting the same corpus yields byte-identical shards (tested),
+    which makes shard-level checksums a meaningful integrity tool.
+
+    Scale: ONE exchange (repartition on the shard id) + a
+    sortWithinPartitions; each task streams its shards' tars straight to
+    disk (write-to-.tmp, atomic rename per shard — a crashed task leaves
+    no half-shard visible), holding one row's payloads in memory at a
+    time. n_shards is the parallelism AND file-size dial: size shards to
+    ~0.1-1 GB like any WebDataset corpus.
+    """
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    from whisper_pandas_spark.operators.sampling import hash_bucket
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if mode not in ("overwrite", "error"):
+        raise ValueError(f"mode must be overwrite|error, got {mode!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    if mode == "error" and any(
+        f.startswith("shard-") for f in os.listdir(out_dir)
+    ):
+        raise FileExistsError(f"shards already present under {out_dir}")
+
+    src = (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(payloads_col).alias("payloads"),
+            F.pmod(hash_bucket(F.col(key_col).cast("string"), seed), F.lit(n_shards))
+            .cast("int")
+            .alias("shard"),
+        )
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "key")
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        open_shard = -1
+        tf = None
+        tmp = final = None
+        stats = {}  # shard -> [samples, members, bytes]
+
+        def close_current():
+            nonlocal tf
+            if tf is not None:
+                tf.close()
+                os.replace(tmp, final)
+                tf = None
+
+        for pdf in batches:
+            for key, payloads, shard in zip(
+                pdf["key"], pdf["payloads"], pdf["shard"]
+            ):
+                shard = int(shard)
+                if shard != open_shard:
+                    close_current()
+                    open_shard = shard
+                    final = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+                    tmp = final + ".tmp"
+                    tf = tarfile.open(tmp, "w")
+                    stats.setdefault(shard, [0, 0, 0])
+                if payloads is None or len(payloads) == 0:
+                    continue
+                stats[shard][0] += 1
+                for ext in sorted(payloads):
+                    blob = payloads[ext]
+                    if blob is None:
+                        continue
+                    blob = bytes(blob)
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(blob)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.mode = 0o644
+                    import io
+
+                    tf.addfile(info, io.BytesIO(blob))
+                    stats[shard][1] += 1
+                    stats[shard][2] += len(blob)
+        close_current()
+        if stats:
+            yield pd.DataFrame(
+                [(s, a, b, c) for s, (a, b, c) in sorted(stats.items())],
+                columns=["shard", "n_samples", "n_members", "n_bytes"],
+            )
+
+    manifest = src.mapInPandas(
+        run, "shard int, n_samples long, n_members long, n_bytes long"
+    )
+    # the action: force every task to write, then return the (tiny,
+    # checkpointed) manifest so callers can persist it next to the data
+    return manifest.localCheckpoint(eager=True)
