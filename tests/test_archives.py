@@ -237,3 +237,69 @@ def test_webdataset_write_is_deterministic_and_stable(spark, tmp_path):
         write_webdataset_shards(df, a, n_shards=2, mode="error")
     with _pt.raises(ValueError):
         write_webdataset_shards(df, a, n_shards=0)
+
+
+def test_tokenize_pack_export_loop(spark, tmp_path):
+    """The full training-data export loop in one plan family:
+    BPE-encode documents -> pack into token-budget bins -> write each
+    bin's samples as WebDataset shards -> read back and verify both the
+    payload bytes and the bin budget invariant."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.bpe_train import (
+        bpe_alphabet,
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+    from whisper_pandas_spark.operators.packing import pack_bins
+    from whisper_pandas_spark.sources.archives import (
+        read_webdataset,
+        write_webdataset_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} " + "common words repeat here " * (1 + i % 4))
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, "text", 10)
+    vocab = bpe_vocab(bpe_alphabet(docs, "text"), merges)
+    enc = bpe_encode(docs, "doc_id", "text", merges, vocab)
+    packed = pack_bins(
+        enc.withColumn("block", F.lit("train")),
+        "doc_id",
+        F.col("n_tokens"),
+        "block",
+        budget=120,
+    )
+    samples = packed.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.create_map(
+            F.lit("json"),
+            F.to_json(F.struct("doc_id", "bin_id", "n_tokens", "ids")).cast(
+                "binary"
+            ),
+        ).alias("payloads"),
+    )
+    out = str(tmp_path / "export")
+    manifest = write_webdataset_shards(samples, out, n_shards=2).toPandas()
+    assert manifest["n_samples"].sum() == 24
+
+    back = read_webdataset(spark, out).toPandas()
+    got = {
+        int(r["key"]): json.loads(bytes(r["payloads"]["json"]))
+        for _, r in back.iterrows()
+    }
+    assert len(got) == 24
+    want_ids = {r["doc_id"]: list(r["ids"]) for r in enc.collect()}
+    bins = {}
+    for k, payload in got.items():
+        assert payload["ids"] == want_ids[k]  # token ids survive the loop
+        bins.setdefault(payload["bin_id"], []).append(payload["n_tokens"])
+    # packing invariant: every bin except possibly the last started under
+    # budget (overflow <= one document)
+    for b, toks in bins.items():
+        assert sum(toks) - max(toks) < 120, (b, toks)
