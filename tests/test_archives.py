@@ -303,3 +303,48 @@ def test_tokenize_pack_export_loop(spark, tmp_path):
     # budget (overflow <= one document)
     for b, toks in bins.items():
         assert sum(toks) - max(toks) < 120, (b, toks)
+
+
+def test_webdataset_overwrite_clears_stale_shards(spark, tmp_path):
+    """Re-exporting with fewer shards must not leave the first export's
+    extra tars mixed in (that produced stale + duplicate keys)."""
+    from whisper_pandas_spark.sources.archives import (
+        read_webdataset,
+        write_webdataset_shards,
+    )
+
+    out = str(tmp_path / "wds")
+    big = spark.createDataFrame(
+        _sample_rows(20), "key string, payloads map<string, binary>"
+    )
+    write_webdataset_shards(big, out, n_shards=4)
+    small = spark.createDataFrame(
+        _sample_rows(3), "key string, payloads map<string, binary>"
+    )
+    write_webdataset_shards(small, out, n_shards=2)
+    back = read_webdataset(spark, out).toPandas()
+    assert sorted(back["key"]) == ["doc0000", "doc0001", "doc0002"]
+
+
+def test_webdataset_rejects_dotted_and_duplicate_keys(spark, tmp_path):
+    from whisper_pandas_spark.sources.archives import write_webdataset_shards
+
+    dotted = spark.createDataFrame(
+        [("v1.2", {"txt": bytearray(b"x")})],
+        "key string, payloads map<string, binary>",
+    )
+    with pytest.raises(Exception, match="must not contain"):
+        write_webdataset_shards(dotted, str(tmp_path / "a"), n_shards=1)
+    # dots in the DIRECTORY part are fine (reader splits after last /)
+    dir_dot = spark.createDataFrame(
+        [("v1.2/sample", {"txt": bytearray(b"x")})],
+        "key string, payloads map<string, binary>",
+    )
+    m = write_webdataset_shards(dir_dot, str(tmp_path / "b"), n_shards=1)
+    assert m.toPandas()["n_samples"].sum() == 1
+    dup = spark.createDataFrame(
+        [("k1", {"txt": bytearray(b"x")}), ("k1", {"txt": bytearray(b"y")})],
+        "key string, payloads map<string, binary>",
+    )
+    with pytest.raises(Exception, match="duplicate key"):
+        write_webdataset_shards(dup, str(tmp_path / "c"), n_shards=1)

@@ -391,6 +391,49 @@ def pq_encode(
     return _pq_assign(subv, codebooks).select("vec_id", "sub", "code")
 
 
+def _adc_dtable(
+    queries: DataFrame, codebooks: DataFrame, dim: int, m: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Broadcast per-query (m x k) ADC lookup table: EXACT squared-L2
+    from each query subvector to every codebook centroid, pre-cast to
+    DECIMAL(38,12) so downstream sums are partition-order-independent."""
+    qsub = _subvectors(queries, m, dim // m, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("svec").alias("qvec")
+    )
+    cb = codebooks.select("sub", F.col("cid").alias("code"), "centroid")
+    return F.broadcast(
+        qsub.join(cb, "sub").select(
+            "query_id",
+            "sub",
+            "code",
+            l2sq(F.col("qvec"), F.col("centroid"))
+            .cast("decimal(38,12)")
+            .alias("__d"),
+        )
+    )
+
+
+def _adc_rank(scored: DataFrame, k_top: int) -> DataFrame:
+    """Shared ADC ranking tail: ascending distance, ties by vec_id,
+    output distance rounded to 6 (ordering uses the full value)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_top)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("adc_dist"), 6).alias("adc_dist"),
+            "rnk",
+        )
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -412,41 +455,14 @@ def pq_topk(
     excluded; ties by vec_id. At full scale restrict ``codes`` to IVF
     probe cells first (IVF-PQ) — the table side never changes.
     """
-    qsub = _subvectors(queries, m, dim // m, id_col, vec_col).select(
-        F.col("vec_id").alias("query_id"), "sub", F.col("svec").alias("qvec")
-    )
-    cb = codebooks.select("sub", F.col("cid").alias("code"), "centroid")
-    dtable = F.broadcast(
-        qsub.join(cb, "sub").select(
-            "query_id",
-            "sub",
-            "code",
-            l2sq(F.col("qvec"), F.col("centroid"))
-            .cast("decimal(38,12)")
-            .alias("__d"),
-        )
-    )
+    dtable = _adc_dtable(queries, codebooks, dim, m, id_col, vec_col)
     scored = (
         codes.join(dtable, ["sub", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("__d").cast("double").alias("adc_dist"))
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist"), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k_top)
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(F.col("adc_dist"), 6).alias("adc_dist"),
-            "rnk",
-        )
-    )
+    return _adc_rank(scored, k_top)
 
 
 def pq_topk_ivf(
@@ -483,20 +499,7 @@ def pq_topk_ivf(
     probes = ivf_assign(
         queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    qsub = _subvectors(queries, m, dim // m, id_col, vec_col).select(
-        F.col("vec_id").alias("query_id"), "sub", F.col("svec").alias("qvec")
-    )
-    cb = codebooks.select("sub", F.col("cid").alias("code"), "centroid")
-    dtable = F.broadcast(
-        qsub.join(cb, "sub").select(
-            "query_id",
-            "sub",
-            "code",
-            l2sq(F.col("qvec"), F.col("centroid"))
-            .cast("decimal(38,12)")
-            .alias("__d"),
-        )
-    )
+    dtable = _adc_dtable(queries, codebooks, dim, m, id_col, vec_col)
     cand = codes.join(F.broadcast(probes), "cell")
     scored = (
         cand.join(dtable, ["query_id", "sub", "code"])
@@ -504,18 +507,4 @@ def pq_topk_ivf(
         .groupBy("query_id", "vec_id")
         .agg(F.sum("__d").cast("double").alias("adc_dist"))
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist"), F.col("vec_id")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k_top)
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(F.col("adc_dist"), 6).alias("adc_dist"),
-            "rnk",
-        )
-    )
+    return _adc_rank(scored, k_top)

@@ -263,10 +263,18 @@ def write_webdataset_shards(
 
     Scale: ONE exchange (repartition on the shard id) + a
     sortWithinPartitions; each task streams its shards' tars straight to
-    disk (write-to-.tmp, atomic rename per shard — a crashed task leaves
-    no half-shard visible), holding one row's payloads in memory at a
-    time. n_shards is the parallelism AND file-size dial: size shards to
-    ~0.1-1 GB like any WebDataset corpus.
+    disk (attempt-unique .tmp, atomic rename per shard — a crashed or
+    speculative duplicate attempt never publishes a torn shard), holding
+    one row's payloads in memory at a time. n_shards is the parallelism
+    AND file-size dial: size shards to ~0.1-1 GB like any WebDataset
+    corpus.
+
+    Contracts enforced (ValueError executor-side): keys are unique, and
+    a key's basename contains no ``.`` — the reader splits member names
+    at the first dot after the last slash, so a dotted key would come
+    back under the wrong key and silently merge with its neighbor.
+    ``mode="overwrite"`` first clears existing ``shard-*`` files so a
+    re-export with fewer shards cannot leave stale tars mixed in.
     """
     import os
     import tarfile
@@ -280,10 +288,11 @@ def write_webdataset_shards(
     if mode not in ("overwrite", "error"):
         raise ValueError(f"mode must be overwrite|error, got {mode!r}")
     os.makedirs(out_dir, exist_ok=True)
-    if mode == "error" and any(
-        f.startswith("shard-") for f in os.listdir(out_dir)
-    ):
+    existing = [f for f in os.listdir(out_dir) if f.startswith("shard-")]
+    if mode == "error" and existing:
         raise FileExistsError(f"shards already present under {out_dir}")
+    for f in existing:  # overwrite: stale shards/tmps must not survive
+        os.remove(os.path.join(out_dir, f))
 
     src = (
         df.select(
@@ -298,9 +307,16 @@ def write_webdataset_shards(
     )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else os.getpid()
         open_shard = -1
         tf = None
         tmp = final = None
+        prev_key = None
         stats = {}  # shard -> [samples, members, bytes]
 
         def close_current():
@@ -319,9 +335,19 @@ def write_webdataset_shards(
                     close_current()
                     open_shard = shard
                     final = os.path.join(out_dir, f"shard-{shard:05d}.tar")
-                    tmp = final + ".tmp"
+                    tmp = f"{final}.{attempt}.tmp"
                     tf = tarfile.open(tmp, "w")
                     stats.setdefault(shard, [0, 0, 0])
+                    prev_key = None
+                base = key.rsplit("/", 1)[-1]
+                if "." in base:
+                    raise ValueError(
+                        f"key basename must not contain '.': {key!r} "
+                        "(the WebDataset reader splits at the first dot)"
+                    )
+                if key == prev_key:  # rows are (shard, key)-sorted
+                    raise ValueError(f"duplicate key in export: {key!r}")
+                prev_key = key
                 if payloads is None or len(payloads) == 0:
                     continue
                 stats[shard][0] += 1
@@ -335,8 +361,6 @@ def write_webdataset_shards(
                     info.mtime = 0
                     info.uid = info.gid = 0
                     info.mode = 0o644
-                    import io
-
                     tf.addfile(info, io.BytesIO(blob))
                     stats[shard][1] += 1
                     stats[shard][2] += len(blob)
