@@ -693,3 +693,69 @@ def test_connected_components_raises_when_capped(spark):
     )
     got = {r["node"]: r["comp"] for r in connected_components(cliques).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+# -- seasonal_decompose ----------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.decompose import seasonal_decompose
+
+    # value = linear trend + exact period-3 seasonal [3, -1, -2]
+    seas = [3.0, -1.0, -2.0]
+    rows = [
+        ("m", 1_600_000_000 + 60 * i, 10.0 + 0.5 * i + seas[i % 3])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double")
+    df = df.select(
+        "metric", F.timestamp_seconds("epoch").alias("ts"), "value"
+    )
+    out = (
+        seasonal_decompose(df, ("metric",), "ts", "value", 3, 60)
+        .orderBy("phase", "ts")
+        .toPandas()
+    )
+    assert len(out) == 30
+    mid = out[out["trend"].notna()]
+    assert len(mid) == 28  # one edge row lost each side (odd period)
+    # centered MA over a linear trend + zero-mean seasonal = the trend
+    for _, r in mid.iterrows():
+        i = (r["ts"].timestamp() - 1_600_000_000) / 60
+        assert abs(r["trend"] - (10.0 + 0.5 * i)) < 1e-6, i
+    # seasonal per phase ~= planted (mean-centered: planted sums to 0);
+    # phase is (epoch/res) % period, so the grid start offsets the index
+    off = (1_600_000_000 // 60) % 3
+    by_phase = mid.groupby("phase")["seasonal"].first()
+    for p in range(3):
+        assert abs(by_phase[p] - seas[(p - off) % 3]) < 1e-6, p
+    assert (mid["residual"].abs() < 1e-5).all()
+
+
+def test_seasonal_decompose_even_period_and_validation(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.decompose import seasonal_decompose
+
+    seas = [2.0, 0.0, -1.0, -1.0]
+    rows = [
+        ("m", 1_600_000_000 + 10 * i, 5.0 + 1.0 * i + seas[i % 4])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, epoch long, value double"
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    out = seasonal_decompose(df, ("metric",), "ts", "value", 4, 10).toPandas()
+    mid = out[out["trend"].notna()]
+    assert len(mid) == 40 - 4  # 2 lost per side (even period, 2xMA)
+    for _, r in mid.iterrows():
+        i = (r["ts"].timestamp() - 1_600_000_000) / 10
+        assert abs(r["trend"] - (5.0 + 1.0 * i)) < 1e-6
+    assert (mid["residual"].abs() < 1e-5).all()
+    with _pt.raises(ValueError):
+        seasonal_decompose(df, ("metric",), "ts", "value", 1, 10)
+    with _pt.raises(ValueError):
+        seasonal_decompose(df, ("metric",), "ts", "value", 4, 0)

@@ -1,0 +1,112 @@
+"""Classical seasonal decomposition of regular metric series.
+
+`seasonal_decompose` — the additive moving-average method (the
+`statsmodels.tsa.seasonal_decompose` / STL-lite construction): for each
+series, trend = centered period-length moving average, seasonal = the
+phase-mean of the detrended values re-centered to sum to ~0, residual =
+value - trend - seasonal. The anomaly-detection / capacity-planning
+companion to the rollup family: residual spikes are deseasonalized
+alerts (what `anomaly_zscore` gives per group, this gives per phase).
+
+Input contract: a REGULAR grid per series (one row per `resolution`
+step — run operators/resample.py:resample_fill first if the series has
+holes). Windows are ROWS-framed over the per-series time order, so at
+100 TB each series is one window partition keyed by its metric — the
+same partitioning every per-series operator in the engine uses (skew
+ceiling = points per series, bounded by retention exactly like the
+Whisper ring itself).
+
+Determinism (oracle-parity): every mean folds through DECIMAL(38,12)
+sums — partition-order-independent — and the remaining arithmetic is
+per-row IEEE doubles, so a SQL engine replays the decomposition
+value-for-value (staged entry `ts_seasonal_decompose`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+    period: int,
+    resolution: int,
+) -> DataFrame:
+    """Add ``trend``, ``seasonal``, ``residual`` columns to a regular
+    metric grid.
+
+    ``period`` is in POINTS (e.g. 24 on an hourly grid for a daily
+    cycle); ``resolution`` is seconds per point (defines the phase:
+    ``(epoch / resolution) % period``). Trend uses the standard
+    centered MA — plain for odd periods, the 2xMA half-weighted-ends
+    form for even ones — and is NULL where the window is incomplete
+    (series edges), as are seasonal-adjusted outputs there.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    if resolution < 1:
+        raise ValueError("resolution must be >= 1")
+    kcols = [F.col(k) for k in keys]
+    t = (F.unix_timestamp(F.col(ts_col)) / resolution).cast("long")
+    df = df.withColumn("__t", t).withColumn(
+        "__phase", F.pmod(F.col("__t"), F.lit(period))
+    )
+    order = Window.partitionBy(*kcols).orderBy("__t")
+    val_dec = F.col(value_col).cast("decimal(38,12)")
+
+    half = period // 2
+    if period % 2 == 1:
+        w = order.rowsBetween(-half, half)
+        complete = F.count(value_col).over(w) == period
+        trend = F.when(
+            complete, F.sum(val_dec).over(w).cast("double") / period
+        )
+    else:
+        w_in = order.rowsBetween(-(half - 1), half - 1)
+        w_full = order.rowsBetween(-half, half)
+        complete = F.count(value_col).over(w_full) == period + 1
+        inner = F.sum(val_dec).over(w_in).cast("double")
+        edges = F.lag(value_col, half).over(order) + F.lead(
+            value_col, half
+        ).over(order)
+        trend = F.when(complete, (inner + 0.5 * edges) / period)
+
+    with_trend = df.withColumn("__trend", trend).withColumn(
+        "__detr", F.col(value_col) - F.col("__trend")
+    )
+    wp = Window.partitionBy(*kcols, F.col("__phase"))
+    wk = Window.partitionBy(*kcols)
+    detr_dec = F.col("__detr").cast("decimal(38,12)")
+    phase_mean = F.sum(detr_dec).over(wp).cast("double") / F.count(
+        "__detr"
+    ).over(wp)
+    out = with_trend.withColumn("__pm", phase_mean)
+    # re-center: one value per (series, phase) — fold the DISTINCT phase
+    # means, not every row's copy (max per phase is exact: all copies
+    # within a phase are identical)
+    pm_dec = F.col("__pm").cast("decimal(38,12)")
+    phase_rank = F.row_number().over(
+        Window.partitionBy(*kcols, F.col("__phase")).orderBy("__t")
+    )
+    out = out.withColumn("__pm_first", F.when(phase_rank == 1, pm_dec))
+    grand = F.sum("__pm_first").over(wk).cast("double") / F.count(
+        "__pm_first"
+    ).over(wk)
+    seasonal = F.round(F.col("__pm") - grand, 6)
+    return (
+        out.withColumn("seasonal", seasonal)
+        .withColumn("trend", F.round("__trend", 6))
+        .withColumn(
+            "residual",
+            F.round(
+                F.col(value_col) - F.col("__trend") - F.col("seasonal"), 6
+            ),
+        )
+        .drop("__t", "__trend", "__detr", "__pm", "__pm_first")
+        .withColumnRenamed("__phase", "phase")
+    )

@@ -3,7 +3,7 @@ now, registered later.
 
 The grading driver records ~50 entries per round (README: driver
 contract); round 5 already spends its ≤3-new-entry budget, so these
-nineteen ship as a staging dict that `tests/test_round6_staged.py`
+twenty ship as a staging dict that `tests/test_round6_staged.py`
 value-checks against DuckDB TODAY (the exact driver-style comparison).
 Round 6 promotes them with one line in `registry.py`:
 
@@ -30,6 +30,7 @@ Entries:
 - stream_merge_replay      streaming CDC apply -> final table state
 - emb_pq_topk              product quantization ANN (trained, ADC)
 - emb_pq_ivf_topk          IVF-PQ: both codebooks trained in-engine
+- ts_seasonal_decompose    additive seasonal decomposition (2xMA trend)
 """
 
 from __future__ import annotations
@@ -1122,3 +1123,88 @@ def emb_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_ivf(
         emb, q, cb, cent, _PQ_TOP, DIM, _PQ_M, nprobe=_PQ_NPROBE
     ).orderBy("query_id", "rnk")
+
+
+# -- seasonal decomposition over the hourly rollup grid --------------------
+
+_SD_RES = 3600
+_SD_P = 24  # daily cycle on an hourly grid
+_SD_HALF = _SD_P // 2
+
+
+@_staged(
+    "ts_seasonal_decompose",
+    f"""
+WITH series AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {_SD_RES}) AS t,
+         round(avg(value), 6) AS value
+  FROM events GROUP BY event_type, t
+), dec0 AS (
+  SELECT event_type, t, t % {_SD_P} AS phase, value,
+         sum(CAST(value AS DECIMAL(38,12))) OVER w_in AS inner_s,
+         count(value) OVER w_full AS cnt_full,
+         lag(value, {_SD_HALF}) OVER w_ord AS lagv,
+         lead(value, {_SD_HALF}) OVER w_ord AS leadv
+  FROM series
+  WINDOW w_ord AS (PARTITION BY event_type ORDER BY t),
+         w_in AS (PARTITION BY event_type ORDER BY t
+                  ROWS BETWEEN {_SD_HALF - 1} PRECEDING AND {_SD_HALF - 1} FOLLOWING),
+         w_full AS (PARTITION BY event_type ORDER BY t
+                  ROWS BETWEEN {_SD_HALF} PRECEDING AND {_SD_HALF} FOLLOWING)
+), dec1 AS (
+  SELECT *, CASE WHEN cnt_full = {_SD_P + 1}
+                 THEN (CAST(inner_s AS DOUBLE) + 0.5 * (lagv + leadv)) / {_SD_P}
+            END AS trend
+  FROM dec0
+), dec2 AS (
+  SELECT *, value - trend AS detr FROM dec1
+), dec3 AS (
+  SELECT *,
+         CAST(sum(CAST(detr AS DECIMAL(38,12))) OVER wp AS DOUBLE)
+           / count(detr) OVER wp AS pm,
+         row_number() OVER (PARTITION BY event_type, phase ORDER BY t) AS pr
+  FROM dec2
+  WINDOW wp AS (PARTITION BY event_type, phase)
+), dec4 AS (
+  SELECT *, CASE WHEN pr = 1 THEN CAST(pm AS DECIMAL(38,12)) END AS pmf
+  FROM dec3
+), dec5 AS (
+  SELECT *, CAST(sum(pmf) OVER wk AS DOUBLE) / count(pmf) OVER wk AS grand
+  FROM dec4 WINDOW wk AS (PARTITION BY event_type)
+)
+SELECT event_type, t * {_SD_RES} AS bucket_epoch, phase, value,
+       round(trend, 6) AS trend,
+       round(pm - grand, 6) AS seasonal,
+       round(value - trend - round(pm - grand, 6), 6) AS residual
+FROM dec5 ORDER BY event_type, bucket_epoch
+""",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+: classical additive seasonal decomposition
+    (operators/decompose.py) over the hourly average rollup — daily
+    cycle (period 24): centered 2xMA trend (half-weighted ends, NULL at
+    edges), phase-mean seasonal re-centered over the distinct phase
+    means, residual = deseasonalized anomaly signal. Every mean folds
+    through DECIMAL(38,12); the oracle replays the construction
+    window-for-window."""
+    from whisper_pandas_spark.operators.decompose import seasonal_decompose
+    from whisper_pandas_spark.operators.rollup import rollup
+
+    ev = _table(spark, sf_dir, "events")
+    series = rollup(
+        ev, _SD_RES, "average", keys=("event_type",), ts_col="ts",
+        value_col="value",
+    ).select("event_type", "bucket", F.round("value", 6).alias("value"))
+    out = seasonal_decompose(
+        series, ("event_type",), "bucket", "value", _SD_P, _SD_RES
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        "phase",
+        "value",
+        "trend",
+        "seasonal",
+        "residual",
+    ).orderBy("event_type", "bucket_epoch")
