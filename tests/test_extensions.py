@@ -759,3 +759,59 @@ def test_seasonal_decompose_even_period_and_validation(spark):
         seasonal_decompose(df, ("metric",), "ts", "value", 1, 10)
     with _pt.raises(ValueError):
         seasonal_decompose(df, ("metric",), "ts", "value", 4, 0)
+
+
+# -- holt_forecast ---------------------------------------------------------
+
+
+def test_holt_forecast_tracks_linear_series_exactly(spark):
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.forecast import holt_forecast
+
+    rows = [("m", 1_600_000_000 + 60 * i, 7.0 + 2.5 * i) for i in range(20)]
+    rows += [("short", 1_600_000_000, 1.0)]  # single point: dropped
+    df = spark.createDataFrame(
+        rows, "metric string, epoch long, value double"
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    out = holt_forecast(df, ("metric",), "ts", "value", 0.4, 0.2, 3).toPandas()
+    assert sorted(out["metric"].unique()) == ["m"]  # short series dropped
+    # a perfectly linear series is tracked exactly: level = last point,
+    # slope = the true slope, forecasts extrapolate the line
+    last = 7.0 + 2.5 * 19
+    for _, r in out.iterrows():
+        assert abs(r["level"] - last) < 1e-9
+        assert abs(r["slope"] - 2.5) < 1e-9
+        assert abs(r["yhat"] - (last + 2.5 * r["h"])) < 1e-6
+    assert sorted(out["h"]) == [1, 2, 3]
+
+
+def test_holt_forecast_matches_python_reference_and_validates(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.forecast import holt_forecast
+
+    vals = [5.0, 9.0, 4.0, 12.0, 8.0, 15.0, 11.0]
+    rows = [("m", 1_600_000_000 + 10 * i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "metric string, epoch long, value double"
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    a, b = 0.5, 0.3
+    l, bb = vals[0], vals[1] - vals[0]
+    for x in vals[1:]:
+        nl = a * x + (1.0 - a) * (l + bb)
+        bb = b * (nl - l) + (1.0 - b) * bb
+        l = nl
+    out = holt_forecast(df, ("metric",), "ts", "value", a, b, 2).toPandas()
+    r1 = out[out["h"] == 1].iloc[0]
+    assert abs(r1["level"] - round(l, 6)) < 1e-9
+    assert abs(r1["slope"] - round(bb, 6)) < 1e-9
+    assert abs(r1["yhat"] - round(l + bb, 6)) < 1e-9
+    for bad in (dict(alpha=0.0), dict(alpha=1.5), dict(beta=-0.1)):
+        kw = dict(alpha=0.5, beta=0.3)
+        kw.update(bad)
+        with _pt.raises(ValueError):
+            holt_forecast(df, ("metric",), "ts", "value", horizon=2, **kw)
+    with _pt.raises(ValueError):
+        holt_forecast(df, ("metric",), "ts", "value", 0.5, 0.3, 0)
