@@ -161,3 +161,35 @@ def test_merge_changes_ordered_seq_wins_and_atomic_ties(spark):
 
     with _pt.raises(ValueError):
         merge_changes_ordered(t2, c2.drop("del"), "k", "seq")
+
+
+def test_vacuum_versions_keeps_live_and_recent(spark, tmp_path):
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        merge_into_parquet,
+        vacuum_versions,
+    )
+
+    base = str(tmp_path / "t")
+    schema = "k long, v string, seq long, del boolean"
+    for i in range(5):
+        merge_into_parquet(
+            spark, base,
+            spark.createDataFrame([(1, f"v{i}", i, False)], schema),
+            "k", delete_col="del", seq_col="seq",
+        )
+    root = Path(base)
+    assert len(list(root.glob("v*"))) == 5
+    removed = vacuum_versions(base, keep_last=2)
+    assert sorted(Path(r).name for r in removed) == ["v0", "v1", "v2"]
+    assert sorted(d.name for d in root.glob("v*")) == ["v3", "v4"]
+    # live pointer still resolves and reads
+    cur = current_version_path(base)
+    assert cur.endswith("v4")
+    assert spark.read.parquet(cur).count() == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        vacuum_versions(base, keep_last=0)

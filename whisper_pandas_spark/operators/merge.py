@@ -199,3 +199,32 @@ def read_current_state(
     if seq_col is not None and seq_col in df.columns:
         df = df.drop(seq_col)
     return df
+
+
+def vacuum_versions(base: str, keep_last: int = 2) -> list[str]:
+    """Delete all but the newest ``keep_last`` version directories under
+    *base* (the live one always survives), returning the removed paths.
+    Time travel reaches back ``keep_last`` versions after a vacuum; the
+    pointer file is untouched, so readers mid-flight on a RETAINED
+    version are unaffected — only versions older than the retention
+    window disappear (the copy-on-write vacuum contract)."""
+    import shutil
+    from pathlib import Path
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    root = Path(base)
+    cur = current_version_path(base)
+    versions = sorted(
+        (d for d in root.glob("v*") if d.is_dir() and d.name[1:].isdigit()),
+        key=lambda d: int(d.name[1:]),
+    )
+    keep = {str(d) for d in versions[-keep_last:]}
+    if cur is not None:
+        keep.add(cur)
+    removed = []
+    for d in versions:
+        if str(d) not in keep:
+            shutil.rmtree(d)
+            removed.append(str(d))
+    return removed
