@@ -587,3 +587,72 @@ def test_cdc_merge_order_insensitive_property(spark, log, cut, flip, tmp_path_fa
         ).collect()
     }
     assert got == want
+
+
+@SLOW
+@given(
+    n_left=st.integers(min_value=1, max_value=40),
+    n_right=st.integers(min_value=1, max_value=40),
+    n_keys=st.integers(min_value=1, max_value=4),
+    span=st.integers(min_value=10, max_value=500),
+    direction=st.sampled_from(["forward", "nearest"]),
+    tol=st.sampled_from([None, 0, 13]),
+    data=st.data(),
+)
+def test_asof_directions_match_pandas_merge_asof(
+    spark, n_left, n_right, n_keys, span, direction, tol, data
+):
+    """forward / nearest / tolerance must agree with pd.merge_asof on
+    random keys/timestamps. Tie rule alignment: at equal |distance|,
+    this engine picks backward; pandas 'nearest' does too."""
+    import pandas as pd
+
+    from whisper_pandas_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    lk = rng.integers(0, n_keys, n_left)
+    lt = rng.integers(0, span, n_left)
+    rk = rng.integers(0, n_keys, n_right)
+    rt = rng.integers(0, span, n_right)
+    right_pairs = {(int(k), int(t)): float(rng.normal()) for k, t in zip(rk, rt)}
+
+    left = spark.createDataFrame(
+        [(int(k), int(t)) for k, t in zip(lk, lt)], "key long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t), v in right_pairs.items()],
+        "key long, ts long, value double",
+    )
+    got = asof_join(
+        left, right, on="key", left_ts="ts", right_ts="ts",
+        direction=direction, tolerance_seconds=tol,
+    ).collect()
+
+    lpd = pd.DataFrame({"key": lk.astype("int64"), "ts": lt.astype("int64")})
+    rpd = pd.DataFrame(
+        [(k, t, v) for (k, t), v in right_pairs.items()],
+        columns=["key", "ts", "value"],
+    ).sort_values("ts")
+    want = pd.merge_asof(
+        lpd.sort_values("ts"), rpd, on="ts", by="key", direction=direction,
+        tolerance=tol,
+    ).dropna(subset=["value"])
+
+    got_set = sorted((r["key"], r["ts"], r["value_asof"]) for r in got)
+    want_set = sorted(
+        (int(r.key), int(r.ts), float(r.value)) for r in want.itertuples()
+    )
+    assert got_set == want_set
+
+
+def test_asof_direction_validation(spark):
+    from whisper_pandas_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 1)], "key long, ts long")
+    r = spark.createDataFrame([(1, 1, 1.0)], "key long, ts long, value double")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, on="key", direction="sideways")
+    with pytest.raises(ValueError, match="bucketed forward"):
+        asof_join(l, r, on="key", direction="forward", time_bucket_seconds=10)
+    with pytest.raises(ValueError, match="bucketed forward"):
+        asof_join(l, r, on="key", tolerance_seconds=5, time_bucket_seconds=10)

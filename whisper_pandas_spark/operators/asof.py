@@ -42,14 +42,26 @@ def asof_join(
     suffix: str = "_asof",
     inner: bool = True,
     time_bucket_seconds: int | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row at-or-before its
-    timestamp (``right.ts <= left.ts``), per key *on*.
+    """For each left row, attach the matching right row per key *on*:
+    the most recent at-or-before its timestamp (``direction="backward"``,
+    the default), the nearest at-or-after (``"forward"``), or whichever
+    of the two is closer in time (``"nearest"``, ties -> backward) —
+    the full ``pd.merge_asof`` direction surface. ``tolerance_seconds``
+    rejects matches farther than the window (both directions), like
+    merge_asof's ``tolerance``.
 
     Matches ``pd.merge_asof(..., direction="backward")`` / DuckDB
     ``ASOF JOIN ... ON l.ts >= r.ts`` semantics (ties: the right row at the
-    exact same timestamp wins). ``inner=True`` drops left rows with no
-    preceding right row.
+    exact same timestamp wins — in every direction, an equal-timestamp
+    right row IS the match at distance 0). ``inner=True`` drops left
+    rows with no match.
+
+    Non-backward directions and tolerance run on the one-window plan;
+    combining them with ``time_bucket_seconds`` raises (for a hot-key
+    forward join, negate the timestamps and run backward bucketed).
 
     ``time_bucket_seconds`` selects the skew-immune plan for hot keys
     (see module docstring): the carry window partitions by (key,
@@ -62,40 +74,117 @@ def asof_join(
     e.g. anything scanned from whisper slots — the two plans are
     row-identical.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if time_bucket_seconds is not None and (
+        direction != "backward" or tolerance_seconds is not None
+    ):
+        raise ValueError(
+            "time_bucket_seconds supports only direction='backward' "
+            "without tolerance — negate timestamps for a bucketed forward"
+        )
     lcols = left.columns
     marker = F.lit(1)
+    # the matched right TIMESTAMP rides along as a pseudo value column:
+    # nearest needs both candidates' distances, tolerance needs the gap
+    vcols = list(value_cols) + ["__mts"]
+    r_vals = [F.col(c).alias(f"__r_{c}") for c in value_cols] + [
+        F.col(right_ts).alias("__r___mts")
+    ]
+    r_nulls = [
+        F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+        for c in value_cols
+    ] + [F.lit(None).cast(right.schema[right_ts].dataType).alias("__r___mts")]
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         marker.alias("__is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        *r_nulls,
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *r_vals,
     )
     u = l_tag.unionByName(r_tag)
     if time_bucket_seconds is None:
-        # Right rows sort before left rows at equal timestamps → inclusive.
-        w = (
-            Window.partitionBy("__k")
-            .orderBy("__ts", "__is_left")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        out = (
-            u.select(
+
+        def _epoch(c):
+            col = F.col(c)
+            return (
+                F.unix_timestamp(col)
+                if isinstance(u.schema["__ts"].dataType, TimestampType)
+                else col.cast("long")
+            )
+
+        carried = u
+        # Right rows sort before left rows at equal timestamps → the
+        # equal-ts right row is a distance-0 match in EVERY direction.
+        if direction in ("backward", "nearest"):
+            wb = (
+                Window.partitionBy("__k")
+                .orderBy("__ts", "__is_left")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            carried = carried.select(
                 "*",
                 *[
-                    F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-                    for c in value_cols
+                    F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+                    for c in vcols
                 ],
             )
-            .filter(F.col("__is_left") == 1)
-            .select(*lcols, *[f"{c}{suffix}" for c in value_cols])
+        if direction in ("forward", "nearest"):
+            wf = (
+                Window.partitionBy("__k")
+                .orderBy(F.col("__ts").desc(), "__is_left")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            carried = carried.select(
+                "*",
+                *[
+                    F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+                    for c in vcols
+                ],
+            )
+        carried = carried.filter(F.col("__is_left") == 1)
+        if direction == "nearest":
+            dtb = _epoch("__ts") - _epoch("__b___mts")
+            dtf = _epoch("__f___mts") - _epoch("__ts")
+            pick_b = F.col("__f___mts").isNull() | (
+                F.col("__b___mts").isNotNull() & (dtb <= dtf)
+            )
+            picked = [
+                F.when(pick_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(f"__m_{c}")
+                for c in vcols
+            ]
+        else:
+            side = "b" if direction == "backward" else "f"
+            picked = [F.col(f"__{side}_{c}").alias(f"__m_{c}") for c in vcols]
+        carried = carried.select("*", *picked)
+        if tolerance_seconds is not None:
+            gap = F.abs(_epoch("__ts") - _epoch("__m___mts"))
+            ok = gap <= F.lit(int(tolerance_seconds))
+            carried = carried.select(
+                "*",
+                *[
+                    F.when(ok, F.col(f"__m_{c}")).alias(f"__t_{c}")
+                    for c in vcols
+                ],
+            )
+            final_prefix = "__t_"
+        else:
+            final_prefix = "__m_"
+        out = carried.select(
+            *lcols,
+            *[
+                F.col(f"{final_prefix}{c}").alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
         )
     else:
         ts_epoch = (

@@ -3,7 +3,7 @@ now, registered later.
 
 The grading driver records ~50 entries per round (README: driver
 contract); round 5 already spends its ≤3-new-entry budget, so these
-twenty-one ship as a staging dict that `tests/test_round6_staged.py`
+twenty-two ship as a staging dict that `tests/test_round6_staged.py`
 value-checks against DuckDB TODAY (the exact driver-style comparison).
 Round 6 promotes them with one line in `registry.py`:
 
@@ -32,6 +32,7 @@ Entries:
 - emb_pq_ivf_topk          IVF-PQ: both codebooks trained in-engine
 - ts_seasonal_decompose    additive seasonal decomposition (2xMA trend)
 - ts_holt_forecast         Holt linear smoothing, list_reduce fold oracle
+- join_asof_forward        forward as-of direction (ASOF <= oracle)
 """
 
 from __future__ import annotations
@@ -1276,3 +1277,41 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_forecast(
         series, ("event_type",), "bucket", "value", _HW_A, _HW_B, _HW_H
     ).orderBy("event_type", "h")
+
+
+# -- as-of join: forward / nearest / tolerance directions ------------------
+
+
+@_staged(
+    "join_asof_forward",
+    """
+SELECT e.event_id, e.user_id, c.value AS value_next
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts <= c.ts
+ORDER BY e.event_id
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5+: the forward as-of direction — for each error, the NEAREST
+    click at-or-after it per user (pd.merge_asof direction='forward';
+    DuckDB ASOF JOIN with the inequality flipped). Same one-union
+    window plan as the backward join, ordered descending
+    (operators/asof.py:asof_join(direction='forward')); nearest and
+    tolerance ride the same machinery (property-tested vs pandas)."""
+    from whisper_pandas_spark.operators.asof import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        errors, clicks, on="user_id", value_cols=("value",), suffix="_x",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value_x").alias("value_next")
+    ).orderBy("event_id")
