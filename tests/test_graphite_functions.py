@@ -216,3 +216,56 @@ def test_highest_selects_top_series(spark):
     assert {r["metric"] for r in top1_avg.collect()} == {"m.b"}
     with pytest.raises(ValueError):
         g.highest(df, 2, "bogus")
+
+
+def test_moving_stddev_and_linear_regression(spark):
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.functions.graphite import (
+        linear_regression,
+        moving_stddev_points,
+    )
+
+    # exact line y = 2x + 5: regression reproduces every point; stdev of
+    # a constant-difference window is the sample stddev of the values
+    rows = [("m", 1_600_000_000 + 10 * i, 5.0 + 2.0 * (1_600_000_000 + 10 * i))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double")
+    df = df.select("metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    fit = linear_regression(df).orderBy("timestamp").collect()
+    for r in fit:
+        x = r["timestamp"].timestamp()
+        assert abs(r["value"] - (5.0 + 2.0 * x)) < 1e-6
+    sd = moving_stddev_points(df, 3).orderBy("timestamp").collect()
+    assert sd[0]["value"] is None  # 1-point frame
+    import statistics
+    vals = [r["value"] for r in df.orderBy("timestamp").collect()]
+    assert abs(sd[2]["value"] - statistics.stdev(vals[0:3])) < 1e-9
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        moving_stddev_points(df, 0)
+
+
+def test_selectors_average_and_current_above(spark):
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.functions.graphite import (
+        average_above,
+        current_above,
+    )
+
+    rows = [
+        ("hot", 1, 10.0), ("hot", 2, 20.0),     # avg 15, last 20
+        ("cold", 1, 1.0), ("cold", 2, 2.0),     # avg 1.5, last 2
+        ("spiky", 1, 100.0), ("spiky", 2, 0.0), # avg 50, last 0
+    ]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double")
+    df = df.select("metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    assert sorted(
+        r["metric"] for r in average_above(df, 10.0).select("metric").distinct().collect()
+    ) == ["hot", "spiky"]
+    assert sorted(
+        r["metric"] for r in current_above(df, 1.5).select("metric").distinct().collect()
+    ) == ["cold", "hot"]
+    # series come back whole, not filtered per row
+    assert average_above(df, 10.0).count() == 4

@@ -318,3 +318,52 @@ def highest(df: DataFrame, n: int, func: str = "max") -> DataFrame:
         .select(_METRIC)
     )
     return df.join(F.broadcast(winners), _METRIC, "left_semi")
+
+
+def moving_stddev_points(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``stdev(series, n)``: sample standard deviation over the
+    last *n* points (fewer at the series head, like graphite). Same
+    per-series ROWS window as the moving average; ``stddev_samp`` of a
+    1-point frame is NULL."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = _series_window().rowsBetween(-(n - 1), 0)
+    return _with_value(df, F.stddev_samp(_VAL).over(w))
+
+
+def linear_regression(df: DataFrame) -> DataFrame:
+    """graphite ``linearRegression(series)``: replace each series with
+    its ordinary-least-squares fitted line over the WHOLE series
+    (x = epoch seconds). Closed form per series — slope =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — via ``regr_slope`` /
+    ``regr_intercept`` window aggregates: one unordered window per
+    series, no second scan. Degenerate series (all points at one
+    timestamp) yield NULL, matching graphite's undefined fit."""
+    w = Window.partitionBy(_METRIC)
+    x = F.unix_timestamp(F.col(_TS)).cast("double")
+    slope = F.regr_slope(F.col(_VAL), x).over(w)
+    icept = F.regr_intercept(F.col(_VAL), x).over(w)
+    return _with_value(df, slope * x + icept)
+
+
+def average_above(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``averageAbove(series, t)``: keep only series whose mean
+    value exceeds *t*. Selector shape: per-series mean via one
+    unordered window, then a filter — no join, series stay intact."""
+    w = Window.partitionBy(_METRIC)
+    return df.withColumn("__avg", F.avg(_VAL).over(w)).filter(
+        F.col("__avg") > threshold
+    ).drop("__avg")
+
+
+def current_above(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``currentAbove(series, t)``: keep series whose LAST
+    value exceeds *t* (the live-alerting selector)."""
+    w = (
+        Window.partitionBy(_METRIC)
+        .orderBy(_TS)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return df.withColumn("__last", F.last(_VAL, ignorenulls=True).over(w)).filter(
+        F.col("__last") > threshold
+    ).drop("__last")
