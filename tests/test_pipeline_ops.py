@@ -493,3 +493,62 @@ def test_mixture_sample_zero_weight_rows_at_exact_quota(spark):
         assert sorted(got.toPandas()["k"]) == sorted(
             want.toPandas()["k"]
         ), bits
+
+
+def test_tfidf_top_terms_semantics(spark):
+    import math
+
+    from whisper_pandas_spark.operators.textrank import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana shared"),
+            (1, "banana cherry shared"),
+            (2, "cherry cherry cherry shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2, min_df=1).toPandas()
+    by_doc = {d: g.sort_values("rnk") for d, g in out.groupby("doc_id")}
+    # doc 0: apple tf=2 df=1 beats banana tf=1 df=2 and shared (df=3, idf=0)
+    assert list(by_doc[0]["term"]) == ["apple", "banana"]
+    r = by_doc[0].iloc[0]
+    assert r["tf"] == 2 and r["df"] == 1
+    assert abs(r["score"] - round(2 * math.log(4 / 2), 6)) < 1e-9
+    # 'shared' has df = N -> idf = ln(4/4) = 0: it can only fill leftover
+    # slots (doc 2 has just two distinct terms) and never outranks a
+    # positive-score term
+    assert "shared" not in set(by_doc[0]["term"])
+    d2 = list(by_doc[2].itertuples())
+    assert [t.term for t in d2] == ["cherry", "shared"]
+    assert d2[1].score == 0.0
+    # min_df drops hapax terms entirely
+    out2 = tfidf_top_terms(docs, "doc_id", "text", k=2, min_df=2).toPandas()
+    assert "apple" not in set(out2["term"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        tfidf_top_terms(docs, "doc_id", "text", k=0)
+
+
+def test_metric_correlation_planted(spark):
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.decompose import metric_correlation
+
+    rows = []
+    for i in range(10):
+        rows.append(("up", i, float(i)))
+        rows.append(("up2", i, 3.0 + 2.0 * i))      # perfectly correlated
+        rows.append(("down", i, float(-i)))          # perfectly anti
+        if i < 2:
+            rows.append(("sparse", i, float(i % 2)))
+    df = spark.createDataFrame(rows, "metric string, t long, value double")
+    out = {
+        (r["metric_a"], r["metric_b"]): (r["n_points"], r["corr"])
+        for r in metric_correlation(df, "metric", "t", "value", min_points=3).collect()
+    }
+    assert out[("up", "up2")] == (10, 1.0)
+    assert out[("down", "up")] == (10, -1.0)
+    # sparse only overlaps 2 points: filtered by min_points=3
+    assert not any("sparse" in k for k in out)

@@ -110,3 +110,44 @@ def seasonal_decompose(
         .drop("__t", "__trend", "__detr", "__pm", "__pm_first")
         .withColumnRenamed("__phase", "phase")
     )
+
+
+def metric_correlation(
+    df: DataFrame,
+    metric_col: str,
+    ts_col: str,
+    value_col: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """Pairwise Pearson correlation between metrics over their ALIGNED
+    timestamps: (metric_a, metric_b, n_points, corr) for every
+    unordered pair (a < b) sharing >= *min_points* grid points — the
+    which-metrics-move-together matrix behind dashboard grouping and
+    redundant-alert pruning.
+
+    One self-equi-join on the timestamp (uniform key — time never
+    skews), one (pair)-keyed partial aggregation. The pair count is
+    M^2/2 AGGREGATE ROWS, not joined data volume: each timestamp
+    contributes one row per co-observed pair, so traffic is
+    sum_t m_t^2 — bound m_t (metrics per timestamp) by pre-filtering
+    the metric set, exactly like any correlation-matrix job."""
+    a = df.select(
+        F.col(metric_col).alias("metric_a"),
+        F.col(ts_col).alias("__t"),
+        F.col(value_col).alias("__va"),
+    )
+    b = df.select(
+        F.col(metric_col).alias("metric_b"),
+        F.col(ts_col).alias("__t"),
+        F.col(value_col).alias("__vb"),
+    )
+    return (
+        a.join(b, "__t")
+        .filter(F.col("metric_a") < F.col("metric_b"))
+        .groupBy("metric_a", "metric_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.corr("__va", "__vb"), 6).alias("corr"),
+        )
+        .filter(F.col("n_points") >= min_points)
+    )

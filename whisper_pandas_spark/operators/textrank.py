@@ -99,3 +99,52 @@ def bm25_topk(
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "doc_id", "n_terms", "score", "rnk"
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction:
+    (doc_id, term, tf, df, score, rnk) for each document's top-*k*
+    terms by ``tf * ln((N + 1) / (df + 1))`` (the smoothed idf — never
+    negative, engine-portable ln), ties by term.
+
+    Scale shape mirrors BM25's: one (doc, term) partial-agg exchange
+    for tf, one term-keyed aggregate for df (broadcast back — the
+    vocabulary is Zipf-small), corpus size N is a 1-row broadcast, and
+    the per-doc top-k compiles to WindowGroupLimit (map-side rank
+    pruning — a hot document moves ~k rows per partition, not its
+    vocabulary). ``min_df`` drops hapax noise before ranking.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = (
+        tf.join(F.broadcast(dfreq.filter(F.col("df") >= min_df)), "term")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )

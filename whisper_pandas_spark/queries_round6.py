@@ -3,7 +3,7 @@ now, registered later.
 
 The grading driver records ~50 entries per round (README: driver
 contract); round 5 already spends its ≤3-new-entry budget, so these
-twenty-three ship as a staging dict that `tests/test_round6_staged.py`
+twenty-five ship as a staging dict that `tests/test_round6_staged.py`
 value-checks against DuckDB TODAY (the exact driver-style comparison).
 Round 6 promotes them with one line in `registry.py`:
 
@@ -34,6 +34,8 @@ Entries:
 - ts_holt_forecast         Holt linear smoothing, list_reduce fold oracle
 - join_asof_forward        forward as-of direction (ASOF <= oracle)
 - join_star_q5ish          TPC-H Q5 shape (6-table join, nation revenue)
+- text_tfidf_topk          per-doc TF-IDF keywords (smoothed idf, top-5)
+- ts_metric_correlation    pairwise Pearson matrix on the hourly grid
 """
 
 from __future__ import annotations
@@ -1373,3 +1375,85 @@ def join_star_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "nation")
     )
+
+
+# -- TF-IDF keyword extraction ---------------------------------------------
+
+
+@_staged(
+    "text_tfidf_topk",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text),
+           '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term != '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * ln((CAST((SELECT n_docs FROM n) AS DOUBLE) + 1)
+                          / (dfreq.df + 1)), 6) AS score
+  FROM tf JOIN dfreq USING (term) WHERE dfreq.df >= 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY doc_id, rnk
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: per-document TF-IDF keywords
+    (operators/textrank.py:tfidf_top_terms) — top-5 terms by smoothed
+    tf*idf, min_df=2, WindowGroupLimit top-k; the labeling/search
+    companion to BM25 over the same tokenize family."""
+    from whisper_pandas_spark.operators.textrank import tfidf_top_terms
+
+    docs = _table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5, min_df=2).orderBy(
+        "doc_id", "rnk"
+    )
+
+
+# -- cross-metric correlation matrix ---------------------------------------
+
+
+@_staged(
+    "ts_metric_correlation",
+    f"""
+WITH series AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {_SD_RES}) AS t,
+         round(avg(value), 6) AS value
+  FROM events GROUP BY event_type, t
+)
+SELECT a.event_type AS metric_a, b.event_type AS metric_b,
+       count(*) AS n_points, round(corr(a.value, b.value), 6) AS corr
+FROM series a JOIN series b ON a.t = b.t AND a.event_type < b.event_type
+GROUP BY metric_a, metric_b
+HAVING count(*) >= 2
+ORDER BY metric_a, metric_b
+""",
+)
+def ts_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+: the pairwise Pearson matrix between event-type series on
+    the shared hourly grid (operators/decompose.py:metric_correlation)
+    — one timestamp equi-join + one pair-keyed partial agg."""
+    from whisper_pandas_spark.operators.decompose import metric_correlation
+    from whisper_pandas_spark.operators.rollup import rollup
+
+    ev = _table(spark, sf_dir, "events")
+    series = rollup(
+        ev, _SD_RES, "average", keys=("event_type",), ts_col="ts",
+        value_col="value",
+    ).select("event_type", "bucket", F.round("value", 6).alias("value"))
+    return metric_correlation(
+        series, "event_type", "bucket", "value"
+    ).orderBy("metric_a", "metric_b")
