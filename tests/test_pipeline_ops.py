@@ -552,3 +552,40 @@ def test_metric_correlation_planted(spark):
     assert out[("down", "up")] == (10, -1.0)
     # sparse only overlaps 2 points: filtered by min_points=3
     assert not any("sparse" in k for k in out)
+
+
+def test_weighted_sample_k_properties(spark):
+    from collections import Counter
+
+    from whisper_pandas_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 100.0 if i == 0 else 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    # heavy row (100x weight) wins a top-1 draw for most seeds
+    wins = Counter(
+        weighted_sample_k(df, "k", "w", k=1, seed=s).collect()[0]["k"]
+        for s in range(20)
+    )
+    assert wins[0] >= 14, wins
+    # deterministic under repartitioning; zero/negative weights never win
+    df2 = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(30)] + [(100, -5.0)],
+        "k long, w double",
+    )
+    a = [r["k"] for r in weighted_sample_k(df2, "k", "w", 10).collect()]
+    b = [r["k"] for r in weighted_sample_k(df2.repartition(7), "k", "w", 10).collect()]
+    assert a == b
+    zero_weight = {i for i in range(30) if i % 3 == 0} | {100}
+    assert not set(a) & zero_weight
+    # top-k is TakeOrderedAndProject, not a global sort
+    plan = (
+        weighted_sample_k(df2, "k", "w", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        weighted_sample_k(df2, "k", "w", 0)

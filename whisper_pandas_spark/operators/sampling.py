@@ -264,3 +264,38 @@ def mixture_quotas(
     for d in order[:short]:
         floors[d] += 1
     return floors
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of *k* rows —
+    Efraimidis-Spirakis A-Res with DETERMINISTIC randomness: each row
+    draws u = (md5 bucket + 1) / 2^32 in (0, 1] from its key and ranks
+    by u^(1/w) (equivalently exp(ln(u)/w)), and the k largest keys win.
+    Inclusion probability is proportional to weight at every prefix, the
+    draw is a pure function of (key, seed) — reproducible across runs,
+    engines, and partitionings — and changing one row's weight never
+    perturbs another row's draw (the property quality-weighted corpus
+    sampling needs for incremental re-runs).
+
+    Zero/negative weights never win (rank key 0). The top-k compiles to
+    TakeOrderedAndProject — per-partition heads of size k, no global
+    sort. Returns the sampled rows plus ``rank_key``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (hash_bucket(F.col(key_col), seed) + 1).cast("double") / F.lit(
+        float(BUCKET_SPACE)
+    )
+    w = F.col(weight_col).cast("double")
+    rank_key = F.when(w > 0, F.exp(F.log(u) / w)).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("rank_key", F.round(rank_key, 12))
+        .orderBy(F.col("rank_key").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -3,7 +3,7 @@ now, registered later.
 
 The grading driver records ~50 entries per round (README: driver
 contract); round 5 already spends its ≤3-new-entry budget, so these
-twenty-five ship as a staging dict that `tests/test_round6_staged.py`
+twenty-six ship as a staging dict that `tests/test_round6_staged.py`
 value-checks against DuckDB TODAY (the exact driver-style comparison).
 Round 6 promotes them with one line in `registry.py`:
 
@@ -36,6 +36,7 @@ Entries:
 - join_star_q5ish          TPC-H Q5 shape (6-table join, nation revenue)
 - text_tfidf_topk          per-doc TF-IDF keywords (smoothed idf, top-5)
 - ts_metric_correlation    pairwise Pearson matrix on the hourly grid
+- sample_weighted_topk     Efraimidis-Spirakis weighted top-k sample
 """
 
 from __future__ import annotations
@@ -1457,3 +1458,37 @@ def ts_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metric_correlation(
         series, "event_type", "bucket", "value"
     ).orderBy("metric_a", "metric_b")
+
+
+# -- deterministic weighted sampling ---------------------------------------
+
+
+@_staged(
+    "sample_weighted_topk",
+    """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN n_chars > 0
+              THEN exp(ln((('0x' || substr(md5('0:' || doc_id), 1, 8))::BIGINT + 1)
+                          / 4294967296.0) / CAST(n_chars AS DOUBLE))
+              ELSE CAST(0.0 AS DOUBLE) END AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars, round(rk, 12) AS rank_key
+FROM keyed ORDER BY rk DESC, doc_id LIMIT 25
+""",
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: deterministic weighted sampling without replacement
+    (operators/sampling.py:weighted_sample_k) — Efraimidis-Spirakis
+    keys u^(1/w) from the md5 draw, w = n_chars (longer docs
+    proportionally likelier), top-25 via TakeOrderedAndProject. The
+    oracle replays the identical draw and key arithmetic."""
+    from whisper_pandas_spark.operators.sampling import weighted_sample_k
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_k(docs, "doc_id", "n_chars", k=25).orderBy(
+        F.col("rank_key").desc(), "doc_id"
+    )
