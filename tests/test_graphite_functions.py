@@ -237,10 +237,12 @@ def test_moving_stddev_and_linear_regression(spark):
         x = r["timestamp"].timestamp()
         assert abs(r["value"] - (5.0 + 2.0 * x)) < 1e-6
     sd = moving_stddev_points(df, 3).orderBy("timestamp").collect()
-    assert sd[0]["value"] is None  # 1-point frame
+    # graphite divides by n (population) and renders partial head windows
+    assert sd[0]["value"] == 0.0  # 1-point window
     import statistics
     vals = [r["value"] for r in df.orderBy("timestamp").collect()]
-    assert abs(sd[2]["value"] - statistics.stdev(vals[0:3])) < 1e-9
+    assert abs(sd[1]["value"] - statistics.pstdev(vals[0:2])) < 1e-9
+    assert abs(sd[2]["value"] - statistics.pstdev(vals[0:3])) < 1e-9
     import pytest as _pt
     with _pt.raises(ValueError):
         moving_stddev_points(df, 0)

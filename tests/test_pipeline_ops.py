@@ -589,3 +589,45 @@ def test_weighted_sample_k_properties(spark):
 
     with _pt.raises(ValueError):
         weighted_sample_k(df2, "k", "w", 0)
+
+
+def test_asof_null_valued_match_is_atomic(spark):
+    """A matched right row whose VALUE is NULL is still the match: the
+    returned value must be that row's NULL, never an older row's value
+    smuggled past the tolerance window (the torn-carry regression)."""
+    from whisper_pandas_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 12)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 7.0), (1, 10, None)], "k long, ts long, value double"
+    )
+    # tolerance 3: the ts=10 row matches (gap 2) but its value is NULL —
+    # 7.0 (gap 7, outside tolerance) must NOT leak through
+    got = asof_join(
+        left, right, on="k", value_cols=("value",), inner=False,
+        tolerance_seconds=3,
+    ).collect()
+    assert len(got) == 1 and got[0]["value_asof"] is None
+    # inner keeps the row: a match EXISTS (pd.merge_asof semantics)
+    got_inner = asof_join(
+        left, right, on="k", value_cols=("value",), inner=True
+    ).collect()
+    assert len(got_inner) == 1 and got_inner[0]["value_asof"] is None
+    # bucketed plan agrees on the null-valued match
+    got_b = asof_join(
+        left, right, on="k", value_cols=("value",), inner=True,
+        time_bucket_seconds=4,
+    ).collect()
+    assert len(got_b) == 1 and got_b[0]["value_asof"] is None
+
+
+def test_metric_correlation_zero_variance_yields_null(spark):
+    from whisper_pandas_spark.operators.decompose import metric_correlation
+
+    rows = [("const", i, 5.0) for i in range(5)] + [
+        ("up", i, float(i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "metric string, t long, value double")
+    out = metric_correlation(df, "metric", "t", "value").collect()
+    assert len(out) == 1
+    assert out[0]["corr"] is None  # flat series: NULL, not a crash

@@ -321,14 +321,16 @@ def highest(df: DataFrame, n: int, func: str = "max") -> DataFrame:
 
 
 def moving_stddev_points(df: DataFrame, n: int) -> DataFrame:
-    """graphite ``stdev(series, n)``: sample standard deviation over the
-    last *n* points (fewer at the series head, like graphite). Same
-    per-series ROWS window as the moving average; ``stddev_samp`` of a
-    1-point frame is NULL."""
+    """graphite ``stdev(series, n)``: POPULATION standard deviation over
+    the last *n* points (graphite divides by n, not n-1), emitting
+    values for the partial head windows too (graphite renders them
+    unless the window is mostly empty; the windowTolerance dial is the
+    one simplification — documented, not hidden). ``stddev_pop`` of a
+    1-point frame is 0.0, matching graphite's head behavior."""
     if n < 1:
         raise ValueError("n must be >= 1")
     w = _series_window().rowsBetween(-(n - 1), 0)
-    return _with_value(df, F.stddev_samp(_VAL).over(w))
+    return _with_value(df, F.stddev_pop(_VAL).over(w))
 
 
 def linear_regression(df: DataFrame) -> DataFrame:

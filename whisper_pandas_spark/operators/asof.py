@@ -87,41 +87,41 @@ def asof_join(
         )
     lcols = left.columns
     marker = F.lit(1)
-    # the matched right TIMESTAMP rides along as a pseudo value column:
-    # nearest needs both candidates' distances, tolerance needs the gap
-    vcols = list(value_cols) + ["__mts"]
-    r_vals = [F.col(c).alias(f"__r_{c}") for c in value_cols] + [
-        F.col(right_ts).alias("__r___mts")
-    ]
-    r_nulls = [
-        F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-        for c in value_cols
-    ] + [F.lit(None).cast(right.schema[right_ts].dataType).alias("__r___mts")]
+    # the matched right row travels as ONE struct (its timestamp first,
+    # then the value columns): a single last(ignorenulls) carries the
+    # whole row ATOMICALLY, so a matched row with NULL values can never
+    # tear into "this row's timestamp, an older row's value" — the
+    # nearest/tolerance logic reads the timestamp of exactly the row
+    # whose values it returns
+    row_struct = F.struct(
+        F.col(right_ts).alias("__mts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    row_type = right.select(row_struct.alias("x")).schema["x"].dataType
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         marker.alias("__is_left"),
         *[F.col(c) for c in lcols],
-        *r_nulls,
+        F.lit(None).cast(row_type).alias("__rrow"),
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *r_vals,
+        row_struct.alias("__rrow"),
     )
     u = l_tag.unionByName(r_tag)
+
+    def _epoch(col: Column) -> Column:
+        return (
+            F.unix_timestamp(col)
+            if isinstance(u.schema["__ts"].dataType, TimestampType)
+            else col.cast("long")
+        )
+
     if time_bucket_seconds is None:
-
-        def _epoch(c):
-            col = F.col(c)
-            return (
-                F.unix_timestamp(col)
-                if isinstance(u.schema["__ts"].dataType, TimestampType)
-                else col.cast("long")
-            )
-
         carried = u
         # Right rows sort before left rows at equal timestamps → the
         # equal-ts right row is a distance-0 match in EVERY direction.
@@ -131,12 +131,8 @@ def asof_join(
                 .orderBy("__ts", "__is_left")
                 .rowsBetween(Window.unboundedPreceding, 0)
             )
-            carried = carried.select(
-                "*",
-                *[
-                    F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
-                    for c in vcols
-                ],
+            carried = carried.withColumn(
+                "__b_row", F.last("__rrow", ignorenulls=True).over(wb)
             )
         if direction in ("forward", "nearest"):
             wf = (
@@ -144,56 +140,39 @@ def asof_join(
                 .orderBy(F.col("__ts").desc(), "__is_left")
                 .rowsBetween(Window.unboundedPreceding, 0)
             )
-            carried = carried.select(
-                "*",
-                *[
-                    F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
-                    for c in vcols
-                ],
+            carried = carried.withColumn(
+                "__f_row", F.last("__rrow", ignorenulls=True).over(wf)
             )
         carried = carried.filter(F.col("__is_left") == 1)
         if direction == "nearest":
-            dtb = _epoch("__ts") - _epoch("__b___mts")
-            dtf = _epoch("__f___mts") - _epoch("__ts")
-            pick_b = F.col("__f___mts").isNull() | (
-                F.col("__b___mts").isNotNull() & (dtb <= dtf)
+            dtb = _epoch(F.col("__ts")) - _epoch(F.col("__b_row.__mts"))
+            dtf = _epoch(F.col("__f_row.__mts")) - _epoch(F.col("__ts"))
+            pick_b = F.col("__f_row").isNull() | (
+                F.col("__b_row").isNotNull() & (dtb <= dtf)
             )
-            picked = [
-                F.when(pick_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(f"__m_{c}")
-                for c in vcols
-            ]
+            match = F.when(pick_b, F.col("__b_row")).otherwise(
+                F.col("__f_row")
+            )
+        elif direction == "backward":
+            match = F.col("__b_row")
         else:
-            side = "b" if direction == "backward" else "f"
-            picked = [F.col(f"__{side}_{c}").alias(f"__m_{c}") for c in vcols]
-        carried = carried.select("*", *picked)
+            match = F.col("__f_row")
+        carried = carried.withColumn("__match", match)
         if tolerance_seconds is not None:
-            gap = F.abs(_epoch("__ts") - _epoch("__m___mts"))
-            ok = gap <= F.lit(int(tolerance_seconds))
-            carried = carried.select(
-                "*",
-                *[
-                    F.when(ok, F.col(f"__m_{c}")).alias(f"__t_{c}")
-                    for c in vcols
-                ],
+            gap = F.abs(
+                _epoch(F.col("__ts")) - _epoch(F.col("__match.__mts"))
             )
-            final_prefix = "__t_"
-        else:
-            final_prefix = "__m_"
-        out = carried.select(
-            *lcols,
-            *[
-                F.col(f"{final_prefix}{c}").alias(f"{c}{suffix}")
-                for c in value_cols
-            ],
-        )
+            carried = carried.withColumn(
+                "__match",
+                F.when(gap <= F.lit(int(tolerance_seconds)), F.col("__match")),
+            )
+        out = carried
     else:
-        ts_epoch = (
-            F.unix_timestamp(F.col("__ts"))
-            if isinstance(u.schema["__ts"].dataType, TimestampType)
-            else F.col("__ts").cast("long")
-        )
         u = u.withColumn(
-            "__b", F.floor(ts_epoch / F.lit(time_bucket_seconds)).cast("long")
+            "__b",
+            F.floor(_epoch(F.col("__ts")) / F.lit(time_bucket_seconds)).cast(
+                "long"
+            ),
         )
         # 1. within-bucket carry — the BIG window, shuffled on (key, bucket)
         #    so a hot key's rows split across its time range
@@ -202,26 +181,19 @@ def asof_join(
             .orderBy("__ts", "__is_left")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        within = u.select(
-            "*",
-            *[
-                F.last(f"__r_{c}", ignorenulls=True).over(w1).alias(f"__w_{c}")
-                for c in value_cols
-            ],
+        within = u.withColumn(
+            "__w_row", F.last("__rrow", ignorenulls=True).over(w1)
         )
-        # 2. final right value of each (key, bucket) that HAS right rows:
+        # 2. final right row of each (key, bucket) that HAS right rows:
         #    one row per key×bucket — the frame every later step works on
         heads = (
             u.filter(F.col("__is_left") == 0)
             .groupBy("__k", "__b")
             .agg(
-                *[
-                    F.max_by(
-                        F.col(f"__r_{c}"),
-                        F.struct(F.col("__ts"), F.col(f"__r_{c}")),
-                    ).alias(f"__f_{c}")
-                    for c in value_cols
-                ]
+                F.max_by(
+                    F.col("__rrow"),
+                    F.struct(F.col("__ts"), F.col("__rrow")),
+                ).alias("__f_row")
             )
         )
         # 3. carry across bucket boundaries on the bucket SPINE (buckets of
@@ -240,10 +212,7 @@ def asof_join(
             .select(
                 "__k",
                 "__b",
-                *[
-                    F.last(f"__f_{c}", ignorenulls=True).over(wprev).alias(f"__p_{c}")
-                    for c in value_cols
-                ],
+                F.last("__f_row", ignorenulls=True).over(wprev).alias("__p_row"),
             )
         )
         # 4. stitch: same-bucket carry wins, else the boundary carry.
@@ -252,17 +221,21 @@ def asof_join(
         out = (
             within.filter(F.col("__is_left") == 1)
             .join(prev, ["__k", "__b"], "left")
-            .select(
-                *lcols,
-                *[
-                    F.coalesce(f"__w_{c}", f"__p_{c}").alias(f"{c}{suffix}")
-                    for c in value_cols
-                ],
-            )
+            .withColumn("__match", F.coalesce("__w_row", "__p_row"))
         )
+    out = out.select(
+        *lcols,
+        F.col("__match").alias("__match"),
+        *[
+            F.col(f"__match.{c}").alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
     if inner:
-        out = out.filter(F.col(f"{value_cols[0]}{suffix}").isNotNull())
-    return out
+        # "no match" = no matched ROW (a matched row with NULL values is
+        # still a match, exactly like pd.merge_asof / ASOF JOIN)
+        out = out.filter(F.col("__match").isNotNull())
+    return out.drop("__match")
 
 
 def range_join(

@@ -147,7 +147,17 @@ def metric_correlation(
         .groupBy("metric_a", "metric_b")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
-            F.round(F.corr("__va", "__vb"), 6).alias("corr"),
+            # covar/(sd*sd) with try_divide, NOT F.corr: under Spark 4
+            # ANSI mode corr raises DIVIDE_BY_ZERO on a zero-variance
+            # pair (a flat-lined gauge), where the SQL oracle's corr()
+            # yields NULL — try_divide restores the NULL contract
+            F.round(
+                F.try_divide(
+                    F.covar_samp("__va", "__vb"),
+                    F.stddev_samp("__va") * F.stddev_samp("__vb"),
+                ),
+                6,
+            ).alias("corr"),
         )
         .filter(F.col("n_points") >= min_points)
     )

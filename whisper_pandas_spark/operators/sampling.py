@@ -294,8 +294,14 @@ def weighted_sample_k(
     )
     w = F.col(weight_col).cast("double")
     rank_key = F.when(w > 0, F.exp(F.log(u) / w)).otherwise(F.lit(0.0))
+    # order by the UNROUNDED key (large weights compress keys to within
+    # 1e-12 of each other — rounding first would flip near-tie selection
+    # against the oracle, which also ranks unrounded); round only the
+    # reported column
     return (
-        df.withColumn("rank_key", F.round(rank_key, 12))
-        .orderBy(F.col("rank_key").desc(), F.col(key_col))
+        df.withColumn("__rk", rank_key)
+        .orderBy(F.col("__rk").desc(), F.col(key_col))
         .limit(k)
+        .withColumn("rank_key", F.round(F.col("__rk"), 12))
+        .drop("__rk")
     )

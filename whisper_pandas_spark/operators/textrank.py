@@ -128,14 +128,22 @@ def tfidf_top_terms(
     ).where(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # N rides as a broadcast 1-row frame (bm25_topk's form) — no eager
+    # driver-side count, no extra corpus scan, the plan stays lazy
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n_docs")
+    )
     scored = (
         tf.join(F.broadcast(dfreq.filter(F.col("df") >= min_df)), "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
             F.round(
                 F.col("tf")
-                * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)),
+                * F.log(
+                    (F.col("__n_docs").cast("double") + 1)
+                    / (F.col("df") + 1)
+                ),
                 6,
             ),
         )
