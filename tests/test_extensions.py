@@ -815,3 +815,51 @@ def test_holt_forecast_matches_python_reference_and_validates(spark):
             holt_forecast(df, ("metric",), "ts", "value", horizon=2, **kw)
     with _pt.raises(ValueError):
         holt_forecast(df, ("metric",), "ts", "value", 0.5, 0.3, 0)
+
+
+# -- HLL sketch tables -----------------------------------------------------
+
+
+def test_hll_sketch_tables_merge_losslessly(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.sketches import (
+        hll_rollup_estimate,
+        hll_shard_sketches,
+    )
+
+    # 3 "shards" with overlapping user sets; 2 groups
+    df = spark.createDataFrame(
+        [(i % 3, "g" + str(i % 2), i % 500) for i in range(6000)],
+        "shard int, grp string, user long",
+    )
+    # per-(shard, grp) sketch table, persisted like a daily job would
+    sk = hll_shard_sketches(df, ("shard", "grp"), "user")
+    path = str(tmp_path / "sketches")
+    sk.write.parquet(path)  # BINARY sketch column round-trips parquet
+    sk2 = spark.read.parquet(path)
+
+    # rollup to grp: merged-from-shards == sketched-from-raw, EXACTLY
+    from_shards = {
+        r["grp"]: r["n_distinct"]
+        for r in hll_rollup_estimate(sk2, ("grp",)).collect()
+    }
+    from_raw = {
+        r["grp"]: r["n_distinct"]
+        for r in hll_rollup_estimate(
+            hll_shard_sketches(df, ("grp",), "user"), ("grp",)
+        ).collect()
+    }
+    assert from_shards == from_raw
+    # accuracy: within 5% of exact (lg_k=12 rse ~1.6%)
+    exact = {
+        r["grp"]: r["n"]
+        for r in df.groupBy("grp").agg(
+            F.countDistinct("user").alias("n")
+        ).collect()
+    }
+    for g, n in exact.items():
+        assert abs(from_shards[g] - n) / n < 0.05, (g, from_shards[g], n)
+    # grand total via empty key tuple
+    total = hll_rollup_estimate(sk2, ()).collect()[0]["n_distinct"]
+    assert abs(total - 500) / 500 < 0.05
