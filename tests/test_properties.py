@@ -656,3 +656,96 @@ def test_asof_direction_validation(spark):
         asof_join(l, r, on="key", direction="forward", time_bucket_seconds=10)
     with pytest.raises(ValueError, match="bucketed forward"):
         asof_join(l, r, on="key", tolerance_seconds=5, time_bucket_seconds=10)
+
+
+# -- seasonal_decompose vs an independent numpy reference ------------------
+
+
+@SLOW
+@given(
+    n=st.integers(min_value=4, max_value=60),
+    period=st.integers(min_value=2, max_value=7),
+    data=st.data(),
+)
+def test_seasonal_decompose_matches_numpy_reference(spark, n, period, data):
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.decompose import seasonal_decompose
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    vals = np.round(rng.normal(50, 10, n), 3)
+    res = 60
+    base = 1_600_000_020  # deliberately NOT period-aligned
+    df = spark.createDataFrame(
+        [("m", base + res * i, float(v)) for i, v in enumerate(vals)],
+        "metric string, epoch long, value double",
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    got = {
+        int(r["ts"].timestamp()): (r["trend"], r["seasonal"], r["residual"])
+        for r in seasonal_decompose(
+            df, ("metric",), "ts", "value", period, res
+        ).collect()
+    }
+
+    # independent numpy construction of the same classical method
+    half = period // 2
+    trend = np.full(n, np.nan)
+    for i in range(n):
+        if period % 2 == 1:
+            lo, hi = i - half, i + half
+            if lo >= 0 and hi < n:
+                trend[i] = vals[lo : hi + 1].sum() / period
+        else:
+            lo, hi = i - half, i + half
+            if lo >= 0 and hi < n:
+                trend[i] = (
+                    vals[lo + 1 : hi].sum() + 0.5 * (vals[lo] + vals[hi])
+                ) / period
+    t0 = base // res
+    phases = (t0 + np.arange(n)) % period
+    detr = vals - trend
+    pm = {}
+    for p in range(period):
+        d = detr[(phases == p) & ~np.isnan(detr)]
+        if len(d):
+            pm[p] = d.sum() / len(d)
+    grand = sum(pm.values()) / len(pm)
+    for i in range(n):
+        ts = base + res * i
+        g_tr, g_se, g_re = got[ts]
+        if np.isnan(trend[i]):
+            assert g_tr is None and g_re is None
+        else:
+            assert abs(g_tr - trend[i]) < 1e-6
+            se = pm[phases[i]] - grand
+            assert abs(g_se - se) < 1e-5
+            assert abs(g_re - (vals[i] - trend[i] - round(se, 6))) < 1e-5
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=2,
+        max_size=40,
+    ),
+    a=st.sampled_from([0.2, 0.5, 0.9]),
+    b=st.sampled_from([0.0, 0.3, 1.0]),
+)
+def test_holt_forecast_matches_python_fold_property(spark, vals, a, b):
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.forecast import holt_forecast
+
+    df = spark.createDataFrame(
+        [("m", 1_600_000_000 + 10 * i, float(v)) for i, v in enumerate(vals)],
+        "metric string, epoch long, value double",
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    l, bb = vals[0], vals[1] - vals[0]
+    for x in vals[1:]:
+        nl = a * x + (1.0 - a) * (l + bb)
+        bb = b * (a * x + (1.0 - a) * (l + bb) - l) + (1.0 - b) * bb
+        l = nl
+    r = holt_forecast(df, ("metric",), "ts", "value", a, b, 1).collect()[0]
+    assert abs(r["level"] - round(l, 6)) < 1e-9
+    assert abs(r["slope"] - round(bb, 6)) < 1e-9
