@@ -3,7 +3,7 @@ now, registered later.
 
 The grading driver records ~50 entries per round (README: driver
 contract); round 5 already spends its ≤3-new-entry budget, so these
-twenty-six ship as a staging dict that `tests/test_round6_staged.py`
+twenty-seven ship as a staging dict that `tests/test_round6_staged.py`
 value-checks against DuckDB TODAY (the exact driver-style comparison).
 Round 6 promotes them with one line in `registry.py`:
 
@@ -37,6 +37,7 @@ Entries:
 - text_tfidf_topk          per-doc TF-IDF keywords (smoothed idf, top-5)
 - ts_metric_correlation    pairwise Pearson matrix on the hourly grid
 - sample_weighted_topk     Efraimidis-Spirakis weighted top-k sample
+- sketch_distinct_rollup   HLL sketch tables: shard -> union -> estimate
 """
 
 from __future__ import annotations
@@ -1492,3 +1493,37 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_k(docs, "doc_id", "n_chars", k=25).orderBy(
         F.col("rank_key").desc(), "doc_id"
     )
+
+
+# -- HLL sketch-table rollup ------------------------------------------------
+
+
+@_staged(
+    "sketch_distinct_rollup",
+    """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y44: the incremental sketch-table flow end-to-end — per-shard
+    (event_type, user-bucket) HLL sketch tables unioned up to
+    event_type (operators/sketches.py; raw data scanned once, the
+    rollup touches only sketches). The oracle is the EXACT distinct
+    count: DataSketches HLL stays in its exact sparse/coupon regime
+    far above this fixture's max cardinality (1.5k at sf0.1) at
+    lg_k=16, so shard->union->estimate must reproduce exact counts —
+    value-checking the sketch PLUMBING; at production cardinality the
+    same operator is approximate by design (pytest pins the 5% bound)."""
+    from whisper_pandas_spark.operators.sketches import (
+        hll_rollup_estimate,
+        hll_shard_sketches,
+    )
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "__shard", F.pmod(F.col("user_id"), F.lit(8))
+    )
+    shards = hll_shard_sketches(
+        ev, ("event_type", "__shard"), "user_id", lg_k=16
+    )
+    return hll_rollup_estimate(shards, ("event_type",)).orderBy("event_type")
