@@ -631,3 +631,76 @@ def test_metric_correlation_zero_variance_yields_null(spark):
     out = metric_correlation(df, "metric", "t", "value").collect()
     assert len(out) == 1
     assert out[0]["corr"] is None  # flat series: NULL, not a crash
+
+
+# -- expectations (data-quality checks) -------------------------------------
+
+
+def test_expectations_report(spark):
+    from whisper_pandas_spark.operators.expectations import (
+        custom,
+        expect,
+        foreign_key_check,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 10, "a@b.co"),
+            (2, "en", -5, "bad"),
+            (3, None, 250, "c@d.eu"),
+            (3, "xx", 30, None),
+        ],
+        "id long, lang string, n long, email string",
+    )
+    rep = {
+        r["check"]: (r["violations"], r["total"], r["passed"])
+        for r in expect(
+            df,
+            [
+                not_null("lang"),
+                in_range("n", 0, 100),
+                matches("email", r"[a-z]+@[a-z]+\.[a-z]+"),
+                in_set("lang", ("en", "de")),
+                unique("id"),
+                custom("n_odd", F.col("n") % 2 == 1),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(lang)"] == (1, 4, False)
+    assert rep["in_range(n,0,100)"] == (2, 4, False)  # -5 and 250
+    assert rep["matches(email)"] == (2, 4, False)  # 'bad' and NULL
+    assert rep["in_set(lang)"] == (2, 4, False)  # NULL and 'xx'
+    assert rep["unique(id)"] == (1, 4, False)  # id 3 twice
+    assert rep["n_odd"][0] == 0 and rep["n_odd"][2] is True
+
+    ref = spark.createDataFrame([("en",), ("de",)], "code string")
+    fk = foreign_key_check(df, "lang", ref, "code").collect()[0]
+    assert (fk["violations"], fk["passed"]) == (1, False)  # 'xx'; NULL ok
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        expect(df, [])
+
+
+def test_expectations_all_green_single_scan(spark):
+    from whisper_pandas_spark.operators.expectations import (
+        expect,
+        in_range,
+        not_null,
+    )
+
+    df = spark.createDataFrame([(1, 5), (2, 6)], "id long, n long")
+    rep = expect(df, [not_null("id"), in_range("n", 0, 10)])
+    assert all(r["passed"] for r in rep.collect())
+    # the row-predicate checks share ONE aggregation over ONE scan
+    # (after execution AQE prints Final + Initial sections — count only
+    # the final one)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") == 1
