@@ -46,24 +46,18 @@ def test_staged_entry_matches_duckdb(spark, duck, name):
 
 
 def test_promote_registers_every_staged_entry_with_oracle():
-    """Round-6 promotion integrity: no name collisions with the live
-    registry, every staged entry lands in QUERIES with its oracle, and
-    existing entries are untouched."""
-    from whisper_pandas_spark.queries_round6 import STAGED, promote
+    """Round-6 promotion integrity: registry import promotes every staged
+    entry into the live QUERIES/ORACLES with its exact fn and oracle, and
+    the never-recorded entries sort ahead of the long-green ones so the
+    driver's bounded sweep records them first."""
+    from whisper_pandas_spark.queries_round6 import STAGED
     from whisper_pandas_spark.registry import ORACLES, QUERIES
 
-    before_q = dict(QUERIES)
-    before_o = dict(ORACLES)
-    assert not (set(STAGED) & set(before_q)), "staged name collides with live"
-    try:
-        promote()
-        for name, (fn, oracle) in STAGED.items():
-            assert QUERIES[name] is fn
-            assert ORACLES[name] == oracle
-        for name in before_q:
-            assert QUERIES[name] is before_q[name]
-    finally:
-        for name in STAGED:
-            QUERIES.pop(name, None)
-            ORACLES.pop(name, None)
-        assert dict(QUERIES) == before_q and dict(ORACLES) == before_o
+    for name, (fn, oracle) in STAGED.items():
+        assert QUERIES[name] is fn
+        assert ORACLES[name] == oracle
+    order = list(QUERIES)
+    # every staged (no CORRECTNESS record yet at promotion time) entry
+    # must precede the oldest-green refresh bucket's tail
+    staged_pos = max(order.index(n) for n in STAGED)
+    assert staged_pos < len(order) - len(STAGED), order[:5]

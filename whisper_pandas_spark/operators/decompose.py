@@ -28,6 +28,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Deterministic tie-break for the 6-decimal output rounding: with
+# 6-decimal inputs the trend quotient lands EXACTLY on half-1e-6
+# boundaries (N/48 with N a micro-unit integer ties whenever
+# N % 48 == 24), where Spark (shortest-string HALF_UP) and a SQL oracle
+# (binary-exact half-away) can round the same double differently.
+# Non-tie values sit >= 1/(48e6) ~ 2.1e-8 from a boundary, so nudging by
+# 1e-9 before rounding never moves a non-tie but pushes every exact tie
+# upward on both engines identically ("ties toward +inf" semantics).
+_TIE_EPS = 1e-9
+
 
 def seasonal_decompose(
     df: DataFrame,
@@ -97,14 +107,18 @@ def seasonal_decompose(
     grand = F.sum("__pm_first").over(wk).cast("double") / F.count(
         "__pm_first"
     ).over(wk)
-    seasonal = F.round(F.col("__pm") - grand, 6)
+    seasonal = F.round(F.col("__pm") - grand + _TIE_EPS, 6)
     return (
         out.withColumn("seasonal", seasonal)
-        .withColumn("trend", F.round("__trend", 6))
+        .withColumn("trend", F.round(F.col("__trend") + _TIE_EPS, 6))
         .withColumn(
             "residual",
             F.round(
-                F.col(value_col) - F.col("__trend") - F.col("seasonal"), 6
+                F.col(value_col)
+                - F.col("__trend")
+                - F.col("seasonal")
+                + _TIE_EPS,
+                6,
             ),
         )
         .drop("__t", "__trend", "__detr", "__pm", "__pm_first")

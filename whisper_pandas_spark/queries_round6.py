@@ -48,9 +48,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from whisper_pandas_spark.registry import _table
-
 STAGED: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]] = {}
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Local twin of registry._table: registry imports this module (to
+    # promote the entries), so importing registry here would be circular.
+    from whisper_pandas_spark.sources.tables import load_table
+
+    return load_table(spark, name, sf_dir)
 
 
 def _staged(name: str, oracle: str):
@@ -62,12 +68,15 @@ def _staged(name: str, oracle: str):
 
 
 def promote() -> None:
-    """Register every staged entry in the live registry (round-6 hook)."""
-    from whisper_pandas_spark.registry import ORACLES, QUERIES
+    """Register every staged entry in the live registry (idempotent;
+    called both from registry's bottom and this module's bottom so every
+    import order ends with the full STAGED dict promoted + reordered)."""
+    from whisper_pandas_spark import registry
 
     for name, (fn, oracle) in STAGED.items():
-        QUERIES[name] = fn
-        ORACLES[name] = oracle
+        registry.QUERIES[name] = fn
+        registry.ORACLES[name] = oracle
+    registry._reorder()
 
 
 # -- graphite render functions over a rollup grid --------------------------
@@ -1182,9 +1191,9 @@ WITH series AS (
   FROM dec4 WINDOW wk AS (PARTITION BY event_type)
 )
 SELECT event_type, t * {_SD_RES} AS bucket_epoch, phase, value,
-       round(trend, 6) AS trend,
-       round(pm - grand, 6) AS seasonal,
-       round(value - trend - round(pm - grand, 6), 6) AS residual
+       round(trend + 1e-9, 6) AS trend,
+       round(pm - grand + 1e-9, 6) AS seasonal,
+       round(value - trend - round(pm - grand + 1e-9, 6) + 1e-9, 6) AS residual
 FROM dec5 ORDER BY event_type, bucket_epoch
 """,
 )
@@ -1538,30 +1547,30 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH t AS (SELECT count(*) AS total FROM documents)
 SELECT 'in_range(n_chars,1,400)' AS "check",
-       (SELECT sum(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 400
-                        THEN 1 ELSE 0 END) FROM documents) AS violations,
+       CAST((SELECT sum(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 400
+                        THEN 1 ELSE 0 END) FROM documents) AS BIGINT) AS violations,
        total, FALSE AS _ph
 FROM t
 UNION ALL
 SELECT 'in_set(lang)',
-       (SELECT sum(CASE WHEN lang IS NULL OR lang NOT IN ('en', 'de', 'fr')
-                        THEN 1 ELSE 0 END) FROM documents), total, FALSE
+       CAST((SELECT sum(CASE WHEN lang IS NULL OR lang NOT IN ('en', 'de', 'fr')
+                        THEN 1 ELSE 0 END) FROM documents) AS BIGINT), total, FALSE
 FROM t
 UNION ALL
 SELECT 'matches(source)',
-       (SELECT sum(CASE WHEN source IS NULL
+       CAST((SELECT sum(CASE WHEN source IS NULL
                         OR NOT regexp_matches(source, '^src[0-9]+$')
-                        THEN 1 ELSE 0 END) FROM documents), total, FALSE
+                        THEN 1 ELSE 0 END) FROM documents) AS BIGINT), total, FALSE
 FROM t
 UNION ALL
 SELECT 'not_null(text)',
-       (SELECT sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
-        FROM documents), total, FALSE
+       CAST((SELECT sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+        FROM documents) AS BIGINT), total, FALSE
 FROM t
 UNION ALL
 SELECT 'unique(doc_id)',
-       (SELECT sum(n - 1) FROM (SELECT count(*) AS n FROM documents
-                                GROUP BY doc_id)), total, FALSE
+       CAST((SELECT sum(n - 1) FROM (SELECT count(*) AS n FROM documents
+                                GROUP BY doc_id)) AS BIGINT), total, FALSE
 FROM t
 ORDER BY "check"
 """,
@@ -1597,3 +1606,13 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select(
         "check", "violations", "total", F.lit(False).alias("_ph")
     ).orderBy("check")
+
+
+# Self-promotion: if registry is already (or currently being) imported,
+# promote now that STAGED is fully populated. Covers the import order where
+# this module loads FIRST and an oracle builder above pulled registry in
+# mid-load — registry's own promote() call then saw a partial STAGED.
+import sys as _sys  # noqa: E402
+
+if "whisper_pandas_spark.registry" in _sys.modules:
+    promote()

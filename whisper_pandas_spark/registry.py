@@ -67,43 +67,20 @@ def reset_result_caches() -> None:
         qs._ND_REPLAY_DIR.clear()
 
 
-# Import side-effect modules that populate the registry. Kept at the bottom
-# so `register` / `_table` exist when they run.
-#
-# ORDER MATTERS: the driver walks the registry in insertion order and has a
-# bounded budget (round 1 stopped after 50 of 66 entries, leaving every
-# similarity/text/multimodal/whisper entry unchecked). The extension surface
-# therefore registers FIRST; the 8 near-identical rollup_* variants and the
-# window_* family — all driver-green in round 1 — register last.
-from whisper_pandas_spark import queries_whisper  # noqa: E402,F401
-from whisper_pandas_spark import queries_materialize  # noqa: E402,F401
-from whisper_pandas_spark import queries_similarity  # noqa: E402,F401
-from whisper_pandas_spark import queries_embeddings  # noqa: E402,F401
-from whisper_pandas_spark import queries_streaming  # noqa: E402,F401
-from whisper_pandas_spark import queries_text  # noqa: E402,F401
-from whisper_pandas_spark import queries_multimodal  # noqa: E402,F401
-from whisper_pandas_spark import queries_pipeline  # noqa: E402,F401
-from whisper_pandas_spark import queries_dedup  # noqa: E402,F401
-from whisper_pandas_spark import queries_joins  # noqa: E402,F401
-from whisper_pandas_spark import queries_relational  # noqa: E402,F401
-from whisper_pandas_spark import queries_windows  # noqa: E402,F401
-from whisper_pandas_spark import queries_rollup  # noqa: E402,F401
-
-# The driver walks the registry in insertion order with a bounded budget
-# (~50 entries per round), so ordering decides what gets (re-)recorded.
-# Rather than a hand-written promoted list (fragile — round 2's had to be
-# rewritten by hand), derive the order from the CORRECTNESS_r*.json records
-# the driver leaves in the repo root:
+# Record-derived ordering (used by _reorder below, and by
+# queries_round6.promote()): the driver walks the registry in insertion
+# order with a bounded budget (~50 entries per round), so ordering decides
+# what gets (re-)recorded:
 #
 #   1. entries whose LATEST record is non-green (a fix must be re-recorded),
 #   2. entries with NO record yet (new this round),
 #   3. green entries, oldest record first (refresh stale rows),
 #
-# stable within each bucket. This self-maintains: when the driver drops
-# CORRECTNESS_r03.json, round 4's import picks it up with no code change.
-import glob as _glob  # noqa: E402
-import json as _json  # noqa: E402
-import os as _os  # noqa: E402
+# stable within each bucket, derived from the CORRECTNESS_r*.json records
+# the driver leaves in the repo root. This self-maintains across rounds.
+import glob as _glob
+import json as _json
+import os as _os
 
 _ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 _latest: dict[str, tuple[int, dict]] = {}
@@ -127,10 +104,47 @@ def _order_key(name: str) -> tuple[int, int]:
     return (2, rnd) if green else (0, 0)
 
 
-_final = sorted(QUERIES, key=_order_key)
-_q = {n: QUERIES[n] for n in _final}
-QUERIES.clear()
-QUERIES.update(_q)
-_o = {n: ORACLES[n] for n in _final if n in ORACLES}
-ORACLES.clear()
-ORACLES.update(_o)
+def _reorder() -> None:
+    """Rebuild QUERIES/ORACLES in driver-sweep priority order (in place,
+    so every `from registry import QUERIES` alias sees it)."""
+    final = sorted(QUERIES, key=_order_key)
+    q = {n: QUERIES[n] for n in final}
+    QUERIES.clear()
+    QUERIES.update(q)
+    o = {n: ORACLES[n] for n in final if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(o)
+
+
+# Import side-effect modules that populate the registry. Kept at the bottom
+# so `register` / `_table` exist when they run.
+#
+# ORDER MATTERS: the driver walks the registry in insertion order and has a
+# bounded budget (round 1 stopped after 50 of 66 entries, leaving every
+# similarity/text/multimodal/whisper entry unchecked). The extension surface
+# therefore registers FIRST; the 8 near-identical rollup_* variants and the
+# window_* family — all driver-green in round 1 — register last.
+from whisper_pandas_spark import queries_whisper  # noqa: E402,F401
+from whisper_pandas_spark import queries_materialize  # noqa: E402,F401
+from whisper_pandas_spark import queries_similarity  # noqa: E402,F401
+from whisper_pandas_spark import queries_embeddings  # noqa: E402,F401
+from whisper_pandas_spark import queries_streaming  # noqa: E402,F401
+from whisper_pandas_spark import queries_text  # noqa: E402,F401
+from whisper_pandas_spark import queries_multimodal  # noqa: E402,F401
+from whisper_pandas_spark import queries_pipeline  # noqa: E402,F401
+from whisper_pandas_spark import queries_dedup  # noqa: E402,F401
+from whisper_pandas_spark import queries_joins  # noqa: E402,F401
+from whisper_pandas_spark import queries_relational  # noqa: E402,F401
+from whisper_pandas_spark import queries_windows  # noqa: E402,F401
+from whisper_pandas_spark import queries_rollup  # noqa: E402,F401
+
+# Round 6: promote the formerly-staged queries_round6 entries into the live
+# registry (VERDICT r5 "Next round" #1). They carry no CORRECTNESS record yet,
+# so _order_key queues them first for the driver sweep. promote() is
+# idempotent and ends with _reorder(); queries_round6 ALSO self-promotes at
+# its module bottom, covering the import order where a test loads
+# queries_round6 first (whose oracle builders pull in registry mid-load —
+# promoting here alone would then see a half-populated STAGED dict).
+from whisper_pandas_spark import queries_round6 as _q6  # noqa: E402
+
+_q6.promote()
