@@ -12,10 +12,11 @@ images (`functions/codecs.py` + `functions/jpeg.py`: huffman entropy
 decode, dequant, vectorized IDCT, chroma upsampling, LZW) and RIFF-PCM
 WAV audio — no stubbed decode leaf remains; animated GIFs give the
 frame-sampling ops real multi-frame containers (`decode_frame_stats`).
-`fake_decode_features` is
-kept as the deterministic oracle-able feature path (byte histograms) —
-the DuckDB oracle can recompute it in SQL, which no real pixel decode
-allows.
+The feature head of record is
+:func:`image_features` — real moments/gradient/orientation descriptors
+over DECODED pixels (oracle-able through planted PGM payloads whose
+pixel bytes SQL can enumerate); `fake_decode_features` remains as the
+simplest byte-histogram teaching path (vectorized bincount).
 
 Scale notes:
 - metadata extraction (length/hash/magic sniff) is pure built-ins —
@@ -85,12 +86,17 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
 def fake_decode_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for feature extraction: a 16-bin byte
     histogram, L1-normalized. Same shape/dtype contract as a real
-    embedding head."""
-    counts = [0] * FEATURE_BINS
-    for b in payload:
-        counts[b % FEATURE_BINS] += 1
+    embedding head. Vectorized (np.bincount over the raw buffer — the
+    counts are exact integers, so the result is bit-identical to the
+    per-byte formulation it replaced)."""
+    import numpy as np
+
     total = max(len(payload), 1)
-    return [c / total for c in counts]
+    counts = np.bincount(
+        np.frombuffer(payload, dtype=np.uint8) & (FEATURE_BINS - 1),
+        minlength=FEATURE_BINS,
+    )
+    return [int(c) / total for c in counts]
 
 
 def extract_features(
@@ -602,4 +608,136 @@ def audio_features(
         "spectral_centroid_hz double, spectral_bandwidth_hz double, "
         "spectral_rolloff_hz double, peak double, rms_mean double, "
         "rms_max double, silence_ratio double",
+    )
+
+
+ORIENT_BINS = 8
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    on_error: str = "skip",
+) -> DataFrame:
+    """REAL image feature head over DECODED pixels — the image analogue
+    of :func:`audio_features` (replaces the byte-histogram stand-in as
+    the featurizer of record; `fake_decode_features` stays as the
+    oracle-in-SQL teaching path). Per image:
+
+    (doc_id, height, width, channels, mean_px, std_px, skew_px,
+    grad_x_mean, grad_y_mean, orient_hist ARRAY<DOUBLE>[8])
+
+    - moments are over the luma plane (channel mean for multi-channel,
+      the raw plane for grayscale) via EXACT integer power sums
+      S1=Σb, S2=Σb², S3=Σb³, expanded to mean/std/skewness in a fixed
+      IEEE expression order — so a SQL engine replaying the same sums
+      reproduces the doubles bit-for-bit (registry entry
+      `mm_image_features` plants PGM payloads whose pixel bytes DuckDB
+      can enumerate);
+    - grad_*_mean: mean absolute horizontal/vertical first difference
+      (integer sums again; NULL when the axis has extent 1) — the
+      sharpness/edge-energy signal;
+    - orient_hist: gradient-orientation histogram over interior pixels
+      (atan2(gy, gx) binned into 8 sectors, counts/total) — HOG-lite,
+      the public-knowledge texture descriptor (pytest-verified; kept out
+      of the SQL oracle because bin edges sit on irrational multiples of
+      pi where libm rounding may differ across engines).
+
+    All per-pixel math is numpy inside the Arrow task; Python touches
+    each IMAGE once, never each pixel. Same skip/null/fail contract as
+    the other decode leaves.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.functions.codecs import (
+        CodecError,
+        decode_image as _dec,
+    )
+
+    if on_error not in ("skip", "null", "fail"):
+        raise ValueError(f"on_error must be skip|null|fail, got {on_error!r}")
+
+    cols = [
+        "height", "width", "channels", "mean_px", "std_px", "skew_px",
+        "grad_x_mean", "grad_y_mean", "orient_hist",
+    ]
+
+    def one_image(h: int, w: int, c: int, img: "np.ndarray") -> list:
+        plane = img[:, :, 0] if c == 1 else img.mean(axis=2)
+        n = h * w
+        if c == 1:
+            # exact integer power sums -> deterministic doubles
+            b = plane.astype(np.int64)
+            s1 = int(b.sum())
+            s2 = int((b * b).sum())
+            s3 = int((b * b * b).sum())
+            mean = s1 / n
+            var = s2 / n - mean * mean
+            std = float(np.sqrt(var)) if var > 0 else 0.0
+            m3 = s3 - 3.0 * mean * s2 + 3.0 * mean * mean * s1 - n * mean * mean * mean
+            skew = (m3 / n) / (std * std * std) if std > 0 else None
+        else:
+            fp = plane.astype(np.float64)
+            mean = float(fp.mean())
+            std = float(fp.std())
+            skew = (
+                float(((fp - mean) ** 3).mean() / std**3) if std > 0 else None
+            )
+        gx = np.abs(np.diff(plane.astype(np.int64) if c == 1 else plane, axis=1))
+        gy = np.abs(np.diff(plane.astype(np.int64) if c == 1 else plane, axis=0))
+        gx_mean = int(gx.sum()) / (h * (w - 1)) if w > 1 else None
+        gy_mean = int(gy.sum()) / ((h - 1) * w) if h > 1 else None
+        if h > 2 and w > 2:
+            p = plane.astype(np.float64)
+            cgx = p[1:-1, 2:] - p[1:-1, :-2]
+            cgy = p[2:, 1:-1] - p[:-2, 1:-1]
+            theta = np.arctan2(cgy, cgx)  # [-pi, pi]
+            bins = np.minimum(
+                ((theta + np.pi) * (ORIENT_BINS / (2 * np.pi))).astype(np.int64),
+                ORIENT_BINS - 1,
+            )
+            hist = np.bincount(bins.ravel(), minlength=ORIENT_BINS)
+            orient = (hist / hist.sum()).tolist()
+        else:
+            orient = None
+        return [h, w, c, mean, std, skew, gx_mean, gy_mean, orient]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[list] = []
+            for doc_id, p in zip(pdf["_id"], pdf["_payload"]):
+                try:
+                    if p is None:
+                        raise CodecError("null payload")
+                    h, w, c, img = _dec(bytes(p))
+                except (CodecError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    out.append([doc_id] + [None] * len(cols))
+                    continue
+                out.append([doc_id] + one_image(h, w, c, img))
+            if not out:
+                continue
+            pdf_out = pd.DataFrame(out, columns=["doc_id"] + cols)
+            yield pdf_out.astype(
+                {
+                    "doc_id": "int64",
+                    "height": "Int32",
+                    "width": "Int32",
+                    "channels": "Int32",
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return src.mapInPandas(
+        run,
+        "doc_id long, height int, width int, channels int, mean_px double, "
+        "std_px double, skew_px double, grad_x_mean double, "
+        "grad_y_mean double, orient_hist array<double>",
     )

@@ -21,6 +21,7 @@ from whisper_pandas_spark.operators.multimodal import (
     FRAME_BYTES,
     binary_metadata,
     extract_features,
+    image_features,
     sample_frames,
     with_payload,
 )
@@ -74,6 +75,82 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.posexplode("features").alias("bin", "feature")
     ).withColumn("feature", F.round("feature", 6)).orderBy("doc_id", "bin")
+
+
+@register(
+    "mm_image_features",
+    oracle="""
+WITH px AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         ord(substr(rpad(text, 256, text), CAST(t.i + 1 AS INT), 1)) AS b
+  FROM documents CROSS JOIN range(0, 256) AS t(i)
+), g AS (
+  SELECT doc_id, i, b,
+         CASE WHEN i % 16 < 15 THEN abs(lead(b, 1) OVER w - b) END AS gx,
+         CASE WHEN i < 240 THEN abs(lead(b, 16) OVER w - b) END AS gy
+  FROM px
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), s AS (
+  SELECT doc_id,
+         CAST(sum(b) AS BIGINT) AS s1,
+         CAST(sum(b*b) AS BIGINT) AS s2,
+         CAST(sum(b*b*b) AS BIGINT) AS s3,
+         CAST(sum(gx) AS BIGINT) AS gxs,
+         CAST(sum(gy) AS BIGINT) AS gys
+  FROM g GROUP BY doc_id
+), m AS (
+  SELECT doc_id, s1, s2, s3, gxs, gys,
+         s1 / 256.0 AS mean,
+         sqrt(greatest(s2 / 256.0 - (s1 / 256.0) * (s1 / 256.0), 0)) AS std
+  FROM s
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS height, CAST(16 AS INT) AS width,
+       CAST(1 AS INT) AS channels,
+       round(mean + 1e-9, 6) AS mean_px,
+       round(std + 1e-9, 6) AS std_px,
+       round(CASE WHEN std > 0 THEN
+               ((s3 - 3.0 * mean * s2 + 3.0 * mean * mean * s1
+                 - 256 * mean * mean * mean) / 256.0)
+               / (std * std * std) END + 1e-9, 6) AS skew_px,
+       round(gxs / 240.0 + 1e-9, 6) AS grad_x_mean,
+       round(gys / 240.0 + 1e-9, 6) AS grad_y_mean
+FROM m ORDER BY doc_id
+""",
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: the REAL image feature head (operators/multimodal.py:
+    image_features) driven end-to-end through the pure-stdlib codec —
+    each document's text is cycled to 256 bytes and wrapped as a binary
+    P5 PGM (header + raw pixel plane), so the Arrow task performs a
+    genuine netpbm decode and the featurizer computes moments + gradient
+    energy from DECODED pixels; DuckDB replays the exact integer power
+    sums by enumerating the same pixel bytes with rpad/ord. The
+    orientation histogram (libm-boundary-sensitive) is pytest-covered
+    instead."""
+    docs = _table(spark, sf_dir, "documents")
+    pgm = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("P5\n16 16\n255\n"), F.expr("rpad(text, 256, text)")
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    feats = image_features(pgm, "doc_id")
+    eps = F.lit(1e-9)
+    return feats.select(
+        "doc_id",
+        "height",
+        "width",
+        "channels",
+        F.round(F.col("mean_px") + eps, 6).alias("mean_px"),
+        F.round(F.col("std_px") + eps, 6).alias("std_px"),
+        F.round(F.col("skew_px") + eps, 6).alias("skew_px"),
+        F.round(F.col("grad_x_mean") + eps, 6).alias("grad_x_mean"),
+        F.round(F.col("grad_y_mean") + eps, 6).alias("grad_y_mean"),
+    ).orderBy("doc_id")
 
 
 @register(
