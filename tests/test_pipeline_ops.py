@@ -123,6 +123,61 @@ def test_asof_bucketed_matches_sequential(spark):
     assert len(seq_outer) == len(lefts)
 
 
+def test_asof_subsecond_nearest_and_tolerance(spark):
+    """ADVICE r5: nearest distances and tolerance gaps must compare at
+    FULL timestamp precision — whole-second truncation picks the farther
+    row (10.9 vs 11.4 around a left at 11.2) and accepts matches a
+    fractional tolerance should reject."""
+    from whisper_pandas_spark.operators.asof import asof_join
+
+    def ts_df(rows, cols):
+        df = spark.createDataFrame(rows, cols)
+        return df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+
+    us = 1_000_000
+    left = ts_df([("a", int(11.2 * us), 1)], ["k", "ts", "id"])
+    right = ts_df(
+        [("a", int(10.9 * us), 1.0), ("a", int(11.4 * us), 2.0)],
+        ["k", "ts", "value"],
+    )
+    # truncated epochs: left 11, backward 10, forward 11 -> dtb=1 > dtf=0
+    # would pick forward; true distances 0.3 vs 0.2 also pick forward;
+    # now flip the geometry so truncation and truth DISAGREE:
+    left2 = ts_df([("a", int(11.8 * us), 1)], ["k", "ts", "id"])
+    right2 = ts_df(
+        [("a", int(11.7 * us), 1.0), ("a", int(12.6 * us), 2.0)],
+        ["k", "ts", "value"],
+    )
+    # truncated: left 11, back 11 (dtb=0), fwd 12 (dtf=1) -> backward;
+    # true: 0.1 vs 0.8 -> backward too. Use a case where truncation picks
+    # the FARTHER row: left 11.2, back at 10.9 (true 0.3), fwd 11.4
+    # (true 0.2): truncated dtb = 11-10 = 1, dtf = 11-11 = 0 -> forward
+    # (correct by luck); invert: left 11.9, back 11.1 (true 0.8), fwd
+    # 12.0 (true 0.1): truncated dtb = 0, dtf = 1 -> would pick BACKWARD.
+    left3 = ts_df([("a", int(11.9 * us), 1)], ["k", "ts", "id"])
+    right3 = ts_df(
+        [("a", int(11.1 * us), 1.0), ("a", int(12.0 * us), 2.0)],
+        ["k", "ts", "value"],
+    )
+    got = asof_join(
+        left3, right3, on="k", value_cols=("value",), direction="nearest"
+    ).collect()
+    assert [r["value_asof"] for r in got] == [2.0]  # true nearest, 0.1s away
+
+    # fractional tolerance: gap is 0.3s; tolerance 0.25s must reject
+    # (second-truncated gap would be 0 and wrongly accept)
+    got_tol = asof_join(
+        left, right, on="k", value_cols=("value",),
+        direction="backward", tolerance_seconds=0.25, inner=False,
+    ).collect()
+    assert [r["value_asof"] for r in got_tol] == [None]
+    got_tol_ok = asof_join(
+        left, right, on="k", value_cols=("value",),
+        direction="backward", tolerance_seconds=0.35,
+    ).collect()
+    assert [r["value_asof"] for r in got_tol_ok] == [1.0]
+
+
 def test_asof_bucketed_timestamp_column(spark):
     """Bucketing works on TIMESTAMP ts columns (unix_timestamp path)."""
     from whisper_pandas_spark.operators.asof import asof_join
@@ -704,3 +759,25 @@ def test_expectations_all_green_single_scan(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan ExistingRDD") == 1
+
+
+def test_expectations_hostile_check_names_pass_through(spark):
+    """ADVICE r5: names containing quotes/backslashes/SQL text must
+    survive verbatim (the report is built with Columns, not an F.expr
+    string)."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.expectations import custom, expect
+
+    df = spark.createDataFrame([(1,), (None,)], "n int")
+    names = [
+        "odd ' quote",
+        "back\\slash",
+        "inject', 0, 0) --",
+        'double " quote',
+    ]
+    rep = expect(
+        df, [custom(nm, F.col("n").isNull()) for nm in names]
+    ).collect()
+    assert sorted(r["check"] for r in rep) == sorted(names)
+    assert all(r["violations"] == 1 for r in rep)

@@ -777,6 +777,47 @@ def test_stream_merge_batch_replay_and_fresh_checkpoint(spark, tmp_path):
     assert [r["v"] for r in state2.collect()] == ["y"]
 
 
+def test_stream_merge_no_checkpoint_restart_drops_nothing(spark, tmp_path):
+    """ADVICE r5 (medium): without a checkpoint, batch ids are not
+    durable — a restarted query renumbers from 0, so honoring a marker
+    would wrongly skip its early batches. The checkpoint-less path must
+    write no marker and re-merge everything (idempotently)."""
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        read_current_state,
+    )
+    from whisper_pandas_spark.streaming.sink import stream_merge_into_parquet
+
+    src = tmp_path / "changes"
+    schema = "k long, v string, seq long, del boolean"
+    spark.createDataFrame([(1, "x", 1, False)], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    base = str(tmp_path / "table")
+
+    sdf = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = stream_merge_into_parquet(sdf, base, "k", "seq", delete_col="del")
+    q.processAllAvailable()
+    q.stop()
+    cur = current_version_path(base)
+    assert not (Path(cur) / "_LAST_BATCH").exists()
+
+    # restart WITHOUT a checkpoint: the query re-reads f1 as its batch 0
+    # AND sees the new file f2 — under the old shared '<no-checkpoint>'
+    # marker both would have been skipped (batch ids restarted at 0)
+    spark.createDataFrame([(2, "new", 2, False)], schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    q2 = stream_merge_into_parquet(sdf, base, "k", "seq", delete_col="del")
+    q2.processAllAvailable()
+    q2.stop()
+    state = read_current_state(spark, base, delete_col="del", seq_col="seq")
+    got = {r["k"]: r["v"] for r in state.collect()}
+    assert got == {1: "x", 2: "new"}
+
+
 def test_stream_merge_out_of_order_batches_converge(spark, tmp_path):
     """The file source delivers f1 before f2 (mtime order); f1 carries
     the NEWER seqs. The seq-aware merge must not let f2's stale batch

@@ -114,12 +114,19 @@ def asof_join(
     )
     u = l_tag.unionByName(r_tag)
 
+    _ts_typed = isinstance(u.schema["__ts"].dataType, TimestampType)
+
     def _epoch(col: Column) -> Column:
-        return (
-            F.unix_timestamp(col)
-            if isinstance(u.schema["__ts"].dataType, TimestampType)
-            else col.cast("long")
-        )
+        """Bucket-resolution epoch (whole seconds for timestamps)."""
+        return F.unix_timestamp(col) if _ts_typed else col.cast("long")
+
+    def _dist(col: Column) -> Column:
+        """Full-precision epoch for nearest-direction distances and
+        tolerance gaps: unix_micros keeps sub-second timestamps exact
+        (unix_timestamp truncates to whole seconds, which can pick the
+        farther row or accept an out-of-tolerance match — pd.merge_asof
+        and DuckDB ASOF both compare at full precision)."""
+        return F.unix_micros(col) if _ts_typed else col.cast("long")
 
     if time_bucket_seconds is None:
         carried = u
@@ -145,8 +152,8 @@ def asof_join(
             )
         carried = carried.filter(F.col("__is_left") == 1)
         if direction == "nearest":
-            dtb = _epoch(F.col("__ts")) - _epoch(F.col("__b_row.__mts"))
-            dtf = _epoch(F.col("__f_row.__mts")) - _epoch(F.col("__ts"))
+            dtb = _dist(F.col("__ts")) - _dist(F.col("__b_row.__mts"))
+            dtf = _dist(F.col("__f_row.__mts")) - _dist(F.col("__ts"))
             pick_b = F.col("__f_row").isNull() | (
                 F.col("__b_row").isNotNull() & (dtb <= dtf)
             )
@@ -160,11 +167,19 @@ def asof_join(
         carried = carried.withColumn("__match", match)
         if tolerance_seconds is not None:
             gap = F.abs(
-                _epoch(F.col("__ts")) - _epoch(F.col("__match.__mts"))
+                _dist(F.col("__ts")) - _dist(F.col("__match.__mts"))
+            )
+            # tolerance in the distance units: micros for timestamp
+            # columns (keeps fractional tolerances exact too), raw units
+            # for long columns
+            tol = (
+                int(round(tolerance_seconds * 1_000_000))
+                if _ts_typed
+                else int(tolerance_seconds)
             )
             carried = carried.withColumn(
                 "__match",
-                F.when(gap <= F.lit(int(tolerance_seconds)), F.col("__match")),
+                F.when(gap <= F.lit(tol), F.col("__match")),
             )
         out = carried
     else:

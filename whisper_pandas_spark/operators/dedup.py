@@ -774,7 +774,7 @@ def semantic_dedup(
     comp = connected_components(pairs, src="vec_i", dst="vec_j").select(
         F.col("node").alias("vec_id"), "comp"
     )
-    return (
+    out = (
         cells.select("vec_id", "cell")
         .join(comp, "vec_id", "left")
         .withColumn(
@@ -783,3 +783,8 @@ def semantic_dedup(
         )
         .select(F.col("vec_id").alias(id_col), "cell", "keep")
     )
+    # same contract as simhash_pairs: long-lived sessions call
+    # release_cached(out) once the result is materialized, otherwise the
+    # corpus-wide cell assignment stays pinned in executor storage
+    out._wps_cached = [cells]
+    return out

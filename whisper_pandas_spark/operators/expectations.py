@@ -115,19 +115,25 @@ def expect(
             for i, c in enumerate(row_checks)
         ]
         one = df.agg(*aggs)
-        # total rides INSIDE the stack tuples: mixing a generator with a
+        # one row per check via explode over an array of named structs —
+        # pure Column API, so check names need no SQL-string escaping
+        # (quotes/backslashes in a custom() name pass through literally).
+        # total rides INSIDE the struct tuples: mixing a generator with a
         # plain projected aggregate column makes Catalyst duplicate the
-        # aggregate subtree (two scans for one report)
-        stack = ", ".join(
-            f"'{c.name.replace(chr(39), '')}', __v{i}, __total"
-            for i, c in enumerate(row_checks)
+        # aggregate subtree (two scans for one report).
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(c.name).alias("check"),
+                    F.col(f"__v{i}").alias("violations"),
+                    F.col("__total").alias("total"),
+                )
+                for i, c in enumerate(row_checks)
+            ]
         )
         parts.append(
-            one.select(
-                F.expr(
-                    f"stack({len(row_checks)}, {stack})"
-                    " AS (check, violations, total)"
-                )
+            one.select(F.explode(rows).alias("__r")).select(
+                "__r.check", "__r.violations", "__r.total"
             )
         )
     for c in uniq_checks:

@@ -779,7 +779,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, within-cell cosine pairs, AND the recursive component
     closure in SQL. keep = min-id member of each near-dup component
     (vectors in no pair pass through)."""
-    from whisper_pandas_spark.operators.dedup import semantic_dedup
+    from whisper_pandas_spark.operators.dedup import (
+        release_cached,
+        semantic_dedup,
+    )
     from whisper_pandas_spark.operators.kmeans import kmeans_cosine
     from whisper_pandas_spark.queries_similarity import KM_ITERS, KM_K
 
@@ -787,7 +790,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = kmeans_cosine(emb, KM_K, KM_ITERS, seed=0).select(
         F.col("cid").alias("vec_id"), F.col("embedding")
     )
-    return semantic_dedup(emb, cent, _SEM_T).orderBy("vec_id")
+    sem = semantic_dedup(emb, cent, _SEM_T)
+    # materialize eagerly, then release the corpus-wide cell cache (same
+    # _finalize discipline as queries_dedup) so repeated driver/bench
+    # runs don't pin executor storage
+    out = sem.localCheckpoint(eager=True)
+    release_cached(sem)
+    return out.orderBy("vec_id")
 
 
 # -- PageRank over the customer<->supplier trade graph ---------------------

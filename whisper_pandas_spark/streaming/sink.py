@@ -77,13 +77,16 @@ def stream_merge_into_parquet(
       at-least-once delivery — including a restart from a fresh
       checkpoint — converges to the same table.
 
-    On top of that, a ``_LAST_BATCH`` marker (checkpoint-scoped:
-    ``<stream id>:<batch id>``) is written INTO the new version
-    directory before the pointer flips; a replay under the SAME
-    checkpoint skips cleanly so the version chain stays one-per-batch.
-    A different checkpoint dir is a different stream id — its batch
-    numbering restarts, and its batches re-merge (harmlessly, by
-    idempotence) instead of being wrongly skipped.
+    On top of that, when a ``checkpoint_dir`` is given a ``_LAST_BATCH``
+    marker (checkpoint-scoped: ``<stream id>:<batch id>``) is written
+    INTO the new version directory before the pointer flips; a replay
+    under the SAME checkpoint skips cleanly so the version chain stays
+    one-per-batch. A different checkpoint dir is a different stream id —
+    its batch numbering restarts, and its batches re-merge (harmlessly,
+    by idempotence) instead of being wrongly skipped. WITHOUT a
+    checkpoint, batch ids are not durable (a restart renumbers from 0),
+    so no marker is written or honored — every batch re-merges through
+    the idempotent path rather than risking a wrong skip.
 
     Read the live state with ``read_current_state(spark, base,
     delete_col=..., seq_col=...)`` — the raw versions keep tombstones
@@ -103,14 +106,20 @@ def stream_merge_into_parquet(
         merge_into_parquet,
     )
 
-    stream_id = checkpoint_dir or "<no-checkpoint>"
+    stream_id = checkpoint_dir
     cols = list(sdf.columns)
     others = [c for c in cols if c not in (key_col, seq_col)]
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cur = current_version_path(base)
+        # The marker short-circuit is only sound when batch ids are
+        # durable, i.e. a checkpoint exists. A checkpoint-less restart
+        # renumbers batches from 0 — matching on a shared placeholder id
+        # would wrongly skip its early batches, silently dropping new
+        # change data; without a checkpoint we rely on the seq-aware
+        # merge's idempotence alone (re-merges are harmless).
+        cur = current_version_path(base) if stream_id is not None else None
         if cur is not None:
             marker = Path(cur) / "_LAST_BATCH"
             if marker.exists():
@@ -134,7 +143,11 @@ def stream_merge_into_parquet(
             key_col,
             delete_col=delete_col,
             seq_col=seq_col,
-            extra_files={"_LAST_BATCH": f"{stream_id}:{batch_id}"},
+            extra_files=(
+                {"_LAST_BATCH": f"{stream_id}:{batch_id}"}
+                if stream_id is not None
+                else {}
+            ),
         )
 
     writer = sdf.writeStream.foreachBatch(apply).outputMode("append")
