@@ -863,3 +863,87 @@ def test_hll_sketch_tables_merge_losslessly(spark, tmp_path):
     # grand total via empty key tuple
     total = hll_rollup_estimate(sk2, ()).collect()[0]["n_distinct"]
     assert abs(total - 500) / 500 < 0.05
+
+
+def test_hist_quantile_sketches_merge_exactly(spark, tmp_path):
+    """Quantile sketch tables (VERDICT r5 Missing #2): per-shard
+    histograms merge element-wise to EXACTLY the whole-data histogram,
+    round-trip parquet, and in the exact regime (bin width <= value
+    resolution) reproduce the definitional quantile; coarse bins stay
+    within one bin width."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.sketches import (
+        hist_quantiles,
+        hist_rollup,
+        hist_shard_sketches,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i % 4, "g" + str(i % 2), rng.randrange(0, 100)) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "shard int, grp string, v long")
+
+    sk = hist_shard_sketches(df, ("shard", "grp"), "v", 0.0, 100.0, 100)
+    path = str(tmp_path / "hist")
+    sk.write.parquet(path)  # ARRAY<BIGINT> round-trips parquet
+    sk2 = spark.read.parquet(path)
+
+    merged = {
+        r["grp"]: r["cnt"] for r in hist_rollup(sk2, ("grp",)).collect()
+    }
+    whole = {
+        r["grp"]: r["cnt"]
+        for r in hist_shard_sketches(df, ("grp",), "v", 0.0, 100.0, 100).collect()
+    }
+    assert merged == whole  # element-wise exact
+
+    qs = (0.25, 0.5, 0.9)
+    got = {
+        (r["grp"], r["q"]): (r["n"], r["quantile"])
+        for r in hist_quantiles(
+            hist_rollup(sk2, ("grp",)), ("grp",), qs, 0.0, 100.0, 100
+        ).collect()
+    }
+    by_grp: dict[str, list[int]] = {}
+    for _s, g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    for g, vals in by_grp.items():
+        vals.sort()
+        n = len(vals)
+        for q in qs:
+            k = math.ceil(q * n)  # sketch's own definition
+            expected = float(vals[k - 1])
+            gn, gq = got[(g, q)]
+            assert gn == n
+            assert gq == expected, (g, q, gq, expected)
+
+    # approximate regime: 10 coarse bins -> within one bin width (10)
+    coarse = hist_quantiles(
+        hist_rollup(
+            hist_shard_sketches(df, ("grp",), "v", 0.0, 100.0, 10), ("grp",)
+        ),
+        ("grp",), qs, 0.0, 100.0, 10,
+    ).collect()
+    for r in coarse:
+        _n, exact_q = got[(r["grp"], r["q"])]
+        assert abs(r["quantile"] - exact_q) < 10.0
+
+    # under/overflow clamp + validation
+    odf = spark.createDataFrame([("a", -5), ("a", 500)], "grp string, v long")
+    osk = hist_shard_sketches(odf, ("grp",), "v", 0.0, 100.0, 10)
+    cnt = osk.collect()[0]["cnt"]
+    assert cnt[0] == 1 and cnt[-1] == 1 and sum(cnt) == 2
+    oq = hist_quantiles(osk, ("grp",), (0.25, 1.0), 0.0, 100.0, 10).collect()
+    vals = {r["q"]: r["quantile"] for r in oq}
+    assert vals[0.25] == 0.0 and vals[1.0] == 100.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hist_shard_sketches(df, ("grp",), "v", 0.0, 0.0, 10)
+    with _pt.raises(ValueError):
+        hist_quantiles(osk, ("grp",), (), 0.0, 100.0, 10)

@@ -1548,6 +1548,61 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rollup_estimate(shards, ("event_type",)).orderBy("event_type")
 
 
+# -- mergeable quantile sketch tables ---------------------------------------
+
+_HQ_BINS = 1024  # width 1 over [0, 1024): exact regime for n_chars
+_HQ_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+@_staged(
+    "sketch_quantile_rollup",
+    f"""
+WITH cnts AS (
+  SELECT lang, n_chars AS v, count(*) AS c
+  FROM documents GROUP BY lang, n_chars
+), cum AS (
+  SELECT lang, v,
+         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM cnts
+), qs AS (SELECT unnest([{", ".join(str(q) for q in _HQ_QS)}]) AS q)
+SELECT lang, q,
+       CAST(min(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= ceil(q * n) THEN v END) AS DOUBLE)
+         AS quantile
+FROM cum CROSS JOIN qs
+GROUP BY lang, q
+ORDER BY lang, q
+""",
+)
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y44+: mergeable QUANTILE sketch tables (operators/sketches.py
+    hist_* family) — per-(lang, shard) fixed-bin histograms over
+    n_chars, merged element-wise to per-lang state, quantiles read off
+    the merged counts. Bin width 1 over [0, 1024) puts integer n_chars
+    in the EXACT regime, so the oracle replays the estimates
+    value-for-value from raw data (smallest v with count(<= v) >=
+    ceil(q·n), the sketch's own definition). The approximate-regime
+    accuracy bound (error < one bin width) is pytest-pinned like the
+    HLL entry."""
+    from whisper_pandas_spark.operators.sketches import (
+        hist_quantiles,
+        hist_rollup,
+        hist_shard_sketches,
+    )
+
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "__shard", F.pmod(F.col("doc_id"), F.lit(4))
+    )
+    shards = hist_shard_sketches(
+        docs, ("lang", "__shard"), "n_chars", 0.0, float(_HQ_BINS), _HQ_BINS
+    )
+    merged = hist_rollup(shards, ("lang",))
+    return hist_quantiles(
+        merged, ("lang",), _HQ_QS, 0.0, float(_HQ_BINS), _HQ_BINS
+    ).orderBy("lang", "q")
+
+
 # -- data-quality expectations report ---------------------------------------
 
 
