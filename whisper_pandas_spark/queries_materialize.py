@@ -95,6 +95,109 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Y25: Z-order clustered layout with proven row-group pruning
+# ---------------------------------------------------------------------------
+
+_ZORDER_DIR: dict[str, str] = {}
+_ZBOX = (0.40, 0.50)  # box = [min + 40% span, min + 50% span] per column
+
+
+def _zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize orders Z-ordered on (o_custkey, o_totalprice), once
+    per process per sf_dir."""
+    from whisper_pandas_spark.sources.clustered import materialize_zorder
+
+    if sf_dir not in _ZORDER_DIR:
+        d = tempfile.mkdtemp(prefix="wps_zorder_")
+        materialize_zorder(
+            _table(spark, sf_dir, "orders"),
+            d,
+            ["o_custkey", "o_totalprice"],
+            num_files=8,
+        )
+        _ZORDER_DIR[sf_dir] = d
+    return _ZORDER_DIR[sf_dir]
+
+
+@register(
+    "layout_zorder_prune",
+    oracle=f"""
+WITH b AS (
+  SELECT min(o_custkey) + {_ZBOX[0]} * (max(o_custkey) - min(o_custkey)) AS ck_lo,
+         min(o_custkey) + {_ZBOX[1]} * (max(o_custkey) - min(o_custkey)) AS ck_hi,
+         min(o_totalprice) + {_ZBOX[0]} * (max(o_totalprice) - min(o_totalprice)) AS tp_lo,
+         min(o_totalprice) + {_ZBOX[1]} * (max(o_totalprice) - min(o_totalprice)) AS tp_hi
+  FROM orders
+)
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders, b
+WHERE o_custkey >= ck_lo AND o_custkey <= ck_hi
+  AND o_totalprice >= tp_lo AND o_totalprice <= tp_hi
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y25: Z-order clustering proven end-to-end — orders materialized
+    Morton-clustered on (o_custkey, o_totalprice), then a 10% x 10% box
+    predicate aggregated per priority. The oracle runs the same box on
+    the PLAIN table (layout must be semantically invisible; box bounds
+    are the identical IEEE min + frac*span expression on both sides).
+    Before returning, the entry decodes the written row-group min/max
+    footers (sources/clustered.py:row_group_stats) and RAISES unless
+    most row groups' bounding boxes miss the query box — so a layout
+    regression that silently stops pruning turns the driver row red
+    instead of just slow. totalprice summed in integer cents."""
+    from whisper_pandas_spark.sources.clustered import row_group_stats
+
+    d = _zorder_table(spark, sf_dir)
+    t = spark.read.parquet(d)
+    mm = t.agg(
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        F.min("o_totalprice").alias("tp_min"),
+        F.max("o_totalprice").alias("tp_max"),
+    ).collect()[0]
+    ck_lo = mm["ck_min"] + _ZBOX[0] * (mm["ck_max"] - mm["ck_min"])
+    ck_hi = mm["ck_min"] + _ZBOX[1] * (mm["ck_max"] - mm["ck_min"])
+    tp_lo = mm["tp_min"] + _ZBOX[0] * (mm["tp_max"] - mm["tp_min"])
+    tp_hi = mm["tp_min"] + _ZBOX[1] * (mm["tp_max"] - mm["tp_min"])
+
+    stats = row_group_stats(d, ["o_custkey", "o_totalprice"])
+    hit = [
+        g
+        for g in stats
+        if g["o_custkey"] is not None
+        and g["o_custkey"][0] <= ck_hi
+        and g["o_custkey"][1] >= ck_lo
+        and g["o_totalprice"][0] <= tp_hi
+        and g["o_totalprice"][1] >= tp_lo
+    ]
+    if len(stats) < 2 or len(hit) > len(stats) // 2:
+        raise RuntimeError(
+            f"z-order layout stopped pruning: {len(hit)}/{len(stats)} "
+            "row groups intersect a 10%x10% box"
+        )
+    return (
+        t.filter(
+            (F.col("o_custkey") >= F.lit(ck_lo))
+            & (F.col("o_custkey") <= F.lit(ck_hi))
+            & (F.col("o_totalprice") >= F.lit(tp_lo))
+            & (F.col("o_totalprice") <= F.lit(tp_hi))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Whisper write -> scan round trip
 # ---------------------------------------------------------------------------
 

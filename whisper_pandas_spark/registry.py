@@ -58,6 +58,7 @@ def reset_result_caches() -> None:
     if qm is not None:
         qm._ROUNDTRIP_DIR.clear()
         qm._BUCKETED_DONE.clear()
+        qm._ZORDER_DIR.clear()
     qs = mods.get("whisper_pandas_spark.queries_streaming")
     if qs is not None:
         import shutil
