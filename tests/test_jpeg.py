@@ -122,12 +122,78 @@ def _patch_sof(data: bytes, marker: int) -> bytes:
     return data[:i] + bytes([0xFF, marker]) + data[i + 2 :]
 
 
-def test_progressive_and_nonbaseline_sofs_raise_codec_error():
+def test_nonbaseline_sofs_raise_codec_error():
     data = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
-    with pytest.raises(CodecError, match="progressive"):
+    # SOF2 is now SUPPORTED — but a baseline stream relabeled progressive
+    # carries an invalid progressive scan header (Ss=0 with Se=63)
+    with pytest.raises(CodecError, match="Se != 0"):
         decode_jpeg(_patch_sof(data, 0xC2))
     with pytest.raises(CodecError, match="non-baseline"):
         decode_jpeg(_patch_sof(data, 0xC3))
+    with pytest.raises(CodecError, match="arithmetic"):
+        decode_jpeg(_patch_sof(data, 0xCA))
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """A progressive stream transmits the same quantized coefficients, so
+    its decode must be BIT-identical to the baseline decode — across
+    gray/color, subsampling, odd sizes, restarts, and qualities."""
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 256, (37, 53), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (1, 1), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (41, 29, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (33, 17, 3), dtype=np.uint8), {"subsample": True}),
+        (rng.integers(0, 256, (33, 65, 3), dtype=np.uint8), {"restart_interval": 3}),
+        (
+            rng.integers(0, 256, (40, 56, 3), dtype=np.uint8),
+            {"subsample": True, "restart_interval": 2},
+        ),
+        (np.tile(np.arange(64, dtype=np.uint8) * 4, (48, 1)), {}),
+        (np.full((24, 16), 77, dtype=np.uint8), {}),  # all-EOB AC scans
+    ]
+    for img, kw in cases:
+        for q in (25, 90, 100):
+            base = decode_jpeg(encode_jpeg(img, quality=q, **kw))
+            prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True, **kw))
+            assert base[:3] == prog[:3]
+            assert np.array_equal(base[3], prog[3]), (img.shape, kw, q)
+
+
+def test_progressive_sparse_exercises_zrl_and_eob_refinement():
+    """Sparse high-frequency content drives the ZRL-in-refinement and
+    buffered-correction-bit paths (T.81 G.1.2.3)."""
+    rng = np.random.default_rng(11)
+    img = np.where(rng.random((64, 64)) > 0.985, 255, 0).astype(np.uint8)
+    for q in (50, 100):
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+        assert np.array_equal(base[3], prog[3])
+
+
+def test_progressive_truncated_scan_raises():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_jpeg(np.tile(img, (2, 2)), quality=90, progressive=True)
+    # chop inside the last entropy segment (before EOI)
+    with pytest.raises(CodecError):
+        decode_jpeg(data[: len(data) - 8])
+
+
+def test_progressive_mutation_fuzz_never_crashes():
+    """Bit flips in a progressive stream must decode or raise CodecError
+    — never crash with an arbitrary exception (same contract as the
+    baseline fuzz test)."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=80, progressive=True))
+    for _ in range(300):
+        i = int(rng.integers(2, len(data)))
+        mutated = bytearray(data)
+        mutated[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_jpeg(bytes(mutated))
+        except CodecError:
+            pass
 
 
 def test_truncated_and_garbage_payloads_raise():

@@ -511,7 +511,7 @@ def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode PNG / BMP / PGM / PPM / baseline JPEG by magic bytes.
 
     Raises :class:`CodecError` on malformed input and on
-    recognised-but-unsupported codec variants (progressive JPEG,
+    recognised-but-unsupported codec variants (arithmetic-coded JPEG,
     interlaced PNG, compressed BMP, ...), so tolerant callers can skip.
     """
     data = bytes(data)

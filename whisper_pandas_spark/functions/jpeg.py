@@ -4,22 +4,30 @@ Closes the last stubbed leaf in the multimodal decode family: a REAL
 baseline-DCT JPEG decoder built from the public spec with nothing beyond
 ``struct`` + numpy — no PIL / libjpeg in this container.
 
-Decoder (`decode_jpeg`) supports the baseline process: SOF0/SOF1 8-bit,
+Decoder (`decode_jpeg`) supports the baseline process — SOF0/SOF1 8-bit,
 1- or 3-component (grayscale / JFIF YCbCr), arbitrary integer chroma
 subsampling (4:4:4, 4:2:2, 4:2:0, 4:1:1 …), restart intervals, multiple
-DQT/DHT segments, 8- or 16-bit quantization tables. Recognised but
-unsupported variants (progressive SOF2, arithmetic coding, hierarchical,
-12-bit, CMYK) raise :class:`~whisper_pandas_spark.functions.codecs.CodecError`
-so the tolerant Arrow operators skip the row — the same contract as the
+DQT/DHT segments, 8- or 16-bit quantization tables — AND the progressive
+process (SOF2, T.81 Annex G): any spectral-selection / successive-
+approximation scan script, interleaved or single-component DC scans,
+EOB runs, AC refinement correction bits, restarts inside every scan
+kind (~10% of real web-crawl JPEGs are progressive). Recognised but
+unsupported variants (arithmetic coding, hierarchical, 12-bit, CMYK)
+raise :class:`~whisper_pandas_spark.functions.codecs.CodecError` so the
+tolerant Arrow operators skip the row — the same contract as the
 PNG/BMP/PNM decoders.
 
 Encoder (`encode_jpeg`) is the test/fixture twin (same role as
-``encode_png``): baseline, Annex-K quantization tables with libjpeg-style
-quality scaling, per-image canonical Huffman tables (frequency-built, so
-the decoder's variable-length table walk is genuinely exercised),
-optional 2x2 chroma subsampling and restart intervals. ``quality=100``
-forces all-ones quantization tables, making the round-trip error bound a
-tight DCT-rounding bound (≤2 LSB) that tests assert directly.
+``encode_png``): baseline or progressive (``progressive=True`` emits the
+standard scan script — spectral split + successive approximation — so
+the decoder's Annex-G paths are exercised fixture-free), Annex-K
+quantization tables with libjpeg-style quality scaling, per-image (per-
+scan, when progressive) canonical Huffman tables, optional 2x2 chroma
+subsampling and restart intervals. ``quality=100`` forces all-ones
+quantization tables, making the round-trip error bound a tight
+DCT-rounding bound (≤2 LSB) that tests assert directly; a progressive
+stream transmits the same coefficients exactly, so its decode is
+bit-identical to the baseline decode of the same pixels (asserted).
 
 Entropy decode is a sequential bit walk (inherently so); the IDCT, color
 transform and upsampling are vectorized numpy over all blocks at once.
@@ -303,10 +311,97 @@ def _split_entropy(data: bytes, start: int):
     return segments, pos
 
 
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _first_ac(reader, ac_luts, block, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC first scan (T.81 G.1.2.2) for one block; returns
+    the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_luts)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run < 15:  # EOBn: run length (1 << run) + extra - 1 more
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += reader.read_bits(run)
+                break
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise CodecError("AC run past band end")
+        block[k] = _extend(reader.read_bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _refine_ac(reader, ac_luts, block, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement scan (T.81 G.1.2.3) for one block;
+    returns the updated EOB run. Appends the bit at ``al`` to already-
+    nonzero coefficients (correction bits) and places newly-nonzero
+    ±(1 << al) values."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_luts)
+            run, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if run < 15:
+                    # full count here — the shared tail below decrements
+                    # for the current block
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.read_bits(run)
+                    break
+                # run == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise CodecError("bad AC refinement magnitude")
+                val = p1 if reader.read_bits(1) else m1
+            # advance over `run` zero-history coefficients, emitting a
+            # correction bit for every nonzero-history one passed
+            while k <= se:
+                cur = int(block[k])
+                if cur:
+                    if reader.read_bits(1) and not (cur & p1):
+                        block[k] = cur + (p1 if cur > 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        # EOB run covers the rest of this band: correction bits only
+        while k <= se:
+            cur = int(block[k])
+            if cur:
+                if reader.read_bits(1) and not (cur & p1):
+                    block[k] = cur + (p1 if cur > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a baseline JPEG. Returns ``(h, w, channels, array[h,w,c])``.
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG.
+    Returns ``(h, w, channels, array[h,w,c])``.
 
     channels is 1 (grayscale) or 3 (RGB via the JFIF BT.601 transform).
+    Progressive streams may use any spectral-selection / successive-
+    approximation scan script, interleaved or single-component scans,
+    and restart intervals (EOB runs and DC predictors reset per
+    restart segment, per G.1.2).
     """
     if data[:2] != b"\xff\xd8":
         raise CodecError("not a JPEG (missing SOI)")
@@ -314,9 +409,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     n = len(data)
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
-    frame = None  # (h, w, [(comp_id, hs, vs, tq), ...])
+    frame = None  # (h, w, [(comp_id, hs, vs, tq), ...], progressive)
     restart_interval = 0
-    scan = None
+    saw_scan = False
+    progressive = False
+    # geometry, filled at SOF
+    comps: list = []
+    idx_of: dict[int, int] = {}
+    planes: list = []
+    hmax = vmax = mcus_x = mcus_y = 0
 
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -365,7 +466,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 _build_decode_table(counts, syms)  # validates code space
                 htables[(tc, th)] = (tuple(counts), syms)
                 bp += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            if frame is not None:
+                raise CodecError("multiple SOF segments")
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise CodecError("truncated SOF")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -386,11 +490,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     raise CodecError(f"bad sampling factors {hs}x{vs}")
                 comps.append((cid, hs, vs, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = {0xC2: "progressive", 0xCA: "progressive"}.get(
-                marker, "non-baseline"
-            )
+            frame = (h, w, comps, progressive)
+            idx_of = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+            if len(idx_of) != ncomp:
+                raise CodecError("duplicate SOF component id")
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            for _, hs, vs, _ in comps:
+                if hmax % hs or vmax % vs:
+                    raise CodecError("non-integer chroma subsampling ratio")
+            mcus_x = _ceil_div(w, 8 * hmax)
+            mcus_y = _ceil_div(h, 8 * vmax)
+            planes = [
+                np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
+                for _, hs, vs, _ in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = {0xCA: "progressive (arithmetic)"}.get(marker, "non-baseline")
             raise CodecError(f"{kind} JPEG (SOF{marker - 0xC0}) unsupported")
         elif marker == 0xDD:  # DRI
             if len(body) != 2:
@@ -398,100 +514,196 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             (restart_interval,) = struct.unpack(">H", body)
         elif marker == 0xDA:  # SOS
             ns = body[0] if body else 0
-            if len(body) != 1 + 2 * ns + 3:
+            if len(body) != 1 + 2 * ns + 3 or ns < 1:
                 raise CodecError("truncated SOS")
+            if frame is None:
+                raise CodecError("SOS before SOF")
             scan = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                 for i in range(ns)
             ]
-            pos += 2 + length
-            break  # entropy-coded data follows
+            ss = body[1 + 2 * ns]
+            se_b = body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+
+            # resolve this scan's components + Huffman tables
+            entries = []
+            for cid, td, ta in scan:
+                if cid not in idx_of:
+                    raise CodecError(f"SOS references unknown component {cid}")
+                ci = idx_of[cid]
+                _, hs, vs, _tq = comps[ci]
+                # DC refinement scans read raw bits only — no Huffman
+                # table needed (and encoders routinely omit the DHT)
+                need_dc = (not progressive) or (ss == 0 and ah == 0)
+                need_ac = (not progressive) or se_b > 0
+                dc_l = ac_l = None
+                if need_dc:
+                    if (0, td) not in htables:
+                        raise CodecError("missing Huffman table")
+                    dc_l = _decode_luts(*htables[(0, td)])
+                if need_ac:
+                    if (1, ta) not in htables:
+                        raise CodecError("missing Huffman table")
+                    ac_l = _decode_luts(*htables[(1, ta)])
+                entries.append((ci, hs, vs, dc_l, ac_l))
+
+            segments, endpos = _split_entropy(data, pos + 2 + length)
+            h, w = frame[0], frame[1]
+            n_mcus = mcus_x * mcus_y
+
+            if not progressive:
+                # sequential: one scan covering every component
+                if len(scan) != len(comps):
+                    raise CodecError("SOS/SOF component count mismatch")
+                per_seg = restart_interval or n_mcus
+                mcu = 0
+                for segment in segments:
+                    if mcu >= n_mcus:
+                        break
+                    reader = _BitReader(segment)
+                    preds = [0] * len(entries)
+                    seg_end = min(mcu + per_seg, n_mcus)
+                    for m in range(mcu, seg_end):
+                        my, mx = divmod(m, mcus_x)
+                        for si, (ci, hs, vs, dc_tab, ac_tab) in enumerate(entries):
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    block = planes[ci][my * vs + by, mx * hs + bx]
+                                    size = reader.decode_symbol(dc_tab)
+                                    if size > 11:
+                                        raise CodecError("bad DC category")
+                                    diff = (
+                                        _extend(reader.read_bits(size), size)
+                                        if size
+                                        else 0
+                                    )
+                                    preds[si] += diff
+                                    block[0] = preds[si]
+                                    k = 1
+                                    while k < 64:
+                                        rs = reader.decode_symbol(ac_tab)
+                                        run, ssss = rs >> 4, rs & 0x0F
+                                        if ssss == 0:
+                                            if run == 15:  # ZRL
+                                                k += 16
+                                                continue
+                                            break  # EOB
+                                        k += run
+                                        if k > 63:
+                                            raise CodecError("AC run past block end")
+                                        block[k] = _extend(
+                                            reader.read_bits(ssss), ssss
+                                        )
+                                        k += 1
+                    mcu = seg_end
+                if mcu < n_mcus:
+                    raise CodecError("entropy data ended before last MCU")
+            elif ss == 0 and len(scan) > 1:
+                # progressive DC scan, interleaved (MCU order)
+                if se_b != 0:
+                    raise CodecError("progressive DC scan with Se != 0")
+                refine = ah > 0
+                per_seg = restart_interval or n_mcus
+                mcu = 0
+                for segment in segments:
+                    if mcu >= n_mcus:
+                        break
+                    reader = _BitReader(segment)
+                    preds = [0] * len(entries)
+                    seg_end = min(mcu + per_seg, n_mcus)
+                    for m in range(mcu, seg_end):
+                        my, mx = divmod(m, mcus_x)
+                        for si, (ci, hs, vs, dc_tab, _a) in enumerate(entries):
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    block = planes[ci][my * vs + by, mx * hs + bx]
+                                    if refine:
+                                        if reader.read_bits(1):
+                                            block[0] = int(block[0]) | (1 << al)
+                                        continue
+                                    size = reader.decode_symbol(dc_tab)
+                                    if size > 11:
+                                        raise CodecError("bad DC category")
+                                    diff = (
+                                        _extend(reader.read_bits(size), size)
+                                        if size
+                                        else 0
+                                    )
+                                    preds[si] += diff
+                                    block[0] = preds[si] << al
+                    mcu = seg_end
+                if mcu < n_mcus:
+                    raise CodecError("entropy data ended before last MCU")
+            else:
+                # progressive single-component scan (non-interleaved):
+                # DC (Ss == 0) or an AC spectral band (Ss > 0)
+                if len(scan) != 1:
+                    raise CodecError("progressive AC scan must be single-component")
+                if ss == 0:
+                    if se_b != 0:
+                        raise CodecError("progressive DC scan with Se != 0")
+                elif not (ss <= se_b <= 63):
+                    raise CodecError("bad spectral band")
+                ci, hs, vs, dc_tab, ac_tab = entries[0]
+                bw = _ceil_div(_ceil_div(w * hs, hmax), 8)
+                bh = _ceil_div(_ceil_div(h * vs, vmax), 8)
+                nb = bw * bh
+                refine = ah > 0
+                per_seg = restart_interval or nb
+                b = 0
+                for segment in segments:
+                    if b >= nb:
+                        break
+                    reader = _BitReader(segment)
+                    pred = 0
+                    eobrun = 0
+                    seg_end = min(b + per_seg, nb)
+                    for bi in range(b, seg_end):
+                        by_, bx_ = divmod(bi, bw)
+                        block = planes[ci][by_, bx_]
+                        if ss == 0:
+                            if refine:
+                                if reader.read_bits(1):
+                                    block[0] = int(block[0]) | (1 << al)
+                                continue
+                            size = reader.decode_symbol(dc_tab)
+                            if size > 11:
+                                raise CodecError("bad DC category")
+                            diff = (
+                                _extend(reader.read_bits(size), size)
+                                if size
+                                else 0
+                            )
+                            pred += diff
+                            block[0] = pred << al
+                        elif not refine:
+                            eobrun = _first_ac(
+                                reader, ac_tab, block, ss, se_b, al, eobrun
+                            )
+                        else:
+                            eobrun = _refine_ac(
+                                reader, ac_tab, block, ss, se_b, al, eobrun
+                            )
+                    b = seg_end
+                if b < nb:
+                    raise CodecError("entropy data ended before last block")
+
+            saw_scan = True
+            pos = endpos
+            continue
         pos += 2 + length
-    else:
-        raise CodecError("unexpected end of JPEG stream")
 
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise CodecError("missing SOF/SOS")
-    h, w, comps = frame
-    if len(scan) != len(comps):
-        raise CodecError("SOS/SOF component count mismatch")
-    comp_by_id = {cid: (cid, hs, vs, tq) for cid, hs, vs, tq in comps}
-    order = []
-    for cid, td, ta in scan:
-        if cid not in comp_by_id:
-            raise CodecError(f"SOS references unknown component {cid}")
-        _, hs, vs, tq = comp_by_id[cid]
-        if tq not in qtables:
-            raise CodecError(f"missing quantization table {tq}")
-        if (0, td) not in htables or (1, ta) not in htables:
-            raise CodecError("missing Huffman table")
-        order.append(
-            (
-                hs,
-                vs,
-                qtables[tq],
-                _decode_luts(*htables[(0, td)]),
-                _decode_luts(*htables[(1, ta)]),
-            )
-        )
-
-    hmax = max(hs for hs, _, _, _, _ in order)
-    vmax = max(vs for _, vs, _, _, _ in order)
-    for hs, vs, _, _, _ in order:
-        if hmax % hs or vmax % vs:
-            raise CodecError("non-integer chroma subsampling ratio")
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    n_mcus = mcus_x * mcus_y
-
-    # per-component zigzag coefficient planes
-    planes = [
-        np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
-        for hs, vs, _, _, _ in order
-    ]
-
-    segments, _ = _split_entropy(data, pos)
-    per_seg = restart_interval or n_mcus
-    mcu = 0
-    for segment in segments:
-        if mcu >= n_mcus:
-            break
-        reader = _BitReader(segment)
-        preds = [0] * len(order)
-        seg_end = min(mcu + per_seg, n_mcus)
-        for m in range(mcu, seg_end):
-            my, mx = divmod(m, mcus_x)
-            for ci, (hs, vs, _q, dc_tab, ac_tab) in enumerate(order):
-                for by in range(vs):
-                    for bx in range(hs):
-                        block = planes[ci][my * vs + by, mx * hs + bx]
-                        size = reader.decode_symbol(dc_tab)
-                        if size > 11:
-                            raise CodecError("bad DC category")
-                        diff = _extend(reader.read_bits(size), size) if size else 0
-                        preds[ci] += diff
-                        block[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(ac_tab)
-                            run, ssss = rs >> 4, rs & 0x0F
-                            if ssss == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise CodecError("AC run past block end")
-                            block[k] = _extend(reader.read_bits(ssss), ssss)
-                            k += 1
-        mcu = seg_end
-    if mcu < n_mcus:
-        raise CodecError("entropy data ended before last MCU")
+    h, w = frame[0], frame[1]
 
     # dequantize + de-zigzag + IDCT, vectorized per component
     out_planes = []
-    for (hs, vs, q, _dc, _ac), plane in zip(order, planes):
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        if tq not in qtables:
+            raise CodecError(f"missing quantization table {tq}")
+        q = qtables[tq]
         by, bx, _ = plane.shape
         coefs = plane.reshape(-1, 64).astype(np.float64) * q[np.newaxis, :]
         raster = np.zeros_like(coefs)
@@ -595,18 +807,202 @@ def _block_symbols(zz: np.ndarray, pred: int):
     return size, dc_bits, acs, dc
 
 
+def _prog_script(nch: int) -> list:
+    """Scan script for the progressive encoder: (kind, comps, Ss, Se,
+    Ah, Al) — DC first at Al=1, spectral-split AC first scans, successive
+    approximation refinements down to Al=0, DC refinement last. The
+    shape libjpeg's default scan script uses (public knowledge)."""
+    if nch == 1:
+        return [
+            ("DC", [0], 0, 0, 0, 1),
+            ("AC", [0], 1, 5, 0, 2),
+            ("AC", [0], 6, 63, 0, 2),
+            ("AC", [0], 1, 63, 2, 1),
+            ("AC", [0], 1, 63, 1, 0),
+            ("DC", [0], 0, 0, 1, 0),
+        ]
+    return [
+        ("DC", [0, 1, 2], 0, 0, 0, 1),
+        ("AC", [0], 1, 5, 0, 2),
+        ("AC", [1], 1, 63, 0, 1),
+        ("AC", [2], 1, 63, 0, 1),
+        ("AC", [0], 6, 63, 0, 2),
+        ("AC", [0], 1, 63, 2, 1),
+        ("AC", [0], 1, 63, 1, 0),
+        ("AC", [1], 1, 63, 1, 0),
+        ("AC", [2], 1, 63, 1, 0),
+        ("DC", [0, 1, 2], 0, 0, 1, 0),
+    ]
+
+
+def _dc_scan_events(
+    comp_zz, samp, scan_comps, ah, al, restart_interval, mcus_x, mcus_y, bw_of
+):
+    """Event list for a progressive DC scan: ("SYM", 0, tid, sym) /
+    ("BITS", v, n) / ("RST", i). Interleaved in MCU order when the scan
+    has several components, non-interleaved block raster otherwise."""
+    ev: list = []
+    tsel = [0] + [1] * (len(samp) - 1)
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        bw, bh = bw_of(scan_comps[0])
+        units = bw * bh
+    per_seg = restart_interval or units
+    preds = {ci: 0 for ci in scan_comps}
+    rst = 0
+
+    def unit_blocks(u):
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            for ci in scan_comps:
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield ci, comp_zz[ci][my * vs + by, mx * hs + bx]
+        else:
+            ci = scan_comps[0]
+            bw, _bh = bw_of(ci)
+            by, bx = divmod(u, bw)
+            yield ci, comp_zz[ci][by, bx]
+
+    for u in range(units):
+        if u and u % per_seg == 0:
+            ev.append(("RST", rst & 7))
+            rst += 1
+            preds = {ci: 0 for ci in scan_comps}
+        for ci, zz in unit_blocks(u):
+            t = int(zz[0]) >> al  # arithmetic shift, same as the decoder's <<
+            if ah:
+                ev.append(("BITS", t & 1, 1))
+                continue
+            diff = t - preds[ci]
+            preds[ci] = t
+            s = _category(diff)
+            ev.append(("SYM", 0, tsel[ci], s))
+            if s:
+                ev.append(("BITS", diff if diff >= 0 else diff + (1 << s) - 1, s))
+    return ev
+
+
+def _ac_scan_events(comp_zz, ci, ss, se, ah, al, restart_interval, bw_of):
+    """Event list for a progressive AC scan of one component — first
+    scan (Ah == 0) with EOB runs, or refinement (Ah > 0) with the
+    buffered-correction-bit discipline of T.81 G.1.2.3 (ZRLs emitted
+    only before the last newly-nonzero coefficient, so the decoder's
+    positional bit reads line up)."""
+    ev: list = []
+    bw, bh = bw_of(ci)
+    nb = bw * bh
+    per_seg = restart_interval or nb
+    eobrun = 0
+    be: list = []  # correction bits pending behind the EOB run
+    rst = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ev.append(("SYM", 1, 0, r << 4))
+            if r:
+                ev.append(("BITS", eobrun - (1 << r), r))
+            for b in be:
+                ev.append(("BITS", b, 1))
+            be.clear()
+            eobrun = 0
+
+    for bi in range(nb):
+        if bi and bi % per_seg == 0:
+            flush_eob()
+            ev.append(("RST", rst & 7))
+            rst += 1
+        by, bx = divmod(bi, bw)
+        zz = comp_zz[ci][by, bx]
+        if ah == 0:
+            tv = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                tv.append(t if v >= 0 else -t)
+            nz = [i for i, t in enumerate(tv) if t]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            for i in range(nz[-1] + 1):
+                t = tv[i]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    ev.append(("SYM", 1, 0, 0xF0))
+                    r -= 16
+                s = _category(t)
+                ev.append(("SYM", 1, 0, (r << 4) | s))
+                ev.append(("BITS", t if t >= 0 else t + (1 << s) - 1, s))
+                r = 0
+            if nz[-1] < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        else:
+            vals = [int(zz[k]) for k in range(ss, se + 1)]
+            tabs = [abs(v) >> al for v in vals]
+            newly = [i for i, t in enumerate(tabs) if t == 1]
+            eob_pos = newly[-1] if newly else -1
+            r = 0
+            br: list = []
+            for i, t in enumerate(tabs):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_pos:
+                    flush_eob()
+                    ev.append(("SYM", 1, 0, 0xF0))
+                    for b in br:
+                        ev.append(("BITS", b, 1))
+                    br.clear()
+                    r -= 16
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                ev.append(("SYM", 1, 0, (r << 4) | 1))
+                ev.append(("BITS", 1 if vals[i] > 0 else 0, 1))
+                for b in br:
+                    ev.append(("BITS", b, 1))
+                br.clear()
+                r = 0
+            if r or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF or len(be) > 900:
+                    flush_eob()
+    flush_eob()
+    return ev
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Minimal baseline JPEG encoder for tests/fixtures.
+    """Minimal baseline/progressive JPEG encoder for tests/fixtures.
 
     ``img`` is uint8 (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB.
     ``subsample=True`` emits 4:2:0 chroma (2x2 mean); ``quality=100``
     uses all-ones quantization tables (round-trip error is then pure
     DCT rounding, ≤2 LSB). ``restart_interval`` > 0 emits DRI + RSTn.
+    ``progressive=True`` emits SOF2 with the standard spectral-selection
+    + successive-approximation scan script (_prog_script) — the
+    transmitted coefficients are identical to the baseline stream, so
+    decoded pixels are bit-identical to the sequential encoding.
     """
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
@@ -660,6 +1056,80 @@ def encode_jpeg(
         # both sides indexed to scan order: coef at scan pos i / step q[ZIGZAG[i]]
         zz = np.round(coefs[:, ZIGZAG] / q[np.newaxis, ZIGZAG]).astype(np.int64)
         comp_zz.append(zz.reshape(ph // 8, pw // 8, 64))
+
+    def seg_(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    if progressive:
+        hmax_, vmax_ = max(hs for hs, _ in samp), max(vs for _, vs in samp)
+
+        def bw_of(ci):
+            hs, vs = samp[ci]
+            return (
+                -(-(-(-w * hs // hmax_)) // 8),
+                -(-(-(-h * vs // vmax_)) // 8),
+            )
+
+        out = bytearray(b"\xff\xd8")
+        out += seg_(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += seg_(0xDB, bytes([0x00]) + bytes(qy[ZIGZAG].astype(np.uint8)))
+        if nch == 3:
+            out += seg_(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+        sof = struct.pack(">BHHB", 8, h, w, nch)
+        for i, (hs, vs) in enumerate(samp):
+            sof += bytes([i + 1, (hs << 4) | vs, qsel[i]])
+        out += seg_(0xC2, sof)
+        if restart_interval:
+            out += seg_(0xDD, struct.pack(">H", restart_interval))
+
+        tsel_dc = [0] + [1] * (nch - 1)
+        for kind, scomps, ss, se_, ah, al in _prog_script(nch):
+            if kind == "DC":
+                events = _dc_scan_events(
+                    comp_zz, samp, scomps, ah, al, restart_interval,
+                    mcus_x, mcus_y, bw_of,
+                )
+            else:
+                events = _ac_scan_events(
+                    comp_zz, scomps[0], ss, se_, ah, al, restart_interval,
+                    bw_of,
+                )
+            # per-scan canonical Huffman tables from this scan's symbols
+            freqs: dict[tuple[int, int], dict[int, int]] = {}
+            for ev in events:
+                if ev[0] == "SYM":
+                    _, cls, tid, sym = ev
+                    f = freqs.setdefault((cls, tid), {})
+                    f[sym] = f.get(sym, 0) + 1
+            tables = {
+                key: _canonical_encode_table(f or {0: 1})
+                for key, f in freqs.items()
+            }
+            for (cls, tid), (c, s, _enc) in sorted(tables.items()):
+                out += seg_(0xC4, bytes([(cls << 4) | tid]) + bytes(c) + s)
+            sos = bytes([len(scomps)])
+            for ci in scomps:
+                td = tsel_dc[ci] if kind == "DC" else 0
+                sos += bytes([ci + 1, (td << 4) | 0])
+            sos += bytes([ss, se_, (ah << 4) | al])
+            out += seg_(0xDA, sos)
+            writer = _BitWriter()
+            for ev in events:
+                if ev[0] == "SYM":
+                    _, cls, tid, sym = ev
+                    code, ln = tables[(cls, tid)][2][sym]
+                    writer.write(code, ln)
+                elif ev[0] == "BITS":
+                    _, v, nbits = ev
+                    if nbits:
+                        writer.write(v, nbits)
+                else:  # RST
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + ev[1]])
+            writer.flush()
+            out += writer.out
+        out += b"\xff\xd9"
+        return bytes(out)
 
     # gather symbol streams twice: once for frequencies, once to write
     def walk(emit_dc, emit_ac):
