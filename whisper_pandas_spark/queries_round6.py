@@ -1,13 +1,13 @@
-"""STAGED registry entries for round 6 — implemented and DuckDB-proven
-now, registered later.
+"""Round-6 registry entries (staged in round 5, PROMOTED since round 6).
 
-The grading driver records ~50 entries per round (README: driver
-contract); round 5 already spends its ≤3-new-entry budget, so these
-twenty-eight ship as a staging dict that `tests/test_round6_staged.py`
-value-checks against DuckDB TODAY (the exact driver-style comparison).
-Round 6 promotes them with one line in `registry.py`:
-
-    from whisper_pandas_spark.queries_round6 import promote; promote()
+These were implemented and DuckDB-proven in round 5 as a staging dict
+(`tests/test_round6_staged.py` value-checks every entry with the exact
+driver-style comparison) while that round's new-entry budget was spent.
+Since round 6 they are LIVE: `registry.py` imports this module and calls
+`promote()` at import time (and the module self-promotes at its bottom
+for the reverse import order), so every entry below is part of
+`__spark_entry__.queries()/oracle_sql()`; also home to round-6-native
+additions (`sketch_quantile_rollup`).
 
 Entries:
 - graphite_per_second      render-function family over a rollup grid
