@@ -661,3 +661,119 @@ def test_wav_float32_nan_inf_sanitized():
     f = np.array([np.nan, np.inf, -np.inf, 0.25], dtype="<f4")
     rate, ch, out = decode_wav(_wav_with_fmt(3, 32, f.tobytes()))
     assert out[:, 0].tolist() == [0, 32767, -32767, 8192]
+
+
+def _png_raw(w, h, depth, ctype_, raw, palette=None, interlace=0):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_, 0, 0, interlace)
+    out = _PNG_MAGIC + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_png_16bit_reduces_high_byte():
+    rng = np.random.default_rng(5)
+    hi = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    px16 = ((hi.astype(np.uint16) << 8) | lo).astype(">u2")
+    raw = b"".join(b"\x00" + px16[r].tobytes() for r in range(4))
+    h, w, c, out = decode_png(_png_raw(3, 4, 16, 2, raw))
+    assert (h, w, c) == (4, 3, 3)
+    assert (out == hi).all()
+    # 16-bit grayscale with Sub filter (bpp = 2: the byte-lane offset)
+    g16 = (np.arange(12, dtype=">u2") * 5000 % 65536).astype(">u2").reshape(4, 3)
+    flat = np.frombuffer(g16.tobytes(), dtype=np.uint8).reshape(4, 6)
+    rows = []
+    for r in range(4):
+        enc = flat[r].astype(np.int32).copy()
+        for i in range(5, 1, -1):
+            enc[i] = (flat[r][i] - flat[r][i - 2]) & 0xFF
+        rows.append(b"\x01" + enc.astype(np.uint8).tobytes())
+    h, w, c, out = decode_png(_png_raw(3, 4, 16, 0, b"".join(rows)))
+    assert (out[:, :, 0] == (g16.astype(np.uint16) >> 8).astype(np.uint8)).all()
+
+
+def test_png_subbyte_gray_and_palette():
+    # 1-bit gray: checkerboard expands to 0/255
+    bits = np.array([[1, 0, 1, 0, 1], [0, 1, 0, 1, 0]], dtype=np.uint8)
+    raw = b"".join(
+        b"\x00" + np.packbits(bits[r]).tobytes() for r in range(2)
+    )
+    h, w, c, out = decode_png(_png_raw(5, 2, 1, 0, raw))
+    assert (h, w, c) == (2, 5, 1)
+    assert (out[:, :, 0] == bits * 255).all()
+    # 4-bit gray scales by 17
+    nib = np.array([[0, 5, 10, 15], [15, 10, 5, 0]], dtype=np.uint8)
+    raw4 = b"".join(
+        b"\x00" + bytes([nib[r, 0] << 4 | nib[r, 1], nib[r, 2] << 4 | nib[r, 3]])
+        for r in range(2)
+    )
+    h, w, c, out = decode_png(_png_raw(4, 2, 4, 0, raw4))
+    assert (out[:, :, 0] == nib * 17).all()
+    # 2-bit palette
+    pal = np.array(
+        [[250, 0, 0], [0, 240, 0], [0, 0, 230], [9, 9, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 3]], dtype=np.uint8)
+    raw2 = b"".join(
+        b"\x00"
+        + bytes(
+            [
+                idx[r, 0] << 6 | idx[r, 1] << 4 | idx[r, 2] << 2 | idx[r, 3],
+                idx[r, 4] << 6,
+            ]
+        )
+        for r in range(2)
+    )
+    h, w, c, out = decode_png(_png_raw(5, 2, 2, 3, raw2, palette=pal))
+    assert (h, w, c) == (2, 5, 3)
+    assert (out == pal[idx]).all()
+
+
+def _adam7_passes(w, h):
+    grid = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    for x0, y0, dx, dy in grid:
+        pw = -(-(w - x0) // dx) if w > x0 else 0
+        ph = -(-(h - y0) // dy) if h > y0 else 0
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Hand-built Adam7 stream (filter 0 per pass row) reconstructs the
+    source exactly, including non-multiple-of-8 dimensions where late
+    passes dominate."""
+    rng = np.random.default_rng(9)
+    for shape in ((13, 11, 3), (8, 8, 1), (3, 5, 4), (1, 1, 1), (2, 9, 2)):
+        hh, ww, cc = shape
+        ct = {1: 0, 2: 4, 3: 2, 4: 6}[cc]
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(ww, hh):
+            sub = img[y0::dy, x0::dx]
+            assert sub.shape[:2] == (ph, pw)
+            for r in range(ph):
+                raw += b"\x00" + sub[r].tobytes()
+        h, w, c, out = decode_png(_png_raw(ww, hh, 8, ct, bytes(raw), interlace=1))
+        assert (h, w, c) == (hh, ww, cc)
+        assert (out == img).all(), shape
+
+
+def test_png_adam7_16bit_and_size_mismatch():
+    img = (np.arange(60, dtype=">u2") * 1000 % 65536).astype(">u2").reshape(6, 10)
+    raw = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(10, 6):
+        sub = img[y0::dy, x0::dx]
+        for r in range(ph):
+            raw += b"\x00" + sub[r].tobytes()
+    h, w, c, out = decode_png(_png_raw(10, 6, 16, 0, bytes(raw), interlace=1))
+    assert (out[:, :, 0] == (img.astype(np.uint16) >> 8).astype(np.uint8)).all()
+    # short interlaced stream -> size mismatch, CodecError
+    with pytest.raises(CodecError):
+        decode_png(_png_raw(10, 6, 16, 0, bytes(raw[:-7]), interlace=1))
+    # invalid depth/color combos still raise
+    with pytest.raises(CodecError):
+        decode_png(_png_raw(2, 2, 2, 2, b"\x00\x00\x00"))
+    with pytest.raises(CodecError):
+        decode_png(_png_raw(2, 2, 16, 3, b"\x00\x00\x00"))

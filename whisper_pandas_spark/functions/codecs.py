@@ -4,7 +4,8 @@ The container ships no codec libraries (no PIL / opencv / soundfile), but
 several common container formats need nothing beyond ``zlib`` + ``struct``
 + numpy, all of which ARE here. This module implements REAL decoders for:
 
-- **PNG** (8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced)
+- **PNG** (1/2/4/8/16-bit, gray / gray+alpha / RGB / RGBA / palette,
+  non-interlaced AND Adam7 interlaced; 16-bit reduces via the high byte)
   — zlib inflate + the five scanline filters (None/Sub/Up/Average/Paeth)
   per the public PNG spec (RFC 2083 / ISO 15948);
 - **BMP** (uncompressed BI_RGB 24-bit and 8-bit palette, BITMAPINFOHEADER);
@@ -17,12 +18,13 @@ several common container formats need nothing beyond ``zlib`` + ``struct``
   sample rate), dispatched with WAV through `decode_audio`.
 
 plus minimal ENCODERS for PNG (filter 0) and WAV so tests can round-trip
-random arrays without any external fixture. **JPEG** (baseline DCT:
-huffman entropy decode, dequant, vectorized IDCT, chroma upsampling,
+random arrays without any external fixture. **JPEG** (baseline AND
+progressive DCT: huffman entropy decode, spectral-selection/successive-
+approximation scans, dequant, vectorized IDCT, chroma upsampling,
 restart intervals) lives in the sibling :mod:`.jpeg` module and is
 dispatched from :func:`decode_image` — no stubbed leaf remains;
-recognised-but-unsupported JPEG variants (progressive, arithmetic,
-12-bit) raise :class:`CodecError` like every other decoder here.
+recognised-but-unsupported JPEG variants (arithmetic coding, 12-bit)
+raise :class:`CodecError` like every other decoder here.
 
 Everything is deterministic and byte-exact, so the Spark operators built
 on top (`operators/multimodal.py`) can be golden-tested. Decoders return
@@ -63,8 +65,89 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, offset: int, rows: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering over one (sub-)image: ``rows``
+    scanlines of ``stride`` bytes each (``1 + stride`` on the wire),
+    with ``bpp`` = bytes per complete pixel (the left-neighbor offset —
+    1 for sub-byte depths, per the spec). Returns (rows, stride) uint8."""
+    out = np.zeros((rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(rows):
+        base = offset + r * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:
+            # Sub: out[i] = in[i] + out[i-bpp] mod 256 — a per-byte-lane
+            # prefix sum; uint8 add.accumulate wraps mod 256 natively,
+            # so the whole scanline vectorizes (no per-pixel Python)
+            pad = (-stride) % bpp
+            padded = np.zeros(stride + pad, dtype=np.uint8)
+            padded[:stride] = line.astype(np.uint8)
+            acc = np.add.accumulate(
+                padded.reshape(-1, bpp), axis=0, dtype=np.uint8
+            )
+            cur = acc.reshape(-1)[:stride].astype(np.int32)
+        elif ftype == 3:  # Average — left-dependence stays sequential
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth — left-dependence stays sequential
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + _paeth(int(left), int(prev[i]), int(ul))) & 0xFF
+        else:
+            raise CodecError(f"bad filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _png_samples(rows: np.ndarray, pw: int, depth: int, nch: int) -> np.ndarray:
+    """(rows, stride) filtered bytes -> (rows, pw, nch) uint8 samples.
+
+    16-bit samples reduce to their high byte (the standard 16->8
+    conversion, v >> 8); sub-byte grayscale expands over the full 0-255
+    range (x * 255 / (2^d - 1)); sub-byte palette indices are returned
+    raw for the PLTE lookup."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(ph, pw, nch)
+    if depth == 16:
+        return rows.reshape(ph, pw, nch, 2)[:, :, :, 0]
+    # depths 1 / 2 / 4: single-channel only (gray or palette index)
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(ph, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    idx = (vals * weights).sum(axis=2).astype(np.uint8)[:, :pw]
+    return idx[:, :, np.newaxis]
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a non-interlaced 8-bit PNG. Returns (h, w, c, array[h,w,c])."""
+    """Decode a PNG: bit depths 1/2/4/8/16, gray / gray+alpha / RGB /
+    RGBA / palette, non-interlaced or Adam7 interlaced. Returns
+    (h, w, c, array[h,w,c]) as uint8 (16-bit samples reduce via the
+    high byte, sub-byte gray rescales to 0-255)."""
     if data[:8] != _PNG_MAGIC:
         raise CodecError("not a PNG")
     pos, h = 8, 0
@@ -94,15 +177,39 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         pos += 12 + length  # len + type + body + crc
     if w < 0 or not idat:
         raise CodecError("missing IHDR/IDAT")
-    if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+    if color_type not in _CHANNELS or interlace not in (0, 1):
         raise CodecError(
             f"unsupported PNG (depth={bit_depth}, color={color_type}, "
-            f"interlace={interlace}); only 8-bit non-interlaced supported"
+            f"interlace={interlace})"
         )
     nch = _CHANNELS[color_type]
-    stride = w * nch
-    expected = h * (stride + 1)
-    if expected > 1 << 31:
+    valid_depths = (
+        (1, 2, 4, 8) if color_type == 3 else
+        (1, 2, 4, 8, 16) if color_type == 0 else
+        (8, 16)
+    )
+    if bit_depth not in valid_depths:
+        raise CodecError(
+            f"unsupported PNG (depth={bit_depth}, color={color_type})"
+        )
+    bits_px = bit_depth * nch
+    bpp = max(1, bits_px // 8)
+
+    def row_bytes(width: int) -> int:
+        return (width * bits_px + 7) // 8
+
+    # pass geometry: one full-frame pass, or the 7 Adam7 sub-images
+    passes = []
+    if interlace == 0:
+        passes.append((0, 0, 1, 1, w, h))
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, dx, dy, pw, ph))
+    expected = sum(ph * (row_bytes(pw) + 1) for _, _, _, _, pw, ph in passes)
+    if h * w * max(nch, 3) > (1 << 31) or expected > 1 << 31:
         raise CodecError("image dimensions exceed decoder limit")
     try:
         # bounded inflate: a malicious tiny IDAT cannot expand past the
@@ -113,41 +220,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise CodecError(f"bad IDAT stream: {exc}") from exc
     if len(raw) != expected or d.unconsumed_tail:
         raise CodecError("IDAT size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for r in range(h):
-        ftype = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-        ).astype(np.int32)
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ftype == 1:
-            # Sub: out[i] = in[i] + out[i-nch] mod 256 — a per-channel
-            # prefix sum; uint8 add.accumulate wraps mod 256 natively,
-            # so the whole scanline vectorizes (no per-pixel Python)
-            acc = np.add.accumulate(
-                line.astype(np.uint8).reshape(w, nch), axis=0, dtype=np.uint8
-            )
-            cur = acc.reshape(-1).astype(np.int32)
-        elif ftype == 3:  # Average — left-dependence stays sequential
-            cur = line.copy()
-            for i in range(stride):
-                left = cur[i - nch] if i >= nch else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth — left-dependence stays sequential
-            cur = line.copy()
-            for i in range(stride):
-                left = cur[i - nch] if i >= nch else 0
-                ul = prev[i - nch] if i >= nch else 0
-                cur[i] = (cur[i] + _paeth(int(left), int(prev[i]), int(ul))) & 0xFF
-        else:
-            raise CodecError(f"bad filter type {ftype}")
-        out[r] = cur.astype(np.uint8)
-        prev = cur
-    img = out.reshape(h, w, nch)
+
+    img = np.zeros((h, w, nch), dtype=np.uint8)
+    offset = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        stride = row_bytes(pw)
+        rows = _png_unfilter(raw, offset, ph, stride, bpp)
+        offset += ph * (stride + 1)
+        samples = _png_samples(rows, pw, bit_depth, nch)
+        img[y0::dy, x0::dx] = samples
+    if color_type == 0 and bit_depth < 8:
+        # expand sub-byte gray over the full range (255 / (2^d - 1))
+        img = (img.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(
+            np.uint8
+        )
     if color_type == 3:
         if palette is None:
             raise CodecError("palette image without PLTE")
@@ -512,7 +598,7 @@ def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
 
     Raises :class:`CodecError` on malformed input and on
     recognised-but-unsupported codec variants (arithmetic-coded JPEG,
-    interlaced PNG, compressed BMP, ...), so tolerant callers can skip.
+    compressed BMP, ...), so tolerant callers can skip.
     """
     data = bytes(data)
     if data[:8] == _PNG_MAGIC:
