@@ -10,6 +10,11 @@
   per-doc aggregate; oracle replicates counts from octet_length
   arithmetic (frame CONTENT is checked by unit tests; the count/shape
   contract is what SQL can see).
+- mm_image_features  : the REAL feature head over DECODED pixels —
+  planted PGM payloads make the moments/gradient math SQL-replayable.
+- mm_audio_stats     : the REAL audio decode leaf — planted RIFF-PCM
+  WAV payloads whose rms/duration DuckDB recomputes from the sample
+  formula.
 """
 
 from __future__ import annotations
@@ -173,3 +178,65 @@ def mm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("frames_sampled"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_audio_stats",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         ((doc_id * 31 + t.i * 7) % 65536) - 32768 AS v
+  FROM documents CROSS JOIN range(0, 256) AS t(i)
+)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       CAST(256 AS BIGINT) AS n_samples,
+       256.0 / 8000.0 AS duration_s,
+       round(sqrt(CAST(sum(v * v) AS BIGINT) / 256.0) + 1e-9, 6) AS rms
+FROM s GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: the audio decode leaf driven end-to-end with a full value
+    oracle (the audio twin of `mm_image_features`): deterministic int16
+    samples s_i = ((doc_id*31 + i*7) mod 65536) - 32768 are wrapped as
+    real RIFF-PCM WAV containers inside the Arrow pass, decoded by the
+    pure-stdlib codec (functions/codecs.py:decode_wav), and summarized
+    by decode_audio_stats. Sample squares are exact integers whose sum
+    fits a double, so rms = sqrt(sum/n) is bit-deterministic and DuckDB
+    replays it by enumerating the same formula. Spectral features
+    (FFT-based, not SQL-expressible) stay pytest-pinned in
+    `audio_features` tests."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.functions.codecs import encode_wav
+    from whisper_pandas_spark.operators.multimodal import decode_audio_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        idx = np.arange(256, dtype=np.int64)
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                s = (((int(d) * 31 + idx * 7) % 65536) - 32768).astype(
+                    np.int16
+                )
+                ids.append(d)
+                blobs.append(encode_wav(s, 8000))
+            yield pd.DataFrame({"doc_id": ids, "payload": blobs})
+
+    src = docs.mapInPandas(gen, "doc_id long, payload binary")
+    st = decode_audio_stats(src, "doc_id")
+    return st.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        "duration_s",
+        F.round(F.col("rms") + F.lit(1e-9), 6).alias("rms"),
+    ).orderBy("doc_id")
