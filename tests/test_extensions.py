@@ -947,3 +947,66 @@ def test_hist_quantile_sketches_merge_exactly(spark, tmp_path):
         hist_shard_sketches(df, ("grp",), "v", 0.0, 0.0, 10)
     with _pt.raises(ValueError):
         hist_quantiles(osk, ("grp",), (), 0.0, 100.0, 10)
+
+
+def test_topk_sketches_exact_and_bounded(spark, tmp_path):
+    """Heavy-hitters sketch tables: exact regime (capacity >= distinct)
+    merges to the true top-k with lo == hi; truncated regime keeps
+    two-sided bounds lo <= true <= hi and still surfaces the dominant
+    item; parquet round-trip preserved."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.sketches import (
+        topk_rollup,
+        topk_shard_sketches,
+    )
+
+    rng = random.Random(3)
+    # skewed: item 0 dominates, zipf-ish tail over 50 items, 2 groups
+    rows = []
+    for i in range(6000):
+        item = 0 if rng.random() < 0.3 else rng.randrange(1, 50)
+        rows.append((i % 4, "g" + str(i % 2), item))
+    df = spark.createDataFrame(rows, "shard int, grp string, item long")
+
+    # exact regime
+    sk = topk_shard_sketches(df, ("grp", "shard"), "item", capacity=1000)
+    path = str(tmp_path / "topk")
+    sk.write.parquet(path)
+    got = {
+        (r["grp"], r["rnk"]): (r["item"], r["count_lo"], r["count_hi"])
+        for r in topk_rollup(
+            spark.read.parquet(path), ("grp",), 3
+        ).collect()
+    }
+    truth: dict[str, dict[int, int]] = {}
+    for _s, g, it in rows:
+        truth.setdefault(g, {}).setdefault(it, 0)
+        truth[g][it] += 1
+    for g, cnts in truth.items():
+        top = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rnk, (it, n) in enumerate(top, 1):
+            assert got[(g, rnk)] == (it, n, n), (g, rnk)
+
+    # truncated regime: capacity 5 per shard
+    sk5 = topk_shard_sketches(df, ("grp", "shard"), "item", capacity=5)
+    rest = {r["grp"] + str(r["shard"]): r["rest_max"] for r in sk5.collect()}
+    assert any(v > 0 for v in rest.values())  # truncation actually happened
+    approx = topk_rollup(sk5, ("grp",), 3).collect()
+    for r in approx:
+        true_n = truth[r["grp"]].get(r["item"], 0)
+        assert r["count_lo"] <= true_n <= r["count_hi"], (
+            r["item"], r["count_lo"], true_n, r["count_hi"],
+        )
+    # the dominant item survives truncation as rank 1 in both groups
+    top1 = {r["grp"]: r["item"] for r in approx if r["rnk"] == 1}
+    assert top1 == {"g0": 0, "g1": 0}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        topk_shard_sketches(df, ("grp",), "item", capacity=0)
+    with _pt.raises(ValueError):
+        topk_rollup(sk5, ("grp",), 0)

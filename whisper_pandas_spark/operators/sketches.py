@@ -194,3 +194,127 @@ def hist_quantiles(
         .otherwise(F.lit(float(lo)) + (F.col("__bi") - 1) * F.lit(width))
     )
     return hit.select(*kcols, "q", "n", value.alias("quantile"))
+
+
+# -- mergeable heavy-hitters (top-k) sketches --------------------------------
+#
+# The third mergeable statistic a 100 TB metrics/training store needs next
+# to distinct counts (HLL above) and quantiles (histograms above): which
+# items dominate a column, per group, maintainable shard-by-shard. The
+# summary follows the "mergeable summaries" shape (Agarwal et al., PODS
+# 2012): each shard keeps its exact top-``capacity`` (item, cnt) pairs
+# plus ``rest_max`` — the largest TRUNCATED count — so any later merge can
+# bound every item's true total from both sides:
+#
+#   lo(item)  = sum of its kept counts
+#   hi(item)  = lo + sum of rest_max over shards that did NOT keep it
+#
+# In the exact regime (capacity >= per-shard distinct items) rest_max is 0
+# everywhere, lo == hi == the true count, and a SQL engine replays the
+# rollup verbatim (`sketch_topk_rollup`); the approximate regime's bound
+# correctness is pytest-pinned like the HLL/quantile recipes.
+
+
+def topk_shard_sketches(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    item_col: str,
+    capacity: int,
+) -> DataFrame:
+    """(keys..., items ARRAY<STRUCT<item, cnt BIGINT>>, rest_max BIGINT):
+    one truncated exact-count summary per key group. One (keys, item)
+    partial aggregation (the only corpus-sized exchange) + one per-group
+    window over at most the distinct items of that group."""
+    from pyspark.sql.window import Window
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    kcols = [F.col(k) for k in keys]
+    counts = (
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(*kcols, F.col(item_col).alias("__it"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(*kcols).orderBy(
+        F.col("__c").desc(), F.col("__it")
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(*kcols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__rn") <= capacity,
+                        F.struct(
+                            F.col("__it").alias("item"),
+                            F.col("__c").alias("cnt"),
+                        ),
+                    )
+                )
+            ).alias("items"),
+            F.coalesce(
+                F.max(F.when(F.col("__rn") > capacity, F.col("__c"))),
+                F.lit(0),
+            ).alias("rest_max"),
+        )
+    )
+
+
+def topk_rollup(
+    sketches: DataFrame,
+    keys: tuple[str, ...],
+    k: int,
+) -> DataFrame:
+    """Merge a heavy-hitters sketch table to coarser *keys* and emit the
+    top-``k`` items per group with two-sided bounds:
+    (keys..., rnk, item, count_lo BIGINT, count_hi BIGINT).
+
+    ``count_lo`` sums the item's kept counts; ``count_hi`` adds the
+    ``rest_max`` of every contributing shard that truncated the item
+    away. Ranking is by ``count_lo`` (ties by item) — the conservative
+    order; in the exact regime lo == hi and the result is the true
+    top-k."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    kcols = [F.col(c) for c in keys]
+    base = sketches.select(*kcols, F.col("items"), F.col("rest_max"))
+    ex = base.select(
+        *kcols,
+        "rest_max",
+        F.explode_outer("items").alias("__e"),
+    ).select(
+        *kcols,
+        "rest_max",
+        F.col("__e.item").alias("item"),
+        F.col("__e.cnt").alias("cnt"),
+    )
+    # total truncation budget over all shard rows of the group
+    shard_rest = base.groupBy(*kcols).agg(
+        F.sum("rest_max").alias("__total_rest")
+    )
+    merged = (
+        ex.filter(F.col("item").isNotNull())
+        .groupBy(*kcols, F.col("item"))
+        .agg(
+            F.sum("cnt").alias("count_lo"),
+            F.sum("rest_max").alias("__present_rest"),
+        )
+        .join(shard_rest, list(keys))
+        .withColumn(
+            "count_hi",
+            F.col("count_lo")
+            + F.col("__total_rest")
+            - F.col("__present_rest"),
+        )
+    )
+    wrank = Window.partitionBy(*kcols).orderBy(
+        F.col("count_lo").desc(), F.col("item")
+    )
+    return (
+        merged.withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") <= k)
+        .select(*kcols, "rnk", "item", "count_lo", "count_hi")
+    )

@@ -1603,6 +1603,53 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "q")
 
 
+# -- mergeable heavy-hitters sketch tables -----------------------------------
+
+_TK_K = 5
+
+
+@_staged(
+    "sketch_topk_rollup",
+    f"""
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+), r AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rnk
+  FROM c
+)
+SELECT event_type, CAST(rnk AS INT) AS rnk, user_id AS item,
+       CAST(n AS BIGINT) AS count_lo, CAST(n AS BIGINT) AS count_hi
+FROM r WHERE rnk <= {_TK_K} ORDER BY event_type, rnk
+""",
+)
+def sketch_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y44++: mergeable HEAVY-HITTERS sketch tables
+    (operators/sketches.py topk_* family) — per-(event_type, shard)
+    truncated exact-count summaries over user_id, merged to per-type
+    top-5 with two-sided bounds. Capacity exceeds per-shard distinct
+    users here (the exact regime: rest_max = 0, lo == hi == true
+    count), so the oracle is the plain relational top-k; truncated-
+    regime bound correctness is pytest-pinned like the HLL/quantile
+    recipes."""
+    from whisper_pandas_spark.operators.sketches import (
+        topk_rollup,
+        topk_shard_sketches,
+    )
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "__shard", F.pmod(F.col("event_id"), F.lit(4))
+    )
+    sk = topk_shard_sketches(
+        ev, ("event_type", "__shard"), "user_id", capacity=1 << 20
+    )
+    return topk_rollup(sk, ("event_type",), _TK_K).orderBy(
+        "event_type", "rnk"
+    )
+
+
 # -- data-quality expectations report ---------------------------------------
 
 
