@@ -1010,3 +1010,72 @@ def test_topk_sketches_exact_and_bounded(spark, tmp_path):
         topk_shard_sketches(df, ("grp",), "item", capacity=0)
     with _pt.raises(ValueError):
         topk_rollup(sk5, ("grp",), 0)
+
+
+def test_incremental_agg_matches_rebuild_and_is_associative(spark):
+    """agg_apply(state(A), changes) == agg_state(final rows); applying
+    two batches equals one; min/max insert-only path works; min/max
+    under deletes refuses."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.incremental import (
+        agg_apply,
+        agg_state,
+    )
+
+    rows = [(i % 3, float(i), i) for i in range(60)]
+    df = spark.createDataFrame(rows, "k int, x double, id long")
+    measures = {"x": ("sum", "count")}
+    base = df.filter(F.col("id") < 40)
+    state = agg_state(base, ("k",), measures)
+
+    ins = df.filter(F.col("id") >= 40).withColumn("d", F.lit(False))
+    dels = df.filter((F.col("id") < 40) & (F.col("id") % 4 == 0)).withColumn(
+        "d", F.lit(True)
+    )
+    changes = ins.select("k", "x", "d").unionByName(dels.select("k", "x", "d"))
+
+    def snap(sdf):
+        return {
+            r["k"]: (r["__n"], r["x_sum"], r["x_count"]) for r in sdf.collect()
+        }
+
+    got = snap(agg_apply(state, changes, ("k",), measures, delete_col="d"))
+    final_rows = df.filter(
+        (F.col("id") >= 40) | (F.col("id") % 4 != 0)
+    )
+    want = snap(agg_state(final_rows, ("k",), measures))
+    assert got == want
+
+    # associativity: two batches == one
+    s1 = agg_apply(state, ins.select("k", "x", "d"), ("k",), measures, "d")
+    s2 = agg_apply(s1, dels.select("k", "x", "d"), ("k",), measures, "d")
+    assert snap(s2) == want
+
+    # a group emptied by retractions disappears
+    only9 = spark.createDataFrame([(9, 1.0)], "k int, x double")
+    st9 = agg_state(only9, ("k",), measures)
+    gone = agg_apply(
+        st9,
+        only9.withColumn("d", F.lit(True)),
+        ("k",),
+        measures,
+        delete_col="d",
+    )
+    assert gone.filter(F.col("k") == 9).count() == 0
+
+    # insert-only min/max
+    mm = {"x": ("min", "max")}
+    st = agg_state(base, ("k",), mm)
+    upd = agg_apply(st, spark.createDataFrame([(0, -5.0), (0, 99.0)], "k int, x double"), ("k",), mm)
+    r0 = {r["k"]: (r["x_min"], r["x_max"]) for r in upd.collect()}[0]
+    assert r0 == (-5.0, 99.0)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not retractable"):
+        agg_apply(st, changes, ("k",), mm, delete_col="d")
+    with _pt.raises(ValueError):
+        agg_state(base, ("k",), {})
+    with _pt.raises(ValueError):
+        agg_state(base, ("k",), {"x": ("median",)})

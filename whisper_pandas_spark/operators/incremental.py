@@ -1,0 +1,150 @@
+"""Incremental aggregate maintenance — keep an aggregate table current
+from a stream of change rows without rescanning the base data.
+
+The materialized-view-maintenance pattern every 100 TB warehouse runs
+nightly: the full aggregate is built ONCE (`agg_state`), then each batch
+of inserts/retractions folds in algebraically (`agg_apply`) — cost
+proportional to the CHANGES, not the corpus. Composes with the CoW MERGE
+family (operators/merge.py persists the state table; streaming/sink.py
+feeds the change batches).
+
+Algebra: ``count`` and ``sum`` are retractable (deletes subtract);
+``min``/``max`` are only insert-monotone — a delete could expose a
+second-smallest value the state no longer knows. Requesting min/max
+together with a delete column therefore raises ``ValueError`` up front
+(the honest contract; the standard workarounds — per-group histograms or
+re-aggregating touched groups from base — are a different cost class).
+Retraction rows carry the same measure values as the rows they retract
+(CDC retract-stream semantics); groups whose live-row count reaches zero
+drop out of the state entirely, so state == rebuild from scratch at
+every step (asserted by tests and the `incr_agg_orders` oracle).
+
+Scale shape: one partial-agg exchange over the CHANGE batch, then one
+key-equi join against the state (sort-merge on the state's key
+partitioning; bucket the state table on the keys to elide its exchange —
+sources/bucketed.py). Nothing touches base rows.
+
+No reference parity: whisper_pandas has no materialized aggregates; this
+backs SURVEY §2.11 pipeline engineering next to MERGE/SCD2/snapshot-diff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_RETRACTABLE = ("count", "sum")
+_SUPPORTED = ("count", "sum", "min", "max")
+
+
+def _state_cols(measures: dict[str, tuple[str, ...]]) -> list[str]:
+    return [f"{col}_{agg}" for col, aggs in measures.items() for agg in aggs]
+
+
+def _validate(measures: dict[str, tuple[str, ...]], retract: bool) -> None:
+    if not measures:
+        raise ValueError("measures must be non-empty")
+    for col, aggs in measures.items():
+        for agg in aggs:
+            if agg not in _SUPPORTED:
+                raise ValueError(
+                    f"unsupported aggregate {agg!r} (use {_SUPPORTED})"
+                )
+            if retract and agg not in _RETRACTABLE:
+                raise ValueError(
+                    f"{agg}({col}) is not retractable: min/max cannot be "
+                    "maintained under deletes (a retraction may expose a "
+                    "value the state no longer holds) — rebuild with "
+                    "agg_state or drop the delete column"
+                )
+
+
+def agg_state(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    measures: dict[str, tuple[str, ...]],
+) -> DataFrame:
+    """Build the aggregate state table:
+    (keys..., __n BIGINT, <col>_<agg> ... per requested measure).
+
+    ``__n`` is the live-row count per group — the liveness ledger that
+    lets `agg_apply` drop emptied groups."""
+    _validate(measures, retract=False)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for col, fns in measures.items():
+        for agg in fns:
+            c = F.col(col)
+            expr = {
+                "count": F.count(c),
+                "sum": F.sum(c),
+                "min": F.min(c),
+                "max": F.max(c),
+            }[agg]
+            aggs.append(expr.alias(f"{col}_{agg}"))
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def agg_apply(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: tuple[str, ...],
+    measures: dict[str, tuple[str, ...]],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Fold a batch of change rows into the state table and return the
+    NEW state (same schema as `agg_state`; the caller persists it, e.g.
+    via operators/merge.py versioned writes).
+
+    ``delete_col`` (boolean) marks retractions; a retraction carries the
+    measure values of the row it removes. Without a delete column every
+    change row is an insert. Batching is associative: applying two
+    batches equals applying their union (tests pin this)."""
+    retract = delete_col is not None
+    _validate(measures, retract=retract)
+    sign = (
+        F.when(F.col(delete_col), F.lit(-1)).otherwise(F.lit(1))
+        if retract
+        else F.lit(1)
+    )
+    delta_aggs = [F.sum(sign).alias("__dn")]
+    for col, fns in measures.items():
+        c = F.col(col)
+        for agg in fns:
+            name = f"{col}_{agg}"
+            if agg == "count":
+                delta_aggs.append(
+                    F.sum(F.when(c.isNotNull(), sign).otherwise(F.lit(0))).alias(
+                        f"__d_{name}"
+                    )
+                )
+            elif agg == "sum":
+                delta_aggs.append(F.sum(c * sign).alias(f"__d_{name}"))
+            elif agg == "min":
+                delta_aggs.append(F.min(c).alias(f"__d_{name}"))
+            else:
+                delta_aggs.append(F.max(c).alias(f"__d_{name}"))
+    delta = changes.groupBy(*[F.col(k) for k in keys]).agg(*delta_aggs)
+
+    joined = state.join(delta, list(keys), "full_outer")
+    out_cols = [F.col(k) for k in keys]
+    new_n = F.coalesce("__n", F.lit(0)) + F.coalesce("__dn", F.lit(0))
+    out_cols.append(new_n.alias("__n"))
+    for col, fns in measures.items():
+        for agg in fns:
+            name = f"{col}_{agg}"
+            cur, d = F.col(name), F.col(f"__d_{name}")
+            if agg in ("count", "sum"):
+                zero = F.lit(0) if agg == "count" else F.lit(None)
+                base = F.coalesce(cur, F.lit(0))
+                merged = base + F.coalesce(d, F.lit(0))
+                if agg == "sum":
+                    # an all-null group's sum stays NULL, like agg_state
+                    merged = F.when(
+                        cur.isNull() & d.isNull(), F.lit(None)
+                    ).otherwise(merged)
+                out_cols.append(merged.alias(name))
+            elif agg == "min":
+                out_cols.append(F.least(cur, d).alias(name))
+            else:
+                out_cols.append(F.greatest(cur, d).alias(name))
+    return joined.select(*out_cols).filter(F.col("__n") > 0)

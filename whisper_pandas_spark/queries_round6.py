@@ -1650,6 +1650,58 @@ def sketch_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- incremental aggregate maintenance ---------------------------------------
+
+
+@_staged(
+    "incr_agg_orders",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS __n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS o_totalprice_cents_sum,
+       CAST(count(*) AS BIGINT) AS o_totalprice_cents_count
+FROM orders
+WHERE NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def incr_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: incremental aggregate maintenance
+    (operators/incremental.py) — the materialized-view pattern: build
+    the revenue-by-priority state over two thirds of orders, then fold
+    in ONE change batch (the remaining third as inserts, every fifth
+    base row as a CDC retraction carrying its original values) without
+    touching base rows. The oracle recomputes the aggregate over the
+    equivalent final row set, so the algebra (sign-folded partial aggs,
+    full-outer state merge, emptied-group drop) is value-checked
+    end-to-end."""
+    from whisper_pandas_spark.operators.incremental import (
+        agg_apply,
+        agg_state,
+    )
+
+    measures = {"o_totalprice_cents": ("sum", "count")}
+    orders = _table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice_cents",
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0)
+    state = agg_state(base, ("o_orderpriority",), measures)
+    inserts = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "__del", F.lit(False)
+    )
+    deletes = base.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "__del", F.lit(True)
+    )
+    cols = ["o_orderpriority", "o_totalprice_cents", "__del"]
+    changes = inserts.select(cols).unionByName(deletes.select(cols))
+    new_state = agg_apply(
+        state, changes, ("o_orderpriority",), measures, delete_col="__del"
+    )
+    return new_state.orderBy("o_orderpriority")
+
+
 # -- data-quality expectations report ---------------------------------------
 
 
