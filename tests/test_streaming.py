@@ -818,6 +818,60 @@ def test_stream_merge_no_checkpoint_restart_drops_nothing(spark, tmp_path):
     assert got == {1: "x", 2: "new"}
 
 
+def test_stream_sketch_update_exact_and_replay_safe(spark, tmp_path):
+    """Streaming quantile-sketch maintenance: final state equals the
+    batch sketch of all data regardless of micro-batch geometry; a
+    restart under the same checkpoint re-merges nothing (additive merge
+    + batch markers = exactly-once); checkpoint-less use refuses."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.operators.sketches import hist_shard_sketches
+    from whisper_pandas_spark.streaming.sketches import stream_sketch_update
+
+    rows = [(i, "g" + str(i % 2), i % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    src = tmp_path / "changes"
+    df.filter(F.col("id") < 150).coalesce(1).write.parquet(str(src / "f1"))
+    df.filter((F.col("id") >= 150) & (F.col("id") < 300)).coalesce(1).write.parquet(str(src / "f2"))
+    df.filter(F.col("id") >= 300).coalesce(1).write.parquet(str(src / "f3"))
+
+    base = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = (
+        spark.readStream.schema("id long, grp string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_sketch_update(sdf, base, ("grp",), "v", 0.0, 50.0, 50, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    cur = current_version_path(base)
+    assert Path(cur).name == "v2"  # one version per micro-batch
+    got = {r["grp"]: r["cnt"] for r in spark.read.parquet(cur).collect()}
+    want = {
+        r["grp"]: r["cnt"]
+        for r in hist_shard_sketches(df, ("grp",), "v", 0.0, 50.0, 50).collect()
+    }
+    assert got == want  # merged == whole-data sketch, element-wise exact
+
+    # restart under the same checkpoint: no new input -> state unchanged
+    q2 = stream_sketch_update(sdf, base, ("grp",), "v", 0.0, 50.0, 50, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert current_version_path(base) == cur
+    got2 = {r["grp"]: r["cnt"] for r in spark.read.parquet(cur).collect()}
+    assert got2 == want  # nothing double-counted
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="checkpoint_dir is required"):
+        stream_sketch_update(sdf, base, ("grp",), "v", 0.0, 50.0, 50, "")
+
+
 def test_stream_merge_out_of_order_batches_converge(spark, tmp_path):
     """The file source delivers f1 before f2 (mtime order); f1 carries
     the NEWER seqs. The seq-aware merge must not let f2's stale batch

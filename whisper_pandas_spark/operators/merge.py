@@ -169,8 +169,25 @@ def merge_into_parquet(
         else:
             new_state = merge_changes(table, changes, key_col, delete_col)
         next_n = int(Path(cur).name[1:]) + 1
-    new_dir = root / f"v{next_n}"
-    new_state.write.mode("errorifexists").parquet(str(new_dir))
+    return write_version(base, new_state, next_n, extra_files)
+
+
+def write_version(
+    base: str,
+    df: DataFrame,
+    version: int,
+    extra_files: dict[str, str] | None = None,
+) -> str:
+    """Write ``df`` as ``base/v<version>/`` and atomically flip the
+    ``_CURRENT`` pointer — the crash-safe full-write-then-flip step every
+    versioned state table here shares (MERGE above, the streaming sketch
+    sink). ``extra_files`` land in the version dir BEFORE the flip."""
+    from pathlib import Path
+
+    root = Path(base)
+    root.mkdir(parents=True, exist_ok=True)
+    new_dir = root / f"v{version}"
+    df.write.mode("errorifexists").parquet(str(new_dir))
     for name, content in (extra_files or {}).items():
         (new_dir / name).write_text(content)
     tmp = root / f"{_CURRENT}.tmp"

@@ -1603,6 +1603,80 @@ def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "q")
 
 
+# -- streaming sketch-table maintenance --------------------------------------
+
+_SSQ = (0.1, 0.5, 0.99)
+
+
+@_staged(
+    "stream_sketch_replay",
+    f"""
+WITH cnts AS (
+  SELECT lang, n_chars AS v, count(*) AS c
+  FROM documents GROUP BY lang, n_chars
+), cum AS (
+  SELECT lang, v,
+         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM cnts
+), qs AS (SELECT unnest([{", ".join(str(q) for q in _SSQ)}]) AS q)
+SELECT lang, q,
+       CAST(min(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= ceil(q * n) THEN v END) AS DOUBLE)
+         AS quantile
+FROM cum CROSS JOIN qs
+GROUP BY lang, q
+ORDER BY lang, q
+""",
+)
+def stream_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+: streaming quantile-sketch maintenance
+    (streaming/sketches.py:stream_sketch_update) replayed end-to-end —
+    `documents` split into two change files streams through foreachBatch
+    additive merges into the versioned sketch table (exactly-once via
+    checkpoint-scoped batch markers; a replayed batch would otherwise
+    double-count), then the final state is read back and quantiles
+    taken off the merged counts. Exact regime (width-1 bins over
+    integer n_chars), so the oracle recomputes the identical values
+    from raw data — proving batch sketching, element-wise merge,
+    version flips, AND the readout in one check."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.operators.sketches import hist_quantiles
+    from whisper_pandas_spark.streaming.sketches import stream_sketch_update
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = tempfile.mkdtemp(prefix="wps_sketchstream_")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{d}/changes/f1"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{d}/changes/f2"
+    )
+    sdf = (
+        spark.readStream.schema("doc_id long, lang string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/changes/*")
+    )
+    q = stream_sketch_update(
+        sdf,
+        f"{d}/state",
+        ("lang",),
+        "n_chars",
+        0.0,
+        float(_HQ_BINS),
+        _HQ_BINS,
+        checkpoint_dir=f"{d}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.parquet(current_version_path(f"{d}/state"))
+    return hist_quantiles(
+        state, ("lang",), _SSQ, 0.0, float(_HQ_BINS), _HQ_BINS
+    ).orderBy("lang", "q")
+
+
 # -- mergeable heavy-hitters sketch tables -----------------------------------
 
 _TK_K = 5

@@ -1,0 +1,97 @@
+"""Streaming sketch-table maintenance: keep a mergeable quantile sketch
+(operators/sketches.py histogram family) current from a stream.
+
+Each micro-batch is sketched on its own (one tiny histogram row per key
+group — the batch IS the shard) and merged element-wise into the
+versioned state table with the same full-write-then-flip discipline as
+the CDC sink (operators/merge.py:write_version). Because the merge is
+ADDITIVE, replaying a batch would double-count — unlike the seq-aware
+CDC merge there is no idempotence to fall back on — so a checkpoint is
+REQUIRED and the `_LAST_BATCH` marker short-circuit provides the
+standard exactly-once foreachBatch recipe (skip batch ids at or below
+the marker written with the version they produced).
+
+The payoff at 100 TB: the state is kilobytes per key group, every batch
+costs one partial aggregation over the BATCH, and any later consumer
+reads quantiles (hist_quantiles) off the merged counts without touching
+raw history — the streaming twin of the `sketch_quantile_rollup` entry,
+value-checked end-to-end by `stream_sketch_replay` (exact regime, so the
+final state equals the batch recompute bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def stream_sketch_update(
+    sdf: DataFrame,
+    base: str,
+    keys: tuple[str, ...],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    checkpoint_dir: str,
+):
+    """Start a streaming query maintaining a per-*keys* histogram sketch
+    table at ``base`` from the (keys..., value) stream ``sdf``. Returns
+    the StreamingQuery (caller awaits/stops); read the live state with
+    ``spark.read.parquet(current_version_path(base))`` and summarize it
+    with :func:`~whisper_pandas_spark.operators.sketches.hist_quantiles`.
+    """
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        write_version,
+    )
+    from whisper_pandas_spark.operators.sketches import (
+        hist_rollup,
+        hist_shard_sketches,
+    )
+
+    if not checkpoint_dir:
+        raise ValueError(
+            "checkpoint_dir is required: the sketch merge is additive, so "
+            "a replayed batch would double-count — batch-id dedup needs "
+            "durable batch numbering"
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = current_version_path(base)
+        next_version = 0
+        if cur is not None:
+            marker = Path(cur) / "_LAST_BATCH"
+            if marker.exists():
+                sid, _, last = marker.read_text().rpartition(":")
+                if sid == checkpoint_dir and int(last) >= batch_id:
+                    return  # replay of an already-merged batch
+            next_version = int(Path(cur).name[1:]) + 1
+        batch_sketch = hist_shard_sketches(
+            batch_df, keys, value_col, lo, hi, n_bins
+        )
+        if cur is None:
+            new_state = batch_sketch
+        else:
+            prior = batch_df.sparkSession.read.parquet(cur).select(
+                *keys, "cnt"
+            )
+            new_state = hist_rollup(
+                prior.unionByName(batch_sketch), keys
+            )
+        write_version(
+            base,
+            new_state,
+            next_version,
+            extra_files={"_LAST_BATCH": f"{checkpoint_dir}:{batch_id}"},
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
