@@ -366,3 +366,27 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ipv4",
         "n_phones",
     ).orderBy("doc_id")
+
+
+@register("text_unigram_tokenize")  # no SQL oracle: EM + Viterbi lattice
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: unigram-LM tokenizer (operators/unigram.py) trained
+    IN-ENGINE on `documents` (Kudo 2018 EM over segmentation lattices,
+    decimal-folded E-step, char-floor pruning), then the corpus token
+    budget under the fitted vocabulary. Deterministic on any
+    partitioning (asserted in tests/test_unigram.py), but EM + Viterbi
+    are not SQL-expressible, so the driver records the rows-only check —
+    the value-level verification lives in the pytest suite
+    (learned-piece segmentation, round-trips, repartition determinism)."""
+    from whisper_pandas_spark.operators.unigram import (
+        unigram_token_count,
+        unigram_train,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        docs, "text", vocab_size=64, max_piece_len=6, em_iters=2
+    )
+    return unigram_token_count(docs, "doc_id", "text", vocab).orderBy(
+        "doc_id"
+    )
