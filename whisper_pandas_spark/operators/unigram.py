@@ -55,7 +55,6 @@ def _seed_vocab(
     """(piece, cnt) — every substring of length <= max_piece_len of the
     corpus words, frequency-weighted, truncated to the top ``seed_size``
     by count with ALL single characters retained."""
-    w = F.substring(F.col("word"), 1, _MAX_WORD)
     subs = F.flatten(
         F.expr(
             f"""
