@@ -290,3 +290,111 @@ def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("event_id", "user_id", F.col("value_x").alias("value_asof"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_star_q10ish",
+    oracle="""
+SELECT c_custkey, any_value(n_name) AS nation,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) + 1e-9, 4)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def join_star_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style returned-item report: which customers returned
+    the most revenue — fact-fact join on the order key, nation dim
+    broadcast, per-customer aggregate, top-20. Revenue folds per-row
+    rounded values through DECIMAL(18,4) so the sum is exact and
+    partition-order independent (the 1e-9 nudge breaks half-cent
+    rounding ties identically on both engines)."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = F.broadcast(_table(spark, sf_dir, "nation"))
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) + F.lit(1e-9), 4
+    ).cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("n_name").alias("nation"),
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "join_star_q7ish",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) + 1e-9, 4)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS volume
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+""",
+)
+def join_star_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style volume-shipping report: cross-nation trade flows
+    per ship year. Both nation dims broadcast (aliased twice), the
+    lineitem-orders fact-fact join shuffles on the order key; the
+    n1 < n2 predicate keeps each unordered nation pair once. DECIMAL
+    revenue fold as in Q10."""
+    s = _table(spark, sf_dir, "supplier")
+    li = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        _table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        _table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) + F.lit(1e-9), 4
+    ).cast("decimal(18,4)")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
