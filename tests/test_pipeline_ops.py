@@ -178,6 +178,41 @@ def test_asof_subsecond_nearest_and_tolerance(spark):
     assert [r["value_asof"] for r in got_tol_ok] == [1.0]
 
 
+def test_asof_strict_exact_matches_excluded(spark):
+    """allow_exact_matches=False (pd.merge_asof parity): equal-ts right
+    rows are invisible in every direction, including the bucketed plan."""
+    from whisper_pandas_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 100, 1), ("a", 200, 2)], ["k", "ts", "id"]
+    )
+    right = spark.createDataFrame(
+        [("a", 50, 1.0), ("a", 100, 2.0), ("a", 200, 3.0), ("a", 250, 4.0)],
+        ["k", "ts", "value"],
+    )
+
+    def vals(**kw):
+        rows = asof_join(
+            left, right, on="k", value_cols=("value",), inner=False, **kw
+        ).collect()
+        return {r["id"]: r["value_asof"] for r in rows}
+
+    # backward strict: ts=100 -> 50's value, not the equal-ts row
+    assert vals(allow_exact_matches=False) == {1: 1.0, 2: 2.0}
+    assert vals() == {1: 2.0, 2: 3.0}  # default includes exact
+    # forward strict: ts=100 -> 200, ts=200 -> 250
+    assert vals(direction="forward", allow_exact_matches=False) == {
+        1: 3.0, 2: 4.0,
+    }
+    # nearest strict at ts=200: backward 100 (d=100) vs forward 250
+    # (d=50) -> forward
+    assert vals(direction="nearest", allow_exact_matches=False)[2] == 4.0
+    # bucketed strict plan row-identical to the sequential one
+    assert vals(allow_exact_matches=False, time_bucket_seconds=60) == {
+        1: 1.0, 2: 2.0,
+    }
+
+
 def test_asof_bucketed_timestamp_column(spark):
     """Bucketing works on TIMESTAMP ts columns (unix_timestamp path)."""
     from whisper_pandas_spark.operators.asof import asof_join

@@ -185,10 +185,11 @@ def test_merge_write_equals_one_shot(n_points, split, dup_every, agg):
     n_keys=st.integers(min_value=1, max_value=4),
     span=st.integers(min_value=10, max_value=5000),
     bucket=st.sampled_from([None, 7, 100]),
+    allow_exact=st.booleans(),
     data=st.data(),
 )
 def test_asof_join_matches_pandas_merge_asof(
-    spark, n_left, n_right, n_keys, span, bucket, data
+    spark, n_left, n_right, n_keys, span, bucket, allow_exact, data
 ):
     """asof_join (both the sequential and the skew-immune bucketed plan)
     must agree with pd.merge_asof(direction='backward') — the reference
@@ -216,7 +217,7 @@ def test_asof_join_matches_pandas_merge_asof(
     )
     got = asof_join(
         left, right, on="key", left_ts="ts", right_ts="ts",
-        time_bucket_seconds=bucket,
+        time_bucket_seconds=bucket, allow_exact_matches=allow_exact,
     ).collect()
 
     lpd = pd.DataFrame({"key": lk.astype("int64"), "ts": lt.astype("int64")})
@@ -225,7 +226,8 @@ def test_asof_join_matches_pandas_merge_asof(
         columns=["key", "ts", "value"],
     ).sort_values("ts")
     want = pd.merge_asof(
-        lpd.sort_values("ts"), rpd, on="ts", by="key", direction="backward"
+        lpd.sort_values("ts"), rpd, on="ts", by="key", direction="backward",
+        allow_exact_matches=allow_exact,
     ).dropna(subset=["value"])
 
     got_set = sorted((r["key"], r["ts"], r["value_asof"]) for r in got)

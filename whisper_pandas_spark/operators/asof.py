@@ -44,6 +44,7 @@ def asof_join(
     time_bucket_seconds: int | None = None,
     direction: str = "backward",
     tolerance_seconds: int | None = None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For each left row, attach the matching right row per key *on*:
     the most recent at-or-before its timestamp (``direction="backward"``,
@@ -56,8 +57,11 @@ def asof_join(
     Matches ``pd.merge_asof(..., direction="backward")`` / DuckDB
     ``ASOF JOIN ... ON l.ts >= r.ts`` semantics (ties: the right row at the
     exact same timestamp wins — in every direction, an equal-timestamp
-    right row IS the match at distance 0). ``inner=True`` drops left
-    rows with no match.
+    right row IS the match at distance 0). ``allow_exact_matches=False``
+    mirrors the pd.merge_asof parameter: matches must be STRICTLY
+    before (backward) / after (forward) the left timestamp — equal-ts
+    right rows are invisible. ``inner=True`` drops left rows with no
+    match.
 
     Non-backward directions and tolerance run on the one-window plan;
     combining them with ``time_bucket_seconds`` raises (for a hot-key
@@ -114,6 +118,15 @@ def asof_join(
     )
     u = l_tag.unionByName(r_tag)
 
+    # At equal timestamps the carry window must see right rows BEFORE the
+    # left row iff exact matches count — flip the side tie-break otherwise
+    # (left sorts first, so same-ts right rows stay outside its frame).
+    _tie = (
+        F.col("__is_left").asc()
+        if allow_exact_matches
+        else F.col("__is_left").desc()
+    )
+
     _ts_typed = isinstance(u.schema["__ts"].dataType, TimestampType)
 
     def _epoch(col: Column) -> Column:
@@ -130,12 +143,13 @@ def asof_join(
 
     if time_bucket_seconds is None:
         carried = u
-        # Right rows sort before left rows at equal timestamps → the
-        # equal-ts right row is a distance-0 match in EVERY direction.
+        # With exact matches allowed, right rows sort before left rows at
+        # equal timestamps → the equal-ts right row is a distance-0 match
+        # in EVERY direction; the strict variant flips the tie-break.
         if direction in ("backward", "nearest"):
             wb = (
                 Window.partitionBy("__k")
-                .orderBy("__ts", "__is_left")
+                .orderBy(F.col("__ts").asc(), _tie)
                 .rowsBetween(Window.unboundedPreceding, 0)
             )
             carried = carried.withColumn(
@@ -144,7 +158,7 @@ def asof_join(
         if direction in ("forward", "nearest"):
             wf = (
                 Window.partitionBy("__k")
-                .orderBy(F.col("__ts").desc(), "__is_left")
+                .orderBy(F.col("__ts").desc(), _tie)
                 .rowsBetween(Window.unboundedPreceding, 0)
             )
             carried = carried.withColumn(
@@ -193,7 +207,7 @@ def asof_join(
         #    so a hot key's rows split across its time range
         w1 = (
             Window.partitionBy("__k", "__b")
-            .orderBy("__ts", "__is_left")
+            .orderBy(F.col("__ts").asc(), _tie)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         within = u.withColumn(
