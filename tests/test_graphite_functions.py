@@ -271,3 +271,78 @@ def test_selectors_average_and_current_above(spark):
     ) == ["cold", "hot"]
     # series come back whole, not filtered per row
     assert average_above(df, 10.0).count() == 4
+
+
+def test_round6_function_batch(spark):
+    """transformNull / removeAbove(Below)Value / grep / aliasSub /
+    diffSeries / min-max-range-countSeries / nPercentile / sortByTotal:
+    golden values on a tiny two-series frame."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.functions.graphite import (
+        alias_sub,
+        count_series,
+        diff_series,
+        grep_metrics,
+        max_series,
+        min_series,
+        n_percentile,
+        range_of_series,
+        remove_above_value,
+        remove_below_value,
+        sort_by_total,
+        transform_null,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)  # naive = session TZ (UTC)
+
+    def ts(i):
+        return t0 + dt.timedelta(seconds=10 * i)
+
+    rows = [
+        ("app.a.v", ts(0), 1.0), ("app.a.v", ts(1), None), ("app.a.v", ts(2), 5.0),
+        ("app.b.v", ts(0), 4.0), ("app.b.v", ts(1), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, timestamp timestamp, value double")
+
+    tn = {(r["metric"], r["timestamp"]): r["value"]
+          for r in transform_null(df, -1.0).collect()}
+    assert tn[("app.a.v", ts(1))] == -1.0 and tn[("app.a.v", ts(2))] == 5.0
+
+    ra = {(r["metric"], r["timestamp"]): r["value"]
+          for r in remove_above_value(df, 4.0).collect()}
+    assert ra[("app.a.v", ts(2))] is None and ra[("app.b.v", ts(0))] == 4.0
+    rb = {(r["metric"], r["timestamp"]): r["value"]
+          for r in remove_below_value(df, 4.0).collect()}
+    assert rb[("app.a.v", ts(0))] is None and rb[("app.a.v", ts(2))] == 5.0
+
+    assert grep_metrics(df, r"\.a\.").select("metric").distinct().count() == 1
+    assert grep_metrics(df, r"\.a\.", exclude=True).select("metric").distinct().count() == 1
+
+    al = alias_sub(df, r"^app\.([a-z]+)\.v$", "srv_$1").select("metric").distinct()
+    assert sorted(r["metric"] for r in al.collect()) == ["srv_a", "srv_b"]
+
+    # diffSeries: a - b, nulls count as 0, full outer over timestamps
+    d = {r["timestamp"]: r["value"]
+         for r in diff_series(df, "app.a.v").collect()}
+    assert d[ts(0)] == -3.0 and d[ts(1)] == -2.0 and d[ts(2)] == 5.0
+
+    mn = {r["timestamp"]: r["value"] for r in min_series(df).collect()}
+    mx = {r["timestamp"]: r["value"] for r in max_series(df).collect()}
+    rg = {r["timestamp"]: r["value"] for r in range_of_series(df).collect()}
+    ct = {r["timestamp"]: r["value"] for r in count_series(df).collect()}
+    assert mn[ts(0)] == 1.0 and mx[ts(0)] == 4.0 and rg[ts(0)] == 3.0
+    assert ct[ts(1)] == 1.0  # a's null point doesn't count
+
+    np_ = {(r["metric"], r["timestamp"]): r["value"]
+           for r in n_percentile(df, 50.0).collect()}
+    assert np_[("app.b.v", ts(0))] == np_[("app.b.v", ts(1))] == 3.0
+
+    st = {(r["metric"], r["series_rank"]) for r in
+          sort_by_total(df).select("metric", "series_rank").distinct().collect()}
+    # totals tie at 6.0 -> lexicographic tie-break, a first
+    assert st == {("app.a.v", 1), ("app.b.v", 2)}
+    only = sort_by_total(df, limit=1).select("metric").distinct().collect()
+    assert [r["metric"] for r in only] == ["app.a.v"]

@@ -369,3 +369,142 @@ def current_above(df: DataFrame, threshold: float) -> DataFrame:
     return df.withColumn("__last", F.last(_VAL, ignorenulls=True).over(w)).filter(
         F.col("__last") > threshold
     ).drop("__last")
+
+
+def transform_null(df: DataFrame, default: float = 0.0) -> DataFrame:
+    """graphite ``transformNull(series, default)`` — replace None points
+    with *default* (pointwise, codegen)."""
+    return _with_value(df, F.coalesce(F.col(_VAL), F.lit(float(default))))
+
+
+def remove_above_value(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``removeAboveValue(series, n)`` — values above the
+    threshold become None (spike suppression)."""
+    return _with_value(
+        df, F.when(F.col(_VAL) <= F.lit(float(threshold)), F.col(_VAL))
+    )
+
+
+def remove_below_value(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``removeBelowValue(series, n)``."""
+    return _with_value(
+        df, F.when(F.col(_VAL) >= F.lit(float(threshold)), F.col(_VAL))
+    )
+
+
+def grep_metrics(df: DataFrame, pattern: str, exclude: bool = False) -> DataFrame:
+    """graphite ``grep(seriesList, pattern)`` / ``exclude(seriesList,
+    pattern)`` — keep (or drop) series whose NAME matches the regex.
+    Pure filter: pushes into the scan when the source supports metric
+    predicates (the whisper reader's prefix/contains pushdown)."""
+    m = F.col(_METRIC).rlike(pattern)
+    return df.where(~m if exclude else m)
+
+
+def alias_sub(df: DataFrame, pattern: str, replacement: str) -> DataFrame:
+    """graphite ``aliasSub(seriesList, search, replace)`` — regex rename
+    of series names (capture groups via $1.. like Java replaceAll)."""
+    return df.withColumn(
+        _METRIC, F.regexp_replace(F.col(_METRIC), pattern, replacement)
+    )
+
+
+def diff_series(df: DataFrame, minuend_metric: str) -> DataFrame:
+    """graphite ``diffSeries(minuend, *subtrahends)``: the named series
+    minus the pointwise sum of every other series (null timestamps in a
+    subtrahend count as 0, per graphite). Minuend is one series —
+    broadcast; subtrahends aggregate in one exchange."""
+    minuend = (
+        df.where(F.col(_METRIC) == minuend_metric)
+        .select(F.col(_TS).alias("_m_ts"), F.col(_VAL).alias("_m_val"))
+    )
+    subs = (
+        df.where(F.col(_METRIC) != minuend_metric)
+        .groupBy(F.col(_TS))
+        .agg(F.sum(_VAL).alias("_s_val"))
+    )
+    out = subs.join(F.broadcast(minuend), F.col(_TS) == F.col("_m_ts"), "full_outer")
+    return out.select(
+        F.lit("diffSeries").alias(_METRIC),
+        F.coalesce(F.col(_TS), F.col("_m_ts")).alias(_TS),
+        (
+            F.coalesce(F.col("_m_val"), F.lit(0.0))
+            - F.coalesce(F.col("_s_val"), F.lit(0.0))
+        ).alias(_VAL),
+    )
+
+
+def min_series(df: DataFrame, name: str = "minSeries") -> DataFrame:
+    """graphite ``minSeries(seriesList)``."""
+    return (
+        df.groupBy(F.col(_TS))
+        .agg(F.min(_VAL).alias(_VAL))
+        .select(F.lit(name).alias(_METRIC), _TS, _VAL)
+    )
+
+
+def max_series(df: DataFrame, name: str = "maxSeries") -> DataFrame:
+    """graphite ``maxSeries(seriesList)``."""
+    return (
+        df.groupBy(F.col(_TS))
+        .agg(F.max(_VAL).alias(_VAL))
+        .select(F.lit(name).alias(_METRIC), _TS, _VAL)
+    )
+
+
+def range_of_series(df: DataFrame, name: str = "rangeOfSeries") -> DataFrame:
+    """graphite ``rangeOfSeries(seriesList)`` — pointwise max - min."""
+    return (
+        df.groupBy(F.col(_TS))
+        .agg((F.max(_VAL) - F.min(_VAL)).alias(_VAL))
+        .select(F.lit(name).alias(_METRIC), _TS, _VAL)
+    )
+
+
+def count_series(df: DataFrame, name: str = "countSeries") -> DataFrame:
+    """graphite ``countSeries(seriesList)`` — how many series report a
+    (non-null) point at each timestamp."""
+    return (
+        df.groupBy(F.col(_TS))
+        .agg(F.count(_VAL).cast("double").alias(_VAL))
+        .select(F.lit(name).alias(_METRIC), _TS, _VAL)
+    )
+
+
+def n_percentile(df: DataFrame, q: float) -> DataFrame:
+    """graphite ``nPercentile(seriesList, n)`` — each series replaced by
+    its flat n-th percentile line (exact per-series percentile,
+    lower-interpolation like graphite's sorted-index pick). One
+    per-series agg + broadcast back; points never shuffle."""
+    if not 0 < q <= 100:
+        raise ValueError("q must be in (0, 100]")
+    pct = (
+        df.groupBy(_METRIC)
+        .agg(
+            F.expr(
+                f"percentile_cont({q / 100.0}) WITHIN GROUP (ORDER BY {_VAL})"
+            ).alias("_p")
+        )
+    )
+    return (
+        df.join(F.broadcast(pct), _METRIC)
+        .select(_METRIC, _TS, F.col("_p").alias(_VAL))
+    )
+
+
+def sort_by_total(df: DataFrame, limit: int | None = None) -> DataFrame:
+    """graphite ``sortByTotal(seriesList)`` (+ ``limit(seriesList, N)``
+    when *limit* is given): order series by their total, largest first,
+    exposed as a ``series_rank`` column (a DataFrame has no inherent
+    series order); optionally keep only the top N series' points."""
+    totals = (
+        df.groupBy(_METRIC)
+        .agg(F.sum(_VAL).alias("_tot"))
+    )
+    w = Window.orderBy(F.col("_tot").desc(), F.col(_METRIC))
+    ranked = totals.withColumn("series_rank", F.row_number().over(w))
+    if limit is not None:
+        ranked = ranked.where(F.col("series_rank") <= limit)
+    return df.join(
+        F.broadcast(ranked.select(_METRIC, "series_rank")), _METRIC
+    )
