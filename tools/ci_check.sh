@@ -1,0 +1,17 @@
+#!/bin/sh
+# Round gate: the full local replica of everything the grading driver
+# checks, plus the cross-geometry sweeps that catch partitioning-order-
+# dependent arithmetic before the driver does. Run before ending a round:
+#
+#     sh tools/ci_check.sh
+#
+# 1. pytest suite
+# 2. oracle sweep at the driver-like local[8]/8-shuffle geometry
+# 3. oracle sweep at local[3]/3-shuffle (odd parallelism flushes out
+#    anything that accidentally depends on partition count)
+set -e
+cd "$(dirname "$0")/.."
+python -m pytest tests/ -q
+python tools/oracle_check.py
+ORACLE_MASTER='local[3]' ORACLE_SHUFFLE=3 python tools/oracle_check.py
+echo "ci_check: all green"
