@@ -320,3 +320,65 @@ def test_pagerank_checkpointed_plan_constant_in_iters(spark):
         return plan.count("Exchange")
 
     assert n_exchanges(2) == n_exchanges(6) == 0  # checkpointed leaf only
+
+
+def test_incremental_agg_apply_plan_shape(spark):
+    """agg_apply: the change batch partial-aggregates before the ONE
+    key join with state; no broadcast of the (potentially huge) state,
+    no extra shuffles beyond the two aggs + join."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.incremental import (
+        agg_apply,
+        agg_state,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").cast("double").alias("x")
+    )
+    state = agg_state(df, ("k",), {"x": ("sum", "count")})
+    changes = df.limit(100).withColumn("d", F.lit(False))
+    plan = formatted_plan(
+        agg_apply(state, changes, ("k",), {"x": ("sum", "count")}, "d")
+    )
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 4, plan[:2000]
+    assert plan.count("HashAggregate") >= 4  # partial+final for both sides
+
+
+def test_topk_sketch_build_single_corpus_exchange(spark):
+    """topk_shard_sketches: the only corpus-keyed exchange is the
+    (keys, item) partial aggregation; everything after runs on the
+    aggregated (group, item) rows."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.sketches import topk_shard_sketches
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 40).alias("item")
+    )
+    plan = formatted_plan(topk_shard_sketches(df, ("g",), "item", 10))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 3, plan[:2000]
+    assert "partial_count" in plan  # map-side combine on the corpus agg
+
+
+def test_image_features_is_scan_shaped(spark):
+    """image_features: mapInPandas over the scan — zero exchanges, the
+    payload bytes never shuffle."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.multimodal import image_features
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.lit("P5\n2 2\n255\nabcd"), "utf-8").alias("payload"),
+    )
+    plan = formatted_plan(image_features(df, "doc_id"))
+    assert not re.search(r"\(\d+\) Exchange", plan), plan[:1500]
