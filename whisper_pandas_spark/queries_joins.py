@@ -398,3 +398,64 @@ def join_star_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("volume"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+@register(
+    "join_q17ish_correlated_agg",
+    oracle="""
+WITH lim AS (
+  SELECT l_partkey AS pk,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE)
+                / count(l_quantity)) AS qty_lim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT any_value(1) AS grp,
+       CAST(count(*) AS BIGINT) AS n_small_orders,
+       CAST(sum(CAST(round(l_extendedprice + 1e-9, 4)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN lim ON pk = l_partkey
+WHERE p_brand = 'Brand#4' AND l_quantity < qty_lim
+""",
+)
+def join_q17ish_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style correlated-aggregate join: lineitems whose
+    quantity is below 20% of their part's average — the decorrelated
+    shape (per-part average as a derived table joined back on the
+    fact key), which is exactly how Catalyst rewrites the correlated
+    scalar subquery. The part-brand filter broadcasts; the per-part
+    averages fold through DECIMAL (exact quotient inputs) and the
+    revenue through per-row-rounded DECIMAL(18,4), so both engines
+    agree bit-for-bit."""
+    li = _table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    )
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(38,12)")).cast(
+                    "double"
+                )
+                / F.count("l_quantity")
+            )
+        ).alias("qty_lim")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(lim, li.l_partkey == lim.pk)
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.any_value(F.lit(1)).alias("grp"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+            F.sum(
+                F.round(F.col("l_extendedprice") + F.lit(1e-9), 4).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
