@@ -1079,3 +1079,56 @@ def test_incremental_agg_matches_rebuild_and_is_associative(spark):
         agg_state(base, ("k",), {})
     with _pt.raises(ValueError):
         agg_state(base, ("k",), {"x": ("median",)})
+
+
+def test_logreg_softsign_separable_and_deterministic(spark):
+    """The in-engine classifier learns a separable rule, is independent
+    of partitioning (decimal gradient folds), and matches an
+    independent numpy replay of the identical update rule."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(400, 2))
+    y = (x[:, 0] + 0.5 * x[:, 1] > 0).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(t)) for (a, b), t in zip(x, y)],
+        "x0 double, x1 double, y double",
+    )
+    w = logreg_train(df, ["x0", "x1"], "y", iters=12, lr=2.0)
+    scored = logreg_score(df, w, ["x0", "x1"])
+    acc = scored.filter(
+        (F.col("pred") & (F.col("y") == 1.0))
+        | (~F.col("pred") & (F.col("y") == 0.0))
+    ).count() / 400.0
+    assert acc > 0.93, (acc, w)
+
+    # partitioning independence, bit-for-bit
+    w2 = logreg_train(df.repartition(13), ["x0", "x1"], "y", iters=12, lr=2.0)
+    assert w == w2
+
+    # independent numpy replay of the documented update rule
+    wn = np.zeros(3)
+    n = len(y)
+    for _ in range(12):
+        m = x[:, 0] * wn[0] + x[:, 1] * wn[1] + wn[2]
+        p = 0.5 * (1 + m / (1 + np.abs(m)))
+        err = p - y
+        g = [float((err * x[:, 0]).sum()), float((err * x[:, 1]).sum()),
+             float(err.sum())]
+        wn = np.array([wn[j] - 2.0 * g[j] / n for j in range(3)])
+    assert np.allclose(w, wn, atol=1e-9), (w, wn.tolist())
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        logreg_train(df, [], "y")
+    with _pt.raises(ValueError):
+        logreg_train(df, ["x0"], "y", iters=0)
+    with _pt.raises(ValueError, match="empty"):
+        logreg_train(df.limit(0), ["x0"], "y")

@@ -1776,6 +1776,78 @@ def incr_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_state.orderBy("o_orderpriority")
 
 
+# -- in-engine trainable quality classifier ----------------------------------
+
+_CLF_ITERS = 6
+_CLF_LR = 1.0
+_CLF_FEATS_CTE = """feats AS (
+  SELECT doc_id,
+         n_chars / 400.0 AS x0,
+         (length(text) - length(replace(text, ' ', ''))) / length(text) AS x1,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+)"""
+
+
+def _clf_oracle() -> str:
+    from whisper_pandas_spark.operators.classifier import training_replay_sql
+
+    chain = training_replay_sql(
+        _CLF_FEATS_CTE, ["x0", "x1"], "y", _CLF_ITERS, _CLF_LR
+    )
+    m = "w.w0 * f.x0 + w.w1 * f.x1 + w.wb"
+    p = f"(0.5 * (1.0 + ({m}) / (1.0 + abs({m}))))"
+    return f"""{chain}
+SELECT f.doc_id,
+       round(({m}) + 1e-9, 6) AS margin,
+       round({p} + 1e-9, 6) AS prob,
+       ({m}) >= 0 AS pred,
+       f.y AS label
+FROM feats f CROSS JOIN w{_CLF_ITERS}_ w
+ORDER BY f.doc_id
+"""
+
+
+@_staged("text_quality_classifier", _clf_oracle())
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: the in-engine TRAINABLE quality gate
+    (operators/classifier.py) — a softsign-link linear classifier fit
+    by full-batch gradient descent on two codegen features (length
+    ratio, space ratio) against an is-English label, then scored over
+    the corpus. The oracle replays the ENTIRE training trajectory in
+    unrolled SQL CTEs (the k-means/PQ recipe): softsign avoids exp's
+    cross-libm last-ulp drift, gradient sums fold through DECIMAL, and
+    the margin's addition order is part of the contract — so weights,
+    margins, and probabilities agree bit-for-bit."""
+    from whisper_pandas_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        (F.col("n_chars") / F.lit(400.0)).alias("x0"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, ' ', '')")))
+            / F.length("text")
+        ).alias("x1"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+            "y"
+        ),
+    )
+    w = logreg_train(feats, ["x0", "x1"], "y", iters=_CLF_ITERS, lr=_CLF_LR)
+    scored = logreg_score(feats, w, ["x0", "x1"])
+    eps = F.lit(1e-9)
+    return scored.select(
+        "doc_id",
+        F.round(F.col("margin") + eps, 6).alias("margin"),
+        F.round(F.col("prob") + eps, 6).alias("prob"),
+        "pred",
+        F.col("y").alias("label"),
+    ).orderBy("doc_id")
+
+
 # -- data-quality expectations report ---------------------------------------
 
 
