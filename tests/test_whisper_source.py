@@ -185,6 +185,25 @@ def test_cli(fixtures, capsys):
     assert "archive_count:       3" in capsys.readouterr().out
 
 
+def test_cli_convert_materializes_parquet(spark, fixtures, tmp_path, capsys):
+    """`convert` writes metric-partitioned parquet equal to the scan."""
+    from whisper_pandas_spark.cli import main
+    from whisper_pandas_spark.sources.whisper import register_whisper
+
+    d, _ = fixtures
+    out = str(tmp_path / "pq")
+    main(["convert", str(d / "sensors"), out])
+    text = capsys.readouterr().out
+    assert "wrote" in text and "partitioned by metric" in text
+    register_whisper(spark)
+    scan_n = (
+        spark.read.format("whisper").load(str(d / "sensors")).count()
+    )
+    pq = spark.read.parquet(out)
+    assert pq.count() == scan_n
+    assert "metric" in pq.columns
+
+
 def test_cli_no_args_usage(capsys):
     """Bare invocation prints usage and exits 2 (no AttributeError)."""
     import pytest
