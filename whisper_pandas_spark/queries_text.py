@@ -390,3 +390,53 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_token_count(docs, "doc_id", "text", vocab).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS y
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (w / (s * 1.0)) - 84.6 * (y / (w * 1.0))
+             + 1e-9, 4) AS flesch
+FROM c ORDER BY doc_id
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: Flesch reading-ease scoring — the classic readability gate
+    (public formula, 1948): 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), with syllables approximated by vowel-group
+    runs (the standard heuristic when no dictionary is allowed). All
+    three counts are exact regexp_count integers, the formula is one
+    deterministic double expression mirrored by the oracle, and
+    everything is codegen — one scan, zero Python."""
+    docs = _table(spark, sf_dir, "documents")
+    w = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+")), F.lit(1)
+    )
+    s = F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1))
+    y = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    out = docs.select(
+        "doc_id",
+        w.cast("bigint").alias("n_words"),
+        s.cast("bigint").alias("n_sentences"),
+        y.cast("bigint").alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / (F.col("n_sentences") * F.lit(1.0)))
+        - F.lit(84.6) * (F.col("n_syllables") / (F.col("n_words") * F.lit(1.0)))
+        + F.lit(1e-9)
+    )
+    return out.withColumn("flesch", F.round(flesch, 4)).orderBy("doc_id")
