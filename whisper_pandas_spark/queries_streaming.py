@@ -225,3 +225,105 @@ def stream_near_dup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_i", "doc_j", "jaccard")
         .orderBy("doc_i", "doc_j")
     )
+
+
+_EW_SINK = "stream_ewma_replay_sink"
+_EW_ALPHA = 0.25  # exact binary: 1 - alpha = 0.75 is exact too
+_EW_BASE = 1_700_000_000
+_EW_CAP = 400  # points per metric (bounds the oracle's O(n^2) prefix folds)
+
+_EW_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type AS metric,
+         {_EW_BASE} + 10 * row_number() OVER (PARTITION BY event_type
+                                              ORDER BY event_id) AS epoch,
+         round(value, 6) AS value
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+          <= {_EW_CAP}
+), arrs AS (
+  SELECT metric,
+         list(value ORDER BY epoch) AS vs,
+         list(epoch ORDER BY epoch) AS es
+  FROM pts GROUP BY metric
+), ew AS (
+  SELECT metric, es, vs,
+         list_transform(range(1, len(vs) + 1),
+           i -> list_reduce(list_slice(vs, 1, i),
+                            (acc, x) -> {_EW_ALPHA} * x
+                                        + {1.0 - _EW_ALPHA} * acc)) AS ems
+  FROM arrs
+)
+SELECT metric,
+       CAST(unnest(es) AS BIGINT) AS epoch,
+       unnest(vs) AS value,
+       round(unnest(ems) + 1e-9, 6) AS ewma
+FROM ew ORDER BY metric, epoch
+"""
+
+
+@register("stream_ewma_replay", oracle=_EW_ORACLE)
+def stream_ewma_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ST3 driver-visible row: the applyInPandasWithState per-key
+    EWMA (streaming/stateful.py) replayed end-to-end with a FULL value
+    oracle. A deterministic per-metric time ramp from `events` is
+    written as two time-ordered files and streamed one file per
+    micro-batch, so state genuinely carries the running EWMA ACROSS
+    batches; the oracle replays the sequential fold per point with
+    DuckDB prefix list_reduce (alpha = 0.25 exactly representable, the
+    fold's multiply-add order mirrored operation-for-operation)."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from whisper_pandas_spark.streaming.stateful import streaming_ewma
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    pts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EW_CAP)
+        .select(
+            F.col("event_type").alias("metric"),
+            F.timestamp_seconds(F.lit(_EW_BASE) + 10 * F.col("rn")).alias(
+                "timestamp"
+            ),
+            F.round("value", 6).alias("value"),
+            "rn",
+        )
+    )
+    d = tempfile.mkdtemp(prefix="wps_ewma_replay_")
+    pts.filter(F.col("rn") <= _EW_CAP // 2).drop("rn").coalesce(
+        1
+    ).write.parquet(f"{d}/src/f1")
+    pts.filter(F.col("rn") > _EW_CAP // 2).drop("rn").coalesce(
+        1
+    ).write.parquet(f"{d}/src/f2")
+    sdf = (
+        spark.readStream.schema(
+            "metric string, timestamp timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/src/*")
+    )
+    out = streaming_ewma(sdf, alpha=_EW_ALPHA)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_EW_SINK)
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.table(_EW_SINK)
+        .select(
+            "metric",
+            F.unix_timestamp("timestamp").alias("epoch"),
+            "value",
+            F.round(F.col("ewma") + F.lit(1e-9), 6).alias("ewma"),
+        )
+        .orderBy("metric", "epoch")
+    )
