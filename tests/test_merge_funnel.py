@@ -193,3 +193,95 @@ def test_vacuum_versions_keeps_live_and_recent(spark, tmp_path):
 
     with _pt.raises(ValueError):
         vacuum_versions(base, keep_last=0)
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """Manifest CoW: a merge writes data ONLY for partitions its batch
+    touches; untouched partitions stay served by their old version dirs
+    (zero copy); state equals the unpartitioned merge; emptied
+    partitions vanish; vacuum never deletes a referenced version."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        merge_into_parquet_partitioned,
+        read_current_state_partitioned,
+        vacuum_partitioned,
+    )
+
+    base = str(tmp_path / "t")
+    schema = "k long, p string, v string, del boolean"
+    init = spark.createDataFrame(
+        [(1, "a", "a1", False), (2, "a", "a2", False),
+         (3, "b", "b1", False), (4, "c", "c1", False)],
+        schema,
+    )
+    merge_into_parquet_partitioned(spark, base, init, "k", "p", delete_col="del")
+    v0 = Path(current_version_path(base))
+    assert v0.name == "v0"
+    assert {d.name for d in (v0 / "data").glob("p=*")} == {"p=a", "p=b", "p=c"}
+
+    # batch touching only partition a (update k=1, delete k=2)
+    c1 = spark.createDataFrame(
+        [(1, "a", "a1x", False), (2, "a", None, True)], schema
+    )
+    merge_into_parquet_partitioned(spark, base, c1, "k", "p", delete_col="del")
+    v1 = Path(current_version_path(base))
+    # ONLY partition a written in v1; b and c still served from v0
+    assert {d.name for d in (v1 / "data").glob("p=*")} == {"p=a"}
+    state = read_current_state_partitioned(spark, base, "p", delete_col="del")
+    got = {(r["k"], r["p"], r["v"]) for r in state.collect()}
+    assert got == {(1, "a", "a1x"), (3, "b", "b1"), (4, "c", "c1")}
+
+    # deleting partition b's only key removes b from the manifest
+    c2 = spark.createDataFrame([(3, "b", None, True)], schema)
+    merge_into_parquet_partitioned(spark, base, c2, "k", "p", delete_col="del")
+    state2 = read_current_state_partitioned(spark, base, "p", delete_col="del")
+    assert {r["p"] for r in state2.collect()} == {"a", "c"}
+
+    # vacuum(keep_last=1): v0 is OLD but still referenced (serves c) ->
+    # must survive; nothing referenced may vanish
+    removed = vacuum_partitioned(base, keep_last=1)
+    assert str(v0) not in removed
+    state3 = read_current_state_partitioned(spark, base, "p", delete_col="del")
+    assert {(r["k"], r["v"]) for r in state3.collect()} == {
+        (1, "a1x"), (4, "c1"),
+    }
+
+    import pytest as _pt
+
+    bad = spark.createDataFrame([(9, None, "x", False)], schema)
+    with _pt.raises(ValueError, match="null p"):
+        merge_into_parquet_partitioned(spark, base, bad, "k", "p", delete_col="del")
+
+
+def test_partitioned_merge_seq_aware_cdc(spark, tmp_path):
+    """Sequence-aware partitioned merge: out-of-order batches converge,
+    tombstones persist within their partition."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.merge import (
+        merge_into_parquet_partitioned,
+        read_current_state_partitioned,
+    )
+
+    base = str(tmp_path / "cdc")
+    schema = "k long, p string, v string, seq long, del boolean"
+    late = spark.createDataFrame([(1, "a", "old", 1, False)], schema)
+    early = spark.createDataFrame(
+        [(1, "a", "new", 5, False), (2, "b", "x", 3, False)], schema
+    )
+    # apply the NEWER batch first, then the stale one
+    merge_into_parquet_partitioned(
+        spark, base, early, "k", "p", delete_col="del", seq_col="seq"
+    )
+    merge_into_parquet_partitioned(
+        spark, base, late, "k", "p", delete_col="del", seq_col="seq"
+    )
+    state = read_current_state_partitioned(
+        spark, base, "p", delete_col="del", seq_col="seq"
+    )
+    got = {(r["k"], r["v"]) for r in state.collect()}
+    assert got == {(1, "new"), (2, "x")}  # stale batch could not regress

@@ -245,3 +245,198 @@ def vacuum_versions(base: str, keep_last: int = 2) -> list[str]:
             shutil.rmtree(d)
             removed.append(str(d))
     return removed
+
+
+# -- partitioned copy-on-write MERGE (bounded rewrite amplification) --------
+#
+# The plain versioned MERGE above rewrites the WHOLE table per version —
+# correct, but at 100 TB the rewrite amplification is the bill. The
+# partitioned variant keeps a per-version _MANIFEST.json mapping every
+# live partition value to the VERSION DIRECTORY that holds its current
+# data: a merge rewrites only the partitions its change batch touches and
+# re-points everything else at the prior versions' files (zero copy, zero
+# I/O for untouched partitions) — the Delta/Iceberg manifest idea on
+# plain parquet. The same write-new-then-flip pointer discipline makes
+# every version atomic; `vacuum_partitioned` deletes only versions no
+# retained manifest references.
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _read_manifest(version_dir: str) -> dict[str, str]:
+    import json
+    from pathlib import Path
+
+    p = Path(version_dir) / _MANIFEST
+    if not p.exists():
+        raise FileNotFoundError(
+            f"{version_dir} is not a partitioned-merge version (no {_MANIFEST})"
+        )
+    return json.loads(p.read_text())
+
+
+def _read_parts(
+    spark: SparkSession, base: str, manifest: dict[str, str], part_col: str,
+    parts: list[str] | None = None,
+) -> DataFrame | None:
+    """Union the live data of ``parts`` (default: all) across the version
+    dirs the manifest points at — one read per involved VERSION with an
+    explicit subdir list + basePath, so the partition column
+    reconstitutes and only the named directories are listed."""
+    from pathlib import Path
+
+    wanted = manifest if parts is None else {
+        p: v for p, v in manifest.items() if p in parts
+    }
+    by_version: dict[str, list[str]] = {}
+    for pval, vname in wanted.items():
+        by_version.setdefault(vname, []).append(pval)
+    out = None
+    for vname, pvals in sorted(by_version.items()):
+        data = Path(base) / vname / "data"
+        paths = [str(data / f"{part_col}={pv}") for pv in sorted(pvals)]
+        df = spark.read.option("basePath", str(data)).parquet(*paths)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def merge_into_parquet_partitioned(
+    spark: SparkSession,
+    base: str,
+    changes: DataFrame,
+    key_col: str,
+    part_col: str,
+    delete_col: str | None = None,
+    seq_col: str | None = None,
+) -> str:
+    """Partitioned MERGE: apply ``changes`` (which carry ``part_col``)
+    rewriting ONLY the touched partitions; untouched partitions are
+    re-pointed via the manifest. Same update/insert/delete (or
+    sequence-aware tombstone) semantics as :func:`merge_into_parquet`;
+    keys must not move between partitions (partition value is part of
+    the key's identity — the standard partitioned-table contract).
+    Null partition values are rejected. Returns the new version dir.
+    """
+    import json
+    from pathlib import Path
+
+    if changes.where(F.col(part_col).isNull()).limit(1).count():
+        raise ValueError(f"null {part_col} partition values are not supported")
+    root = Path(base)
+    root.mkdir(parents=True, exist_ok=True)
+    cur = current_version_path(base)
+    manifest = _read_manifest(cur) if cur is not None else {}
+    next_n = 0 if cur is None else int(Path(cur).name[1:]) + 1
+    vname = f"v{next_n}"
+
+    changed = [
+        str(r[part_col])
+        for r in changes.select(part_col).distinct().collect()
+    ]
+    prior = (
+        _read_parts(spark, base, manifest, part_col, changed)
+        if any(p in manifest for p in changed)
+        else None
+    )
+    if seq_col is not None:
+        empty = changes.limit(0)
+        new_state = merge_changes_ordered(
+            prior if prior is not None else empty,
+            changes,
+            key_col,
+            seq_col,
+        )
+    else:
+        if prior is None:
+            new_state = (
+                changes.where(~F.coalesce(F.col(delete_col), F.lit(False)))
+                .drop(delete_col)
+                if delete_col is not None
+                else changes
+            )
+        else:
+            new_state = merge_changes(prior, changes, key_col, delete_col)
+
+    new_dir = root / vname
+    (
+        new_state.write.mode("errorifexists")
+        .partitionBy(part_col)
+        .parquet(str(new_dir / "data"))
+    )
+    # partitions whose merged state is empty vanish from the manifest
+    # (partitionBy writes no dir for them)
+    written = {
+        d.name.split("=", 1)[1]
+        for d in (new_dir / "data").glob(f"{part_col}=*")
+        if d.is_dir()
+    }
+    new_manifest = {
+        p: v for p, v in manifest.items() if p not in set(changed)
+    }
+    for p in written:
+        new_manifest[p] = vname
+    (new_dir / _MANIFEST).write_text(json.dumps(new_manifest, sort_keys=True))
+    tmp = root / f"{_CURRENT}.tmp"
+    tmp.write_text(vname)
+    tmp.replace(root / _CURRENT)
+    return str(new_dir)
+
+
+def read_current_state_partitioned(
+    spark: SparkSession,
+    base: str,
+    part_col: str,
+    delete_col: str | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Live state of a partitioned-merge table: manifest-resolved union
+    of every partition's current data, tombstones and sequence
+    bookkeeping hidden (same contract as :func:`read_current_state`)."""
+    cur = current_version_path(base)
+    if cur is None:
+        raise FileNotFoundError(f"no current version under {base}")
+    df = _read_parts(spark, base, _read_manifest(cur), part_col)
+    if df is None:
+        raise FileNotFoundError(f"empty manifest under {cur}")
+    if delete_col is not None and delete_col in df.columns:
+        df = df.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    if seq_col is not None and seq_col in df.columns:
+        df = df.drop(seq_col)
+    return df
+
+
+def vacuum_partitioned(base: str, keep_last: int = 2) -> list[str]:
+    """Vacuum for partitioned-merge tables: a version dir may only be
+    deleted when NO retained manifest (the newest ``keep_last``, always
+    including the live one) references it — unlike
+    :func:`vacuum_versions`, age alone is not sufficient, because old
+    versions keep serving untouched partitions."""
+    import shutil
+    from pathlib import Path
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    root = Path(base)
+    cur = current_version_path(base)
+    versions = sorted(
+        (d for d in root.glob("v*") if d.is_dir() and d.name[1:].isdigit()),
+        key=lambda d: int(d.name[1:]),
+    )
+    retained = {str(d) for d in versions[-keep_last:]}
+    if cur is not None:
+        retained.add(cur)
+    referenced: set[str] = set()
+    for d in versions:
+        if str(d) in retained:
+            referenced.update(
+                str(root / v) for v in _read_manifest(str(d)).values()
+            )
+    keep = retained | referenced
+    removed = []
+    for d in versions:
+        if str(d) not in keep:
+            shutil.rmtree(d)
+            removed.append(str(d))
+    return removed

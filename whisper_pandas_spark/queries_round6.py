@@ -490,6 +490,104 @@ def merge_upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+@_staged(
+    "merge_partitioned_manifest",
+    """
+WITH base AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 <> 0
+), changes AS (
+  SELECT doc_id, lang, n_chars + 10000 AS n_chars, false AS is_delete
+  FROM documents WHERE doc_id % 5 = 0 AND lang = 'en'
+  UNION ALL
+  SELECT doc_id, lang, NULL, true
+  FROM base WHERE lang = 'en' AND doc_id % 3 = 0
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT b.doc_id, b.lang, b.n_chars FROM base b
+  WHERE b.doc_id NOT IN (SELECT doc_id FROM changes)
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM changes WHERE NOT is_delete
+)
+GROUP BY lang ORDER BY lang
+""",
+)
+def merge_partitioned_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y28+: the PARTITIONED copy-on-write MERGE
+    (operators/merge.py:merge_into_parquet_partitioned) — documents
+    partitioned by lang, initial load of four-fifths of the corpus,
+    then one change batch touching ONLY the 'en' partition (upserts +
+    deletes). The entry asserts the manifest actually bounded rewrite
+    amplification (v1 wrote the 'en' partition and nothing else;
+    untouched languages still serve from v0 — a regression raises, the
+    zorder-entry discipline), then returns per-lang aggregates of the
+    manifest-resolved live state, which the oracle recomputes
+    relationally."""
+    import tempfile
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        merge_into_parquet_partitioned,
+        read_current_state_partitioned,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    base_df = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "is_delete", F.lit(False)
+    )
+    d = tempfile.mkdtemp(prefix="wps_pmerge_")
+    t = f"{d}/table"
+    merge_into_parquet_partitioned(
+        spark, t, base_df, "doc_id", "lang", delete_col="is_delete"
+    )
+    changes = (
+        docs.where((F.col("doc_id") % 5 == 0) & (F.col("lang") == "en"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") + 10000).alias("n_chars"),
+            F.lit(False).alias("is_delete"),
+        )
+        .unionByName(
+            docs.where(
+                (F.col("doc_id") % 5 != 0)
+                & (F.col("lang") == "en")
+                & (F.col("doc_id") % 3 == 0)
+            ).select(
+                "doc_id",
+                "lang",
+                F.lit(None).cast("long").alias("n_chars"),
+                F.lit(True).alias("is_delete"),
+            )
+        )
+    )
+    merge_into_parquet_partitioned(
+        spark, t, changes, "doc_id", "lang", delete_col="is_delete"
+    )
+    v1 = Path(current_version_path(t))
+    written = {p.name for p in (v1 / "data").glob("lang=*")}
+    if v1.name != "v1" or written != {"lang=en"}:
+        raise RuntimeError(
+            f"manifest merge stopped bounding rewrites: {v1.name} wrote "
+            f"{sorted(written)}"
+        )
+    state = read_current_state_partitioned(
+        spark, t, "lang", delete_col="is_delete"
+    )
+    return (
+        state.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # -- deterministic epoch shuffle -------------------------------------------
 
 
