@@ -459,3 +459,53 @@ def join_q17ish_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "join_q18ish_having_semi",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
+                          AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 150
+)
+SELECT o.o_orderkey, o.o_orderpriority, b.total_qty,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents
+FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+ORDER BY b.total_qty DESC, o.o_orderkey
+LIMIT 25
+""",
+)
+def join_q18ish_having_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style large-volume-order report: aggregate-then-HAVING
+    derived table joined back to the orders fact, top-25 by total
+    quantity. The HAVING side aggregates BEFORE the join (one partial-
+    agg exchange; the filtered winner set is small and hash-joins on
+    the order key); quantity folds through DECIMAL so threshold and
+    sort order are partition-independent."""
+    li = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("__q")
+        )
+        .filter(F.col("__q") > 150)
+        .select(
+            "l_orderkey", F.col("__q").cast("double").alias("total_qty")
+        )
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "total_qty",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("totalprice_cents"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(25)
+    )

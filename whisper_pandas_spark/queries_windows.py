@@ -422,3 +422,48 @@ def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "n_events", "total_value")
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+WITH t AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+SELECT o_orderpriority, CAST(quartile AS INT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM t GROUP BY o_orderpriority, quartile
+ORDER BY o_orderpriority, quartile
+""",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6: ntile bucketing — per-priority price quartiles summarized.
+    The tie-break on (price, orderkey) makes the ntile assignment total,
+    so both engines agree row-for-row; one window exchange + one
+    partial-agged rollup."""
+    from pyspark.sql.window import Window
+
+    o = _table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    t = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return (
+        t.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
