@@ -56,7 +56,12 @@ def logreg_train(
     """Fit weights ``[w_1..w_k, bias]`` by full-batch gradient descent
     on the softsign-link model, starting from zeros. ``label_col`` is
     0/1 (numeric or boolean). Returns plain Python floats — the whole
-    model state, suitable for broadcasting into `logreg_score`."""
+    model state, suitable for broadcasting into `logreg_score`.
+
+    The frame is scanned once per iteration; for many iterations over an
+    expensive upstream plan, persist/checkpoint the feature frame first
+    (the trainer deliberately does not cache on the caller's behalf —
+    cache lifetime belongs to the owner of the DataFrame)."""
     if not feature_cols:
         raise ValueError("feature_cols must be non-empty")
     if iters < 1:

@@ -316,6 +316,10 @@ def merge_into_parquet_partitioned(
     keys must not move between partitions (partition value is part of
     the key's identity — the standard partitioned-table contract).
     Null partition values are rejected. Returns the new version dir.
+
+    ``changes`` is evaluated up to three times (null guard, touched-
+    partition listing, the merge itself) — persist it first if it is
+    expensive to recompute; change batches are small by contract.
     """
     import json
     from pathlib import Path
