@@ -337,3 +337,32 @@ def test_truncated_sof_component_list_raises_codec_error():
     struct.pack_into(">H", data, i + 2, 8)  # body shrinks to 6 bytes
     with pytest.raises(CodecError):
         decode_jpeg(bytes(data))
+
+
+def test_progressive_subset_component_dc_scans(monkeypatch):
+    """Legal-but-rare scan scripts: a DC scan covering a SUBSET of
+    components (interleaved over two, the third non-interleaved) must
+    decode bit-identical to baseline — pins the subset-MCU geometry
+    branch the default script never exercises."""
+    import whisper_pandas_spark.functions.jpeg as J
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    custom = [
+        ("DC", [0, 1], 0, 0, 0, 1),
+        ("DC", [2], 0, 0, 0, 1),
+        ("AC", [0], 1, 63, 0, 1),
+        ("AC", [1], 1, 63, 0, 1),
+        ("AC", [2], 1, 63, 0, 1),
+        ("AC", [0], 1, 63, 1, 0),
+        ("AC", [1], 1, 63, 1, 0),
+        ("AC", [2], 1, 63, 1, 0),
+        ("DC", [0, 1], 0, 0, 1, 0),
+        ("DC", [2], 0, 0, 1, 0),
+    ]
+    monkeypatch.setattr(J, "_prog_script", lambda nch: custom)
+    prog = J.decode_jpeg(J.encode_jpeg(img, quality=90, progressive=True))
+    monkeypatch.undo()
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=90))
+    assert base[:3] == prog[:3]
+    assert np.array_equal(base[3], prog[3])
