@@ -1079,6 +1079,43 @@ def test_incremental_agg_matches_rebuild_and_is_associative(spark):
         agg_state(base, ("k",), {})
     with _pt.raises(ValueError):
         agg_state(base, ("k",), {"x": ("median",)})
+    # sum under retraction without the liveness count refuses (r6 advisory)
+    with _pt.raises(ValueError, match="requires count"):
+        agg_apply(
+            agg_state(base, ("k",), {"x": ("sum",)}),
+            changes,
+            ("k",),
+            {"x": ("sum",)},
+            delete_col="d",
+        )
+
+
+def test_incremental_agg_sum_nulls_when_nonnull_rows_retracted(spark):
+    """r6 advisory: retracting every NON-NULL measure row of a group
+    whose null-measure rows keep __n > 0 must null the sum (state ==
+    rebuild), not leave 0."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.incremental import (
+        agg_apply,
+        agg_state,
+    )
+
+    measures = {"x": ("sum", "count")}
+    base = spark.createDataFrame(
+        [(1, 5.0), (1, None), (1, None)], "k int, x double"
+    )
+    state = agg_state(base, ("k",), measures)
+    retract = spark.createDataFrame([(1, 5.0, True)], "k int, x double, d boolean")
+    new = agg_apply(state, retract, ("k",), measures, delete_col="d")
+    rebuilt = agg_state(
+        spark.createDataFrame([(1, None), (1, None)], "k int, x double"),
+        ("k",),
+        measures,
+    )
+    got = [(r["__n"], r["x_sum"], r["x_count"]) for r in new.collect()]
+    want = [(r["__n"], r["x_sum"], r["x_count"]) for r in rebuilt.collect()]
+    assert got == want == [(2, None, 0)]
 
 
 def test_logreg_softsign_separable_and_deterministic(spark):

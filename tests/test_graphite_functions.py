@@ -336,9 +336,12 @@ def test_round6_function_batch(spark):
     assert mn[ts(0)] == 1.0 and mx[ts(0)] == 4.0 and rg[ts(0)] == 3.0
     assert ct[ts(1)] == 1.0  # a's null point doesn't count
 
+    # graphite _getPercentile([2,4], 50): fractionalRank 0.5*3=1.5 ->
+    # rank ceils to 2 -> sorted[1] = 4.0 (NOT the interpolated 3.0 the
+    # pre-r7 percentile_cont implementation produced)
     np_ = {(r["metric"], r["timestamp"]): r["value"]
            for r in n_percentile(df, 50.0).collect()}
-    assert np_[("app.b.v", ts(0))] == np_[("app.b.v", ts(1))] == 3.0
+    assert np_[("app.b.v", ts(0))] == np_[("app.b.v", ts(1))] == 4.0
 
     st = {(r["metric"], r["series_rank"]) for r in
           sort_by_total(df).select("metric", "series_rank").distinct().collect()}
@@ -346,3 +349,38 @@ def test_round6_function_batch(spark):
     assert st == {("app.a.v", 1), ("app.b.v", 2)}
     only = sort_by_total(df, limit=1).select("metric").distinct().collect()
     assert [r["metric"] for r in only] == ["app.a.v"]
+
+
+def test_n_percentile_matches_graphite_nist_rank_pick(spark):
+    """r6 advisory: graphite's _getPercentile (interpolate=False) picks
+    sortedPoints[ceil(q/100*(n+1)) - 1] — a DISCRETE value, never a
+    linear interpolation. points [1,2,3,4] at q=50: fractionalRank 2.5
+    -> rank ceil-> 3 -> value 3.0 (percentile_cont would say 2.5)."""
+    from whisper_pandas_spark.functions.graphite import n_percentile
+
+    rows = [("m", 100 + i, float(v)) for i, v in enumerate([4, 1, 3, 2])]
+    df = spark.createDataFrame(rows, "metric string, timestamp long, value double")
+    got = {r["timestamp"]: r["value"] for r in n_percentile(df, 50.0).collect()}
+    assert set(got.values()) == {3.0}
+
+    # clamp edges: q tiny -> first, q=100 -> last; replays graphite's
+    # rank==0 and rank-1==len branches
+    assert {r["value"] for r in n_percentile(df, 1.0).collect()} == {1.0}
+    assert {r["value"] for r in n_percentile(df, 100.0).collect()} == {4.0}
+
+    # reference replay of graphite's exact algorithm on a fuzz grid
+    import math
+    import random
+
+    rnd = random.Random(7)
+    pts = sorted(rnd.uniform(0, 10) for _ in range(7))
+    fdf = spark.createDataFrame(
+        [("f", i, float(v)) for i, v in enumerate(pts)],
+        "metric string, timestamp long, value double",
+    )
+    for q in (10, 33.3, 50, 66.6, 90, 99):
+        fr = (q / 100.0) * (len(pts) + 1)
+        rank = int(fr) + int(math.ceil(fr - int(fr)))
+        want = pts[min(max(rank, 1), len(pts)) - 1]
+        got_q = {r["value"] for r in n_percentile(fdf, q).collect()}
+        assert got_q == {want}, q

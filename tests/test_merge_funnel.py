@@ -285,3 +285,161 @@ def test_partitioned_merge_seq_aware_cdc(spark, tmp_path):
     )
     got = {(r["k"], r["v"]) for r in state.collect()}
     assert got == {(1, "new"), (2, "x")}  # stale batch could not regress
+
+
+# -- round 7: escaping, schema evolution, bounded driver collect -----------
+
+
+def test_partitioned_merge_hive_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark must Hive-escape on disk (space, '/', '%',
+    ':') round-trip through the manifest: a second change batch for the
+    same partition still finds its prior data (round-6 advisory — raw
+    manifest key vs escaped directory name)."""
+    from whisper_pandas_spark.operators.merge import (
+        merge_into_parquet_partitioned,
+        read_current_state_partitioned,
+    )
+
+    base = str(tmp_path / "esc")
+    ugly = "a/b %c:d"
+    init = spark.createDataFrame(
+        [(1, ugly, 10, False), (2, "plain", 20, False)],
+        "k long, p string, v long, del boolean",
+    )
+    merge_into_parquet_partitioned(spark, base, init, "k", "p", delete_col="del")
+    # second batch touches ONLY the ugly partition; k=1 must survive
+    c1 = spark.createDataFrame(
+        [(3, ugly, 30, False)], "k long, p string, v long, del boolean"
+    )
+    merge_into_parquet_partitioned(spark, base, c1, "k", "p", delete_col="del")
+    state = {
+        (r["k"], r["p"]): r["v"]
+        for r in read_current_state_partitioned(
+            spark, base, "p", delete_col="del"
+        ).collect()
+    }
+    assert state == {(1, ugly): 10, (2, "plain"): 20, (3, ugly): 30}
+
+
+def test_merge_changes_schema_evolution_add_only(spark, table):
+    from whisper_pandas_spark.operators.merge import merge_changes_ordered
+
+    # changes add a column -> existing rows null-backfilled
+    changes = spark.createDataFrame(
+        [(2, "B", 200, "new")], "id long, s string, v long, extra string"
+    )
+    got = {
+        r["id"]: (r["s"], r["v"], r["extra"])
+        for r in merge_changes(table, changes, "id").collect()
+    }
+    assert got == {
+        1: ("a", 10, None),
+        2: ("B", 200, "new"),
+        3: ("c", 30, None),
+    }
+    # dropping a column is rejected
+    with pytest.raises(ValueError, match="add-only"):
+        merge_changes(table, changes.drop("s"), "id")
+    # incompatible type change is rejected
+    retyped = spark.createDataFrame([(2, "B", 1.5)], "id long, s string, v double")
+    with pytest.raises(ValueError, match="incompatible type"):
+        merge_changes(table, retyped, "id")
+    # sequence-aware path evolves too
+    seq_table = spark.createDataFrame(
+        [(1, 1, "a")], "id long, seq long, s string"
+    )
+    seq_changes = spark.createDataFrame(
+        [(2, 2, "b", 9)], "id long, seq long, s string, w long"
+    )
+    rows = {
+        r["id"]: (r["s"], r["w"])
+        for r in merge_changes_ordered(
+            seq_table, seq_changes, "id", "seq"
+        ).collect()
+    }
+    assert rows == {1: ("a", None), 2: ("b", 9)}
+
+
+def test_partitioned_merge_schema_evolution_and_time_travel(spark, tmp_path):
+    """A schema-evolving batch rewrites only its partition; untouched
+    partitions (older versions, old schema) null-backfill the new column
+    at read. Time travel to v0 still shows the old schema."""
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        merge_into_parquet_partitioned,
+        read_current_state_partitioned,
+    )
+
+    base = str(tmp_path / "evo")
+    init = spark.createDataFrame(
+        [(1, "x", 10, False), (2, "y", 20, False)],
+        "k long, p string, v long, del boolean",
+    )
+    v0 = merge_into_parquet_partitioned(spark, base, init, "k", "p", delete_col="del")
+    evolved = spark.createDataFrame(
+        [(3, "x", 30, "tag3", False)],
+        "k long, p string, v long, label string, del boolean",
+    )
+    merge_into_parquet_partitioned(spark, base, evolved, "k", "p", delete_col="del")
+    state = {
+        r["k"]: (r["p"], r["v"], r["label"])
+        for r in read_current_state_partitioned(
+            spark, base, "p", delete_col="del"
+        ).collect()
+    }
+    assert state == {
+        1: ("x", 10, None),
+        2: ("y", 20, None),
+        3: ("x", 30, "tag3"),
+    }
+    # time travel: v0 data dir still reads with the ORIGINAL schema
+    old = spark.read.parquet(f"{v0}/data")
+    assert "label" not in old.columns and old.count() == 2
+    assert current_version_path(base).endswith("v1")
+
+
+def test_partitioned_merge_caps_touched_partitions(spark, tmp_path):
+    from whisper_pandas_spark.operators.merge import (
+        merge_into_parquet_partitioned,
+    )
+
+    base = str(tmp_path / "cap")
+    many = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("p"),
+        F.lit(1).alias("v"),
+    )
+    with pytest.raises(ValueError, match="touches > 3"):
+        merge_into_parquet_partitioned(
+            spark, base, many, "k", "p", max_touched_partitions=3
+        )
+    # under the cap it succeeds
+    merge_into_parquet_partitioned(
+        spark, base, many, "k", "p", max_touched_partitions=10
+    )
+
+
+def test_partitioned_merge_evaluates_changes_once(spark, tmp_path):
+    """The verdict-6 contract: `changes` is persisted and computed ONCE —
+    the partition listing materializes the cache, the merge write reads
+    it. An accumulator in the change pipeline counts recomputations."""
+    from whisper_pandas_spark.operators.merge import (
+        merge_into_parquet_partitioned,
+    )
+
+    base = str(tmp_path / "once")
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        for row in it:
+            acc.add(1)
+            yield row
+
+    src = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20)], "k long, p string, v long"
+    )
+    changes = spark.createDataFrame(
+        src.rdd.mapPartitions(bump), src.schema
+    )
+    merge_into_parquet_partitioned(spark, base, changes, "k", "p")
+    assert acc.value == 2  # one pass over the 2 rows, not 2-3 passes

@@ -48,8 +48,17 @@ def test_staged_entry_matches_duckdb(spark, duck, name):
 def test_promote_registers_every_staged_entry_with_oracle():
     """Round-6 promotion integrity: registry import promotes every staged
     entry into the live QUERIES/ORACLES with its exact fn and oracle, and
-    the never-recorded entries sort ahead of the long-green ones so the
-    driver's bounded sweep records them first."""
+    any still-unrecorded entry sorts ahead of the green refresh bucket so
+    the driver's bounded sweep records it first.
+
+    The ordering half is scoped to entries with NO CORRECTNESS record:
+    once the driver sweeps them (green), ``registry._reorder`` correctly
+    moves them to the END of the green bucket (newest record last), so
+    asserting the pre-sweep ordering for recorded entries would encode a
+    transient state and go red the moment CORRECTNESS_rNN.json lands
+    (exactly what happened between the r6 gate run and the r6 judgment).
+    """
+    from whisper_pandas_spark import registry
     from whisper_pandas_spark.queries_round6 import STAGED
     from whisper_pandas_spark.registry import ORACLES, QUERIES
 
@@ -57,7 +66,15 @@ def test_promote_registers_every_staged_entry_with_oracle():
         assert QUERIES[name] is fn
         assert ORACLES[name] == oracle
     order = list(QUERIES)
-    # every staged (no CORRECTNESS record yet at promotion time) entry
-    # must precede the oldest-green refresh bucket's tail
-    staged_pos = max(order.index(n) for n in STAGED)
-    assert staged_pos < len(order) - len(STAGED), order[:5]
+    unrecorded = [n for n in STAGED if n not in registry._latest]
+    if unrecorded:
+        green = [
+            i
+            for i, n in enumerate(order)
+            if registry._order_key(n)[0] == 2
+        ]
+        first_green = min(green) if green else len(order)
+        assert max(order.index(n) for n in unrecorded) < first_green or not green, (
+            unrecorded,
+            order[:5],
+        )

@@ -473,18 +473,27 @@ def count_series(df: DataFrame, name: str = "countSeries") -> DataFrame:
 
 def n_percentile(df: DataFrame, q: float) -> DataFrame:
     """graphite ``nPercentile(seriesList, n)`` — each series replaced by
-    its flat n-th percentile line (exact per-series percentile,
-    lower-interpolation like graphite's sorted-index pick). One
-    per-series agg + broadcast back; points never shuffle."""
+    its flat n-th percentile line, using graphite's exact non-interpolating
+    NIST rank pick (``render/functions.py _getPercentile``):
+    ``rank = ceil(q/100 * (count+1))`` into the sorted non-null values,
+    clamped to [1, count] — NOT linear interpolation, so results match
+    graphite even when q*(n+1)/100 is fractional (r6 advisory fixed the
+    percentile_cont mismatch). One shuffle on the series key (two window
+    passes, no per-series array materialization) + broadcast back."""
     if not 0 < q <= 100:
         raise ValueError("q must be in (0, 100]")
-    pct = (
-        df.groupBy(_METRIC)
-        .agg(
-            F.expr(
-                f"percentile_cont({q / 100.0}) WITHIN GROUP (ORDER BY {_VAL})"
-            ).alias("_p")
-        )
+    w_sort = Window.partitionBy(_METRIC).orderBy(F.col(_VAL))
+    w_all = Window.partitionBy(_METRIC)
+    ranked = (
+        df.where(F.col(_VAL).isNotNull())
+        .select(_METRIC, _VAL)
+        .withColumn("_rn", F.row_number().over(w_sort))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
+    )
+    rank = F.ceil(F.lit(q / 100.0) * (F.col("_cnt") + 1))
+    pick = F.least(F.greatest(rank, F.lit(1)), F.col("_cnt"))
+    pct = ranked.where(F.col("_rn") == pick).select(
+        _METRIC, F.col(_VAL).alias("_p")
     )
     return (
         df.join(F.broadcast(pct), _METRIC)

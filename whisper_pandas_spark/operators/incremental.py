@@ -57,6 +57,14 @@ def _validate(measures: dict[str, tuple[str, ...]], retract: bool) -> None:
                     "value the state no longer holds) — rebuild with "
                     "agg_state or drop the delete column"
                 )
+        if retract and "sum" in aggs and "count" not in aggs:
+            raise ValueError(
+                f"sum({col}) under retraction requires count({col}) in the "
+                "same state: the per-column non-null count is the liveness "
+                "ledger that lets the maintained sum return to NULL when "
+                "retractions remove every non-null row of a group "
+                "(state == rebuild invariant)"
+            )
 
 
 def agg_state(
@@ -134,14 +142,26 @@ def agg_apply(
             name = f"{col}_{agg}"
             cur, d = F.col(name), F.col(f"__d_{name}")
             if agg in ("count", "sum"):
-                zero = F.lit(0) if agg == "count" else F.lit(None)
                 base = F.coalesce(cur, F.lit(0))
                 merged = base + F.coalesce(d, F.lit(0))
                 if agg == "sum":
-                    # an all-null group's sum stays NULL, like agg_state
-                    merged = F.when(
-                        cur.isNull() & d.isNull(), F.lit(None)
-                    ).otherwise(merged)
+                    if "count" in fns:
+                        # exact liveness: the maintained non-null count for
+                        # this column reaches 0 <=> rebuild's sum is NULL
+                        # (covers retractions emptying the non-null rows of
+                        # a group whose null-measure rows keep __n > 0)
+                        live = F.coalesce(
+                            F.col(f"{col}_count"), F.lit(0)
+                        ) + F.coalesce(F.col(f"__d_{col}_count"), F.lit(0))
+                        merged = F.when(live == 0, F.lit(None)).otherwise(
+                            merged
+                        )
+                    else:
+                        # insert-only path (retraction requires the count —
+                        # _validate): an all-null group's sum stays NULL
+                        merged = F.when(
+                            cur.isNull() & d.isNull(), F.lit(None)
+                        ).otherwise(merged)
                 out_cols.append(merged.alias(name))
             elif agg == "min":
                 out_cols.append(F.least(cur, d).alias(name))

@@ -34,6 +34,47 @@ from pyspark.sql import functions as F
 _CURRENT = "_CURRENT"
 
 
+def _evolved_columns(
+    table: DataFrame, changes: DataFrame, ignore: tuple[str, ...] = ()
+) -> list[str]:
+    """Validate add-only schema evolution: ``changes`` must carry every
+    table data column with the IDENTICAL type and may add new columns.
+    Returns the added column names (empty when schemas match). Dropping
+    a column or changing a type is rejected — the Delta/Iceberg
+    ``mergeSchema`` contract."""
+    t = {f.name: f.dataType for f in table.schema.fields}
+    c = {
+        f.name: f.dataType
+        for f in changes.schema.fields
+        if f.name not in ignore
+    }
+    missing = sorted(set(t) - set(c))
+    if missing:
+        raise ValueError(
+            f"changes lack table columns {missing}; MERGE schema "
+            "evolution is add-only (dropping columns needs a rewrite)"
+        )
+    retyped = sorted(n for n in t if t[n] != c[n])
+    if retyped:
+        raise ValueError(
+            "incompatible type change for columns "
+            f"{[(n, str(t[n]), str(c[n])) for n in retyped]}"
+        )
+    return [f.name for f in changes.schema.fields if f.name not in t and f.name not in ignore]
+
+
+def _backfill(table: DataFrame, changes: DataFrame, added: list[str]) -> DataFrame:
+    """Null-backfill ``added`` columns (typed from ``changes``) onto
+    ``table`` so both sides share the evolved schema, in changes order."""
+    if not added:
+        return table
+    types = {f.name: f.dataType for f in changes.schema.fields}
+    out = table
+    for name in added:
+        out = out.withColumn(name, F.lit(None).cast(types[name]))
+    return out
+
+
 def merge_changes(
     table: DataFrame,
     changes: DataFrame,
@@ -44,12 +85,15 @@ def merge_changes(
     same-key rows of ``table`` (update), new keys append (insert), and
     rows with ``delete_col = true`` remove the key (delete).
 
-    Schemas must match on the data columns; ``delete_col`` (if given)
-    exists only in ``changes`` and never reaches the output. A key with
-    both an upsert and a delete row keeps the upsert (deletion works by
-    the key being anti-joined out of the table and contributing no
-    upsert row).
+    ``changes`` must carry every table data column (same type) and may
+    ADD columns — add-only schema evolution; pre-existing rows get NULL
+    in the new columns. ``delete_col`` (if given) exists only in
+    ``changes`` and never reaches the output. A key with both an upsert
+    and a delete row keeps the upsert (deletion works by the key being
+    anti-joined out of the table and contributing no upsert row).
     """
+    ignore = (delete_col,) if delete_col is not None else ()
+    added = _evolved_columns(table, changes, ignore)
     if delete_col is not None:
         upserts = changes.where(
             ~F.coalesce(F.col(delete_col), F.lit(False))
@@ -59,7 +103,7 @@ def merge_changes(
     survivors = table.join(
         F.broadcast(changes.select(key_col)), key_col, "left_anti"
     )
-    return survivors.unionByName(upserts)
+    return _backfill(survivors, changes, added).unionByName(upserts)
 
 
 def current_version_path(base: str) -> str | None:
@@ -87,23 +131,24 @@ def merge_changes_ordered(
     give: there, change rows win unconditionally and a late-delivered
     stale batch would regress newer table state).
 
-    Both sides must share the full schema (``seq_col`` included — the
-    table RETAINS each row's winning sequence number; deletions are
-    carried as tombstone rows by the caller so a late lower-seq update
-    cannot resurrect a deleted key). Rows tied on (key, seq) resolve by
-    the greatest full row (struct comparison over the remaining columns)
-    — deterministic, and the row is picked ATOMICALLY, never stitched
-    column-by-column from different inputs.
+    ``changes`` must carry every table column with the same type
+    (``seq_col`` included — the table RETAINS each row's winning
+    sequence number; deletions are carried as tombstone rows by the
+    caller so a late lower-seq update cannot resurrect a deleted key)
+    and may ADD columns (add-only schema evolution: prior-state rows get
+    NULL there). Rows tied on (key, seq) resolve by the greatest full
+    row (struct comparison over the remaining columns) — deterministic,
+    and the row is picked ATOMICALLY, never stitched column-by-column
+    from different inputs.
 
     One partial-agg shuffle on the key; no join.
     """
-    cols = table.columns
-    if set(cols) != set(changes.columns):
-        raise ValueError(
-            f"schema mismatch: table {cols} vs changes {changes.columns}"
-        )
+    added = _evolved_columns(table, changes)
+    cols = list(changes.columns)
     others = [c for c in cols if c not in (key_col, seq_col)]
-    both = table.select(*cols).unionByName(changes.select(*cols))
+    both = _backfill(table, changes, added).select(*cols).unionByName(
+        changes.select(*cols)
+    )
     picked = both.groupBy(key_col).agg(
         F.max_by(
             F.struct(*[F.col(c) for c in cols]),
@@ -263,6 +308,45 @@ def vacuum_versions(base: str, keep_last: int = 2) -> list[str]:
 _MANIFEST = "_MANIFEST.json"
 
 
+def _unescape_part(name: str) -> str:
+    """Invert Hive/Spark partition-directory escaping (``%XX`` → char).
+
+    Spark writes partition directories through Hive's ``escapePathName``
+    (``ExternalCatalogUtils.escapePathName``): characters that are unsafe
+    in a path component (``/ : = % #`` quotes, control chars, …) become
+    ``%XX`` hex escapes. The manifest keys partitions by their RAW value,
+    so everything derived from on-disk directory names must be unescaped
+    symmetrically — otherwise a value like ``"a/b"`` would be re-keyed
+    under its escaped spelling after the first write and the next merge
+    would miss the manifest lookup and silently drop the partition's
+    prior data (round-6 advisory)."""
+    out: list[str] = []
+    i, n = 0, len(name)
+    while i < n:
+        hx = name[i + 1 : i + 3]
+        if name[i] == "%" and len(hx) == 2 and all(
+            c in "0123456789abcdefABCDEF" for c in hx
+        ):
+            out.append(chr(int(hx, 16)))
+            i += 3
+        else:
+            out.append(name[i])
+            i += 1
+    return "".join(out)
+
+
+def _part_dirs(data_dir, part_col: str) -> dict[str, str]:
+    """Map RAW partition value -> on-disk directory for one version's
+    ``data/`` dir, unescaping Hive-escaped directory names. Listing the
+    (driver-local) version dir beats re-implementing Hive's escape table
+    and hoping it matches what Spark wrote."""
+    return {
+        _unescape_part(d.name.split("=", 1)[1]): str(d)
+        for d in data_dir.glob(f"{part_col}=*")
+        if d.is_dir()
+    }
+
+
 def _read_manifest(version_dir: str) -> dict[str, str]:
     import json
     from pathlib import Path
@@ -282,7 +366,13 @@ def _read_parts(
     """Union the live data of ``parts`` (default: all) across the version
     dirs the manifest points at — one read per involved VERSION with an
     explicit subdir list + basePath, so the partition column
-    reconstitutes and only the named directories are listed."""
+    reconstitutes and only the named directories are listed.
+
+    Directory names are resolved by listing each version's ``data/`` and
+    unescaping Hive-escaped components (``_part_dirs``) — never by
+    re-escaping the raw value — so values needing escaping round-trip.
+    Cross-version unions allow missing columns (null-backfill): after a
+    schema-evolving merge, older versions lack the new columns."""
     from pathlib import Path
 
     wanted = manifest if parts is None else {
@@ -294,9 +384,17 @@ def _read_parts(
     out = None
     for vname, pvals in sorted(by_version.items()):
         data = Path(base) / vname / "data"
-        paths = [str(data / f"{part_col}={pv}") for pv in sorted(pvals)]
+        dirs = _part_dirs(data, part_col)
+        missing = [pv for pv in pvals if pv not in dirs]
+        if missing:
+            raise FileNotFoundError(
+                f"manifest names partitions {missing!r} absent from {data}"
+            )
+        paths = [dirs[pv] for pv in sorted(pvals)]
         df = spark.read.option("basePath", str(data)).parquet(*paths)
-        out = df if out is None else out.unionByName(df)
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True
+        )
     return out
 
 
@@ -308,24 +406,30 @@ def merge_into_parquet_partitioned(
     part_col: str,
     delete_col: str | None = None,
     seq_col: str | None = None,
+    max_touched_partitions: int = 10_000,
 ) -> str:
     """Partitioned MERGE: apply ``changes`` (which carry ``part_col``)
     rewriting ONLY the touched partitions; untouched partitions are
     re-pointed via the manifest. Same update/insert/delete (or
-    sequence-aware tombstone) semantics as :func:`merge_into_parquet`;
-    keys must not move between partitions (partition value is part of
-    the key's identity — the standard partitioned-table contract).
-    Null partition values are rejected. Returns the new version dir.
+    sequence-aware tombstone) semantics as :func:`merge_into_parquet`,
+    including add-only schema evolution (older versions' untouched
+    partitions null-backfill the new columns at read — see
+    :func:`_read_parts`); keys must not move between partitions
+    (partition value is part of the key's identity — the standard
+    partitioned-table contract). Null partition values are rejected.
+    Returns the new version dir.
 
-    ``changes`` is evaluated up to three times (null guard, touched-
-    partition listing, the merge itself) — persist it first if it is
-    expensive to recompute; change batches are small by contract.
+    ``changes`` is persisted for the duration of the call and evaluated
+    in TWO actions (touched-partition listing, then the merge write).
+    The listing is the one driver-side collect: it is bounded by
+    ``max_touched_partitions`` (default 10 000 — a few hundred KB of
+    strings) and the call raises above it rather than silently pulling
+    an unbounded value set to the driver; a change batch touching more
+    partitions than that should go through the unpartitioned MERGE.
     """
     import json
     from pathlib import Path
 
-    if changes.where(F.col(part_col).isNull()).limit(1).count():
-        raise ValueError(f"null {part_col} partition values are not supported")
     root = Path(base)
     root.mkdir(parents=True, exist_ok=True)
     cur = current_version_path(base)
@@ -333,47 +437,62 @@ def merge_into_parquet_partitioned(
     next_n = 0 if cur is None else int(Path(cur).name[1:]) + 1
     vname = f"v{next_n}"
 
-    changed = [
-        str(r[part_col])
-        for r in changes.select(part_col).distinct().collect()
-    ]
-    prior = (
-        _read_parts(spark, base, manifest, part_col, changed)
-        if any(p in manifest for p in changed)
-        else None
-    )
-    if seq_col is not None:
-        empty = changes.limit(0)
-        new_state = merge_changes_ordered(
-            prior if prior is not None else empty,
-            changes,
-            key_col,
-            seq_col,
+    changes.persist()
+    try:
+        touched_rows = (
+            changes.select(part_col)
+            .distinct()
+            .limit(max_touched_partitions + 1)
+            .collect()
         )
-    else:
-        if prior is None:
-            new_state = (
-                changes.where(~F.coalesce(F.col(delete_col), F.lit(False)))
-                .drop(delete_col)
-                if delete_col is not None
-                else changes
+        if len(touched_rows) > max_touched_partitions:
+            raise ValueError(
+                f"change batch touches > {max_touched_partitions} "
+                f"{part_col} partitions; raise max_touched_partitions or "
+                "use the unpartitioned merge_into_parquet"
+            )
+        if any(r[part_col] is None for r in touched_rows):
+            raise ValueError(
+                f"null {part_col} partition values are not supported"
+            )
+        changed = [str(r[part_col]) for r in touched_rows]
+        prior = (
+            _read_parts(spark, base, manifest, part_col, changed)
+            if any(p in manifest for p in changed)
+            else None
+        )
+        if seq_col is not None:
+            empty = changes.limit(0)
+            new_state = merge_changes_ordered(
+                prior if prior is not None else empty,
+                changes,
+                key_col,
+                seq_col,
             )
         else:
-            new_state = merge_changes(prior, changes, key_col, delete_col)
+            if prior is None:
+                new_state = (
+                    changes.where(
+                        ~F.coalesce(F.col(delete_col), F.lit(False))
+                    ).drop(delete_col)
+                    if delete_col is not None
+                    else changes
+                )
+            else:
+                new_state = merge_changes(prior, changes, key_col, delete_col)
 
-    new_dir = root / vname
-    (
-        new_state.write.mode("errorifexists")
-        .partitionBy(part_col)
-        .parquet(str(new_dir / "data"))
-    )
+        new_dir = root / vname
+        (
+            new_state.write.mode("errorifexists")
+            .partitionBy(part_col)
+            .parquet(str(new_dir / "data"))
+        )
+    finally:
+        changes.unpersist()
     # partitions whose merged state is empty vanish from the manifest
-    # (partitionBy writes no dir for them)
-    written = {
-        d.name.split("=", 1)[1]
-        for d in (new_dir / "data").glob(f"{part_col}=*")
-        if d.is_dir()
-    }
+    # (partitionBy writes no dir for them); directory names are
+    # Hive-escaped by the writer, so unescape back to RAW manifest keys
+    written = set(_part_dirs(new_dir / "data", part_col))
     new_manifest = {
         p: v for p, v in manifest.items() if p not in set(changed)
     }
