@@ -87,7 +87,7 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH px AS (
   SELECT doc_id, CAST(t.i AS BIGINT) AS i,
-         ord(substr(rpad(text, 256, text), CAST(t.i + 1 AS INT), 1)) AS b
+         ord(substr(rpad(text, 256, text), CAST(t.i + 1 AS INT), 1)) % 128 AS b
   FROM documents CROSS JOIN range(0, 256) AS t(i)
 ), g AS (
   SELECT doc_id, i, b,
@@ -126,19 +126,25 @@ FROM m ORDER BY doc_id
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: the REAL image feature head (operators/multimodal.py:
     image_features) driven end-to-end through the pure-stdlib codec —
-    each document's text is cycled to 256 bytes and wrapped as a binary
-    P5 PGM (header + raw pixel plane), so the Arrow task performs a
-    genuine netpbm decode and the featurizer computes moments + gradient
-    energy from DECODED pixels; DuckDB replays the exact integer power
-    sums by enumerating the same pixel bytes with rpad/ord. The
-    orientation histogram (libm-boundary-sensitive) is pytest-covered
-    instead."""
+    each document's text is cycled to 256 CHARACTERS, each mapped to the
+    single-byte alphabet codepoint % 128 (so the utf-8 plane is exactly
+    256 bytes even for non-ASCII text — r6 advisory), and wrapped as a
+    binary P5 PGM (header + raw pixel plane), so the Arrow task performs
+    a genuine netpbm decode and the featurizer computes moments +
+    gradient energy from DECODED pixels; DuckDB replays the exact
+    integer power sums by enumerating the same mod-128 codepoints with
+    rpad/ord. The orientation histogram (libm-boundary-sensitive) is
+    pytest-covered instead."""
     docs = _table(spark, sf_dir, "documents")
     pgm = docs.select(
         "doc_id",
         F.encode(
             F.concat(
-                F.lit("P5\n16 16\n255\n"), F.expr("rpad(text, 256, text)")
+                F.lit("P5\n16 16\n255\n"),
+                F.expr(
+                    "array_join(transform(split(rpad(text, 256, text), ''),"
+                    " c -> char(ascii(c) % 128)), '')"
+                ),
             ),
             "utf-8",
         ).alias("payload"),
