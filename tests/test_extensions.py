@@ -1169,3 +1169,124 @@ def test_logreg_softsign_separable_and_deterministic(spark):
         logreg_train(df, ["x0"], "y", iters=0)
     with _pt.raises(ValueError, match="empty"):
         logreg_train(df.limit(0), ["x0"], "y")
+
+
+# -- KLL bounded-error mergeable quantile sketch ------------------------------
+
+
+def test_kll_exact_regime_merged_equals_direct_equals_truth(spark):
+    """While no compaction fires (n <= k per group), shard->merge->read
+    equals a direct single sketch equals the true quantiles under the
+    shared smallest-v-with-cum>=ceil(q*n) definition."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.sketches import (
+        kll_merge,
+        kll_quantiles,
+        kll_shard_sketches,
+    )
+
+    rows = [("a", i % 4, float(v)) for i, v in enumerate([7, 1, 9, 3, 5, 2, 8, 4, 6, 0])]
+    rows += [("b", i % 4, float(v * 10)) for i, v in enumerate(range(20))]
+    df = spark.createDataFrame(rows, "grp string, shard int, v double")
+    qs = (0.1, 0.5, 0.9)
+
+    sharded = kll_merge(
+        kll_shard_sketches(df, ("grp", "shard"), "v", k=64), ("grp",)
+    )
+    direct = kll_shard_sketches(df, ("grp",), "v", k=64)
+    got_m = {
+        (r["grp"], r["q"]): (r["n"], r["quantile"])
+        for r in kll_quantiles(sharded, ("grp",), qs).collect()
+    }
+    got_d = {
+        (r["grp"], r["q"]): (r["n"], r["quantile"])
+        for r in kll_quantiles(direct, ("grp",), qs).collect()
+    }
+    assert got_m == got_d
+    import math
+
+    truth = {}
+    for grp, vals in (
+        ("a", sorted(float(v) for v in [7, 1, 9, 3, 5, 2, 8, 4, 6, 0])),
+        ("b", sorted(float(v * 10) for v in range(20))),
+    ):
+        n = len(vals)
+        for q in qs:
+            truth[(grp, q)] = (n, vals[max(math.ceil(q * n), 1) - 1])
+    assert got_m == truth
+
+
+def test_kll_weight_invariant_and_parquet_roundtrip(spark, tmp_path):
+    """n (total weight) is exact through compaction, merge, and a
+    parquet write/read of the sketch table (plain Spark types)."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.sketches import (
+        kll_merge,
+        kll_quantiles,
+        kll_shard_sketches,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("shard"),
+        F.lit("g").alias("grp"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(100000)).cast("double")).alias("v"),
+    )
+    shards = kll_shard_sketches(df, ("grp", "shard"), "v", k=32)
+    p = str(tmp_path / "kll")
+    shards.write.parquet(p)
+    back = spark.read.parquet(p)
+    merged = kll_merge(back, ("grp",))
+    row = merged.collect()[0]
+    assert row["n"] == 5000
+    qrow = kll_quantiles(merged, ("grp",), (0.5,)).collect()[0]
+    assert qrow["n"] == 5000
+
+
+def test_kll_rank_error_bound_in_compacting_regime(spark):
+    """Normalized rank error of the merged sketch stays within the
+    O(1/k) KLL bound (empirical pin: 0.025 at k=200, n=20k, mixed
+    uniform+skew distribution, 8 shards)."""
+    import random
+
+    from whisper_pandas_spark.operators.sketches import (
+        kll_merge,
+        kll_quantiles,
+        kll_shard_sketches,
+    )
+
+    rnd = random.Random(11)
+    vals = [rnd.uniform(0, 1000) for _ in range(12000)]
+    vals += [rnd.gauss(500, 5) for _ in range(6000)]      # heavy spike
+    vals += [float(rnd.randint(0, 10)) for _ in range(2000)]  # discrete clump
+    df = spark.createDataFrame(
+        [(i % 8, v) for i, v in enumerate(vals)], "shard int, v double"
+    ).withColumn("grp", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("g"))
+    merged = kll_merge(
+        kll_shard_sketches(df, ("grp", "shard"), "v", k=200), ("grp",)
+    )
+    qs = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    got = {
+        r["q"]: r["quantile"]
+        for r in kll_quantiles(merged, ("grp",), qs).collect()
+    }
+    svals = sorted(vals)
+    n = len(svals)
+    import bisect
+
+    for q, est in got.items():
+        # rank range covered by the estimate (ties span an interval)
+        lo = bisect.bisect_left(svals, est) / n
+        hi = bisect.bisect_right(svals, est) / n
+        err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+        assert err <= 0.025, (q, est, lo, hi)
+
+
+def test_kll_refuses_tiny_k():
+    import pytest as _pt
+
+    from whisper_pandas_spark.operators.sketches import _KLL
+
+    with _pt.raises(ValueError):
+        _KLL(4, 0)

@@ -101,8 +101,14 @@ def _order_key(name: str) -> tuple[int, int]:
     if name not in _latest:
         return (1, 0)
     rnd, rec = _latest[name]
-    green = rec.get("hash_match") is True or rec.get("err") == "no_oracle"
-    return (2, rnd) if green else (0, 0)
+    if rec.get("hash_match") is True:
+        return (2, rnd)
+    if rec.get("err") == "no_oracle":
+        # a rows-only record is green only while the entry still has no
+        # oracle; once an oracle lands the entry must re-record at hash
+        # level, so queue it with the never-recorded bucket
+        return (2, rnd) if name not in ORACLES else (1, 0)
+    return (0, 0)
 
 
 def _reorder() -> None:
@@ -149,3 +155,11 @@ from whisper_pandas_spark import queries_rollup  # noqa: E402,F401
 from whisper_pandas_spark import queries_round6 as _q6  # noqa: E402
 
 _q6.promote()
+
+# Round 7: direct registrations (no staging needed — promote()'s final
+# _reorder sorts never-recorded entries to the sweep front regardless of
+# import position, and queries_round7's oracles are plain SQL strings
+# with no mid-load registry dependency).
+from whisper_pandas_spark import queries_round7  # noqa: E402,F401
+
+_reorder()
