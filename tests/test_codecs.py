@@ -777,3 +777,144 @@ def test_png_adam7_16bit_and_size_mismatch():
         decode_png(_png_raw(2, 2, 2, 2, b"\x00\x00\x00"))
     with pytest.raises(CodecError):
         decode_png(_png_raw(2, 2, 16, 3, b"\x00\x00\x00"))
+
+
+# -- TIFF --------------------------------------------------------------------
+
+
+def test_tiff_roundtrip_matrix():
+    """encode_tiff -> decode_tiff bit-parity across gray/RGB, strip
+    sizes, compression (none / TIFF-LZW / PackBits) and the horizontal
+    predictor — including sizes that cross the 9->10-bit LZW width
+    boundary where the decoder's early change must stay in sync."""
+    import numpy as np
+
+    from whisper_pandas_spark.functions.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (7, 5), (16, 16), (33, 31), (64, 64)]:
+        for ch in (1, 3):
+            img = rng.integers(0, 256, size=(*shape, ch), dtype=np.uint8)
+            for comp in ("none", "lzw", "packbits"):
+                for pred in (1, 2):
+                    if pred == 2 and comp == "none":
+                        continue
+                    for rps in (None, 5):
+                        h, w, c, out = decode_tiff(
+                            encode_tiff(img, comp, pred, rps)
+                        )
+                        assert (h, w, c) == (*shape, ch)
+                        assert np.array_equal(out, img), (shape, ch, comp, pred, rps)
+
+
+def test_tiff_lzw_width_boundaries_and_reset():
+    import numpy as np
+
+    from whisper_pandas_spark.functions.codecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.default_rng(9)
+    for n in [1, 2, 253, 254, 255, 256, 509, 1021, 2040, 5000, 20000]:
+        raw = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(raw), n)) == raw, n
+    # low entropy drives long dictionary strings + 12-bit codes
+    raw = bytes(np.tile(np.arange(16, dtype=np.uint8), 4000))
+    assert bytes(_tiff_lzw_decode(_tiff_lzw_encode(raw), len(raw))) == raw
+
+
+def test_tiff_big_endian_white_is_zero_and_palette():
+    """Hand-built MM (big-endian) stream with photometric 0 inverts to
+    the luminance convention; hand-built palette TIFF maps through the
+    16-bit ColorMap's high bytes."""
+    import struct
+
+    import numpy as np
+
+    from whisper_pandas_spark.functions.codecs import decode_image, decode_tiff
+
+    def be_tiff(photometric, pixels, extra_entries=b"", n_extra=0, tail=b""):
+        # gray 2x2, one strip, uncompressed, big-endian
+        n = 8 + n_extra
+        ifd = struct.pack(">H", n)
+        strip_off = 8 + 2 + 12 * n + 4 + len(tail)
+
+        def ent(tag, typ, count, val):
+            return struct.pack(">HHI", tag, typ, count) + val
+
+        ifd += ent(256, 3, 1, struct.pack(">HH", 2, 0))
+        ifd += ent(257, 3, 1, struct.pack(">HH", 2, 0))
+        ifd += ent(258, 3, 1, struct.pack(">HH", 8, 0))
+        ifd += ent(259, 3, 1, struct.pack(">HH", 1, 0))
+        ifd += ent(262, 3, 1, struct.pack(">HH", photometric, 0))
+        ifd += ent(273, 4, 1, struct.pack(">I", strip_off))
+        ifd += ent(278, 3, 1, struct.pack(">HH", 2, 0))
+        ifd += ent(279, 4, 1, struct.pack(">I", 4))
+        ifd += extra_entries
+        return (
+            b"MM\x00*" + struct.pack(">I", 8) + ifd + struct.pack(">I", 0)
+            + tail + pixels
+        )
+
+    h, w, c, img = decode_tiff(be_tiff(1, bytes([0, 64, 128, 255])))
+    assert (h, w, c) == (2, 2, 1)
+    assert img.ravel().tolist() == [0, 64, 128, 255]
+    # WhiteIsZero inverts
+    _, _, _, inv = decode_tiff(be_tiff(0, bytes([0, 64, 128, 255])))
+    assert inv.ravel().tolist() == [255, 191, 127, 0]
+    # palette: ColorMap red plane = index<<8, others 0 -> R == index
+    cmap = struct.pack(">256H", *[i << 8 for i in range(256)])
+    cmap += struct.pack(">256H", *([0] * 256)) * 2
+    ent = struct.pack(">HHI", 320, 3, 768) + struct.pack(
+        ">I", 8 + 2 + 12 * 9 + 4
+    )
+    _, _, c, pal = decode_tiff(
+        be_tiff(3, bytes([1, 2, 3, 4]), extra_entries=ent, n_extra=1, tail=cmap)
+    )
+    assert c == 3
+    assert pal[:, :, 0].ravel().tolist() == [1, 2, 3, 4]
+    assert pal[:, :, 1].max() == 0
+    # dispatch by magic
+    h2, _, _, _ = decode_image(be_tiff(1, bytes([9, 9, 9, 9])))
+    assert h2 == 2
+
+
+def test_tiff_rejections():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from whisper_pandas_spark.functions.codecs import (
+        CodecError,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = np.zeros((4, 4), dtype=np.uint8)
+    good = encode_tiff(img)
+
+    with pytest.raises(CodecError, match="not a TIFF"):
+        decode_tiff(b"II+\x00" + bytes(8))
+    with pytest.raises(CodecError, match="truncated IFD"):
+        decode_tiff(good[:9])
+    # tiled layout: patch the first IFD entry's tag to TileWidth (322)
+    tiled = bytearray(good)
+    tiled[10:12] = struct.pack("<H", 322)
+    with pytest.raises(CodecError, match="tiled"):
+        decode_tiff(bytes(tiled))
+    # 16-bit samples
+    b16 = bytearray(good)
+    # find BitsPerSample entry (tag 258) and patch its value to 16
+    n = struct.unpack_from("<H", b16, 8)[0]
+    for e in range(n):
+        o = 10 + 12 * e
+        if struct.unpack_from("<H", b16, o)[0] == 258:
+            b16[o + 8 : o + 10] = struct.pack("<H", 16)
+    with pytest.raises(CodecError, match="non-8-bit"):
+        decode_tiff(bytes(b16))
+    # strip overruns file
+    trunc = good[:-8]
+    with pytest.raises(CodecError):
+        decode_tiff(trunc)
