@@ -29,18 +29,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
 TREE = Path("/tmp/whisper_scale_tree")
 
 
-def build_tree(n: int) -> list[Path]:
+def _build_one(args: tuple[str, int]) -> None:
+    path, seed = args
     from bench import WHISPER_GEOMETRY
     from wsp_fixtures import build_wsp
 
+    build_wsp(path, archives=WHISPER_GEOMETRY, seed=seed)
+
+
+def build_tree(n: int) -> list[Path]:
+    """Ensure n reference-geometry files exist (cached across runs);
+    missing ones build in parallel (~1.8 s each single-threaded)."""
+    from concurrent.futures import ProcessPoolExecutor
+
     TREE.mkdir(parents=True, exist_ok=True)
-    files = []
+    files, missing = [], []
     for i in range(n):
         p = TREE / f"srv{i // 4}" / f"metric{i}.wsp"
         if not p.exists():
             p.parent.mkdir(parents=True, exist_ok=True)
-            build_wsp(str(p), archives=WHISPER_GEOMETRY, seed=100 + i)
+            missing.append((str(p), 100 + i))
         files.append(p)
+    if missing:
+        with ProcessPoolExecutor(max_workers=16) as pool:
+            list(pool.map(_build_one, missing))
     return files
 
 
@@ -104,6 +116,11 @@ def main() -> None:
     corrupt = "--corrupt" in sys.argv[1:]
     files = build_tree(n)
     size_mb = sum(f.stat().st_size for f in files) / 1e6
+    if "--build-only" in sys.argv[1:]:
+        # separate build step so a true-cold run can drop_caches AFTER
+        # building (the build itself page-cache-warms new files)
+        print(f"tree ready: {size_mb:.1f} MB in {len(files)} files")
+        return
 
     from whisper_pandas_spark.session import get_spark
     from whisper_pandas_spark.sources.whisper import register_whisper
