@@ -120,6 +120,13 @@ def _bench_whisper_scan(spark) -> list[float]:
 def main() -> None:
     from whisper_pandas_spark.registry import QUERIES, reset_result_caches
 
+    # Stamp host load BEFORE the session starts (the bench itself drives
+    # load to ~32 while running): a 1-minute loadavg well above ~1-2 at
+    # entry means co-tenant contention and the totals are inflated —
+    # machine-detectable from the artifact alone (VERDICT r6 Perf note),
+    # no BENCH_NOTES prose required.
+    load_at_start = round(os.getloadavg()[0], 2)
+
     spark = get_spark(app_name="whisper_pandas_spark_bench")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -196,6 +203,7 @@ def main() -> None:
                 "queries": timings,
                 "query_stats": stats,
                 "reps": reps,
+                "load_at_start": load_at_start,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -376,7 +376,12 @@ class _KLL:
         return sum(len(buf) << lvl for lvl, buf in enumerate(self.levels))
 
     def extend(self, values) -> None:
-        self.levels[0].extend(float(v) for v in values)
+        import numpy as np
+
+        arr = np.asarray(values, dtype=np.float64)
+        # C-speed conversion — no per-element Python in the build path;
+        # compress once per batch (capacity checks are amortized)
+        self.levels[0].extend(arr.tolist())
         self._compress()
 
     def merge(self, other: "_KLL") -> None:
