@@ -1,10 +1,16 @@
 """Round-7 registry entries.
 
-- sketch_kll_rollup       KLL bounded-error mergeable quantile sketches
-                          (unknown value range), exact-regime oracle
-- merge_schema_evolution  add-only MERGE schema evolution across two
-                          change batches (null-backfill, then a second
-                          added column + deletes)
+- sketch_kll_rollup        KLL bounded-error mergeable quantile sketches
+                           (unknown value range), exact-regime oracle
+- merge_schema_evolution   add-only MERGE schema evolution across two
+                           change batches (null-backfill, then a second
+                           added column + deletes)
+- mm_tiff_image_features   round-7 TIFF decoder end-to-end (constant
+                           LE header + mod-128 plane, real IFD/strip
+                           parse, integer-power-sum feature head)
+- graphite_n_percentile    NIST rank pick at a fractional-rank q, so
+                           the pre-r7 percentile_cont implementation
+                           hash-mismatches (advisory fix gated)
 
 Same conventions as every other queries_* module: each entry pairs a
 Spark implementation with a DuckDB oracle that replays the algorithm
@@ -145,3 +151,142 @@ def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "doc_id", "text", F.round("quality", 6).alias("quality"), "rev"
     ).orderBy("doc_id")
+
+
+# -- TIFF decode path, driver-verified ----------------------------------------
+#
+# mm_image_features proves the feature head over the PGM container; this
+# entry proves the round-7 TIFF decoder end-to-end in the driver: the same
+# mod-128 byte plane is wrapped as an UNCOMPRESSED little-endian TIFF
+# (constant 110-byte header + IFD computed once — strip offset is fixed
+# for the 16x16 gray geometry, so the wrap is one pure-JVM concat, no
+# Python in the payload build), decoded by functions/codecs.py:decode_tiff
+# (real IFD parse, tag validation, strip read), and featurized by the
+# same integer-power-sum head. The oracle enumerates the identical pixels.
+
+# II, 8 IFD entries: 16x16, 8-bit gray (BlackIsZero), uncompressed,
+# one strip at offset 110 of 256 bytes (regenerate with the snippet in
+# the round-7 commit if the geometry ever changes).
+_TIFF16_HEADER_HEX = (
+    "49492A00080000000800"
+    "00010300010000001000000001010300010000001000000002010300010000000800"
+    "00000301030001000000010000000601030001000000010000001101040001000000"
+    "6E00000016010300010000001000000017010400010000000001000000000000"
+)
+
+
+@register(
+    "mm_tiff_image_features",
+    oracle="""
+WITH px AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         ord(substr(rpad(text, 256, text), CAST(t.i + 1 AS INT), 1)) % 128 AS b
+  FROM documents CROSS JOIN range(0, 256) AS t(i)
+), g AS (
+  SELECT doc_id, i, b,
+         CASE WHEN i % 16 < 15 THEN abs(lead(b, 1) OVER w - b) END AS gx,
+         CASE WHEN i < 240 THEN abs(lead(b, 16) OVER w - b) END AS gy
+  FROM px
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), s AS (
+  SELECT doc_id,
+         CAST(sum(b) AS BIGINT) AS s1,
+         CAST(sum(b*b) AS BIGINT) AS s2,
+         CAST(sum(gx) AS BIGINT) AS gxs,
+         CAST(sum(gy) AS BIGINT) AS gys
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS height, CAST(16 AS INT) AS width,
+       CAST(1 AS INT) AS channels,
+       round(s1 / 256.0 + 1e-9, 6) AS mean_px,
+       round(sqrt(greatest(s2 / 256.0 - (s1 / 256.0) * (s1 / 256.0), 0))
+             + 1e-9, 6) AS std_px,
+       round(gxs / 240.0 + 1e-9, 6) AS grad_x_mean,
+       round(gys / 240.0 + 1e-9, 6) AS grad_y_mean
+FROM s ORDER BY doc_id
+""",
+)
+def mm_tiff_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y21+/X5: the round-7 TIFF decoder driven end-to-end — document
+    text cycled to a 256-byte mod-128 plane, wrapped as an uncompressed
+    little-endian TIFF by concatenating the constant header (pure JVM),
+    decoded by the real IFD/strip parser, featurized by the integer
+    power-sum head; DuckDB replays the pixel enumeration. Compressed
+    variants (LZW early-width-change, PackBits, predictor) are
+    bit-parity-tested in tests/test_codecs.py."""
+    from whisper_pandas_spark.operators.multimodal import image_features
+
+    docs = _table(spark, sf_dir, "documents")
+    tiff = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(_TIFF16_HEADER_HEX)),
+            F.encode(
+                F.expr(
+                    "array_join(transform(split(rpad(text, 256, text), ''),"
+                    " c -> char(ascii(c) % 128)), '')"
+                ),
+                "utf-8",
+            ),
+        ).alias("payload"),
+    )
+    feats = image_features(tiff, "doc_id")
+    eps = F.lit(1e-9)
+    return feats.select(
+        "doc_id",
+        "height",
+        "width",
+        "channels",
+        F.round(F.col("mean_px") + eps, 6).alias("mean_px"),
+        F.round(F.col("std_px") + eps, 6).alias("std_px"),
+        F.round(F.col("grad_x_mean") + eps, 6).alias("grad_x_mean"),
+        F.round(F.col("grad_y_mean") + eps, 6).alias("grad_y_mean"),
+    ).orderBy("doc_id")
+
+
+# -- graphite nPercentile, driver-verified -------------------------------------
+
+_NPQ = 37.5  # deliberately fractional-rank q: the NIST ceil pick differs
+# from percentile_cont here, so the oracle FAILS against the pre-r7
+# interpolating implementation — the advisory fix is hash-gated.
+
+
+@register(
+    "graphite_n_percentile",
+    oracle=f"""
+WITH series AS (
+  SELECT 'app.' || event_type || '.value' AS metric,
+         to_timestamp((floor(epoch(ts))::BIGINT // 600) * 600)::TIMESTAMP
+           AS timestamp,
+         round(sum(value), 6) AS value
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT metric, value,
+         row_number() OVER (PARTITION BY metric ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY metric) AS n
+  FROM series WHERE value IS NOT NULL
+), pick AS (
+  SELECT metric, value AS p FROM ranked
+  WHERE rn = least(greatest(CAST(ceil({_NPQ} / 100.0 * (n + 1)) AS BIGINT),
+                            1), n)
+)
+SELECT s.metric, s.timestamp, round(pick.p, 6) AS value
+FROM series s JOIN pick USING (metric)
+ORDER BY s.metric, s.timestamp
+""",
+)
+def graphite_n_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/Y26+: graphite ``nPercentile`` (functions/graphite.py) over
+    the shared 10-minute metric grid — each series replaced by its flat
+    q-th percentile line using graphite's exact non-interpolating NIST
+    rank pick (r6 advisory fix: q=37.5 lands on a fractional rank, so a
+    percentile_cont implementation hash-mismatches here)."""
+    from whisper_pandas_spark.functions.graphite import n_percentile
+    from whisper_pandas_spark.queries_round6 import _metric_series
+
+    series = _metric_series(spark, sf_dir)
+    out = n_percentile(series, _NPQ)
+    return out.select(
+        "metric", "timestamp", F.round("value", 6).alias("value")
+    ).orderBy("metric", "timestamp")
