@@ -1290,3 +1290,90 @@ def test_kll_refuses_tiny_k():
 
     with _pt.raises(ValueError):
         _KLL(4, 0)
+
+
+# -- KMV (theta-style) set-operation sketches ---------------------------------
+
+
+def test_kmv_rollup_equals_direct_and_exact_regime(spark):
+    """Bottom-k mergeability is EXACT: rollup of shard sketches equals
+    the direct sketch bit-for-bit (any overall bottom-k hash is in its
+    shard's bottom-k). Below capacity the estimate is the exact count."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_rollup,
+        kmv_shard_sketches,
+    )
+
+    rows = [("g1", i % 5, f"u{i % 37}") for i in range(200)]
+    rows += [("g2", i % 5, f"v{i % 11}") for i in range(80)]
+    df = spark.createDataFrame(rows, "grp string, shard int, user string")
+
+    direct = kmv_shard_sketches(df, ("grp",), "user", k=64)
+    rolled = kmv_rollup(
+        kmv_shard_sketches(df, ("grp", "shard"), "user", k=64), ("grp",)
+    )
+    d = {r["grp"]: (r["k"], r["hs"]) for r in direct.collect()}
+    m = {r["grp"]: (r["k"], r["hs"]) for r in rolled.collect()}
+    assert d == m
+    est = {
+        r["grp"]: r["n_distinct_est"]
+        for r in kmv_estimate(rolled, ("grp",)).collect()
+    }
+    assert est == {"g1": 37.0, "g2": 11.0}  # below k=64: exact
+
+
+def test_kmv_estimator_accuracy_and_pair_ops(spark):
+    """Approximate regime: distinct estimate within ~4/sqrt(k); pairwise
+    union/intersection/jaccard track planted overlap."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_pair_ops,
+        kmv_shard_sketches,
+    )
+
+    # A = u0..u1999, B = u1000..u2999 -> |A|=|B|=2000, inter=1000, union=3000
+    rows = [("A", f"u{i}") for i in range(2000)]
+    rows += [("B", f"u{i}") for i in range(1000, 3000)]
+    df = spark.createDataFrame(rows, "grp string, user string")
+    sk = kmv_shard_sketches(df, ("grp",), "user", k=256)
+    est = {
+        r["grp"]: r["n_distinct_est"]
+        for r in kmv_estimate(sk, ("grp",)).collect()
+    }
+    for g in ("A", "B"):
+        assert abs(est[g] - 2000) / 2000 < 4 / (256 ** 0.5), est
+    ops = kmv_pair_ops(sk, "grp").collect()
+    assert len(ops) == 1
+    r = ops[0]
+    assert (r["key_a"], r["key_b"]) == ("A", "B")
+    assert abs(r["union_est"] - 3000) / 3000 < 4 / (256 ** 0.5)
+    assert abs(r["jaccard"] - 1 / 3) < 0.12
+    assert abs(r["inter_est"] - 1000) / 1000 < 0.4
+    # identical sets -> jaccard exactly 1, inter == union
+    same = kmv_shard_sketches(
+        spark.createDataFrame(
+            [("X", f"u{i}") for i in range(500)]
+            + [("Y", f"u{i}") for i in range(500)],
+            "grp string, user string",
+        ),
+        ("grp",),
+        "user",
+        k=128,
+    )
+    rr = kmv_pair_ops(same, "grp").collect()[0]
+    assert rr["jaccard"] == 1.0 and rr["inter_est"] == rr["union_est"]
+
+
+def test_kmv_refuses_tiny_k(spark):
+    import pytest as _pt
+
+    from whisper_pandas_spark.operators.sketches import kmv_shard_sketches
+
+    df = spark.createDataFrame([("g", "u")], "grp string, user string")
+    with _pt.raises(ValueError):
+        kmv_shard_sketches(df, ("grp",), "user", k=1)

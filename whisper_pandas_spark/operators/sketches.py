@@ -547,3 +547,175 @@ def kll_quantiles(
         .agg(F.min("n").alias("n"), F.min("__v").alias("quantile"))
         .select(*kcols, "q", "n", "quantile")
     )
+
+
+# -- KMV (theta-style) set-operation sketches ---------------------------------
+#
+# HLL (top of this module) answers distinct-count UNION rollups; the one
+# mergeable-summary capability it lacks is SET OPERATIONS — intersection
+# and Jaccard cardinalities across groups ("how many users did BOTH
+# events"). The K-Minimum-Values / bottom-k theta sketch (public
+# algorithm: Bar-Yossef et al. 2002; the Apache DataSketches theta family)
+# covers exactly that: keep the k smallest hashes of the value set; the
+# k-th smallest (theta) estimates density, and two sketches combine into
+# union/intersection/Jaccard estimates.
+#
+# Unlike HLL, this implementation is built on the repo's cross-engine md5
+# hash family (functions/text.py), so the sketch content — and therefore
+# the APPROXIMATE estimates themselves — are bit-deterministic and
+# DuckDB-replayable: the `sketch_kmv_setops` oracle hash-gates the
+# estimator in the approximate regime, not just an exact regime.
+#
+# Scale shape: one (keys, hash)-distinct partial-agg exchange over raw
+# data, one window pass on the same partitioning for the bottom-k, then
+# everything downstream touches only k-row arrays per group.
+
+_KMV_SPACE = float(1 << 60)  # hash64 range (15 md5 hex chars)
+
+
+def _kmv_hash(value, seed: int):
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(f"kmv{seed}"), F.col(value).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_duck_hash(value_sql: str, seed: int = 0) -> str:
+    """DuckDB twin of the sketch hash — oracles build on this."""
+    return (
+        f"('0x' || substr(md5('kmv{seed}:' || CAST({value_sql} AS VARCHAR)),"
+        " 1, 15))::BIGINT"
+    )
+
+
+def kmv_shard_sketches(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str,
+    k: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """(keys..., k INT, hs ARRAY<BIGINT>): the k smallest distinct value
+    hashes per key group, ascending — the persistable set-operation
+    state. Nulls excluded. Bottom-k via a window over the distinct
+    (keys, hash) rows (never a per-group collect of the full set)."""
+    from pyspark.sql.window import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2 (theta is the k-th smallest)")
+    kcols = [F.col(c) for c in keys]
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*kcols, _kmv_hash(value_col, seed).alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*kcols).orderBy("__h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*kcols)
+        .agg(F.array_sort(F.collect_list("__h")).alias("hs"))
+        .select(*kcols, F.lit(k).cast("int").alias("k"), "hs")
+    )
+
+
+def kmv_rollup(
+    sketches: DataFrame,
+    keys: tuple[str, ...],
+) -> DataFrame:
+    """Merge a KMV sketch table to coarser *keys*: hashes union (exact
+    BIGINT set union), bottom-k kept; merged k = the smallest
+    contributing k (the conservative accuracy). Never touches raw
+    data."""
+    from pyspark.sql.window import Window
+
+    kcols = [F.col(c) for c in keys]
+    ex = sketches.select(
+        *kcols, "k", F.explode("hs").alias("__h")
+    ).groupBy(*kcols, F.col("__h")).agg(F.min("k").alias("__k"))
+    kmin = ex.groupBy(*kcols).agg(F.min("__k").alias("__kmin"))
+    w = Window.partitionBy(*kcols).orderBy("__h")
+    return (
+        ex.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(kmin), list(keys))
+        .filter(F.col("__rn") <= F.col("__kmin"))
+        .groupBy(*kcols)
+        .agg(
+            F.min("__kmin").cast("int").alias("k"),
+            F.array_sort(F.collect_list("__h")).alias("hs"),
+        )
+        .select(*kcols, "k", "hs")
+    )
+
+
+def _kmv_est(k_col, hs_col):
+    """Distinct estimate from a bottom-k array: exact size below
+    capacity, else (k-1) * SPACE / theta (theta = k-th smallest hash) —
+    plain IEEE arithmetic, identical in any engine."""
+    full = F.size(hs_col) >= k_col
+    theta = F.element_at(hs_col, k_col).cast("double")
+    return F.when(
+        full, (k_col.cast("double") - 1.0) * F.lit(_KMV_SPACE) / theta
+    ).otherwise(F.size(hs_col).cast("double"))
+
+
+def kmv_estimate(
+    sketches: DataFrame,
+    keys: tuple[str, ...],
+) -> DataFrame:
+    """(keys..., n_distinct_est DOUBLE) per sketch row."""
+    kcols = [F.col(c) for c in keys]
+    return sketches.select(
+        *kcols,
+        _kmv_est(F.col("k"), F.col("hs")).alias("n_distinct_est"),
+    )
+
+
+def kmv_pair_ops(
+    sketches: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Pairwise set-operation estimates between every two groups of a
+    single-key sketch table: (key_a, key_b, union_est, jaccard,
+    inter_est) with key_a < key_b.
+
+    Estimators (the standard bottom-k combination): U = bottom-k of the
+    hash union (k = min of the pair); union_est from U as usual;
+    jaccard = |U ∩ A ∩ B| / |U|; inter_est = jaccard * union_est. The
+    sketch table is group-count-sized, so the self-join is trivially
+    broadcast."""
+    a = sketches.select(
+        F.col(key_col).alias("key_a"),
+        F.col("k").alias("ka"),
+        F.col("hs").alias("ha"),
+    )
+    b = sketches.select(
+        F.col(key_col).alias("key_b"),
+        F.col("k").alias("kb"),
+        F.col("hs").alias("hb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    kk = F.least(F.col("ka"), F.col("kb"))
+    union_full = F.array_sort(F.array_union(F.col("ha"), F.col("hb")))
+    u = F.slice(union_full, 1, kk)
+    shared = F.size(
+        F.array_intersect(u, F.array_intersect(F.col("ha"), F.col("hb")))
+    )
+    jac = shared.cast("double") / F.size(u).cast("double")
+    uest = _kmv_est(kk, u)
+    return pairs.select(
+        "key_a",
+        "key_b",
+        uest.alias("union_est"),
+        jac.alias("jaccard"),
+        (jac * uest).alias("inter_est"),
+    )

@@ -11,6 +11,9 @@
 - graphite_n_percentile    NIST rank pick at a fractional-rank q, so
                            the pre-r7 percentile_cont implementation
                            hash-mismatches (advisory fix gated)
+- sketch_kmv_setops        KMV/theta set-operation sketches: union,
+                           intersection, Jaccard estimates whose
+                           APPROXIMATE values replay bit-for-bit
 
 Same conventions as every other queries_* module: each entry pairs a
 Spark implementation with a DuckDB oracle that replays the algorithm
@@ -290,3 +293,84 @@ def graphite_n_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "metric", "timestamp", F.round("value", 6).alias("value")
     ).orderBy("metric", "timestamp")
+
+
+# -- KMV set-operation sketches, driver-verified --------------------------------
+
+_KMV_K = 64  # events has ~150 distinct users per type at sf0.01, so the
+# sketch runs in its APPROXIMATE regime here — and the oracle still
+# hash-matches, because the md5 bottom-k content and the estimator
+# arithmetic are bit-deterministic on both engines. This is the property
+# HLL can't offer (its entry needs the exact sparse regime).
+
+
+@register(
+    "sketch_kmv_setops",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+), bk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), sk AS (
+  SELECT event_type, list(h ORDER BY h) AS hs
+  FROM bk WHERE rn <= {_KMV_K} GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS key_a, b.event_type AS key_b,
+         a.hs AS ha, b.hs AS hb,
+         (list_sort(list_distinct(a.hs || b.hs)))[1:{_KMV_K}] AS u
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+), calc AS (
+  SELECT key_a, key_b, ha, hb, u,
+         CASE WHEN len(u) >= {_KMV_K}
+              THEN ({_KMV_K} - 1.0) * 1152921504606846976.0
+                   / CAST(u[{_KMV_K}] AS DOUBLE)
+              ELSE CAST(len(u) AS DOUBLE) END AS union_est,
+         CAST(len(list_filter(u,
+               x -> list_contains(ha, x) AND list_contains(hb, x)))
+              AS DOUBLE) / CAST(len(u) AS DOUBLE) AS jaccard
+  FROM pairs
+)
+SELECT key_a, key_b,
+       round(union_est + 1e-9, 6) AS union_est,
+       round(jaccard + 1e-9, 6) AS jaccard,
+       round(jaccard * union_est + 1e-9, 6) AS inter_est
+FROM calc ORDER BY key_a, key_b
+""",
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: KMV / bottom-k theta set-operation sketches
+    (operators/sketches.py kmv_*, Bar-Yossef et al. 2002 / the
+    DataSketches theta family) — the mergeable-summary capability HLL
+    lacks: union, INTERSECTION and Jaccard cardinalities across groups.
+    Per-(event_type, shard) sketches of the user_id set merge to
+    per-type state (bottom-k mergeability is exact, bit-asserted in
+    pytest), then every type pair gets union/jaccard/intersection
+    estimates. Built on the cross-engine md5 hash family, so the
+    APPROXIMATE estimates themselves replay bit-for-bit in DuckDB —
+    the estimator, not just the plumbing, sits under the hash gate."""
+    from whisper_pandas_spark.operators.sketches import (
+        kmv_pair_ops,
+        kmv_rollup,
+        kmv_shard_sketches,
+    )
+
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "__shard", F.pmod(F.col("user_id"), F.lit(4))
+    )
+    shards = kmv_shard_sketches(
+        ev, ("event_type", "__shard"), "user_id", k=_KMV_K
+    )
+    merged = kmv_rollup(shards, ("event_type",))
+    ops = kmv_pair_ops(merged, "event_type")
+    eps = F.lit(1e-9)
+    return ops.select(
+        "key_a",
+        "key_b",
+        F.round(F.col("union_est") + eps, 6).alias("union_est"),
+        F.round(F.col("jaccard") + eps, 6).alias("jaccard"),
+        F.round(F.col("inter_est") + eps, 6).alias("inter_est"),
+    ).orderBy("key_a", "key_b")
