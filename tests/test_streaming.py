@@ -913,3 +913,53 @@ def test_stream_merge_out_of_order_batches_converge(spark, tmp_path):
     }
     # k=1 keeps the newer value, k=2 stays deleted, k=3 (new key) lands
     assert got == {1: "new", 3: "c"}
+
+
+def test_stream_kmv_update_converges_and_replay_is_idempotent(spark, tmp_path):
+    """Streaming KMV maintenance: final state equals the direct batch
+    sketch (set-union mergeability), and re-merging an already-included
+    batch leaves the state bit-identical — the at-least-once safety
+    the additive histogram merge does not have."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.operators.sketches import (
+        kmv_rollup,
+        kmv_shard_sketches,
+    )
+    from whisper_pandas_spark.streaming.sketches import stream_kmv_update
+
+    rows = [("a" if i % 3 else "b", f"u{i % 41}") for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, user string")
+    d = str(tmp_path)
+    df.filter(F.length("user") <= 2).coalesce(1).write.parquet(f"{d}/c/f1")
+    df.filter(F.length("user") > 2).coalesce(1).write.parquet(f"{d}/c/f2")
+    sdf = (
+        spark.readStream.schema("grp string, user string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/c/*")
+    )
+    q = stream_kmv_update(
+        sdf, f"{d}/state", ("grp",), "user", k=32,
+        checkpoint_dir=f"{d}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.parquet(current_version_path(f"{d}/state"))
+    got = {r["grp"]: (r["k"], r["hs"]) for r in state.collect()}
+    direct = {
+        r["grp"]: (r["k"], r["hs"])
+        for r in kmv_shard_sketches(df, ("grp",), "user", k=32).collect()
+    }
+    assert got == direct
+    # idempotence: merging ANY already-included batch changes nothing
+    batch1 = kmv_shard_sketches(
+        df.filter(F.length("user") <= 2), ("grp",), "user", k=32
+    )
+    remerged = {
+        r["grp"]: (r["k"], r["hs"])
+        for r in kmv_rollup(
+            state.select("grp", "k", "hs").unionByName(batch1), ("grp",)
+        ).collect()
+    }
+    assert remerged == got

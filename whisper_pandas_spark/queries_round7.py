@@ -14,6 +14,8 @@
 - sketch_kmv_setops        KMV/theta set-operation sketches: union,
                            intersection, Jaccard estimates whose
                            APPROXIMATE values replay bit-for-bit
+- stream_kmv_replay        streaming KMV maintenance (idempotent
+                           set-union merge: safe under at-least-once)
 
 Same conventions as every other queries_* module: each entry pairs a
 Spark implementation with a DuckDB oracle that replays the algorithm
@@ -374,3 +376,93 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("jaccard") + eps, 6).alias("jaccard"),
         F.round(F.col("inter_est") + eps, 6).alias("inter_est"),
     ).orderBy("key_a", "key_b")
+
+
+# -- streaming KMV maintenance, driver-verified ---------------------------------
+
+
+@register(
+    "stream_kmv_replay",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv0:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+), bk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), sk AS (
+  SELECT event_type,
+         CAST(count(*) AS INT) AS n_kept,
+         min(h) AS h_min, max(h) AS h_kth
+  FROM bk WHERE rn <= {_KMV_K} GROUP BY event_type
+)
+SELECT event_type, n_kept,
+       CASE WHEN n_kept >= {_KMV_K}
+            THEN round(({_KMV_K} - 1.0) * 1152921504606846976.0
+                       / CAST(h_kth AS DOUBLE) + 1e-9, 6)
+            ELSE CAST(n_kept AS DOUBLE) END AS n_distinct_est,
+       h_min, h_kth
+FROM sk ORDER BY event_type
+""",
+)
+def stream_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+/Y66: streaming KMV maintenance
+    (streaming/sketches.py:stream_kmv_update) replayed end-to-end —
+    `events` split into two files streams through foreachBatch
+    set-union merges into the versioned sketch state. The KMV merge is
+    IDEMPOTENT (replayed batches cannot corrupt the state, asserted in
+    tests), so unlike the additive histogram stream this maintenance is
+    safe under at-least-once delivery. Final state summarized as
+    (n_kept, distinct estimate, min/k-th hash) — the oracle recomputes
+    the identical bottom-k from raw data, proving batch sketching,
+    union merge, version flips AND the estimator in one hash check."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.sketches import stream_kmv_update
+
+    ev = _table(spark, sf_dir, "events").select("event_type", "user_id")
+    d = tempfile.mkdtemp(prefix="wps_kmvstream_")
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{d}/changes/f1"
+    )
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{d}/changes/f2"
+    )
+    sdf = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/changes/*")
+    )
+    q = stream_kmv_update(
+        sdf,
+        f"{d}/state",
+        ("event_type",),
+        "user_id",
+        k=_KMV_K,
+        checkpoint_dir=f"{d}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.parquet(current_version_path(f"{d}/state"))
+    kk = F.col("k")
+    full = F.size("hs") >= kk
+    est = F.when(
+        full,
+        F.round(
+            (kk.cast("double") - 1.0)
+            * F.lit(1152921504606846976.0)
+            / F.element_at("hs", kk).cast("double")
+            + F.lit(1e-9),
+            6,
+        ),
+    ).otherwise(F.size("hs").cast("double"))
+    return state.select(
+        "event_type",
+        F.size("hs").cast("int").alias("n_kept"),
+        est.alias("n_distinct_est"),
+        F.element_at("hs", 1).alias("h_min"),
+        F.element_at("hs", F.least(kk, F.size("hs"))).alias("h_kth"),
+    ).orderBy("event_type")

@@ -95,3 +95,57 @@ def stream_sketch_update(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_kmv_update(
+    sdf: DataFrame,
+    base: str,
+    keys: tuple[str, ...],
+    value_col: str,
+    k: int = 64,
+    seed: int = 0,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming twin for the KMV set-operation sketches
+    (operators/sketches.py kmv_*): each micro-batch is sketched on its
+    own and set-union-merged (kmv_rollup) into the versioned state.
+
+    Unlike the ADDITIVE histogram merge above, the KMV merge is
+    IDEMPOTENT — re-unioning hashes that are already in the state leaves
+    the bottom-k unchanged — so a replayed batch cannot corrupt the
+    state and ``checkpoint_dir`` is optional for CORRECTNESS (it still
+    buys restart progress tracking and avoids wasted recompute; the
+    idempotence is asserted in tests). This is the practical argument
+    for KMV state in an at-least-once pipeline.
+    """
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        write_version,
+    )
+    from whisper_pandas_spark.operators.sketches import (
+        kmv_rollup,
+        kmv_shard_sketches,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_sketch = kmv_shard_sketches(batch_df, keys, value_col, k, seed)
+        cur = current_version_path(base)
+        if cur is None:
+            new_state = kmv_rollup(batch_sketch, keys)
+            next_version = 0
+        else:
+            prior = batch_df.sparkSession.read.parquet(cur).select(
+                *keys, "k", "hs"
+            )
+            new_state = kmv_rollup(prior.unionByName(batch_sketch), keys)
+            next_version = int(Path(cur).name[1:]) + 1
+        write_version(base, new_state, next_version)
+
+    writer = sdf.writeStream.foreachBatch(apply).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
