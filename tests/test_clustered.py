@@ -95,3 +95,90 @@ def test_validation_errors(spark, tmp_path):
         materialize_zorder(docs, str(tmp_path / "y"), ["n_chars"])
     with pytest.raises(ValueError):
         zorder_value([F.col("a")] * 5, [0] * 5, [1] * 5, bits=16)  # > 63 bits
+
+
+# -- bloom file index ----------------------------------------------------------
+
+
+def test_bloom_index_no_false_negatives_and_prunes(spark, tmp_path):
+    """Every present key's file is always admitted (no false negatives,
+    exhaustively probed); absent keys prune (almost) everything; the
+    Spark and driver-side hash twins agree; rebuilds are deterministic."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.sources.bloom_index import (
+        _py_pos,
+        _spark_pos,
+        bloom_lookup,
+        build_bloom_index,
+        bloom_prune_files,
+    )
+
+    path = str(tmp_path / "t")
+    # 8 files, keys range-clustered so each key lives in exactly one file
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    df.repartitionByRange(8, "k").write.parquet(path)
+
+    M, H = 1 << 14, 7
+    idx = build_bloom_index(spark, path, "k", m_bits=M, n_hashes=H)
+    idx.cache()
+    assert idx.count() == 8
+
+    # hash twins agree
+    probe = spark.createDataFrame([("123",), ("abc",)], "s string")
+    for j in (0, 3, 6):
+        got = {
+            r["s"]: r["p"]
+            for r in probe.select("s", _spark_pos("s", j, M).alias("p")).collect()
+        }
+        assert got == {s: _py_pos(s, j, M) for s in ("123", "abc")}, j
+
+    # truth: which file holds each key
+    truth = {
+        r["k"]: r["f"]
+        for r in spark.read.parquet(path)
+        .select("k", F.input_file_name().alias("f"))
+        .collect()
+    }
+    # no false negatives: every present key's file is admitted
+    import random
+
+    rnd = random.Random(5)
+    for k in rnd.sample(range(4000), 60):
+        files = bloom_prune_files(idx, [k], m_bits=M, n_hashes=H)
+        assert truth[k] in files, k
+    # absent keys: expected FP rate ~1%/file -> over 40 probes x 8 files,
+    # admitted files stay rare
+    admitted = sum(
+        len(bloom_prune_files(idx, [k], m_bits=M, n_hashes=H))
+        for k in range(100000, 100040)
+    )
+    assert admitted <= 8, admitted  # vs 320 without the index
+
+    # end-to-end lookup: exact rows, bounded scan
+    rows, scanned, total = bloom_lookup(
+        spark, path, idx, "k", [17, 2999], m_bits=M, n_hashes=H
+    )
+    got = sorted((r["k"], r["v"]) for r in rows.collect())
+    assert got == [(17, 17 % 97), (2999, 2999 % 97)]
+    assert total == 8 and scanned <= 3  # 2 true files + rare FPs
+
+    # determinism: a rebuild is bit-identical
+    idx2 = build_bloom_index(spark, path, "k", m_bits=M, n_hashes=H)
+    a = {r["file"]: r["words"] for r in idx.collect()}
+    b = {r["file"]: r["words"] for r in idx2.collect()}
+    assert a == b
+    idx.unpersist()
+
+
+def test_bloom_index_validates_geometry(spark, tmp_path):
+    import pytest
+
+    from whisper_pandas_spark.sources.bloom_index import build_bloom_index
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom_index(spark, str(tmp_path), "k", m_bits=100)
+    with pytest.raises(ValueError, match="n_hashes"):
+        build_bloom_index(spark, str(tmp_path), "k", m_bits=64, n_hashes=0)

@@ -16,6 +16,9 @@
                            APPROXIMATE values replay bit-for-bit
 - stream_kmv_replay        streaming KMV maintenance (idempotent
                            set-union merge: safe under at-least-once)
+- layout_bloom_prune       per-file md5-Bloom sidecar index: point
+                           lookups skip files min/max cannot prune
+                           (in-query pruning-bound assertion)
 
 Same conventions as every other queries_* module: each entry pairs a
 Spark implementation with a DuckDB oracle that replays the algorithm
@@ -466,3 +469,83 @@ def stream_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("hs", 1).alias("h_min"),
         F.element_at("hs", F.least(kk, F.size("hs"))).alias("h_kth"),
     ).orderBy("event_type")
+
+
+# -- bloom file index, driver-verified -----------------------------------------
+
+_BLOOM_M = 1 << 13
+_BLOOM_H = 7
+_BLOOM_PROBE = (7, 123, 400)
+_BLOOM_DIR: dict[str, str] = {}
+
+
+def _bloom_table(spark: SparkSession, sf_dir: str) -> str:
+    """documents written as 8 files range-clustered on (lang, n_chars) —
+    deliberately NOT on doc_id, so per-file doc_id min/max spans nearly
+    the whole id range and statistics-based pruning is useless for a
+    doc_id point lookup; once per process per sf_dir."""
+    import tempfile
+
+    from whisper_pandas_spark.sources.clustered import (
+        materialize_range_clustered,
+    )
+
+    if sf_dir not in _BLOOM_DIR:
+        d = tempfile.mkdtemp(prefix="wps_bloom_")
+        materialize_range_clustered(
+            _table(spark, sf_dir, "documents").select(
+                "doc_id", "lang", "n_chars"
+            ),
+            d,
+            ["lang", "n_chars"],
+            num_files=8,
+        )
+        _BLOOM_DIR[sf_dir] = d
+    return _BLOOM_DIR[sf_dir]
+
+
+@register(
+    "layout_bloom_prune",
+    oracle=f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id IN ({", ".join(str(v) for v in _BLOOM_PROBE)})
+ORDER BY doc_id
+""",
+)
+def layout_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y25+/§4: Bloom FILE index proven end-to-end
+    (sources/bloom_index.py) — documents laid out so doc_id min/max
+    CANNOT prune (files clustered on (lang, n_chars)), then a 3-key
+    doc_id point lookup through the per-file md5-Bloom sidecar. The
+    entry RAISES unless the index actually restricted the scan (the
+    zorder-entry discipline: a pruning regression turns the driver row
+    red, not just slow); Bloom admits no false negatives by
+    construction, so results equal the plain relational filter the
+    oracle runs."""
+    from whisper_pandas_spark.sources.bloom_index import (
+        bloom_lookup,
+        build_bloom_index,
+    )
+
+    d = _bloom_table(spark, sf_dir)
+    idx = build_bloom_index(
+        spark, d, "doc_id", m_bits=_BLOOM_M, n_hashes=_BLOOM_H
+    )
+    rows, scanned, total = bloom_lookup(
+        spark,
+        d,
+        idx,
+        "doc_id",
+        list(_BLOOM_PROBE),
+        m_bits=_BLOOM_M,
+        n_hashes=_BLOOM_H,
+    )
+    if total < 4 or scanned > total // 2:
+        raise RuntimeError(
+            f"bloom index stopped pruning: scanned {scanned}/{total} files "
+            f"for a {len(_BLOOM_PROBE)}-key point lookup"
+        )
+    return rows.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
