@@ -918,3 +918,37 @@ def test_tiff_rejections():
     trunc = good[:-8]
     with pytest.raises(CodecError):
         decode_tiff(trunc)
+
+
+def test_tiff_mutation_fuzz_fails_closed():
+    """300 random single/multi-byte mutations of valid TIFFs: decode
+    must either succeed or raise CodecError — never an unhandled
+    IndexError/struct.error/ValueError (the tolerant-skip contract
+    `on_error=skip` callers rely on)."""
+    import random
+
+    import numpy as np
+
+    from whisper_pandas_spark.functions.codecs import (
+        CodecError,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(17)
+    rnd = random.Random(17)
+    bases = [
+        encode_tiff(rng.integers(0, 256, (16, 16), dtype=np.uint8), "none"),
+        encode_tiff(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), "lzw", 2),
+        encode_tiff(rng.integers(0, 256, (9, 7), dtype=np.uint8), "packbits"),
+    ]
+    for trial in range(300):
+        data = bytearray(rnd.choice(bases))
+        for _ in range(rnd.randint(1, 4)):
+            data[rnd.randrange(len(data))] = rnd.randrange(256)
+        if rnd.random() < 0.3:
+            data = data[: rnd.randrange(1, len(data))]
+        try:
+            decode_tiff(bytes(data))
+        except CodecError:
+            pass  # the contract: malformed input fails CLOSED
