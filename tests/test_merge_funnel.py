@@ -443,3 +443,79 @@ def test_partitioned_merge_evaluates_changes_once(spark, tmp_path):
     )
     merge_into_parquet_partitioned(spark, base, changes, "k", "p")
     assert acc.value == 2  # one pass over the 2 rows, not 2-3 passes
+
+
+def test_compact_current_preserves_state(spark, table, tmp_path):
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.merge import (
+        compact_current,
+        current_version_path,
+        merge_into_parquet,
+        read_current_state,
+    )
+
+    base = str(tmp_path / "c")
+    merge_into_parquet(spark, base, table.repartition(6), "id")
+    before = {r["id"]: (r["s"], r["v"]) for r in read_current_state(spark, base).collect()}
+    n_before = len(list(Path(current_version_path(base)).glob("*.parquet")))
+    assert n_before > 1
+    compact_current(spark, base, target_files=1)
+    assert current_version_path(base).endswith("v1")
+    after = {r["id"]: (r["s"], r["v"]) for r in read_current_state(spark, base).collect()}
+    assert after == before
+    assert len(list(Path(current_version_path(base)).glob("*.parquet"))) == 1
+
+
+def test_compact_partitioned_rewrites_only_fragmented(spark, tmp_path):
+    """Fragmented partitions compact to one file in a NEW version; tidy
+    partitions keep serving from their old version (zero copy); state is
+    identical; a no-op compaction writes NO new version."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.merge import (
+        _part_dirs,
+        _read_manifest,
+        compact_partitioned,
+        current_version_path,
+        merge_into_parquet_partitioned,
+        read_current_state_partitioned,
+    )
+
+    base = str(tmp_path / "p")
+    # partition 'frag' arrives as 6 files, 'tidy' as 1
+    frag = spark.range(60).select(
+        F.col("id").alias("k"), F.lit("frag").alias("p"), (F.col("id") * 2).alias("v")
+    ).repartition(6)
+    merge_into_parquet_partitioned(spark, base, frag, "k", "p")
+    tidy = spark.range(100, 105).select(
+        F.col("id").alias("k"), F.lit("tidy").alias("p"), F.lit(0).alias("v")
+    ).coalesce(1)
+    merge_into_parquet_partitioned(spark, base, tidy, "k", "p")
+
+    before = {
+        (r["k"], r["p"]): r["v"]
+        for r in read_current_state_partitioned(spark, base, "p").collect()
+    }
+    new_dir, compacted = compact_partitioned(
+        spark, base, "p", max_files_per_partition=2
+    )
+    assert compacted == ["frag"] and new_dir.endswith("v2")
+    man = _read_manifest(current_version_path(base))
+    assert man["frag"] == "v2"
+    assert man["tidy"] == "v1"  # untouched partition still re-points
+    frag_dir = _part_dirs(Path(new_dir) / "data", "p")["frag"]
+    assert len(list(Path(frag_dir).glob("*.parquet"))) == 1
+    after = {
+        (r["k"], r["p"]): r["v"]
+        for r in read_current_state_partitioned(spark, base, "p").collect()
+    }
+    assert after == before
+    # already compact: no new version
+    none_dir, none_parts = compact_partitioned(
+        spark, base, "p", max_files_per_partition=2
+    )
+    assert none_dir is None and none_parts == []
+    assert current_version_path(base).endswith("v2")

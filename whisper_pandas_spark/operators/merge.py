@@ -563,3 +563,101 @@ def vacuum_partitioned(base: str, keep_last: int = 2) -> list[str]:
             shutil.rmtree(d)
             removed.append(str(d))
     return removed
+
+
+# -- small-file compaction ----------------------------------------------------
+#
+# Copy-on-write tables accumulate small files: every merge writes its
+# batch-sized output, and a partition touched by many small batches ends
+# up as many small parquet files — the classic warehouse small-files
+# problem (Delta OPTIMIZE / Iceberg rewrite_data_files). Compaction is a
+# STATE-PRESERVING new version: same rows, fewer files, same pointer
+# discipline (write-new-then-flip), so readers never see a torn mix and
+# time travel keeps the fragmented versions until vacuum.
+
+
+def compact_current(
+    spark: SparkSession,
+    base: str,
+    target_files: int = 1,
+) -> str:
+    """Rewrite the CURRENT version of an (unpartitioned) versioned table
+    as a new version with ``target_files`` parquet files. Returns the
+    new version dir. State is bit-preserved (same rows); only layout
+    changes."""
+    from pathlib import Path
+
+    cur = current_version_path(base)
+    if cur is None:
+        raise FileNotFoundError(f"no current version under {base}")
+    if target_files < 1:
+        raise ValueError("target_files must be >= 1")
+    df = spark.read.parquet(cur).coalesce(target_files)
+    next_n = int(Path(cur).name[1:]) + 1
+    return write_version(base, df, next_n)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    base: str,
+    part_col: str,
+    max_files_per_partition: int = 4,
+) -> tuple[str | None, list[str]]:
+    """Compact FRAGMENTED partitions of a partitioned-merge table: any
+    live partition whose current data spans more than
+    ``max_files_per_partition`` parquet files is rewritten (one file per
+    partition) into a new version; every other partition re-points via
+    the manifest exactly like an ordinary merge (zero copy). Returns
+    ``(new_version_dir | None, compacted_partition_values)`` — None when
+    nothing is fragmented (no new version is written at all).
+
+    The rewrite bound is the same as a merge touching those partitions;
+    vacuum_partitioned later reclaims the fragmented originals once no
+    retained manifest references them."""
+    import json
+    from pathlib import Path
+
+    cur = current_version_path(base)
+    if cur is None:
+        raise FileNotFoundError(f"no current version under {base}")
+    manifest = _read_manifest(cur)
+    root = Path(base)
+    fragmented: list[str] = []
+    for pval, vname in sorted(manifest.items()):
+        data = root / vname / "data"
+        dirs = _part_dirs(data, part_col)
+        pdir = dirs.get(pval)
+        if pdir is None:
+            raise FileNotFoundError(
+                f"manifest names partition {pval!r} absent from {data}"
+            )
+        n_files = len(list(Path(pdir).glob("*.parquet")))
+        if n_files > max_files_per_partition:
+            fragmented.append(pval)
+    if not fragmented:
+        return None, []
+
+    next_n = int(Path(cur).name[1:]) + 1
+    vname = f"v{next_n}"
+    new_dir = root / vname
+    frag_df = _read_parts(spark, base, manifest, part_col, fragmented)
+    (
+        frag_df.repartition(part_col)
+        .write.mode("errorifexists")
+        .partitionBy(part_col)
+        .parquet(str(new_dir / "data"))
+    )
+    written = set(_part_dirs(new_dir / "data", part_col))
+    missing = set(fragmented) - written
+    if missing:
+        raise RuntimeError(
+            f"compaction lost partitions {sorted(missing)!r}"
+        )
+    new_manifest = dict(manifest)
+    for p in written:
+        new_manifest[p] = vname
+    (new_dir / _MANIFEST).write_text(json.dumps(new_manifest, sort_keys=True))
+    tmp = root / f"{_CURRENT}.tmp"
+    tmp.write_text(vname)
+    tmp.replace(root / _CURRENT)
+    return str(new_dir), sorted(fragmented)

@@ -19,6 +19,8 @@
 - layout_bloom_prune       per-file md5-Bloom sidecar index: point
                            lookups skip files min/max cannot prune
                            (in-query pruning-bound assertion)
+- merge_compact_state      small-file compaction: fragmented partitions
+                           rewrite to one file, tidy ones re-point
 
 Same conventions as every other queries_* module: each entry pairs a
 Spark implementation with a DuckDB oracle that replays the algorithm
@@ -549,3 +551,71 @@ def layout_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
     ).orderBy("doc_id")
+
+
+# -- CoW compaction, driver-verified -------------------------------------------
+
+
+@register(
+    "merge_compact_state",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang ORDER BY lang
+""",
+)
+def merge_compact_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y59+: small-file compaction for partitioned CoW tables
+    (operators/merge.py:compact_partitioned — the Delta OPTIMIZE /
+    Iceberg rewrite_data_files maintenance op). `documents` lands
+    partitioned by lang with a deliberately fragmented write (8-way
+    repartition -> up to 8 files per partition); compaction rewrites
+    every fragmented partition to one file in a new version while tidy
+    partitions keep re-pointing (zero copy). The entry RAISES unless
+    compaction actually ran and bounded the per-partition file count
+    (the zorder/bloom in-query discipline), then returns per-lang
+    aggregates of the live state — which must be UNCHANGED by layout,
+    as the oracle's plain relational recompute verifies."""
+    import tempfile
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.merge import (
+        _part_dirs,
+        _read_manifest,
+        compact_partitioned,
+        current_version_path,
+        merge_into_parquet_partitioned,
+        read_current_state_partitioned,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    d = tempfile.mkdtemp(prefix="wps_compact_")
+    t = f"{d}/table"
+    merge_into_parquet_partitioned(
+        spark, t, docs.repartition(8), "doc_id", "lang"
+    )
+    new_dir, compacted = compact_partitioned(
+        spark, t, "lang", max_files_per_partition=1
+    )
+    if new_dir is None or not compacted:
+        raise RuntimeError("fragmented write produced nothing to compact")
+    man = _read_manifest(current_version_path(t))
+    for p in compacted:
+        pdir = _part_dirs(Path(new_dir) / "data", "lang")[p]
+        n = len(list(Path(pdir).glob("*.parquet")))
+        if n != 1 or man[p] != Path(new_dir).name:
+            raise RuntimeError(
+                f"compaction left partition {p!r} at {n} files"
+            )
+    state = read_current_state_partitioned(spark, t, "lang")
+    return (
+        state.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
