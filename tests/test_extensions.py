@@ -1377,3 +1377,61 @@ def test_kmv_refuses_tiny_k(spark):
     df = spark.createDataFrame([("g", "u")], "grp string, user string")
     with _pt.raises(ValueError):
         kmv_shard_sketches(df, ("grp",), "user", k=1)
+
+
+def test_join_view_maintenance_matches_recompute(spark):
+    """Key-scoped delete+insert IVM: after two change batches touching
+    both sides (updates, inserts, deletes, many-to-many keys), the
+    maintained view equals the full recompute; batching is associative."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.incremental import (
+        join_view_apply,
+        join_view_touched,
+    )
+    from whisper_pandas_spark.operators.merge import merge_changes
+
+    a0 = spark.createDataFrame(
+        [(k, f"a{k}", i) for k in range(6) for i in range(k % 3 + 1)],
+        "k int, a string, ai int",
+    )
+    b0 = spark.createDataFrame(
+        [(k, k * 10.0) for k in range(1, 8)], "k int, bv double"
+    )
+    view = a0.join(b0, "k")
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    # batch 1: update a at k=2 (replace its rows), insert k=9 on both
+    # sides, delete b at k=3
+    da = spark.createDataFrame(
+        [(2, "A2", 99, False), (9, "a9", 0, False)],
+        "k int, a string, ai int, del boolean",
+    )
+    db = spark.createDataFrame(
+        [(9, 90.0, False), (3, None, True)], "k int, bv double, del boolean"
+    )
+    # maintain the BASE tables with the ordinary MERGE... (a is keyed by
+    # (k, ai) in spirit; for the view contract, a change batch REPLACES
+    # all rows at its key: delete-then-insert via merge on k)
+    a1 = merge_changes(a0, da, "k", "del")
+    b1 = merge_changes(b0, db, "k", "del")
+    touched = join_view_touched(da, db, "k")
+    view = join_view_apply(view, a1, b1, "k", touched)
+    assert snap(view) == snap(a1.join(b1, "k"))
+
+    # batch 2: touch only one side; key 9 changes again
+    da2 = spark.createDataFrame(
+        [(9, "a9b", 1, False), (5, None, 0, True)],
+        "k int, a string, ai int, del boolean",
+    )
+    a2 = merge_changes(a1, da2, "k", "del")
+    touched2 = join_view_touched(da2, None, "k")
+    view = join_view_apply(view, a2, b1, "k", touched2)
+    assert snap(view) == snap(a2.join(b1, "k"))
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        join_view_touched(None, None, "k")

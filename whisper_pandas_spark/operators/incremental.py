@@ -168,3 +168,76 @@ def agg_apply(
             else:
                 out_cols.append(F.greatest(cur, d).alias(name))
     return joined.select(*out_cols).filter(F.col("__n") > 0)
+
+
+# -- incremental JOIN-view maintenance ----------------------------------------
+#
+# The join companion to agg_state/agg_apply above: keep a materialized
+# equi-join view V = A join B current under change batches to either
+# side WITHOUT rescanning the full inputs. The maintenance rule is the
+# standard key-scoped delete+insert (partial recompute): a change to
+# key k can only affect view rows with join key k, so
+#
+#   touched = keys(dA) + keys(dB)
+#   slice   = (A' semi touched) join (B' semi touched)
+#   V'      = (V anti touched) + slice
+#
+# Exact for ANY key multiplicity (fact-dim or many-to-many) — no
+# retraction bookkeeping, no double-count corrections. Cost is
+# proportional to the TOUCHED keys' data, not the corpus; with A/B/V
+# partitioned or bucketed on the join key the semi/anti joins prune to
+# the touched partitions. Touched-key frames broadcast (change batches
+# are small by contract, like the MERGE family).
+
+
+def join_view_touched(
+    a_changes: DataFrame | None,
+    b_changes: DataFrame | None,
+    join_key: str,
+) -> DataFrame:
+    """Distinct join keys affected by a pair of change batches (either
+    side may be None). The caller must ensure the batches carry the
+    join key of EVERY affected row — including the PRIOR key of a row
+    whose update moved it between join keys (else the old key's stale
+    view rows survive); deletes carry the key they remove."""
+    parts = [
+        c.select(F.col(join_key)) for c in (a_changes, b_changes) if c is not None
+    ]
+    if not parts:
+        raise ValueError("at least one change batch is required")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def join_view_slice(
+    a_new: DataFrame,
+    b_new: DataFrame,
+    join_key: str,
+    touched: DataFrame,
+) -> DataFrame:
+    """Fresh view rows for the touched join keys: semi-join-pruned
+    A' join B' (the only join work a batch pays)."""
+    ks = F.broadcast(touched.select(join_key).distinct())
+    a_t = a_new.join(ks, join_key, "semi")
+    b_t = b_new.join(ks, join_key, "semi")
+    return a_t.join(b_t, join_key)
+
+
+def join_view_apply(
+    view: DataFrame,
+    a_new: DataFrame,
+    b_new: DataFrame,
+    join_key: str,
+    touched: DataFrame,
+) -> DataFrame:
+    """New view state: drop every row whose join key was touched, add
+    the recomputed slice. Keys whose match disappeared (a side's rows
+    deleted) simply contribute no slice rows — deletion falls out of
+    the anti-join."""
+    ks = F.broadcast(touched.select(join_key).distinct())
+    survivors = view.join(ks, join_key, "left_anti")
+    return survivors.unionByName(
+        join_view_slice(a_new, b_new, join_key, touched)
+    )

@@ -21,6 +21,8 @@
                            (in-query pruning-bound assertion)
 - merge_compact_state      small-file compaction: fragmented partitions
                            rewrite to one file, tidy ones re-point
+- incr_join_view           incremental join-view maintenance
+                           (key-scoped delete+insert, change-bounded)
 
 Same conventions as every other queries_* module: each entry pairs a
 Spark implementation with a DuckDB oracle that replays the algorithm
@@ -618,4 +620,97 @@ def merge_compact_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
         .orderBy("lang")
+    )
+
+
+# -- incremental join-view maintenance, driver-verified -------------------------
+
+
+@register(
+    "incr_join_view",
+    oracle="""
+WITH oc AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 13 = 0
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) + 500
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 97 <> 5
+), cc AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END
+           AS seg
+  FROM customer
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM oc JOIN cc ON oc.o_custkey = cc.c_custkey
+GROUP BY seg ORDER BY seg
+""",
+)
+def incr_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y51+: incremental JOIN-view maintenance
+    (operators/incremental.py join_view_*) — the materialized
+    orders-x-customer view kept current under one change batch per
+    side by key-scoped delete+insert (work proportional to the touched
+    custkeys' data, not the corpus). Orders batch: +5.00 repricing at
+    o_orderkey%13 (touches those orders' custkeys), deletes at
+    o_orderkey%97=5; customer batch: segment rewrite at c_custkey%11.
+    The maintained view then aggregates per segment; the oracle applies
+    the same mutations relationally and recomputes the join from
+    scratch — any IVM drift (stale rows surviving, double inserts)
+    hash-mismatches."""
+    from whisper_pandas_spark.operators.incremental import (
+        join_view_apply,
+        join_view_touched,
+    )
+    from whisper_pandas_spark.operators.merge import merge_changes
+
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    view = orders.join(cust, "o_custkey")
+
+    da = (
+        orders.where(
+            (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 97 != 5)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("cents") + 500).alias("cents"),
+            F.lit(False).alias("del"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 97 == 5).select(
+                "o_orderkey",
+                "o_custkey",
+                F.lit(None).cast("bigint").alias("cents"),
+                F.lit(True).alias("del"),
+            )
+        )
+    )
+    db = cust.where(F.col("o_custkey") % 11 == 0).select(
+        "o_custkey", F.lit("MOVED").alias("seg"), F.lit(False).alias("del")
+    )
+    orders2 = merge_changes(orders, da, "o_orderkey", "del")
+    cust2 = merge_changes(cust, db, "o_custkey", "del")
+    touched = join_view_touched(
+        da.select("o_custkey"), db.select("o_custkey"), "o_custkey"
+    )
+    view2 = join_view_apply(view, orders2, cust2, "o_custkey", touched)
+    return (
+        view2.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("seg")
     )
