@@ -519,3 +519,42 @@ def test_compact_partitioned_rewrites_only_fragmented(spark, tmp_path):
     )
     assert none_dir is None and none_parts == []
     assert current_version_path(base).endswith("v2")
+
+
+def test_change_feed_between_versions(spark, table, tmp_path):
+    """CDF read: diffing two retained versions reproduces the applied
+    change batch (added/changed/removed), works across non-adjacent
+    versions, and raises for vacuumed versions."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.merge import (
+        change_feed,
+        merge_into_parquet,
+        vacuum_versions,
+    )
+
+    base = str(tmp_path / "cf")
+    merge_into_parquet(spark, base, table, "id")  # v0
+    c1 = spark.createDataFrame(
+        [(2, "B", 200, False), (4, "d", 40, False), (3, None, 0, True)],
+        "id long, s string, v long, is_delete boolean",
+    )
+    merge_into_parquet(spark, base, c1, "id", delete_col="is_delete")  # v1
+    c2 = spark.createDataFrame(
+        [(4, "D", 44, False)], "id long, s string, v long, is_delete boolean"
+    )
+    merge_into_parquet(spark, base, c2, "id", delete_col="is_delete")  # v2
+
+    feed01 = {
+        r["key"]: r["change"] for r in change_feed(spark, base, 0, 1, "id").collect()
+    }
+    assert feed01 == {2: "changed", 3: "removed", 4: "added"}
+    # non-adjacent: v0 -> v2 folds both batches
+    feed02 = {
+        r["key"]: r["change"] for r in change_feed(spark, base, 0, 2, "id").collect()
+    }
+    assert feed02 == {2: "changed", 3: "removed", 4: "added"}
+    vacuum_versions(base, keep_last=2)  # drops v0
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        change_feed(spark, base, 0, 2, "id")

@@ -661,3 +661,43 @@ def compact_partitioned(
     tmp.write_text(vname)
     tmp.replace(root / _CURRENT)
     return str(new_dir), sorted(fragmented)
+
+
+def change_feed(
+    spark: SparkSession,
+    base: str,
+    from_version: int,
+    to_version: int,
+    key_col: str,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change data feed between two retained versions of a versioned
+    table (Delta's CDF read, on plain versioned parquet): (key, change)
+    with change in {added, removed, changed} — computed by
+    fingerprint-diffing the two snapshots (operators/diffing.py), so it
+    needs no per-merge change log; any pair of retained (un-vacuumed)
+    versions can be compared after the fact. ``value_cols`` defaults to
+    the columns the versions share minus the key (pass explicitly
+    across a schema-evolution boundary, where the column sets differ).
+
+    One full-outer key join over the two snapshots — the from-scratch
+    cost; a 100 TB deployment that needs per-merge feeds cheaply should
+    persist the change batches themselves next to each version (they
+    are the feed); this reader is the fallback that works for ANY pair
+    of versions, including non-adjacent ones."""
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.diffing import table_diff
+
+    root = Path(base)
+    dirs = []
+    for v in (from_version, to_version):
+        d = root / f"v{v}"
+        if not (d.is_dir()):
+            raise FileNotFoundError(
+                f"version v{v} not present under {base} (vacuumed?)"
+            )
+        dirs.append(d)
+    old = spark.read.parquet(str(dirs[0] / "data") if (dirs[0] / "data").is_dir() else str(dirs[0]))
+    new = spark.read.parquet(str(dirs[1] / "data") if (dirs[1] / "data").is_dir() else str(dirs[1]))
+    return table_diff(old, new, key_col, value_cols)

@@ -23,6 +23,8 @@
                            rewrite to one file, tidy ones re-point
 - incr_join_view           incremental join-view maintenance
                            (key-scoped delete+insert, change-bounded)
+- merge_change_feed        change-data-feed read between retained CoW
+                           versions (Delta CDF parity, fingerprint diff)
 
 Same conventions as every other queries_* module: each entry pairs a
 Spark implementation with a DuckDB oracle that replays the algorithm
@@ -714,3 +716,74 @@ def incr_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+# -- change data feed, driver-verified -----------------------------------------
+
+
+@register(
+    "merge_change_feed",
+    oracle="""
+WITH changes AS (
+  SELECT doc_id, text || ' [rev]' AS text, false AS is_delete
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 97 <> 2
+  UNION ALL
+  SELECT doc_id + 500000, 'new doc ' || doc_id, false
+  FROM documents WHERE doc_id < 3
+  UNION ALL
+  SELECT doc_id, NULL, true FROM documents WHERE doc_id % 97 = 2
+)
+SELECT c.doc_id AS key,
+       CASE WHEN c.is_delete THEN 'removed'
+            WHEN d.doc_id IS NULL THEN 'added'
+            ELSE 'changed' END AS change
+FROM changes c LEFT JOIN documents d ON d.doc_id = c.doc_id
+ORDER BY key
+""",
+)
+def merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y28+/Y20: change-data-feed read over the versioned CoW table
+    (operators/merge.py:change_feed, Delta CDF parity on plain
+    versioned parquet) — documents merged to v0, the standard mutation
+    batch (rev updates at doc_id%7, three inserts, deletes at
+    doc_id%97=2) applied as v1, then the (key, change) feed diffed
+    BETWEEN THE VERSIONS on disk. The oracle derives the expected feed
+    from the change batch itself: every update really changes text
+    ([rev] suffix) and every insert uses fresh keys, so batch == feed
+    exactly; fingerprint-diff drift (missed changes, phantom rows)
+    hash-mismatches."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.merge import (
+        change_feed,
+        merge_into_parquet,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="wps_cdf_")
+    t = f"{d}/table"
+    merge_into_parquet(spark, t, docs, "doc_id")  # v0
+    changes = (
+        docs.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 97 != 2))
+        .select(
+            "doc_id",
+            F.concat("text", F.lit(" [rev]")).alias("text"),
+            F.lit(False).alias("is_delete"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") < 3).select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.lit("new doc "), F.col("doc_id")).alias("text"),
+                F.lit(False).alias("is_delete"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 97 == 2).select(
+                "doc_id",
+                F.lit(None).cast("string").alias("text"),
+                F.lit(True).alias("is_delete"),
+            )
+        )
+    )
+    merge_into_parquet(spark, t, changes, "doc_id", delete_col="is_delete")
+    return change_feed(spark, t, 0, 1, "doc_id").orderBy("key")
