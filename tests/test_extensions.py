@@ -1435,3 +1435,45 @@ def test_join_view_maintenance_matches_recompute(spark):
 
     with _pt.raises(ValueError):
         join_view_touched(None, None, "k")
+
+
+def test_mmr_spreads_across_planted_clusters(spark):
+    """lam=1 degenerates to plain relevance top-k (near-dups of the best
+    hit); lam=0.3 must spread the first picks across the two planted
+    clusters; determinism across partitionings."""
+    from whisper_pandas_spark.operators.diversify import mmr_select
+
+    # cluster X: near the query; cluster Y: orthogonal-ish but present
+    rows = [(i, [10.0 + 0.01 * i, 0.2 * i]) for i in range(5)]          # X
+    rows += [(10 + i, [0.3 * i, 10.0 + 0.01 * i]) for i in range(5)]    # Y
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [1.0, 0.1]
+
+    rel_only = mmr_select(df, q, k=4, lam=1.0).collect()
+    assert all(r["vec_id"] < 5 for r in rel_only)  # all from cluster X
+
+    spread = mmr_select(df, q, k=4, lam=0.3).collect()
+    picked = [r["vec_id"] for r in spread]
+    assert any(v >= 10 for v in picked[:2]), picked  # Y enters early
+    assert len(set(picked)) == 4
+    # rank 1 is always the pure-relevance argmax
+    assert spread[0]["vec_id"] == rel_only[0]["vec_id"]
+    # scores non-increasing is NOT guaranteed by MMR, but relevance of
+    # rank1 is the max relevance
+    assert spread[0]["relevance"] == max(r["relevance"] for r in spread)
+
+    again = mmr_select(df.repartition(7), q, k=4, lam=0.3).collect()
+    assert [(r["rnk"], r["vec_id"]) for r in again] == [
+        (r["rnk"], r["vec_id"]) for r in spread
+    ]
+
+    # k larger than corpus: stops at corpus size
+    small = mmr_select(df.limit(3), q, k=10, lam=0.5).collect()
+    assert len(small) == 3
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mmr_select(df, q, k=0)
+    with _pt.raises(ValueError):
+        mmr_select(df, q, k=1, lam=1.5)

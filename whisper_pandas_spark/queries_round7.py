@@ -25,6 +25,8 @@
                            (key-scoped delete+insert, change-bounded)
 - merge_change_feed        change-data-feed read between retained CoW
                            versions (Delta CDF parity, fingerprint diff)
+- mmr_diversified_topk     Maximal Marginal Relevance selection; the
+                           whole greedy trajectory replays in SQL
 
 Same conventions as every other queries_* module: each entry pairs a
 Spark implementation with a DuckDB oracle that replays the algorithm
@@ -787,3 +789,82 @@ def merge_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_into_parquet(spark, t, changes, "doc_id", delete_col="is_delete")
     return change_feed(spark, t, 0, 1, "doc_id").orderBy("key")
+
+
+# -- MMR diversified selection, driver-verified ---------------------------------
+
+_MMR_K = 8
+_MMR_LAM = 0.5  # exactly representable; SQL literals cast to DOUBLE
+# (DuckDB parses bare 0.5 as DECIMAL — the pagerank-oracle lesson)
+
+
+def _mmr_oracle() -> str:
+    from whisper_pandas_spark.functions.duck import duck_cos
+
+    steps = []
+    for i in range(1, _MMR_K + 1):
+        prev = f"s{i - 1}"
+        steps.append(f"""p{i} AS (
+  SELECT vec_id AS pid, v AS pv, rel AS prel,
+         CASE WHEN ms IS NULL THEN CAST({_MMR_LAM} AS DOUBLE) * rel
+              ELSE CAST({_MMR_LAM} AS DOUBLE) * rel
+                   - CAST({1.0 - _MMR_LAM} AS DOUBLE) * ms END AS psc
+  FROM {prev} ORDER BY psc DESC, vec_id LIMIT 1
+), s{i} AS (
+  SELECT s.vec_id, s.v, s.rel,
+         greatest(coalesce(s.ms, -1e18), {duck_cos("s.v", "p.pv")}) AS ms
+  FROM {prev} s, p{i} p WHERE s.vec_id <> p.pid
+)""")
+    picks_sql = "\nUNION ALL\n".join(
+            f"SELECT {j} AS rnk, pid AS vec_id, "
+            f"round(prel + 1e-9, 6) AS relevance, "
+            f"round(psc + 1e-9, 6) AS score FROM p{j}"
+            for j in range(1, _MMR_K + 1)
+        )
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+), qid AS (
+  SELECT min(vec_id) AS qid FROM embeddings
+), cand AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s0 AS (
+  SELECT c.vec_id, c.v,
+         {duck_cos("c.v", "q.qv")} AS rel,
+         CAST(NULL AS DOUBLE) AS ms
+  FROM cand c CROSS JOIN q CROSS JOIN qid
+  WHERE c.vec_id <> qid.qid
+),
+{",".join(steps)}
+SELECT * FROM ({picks_sql}) ORDER BY rnk
+"""
+
+
+@register("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: Maximal Marginal Relevance diversified selection
+    (operators/diversify.py, Carbonell & Goldstein 1998) — the curation
+    step after similarity search: greedy picks trading relevance
+    against similarity to the already-selected set (lam=0.5). Query =
+    the min-vec_id embedding (excluded from candidates); 8 greedy
+    rounds. The oracle unrolls the ENTIRE greedy trajectory in SQL
+    (per-step argmax + running max-sim update, the kmeans/SemDeDup
+    replay pattern), so a single wrong pick anywhere in the sequence
+    hash-mismatches."""
+    from whisper_pandas_spark.operators.diversify import mmr_select
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    out = mmr_select(
+        emb.where(F.col("vec_id") != qrow["vec_id"]),
+        [float(x) for x in qrow["embedding"]],
+        k=_MMR_K,
+        lam=_MMR_LAM,
+    )
+    eps = F.lit(1e-9)
+    return out.select(
+        "rnk",
+        "vec_id",
+        F.round(F.col("relevance") + eps, 6).alias("relevance"),
+        F.round(F.col("score") + eps, 6).alias("score"),
+    ).orderBy("rnk")
