@@ -1477,3 +1477,75 @@ def test_mmr_spreads_across_planted_clusters(spark):
         mmr_select(df, q, k=0)
     with _pt.raises(ValueError):
         mmr_select(df, q, k=1, lam=1.5)
+
+
+def test_cohort_retention_planted(spark):
+    """Planted cohort behavior: users u1/u2 start in bucket 0 (u1 active
+    in buckets 0,1,2; u2 only bucket 0), u3 starts bucket 1 (active 1,2).
+    offset-0 retention is always 1.0."""
+    import datetime as dt
+
+    from whisper_pandas_spark.operators.cohort import cohort_retention
+
+    B = 7 * 86400
+    t0 = dt.datetime(2024, 1, 4)  # epoch 1704326400 -> bucket 19726
+
+    def at(bucket, u):
+        return (u, t0 + dt.timedelta(seconds=bucket * B))
+
+    rows = [at(0, "u1"), at(0, "u1"), at(1, "u1"), at(2, "u1"),
+            at(0, "u2"), at(1, "u3"), at(2, "u3")]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    got = {
+        (r["cohort"], r["offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in cohort_retention(df, "user", "ts").collect()
+    }
+    c0 = min(k[0] for k in got)
+    assert got[(c0, 0)] == (2, 2, 1.0)
+    assert got[(c0, 1)] == (1, 2, 0.5)
+    assert got[(c0, 2)] == (1, 2, 0.5)
+    assert got[(c0 + 1, 0)] == (1, 1, 1.0)
+    assert got[(c0 + 1, 1)] == (1, 1, 1.0)
+    assert all(r == 1.0 for (c, o), (_, _, r) in got.items() if o == 0)
+
+
+def test_linear_trend_exact_line_and_degenerate(spark):
+    """A perfect line recovers slope/intercept with r2 == 1; constant y
+    gives NULL slope (zero x-variance groups too); values match a numpy
+    polyfit reference within rounding."""
+    import datetime as dt
+
+    import numpy as np
+
+    from whisper_pandas_spark.operators.decompose import linear_trend
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(50):
+        ts = t0 + dt.timedelta(seconds=60 * i)
+        rows.append(("line", ts, 5.0 + 0.002 * 60 * i))  # slope 0.002/s
+        rows.append(("noisy", ts, 1.0 + 0.01 * i + (0.05 if i % 7 == 0 else -0.01)))
+        rows.append(("flat", ts, 42.0))
+    rows.append(("point", t0, 1.0))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r["k"]: r for r in linear_trend(df, "k", "ts", "v").collect()}
+
+    assert abs(got["line"]["slope"] - 0.002) < 1e-9
+    assert abs(got["line"]["intercept"] - 5.0) < 1e-6
+    assert abs(got["line"]["r2"] - 1.0) < 1e-9
+    # flat: zero y variance -> slope 0, r2 NULL
+    assert got["flat"]["slope"] == 0.0 and got["flat"]["r2"] is None
+    # single point: zero x variance -> NULLs
+    assert got["point"]["slope"] is None and got["point"]["r2"] is None
+    # noisy series tracks numpy polyfit on the SCALED integer data
+    xs = np.array([60.0 * i for i in range(50)])
+    ys = np.array([round((1.0 + 0.01 * i + (0.05 if i % 7 == 0 else -0.01)) * 1000) / 1000
+                   for i in range(50)])
+    ref_slope, ref_int = np.polyfit(xs, ys, 1)
+    assert abs(got["noisy"]["slope"] - ref_slope) < 1e-9
+    assert abs(got["noisy"]["intercept"] - ref_int) < 1e-6
+    assert 0.9 < got["noisy"]["r2"] <= 1.0
+    # determinism across partitionings (decimal folds)
+    again = {r["k"]: r for r in linear_trend(df.repartition(13), "k", "ts", "v").collect()}
+    for k in got:
+        assert got[k]["slope"] == again[k]["slope"], k

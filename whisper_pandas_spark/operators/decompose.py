@@ -175,3 +175,71 @@ def metric_correlation(
         )
         .filter(F.col("n_points") >= min_points)
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    y_scale: int = 1000,
+) -> DataFrame:
+    """Per-group OLS trend line (key, n, x0, slope, intercept, r2):
+    regress value on time via EXACT sufficient statistics —
+    x recentred to the group's first timestamp (x0, epoch seconds) and
+    y scaled to ``y_scale`` integer units, so Sx/Sy/Sxx/Syy/Sxy are
+    integer sums folded through DECIMAL(38,0) (exact, mergeable,
+    partitioning-independent); only the closed-form slope/intercept/r2
+    arithmetic runs in doubles, in a fixed expression order any engine
+    replays bit-for-bit. ``intercept`` is the fitted value AT x0; slope
+    is value-units per second; degenerate groups (zero time or value
+    variance) yield NULL slope/r2.
+
+    Shape: one key-partial-agg for x0, one key join (same partitioning),
+    one key-partial-agg for the five sums — no windows, no Python.
+    """
+    if y_scale < 1:
+        raise ValueError("y_scale must be >= 1")
+    x_raw = F.unix_timestamp(F.col(ts_col))
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        x_raw.alias("__x"),
+        F.round(F.col(value_col) * y_scale).cast("long").alias("__y"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    mins = base.groupBy("__k").agg(F.min("__x").alias("__x0"))
+    j = base.join(mins, "__k").select(
+        "__k", "__x0", (F.col("__x") - F.col("__x0")).alias("__xc"), "__y"
+    )
+    dec = "decimal(38,0)"
+    sums = j.groupBy("__k").agg(
+        F.min("__x0").alias("x0"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__xc").cast(dec)).alias("sx"),
+        F.sum(F.col("__y").cast(dec)).alias("sy"),
+        F.sum((F.col("__xc") * F.col("__xc")).cast(dec)).alias("sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec)).alias("syy"),
+        F.sum((F.col("__xc") * F.col("__y")).cast(dec)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    cv = nd * sxy - sx * sy
+    slope_scaled = F.when(vx != 0.0, cv / vx)
+    ys = float(y_scale)
+    return sums.select(
+        F.col("__k").alias(key_col),
+        "n",
+        "x0",
+        (slope_scaled / F.lit(ys)).alias("slope"),
+        (
+            F.when(vx != 0.0, (sy - slope_scaled * sx) / nd / F.lit(ys))
+        ).alias("intercept"),
+        (
+            F.when((vx != 0.0) & (vy != 0.0), cv * cv / (vx * vy))
+        ).alias("r2"),
+    )

@@ -27,6 +27,9 @@
                            versions (Delta CDF parity, fingerprint diff)
 - mmr_diversified_topk     Maximal Marginal Relevance selection; the
                            whole greedy trajectory replays in SQL
+- cohort_retention_daily   first-seen-bucket cohort retention triangle
+- ts_linear_trend          per-group OLS trend from exact integer
+                           sufficient statistics
 
 Same conventions as every other queries_* module: each entry pairs a
 Spark implementation with a DuckDB oracle that replays the algorithm
@@ -876,3 +879,119 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("relevance") + eps, 6).alias("relevance"),
         F.round(F.col("score") + eps, 6).alias("score"),
     ).orderBy("rnk")
+
+
+# -- cohort retention, driver-verified ------------------------------------------
+
+_COHORT_B = 86400  # daily buckets: 2 cohorts x ~30 offsets on this fixture
+
+
+@register(
+    "cohort_retention_daily",
+    oracle=f"""
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         (floor(epoch(ts))::BIGINT // {_COHORT_B}) AS b
+  FROM events WHERE ts IS NOT NULL
+), fs AS (
+  SELECT u, min(b) AS cohort FROM act GROUP BY u
+), per AS (
+  SELECT f.cohort, a.b - f.cohort AS "offset", count(*) AS n_active
+  FROM act a JOIN fs f USING (u) GROUP BY 1, 2
+), sz AS (
+  SELECT cohort, count(*) AS cohort_size FROM fs GROUP BY cohort
+)
+SELECT p.cohort, p."offset",
+       CAST(p.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       round(CAST(p.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+             + 1e-9, 6) AS retention
+FROM per p JOIN sz s USING (cohort)
+ORDER BY p.cohort, p."offset"
+""",
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11+: cohort retention (operators/cohort.py) — users bucketed
+    by first-seen day over the events log, per-(cohort, day-offset)
+    active counts and retention fractions: the growth-dashboard
+    retention triangle, as two user-keyed partial aggregations + one
+    user join (no windows, no Python). Integer counts make the oracle
+    trivially exact; the fraction divides the same BIGINTs on both
+    sides."""
+    from whisper_pandas_spark.operators.cohort import cohort_retention
+
+    ev = _table(spark, sf_dir, "events")
+    out = cohort_retention(ev, "user_id", "ts", _COHORT_B)
+    eps = F.lit(1e-9)
+    return out.select(
+        "cohort",
+        "offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("retention") + eps, 6).alias("retention"),
+    ).orderBy("cohort", "offset")
+
+
+# -- per-group linear trend, driver-verified -------------------------------------
+
+
+@register(
+    "ts_linear_trend",
+    oracle="""
+WITH base AS (
+  SELECT event_type AS k, floor(epoch(ts))::BIGINT AS x,
+         CAST(round(value * 1000) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), m AS (
+  SELECT k, min(x) AS x0 FROM base GROUP BY k
+), s AS (
+  SELECT b.k, min(m.x0) AS x0, count(*) AS n,
+         sum(CAST(b.x - m.x0 AS HUGEINT)) AS sx,
+         sum(CAST(b.y AS HUGEINT)) AS sy,
+         sum(CAST((b.x - m.x0) * (b.x - m.x0) AS HUGEINT)) AS sxx,
+         sum(CAST(b.y AS HUGEINT) * CAST(b.y AS HUGEINT)) AS syy,
+         sum(CAST((b.x - m.x0) * b.y AS HUGEINT)) AS sxy
+  FROM base b JOIN m ON b.k = m.k GROUP BY b.k
+), f AS (
+  SELECT k, n, x0,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM s
+)
+SELECT k AS event_type, CAST(n AS BIGINT) AS n, x0,
+       round(CASE WHEN vx <> 0 THEN cv / vx / 1000.0 END + 1e-9, 9)
+         AS slope,
+       round(CASE WHEN vx <> 0
+                  THEN (syd - (cv / vx) * sxd) / CAST(n AS DOUBLE) / 1000.0
+             END + 1e-9, 6) AS intercept,
+       round(CASE WHEN vx <> 0 AND vy <> 0 THEN cv * cv / (vx * vy) END
+             + 1e-9, 6) AS r2
+FROM f ORDER BY event_type
+""",
+)
+def ts_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8+: per-metric OLS trend (operators/decompose.py:linear_trend)
+    — slope / intercept-at-first-timestamp / r² of value-vs-time per
+    event_type, from EXACT integer sufficient statistics (x recentred
+    per group, y in milli-units, DECIMAL(38,0) folds) so the fit is
+    partitioning-independent and the oracle replays the closed-form
+    double arithmetic bit-for-bit. Complements seasonal decomposition
+    and Holt forecasting in the time-series family."""
+    from whisper_pandas_spark.operators.decompose import linear_trend
+
+    ev = _table(spark, sf_dir, "events")
+    out = linear_trend(ev, "event_type", "ts", "value", y_scale=1000)
+    eps = F.lit(1e-9)
+    return out.select(
+        "event_type",
+        "n",
+        "x0",
+        F.round(F.col("slope") + eps, 9).alias("slope"),
+        F.round(F.col("intercept") + eps, 6).alias("intercept"),
+        F.round(F.col("r2") + eps, 6).alias("r2"),
+    ).orderBy("event_type")
