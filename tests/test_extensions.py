@@ -1549,3 +1549,80 @@ def test_linear_trend_exact_line_and_degenerate(spark):
     again = {r["k"]: r for r in linear_trend(df.repartition(13), "k", "ts", "v").collect()}
     for k in got:
         assert got[k]["slope"] == again[k]["slope"], k
+
+
+# -- round-7b: collocation lift ------------------------------------------------
+
+
+def test_collocation_lift_planted_phrase(spark):
+    """A planted always-adjacent pair must out-lift every common pair,
+    with counts and the lift value matching the hand formula."""
+    from whisper_pandas_spark.operators.collocations import collocation_lift
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, f"{filler} hong kong {filler}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = collocation_lift(df, "text", min_count=5, k=5).collect()
+    top = out[0]
+    assert (top.w1, top.w2) == ("hong", "kong")
+    assert top.n_ab == 10 and top.n_a == 10 and top.n_b == 10
+    # N = 10 docs * 18 tokens
+    assert top.n_total == 180
+    assert top.lift == (10 * 180) / (10 * 10)
+    # every filler-filler adjacency has lift N * 10 / (20 * 20) < top
+    assert all(r.lift < top.lift for r in out[1:])
+
+
+def test_collocation_lift_tokenizer_and_min_count(spark):
+    """Punctuation splits tokens (shared tokenize family) and pairs
+    below min_count are dropped."""
+    from whisper_pandas_spark.operators.collocations import collocation_lift
+
+    df = spark.createDataFrame(
+        [(1, "Foo-Bar! foo bar?"), (2, "foo bar baz")],
+        "id long, text string",
+    )
+    out = collocation_lift(df, "text", min_count=3, k=10).collect()
+    assert [(r.w1, r.w2, r.n_ab) for r in out] == [("foo", "bar", 3)]
+
+
+# -- round-7b: CUSUM changepoint -----------------------------------------------
+
+
+def test_changepoint_finds_planted_level_shift(spark):
+    """A clean mean shift at bucket 10 of 20 must be located exactly,
+    and the statistic must match the integer formula."""
+    from whisper_pandas_spark.operators.changepoint import changepoint_max_cusum
+
+    rows = []
+    for d in range(20):
+        v = 1.0 if d < 10 else 5.0
+        rows.append(("m1", f"2024-01-{d+1:02d} 12:00:00", v))
+    df = spark.createDataFrame(rows, "k string, ts string, value string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = changepoint_max_cusum(df, ["k"], "ts", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_buckets == 20 and str(r.cp_bucket).startswith("2024-01-10")
+    # S_10 = 10*1000, S_n = 10*1000 + 10*5000; D_10 = 20*10000 - 10*60000
+    assert r.s_n == 60000
+    assert r.d_stat == abs(20 * 10000 - 10 * 60000)
+
+
+def test_changepoint_tie_breaks_earliest_and_min_buckets(spark):
+    """Constant series tie everywhere (D_t = 0) -> earliest interior
+    bucket wins; series shorter than min_buckets are dropped."""
+    from whisper_pandas_spark.operators.changepoint import changepoint_max_cusum
+
+    rows = [("flat", f"2024-02-{d+1:02d} 00:30:00", 2.0) for d in range(5)]
+    rows += [("tiny", "2024-02-01 00:00:00", 1.0), ("tiny", "2024-02-02 00:00:00", 9.0)]
+    df = spark.createDataFrame(rows, "k string, ts string, value string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = {r.k: r for r in changepoint_max_cusum(df, ["k"], "ts", "value").collect()}
+    assert set(out) == {"flat"}
+    assert str(out["flat"].cp_bucket).startswith("2024-02-01")
+    assert out["flat"].d_stat == 0

@@ -1,0 +1,471 @@
+"""Round-7 second-wave registry entries.
+
+Plan-diversity TPC-H shapes (the six analytic plan families the
+registry did not yet exercise) plus two new pipeline operators:
+
+- join_q2ish_min_cost        correlated-MIN supplier pick (TPC-H Q2
+                             shape: scalar-min subquery decorrelated
+                             to a derived table joined back on the key)
+- join_q4ish_exists_late     EXISTS semi-join with a cross-table
+                             predicate (Q4 shape)
+- join_q13ish_count_dist     outer-join count distribution (Q13 shape:
+                             LEFT JOIN with an ON-clause filter, then a
+                             double aggregate)
+- join_q19ish_disjunctive    OR-of-conjunctions join predicate (Q19
+                             shape: disjunctive pushdown)
+- join_q21ish_waiting        multi-correlated EXISTS + NOT EXISTS over
+                             the same derived table (Q21 shape)
+- join_q22ish_scalar_avg     global scalar-aggregate subquery + anti
+                             join (Q22 shape), integer cross-multiplied
+                             so the threshold compare is exact
+- text_collocations_lift     bigram phrase mining by lift (= exp(PMI))
+- ts_changepoint_cusum       CUSUM level-shift detection, exact-integer
+                             argmax
+
+Same conventions as every other queries_* module: each entry pairs a
+Spark implementation with a DuckDB oracle that replays the algorithm
+value-exactly at the driver's sf0.01 scale. Reference scope note:
+whisper_pandas.py (1-299) delegates all querying to pandas; these
+shapes are the engine's analytic surface beyond that baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.registry import _table, register
+
+# -- TPC-H Q2 shape: correlated-min supplier pick -----------------------------
+
+
+@register(
+    "join_q2ish_min_cost",
+    oracle="""
+WITH px AS (
+  SELECT l_partkey, min(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY l_partkey
+), best AS (
+  SELECT p.p_partkey, any_value(p.p_brand) AS brand,
+         min(px.min_price) AS min_price, min(l.l_suppkey) AS best_suppkey
+  FROM part p
+  JOIN px ON px.l_partkey = p.p_partkey
+  JOIN lineitem l
+    ON l.l_partkey = p.p_partkey AND l.l_extendedprice = px.min_price
+  WHERE p.p_size BETWEEN 10 AND 15 AND p.p_type = 'LARGE'
+  GROUP BY p.p_partkey
+)
+SELECT b.p_partkey, b.brand, CAST(b.min_price AS DOUBLE) AS min_price,
+       CAST(b.best_suppkey AS BIGINT) AS best_suppkey, s.s_name
+FROM best b JOIN supplier s ON s.s_suppkey = b.best_suppkey
+ORDER BY min_price ASC, p_partkey
+LIMIT 100
+""",
+)
+def join_q2ish_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-style minimum-cost supplier: for each qualifying part,
+    the supplier quoting the part's minimum price (min suppkey breaks
+    price ties). This is the correlated scalar-MIN subquery shape in
+    its decorrelated form — per-part minima as a derived table joined
+    back on the part key with a price-equality predicate — which is
+    exactly Catalyst's rewrite of `WHERE price = (SELECT min ...)`.
+    The part filter and the 100-row supplier dim broadcast; price
+    equality is safe because both sides compare the identical stored
+    double, never an accumulated one."""
+    li = _table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _table(spark, sf_dir, "part").filter(
+            F.col("p_size").between(10, 15) & (F.col("p_type") == "LARGE")
+        )
+    )
+    s = F.broadcast(_table(spark, sf_dir, "supplier"))
+    px = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = (
+        li.join(px, (li.l_partkey == px.pk) & (li.l_extendedprice == px.min_price))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey")
+        .agg(
+            F.any_value("p_brand").alias("brand"),
+            F.min("min_price").alias("min_price"),
+            F.min("l_suppkey").alias("best_suppkey"),
+        )
+    )
+    return (
+        best.join(s, best.best_suppkey == s.s_suppkey)
+        .select("p_partkey", "brand", "min_price", "best_suppkey", "s_name")
+        .orderBy(F.asc("min_price"), "p_partkey")
+        .limit(100)
+    )
+
+
+# -- TPC-H Q4 shape: EXISTS with a cross-table predicate ----------------------
+
+
+@register(
+    "join_q4ish_exists_late",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def join_q4ish_exists_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style priority check: orders in a two-year window with
+    at least one lineitem shipped >90 days after the order date,
+    counted per priority. The EXISTS compiles to a LEFT SEMI join
+    whose condition references BOTH sides (orderkey equality + the
+    date comparison) — the semi-join-with-residual-predicate plan
+    family. The date filter pushes to the orders scan; the semi join
+    shuffles both sides on the order key once."""
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _table(spark, sf_dir, "lineitem")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# -- TPC-H Q13 shape: outer-join count distribution ---------------------------
+
+
+@register(
+    "join_q13ish_count_dist",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def join_q13ish_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style customer order-count distribution: LEFT OUTER
+    join with the priority filter INSIDE the join condition (so
+    filtered-out customers still appear with count 0 — the semantics
+    that force an outer join, not a WHERE), per-customer count, then a
+    second aggregate over the counts. Two shuffles — custkey, then the
+    tiny count-distribution key — both with map-side partials."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# -- TPC-H Q19 shape: disjunctive join predicate -------------------------------
+
+
+@register(
+    "join_q19ish_disjunctive",
+    oracle="""
+SELECT any_value(1) AS grp, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) + 1e-9, 4)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def join_q19ish_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-style disjunctive-predicate revenue: an OR of three
+    conjunction groups, each mixing part-side and lineitem-side
+    columns. The plan test for predicate DECOMPOSITION: Catalyst
+    extracts the per-side implied disjunctions (p_brand IN three
+    brands / p_size <= 15 / l_quantity between 1 and 30) and pushes
+    them below the join, keeping only the residual OR above it. Part
+    broadcasts; revenue folds per-row-rounded DECIMAL(18,4) like every
+    revenue aggregate in the registry."""
+    li = _table(spark, sf_dir, "lineitem")
+    p = F.broadcast(_table(spark, sf_dir, "part"))
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) + F.lit(1e-9), 4
+    ).cast("decimal(18,4)")
+    return joined.filter(cond).agg(
+        F.any_value(F.lit(1)).alias("grp"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+# -- TPC-H Q21 shape: EXISTS + NOT EXISTS over one derived table ---------------
+
+
+@register(
+    "join_q21ish_waiting",
+    oracle="""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  GROUP BY l_orderkey, l_suppkey
+), allsup AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY l_orderkey, l_suppkey
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late t
+JOIN supplier s ON s.s_suppkey = t.l_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM allsup a
+    WHERE a.l_orderkey = t.l_orderkey AND a.l_suppkey <> t.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM late l2
+    WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def join_q21ish_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-style waiting-supplier report: suppliers who were the
+    SOLE late shipper (>60 days after order date) in an order that
+    involved at least one other supplier. The double-correlation plan
+    family — one EXISTS (left-semi with an inequality residual) and
+    one NOT EXISTS (left-anti, same shape) against the same derived
+    late-pair table, which Spark plans without re-reading lineitem
+    thanks to exchange reuse. All outputs are counts — exact."""
+    li = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    s = F.broadcast(_table(spark, sf_dir, "supplier"))
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    allsup = li.select("l_orderkey", "l_suppkey").distinct()
+    a = allsup.select(
+        F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk")
+    )
+    l2 = late.select(
+        F.col("l_orderkey").alias("b_ok"), F.col("l_suppkey").alias("b_sk")
+    )
+    t = (
+        late.join(
+            a,
+            (late.l_orderkey == a.a_ok) & (late.l_suppkey != a.a_sk),
+            "left_semi",
+        )
+        .join(
+            l2,
+            (late.l_orderkey == l2.b_ok) & (late.l_suppkey != l2.b_sk),
+            "left_anti",
+        )
+    )
+    return (
+        t.join(s, t.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# -- TPC-H Q22 shape: global scalar-aggregate subquery + anti join -------------
+
+
+@register(
+    "join_q22ish_scalar_avg",
+    oracle="""
+WITH pos AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totbal_cents
+FROM customer c CROSS JOIN pos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n_pos > pos.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def join_q22ish_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style lost-opportunity report: customers with no
+    URGENT orders whose balance beats the average positive balance,
+    grouped by market segment (the priority filter keeps the anti set
+    non-empty at the dense test SFs where every customer has SOME
+    order). The global-scalar-subquery + anti-join plan family.
+    Exactness: balances quantize to integer cents BEFORE any
+    aggregation and the `bal > avg` threshold cross-multiplies
+    (cents * n_pos > sum_cents) so the whole comparison is integer —
+    no double mean ever materializes. The one-row aggregate broadcasts
+    (Catalyst's rewrite of the scalar subquery); the anti join on
+    custkey is the only full shuffle."""
+    c = _table(spark, sf_dir, "customer").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    o = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum("cents").alias("sum_cents")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(pos))
+        .filter(F.col("cents") * F.col("n_pos") > F.col("sum_cents"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("totbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# -- bigram collocation mining -------------------------------------------------
+
+
+@register(
+    "text_collocations_lift",
+    oracle="""
+WITH arr AS (
+  SELECT list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+           '[^a-z0-9]+', ' ', 'g')), ' '), x -> x != '') AS t
+  FROM documents
+), tok AS (SELECT unnest(t) AS w FROM arr),
+uni AS (SELECT w, count(*) AS n_w FROM tok GROUP BY w),
+tot AS (SELECT count(*) AS n_total FROM tok),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2
+  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+        FROM arr WHERE len(t) >= 2)
+), bc AS (
+  SELECT w1, w2, count(*) AS n_ab FROM big GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT bc.w1, bc.w2, CAST(bc.n_ab AS BIGINT) AS n_ab,
+       CAST(u1.n_w AS BIGINT) AS n_a, CAST(u2.n_w AS BIGINT) AS n_b,
+       CAST(tot.n_total AS BIGINT) AS n_total,
+       CAST(bc.n_ab * tot.n_total AS DOUBLE)
+         / CAST(u1.n_w * u2.n_w AS DOUBLE) AS lift
+FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2
+CROSS JOIN tot
+ORDER BY lift DESC, n_ab DESC, w1, w2
+LIMIT 50
+""",
+)
+def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: corpus phrase mining (operators/collocations.py:
+    collocation_lift) — top-50 adjacent token pairs by lift = exp(PMI)
+    (Church & Hanks 1990 association; word2vec's phrase-detection
+    pass). Bigrams come from per-row array zips (no self-join);
+    both aggregations are vocabulary-sized; the score is one IEEE
+    division of exact integer products, so no log-parity risk."""
+    from whisper_pandas_spark.operators.collocations import collocation_lift
+
+    docs = _table(spark, sf_dir, "documents")
+    return collocation_lift(docs, "text", min_count=5, k=50)
+
+
+# -- CUSUM changepoint ----------------------------------------------------------
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+         sum(CAST(round(value * 1000) AS BIGINT)) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bucket_ts, y,
+         row_number() OVER w AS t,
+         sum(y) OVER w AS s_t,
+         count(*) OVER (PARTITION BY event_type) AS n_buckets,
+         sum(y) OVER (PARTITION BY event_type) AS s_n
+  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), s AS (
+  SELECT *, abs(n_buckets * s_t - t * s_n) AS d_abs FROM c
+  WHERE n_buckets >= 3 AND t < n_buckets
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY d_abs DESC, t) AS rnk
+  FROM s
+)
+SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(s_n AS BIGINT) AS s_n, bucket_ts AS cp_bucket,
+       CAST(d_abs AS BIGINT) AS d_stat
+FROM r WHERE rnk = 1
+ORDER BY event_type
+""",
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: CUSUM level-shift detection (operators/changepoint.py:
+    changepoint_max_cusum, Page 1954) — per event_type, the daily
+    bucket where |n*S_t - t*S_n| peaks, i.e. the maximum-likelihood
+    single mean shift. Values quantize to integer micro-units before
+    any sum, so bucket sums, cumulants, and the argmax are exact
+    integers end to end; ties break to the earliest bucket."""
+    from whisper_pandas_spark.operators.changepoint import changepoint_max_cusum
+
+    ev = _table(spark, sf_dir, "events")
+    return changepoint_max_cusum(
+        ev, ["event_type"], "ts", "value", bucket="day", scale=1000
+    ).orderBy("event_type")

@@ -164,5 +164,6 @@ _q6.promote()
 # import position, and queries_round7's oracles are plain SQL strings
 # with no mid-load registry dependency).
 from whisper_pandas_spark import queries_round7  # noqa: E402,F401
+from whisper_pandas_spark import queries_round7b  # noqa: E402,F401
 
 _reorder()
