@@ -1626,3 +1626,68 @@ def test_changepoint_tie_breaks_earliest_and_min_buckets(spark):
     assert set(out) == {"flat"}
     assert str(out["flat"].cp_bucket).startswith("2024-02-01")
     assert out["flat"].d_stat == 0
+
+
+# -- round-7b: transition matrix, robust MAD, triangles --------------------------
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from whisper_pandas_spark.operators.paths import transition_matrix
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user long, seq long, state string").select(
+        "user", F.col("seq").cast("timestamp").alias("ts"), "state",
+        F.col("seq").alias("eid"),
+    )
+    out = {(r.src, r.dst): r for r in transition_matrix(
+        df, "user", "ts", "state", tiebreak_col="eid").collect()}
+    assert out[("a", "b")].n == 3 and out[("a", "b")].n_src == 3
+    assert out[("a", "b")].p == 1.0
+    assert out[("b", "a")].n == 1 and out[("b", "a")].n_src == 1
+    assert set(out) == {("a", "b"), ("b", "a")}
+
+
+def test_transition_matrix_tiebreak_is_total(spark):
+    """Equal timestamps must order by the tie-break column, not
+    partition luck."""
+    from whisper_pandas_spark.operators.paths import transition_matrix
+
+    rows = [(1, 0, 2, "y"), (1, 0, 1, "x"), (1, 0, 3, "z")]
+    df = spark.createDataFrame(
+        rows, "user long, t long, eid long, state string"
+    ).select("user", F.col("t").cast("timestamp").alias("ts"), "eid", "state")
+    out = sorted(
+        (r.src, r.dst)
+        for r in transition_matrix(df, "user", "ts", "state", tiebreak_col="eid").collect()
+    )
+    assert out == [("x", "y"), ("y", "z")]
+
+
+def test_robust_mad_planted_outlier(spark):
+    """Median/MAD shrug off the huge point the z-score would absorb."""
+    from whisper_pandas_spark.operators.robust import robust_mad_stats
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, value double")
+    r = robust_mad_stats(df, ["k"], "value", scale=1000, k=3).collect()[0]
+    # sorted micro: 10000..14000, 1000000; n=6 -> ceil(3) -> 3rd = 12000
+    assert r.n == 6 and r.med_micro == 12000
+    # deviations: 2000,1000,0,1000,2000,988000 -> sorted 0,1000,1000,2000,2000,988000 -> 3rd = 1000
+    assert r.mad_micro == 1000
+    # outliers: d > 3000 -> only the planted 1000.0
+    assert r.n_outliers == 1
+
+
+def test_triangle_participation_planted(spark):
+    """K4 plus a pendant edge: each K4 node sits in C(3,2)=3 triangles,
+    the pendant in none; duplicate/reversed edges collapse."""
+    from whisper_pandas_spark.operators.graph import triangle_participation
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(b, a) for a, b in k4] + [(4, 5), (1, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.n_tri for r in triangle_participation(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}

@@ -963,3 +963,64 @@ def test_stream_kmv_update_converges_and_replay_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert remerged == got
+
+
+def test_stream_bucket_sums_update_exact_and_replay_safe(spark, tmp_path):
+    """Streaming changepoint-state maintenance: final bucket-sum state
+    equals the batch recompute regardless of micro-batch geometry; a
+    restart under the same checkpoint re-merges nothing; checkpoint-less
+    use refuses (additive merge)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.changepoint import bucket_sums
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.changepoint import (
+        stream_bucket_sums_update,
+    )
+
+    rows = [
+        (i, f"2024-03-{(i % 9) + 1:02d} 06:00:00", "g" + str(i % 2), float(i % 7))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string, grp string, v double").select(
+        "id", F.col("ts").cast("timestamp").alias("ts"), "grp", "v"
+    )
+    src = tmp_path / "changes"
+    df.filter(F.col("id") < 100).coalesce(1).write.parquet(str(src / "f1"))
+    df.filter((F.col("id") >= 100) & (F.col("id") < 200)).coalesce(1).write.parquet(str(src / "f2"))
+    df.filter(F.col("id") >= 200).coalesce(1).write.parquet(str(src / "f3"))
+
+    base = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = (
+        spark.readStream.schema("id long, ts timestamp, grp string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_bucket_sums_update(
+        sdf, base, ("grp",), "ts", "v", checkpoint_dir=ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    cur = current_version_path(base)
+    assert Path(cur).name == "v2"
+    key = lambda r: (r["grp"], str(r["bucket_ts"]))
+    got = {key(r): r["y"] for r in spark.read.parquet(cur).collect()}
+    want = {key(r): r["y"] for r in bucket_sums(df, ["grp"], "ts", "v").collect()}
+    assert got == want
+
+    q2 = stream_bucket_sums_update(
+        sdf, base, ("grp",), "ts", "v", checkpoint_dir=ckpt
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert current_version_path(base) == cur
+    assert {key(r): r["y"] for r in spark.read.parquet(cur).collect()} == want
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="checkpoint_dir is required"):
+        stream_bucket_sums_update(sdf, base, ("grp",), "ts", "v", checkpoint_dir="")

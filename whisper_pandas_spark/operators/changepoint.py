@@ -62,7 +62,25 @@ def changepoint_max_cusum(
     dropped (a 1-2 point series has no interior split).
     """
     gcols = list(group_cols)
-    buckets = (
+    buckets = bucket_sums(df, gcols, time_col, value_col, bucket=bucket, scale=scale)
+    return cusum_from_buckets(buckets, gcols, min_buckets=min_buckets)
+
+
+def bucket_sums(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str,
+    value_col: str,
+    *,
+    bucket: str = "day",
+    scale: int = 1000,
+) -> DataFrame:
+    """(group..., bucket_ts, y) integer micro-unit bucket sums — the
+    mergeable state the CUSUM reads off (sums are additive, so shards or
+    micro-batches merge by plain addition; streaming/changepoint.py
+    maintains exactly this table)."""
+    gcols = list(group_cols)
+    return (
         df.where(F.col(time_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(
             *gcols, F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts")
@@ -71,6 +89,17 @@ def changepoint_max_cusum(
             F.sum(F.round(F.col(value_col) * scale).cast("long")).alias("y")
         )
     )
+
+
+def cusum_from_buckets(
+    buckets: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    min_buckets: int = 3,
+) -> DataFrame:
+    """The argmax read-off over a (group..., bucket_ts, y) table —
+    shared by the batch operator above and the streaming state reader."""
+    gcols = list(group_cols)
     w = Window.partitionBy(*gcols).orderBy("bucket_ts")
     wall = Window.partitionBy(*gcols)
     cum = (

@@ -105,3 +105,65 @@ def pagerank(
     for cached in (e, nodes, eo):
         cached.unpersist()
     return ranks
+
+
+def triangle_participation(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via degree-oriented wedge closing.
+
+    The standard scalable formulation (Suri-Vassilvitskii "node-iterator
+    with ordering", WWW'11; Cohen's MapReduce triangle counting): treat
+    the graph as undirected simple (dedupe + canonicalize), then orient
+    every edge from its (degree, id)-SMALLER endpoint to the larger.
+    Each triangle then appears as exactly ONE closed wedge
+    (e1: a->b, e2: b->c, e3: a->c), and every node's out-degree is
+    O(sqrt(m)) on any graph, so the wedge join — the only superlinear
+    step — is bounded by sum od^2 <= m * sqrt(m) instead of the
+    unoriented sum deg^2, which a single hub can blow up quadratically.
+    That orientation IS the skew guard; the joins themselves are plain
+    equi-joins Catalyst shuffles on the wedge pivot and closes with a
+    broadcast-or-shuffle join on the (a, c) pair.
+
+    Returns (node, n_tri) — each triangle credits all three corners —
+    exact integers, so a SQL oracle replays it verbatim.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("k"))
+        .unionAll(und.select(F.col("v").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("k").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("k").alias("v"), F.col("d").alias("dv"))
+    first_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(first_u, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(first_u, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = ori.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = ori.select(F.col("s").alias("a2"), F.col("t").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -469,3 +469,242 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_max_cusum(
         ev, ["event_type"], "ts", "value", bucket="day", scale=1000
     ).orderBy("event_type")
+
+
+# -- event-path transition matrix -----------------------------------------------
+
+
+@register(
+    "path_transition_matrix",
+    oracle="""
+WITH ordered AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), tr AS (
+  SELECT src, dst, count(*) AS n FROM ordered
+  WHERE dst IS NOT NULL GROUP BY src, dst
+), tot AS (SELECT src AS src2, sum(n) AS n_src FROM tr GROUP BY src)
+SELECT tr.src, tr.dst, CAST(tr.n AS BIGINT) AS n,
+       CAST(tot.n_src AS BIGINT) AS n_src,
+       CAST(tr.n AS DOUBLE) / CAST(tot.n_src AS DOUBLE) AS p
+FROM tr JOIN tot ON tot.src2 = tr.src
+ORDER BY src, dst
+""",
+)
+def path_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: empirical Markov transition matrix over user event streams
+    (operators/paths.py:transition_matrix) — the all-paths complement
+    to the prescribed-path funnel. Per-user time order with the event
+    id as a total-order tie-break; counts exact, each probability one
+    IEEE division of two BIGINTs."""
+    from whisper_pandas_spark.operators.paths import transition_matrix
+
+    ev = _table(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+# -- robust MAD anomaly stats ----------------------------------------------------
+
+
+@register(
+    "anomaly_robust_mad",
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS x FROM events
+  WHERE value IS NOT NULL
+), cnt AS (
+  SELECT event_type, x, count(*) AS c FROM v GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, x,
+         sum(c) OVER (PARTITION BY event_type ORDER BY x) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM cnt
+), med AS (
+  SELECT event_type, min(n) AS n,
+         min(CASE WHEN cum >= ceil(0.5 * n) THEN x END) AS med
+  FROM cum GROUP BY event_type
+), dev AS (
+  SELECT v.event_type, abs(v.x - med.med) AS d
+  FROM v JOIN med USING (event_type)
+), dcnt AS (SELECT event_type, d, count(*) AS c FROM dev GROUP BY 1, 2),
+dcum AS (
+  SELECT event_type, d,
+         sum(c) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM dcnt
+), mad AS (
+  SELECT event_type, min(CASE WHEN cum >= ceil(0.5 * n) THEN d END) AS mad
+  FROM dcum GROUP BY event_type
+), outl AS (
+  SELECT dev.event_type,
+         count(*) FILTER (WHERE dev.d > 3 * mad.mad) AS n_out
+  FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type
+)
+SELECT med.event_type, CAST(med.n AS BIGINT) AS n,
+       CAST(med.med AS BIGINT) AS med_micro,
+       CAST(mad.mad AS BIGINT) AS mad_micro,
+       CAST(outl.n_out AS BIGINT) AS n_outliers
+FROM med JOIN mad USING (event_type) JOIN outl USING (event_type)
+ORDER BY event_type
+""",
+)
+def anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: median/MAD robust outlier stats (operators/robust.py:
+    robust_mad_stats, breakdown point 0.5 vs the mean/stddev z-score's
+    0) — per event_type over micro-unit-quantized values, medians via
+    the engine's shared exact cumulative-weight quantile pick, outlier
+    test |x - med| > 3 * mad entirely in integers."""
+    from whisper_pandas_spark.operators.robust import robust_mad_stats
+
+    ev = _table(spark, sf_dir, "events")
+    return robust_mad_stats(
+        ev, ["event_type"], "value", scale=1000, k=3
+    ).orderBy("event_type")
+
+
+# -- triangle counting on the co-order part graph --------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT k, count(*) AS d FROM (
+    SELECT u AS k FROM pairs UNION ALL SELECT v AS k FROM pairs)
+  GROUP BY k
+), ori AS (
+  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t
+  FROM pairs JOIN deg du ON du.k = u JOIN deg dv ON dv.k = v
+), tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM ori e1
+  JOIN ori e2 ON e2.s = e1.t
+  JOIN ori e3 ON e3.s = e1.s AND e3.t = e2.t
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+FROM corners GROUP BY node
+ORDER BY n_tri DESC, node
+LIMIT 100
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: degree-oriented triangle counting (operators/graph.py:
+    triangle_participation, Suri-Vassilvitskii node-iterator-with-
+    ordering) over the co-order part graph — parts appearing in the
+    same order are adjacent. The (degree, id) orientation makes every
+    out-degree O(sqrt(m)), bounding the wedge join on ANY degree
+    distribution — the skew guard that makes triangle counting viable
+    at 100 TB. Top-100 nodes by triangle participation, exact
+    integers."""
+    from whisper_pandas_spark.operators.graph import triangle_participation
+
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return (
+        triangle_participation(edges)
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(100)
+    )
+
+
+# -- streaming changepoint-state maintenance --------------------------------------
+
+
+@register(
+    "stream_changepoint_replay",
+    oracle="""
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+         sum(CAST(round(value * 1000) AS BIGINT)) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bucket_ts, y,
+         row_number() OVER w AS t,
+         sum(y) OVER w AS s_t,
+         count(*) OVER (PARTITION BY event_type) AS n_buckets,
+         sum(y) OVER (PARTITION BY event_type) AS s_n
+  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), s AS (
+  SELECT *, abs(n_buckets * s_t - t * s_n) AS d_abs FROM c
+  WHERE n_buckets >= 3 AND t < n_buckets
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY d_abs DESC, t) AS rnk
+  FROM s
+)
+SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(s_n AS BIGINT) AS s_n, bucket_ts AS cp_bucket,
+       CAST(d_abs AS BIGINT) AS d_stat
+FROM r WHERE rnk = 1
+ORDER BY event_type
+""",
+)
+def stream_changepoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST+: streaming changepoint-state maintenance
+    (streaming/changepoint.py:stream_bucket_sums_update) replayed end
+    to end — `events` split into two change files streams through
+    foreachBatch additive bucket-sum merges into the versioned state
+    (exactly-once via checkpoint-scoped batch markers), then the shift
+    detector (operators/changepoint.py:cusum_from_buckets) runs over
+    the final state. Integer addition is exact, so the maintained
+    state equals the batch recompute and the oracle recomputes the
+    identical argmax from raw data — proving batch bucketing, additive
+    merge, version flips, AND the detector in one check."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.changepoint import cusum_from_buckets
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.changepoint import (
+        stream_bucket_sums_update,
+    )
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="wps_cpstream_")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{d}/changes/f1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{d}/changes/f2"
+    )
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/changes/*")
+    )
+    q = stream_bucket_sums_update(
+        sdf,
+        f"{d}/state",
+        ("event_type",),
+        "ts",
+        "value",
+        bucket="day",
+        scale=1000,
+        checkpoint_dir=f"{d}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.parquet(current_version_path(f"{d}/state"))
+    return cusum_from_buckets(state, ["event_type"], min_buckets=3).orderBy(
+        "event_type"
+    )
