@@ -79,6 +79,10 @@ def collocation_lift(
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
+        # Vocabulary-sized and scanned three times below (two count
+        # joins + the total); materialize once instead of re-tokenizing
+        # the corpus per use.
+        .localCheckpoint(eager=True)
     )
     n_total = uni.agg(F.sum("n_w").alias("n_total"))
 

@@ -133,6 +133,11 @@ def triangle_participation(edges: DataFrame, src: str = "src", dst: str = "dst")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # The canonical edge list feeds the degree build (twice) and the
+        # orientation join; materialize it once (edge-list-sized — the
+        # standard practice for distributed triangle counting) instead
+        # of re-deriving the upstream pair-generation 3x.
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("k"))
@@ -152,6 +157,8 @@ def triangle_participation(edges: DataFrame, src: str = "src", dst: str = "dst")
             F.when(first_u, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(first_u, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        # Scanned three times by the wedge join below — same rationale.
+        .localCheckpoint(eager=True)
     )
     e1 = ori.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = ori.select(F.col("s").alias("b"), F.col("t").alias("c"))
@@ -161,9 +168,9 @@ def triangle_participation(edges: DataFrame, src: str = "src", dst: str = "dst")
         .join(e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
         .select("a", "b", "c")
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # ONE pass over the (potentially huge) triangle stream: explode the
+    # three corners per row instead of unioning three re-computations.
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -55,6 +55,9 @@ def transition_matrix(
         .where(F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
+        # |states|^2-sized; materialize so the per-source totals below
+        # re-aggregate THIS table instead of re-running the raw window.
+        .localCheckpoint(eager=True)
     )
     totals = steps.groupBy(F.col("src").alias("src2")).agg(
         F.sum("n").alias("n_src")

@@ -34,10 +34,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _exact_median(df: DataFrame, gcols: Sequence[str], col: str, out: str) -> DataFrame:
-    """Per-group exact median of an integer column: smallest value whose
-    cumulative count reaches ceil(n/2) (the shared quantile pick)."""
-    cnt = df.groupBy(*gcols, col).agg(F.count(F.lit(1)).alias("__c"))
+def _median_of_counts(cnt: DataFrame, gcols: Sequence[str], col: str, out: str) -> DataFrame:
+    """Per-group exact weighted median over a (group..., value, __c)
+    count table: smallest value whose cumulative count reaches
+    ceil(n/2) (the shared quantile pick)."""
     w = Window.partitionBy(*gcols).orderBy(col)
     wall = Window.partitionBy(*gcols)
     cum = cnt.withColumn("__cum", F.sum("__c").over(w)).withColumn(
@@ -60,24 +60,45 @@ def robust_mad_stats(
 ) -> DataFrame:
     """Per-group (n, med_micro, mad_micro, n_outliers) with values in
     micro-units (`round(value * scale)` as BIGINT) and outliers defined
-    by |x - med| > k * mad."""
+    by |x - med| > k * mad.
+
+    The raw rows are scanned EXACTLY ONCE — the first groupBy collapses
+    them to the per-group distinct-value count table (bounded by value
+    cardinality, which the micro-unit quantization caps), which is then
+    materialized (localCheckpoint) and carries the rest of the
+    computation: deviations re-key the COUNT table by |x - med| and
+    re-sum, so the MAD and the outlier count never touch raw data
+    again."""
     gcols = list(group_cols)
     v = df.where(F.col(value_col).isNotNull()).select(
         *gcols, F.round(F.col(value_col) * scale).cast("long").alias("x")
     )
-    med = _exact_median(v, gcols, "x", "med_micro")
-    dev = v.join(F.broadcast(med), gcols).withColumn(
-        "d", F.abs(F.col("x") - F.col("med_micro"))
+    cnt = (
+        v.groupBy(*gcols, "x")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
     )
-    mad = _exact_median(dev.select(*gcols, "d"), gcols, "d", "mad_micro").drop(
-        "__n"
+    med = _median_of_counts(cnt, gcols, "x", "med_micro")
+    dev_cnt = (
+        cnt.join(F.broadcast(med), gcols)
+        .select(
+            *gcols,
+            F.abs(F.col("x") - F.col("med_micro")).alias("d"),
+            "__c",
+        )
+        .groupBy(*gcols, "d")
+        .agg(F.sum("__c").alias("__c"))
+        .localCheckpoint(eager=True)
     )
+    mad = _median_of_counts(dev_cnt, gcols, "d", "mad_micro").drop("__n")
     out = (
-        dev.join(F.broadcast(mad), gcols)
+        dev_cnt.join(F.broadcast(mad), gcols)
         .groupBy(*gcols)
         .agg(
             F.sum(
-                F.when(F.col("d") > F.lit(k) * F.col("mad_micro"), 1).otherwise(0)
+                F.when(
+                    F.col("d") > F.lit(k) * F.col("mad_micro"), F.col("__c")
+                ).otherwise(F.lit(0))
             ).alias("n_outliers")
         )
     )
