@@ -1691,3 +1691,36 @@ def test_triangle_participation_planted(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = {r.node: r.n_tri for r in triangle_participation(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two K4s joined by one bridge edge: each clique converges to its
+    own min label; determinism holds across runs."""
+    from whisper_pandas_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = c1 + c2 + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, iters=3).collect()}
+    assert {out[n] for n in (1, 2, 3)} == {1}
+    assert {out[n] for n in (11, 12, 13)} == {10}
+    out2 = {r.node: r.label for r in label_propagation(df, iters=3).collect()}
+    assert out == out2
+
+
+def test_label_propagation_isolated_and_zero_iters(spark):
+    """Self-loops are dropped (their node becomes isolated if nothing
+    else references it -> keeps its own label); iters=0 returns the
+    identity labeling."""
+    from whisper_pandas_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2), (3, 3)], "src long, dst long")
+    out0 = {r.node: r.label for r in label_propagation(df, iters=0).collect()}
+    assert out0 == {1: 1, 2: 2}
+    # synchronous updates on a single edge OSCILLATE (the documented
+    # bipartite behavior): one round swaps, two rounds swap back
+    out1 = {r.node: r.label for r in label_propagation(df, iters=1).collect()}
+    assert out1 == {1: 2, 2: 1}
+    out2 = {r.node: r.label for r in label_propagation(df, iters=2).collect()}
+    assert out2 == {1: 1, 2: 2}

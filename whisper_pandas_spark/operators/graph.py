@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def pagerank(
@@ -174,3 +175,71 @@ def triangle_participation(edges: DataFrame, src: str = "src", dst: str = "dst")
         F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the GraphX/GraphFrames LPA variant): every node starts in
+    its own community (label = node id); each round every node adopts
+    the most frequent label among its neighbors, ties broken to the
+    SMALLEST label — the deterministic tie-break that makes the whole
+    run (and therefore a SQL replay of it) bit-reproducible, where the
+    textbook random tie-break is not. Isolated nodes keep their label.
+
+    Scale shape: per round, one join of the undirected edge list with
+    the label table (both keyed on node — bucket both on node id and
+    the rounds run exchange-free), one (node, label) partial-agg count,
+    one per-node window max. Labels checkpoint per round
+    (localCheckpoint — `checkpoint()` on a real cluster) so plan depth
+    is constant in `iters`, the same discipline as pagerank/kmeans
+    above. Synchronous LPA on bipartite-ish structures can oscillate —
+    callers pick `iters` (small, as recommended in the paper) rather
+    than iterate to convergence.
+
+    Returns (node, label) — nodes sharing a label after `iters` rounds
+    are one community.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=True)
+    nodes = both.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    w = Window.partitionBy("node")
+    for _ in range(iters):
+        cnt = (
+            both.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            cnt.withColumn("mx", F.max("c").over(w))
+            .where(F.col("c") == F.col("mx"))
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

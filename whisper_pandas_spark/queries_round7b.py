@@ -708,3 +708,53 @@ def stream_changepoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_from_buckets(state, ["event_type"], min_buckets=3).orderBy(
         "event_type"
     )
+
+
+# -- label-propagation communities -------------------------------------------------
+
+_LPA_ROUND = """
+, cnt{N} AS (
+  SELECT nbr.a AS node, l.label, count(*) AS c
+  FROM nbr JOIN l{P} l ON l.node = nbr.b GROUP BY 1, 2
+), pick{N} AS (
+  SELECT node, min(label) AS new_label FROM (
+    SELECT node, label, c, max(c) OVER (PARTITION BY node) AS mx FROM cnt{N}
+  ) WHERE c = mx GROUP BY node
+), l{N} AS (
+  SELECT l.node, coalesce(p.new_label, l.label) AS label
+  FROM l{P} l LEFT JOIN pick{N} p ON p.node = l.node
+)"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), nbr AS (
+  SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v AS a, u AS b FROM pairs
+), l0 AS (
+  SELECT DISTINCT a AS node, a AS label FROM nbr
+)"""
+    + "".join(_LPA_ROUND.format(N=i, P=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node, CAST(label AS BIGINT) AS label FROM l3 ORDER BY node
+""",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: synchronous label-propagation communities (operators/
+    graph.py:label_propagation, Raghavan 2007) over the co-order part
+    graph — three rounds, most-frequent neighbor label, ties to the
+    SMALLEST label (the deterministic variant of the textbook random
+    tie-break), isolated nodes keep their label. The oracle unrolls
+    all three rounds in SQL and replays every label bit-for-bit —
+    same unrolled-recursion pattern as graph_pagerank_trade."""
+    from whisper_pandas_spark.operators.graph import label_propagation
+
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    return label_propagation(edges, iters=3).orderBy("node")
