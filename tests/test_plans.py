@@ -382,3 +382,31 @@ def test_image_features_is_scan_shaped(spark):
     )
     plan = formatted_plan(image_features(df, "doc_id"))
     assert not re.search(r"\(\d+\) Exchange", plan), plan[:1500]
+
+
+def test_round7b_plan_shapes(spark):
+    """Round-7b scale pins: the checkpointed derived tables must keep the
+    static plans bounded — triangle counting a handful of exchanges over
+    the materialized oriented-edge table (not 90+ re-derivations),
+    collocations/top-k entries compiling to TakeOrderedAndProject."""
+    import re
+
+    from whisper_pandas_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    plan_tri = formatted_plan(QUERIES["graph_triangle_count"](spark, sf))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan_tri))
+    assert n_ex <= 8, f"triangle count re-derives its edge table: {n_ex} exchanges"
+    assert "TakeOrderedAndProject" in plan_tri
+
+    plan_col = formatted_plan(QUERIES["text_collocations_lift"](spark, sf))
+    assert "TakeOrderedAndProject" in plan_col
+    assert len(re.findall(r"\(\d+\) Exchange", plan_col)) <= 4
+
+    plan_mad = formatted_plan(QUERIES["anomaly_robust_mad"](spark, sf))
+    assert len(re.findall(r"\(\d+\) Exchange", plan_mad)) <= 8
+
+    # Q19: the disjunctive predicate must leave extracted per-side
+    # conjuncts below the join (brand IN (...) pushed to the part scan)
+    plan_q19 = formatted_plan(QUERIES["join_q19ish_disjunctive"](spark, sf))
+    assert "PushedFilters" in plan_q19

@@ -758,3 +758,71 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
     return label_propagation(edges, iters=3).orderBy("node")
+
+
+# -- point-in-time (feature-store) join against SCD2 versions ----------------------
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER w AS prev_et,
+         lag(ts) OVER w AS prev_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+), changes AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et
+), v AS (
+  SELECT user_id AS key, event_type, ts AS valid_from FROM changes
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT p.event_id, p.user_id, max(v.valid_from) AS vf
+  FROM p JOIN v ON v.key = p.user_id AND v.valid_from < p.ts
+  GROUP BY 1, 2
+)
+SELECT m.event_id, m.user_id, v.event_type AS state_before
+FROM m JOIN v ON v.key = m.user_id AND v.valid_from = m.vf
+ORDER BY event_id
+""",
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: point-in-time join — the feature-store primitive that keeps
+    training data leak-free: each fact (purchase event) joins the SCD2
+    dimension version in effect STRICTLY BEFORE its timestamp, never a
+    version created at-or-after it (no label leakage). Composes two
+    existing operators: scd2_from_log builds the versions, asof_join
+    with allow_exact_matches=False picks the strictly-previous one
+    (first-ever purchases have no prior state and drop, mirrored by the
+    oracle's inner join). One key-partitioned window + one as-of
+    carry — both on the user key, no new shuffle shape."""
+    from whisper_pandas_spark.operators.asof import asof_join
+    from whisper_pandas_spark.operators.scd import scd2_from_log
+
+    ev = _table(spark, sf_dir, "events")
+    versions = scd2_from_log(
+        ev.select("user_id", "ts", "event_type"), "user_id", "ts", ["event_type"]
+    )
+    right = versions.select(
+        F.col("key").alias("user_id"),
+        F.col("valid_from").alias("ts"),
+        F.col("event_type").alias("state_before"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    pit = asof_join(
+        purchases,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=("state_before",),
+        inner=True,
+        allow_exact_matches=False,
+    )
+    return pit.select(
+        "event_id", "user_id", F.col("state_before_asof").alias("state_before")
+    ).orderBy("event_id")
