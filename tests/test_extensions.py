@@ -1724,3 +1724,48 @@ def test_label_propagation_isolated_and_zero_iters(spark):
     assert out1 == {1: 2, 2: 1}
     out2 = {r.node: r.label for r in label_propagation(df, iters=2).collect()}
     assert out2 == {1: 1, 2: 2}
+
+
+def test_equidepth_bins_balanced_and_exact_edges(spark):
+    """1..100 into 4 bins -> exactly 25 rows each with the documented
+    edge picks; duplicates of one value land in one bucket."""
+    from whisper_pandas_spark.operators.binning import equidepth_bins
+
+    df = spark.createDataFrame([("g", v) for v in range(1, 101)], "k string, v long")
+    out = equidepth_bins(df, ["k"], "v", 4).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).orderBy("bucket").collect()
+    assert [(r.bucket, r.n, r.lo, r.hi) for r in out] == [
+        (1, 25, 1, 25), (2, 25, 26, 50), (3, 25, 51, 75), (4, 25, 76, 100)
+    ]
+    # heavy duplicate mass: value 7 x10 stays in ONE bucket
+    df2 = spark.createDataFrame(
+        [("g", 7)] * 10 + [("g", 1), ("g", 99)], "k string, v long"
+    )
+    out2 = equidepth_bins(df2, ["k"], "v", 3).where(F.col("v") == 7).select(
+        "bucket"
+    ).distinct().collect()
+    assert len(out2) == 1
+
+
+def test_negative_samples_disjoint_deterministic_k(spark):
+    from whisper_pandas_spark.operators.negatives import negative_samples
+
+    inter = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 0), (2, 1)], "u long, it long"
+    )
+    out = negative_samples(inter, "u", "it", 10, k=3, oversample=4).collect()
+    pos = {(1, 3), (1, 4), (2, 0), (2, 1)}
+    assert all((r.user, r.item) not in pos for r in out)
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user, []).append((r.rnk, r.item))
+    assert all(len(v) == 3 and [x[0] for x in sorted(v)] == [1, 2, 3]
+               for v in by_user.values())
+    # determinism across runs
+    out2 = negative_samples(inter, "u", "it", 10, k=3, oversample=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # per-user items are distinct
+    for v in by_user.values():
+        items = [x[1] for x in v]
+        assert len(set(items)) == len(items)

@@ -826,3 +826,117 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pit.select(
         "event_id", "user_id", F.col("state_before_asof").alias("state_before")
     ).orderBy("event_id")
+
+
+# -- equi-depth feature binning ------------------------------------------------------
+
+
+@register(
+    "profile_equidepth_bins",
+    oracle="""
+WITH cnt AS (
+  SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, v,
+         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM cnt
+), js AS (SELECT unnest(generate_series(1, 7)) AS j),
+edges AS (
+  SELECT lang, j, min(v) AS edge FROM cum CROSS JOIN js
+  WHERE cum >= (j * n + 7) // 8 GROUP BY lang, j
+), below AS (
+  SELECT c.lang, c.v, count(e.j) AS b
+  FROM (SELECT DISTINCT lang, v FROM cnt) c
+  LEFT JOIN edges e ON e.lang = c.lang AND e.edge < c.v
+  GROUP BY 1, 2
+), lab AS (
+  SELECT d.lang, d.n_chars AS v, 1 + coalesce(b.b, 0) AS bucket
+  FROM documents d JOIN below b ON b.lang = d.lang AND b.v = d.n_chars
+)
+SELECT lang, CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+FROM lab GROUP BY 1, 2
+ORDER BY lang, bucket
+""",
+)
+def profile_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: equi-depth (quantile) feature binning (operators/binning.py,
+    the KBinsDiscretizer strategy='quantile' shape) — 8 buckets per
+    lang over n_chars, edges from the engine's shared exact quantile
+    pick with INTEGER rank ceil, labels = 1 + #edges strictly below.
+    Per-bucket doc counts and value ranges, all exact integers."""
+    from whisper_pandas_spark.operators.binning import equidepth_bins
+
+    docs = _table(spark, sf_dir, "documents").select("lang", "n_chars")
+    labeled = equidepth_bins(docs, ["lang"], "n_chars", 8)
+    return (
+        labeled.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# -- deterministic negative sampling -------------------------------------------------
+
+
+@register(
+    "sample_negative_items",
+    oracle="""
+WITH n AS (SELECT max(p_partkey) + 1 AS n_items FROM part),
+inter AS (
+  SELECT DISTINCT o_custkey AS usr, l_partkey AS item
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), users AS (SELECT DISTINCT usr FROM inter),
+cand AS (
+  SELECT usr, i,
+         ('0x' || substr(md5('0:' || usr || ':' || i), 1, 8))::BIGINT
+           % n.n_items AS item
+  FROM users CROSS JOIN n
+  CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS i)
+), dedup AS (
+  SELECT usr, item, min(i) AS i FROM cand GROUP BY 1, 2
+), neg AS (
+  SELECT d.usr, d.item, d.i FROM dedup d
+  ANTI JOIN inter ON inter.usr = d.usr AND inter.item = d.item
+), ranked AS (
+  SELECT usr, item, i,
+         row_number() OVER (PARTITION BY usr ORDER BY i) AS rnk
+  FROM neg
+)
+SELECT usr AS user, CAST(item AS BIGINT) AS item, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY user, rnk
+""",
+)
+def sample_negative_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: deterministic negative sampling (operators/negatives.py, the
+    BPR / word2vec implicit-feedback recipe made replayable) — 5
+    non-purchased parts per customer from the cross-engine md5 family
+    with rejection against the real (customer, part) interactions.
+    n_items comes from the part table (one driver-side scalar, bounded
+    by contract); the same (user, i) yields the same item on any
+    engine and any re-run."""
+    from whisper_pandas_spark.operators.negatives import negative_samples
+
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    inter = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("usr"), F.col("l_partkey").alias("item")
+    )
+    n_items = (
+        _table(spark, sf_dir, "part").agg(F.max("p_partkey")).collect()[0][0] + 1
+    )
+    out = negative_samples(
+        inter, "usr", "item", int(n_items), k=5, oversample=4, seed=0
+    )
+    return (
+        out.withColumnRenamed("user", "user")
+        .select("user", "item", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("user", "rnk")
+    )
