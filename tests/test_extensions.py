@@ -1769,3 +1769,28 @@ def test_negative_samples_disjoint_deterministic_k(spark):
     for v in by_user.values():
         items = [x[1] for x in v]
         assert len(set(items)) == len(items)
+
+
+def test_item_cf_planted_copurchase(spark):
+    """Two items always co-bought have sim 1.0 and rank each other
+    first; an item sharing only half its baskets scores 1/sqrt(2)."""
+    from whisper_pandas_spark.operators.itemcf import item_similarity_topk
+
+    rows = []
+    for b in range(10):
+        rows += [(b, 1), (b, 2)]
+        if b < 5:
+            rows.append((b, 3))
+    df = spark.createDataFrame(rows, "b long, it long")
+    out = {(r.item, r.rnk): r for r in item_similarity_topk(
+        df, "b", "it", k=2).collect()}
+    top1 = out[(1, 1)]
+    assert top1.neighbor == 2 and top1.sim == 1.0 and top1.c_ij == 10
+    # sim(1,3) = 5 / sqrt(10*5)
+    assert out[(1, 2)].neighbor == 3
+    assert out[(1, 2)].sim == 5 / (10 * 5) ** 0.5
+    # duplicate (basket, item) rows must not inflate counts
+    df2 = df.unionAll(df)
+    out2 = {(r.item, r.rnk): (r.neighbor, r.sim) for r in item_similarity_topk(
+        df2, "b", "it", k=2).collect()}
+    assert out2 == {k: (v.neighbor, v.sim) for k, v in out.items()}

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from whisper_pandas_spark.registry import _table, register
 
@@ -939,4 +940,88 @@ def sample_negative_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumnRenamed("user", "user")
         .select("user", "item", F.col("rnk").cast("int").alias("rnk"))
         .orderBy("user", "rnk")
+    )
+
+
+# -- item-item collaborative filtering ----------------------------------------------
+
+
+@register(
+    "rec_item_cf_topk",
+    oracle="""
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
+), ic AS (
+  SELECT item, count(*) AS c FROM inc GROUP BY item
+), pairs AS (
+  SELECT a.item AS i, bb.item AS j, count(*) AS c_ij
+  FROM inc a JOIN inc bb ON a.b = bb.b AND a.item <> bb.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), scored AS (
+  SELECT p.i, p.j, p.c_ij, ci.c AS c_i, cj.c AS c_j,
+         CAST(p.c_ij AS DOUBLE)
+           / sqrt(CAST(ci.c * cj.c AS DOUBLE)) AS sim
+  FROM pairs p JOIN ic ci ON ci.item = p.i JOIN ic cj ON cj.item = p.j
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY i
+                               ORDER BY sim DESC, c_ij DESC, j) AS rnk
+  FROM scored
+)
+SELECT i AS item, j AS neighbor, CAST(c_ij AS BIGINT) AS c_ij,
+       CAST(c_i AS BIGINT) AS c_i, CAST(c_j AS BIGINT) AS c_j, sim,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY item, rnk
+""",
+)
+def rec_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: item-item collaborative filtering (operators/itemcf.py,
+    Sarwar 2001 / Amazon item-to-item) — top-5 cosine co-occurrence
+    neighbors per part over order baskets, min 2 co-occurrences. The
+    score is sqrt of an exact integer product + one division, so the
+    full ranking replays bit-for-bit."""
+    from whisper_pandas_spark.operators.itemcf import item_similarity_topk
+
+    li = _table(spark, sf_dir, "lineitem")
+    return item_similarity_topk(
+        li, "l_orderkey", "l_partkey", k=5, min_pairs=2
+    ).orderBy("item", "rnk")
+
+
+# -- percent_rank / cume_dist window family ------------------------------------------
+
+
+@register(
+    "window_pct_rank_dist",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
+ORDER BY c_custkey
+""",
+)
+def window_pct_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+: relative-rank analytics — percent_rank ((rank-1)/(n-1)) and
+    cume_dist (peers-or-below / n) per market segment over integer
+    cents, custkey as the total-order tie-break. Both are single IEEE
+    divisions of exact integers; completes the ranking window family
+    (rank/dense_rank/row_number/ntile already covered)."""
+    c = _table(spark, sf_dir, "customer").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "cents",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_custkey")
     )
