@@ -125,6 +125,16 @@ AUDITED = [
     "sample_negative_items",
     "rec_item_cf_topk",
     "window_pct_rank_dist",
+    # round-7 third wave (TPC-H completion)
+    "join_q6ish_filter_agg",
+    "join_q8ish_market_share",
+    "join_q9ish_profit",
+    "join_q11ish_value_frac",
+    "join_q12ish_priority_case",
+    "join_q14ish_promo_share",
+    "join_q15ish_top_supplier",
+    "join_q16ish_supplier_cnt",
+    "join_q20ish_nested_agg",
 ]
 
 

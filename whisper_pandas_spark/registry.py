@@ -165,5 +165,6 @@ _q6.promote()
 # with no mid-load registry dependency).
 from whisper_pandas_spark import queries_round7  # noqa: E402,F401
 from whisper_pandas_spark import queries_round7b  # noqa: E402,F401
+from whisper_pandas_spark import queries_round7c  # noqa: E402,F401
 
 _reorder()
