@@ -434,6 +434,9 @@ def join_q20ish_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.round("l_quantity").cast("long")).alias("sq"))
+        # (part, supplier)-sized and consumed twice (threshold join +
+        # per-part totals); materialize so lineitem is scanned ONCE
+        .localCheckpoint(eager=True)
     )
     pt = q.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("sq").alias("pq"))
     hot = (
