@@ -1,0 +1,223 @@
+"""Property tests for the round-7 second/third-wave operators: each is
+checked against an independent brute-force Python/numpy reference on
+random inputs — the same strategy the as-of join (vs pd.merge_asof) and
+BM25 (vs brute force) use. These cover the semantic space the single
+DuckDB oracle fixture can't."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# -- CUSUM changepoint vs brute force -----------------------------------------
+
+series = st.lists(
+    st.integers(min_value=-1000, max_value=1000), min_size=3, max_size=40
+)
+
+
+@SLOW
+@given(ys=series)
+def test_changepoint_matches_bruteforce(spark, ys):
+    from whisper_pandas_spark.operators.changepoint import changepoint_max_cusum
+
+    rows = [
+        ("g", f"2024-01-{d + 1:02d} 00:00:00", y / 1000.0)
+        for d, y in enumerate(ys)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v string").select(
+        "k",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("v").cast("double").alias("v"),
+    )
+    got = changepoint_max_cusum(df, ["k"], "ts", "v", scale=1000).collect()[0]
+
+    n = len(ys)
+    s = 0
+    s_n = sum(ys)
+    best = None  # (d_abs, t)
+    for t, y in enumerate(ys[:-1], start=1):
+        s += y
+        d = abs(n * s - t * s_n)
+        if best is None or d > best[0]:
+            best = (d, t)
+    assert got.n_buckets == n
+    assert got.s_n == s_n
+    assert got.d_stat == best[0]
+    assert int(str(got.cp_bucket)[8:10]) == best[1]
+
+
+# -- robust MAD vs brute force --------------------------------------------------
+
+values = st.lists(
+    st.integers(min_value=-500, max_value=500), min_size=1, max_size=60
+)
+
+
+@SLOW
+@given(xs=values)
+def test_robust_mad_matches_bruteforce(spark, xs):
+    from whisper_pandas_spark.operators.robust import robust_mad_stats
+
+    df = spark.createDataFrame(
+        [("g", x / 1000.0) for x in xs], "k string, v double"
+    )
+    got = robust_mad_stats(df, ["k"], "v", scale=1000, k=3).collect()[0]
+
+    def pick_median(vals):
+        # smallest value whose cumulative count reaches ceil(n/2)
+        sv = sorted(vals)
+        import math
+
+        return sv[math.ceil(len(sv) / 2) - 1]
+
+    med = pick_median(xs)
+    devs = [abs(x - med) for x in xs]
+    mad = pick_median(devs)
+    n_out = sum(1 for d in devs if d > 3 * mad)
+    assert (got.n, got.med_micro, got.mad_micro, got.n_outliers) == (
+        len(xs),
+        med,
+        mad,
+        n_out,
+    )
+
+
+# -- equi-depth binning vs brute force -------------------------------------------
+
+
+@SLOW
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+    b=st.integers(min_value=2, max_value=6),
+)
+def test_equidepth_bins_match_bruteforce(spark, xs, b):
+    import math
+
+    from whisper_pandas_spark.operators.binning import equidepth_bins
+
+    df = spark.createDataFrame([("g", x) for x in xs], "k string, v long")
+    got = {
+        (r.v, r.bucket)
+        for r in equidepth_bins(df, ["k"], "v", b).select("v", "bucket").collect()
+    }
+
+    sv = sorted(xs)
+    n = len(sv)
+    edges = []
+    for j in range(1, b):
+        rank = (j * n + b - 1) // b  # integer ceil(j*n/b)
+        edges.append(sv[rank - 1])
+    want = {(x, 1 + sum(1 for e in edges if e < x)) for x in xs}
+    assert got == want
+    # labels in range and monotone with value
+    labs = sorted(want)
+    for (v1, b1), (v2, b2) in zip(labs, labs[1:]):
+        assert b1 <= b2 and 1 <= b1 <= b
+
+
+# -- item-item CF vs brute force --------------------------------------------------
+
+baskets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),  # basket
+        st.integers(min_value=0, max_value=6),  # item
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(pairs=baskets)
+def test_item_cf_matches_bruteforce(spark, pairs):
+    from collections import defaultdict
+
+    from whisper_pandas_spark.operators.itemcf import item_similarity_topk
+
+    df = spark.createDataFrame(list(set(pairs)), "b long, it long")
+    got = {
+        (r.item, r.rnk): (r.neighbor, r.c_ij, r.sim)
+        for r in item_similarity_topk(df, "b", "it", k=3, min_pairs=1).collect()
+    }
+
+    inc = set(pairs)
+    by_basket = defaultdict(set)
+    cnt = defaultdict(int)
+    for b, i in inc:
+        by_basket[b].add(i)
+        cnt[i] += 1
+    co = defaultdict(int)
+    for b, items in by_basket.items():
+        for i in items:
+            for j in items:
+                if i != j:
+                    co[(i, j)] += 1
+    want = {}
+    by_i = defaultdict(list)
+    for (i, j), c in co.items():
+        sim = c / (cnt[i] * cnt[j]) ** 0.5
+        by_i[i].append((-sim, -c, j))
+    for i, lst in by_i.items():
+        for rnk, (nsim, nc, j) in enumerate(sorted(lst)[:3], start=1):
+            want[(i, rnk)] = (j, -nc, -nsim)
+    assert got == want
+
+
+# -- transition matrix vs brute force -----------------------------------------------
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user
+        st.integers(min_value=0, max_value=50),  # time (unique-ified below)
+        st.sampled_from(["a", "b", "c"]),        # state
+    ),
+    min_size=2,
+    max_size=50,
+)
+
+
+@SLOW
+@given(evs=events)
+def test_transition_matrix_matches_bruteforce(spark, evs):
+    from collections import defaultdict
+
+    from whisper_pandas_spark.operators.paths import transition_matrix
+
+    rows = [(u, i, s) for i, (u, _, s) in enumerate(evs)]  # eid = total order
+    df = spark.createDataFrame(rows, "u long, eid long, s string").select(
+        "u", F.col("eid").cast("timestamp").alias("ts"), "eid", "s"
+    )
+    got = {
+        (r.src, r.dst): (r.n, r.n_src, r.p)
+        for r in transition_matrix(df, "u", "ts", "s", tiebreak_col="eid").collect()
+    }
+
+    per_user = defaultdict(list)
+    for u, eid, s in rows:
+        per_user[u].append((eid, s))
+    steps = defaultdict(int)
+    for u, lst in per_user.items():
+        lst.sort()
+        for (_, s1), (_, s2) in zip(lst, lst[1:]):
+            steps[(s1, s2)] += 1
+    totals = defaultdict(int)
+    for (s1, _), c in steps.items():
+        totals[s1] += c
+    want = {
+        k: (c, totals[k[0]], c / totals[k[0]]) for k, c in steps.items()
+    }
+    assert got == want
