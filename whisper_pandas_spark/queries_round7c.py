@@ -201,27 +201,29 @@ WITH pv AS (
   SELECT l_partkey, sum(CAST(round(l_extendedprice + 1e-9, 4)
                              AS DECIMAL(18,4))) AS val
   FROM lineitem GROUP BY l_partkey
-), tot AS (SELECT sum(val) AS total FROM pv)
+), tot AS (SELECT sum(val) AS total, count(*) AS n_parts FROM pv)
 SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS value
 FROM pv CROSS JOIN tot
-WHERE val * 1500 > total
+WHERE val * n_parts * 2 > total * 3
 ORDER BY value DESC, partkey
 """,
 )
 def join_q11ish_value_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q11: groups whose aggregate exceeds a FRACTION of the
-    global aggregate (here 1/1500) — the HAVING-vs-scalar-subquery
+    global MEAN (parts worth >1.5x the average part — scale-free, so
+    the report is non-empty at every SF) — the HAVING-vs-scalar-subquery
     family. The threshold compare is exact decimal arithmetic
-    (val * 1500 > total, both DECIMAL folds of identical per-row
-    values), never a float fraction; the one-row total broadcasts."""
+    (val * n_parts * 2 > total * 3, decimal-times-integer on both sides), never a float fraction; the one-row total broadcasts."""
     li = _table(spark, sf_dir, "lineitem")
     pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(_rev(F.col("l_extendedprice"))).alias("val")
     )
-    tot = pv.agg(F.sum("val").alias("total"))
+    tot = pv.agg(
+        F.sum("val").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         pv.crossJoin(F.broadcast(tot))
-        .where(F.col("val") * 1500 > F.col("total"))
+        .where(F.col("val") * F.col("n_parts") * 2 > F.col("total") * 3)
         .select("partkey", F.col("val").cast("double").alias("value"))
         .orderBy(F.desc("value"), "partkey")
     )
