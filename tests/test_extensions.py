@@ -1794,3 +1794,27 @@ def test_item_cf_planted_copurchase(spark):
     out2 = {(r.item, r.rnk): (r.neighbor, r.sim) for r in item_similarity_topk(
         df2, "b", "it", k=2).collect()}
     assert out2 == {k: (v.neighbor, v.sim) for k, v in out.items()}
+
+
+def test_rolling_correlation_perfect_and_anti(spark):
+    """x twice-daily-doubled vs y = 2x -> r == 1.0 exactly on every
+    full window; y = -x -> r == -1.0; constant y -> NULL (zero
+    variance)."""
+    from whisper_pandas_spark.operators.decompose import rolling_correlation
+
+    rows = []
+    for d in range(10):
+        x = float(d + 1)
+        rows += [("x", f"2024-05-{d+1:02d} 01:00:00", x),
+                 ("y", f"2024-05-{d+1:02d} 02:00:00", 2 * x),
+                 ("z", f"2024-05-{d+1:02d} 03:00:00", -x),
+                 ("c", f"2024-05-{d+1:02d} 04:00:00", 5.0)]
+    df = spark.createDataFrame(rows, "k string, ts string, v string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("v").cast("double").alias("v"))
+    pos = rolling_correlation(df, "k", "ts", "v", "x", "y", window=4).collect()
+    assert len(pos) == 7 and all(r.r == 1.0 for r in pos)
+    neg = rolling_correlation(df, "k", "ts", "v", "x", "z", window=4).collect()
+    assert all(r.r == -1.0 for r in neg)
+    nul = rolling_correlation(df, "k", "ts", "v", "x", "c", window=4).collect()
+    assert all(r.r is None for r in nul)

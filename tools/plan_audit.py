@@ -135,6 +135,7 @@ AUDITED = [
     "join_q15ish_top_supplier",
     "join_q16ish_supplier_cnt",
     "join_q20ish_nested_agg",
+    "ts_rolling_correlation",
 ]
 
 

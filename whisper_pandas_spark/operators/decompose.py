@@ -243,3 +243,75 @@ def linear_trend(
             F.when((vx != 0.0) & (vy != 0.0), cv * cv / (vx * vy))
         ).alias("r2"),
     )
+
+
+def rolling_correlation(
+    df: DataFrame,
+    series_col: str,
+    time_col: str,
+    value_col: str,
+    series_x: str,
+    series_y: str,
+    *,
+    bucket: str = "day",
+    window: int = 7,
+    scale: int = 1000,
+) -> DataFrame:
+    """Rolling Pearson correlation between two named series.
+
+    The windowed companion to :func:`metric_correlation` (which is one
+    global coefficient): bucket both series to a shared grid, align on
+    the bucket (inner join — only buckets where BOTH series have data),
+    and compute r over a trailing ROWS frame of `window` buckets from
+    integer sufficient statistics:
+
+        r = (w·Σxy − Σx·Σy) / sqrt((w·Σxx − Σx²) · (w·Σyy − Σy²))
+
+    Determinism (oracle-parity): values quantize to micro-units before
+    any sum, every Σ is an exact BIGINT windowed fold (frame-ordered,
+    identical on any engine), the numerator and both variance terms are
+    exact BIGINT expressions, and the only floating point is the final
+    fixed-order cast-multiply-sqrt-divide — deterministic IEEE ops on
+    identical inputs, so r replays bit-for-bit. Zero-variance windows
+    yield NULL. Only FULL windows emit (the first window-1 buckets are
+    suppressed, so results don't depend on partial-frame edges).
+
+    Scale: two vocabulary-of-buckets aggregations + one bucket-aligned
+    join + one ROWS window per series pair — the per-series
+    partitioning ceiling every timeseries operator here shares.
+    """
+    w = Window.orderBy("bucket_ts").rowsBetween(-(window - 1), 0)
+
+    def bucketed(name: str, out: str) -> DataFrame:
+        return (
+            df.where(
+                (F.col(series_col) == name)
+                & F.col(time_col).isNotNull()
+                & F.col(value_col).isNotNull()
+            )
+            .groupBy(F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"))
+            .agg(
+                F.sum(F.round(F.col(value_col) * scale).cast("long")).alias(out)
+            )
+        )
+
+    joined = bucketed(series_x, "x").join(bucketed(series_y, "y"), "bucket_ts")
+    stats = joined.select(
+        "bucket_ts",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    ).where(F.col("w_n") == window)
+    num = F.lit(window) * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.lit(window) * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.lit(window) * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.sqrt(vx.cast("double") * vy.cast("double"))
+    return stats.select(
+        "bucket_ts",
+        F.col("sx").alias("sum_x"),
+        F.col("sy").alias("sum_y"),
+        F.when(den > 0, num.cast("double") / den).alias("r"),
+    )

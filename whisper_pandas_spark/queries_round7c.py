@@ -452,3 +452,64 @@ def join_q20ish_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# -- rolling correlation ------------------------------------------------------------
+
+
+@register(
+    "ts_rolling_correlation",
+    oracle="""
+WITH bx AS (
+  SELECT date_trunc('day', ts) AS bucket_ts,
+         sum(CAST(round(value * 1000) AS BIGINT)) AS x
+  FROM events WHERE event_type = 'view'
+    AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), by_ AS (
+  SELECT date_trunc('day', ts) AS bucket_ts,
+         sum(CAST(round(value * 1000) AS BIGINT)) AS y
+  FROM events WHERE event_type = 'purchase'
+    AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), j AS (
+  SELECT bx.bucket_ts, x, y FROM bx JOIN by_ USING (bucket_ts)
+), s AS (
+  SELECT bucket_ts,
+         count(*) OVER w AS w_n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy
+  FROM j WINDOW w AS (ORDER BY bucket_ts ROWS BETWEEN 6 PRECEDING
+                      AND CURRENT ROW)
+), f AS (
+  SELECT bucket_ts,
+         CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+         CAST(7 * sxy - sx * sy AS BIGINT) AS num,
+         CAST(7 * sxx - sx * sx AS BIGINT) AS vx,
+         CAST(7 * syy - sy * sy AS BIGINT) AS vy
+  FROM s WHERE w_n = 7
+)
+SELECT bucket_ts, sum_x, sum_y,
+       CASE WHEN sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) > 0
+            THEN CAST(num AS DOUBLE)
+                 / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+       END AS r
+FROM f
+ORDER BY bucket_ts
+""",
+)
+def ts_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: rolling 7-day Pearson correlation between the view and
+    purchase series (operators/decompose.py:rolling_correlation) —
+    exact BIGINT windowed sufficient statistics, floating point only
+    in the final fixed-order cast-multiply-sqrt-divide, full windows
+    only. The windowed companion to ts_metric_correlation's single
+    global coefficient."""
+    from whisper_pandas_spark.operators.decompose import rolling_correlation
+
+    ev = _table(spark, sf_dir, "events")
+    return rolling_correlation(
+        ev, "event_type", "ts", "value", "view", "purchase",
+        bucket="day", window=7, scale=1000,
+    ).orderBy("bucket_ts")
