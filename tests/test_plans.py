@@ -410,3 +410,25 @@ def test_round7b_plan_shapes(spark):
     # conjuncts below the join (brand IN (...) pushed to the part scan)
     plan_q19 = formatted_plan(QUERIES["join_q19ish_disjunctive"](spark, sf))
     assert "PushedFilters" in plan_q19
+
+
+def test_round7c_tpch_plan_shapes(spark):
+    """Third-wave TPC-H pins: Q6's predicates reach the scan; Q8/Q9
+    broadcast every dim (no sort-merge joins); Q20 scans lineitem
+    exactly once (its (part,supplier) aggregate is checkpointed)."""
+    import re
+
+    from whisper_pandas_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    p6 = formatted_plan(QUERIES["join_q6ish_filter_agg"](spark, sf))
+    assert "PushedFilters" in p6 and len(re.findall(r"\(\d+\) Exchange", p6)) <= 1
+
+    for name in ("join_q8ish_market_share", "join_q9ish_profit"):
+        p = formatted_plan(QUERIES[name](spark, sf))
+        assert not re.search(r"\(\d+\) SortMergeJoin", p), name
+        assert "BroadcastHashJoin" in p, name
+
+    p20 = formatted_plan(QUERIES["join_q20ish_nested_agg"](spark, sf))
+    n_scans = len(re.findall(r"Scan parquet", p20))
+    assert n_scans <= 3, f"q20ish re-scans its inputs: {n_scans} scans"
