@@ -1024,3 +1024,55 @@ def test_stream_bucket_sums_update_exact_and_replay_safe(spark, tmp_path):
 
     with _pt.raises(ValueError, match="checkpoint_dir is required"):
         stream_bucket_sums_update(sdf, base, ("grp",), "ts", "v", checkpoint_dir="")
+
+
+def test_stream_topk_update_exact_replay_safe_and_bounded(spark, tmp_path):
+    """Streaming top-k: exact regime equals the batch recompute across
+    micro-batch geometry; replay under the same checkpoint is a no-op;
+    in the TRUNCATED regime the two-sided bound lo <= true <= lo +
+    rest_max holds for every surviving item."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.operators.sketches import topk_rollup
+    from whisper_pandas_spark.streaming.sketches import stream_topk_update
+
+    rows = [(i, "g", f"it{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, it string")
+    src = tmp_path / "changes"
+    df.filter(F.col("id") < 100).coalesce(1).write.parquet(str(src / "f1"))
+    df.filter(F.col("id") >= 100).coalesce(1).write.parquet(str(src / "f2"))
+    base, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    sdf = (
+        spark.readStream.schema("id long, grp string, it string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream_topk_update(sdf, base, ("grp",), "it", 16, checkpoint_dir=ckpt)
+    q.processAllAvailable(); q.stop()
+    cur = current_version_path(base)
+    got = {
+        (r.rnk, r.item): (r.count_lo, r.count_hi)
+        for r in topk_rollup(spark.read.parquet(cur), ("grp",), 7).collect()
+    }
+    true = {f"it{j}": sum(1 for i in range(200) if i % 7 == j) for j in range(7)}
+    ranked = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {
+        (rnk, it): (c, c) for rnk, (it, c) in enumerate(ranked, start=1)
+    }
+    assert got == want  # exact regime across two micro-batches
+
+    q2 = stream_topk_update(sdf, base, ("grp",), "it", 16, checkpoint_dir=ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert current_version_path(base) == cur  # replay no-op
+
+    # truncated regime: capacity 3 over 7 items, two batches
+    base2, ckpt2 = str(tmp_path / "state2"), str(tmp_path / "ckpt2")
+    q3 = stream_topk_update(sdf, base2, ("grp",), "it", 3, checkpoint_dir=ckpt2)
+    q3.processAllAvailable(); q3.stop()
+    state2 = spark.read.parquet(current_version_path(base2)).collect()[0]
+    assert state2.rest_max > 0
+    for e in state2.items:
+        assert e.cnt <= true[e.item] <= e.cnt + state2.rest_max

@@ -136,6 +136,7 @@ AUDITED = [
     "join_q16ish_supplier_cnt",
     "join_q20ish_nested_agg",
     "ts_rolling_correlation",
+    "stream_topk_replay",
 ]
 
 

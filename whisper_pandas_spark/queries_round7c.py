@@ -513,3 +513,62 @@ def ts_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", "ts", "value", "view", "purchase",
         bucket="day", window=7, scale=1000,
     ).orderBy("bucket_ts")
+
+
+# -- streaming heavy-hitters maintenance ---------------------------------------------
+
+
+@register(
+    "stream_topk_replay",
+    oracle="""
+WITH c AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+), r AS (
+  SELECT lang, source, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, source) AS rnk
+  FROM c
+)
+SELECT lang, CAST(rnk AS INT) AS rnk, source AS item,
+       CAST(n AS BIGINT) AS count_lo, CAST(n AS BIGINT) AS count_hi
+FROM r WHERE rnk <= 5 ORDER BY lang, rnk
+""",
+)
+def stream_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST+: streaming heavy-hitters maintenance
+    (streaming/sketches.py:stream_topk_update) replayed end to end —
+    `documents` split into two change files streams through
+    foreachBatch space-saving merges into the versioned top-k state
+    (exactly-once batch markers; the merge is additive), then the
+    merged state reads off per-lang top-5 sources via topk_rollup.
+    Capacity 32 exceeds the ~20 distinct sources per lang, so the
+    whole run stays in the exact regime (rest_max = 0, lo == hi ==
+    true count) and the oracle is the plain relational top-k —
+    completing the streaming-sketch family (additive histogram,
+    idempotent KMV, merge-truncated top-k)."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.operators.sketches import topk_rollup
+    from whisper_pandas_spark.streaming.sketches import stream_topk_update
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    d = tempfile.mkdtemp(prefix="wps_topkstream_")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{d}/changes/f1"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{d}/changes/f2"
+    )
+    sdf = (
+        spark.readStream.schema("doc_id long, lang string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/changes/*")
+    )
+    q = stream_topk_update(
+        sdf, f"{d}/state", ("lang",), "source", 32, checkpoint_dir=f"{d}/ckpt"
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.parquet(current_version_path(f"{d}/state"))
+    return topk_rollup(state, ("lang",), 5).orderBy("lang", "rnk")

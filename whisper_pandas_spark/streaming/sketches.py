@@ -149,3 +149,131 @@ def stream_kmv_update(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_topk_update(
+    sdf: DataFrame,
+    base: str,
+    keys: tuple[str, ...],
+    item_col: str,
+    capacity: int,
+    checkpoint_dir: str,
+):
+    """Streaming heavy-hitters maintenance — the third member of the
+    streaming-sketch family (additive histogram, idempotent KMV, and
+    now merge-truncated top-k): each micro-batch is summarized by
+    operators/sketches.py:topk_shard_sketches and merged into the
+    versioned state by the space-saving merge rule — per-item LO counts
+    add, the truncation slack (`rest_max`) of the two summaries ADDS
+    (an item absent from one side could have held up to that side's
+    rest_max), and the merged item list re-truncates to `capacity`,
+    folding the largest dropped count into the new slack. In the exact
+    regime (distinct items per group <= capacity end to end) rest_max
+    stays 0 and the state equals the batch recompute bit-for-bit —
+    which is what the registry oracle checks; the approximate-regime
+    bound (lo <= true <= lo + rest_max) is pytest-pinned.
+
+    Like the histogram stream (and unlike KMV), the merge is ADDITIVE:
+    a replayed batch would double-count, so the checkpoint-scoped
+    `_LAST_BATCH` marker is REQUIRED for correctness.
+    """
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        write_version,
+    )
+    from whisper_pandas_spark.operators.sketches import topk_shard_sketches
+
+    if not checkpoint_dir:
+        raise ValueError(
+            "checkpoint_dir is required: the top-k merge is additive, so "
+            "a replayed batch would double-count — batch-id dedup needs "
+            "durable batch numbering"
+        )
+    kcols = list(keys)
+
+    def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
+        def exploded(df: DataFrame) -> DataFrame:
+            return df.select(
+                *kcols, F.explode("items").alias("e"), "rest_max"
+            ).select(
+                *kcols,
+                F.col("e.item").alias("item"),
+                F.col("e.cnt").alias("cnt"),
+            )
+
+        items = (
+            exploded(a)
+            .unionByName(exploded(b))
+            .groupBy(*kcols, "item")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        slack = (
+            a.select(*kcols, "rest_max")
+            .unionByName(b.select(*kcols, "rest_max"))
+            .groupBy(*kcols)
+            .agg(F.sum("rest_max").alias("rest_in"))
+        )
+        w = Window.partitionBy(*kcols).orderBy(F.desc("cnt"), F.asc("item"))
+        ranked = items.withColumn("__rn", F.row_number().over(w))
+        return (
+            ranked.join(slack, kcols)
+            .groupBy(*kcols)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") <= capacity,
+                            F.struct("item", "cnt"),
+                        )
+                    )
+                ).alias("items"),
+                (
+                    F.min("rest_in")
+                    + F.coalesce(
+                        F.max(
+                            F.when(F.col("__rn") > capacity, F.col("cnt"))
+                        ),
+                        F.lit(0),
+                    )
+                ).alias("rest_max"),
+            )
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = current_version_path(base)
+        next_version = 0
+        if cur is not None:
+            marker = Path(cur) / "_LAST_BATCH"
+            if marker.exists():
+                sid, _, last = marker.read_text().rpartition(":")
+                if sid == checkpoint_dir and int(last) >= batch_id:
+                    return  # replay of an already-merged batch
+            next_version = int(Path(cur).name[1:]) + 1
+        batch_sketch = topk_shard_sketches(batch_df, keys, item_col, capacity)
+        if cur is None:
+            new_state = batch_sketch
+        else:
+            prior = batch_df.sparkSession.read.parquet(cur).select(
+                *kcols, "items", "rest_max"
+            )
+            new_state = merge_states(prior, batch_sketch)
+        write_version(
+            base,
+            new_state,
+            next_version,
+            extra_files={"_LAST_BATCH": f"{checkpoint_dir}:{batch_id}"},
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
