@@ -1818,3 +1818,41 @@ def test_rolling_correlation_perfect_and_anti(spark):
     assert all(r.r == -1.0 for r in neg)
     nul = rolling_correlation(df, "k", "ts", "v", "x", "c", window=4).collect()
     assert all(r.r is None for r in nul)
+
+
+def test_point_in_time_join_never_leaks(spark):
+    """The PIT composition (scd2_from_log + backward-strict asof) must
+    attach the state in effect BEFORE each fact — never the state the
+    fact itself created, and first-ever facts drop."""
+    from whisper_pandas_spark.operators.asof import asof_join
+    from whisper_pandas_spark.operators.scd import scd2_from_log
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "browse"),
+        (1, "2024-01-02 00:00:00", "buy"),
+        (1, "2024-01-03 00:00:00", "browse"),
+        (1, "2024-01-04 00:00:00", "buy"),
+        (2, "2024-01-01 00:00:00", "buy"),
+    ]
+    ev = spark.createDataFrame(rows, "u long, ts string, state string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts"), "state"
+    )
+    versions = scd2_from_log(ev, "u", "ts", ["state"])
+    right = versions.select(
+        F.col("key").alias("u"),
+        F.col("valid_from").alias("ts"),
+        F.col("state").alias("prev_state"),
+    )
+    buys = ev.filter(F.col("state") == "buy").select("u", "ts")
+    out = asof_join(
+        buys, right, on="u", left_ts="ts", right_ts="ts",
+        value_cols=("prev_state",), inner=True, allow_exact_matches=False,
+    ).select("u", "ts", F.col("prev_state_asof").alias("prev_state")).collect()
+    got = {(r.u, str(r.ts)[:10]): r.prev_state for r in out}
+    # day-2 buy: state before was browse; day-4 buy: before was browse
+    # (the day-2 'buy' version ended at day-3); user 2's first-ever
+    # event is the buy -> no prior state -> dropped
+    assert got == {
+        (1, "2024-01-02"): "browse",
+        (1, "2024-01-04"): "browse",
+    }

@@ -221,3 +221,98 @@ def test_transition_matrix_matches_bruteforce(spark, evs):
         k: (c, totals[k[0]], c / totals[k[0]]) for k, c in steps.items()
     }
     assert got == want
+
+
+# -- label propagation vs brute force ------------------------------------------------
+
+graphs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(edges=graphs, iters=st.integers(min_value=0, max_value=3))
+def test_label_propagation_matches_bruteforce(spark, edges, iters):
+    from collections import Counter, defaultdict
+
+    from whisper_pandas_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.label for r in label_propagation(df, iters=iters).collect()
+    }
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    nodes = set(adj)
+    if not nodes:
+        assert got == {}
+        return
+    labels = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            if not adj[n]:
+                new[n] = labels[n]
+                continue
+            cnt = Counter(labels[m] for m in adj[n])
+            best = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == best)
+        labels = new
+    assert got == labels
+
+
+# -- negative sampling vs brute force ------------------------------------------------
+
+inters = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SLOW
+@given(pairs=inters, k=st.integers(min_value=1, max_value=4))
+def test_negative_samples_match_bruteforce(spark, pairs, k):
+    import hashlib
+    from collections import defaultdict
+
+    from whisper_pandas_spark.operators.negatives import negative_samples
+
+    n_items = 10
+    df = spark.createDataFrame(list(set(pairs)), "u long, it long")
+    got = {
+        (r.user, r.rnk): r.item
+        for r in negative_samples(
+            df, "u", "it", n_items, k=k, oversample=4, seed=0
+        ).collect()
+    }
+
+    pos = defaultdict(set)
+    for u, it in pairs:
+        pos[u].add(it)
+    want = {}
+    for u in pos:
+        seen, rnk = set(), 0
+        for i in range(1, k * 4 + 1):
+            h = int(hashlib.md5(f"0:{u}:{i}".encode()).hexdigest()[:8], 16)
+            item = h % n_items
+            if item in seen or item in pos[u]:
+                continue
+            seen.add(item)
+            rnk += 1
+            want[(u, rnk)] = item
+            if rnk == k:
+                break
+    assert got == want
