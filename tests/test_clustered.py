@@ -182,3 +182,50 @@ def test_bloom_index_validates_geometry(spark, tmp_path):
         build_bloom_index(spark, str(tmp_path), "k", m_bits=100)
     with pytest.raises(ValueError, match="n_hashes"):
         build_bloom_index(spark, str(tmp_path), "k", m_bits=64, n_hashes=0)
+
+
+def test_bloom_lookup_preserves_hive_partition_columns(spark, tmp_path):
+    """Regression (round-8 advisory): the pruned-file read must set
+    basePath so a Hive-partitioned table keeps its partition columns —
+    both bloom_lookup branches (files admitted vs none) now agree on
+    schema, and a partition-column key even filters correctly."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.sources.bloom_index import (
+        bloom_lookup,
+        build_bloom_index,
+    )
+
+    path = str(tmp_path / "pt")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("p"),
+        (F.col("id") * 3).alias("v"),
+    )
+    df.write.partitionBy("p").parquet(path)
+
+    M, H = 1 << 12, 7
+    idx = build_bloom_index(spark, path, "k", m_bits=M, n_hashes=H)
+
+    rows, scanned, total = bloom_lookup(
+        spark, path, idx, "k", [7, 42], m_bits=M, n_hashes=H
+    )
+    # partition column present in the result (used to vanish pre-fix)
+    assert set(rows.columns) == {"k", "p", "v"}
+    got = sorted((r["k"], r["p"], r["v"]) for r in rows.collect())
+    # Hive partition-type inference reads p=2 back as int
+    assert got == [(7, 3, 21), (42, 2, 126)]
+
+    # empty-prune branch: same schema
+    empty, s0, _ = bloom_lookup(
+        spark, path, idx, "k", [999999], m_bits=M, n_hashes=H
+    )
+    assert set(empty.columns) == {"k", "p", "v"}
+
+    # a PARTITION-column key now works end-to-end too
+    idx_p = build_bloom_index(spark, path, "p", m_bits=M, n_hashes=H)
+    prow, _, _ = bloom_lookup(
+        spark, path, idx_p, "p", [2], m_bits=M, n_hashes=H
+    )
+    assert {r["p"] for r in prow.collect()} == {2}
+    assert prow.count() == 100

@@ -1856,3 +1856,106 @@ def test_point_in_time_join_never_leaks(spark):
         (1, "2024-01-02"): "browse",
         (1, "2024-01-04"): "browse",
     }
+
+
+def test_mmr_max_candidates_guard_and_typed_ids(spark):
+    """Round-8 guards: (1) mmr_select count-and-raises when fed more
+    candidates than max_candidates (exact MMR is k*O(candidates) — the
+    raw corpus must not sneak in); (2) the returned id column keeps the
+    corpus id type (string doc ids used to crash the hardcoded-long
+    schema)."""
+    import pytest as _pt
+
+    from whisper_pandas_spark.operators.diversify import mmr_select
+
+    rows = [(f"doc{i}", [1.0 + 0.1 * i, 0.5]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [1.0, 0.2]
+
+    # string ids round-trip with the corpus type
+    out = mmr_select(df, q, k=3, lam=0.5)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    picked = [r["vec_id"] for r in out.collect()]
+    assert len(picked) == 3 and all(p.startswith("doc") for p in picked)
+
+    # guard fires (count-and-raise), and None disables it
+    with _pt.raises(ValueError, match="max_candidates"):
+        mmr_select(df, q, k=2, max_candidates=3)
+    assert mmr_select(df, q, k=2, max_candidates=None).count() == 2
+
+
+def test_itemcf_max_basket_guard(spark):
+    """Round-8 guard: max_basket drops mega-baskets before the
+    self-join AND before item counts (consistent cosine over retained
+    baskets); recall-only — capped runs never invent pairs; None
+    disables; cap < 2 rejected."""
+    import pytest as _pt
+
+    from whisper_pandas_spark.operators.itemcf import item_similarity_topk
+
+    rows = [("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y"), ("b3", "x")]
+    # mega-basket with 6 items including x and z
+    rows += [("mega", it) for it in ["x", "z", "p", "q", "r", "s"]]
+    df = spark.createDataFrame(rows, ["b", "it"])
+
+    capped = item_similarity_topk(df, "b", "it", k=5, max_basket=3)
+    got = {(r["item"], r["neighbor"]): r for r in capped.collect()}
+    # mega-basket pairs gone entirely
+    assert ("x", "z") not in got and ("z", "x") not in got
+    # c_i over retained baskets only: x appears in b1,b2,b3 (mega dropped)
+    assert got[("x", "y")]["c_i"] == 3 and got[("x", "y")]["c_ij"] == 2
+    # uncapped (None) still sees the mega pairs
+    full = {
+        (r["item"], r["neighbor"])
+        for r in item_similarity_topk(
+            df, "b", "it", k=10, max_basket=None
+        ).collect()
+    }
+    assert ("x", "z") in full
+    # recall-only: every capped pair exists in the uncapped result
+    assert set(got) <= full
+    with _pt.raises(ValueError, match="max_basket"):
+        item_similarity_topk(df, "b", "it", max_basket=1)
+
+
+def test_negative_samples_id_contract(spark):
+    """Round-8 advisory: (1) non-integral item columns are rejected
+    eagerly with a pointer to item_dim; (2) out-of-range "dense" ids
+    fail in-plan instead of silently never rejecting; (3) item_dim maps
+    generated indices to real (string) ids and rejection works on the
+    real ids."""
+    import pytest as _pt
+
+    from whisper_pandas_spark.operators.negatives import negative_samples
+
+    # (1) string catalog without a dim: eager TypeError
+    s = spark.createDataFrame([("u1", "sku-1")], "u string, it string")
+    with _pt.raises(TypeError, match="item_dim"):
+        negative_samples(s, "u", "it", 10)
+
+    # (2) sparse ids masquerading as dense: in-plan assert fires
+    sparse = spark.createDataFrame([("u1", 999)], "u string, it long")
+    with _pt.raises(Exception, match="dense"):
+        negative_samples(sparse, "u", "it", 10, k=2).collect()
+
+    # (3) dim-mapped string catalog: negatives are REAL catalog ids the
+    # user never interacted with
+    dim = spark.createDataFrame(
+        [(i, f"sku-{i}") for i in range(10)], "item_index long, it string"
+    )
+    inter = spark.createDataFrame(
+        [("u1", f"sku-{i}") for i in range(6)], "u string, it string"
+    )
+    out = negative_samples(
+        inter, "u", "it", 10, k=3, item_dim=dim
+    ).collect()
+    got = [(r["user"], r["item"], r["rnk"]) for r in out]
+    assert len(got) == 3 and [r[2] for r in got] == [1, 2, 3]
+    interacted = {f"sku-{i}" for i in range(6)}
+    catalog = {f"sku-{i}" for i in range(10)}
+    for _, item, _rnk in got:
+        assert item in catalog and item not in interacted
+
+    # determinism: same seed -> same picks
+    again = negative_samples(inter, "u", "it", 10, k=3, item_dim=dim).collect()
+    assert [(r["user"], r["item"], r["rnk"]) for r in again] == got

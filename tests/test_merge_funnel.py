@@ -558,3 +558,40 @@ def test_change_feed_between_versions(spark, table, tmp_path):
     vacuum_versions(base, keep_last=2)  # drops v0
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         change_feed(spark, base, 0, 2, "id")
+
+
+def test_change_feed_partitioned_resolves_full_snapshots(spark, tmp_path):
+    """Regression (round-8 advisory): on a merge_into_parquet_partitioned
+    table a version dir holds ONLY the partitions touched by that merge —
+    change_feed must resolve each version to its FULL manifest snapshot,
+    or untouched partitions show up as spurious added/removed rows."""
+    from whisper_pandas_spark.operators.merge import (
+        change_feed,
+        merge_into_parquet_partitioned,
+    )
+
+    base = str(tmp_path / "cfp")
+    schema = "k long, p string, v string, del boolean"
+    init = spark.createDataFrame(
+        [(1, "a", "a1", False), (2, "b", "b1", False), (3, "c", "c1", False)],
+        schema,
+    )
+    merge_into_parquet_partitioned(spark, base, init, "k", "p", delete_col="del")
+    # v1 touches ONLY partition a: update k=1, add k=4
+    c1 = spark.createDataFrame(
+        [(1, "a", "a1x", False), (4, "a", "a2", False)], schema
+    )
+    merge_into_parquet_partitioned(spark, base, c1, "k", "p", delete_col="del")
+    feed = {
+        r["key"]: r["change"]
+        for r in change_feed(spark, base, 0, 1, "k").collect()
+    }
+    # b and c are untouched: NOT in the feed (the partial-snapshot bug
+    # reported them as removed)
+    assert feed == {1: "changed", 4: "added"}
+    # explicit part_col override works too
+    feed2 = {
+        r["key"]: r["change"]
+        for r in change_feed(spark, base, 0, 1, "k", part_col="p").collect()
+    }
+    assert feed2 == feed

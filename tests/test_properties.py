@@ -711,6 +711,15 @@ def test_seasonal_decompose_matches_numpy_reference(spark, n, period, data):
         d = detr[(phases == p) & ~np.isnan(detr)]
         if len(d):
             pm[p] = d.sum() / len(d)
+    # n <= period leaves no complete centered window: pm is empty and
+    # the engine correctly emits all-NULL decompositions (regression for
+    # the n == period == 4 falsifying draw — the division below used to
+    # ZeroDivisionError in this TEST reference, not in the operator).
+    if not pm:
+        for i in range(n):
+            g_tr, g_se, g_re = got[base + res * i]
+            assert g_tr is None and g_se is None and g_re is None
+        return
     grand = sum(pm.values()) / len(pm)
     for i in range(n):
         ts = base + res * i
@@ -722,6 +731,25 @@ def test_seasonal_decompose_matches_numpy_reference(spark, n, period, data):
             se = pm[phases[i]] - grand
             assert abs(g_se - se) < 1e-5
             assert abs(g_re - (vals[i] - trend[i] - round(se, 6))) < 1e-5
+
+
+def test_seasonal_decompose_all_null_when_n_equals_period(spark):
+    """Pinned falsifying draw from the property above (n == period == 4):
+    no complete centered window exists, so every decomposition column must
+    be NULL — the operator handled this all along; only the test-side numpy
+    reference used to crash."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.decompose import seasonal_decompose
+
+    df = spark.createDataFrame(
+        [("m", 1_600_000_020 + 60 * i, float(v)) for i, v in enumerate([1.0, 5.0, 2.0, 8.0])],
+        "metric string, epoch long, value double",
+    ).select("metric", F.timestamp_seconds("epoch").alias("ts"), "value")
+    rows = seasonal_decompose(df, ("metric",), "ts", "value", 4, 60).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["trend"] is None and r["seasonal"] is None and r["residual"] is None
 
 
 @SLOW

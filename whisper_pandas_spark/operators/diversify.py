@@ -40,17 +40,40 @@ def mmr_select(
     lam: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidates: int = 100_000,
 ) -> DataFrame:
     """Greedy MMR: (rnk INT, <id_col>, relevance DOUBLE, score DOUBLE)
     for the k picks, rank order. ``query_vec`` is a plain float list
-    (broadcast as a literal into the relevance pass)."""
+    (broadcast as a literal into the relevance pass).
+
+    Exact MMR is k * O(corpus) by design — it is the CURATION step after
+    similarity search, not a search itself. ``max_candidates`` enforces
+    that contract (count-and-raise, like merge's
+    ``max_touched_partitions``): feeding the raw corpus instead of an
+    ANN candidate set fails loudly rather than launching k full scans.
+    Raise it deliberately (or pre-filter with sim_topk_ivf — see
+    ``mmr_diversified_ann``) when a larger pool is intended; pass
+    ``None`` to disable entirely.
+
+    The returned id column keeps the corpus id column's exact type
+    (string doc ids work, not just longs)."""
     from whisper_pandas_spark.operators.similarity import cosine
 
     if k < 1:
         raise ValueError("k must be >= 1")
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1]")
+    if max_candidates is not None:
+        n = corpus.count()
+        if n > max_candidates:
+            raise ValueError(
+                f"mmr_select got {n} candidates > max_candidates="
+                f"{max_candidates}: exact MMR is k*O(candidates) — feed it "
+                "an ANN candidate set (e.g. sim_topk_ivf), or raise/disable "
+                "max_candidates deliberately"
+            )
     spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType.simpleString()
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     state = corpus.select(
         F.col(id_col).alias("__id"),
@@ -92,5 +115,5 @@ def mmr_select(
             .localCheckpoint(eager=True)
         )
     return spark.createDataFrame(
-        picks, f"rnk int, {id_col} long, relevance double, score double"
+        picks, f"rnk int, {id_col} {id_type}, relevance double, score double"
     )

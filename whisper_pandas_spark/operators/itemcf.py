@@ -18,11 +18,15 @@ ops in fixed order, bit-identical across engines. Ranking ties break
 
 Scale: the basket self-join is the one superlinear step — bounded by
 sum-of-squares of basket sizes, the standard market-basket shape
-(baskets are orders/sessions: tens of items, never millions; a
-pathological mega-basket should be capped upstream like the dedup
-family's max_df guard). Everything after is vocabulary-sized: item
-counts, pair counts (map-side combinable), a broadcast join of the
-item-count table, and a per-item WindowGroupLimit top-k.
+(baskets are orders/sessions: tens of items, never millions). The
+in-operator ``max_basket`` guard drops mega-baskets BEFORE the
+self-join (same recall-only contract as the dedup family's ``max_df``:
+a dropped basket only removes co-occurrence evidence, it can never
+invent a pair — bot sessions / catalog-wide "baskets" are noise for CF
+anyway, the same argument as stop-shingles). Everything after is
+vocabulary-sized: item counts, pair counts (map-side combinable), a
+broadcast join of the item-count table, and a per-item
+WindowGroupLimit top-k.
 """
 
 from __future__ import annotations
@@ -39,13 +43,29 @@ def item_similarity_topk(
     *,
     k: int = 5,
     min_pairs: int = 1,
+    max_basket: int | None = 10_000,
 ) -> DataFrame:
     """(item, neighbor, c_ij, c_i, c_j, sim, rnk) — top-`k` cosine
     neighbors per item over basket co-occurrence; pairs below
-    `min_pairs` co-occurrences are dropped before ranking."""
+    `min_pairs` co-occurrences are dropped before ranking.
+
+    ``max_basket`` drops baskets with more distinct items than the cap
+    BEFORE the self-join AND before the item counts (so c_i / c_ij stay
+    a consistent cosine over the retained baskets). Recall-only: a
+    dropped mega-basket removes evidence, never invents a pair — the
+    Σ(basket²) blow-up guard the dedup family's ``max_df`` provides for
+    shingles. ``None`` disables."""
     inc = baskets.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("item")
     ).distinct()
+    if max_basket is not None:
+        if max_basket < 2:
+            raise ValueError("max_basket must be >= 2 (or None)")
+        bsz = inc.groupBy("b").agg(F.count(F.lit(1)).alias("__n"))
+        inc = (
+            inc.join(bsz.where(F.col("__n") <= max_basket), "b")
+            .drop("__n")
+        )
     item_cnt = inc.groupBy("item").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
         eager=True
     )

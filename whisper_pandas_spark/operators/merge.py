@@ -663,6 +663,25 @@ def compact_partitioned(
     return str(new_dir), sorted(fragmented)
 
 
+def _infer_part_col(data_dir) -> str:
+    """Partition column of a Hive-layout data dir (single-level): the
+    name before ``=`` in its subdirectories. Raises if the layout is not
+    a single consistent ``col=value`` level."""
+    from pathlib import Path
+
+    names = {
+        d.name.split("=", 1)[0]
+        for d in Path(data_dir).iterdir()
+        if d.is_dir() and "=" in d.name
+    }
+    if len(names) != 1:
+        raise ValueError(
+            f"{data_dir} is not a single-level Hive partition layout "
+            f"(saw partition columns {sorted(names)!r})"
+        )
+    return next(iter(names))
+
+
 def change_feed(
     spark: SparkSession,
     base: str,
@@ -670,6 +689,7 @@ def change_feed(
     to_version: int,
     key_col: str,
     value_cols: list[str] | None = None,
+    part_col: str | None = None,
 ) -> DataFrame:
     """Change data feed between two retained versions of a versioned
     table (Delta's CDF read, on plain versioned parquet): (key, change)
@@ -684,20 +704,33 @@ def change_feed(
     cost; a 100 TB deployment that needs per-merge feeds cheaply should
     persist the change batches themselves next to each version (they
     are the feed); this reader is the fallback that works for ANY pair
-    of versions, including non-adjacent ones."""
+    of versions, including non-adjacent ones.
+
+    Tables maintained by ``merge_into_parquet_partitioned`` store only
+    the partitions TOUCHED by each merge under a version dir (untouched
+    partitions are manifest re-pointed), so a version dir is a PARTIAL
+    snapshot. Those versions are detected by their ``_MANIFEST.json``
+    and resolved to the FULL snapshot via the manifest (``_read_parts``
+    — one read per involved version, Hive-unescaped dirs, basePath set);
+    ``part_col`` is inferred from the Hive layout when not given.
+    Plain (unpartitioned-merge) versions are read directly as before."""
     from pathlib import Path
 
     from whisper_pandas_spark.operators.diffing import table_diff
 
     root = Path(base)
-    dirs = []
+    snaps = []
     for v in (from_version, to_version):
         d = root / f"v{v}"
         if not (d.is_dir()):
             raise FileNotFoundError(
                 f"version v{v} not present under {base} (vacuumed?)"
             )
-        dirs.append(d)
-    old = spark.read.parquet(str(dirs[0] / "data") if (dirs[0] / "data").is_dir() else str(dirs[0]))
-    new = spark.read.parquet(str(dirs[1] / "data") if (dirs[1] / "data").is_dir() else str(dirs[1]))
-    return table_diff(old, new, key_col, value_cols)
+        data = d / "data" if (d / "data").is_dir() else d
+        if (d / _MANIFEST).is_file():
+            manifest = _read_manifest(str(d))
+            pc = part_col or _infer_part_col(data)
+            snaps.append(_read_parts(spark, base, manifest, pc))
+        else:
+            snaps.append(spark.read.parquet(str(data)))
+    return table_diff(snaps[0], snaps[1], key_col, value_cols)

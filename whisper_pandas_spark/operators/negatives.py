@@ -38,13 +38,36 @@ def negative_samples(
     k: int = 5,
     oversample: int = 4,
     seed: int = 0,
+    item_dim: DataFrame | None = None,
+    item_index_col: str = "item_index",
 ) -> DataFrame:
     """(user, item, rnk) — k non-interacted items per user, rnk = 1..k
     in candidate order. Users whose rejection survivors run out (< k
     after oversampling) keep the survivors they have; raise `oversample`
-    for pathological users who interacted with most of the catalog."""
+    for pathological users who interacted with most of the catalog.
+
+    ID contract (round-8 advisory): candidates are generated as
+    integers in ``[0, n_items)``, so WITHOUT ``item_dim`` the item
+    column must be an integral type holding dense ids in that range —
+    the dtype is checked eagerly and the range is enforced in-plan
+    (``assert_true`` on the interaction scan: zero extra passes). A
+    string or sparse catalog would otherwise silently type-coerce the
+    anti-join, rejection would never fire, and "negatives" could be ids
+    that don't exist. For such catalogs pass ``item_dim`` — a dimension
+    table mapping ``item_index_col`` (dense 0..n_items-1) to
+    ``item_col`` (the real id, any type); candidates are generated as
+    indices and broadcast-mapped to real ids BEFORE rejection, and the
+    output carries real ids."""
     if n_items < 1:
         raise ValueError("n_items must be >= 1")
+    if item_dim is None:
+        dtype = interactions.schema[item_col].dataType.simpleString()
+        if dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"item column {item_col!r} is {dtype}: dense-id negative "
+                "sampling needs an integral 0..n_items-1 catalog — pass "
+                "item_dim to map generated indices to real item ids"
+            )
     users = interactions.select(F.col(user_col).alias("user")).distinct()
     cand = users.select(
         "user",
@@ -63,6 +86,17 @@ def negative_samples(
             F.lit(n_items),
         ),
     )
+    if item_dim is not None:
+        dim = item_dim.select(
+            F.col(item_index_col).cast("long").alias("item"),
+            F.col(item_col).alias("__real"),
+        )
+        # inner broadcast join: an index with no dim row (n_items larger
+        # than the catalog) simply yields no candidate
+        cand = (
+            cand.join(F.broadcast(dim), "item")
+            .select("user", "i", F.col("__real").alias("item"))
+        )
     # drop duplicate candidate items per user (keep the earliest i)
     wdup = Window.partitionBy("user", "item").orderBy("i")
     cand = (
@@ -70,8 +104,24 @@ def negative_samples(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    item_val = F.col(item_col)
+    if item_dim is None:
+        # in-plan dense-range enforcement: rides the existing scan, no
+        # extra pass; fires on the first out-of-range interaction id
+        chk = F.assert_true(
+            (item_val >= 0) & (item_val < n_items),
+            F.concat(
+                F.lit(
+                    f"negative_samples: interaction {item_col} out of the "
+                    f"dense [0, {n_items}) id range (got "
+                ),
+                item_val.cast("string"),
+                F.lit(") — pass item_dim for sparse/non-integer catalogs"),
+            ),
+        )
+        item_val = F.when(chk.isNull(), F.col(item_col))
     pos = interactions.select(
-        F.col(user_col).alias("user"), F.col(item_col).alias("item")
+        F.col(user_col).alias("user"), item_val.alias("item")
     ).distinct()
     neg = cand.join(pos, ["user", "item"], "left_anti")
     wfill = Window.partitionBy("user").orderBy("i")

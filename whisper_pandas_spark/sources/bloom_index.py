@@ -169,11 +169,21 @@ def bloom_lookup(
 ) -> tuple[DataFrame, int, int]:
     """Point lookup through the index: returns (rows, files_scanned,
     files_total) — the matching rows of ``table_path`` where ``key_col``
-    is in ``values``, reading ONLY the files the Bloom index admits."""
+    is in ``values``, reading ONLY the files the Bloom index admits.
+
+    The pruned-file read sets ``basePath`` to ``table_path`` so a
+    Hive-partitioned table keeps its partition columns (and the two
+    branches — empty prune vs file read — agree on schema). Partition
+    columns themselves are not indexable here (they live in paths, not
+    row groups); use directory pruning for those."""
     total = index.count()
     files = bloom_prune_files(index, values, m_bits, n_hashes)
     if not files:
         empty = spark.read.parquet(table_path).limit(0)
         return empty.where(F.col(key_col).isin(values)), 0, total
-    df = spark.read.parquet(*files).where(F.col(key_col).isin(values))
+    df = (
+        spark.read.option("basePath", table_path)
+        .parquet(*files)
+        .where(F.col(key_col).isin(values))
+    )
     return df, len(files), total
