@@ -125,6 +125,22 @@ def main() -> None:
     # entry means co-tenant contention and the totals are inflated —
     # machine-detectable from the artifact alone (VERDICT r6 Perf note),
     # no BENCH_NOTES prose required.
+    #
+    # Round 8: don't just STAMP contention — wait it out (bounded). The
+    # 1-minute loadavg decays with ~60 s half-life once a co-tenant
+    # finishes, so a few 60 s waits capture a quiet window when one
+    # exists; if the host never quiets, run anyway and let the stamp say
+    # so. Knobs: SPARK_GRAFT_BENCH_QUIET_LOAD (threshold, default 0.5),
+    # SPARK_GRAFT_BENCH_QUIET_WAITS (max waits, default 4, 0 disables),
+    # SPARK_GRAFT_BENCH_QUIET_SLEEP (seconds per wait, default 60).
+    quiet_load = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "0.5"))
+    max_waits = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAITS", "4"))
+    sleep_s = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_SLEEP", "60"))
+    load_initial = round(os.getloadavg()[0], 2)
+    waited = 0
+    while os.getloadavg()[0] > quiet_load and waited < max_waits:
+        time.sleep(sleep_s)
+        waited += 1
     load_at_start = round(os.getloadavg()[0], 2)
 
     spark = get_spark(app_name="whisper_pandas_spark_bench")
@@ -204,6 +220,8 @@ def main() -> None:
                 "query_stats": stats,
                 "reps": reps,
                 "load_at_start": load_at_start,
+                "load_initial": load_initial,
+                "quiet_waits": waited,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
