@@ -1,0 +1,142 @@
+"""Round-8 registry entries.
+
+- mmr_diversified_ann      the documented intended MMR usage: an IVF ANN
+                           stage bounds the candidate set, THEN exact
+                           greedy MMR curates it — the composition the
+                           max_candidates guard (operators/diversify.py)
+                           exists to enforce. Oracle replays BOTH stages:
+                           the IVF cell assignment + probe + top-N
+                           candidate cut, then the full unrolled greedy
+                           trajectory over exactly those candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.registry import _table, register
+
+_ANN_K_CENT = 16   # codebook: first 16 corpus vectors (offline-codebook stand-in)
+_ANN_NPROBE = 4
+_ANN_N_CAND = 40   # ANN candidate pool handed to MMR
+_ANN_MMR_K = 8
+_ANN_MMR_LAM = 0.5  # exactly representable (DuckDB bare 0.5 is DECIMAL — cast)
+
+
+def _mmr_steps(k: int, lam: float, prev0: str) -> str:
+    """The unrolled greedy-MMR CTE chain over a candidate CTE named
+    ``prev0`` with columns (vec_id, v, rel, ms) — shared shape with
+    queries_round7's _mmr_oracle, parameterized for composition."""
+    from whisper_pandas_spark.functions.duck import duck_cos
+
+    steps = []
+    for i in range(1, k + 1):
+        prev = prev0 if i == 1 else f"s{i - 1}"
+        steps.append(f"""p{i} AS (
+  SELECT vec_id AS pid, v AS pv, rel AS prel,
+         CASE WHEN ms IS NULL THEN CAST({lam} AS DOUBLE) * rel
+              ELSE CAST({lam} AS DOUBLE) * rel
+                   - CAST({1.0 - lam} AS DOUBLE) * ms END AS psc
+  FROM {prev} ORDER BY psc DESC, vec_id LIMIT 1
+), s{i} AS (
+  SELECT s.vec_id, s.v, s.rel,
+         greatest(coalesce(s.ms, -1e18), {duck_cos("s.v", "p.pv")}) AS ms
+  FROM {prev} s, p{i} p WHERE s.vec_id <> p.pid
+)""")
+    return ",\n".join(steps)
+
+
+def _mmr_ann_oracle() -> str:
+    from whisper_pandas_spark.functions.duck import duck_cos
+
+    picks_sql = "\nUNION ALL\n".join(
+        f"SELECT {j} AS rnk, pid AS vec_id, "
+        f"round(prel + 1e-9, 6) AS relevance, "
+        f"round(psc + 1e-9, 6) AS score FROM p{j}"
+        for j in range(1, _ANN_MMR_K + 1)
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS centroid FROM embeddings
+  WHERE vec_id < {_ANN_K_CENT}
+), qid AS (SELECT min(vec_id) AS qid FROM embeddings),
+q AS (
+  SELECT e.embedding::DOUBLE[] AS qv, e.vec_id AS qid
+  FROM embeddings e JOIN qid ON e.vec_id = qid.qid
+), corpus_scored AS (
+  SELECT e.vec_id, e.embedding AS cvec, c.cid,
+         {duck_cos("e.embedding", "c.centroid")} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+), cells AS (
+  SELECT vec_id, cvec, cid AS cell FROM (
+    SELECT vec_id, cvec, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM corpus_scored
+  ) WHERE rn = 1
+), probes AS (
+  SELECT cid AS cell FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY {duck_cos("q.qv", "c.centroid")} DESC,
+                              c.cid) AS rn
+    FROM cent c CROSS JOIN q
+  ) WHERE rn <= {_ANN_NPROBE}
+), cand0 AS (
+  SELECT s.vec_id, s.cvec::DOUBLE[] AS v,
+         round({duck_cos("q.qv", "s.cvec")}, 6) AS cos_sim
+  FROM cells s JOIN probes USING (cell) CROSS JOIN q
+  WHERE s.vec_id <> q.qid
+), cand AS (
+  SELECT vec_id, v FROM (
+    SELECT vec_id, v,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM cand0
+  ) WHERE rn <= {_ANN_N_CAND}
+), s0 AS (
+  SELECT c.vec_id, c.v,
+         {duck_cos("c.v", "q.qv")} AS rel,
+         CAST(NULL AS DOUBLE) AS ms
+  FROM cand c CROSS JOIN q
+),
+{_mmr_steps(_ANN_MMR_K, _ANN_MMR_LAM, "s0")}
+SELECT * FROM ({picks_sql}) ORDER BY rnk
+"""
+
+
+@register("mmr_diversified_ann", oracle=_mmr_ann_oracle())
+def mmr_diversified_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/Y+ composition: similarity search BOUNDS the pool, MMR curates
+    it — IVF-flat ANN (16 first-vector cells, nprobe=4) produces the
+    top-40 candidates for the min-vec_id query, then exact greedy MMR
+    (lam=0.5, k=8) runs over ONLY those 40 — inside mmr_select's
+    max_candidates contract instead of fighting it. This is the 100 TB
+    shape: the k*O(candidates) exact stage never sees the corpus, only
+    the ANN survivors. Oracle replays the IVF assignment/probe/cut AND
+    the full greedy trajectory, so a wrong candidate set or a wrong
+    pick anywhere hash-mismatches."""
+    from whisper_pandas_spark.operators.diversify import mmr_select
+    from whisper_pandas_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    cent = emb.filter(F.col("vec_id") < _ANN_K_CENT)
+    q = emb.filter(F.col("vec_id") == qrow["vec_id"])
+    cand_ids = cosine_topk_ivf(emb, q, _ANN_N_CAND, cent, _ANN_NPROBE).select(
+        "vec_id"
+    )
+    cand = emb.join(F.broadcast(cand_ids), "vec_id")
+    out = mmr_select(
+        cand,
+        [float(x) for x in qrow["embedding"]],
+        k=_ANN_MMR_K,
+        lam=_ANN_MMR_LAM,
+        max_candidates=_ANN_N_CAND,
+    )
+    eps = F.lit(1e-9)
+    return out.select(
+        "rnk",
+        "vec_id",
+        F.round(F.col("relevance") + eps, 6).alias("relevance"),
+        F.round(F.col("score") + eps, 6).alias("score"),
+    ).orderBy("rnk")

@@ -167,4 +167,7 @@ from whisper_pandas_spark import queries_round7  # noqa: E402,F401
 from whisper_pandas_spark import queries_round7b  # noqa: E402,F401
 from whisper_pandas_spark import queries_round7c  # noqa: E402,F401
 
+# Round 8: same direct-registration pattern.
+from whisper_pandas_spark import queries_round8  # noqa: E402,F401
+
 _reorder()
