@@ -384,3 +384,115 @@ def test_n_percentile_matches_graphite_nist_rank_pick(spark):
         want = pts[min(max(rank, 1), len(pts)) - 1]
         got_q = {r["value"] for r in n_percentile(fdf, q).collect()}
         assert got_q == {want}, q
+
+
+# -- round-8 tail ----------------------------------------------------------
+
+
+def test_hitcount_proportional_buckets(spark):
+    """Rates at 10 s step: hits = value*10 per point, split across
+    30 s epoch-aligned buckets; a point straddling a boundary splits
+    proportionally (graphite-web hitcount semantics)."""
+    rows = [("m", t, v) for t, v in [(0, 1.0), (10, 2.0), (20, 3.0), (30, 4.0)]]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    got = {
+        int(r["timestamp"].timestamp()): r["value"]
+        for r in g.hitcount(df, 30).collect()
+    }
+    # bucket 0: full points at 0,10,20 -> 10+20+30 = 60; bucket 30: 40
+    assert got == {0: 60.0, 30: 40.0}
+
+    # misaligned: point at t=25 (step inferred 10 from deltas 25,10)
+    rows2 = [("m", 0, 1.0), ("m", 25, 6.0), ("m", 35, 2.0)]
+    df2 = spark.createDataFrame(rows2, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    got2 = {
+        int(r["timestamp"].timestamp()): r["value"]
+        for r in g.hitcount(df2, 30, step_s=10).collect()
+    }
+    # t=25 covers [25,35): 5s in bucket0 (30), 5s in bucket30 (30)
+    # t=0 covers [0,10) all bucket0; t=35 covers [35,45) all bucket30
+    assert got2 == {0: 1.0 * 10 + 6.0 * 5, 30: 6.0 * 5 + 2.0 * 10}
+
+
+def test_time_slice_nulls_outside(series):
+    got = _vals(g.time_slice(series, 10, 30), "web.host2.requests")
+    assert got == [None, 80.0, 10.0, None]  # slots kept, values nulled
+
+
+def test_integral_by_interval_resets(spark):
+    rows = [("m", t, v) for t, v in
+            [(0, 1.0), (10, 2.0), (20, None), (30, 4.0), (40, 5.0)]]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    got = _vals(g.integral_by_interval(df, 30), "m")
+    # bucket [0,30): 1, 3, None(gap visible); bucket [30,60): resets 4, 9
+    assert got == [1.0, 3.0, None, 4.0, 9.0]
+
+
+def test_sort_by_maxima_and_minima(spark):
+    rows = [("a", 0, 5.0), ("a", 10, 1.0),
+            ("b", 0, 3.0), ("b", 10, 2.0),
+            ("c", 0, -4.0), ("c", 10, -1.0)]  # max <= 0: dropped by minima
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    mx = {r["metric"]: r["series_rank"] for r in g.sort_by_maxima(df).collect()}
+    assert mx == {"a": 1, "b": 2, "c": 3}  # by max desc: 5, 3, -1
+    mn = {r["metric"]: r["series_rank"] for r in g.sort_by_minima(df).collect()}
+    assert mn == {"a": 1, "b": 2}  # c dropped (max<=0); by min asc: 1, 2
+    top1 = {r["metric"] for r in g.sort_by_maxima(df, limit=1).collect()}
+    assert top1 == {"a"}
+
+
+def test_remove_above_below_percentile(spark):
+    # 10 values 1..10; NIST rank for q=80: ceil(0.8*11)=9 -> value 9
+    rows = [("m", i * 10, float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    above = _vals(g.remove_above_percentile(df, 80), "m")
+    assert above == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, None]
+    # q=20: rank ceil(0.2*11)=3 -> value 3; below-3 nulled
+    below = _vals(g.remove_below_percentile(df, 20), "m")
+    assert below == [None, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+
+
+def test_average_outside_percentile(spark):
+    # five series with averages 1..5; q=80 -> hi=rank ceil(.8*6)=4.8->5
+    # -> avg 5; lo=q20 -> rank ceil(.2*6)=2 -> avg 2. Keep avg NOT strictly
+    # between 2 and 5: series 1, 2, 5.
+    rows = []
+    for i in range(1, 6):
+        rows += [(f"s{i}", 0, float(i)), (f"s{i}", 10, float(i))]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    kept = {r["metric"] for r in g.average_outside_percentile(df, 80).collect()}
+    assert kept == {"s1", "s2", "s5"}
+    # reflection: q=20 behaves as q=80
+    kept2 = {r["metric"] for r in g.average_outside_percentile(df, 20).collect()}
+    assert kept2 == kept
+
+
+def test_changed_tracks_last_nonnull(spark):
+    rows = [("m", t, v) for t, v in
+            [(0, None), (10, 1.0), (20, 1.0), (30, 2.0), (40, None), (50, 2.0), (60, 3.0)]]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    got = _vals(g.changed(df), "m")
+    # graphite fold: leading None 0, first value 0, same 0, change 1,
+    # null 0, back-to-prev(2) 0, change 1
+    assert got == [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0]
+
+
+def test_delay_shifts_values_not_slots(series):
+    got = _vals(g.delay(series, 1), "web.host1.requests")
+    assert got == [None, 100.0, 110.0, 140.0]
+    back = _vals(g.delay(series, -1), "web.host1.requests")
+    assert back == [110.0, 140.0, 150.0, None]

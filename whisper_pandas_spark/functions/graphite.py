@@ -517,3 +517,221 @@ def sort_by_total(df: DataFrame, limit: int | None = None) -> DataFrame:
     return df.join(
         F.broadcast(ranked.select(_METRIC, "series_rank")), _METRIC
     )
+
+
+# -- round-8 tail (next 10 by graphite-web usage) ---------------------------
+
+
+def hitcount(df: DataFrame, interval_s: int, step_s: int | None = None) -> DataFrame:
+    """graphite ``hitcount(seriesList, intervalString)`` — values are
+    rates (hits/sec); each point contributes ``value * step`` hits over
+    its coverage ``[t, t+step)``, distributed PROPORTIONALLY across the
+    epoch-aligned ``interval_s`` buckets it overlaps (graphite-web
+    render/functions.py hitcount splits boundary-straddling points the
+    same way). ``step_s`` defaults to each series' own step — the
+    minimum positive timestamp delta (graphite reads series.step; the
+    scan schema carries it implicitly).
+
+    Plan shape: one series-window pass for the step, a 1-2 element
+    ``sequence`` explode for boundary points (step <= interval ⇒ at most
+    2 buckets), then the standard (metric, bucket) partial-agg exchange
+    — no Python anywhere."""
+    if interval_s < 1:
+        raise ValueError("interval_s must be >= 1")
+    t = F.unix_timestamp(F.col(_TS))
+    if step_s is None:
+        w = Window.partitionBy(_METRIC)
+        dt = t - F.unix_timestamp(F.lag(_TS).over(_series_window()))
+        df = df.withColumn("__step", F.min(dt).over(w))
+    else:
+        if step_s < 1:
+            raise ValueError("step_s must be >= 1")
+        df = df.withColumn("__step", F.lit(step_s).cast("long"))
+    end = t + F.col("__step")
+    buckets = F.sequence(
+        F.floor(t / interval_s), F.floor((end - 1) / interval_s)
+    )
+    b = df.where(F.col(_VAL).isNotNull() & F.col("__step").isNotNull()).select(
+        _METRIC,
+        F.col(_VAL).alias("__v"),
+        t.alias("__t"),
+        end.alias("__e"),
+        F.explode(buckets).alias("__b"),
+    )
+    lo = F.greatest(F.col("__b") * interval_s, F.col("__t"))
+    hi = F.least((F.col("__b") + 1) * interval_s, F.col("__e"))
+    return (
+        b.groupBy(_METRIC, F.col("__b"))
+        .agg(F.sum(F.col("__v") * (hi - lo)).alias(_VAL))
+        .select(
+            _METRIC,
+            F.timestamp_seconds(F.col("__b") * interval_s).alias(_TS),
+            _VAL,
+        )
+    )
+
+
+def time_slice(df: DataFrame, start_epoch: int, end_epoch: int) -> DataFrame:
+    """graphite ``timeSlice(seriesList, start, end)`` — points keep
+    their slots but values OUTSIDE ``[start, end]`` become null (the
+    render API nulls rather than filters, so cross-series alignment is
+    preserved)."""
+    t = F.unix_timestamp(F.col(_TS))
+    return _with_value(
+        df,
+        F.when((t >= start_epoch) & (t <= end_epoch), F.col(_VAL)),
+    )
+
+
+def integral_by_interval(df: DataFrame, interval_s: int) -> DataFrame:
+    """graphite ``integralByInterval(seriesList, intervalUnit)`` —
+    ``integral`` resetting to zero at every epoch-aligned interval
+    boundary: a running sum windowed by (series, interval bucket). Null
+    slots stay null (gaps stay visible) while contributing nothing,
+    exactly like :func:`integral`."""
+    if interval_s < 1:
+        raise ValueError("interval_s must be >= 1")
+    bucket = F.floor(F.unix_timestamp(F.col(_TS)) / interval_s)
+    w = (
+        Window.partitionBy(F.col(_METRIC), bucket)
+        .orderBy(_TS)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _with_value(
+        df, F.when(F.col(_VAL).isNotNull(), F.sum(_VAL).over(w))
+    )
+
+
+def sort_by_maxima(df: DataFrame, limit: int | None = None) -> DataFrame:
+    """graphite ``sortByMaxima(seriesList)`` — series ordered by their
+    maximum value, largest first, exposed as ``series_rank`` (same
+    DataFrame convention as :func:`sort_by_total`); optional top-N cut."""
+    totals = df.groupBy(_METRIC).agg(F.max(_VAL).alias("_m"))
+    w = Window.orderBy(F.col("_m").desc(), F.col(_METRIC))
+    ranked = totals.withColumn("series_rank", F.row_number().over(w))
+    if limit is not None:
+        ranked = ranked.where(F.col("series_rank") <= limit)
+    return df.join(F.broadcast(ranked.select(_METRIC, "series_rank")), _METRIC)
+
+
+def sort_by_minima(df: DataFrame, limit: int | None = None) -> DataFrame:
+    """graphite ``sortByMinima(seriesList)`` — graphite-web first DROPS
+    series whose maximum is <= 0, then orders the rest by their minimum
+    value ascending (render/functions.py sortByMinima keeps
+    ``max(series) > 0`` only); exposed as ``series_rank``."""
+    totals = (
+        df.groupBy(_METRIC)
+        .agg(F.min(_VAL).alias("_m"), F.max(_VAL).alias("_mx"))
+        .where(F.col("_mx") > 0)
+    )
+    w = Window.orderBy(F.col("_m").asc(), F.col(_METRIC))
+    ranked = totals.withColumn("series_rank", F.row_number().over(w))
+    if limit is not None:
+        ranked = ranked.where(F.col("series_rank") <= limit)
+    return df.join(F.broadcast(ranked.select(_METRIC, "series_rank")), _METRIC)
+
+
+def _nist_percentile_over(df: DataFrame, val: str, keys: list[str], q: float):
+    """(keys..., _p): graphite's non-interpolating NIST rank pick of the
+    ``q``-th percentile of ``val`` per key group — rank = ceil(q/100 *
+    (count+1)) into the sorted non-null values, clamped to [1, count]
+    (render/functions.py _getPercentile, the n_percentile recipe shared
+    by the three percentile-based selectors below)."""
+    kcols = [F.col(k) for k in keys]
+    w_sort = Window.partitionBy(*kcols).orderBy(F.col(val))
+    w_all = Window.partitionBy(*kcols)
+    ranked = (
+        df.where(F.col(val).isNotNull())
+        .select(*keys, val)
+        .withColumn("_rn", F.row_number().over(w_sort))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w_all))
+    )
+    rank = F.ceil(F.lit(q / 100.0) * (F.col("_cnt") + 1))
+    pick = F.least(F.greatest(rank, F.lit(1)), F.col("_cnt"))
+    return ranked.where(F.col("_rn") == pick).select(
+        *keys, F.col(val).alias("_p")
+    )
+
+
+def remove_above_percentile(df: DataFrame, q: float) -> DataFrame:
+    """graphite ``removeAbovePercentile(seriesList, n)`` — per series,
+    values STRICTLY above the series' n-th percentile (NIST rank pick)
+    become null."""
+    if not 0 < q <= 100:
+        raise ValueError("q must be in (0, 100]")
+    pct = _nist_percentile_over(df, _VAL, [_METRIC], q)
+    return (
+        df.join(F.broadcast(pct), _METRIC, "left")
+        .withColumn(_VAL, F.when(F.col(_VAL) <= F.col("_p"), F.col(_VAL)))
+        .drop("_p")
+    )
+
+
+def remove_below_percentile(df: DataFrame, q: float) -> DataFrame:
+    """graphite ``removeBelowPercentile(seriesList, n)`` — per series,
+    values STRICTLY below the series' n-th percentile become null."""
+    if not 0 < q <= 100:
+        raise ValueError("q must be in (0, 100]")
+    pct = _nist_percentile_over(df, _VAL, [_METRIC], q)
+    return (
+        df.join(F.broadcast(pct), _METRIC, "left")
+        .withColumn(_VAL, F.when(F.col(_VAL) >= F.col("_p"), F.col(_VAL)))
+        .drop("_p")
+    )
+
+
+def average_outside_percentile(df: DataFrame, q: float) -> DataFrame:
+    """graphite ``averageOutsidePercentile(seriesList, n)`` — keeps only
+    the series whose AVERAGE falls outside the (100-n, n) percentile
+    band of all series averages (render/functions.py: n < 50 is
+    reflected to 100-n; both band edges use the NIST rank pick; the
+    comparison is strict — series ON an edge are kept)."""
+    if not 0 < q <= 100:
+        raise ValueError("q must be in (0, 100]")
+    if q < 50:
+        q = 100 - q
+    avgs = df.groupBy(_METRIC).agg(F.avg(_VAL).alias("_avg")).withColumn(
+        "_one", F.lit(1)
+    )
+    hi = _nist_percentile_over(avgs, "_avg", ["_one"], q).select(
+        F.col("_p").alias("_hi"), "_one"
+    )
+    lo = _nist_percentile_over(avgs, "_avg", ["_one"], 100 - q).select(
+        F.col("_p").alias("_lo"), "_one"
+    )
+    keep = (
+        avgs.join(F.broadcast(hi), "_one")
+        .join(F.broadcast(lo), "_one")
+        .where(
+            ~((F.col("_avg") > F.col("_lo")) & (F.col("_avg") < F.col("_hi")))
+        )
+        .select(_METRIC)
+    )
+    return df.join(F.broadcast(keep), _METRIC)
+
+
+def changed(df: DataFrame) -> DataFrame:
+    """graphite ``changed(seriesList)`` — 1.0 where the value is
+    non-null and DIFFERS from the last non-null value seen earlier in
+    the series, else 0.0 (graphite-web's fold: the tracked `previous`
+    only updates at init and on a change; runs of equal or null values
+    emit 0)."""
+    prev = F.last(_VAL, ignorenulls=True).over(
+        _series_window().rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return _with_value(
+        df,
+        F.when(
+            F.col(_VAL).isNotNull()
+            & prev.isNotNull()
+            & (F.col(_VAL) != prev),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def delay(df: DataFrame, steps: int) -> DataFrame:
+    """graphite ``delay(seriesList, steps)`` — values shifted forward by
+    ``steps`` points (negative shifts backward); vacated slots are null.
+    Timestamps keep their slots — only values move, per the render API."""
+    return _with_value(df, F.lag(_VAL, steps).over(_series_window()))

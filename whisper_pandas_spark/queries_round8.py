@@ -8,6 +8,10 @@
                            the IVF cell assignment + probe + top-N
                            candidate cut, then the full unrolled greedy
                            trajectory over exactly those candidates.
+- graphite_integral_by_interval  the round-8 graphite tail's windowed
+                           representative: integral() resetting at every
+                           epoch-aligned hour, DECIMAL-folded on both
+                           sides so the running sums hash-match.
 """
 
 from __future__ import annotations
@@ -140,3 +144,43 @@ def mmr_diversified_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("relevance") + eps, 6).alias("relevance"),
         F.round(F.col("score") + eps, 6).alias("score"),
     ).orderBy("rnk")
+
+
+# -- graphite round-8 tail: windowed representative -------------------------
+
+
+def _g_int_oracle() -> str:
+    from whisper_pandas_spark.queries_round6 import _METRIC_SERIES_SQL
+
+    return f"""
+WITH series AS ({_METRIC_SERIES_SQL})
+SELECT metric, timestamp,
+       round(CAST(sum(CAST(value AS DECIMAL(38,12))) OVER (
+               PARTITION BY metric, epoch(timestamp)::BIGINT // 3600
+               ORDER BY timestamp ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             + 1e-9, 6) AS value
+FROM series ORDER BY metric, timestamp
+"""
+
+
+@register("graphite_integral_by_interval", oracle=_g_int_oracle())
+def graphite_integral_by_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/Y65+: graphite ``integralByInterval(series, '1h')``
+    (functions/graphite.py round-8 tail) — running sum resetting at
+    every epoch-aligned hour: ONE window keyed (metric, hour bucket),
+    the per-series-transform plan shape shared by the whole render
+    family. Values fold through DECIMAL(38,12) on both engines so the
+    cumulative sums (where DuckDB's segment-tree window could otherwise
+    regroup double additions) hash-match exactly."""
+    from whisper_pandas_spark.functions.graphite import integral_by_interval
+    from whisper_pandas_spark.queries_round6 import _metric_series
+
+    s = _metric_series(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(38,12)")
+    )
+    out = integral_by_interval(s, 3600)
+    return out.select(
+        "metric",
+        "timestamp",
+        F.round(F.col("value").cast("double") + 1e-9, 6).alias("value"),
+    ).orderBy("metric", "timestamp")
