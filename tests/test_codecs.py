@@ -899,21 +899,55 @@ def test_tiff_rejections():
         decode_tiff(b"II+\x00" + bytes(8))
     with pytest.raises(CodecError, match="truncated IFD"):
         decode_tiff(good[:9])
-    # tiled layout: patch the first IFD entry's tag to TileWidth (322)
+    # HALF-tiled layout (round 8 supports real tiles; a file with a
+    # TileWidth tag but no tile offsets/counts is malformed, not
+    # "unsupported"): patching the first entry (ImageWidth) to TileWidth
+    # both drops a required tag and half-declares tiling — fails closed
     tiled = bytearray(good)
     tiled[10:12] = struct.pack("<H", 322)
-    with pytest.raises(CodecError, match="tiled"):
+    with pytest.raises(CodecError):
         decode_tiff(bytes(tiled))
-    # 16-bit samples
+    # fully-tagged tiled file with MISSING offsets/counts: strip a real
+    # tiled encoding of its TileOffsets entry by re-tagging it to junk
+    tgood = bytearray(
+        encode_tiff(np.zeros((9, 9), dtype=np.uint8), tile=(8, 8))
+    )
+    nt = struct.unpack_from("<H", tgood, 8)[0]
+    for e in range(nt):
+        o = 10 + 12 * e
+        if struct.unpack_from("<H", tgood, o)[0] == 324:
+            tgood[o : o + 2] = struct.pack("<H", 60000)
+    with pytest.raises(CodecError, match="segment offsets"):
+        decode_tiff(bytes(tgood))
+    # 16-bit DECLARED but 8-bit-sized data (round 8 decodes real
+    # 16-bit; a lying BitsPerSample must fail the geometry check)
     b16 = bytearray(good)
-    # find BitsPerSample entry (tag 258) and patch its value to 16
     n = struct.unpack_from("<H", b16, 8)[0]
     for e in range(n):
         o = 10 + 12 * e
         if struct.unpack_from("<H", b16, o)[0] == 258:
             b16[o + 8 : o + 10] = struct.pack("<H", 16)
-    with pytest.raises(CodecError, match="non-8-bit"):
+    with pytest.raises(CodecError, match="shorter than declared"):
         decode_tiff(bytes(b16))
+    # 32-bit samples stay unsupported
+    b32 = bytearray(good)
+    for e in range(n):
+        o = 10 + 12 * e
+        if struct.unpack_from("<H", b32, o)[0] == 258:
+            b32[o + 8 : o + 10] = struct.pack("<H", 32)
+    with pytest.raises(CodecError, match="uniform 8/16"):
+        decode_tiff(bytes(b32))
+    # PlanarConfiguration=3 is out of spec
+    bpl = bytearray(
+        encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), planar=2)
+    )
+    n2 = struct.unpack_from("<H", bpl, 8)[0]
+    for e in range(n2):
+        o = 10 + 12 * e
+        if struct.unpack_from("<H", bpl, o)[0] == 284:
+            bpl[o + 8 : o + 10] = struct.pack("<H", 3)
+    with pytest.raises(CodecError, match="PlanarConfiguration"):
+        decode_tiff(bytes(bpl))
     # strip overruns file
     trunc = good[:-8]
     with pytest.raises(CodecError):
@@ -941,6 +975,19 @@ def test_tiff_mutation_fuzz_fails_closed():
         encode_tiff(rng.integers(0, 256, (16, 16), dtype=np.uint8), "none"),
         encode_tiff(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), "lzw", 2),
         encode_tiff(rng.integers(0, 256, (9, 7), dtype=np.uint8), "packbits"),
+        # round-8 geometries: tiled, 16-bit, planar, big-endian
+        encode_tiff(
+            rng.integers(0, 256, (13, 11, 3), dtype=np.uint8),
+            "lzw", 2, tile=(8, 8),
+        ),
+        encode_tiff(
+            rng.integers(0, 65536, (10, 6), dtype=np.uint16),
+            "packbits", bits=16, byteorder=">",
+        ),
+        encode_tiff(
+            rng.integers(0, 65536, (8, 9, 3), dtype=np.uint16),
+            "lzw", 2, bits=16, planar=2,
+        ),
     ]
     for trial in range(300):
         data = bytearray(rnd.choice(bases))
@@ -952,3 +999,63 @@ def test_tiff_mutation_fuzz_fails_closed():
             decode_tiff(bytes(data))
         except CodecError:
             pass  # the contract: malformed input fails CLOSED
+
+
+def test_tiff_roundtrip_matrix_round8():
+    """Round-8 geometry extension: tiled (incl. edge-cropped tiles),
+    16-bit (native uint16 out, both byte orders), planar, and their
+    combinations with LZW/PackBits and the per-segment predictor — all
+    bit-exact through the encoder twin."""
+    import numpy as np
+
+    from whisper_pandas_spark.functions.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(81)
+    for shape in [(7, 5, 3), (16, 16, 1), (9, 13, 3)]:
+        for bits in (8, 16):
+            hi = 1 << bits
+            dt = np.uint8 if bits == 8 else np.uint16
+            img = rng.integers(0, hi, size=shape).astype(dt)
+            for comp in ("none", "lzw", "packbits"):
+                for pred in (1, 2):
+                    for planar in (1, 2):
+                        for tile in (None, (8, 8)):
+                            for bo in ("<", ">"):
+                                out = decode_tiff(
+                                    encode_tiff(
+                                        img, comp, pred,
+                                        bits=bits, planar=planar,
+                                        tile=tile, byteorder=bo,
+                                    )
+                                )[3]
+                                assert out.dtype == dt
+                                assert np.array_equal(out, img), (
+                                    shape, bits, comp, pred, planar, tile, bo
+                                )
+
+
+def test_tiff_16bit_white_is_zero_and_planar_strips():
+    """16-bit WhiteIsZero inverts against 65535; planar STRIP files
+    (plane-major segment order) reassemble channels correctly even when
+    strips split mid-plane."""
+    import numpy as np
+
+    from whisper_pandas_spark.functions.codecs import decode_tiff, encode_tiff
+
+    img16 = np.array([[0, 1000], [30000, 65535]], dtype=np.uint16)
+    data = bytearray(encode_tiff(img16, bits=16))
+    # patch photometric (262) to 0 = WhiteIsZero
+    import struct
+
+    n = struct.unpack_from("<H", data, 8)[0]
+    for e in range(n):
+        o = 10 + 12 * e
+        if struct.unpack_from("<H", data, o)[0] == 262:
+            data[o + 8 : o + 10] = struct.pack("<H", 0)
+    inv = decode_tiff(bytes(data))[3]
+    assert inv.ravel().tolist() == [65535, 64535, 35535, 0]
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (10, 4, 3), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(rgb, "lzw", planar=2, rows_per_strip=3))[3]
+    assert np.array_equal(out, rgb)

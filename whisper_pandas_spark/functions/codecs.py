@@ -882,8 +882,48 @@ def _packbits_decode(data: bytes, max_bytes: int) -> bytearray:
     return out
 
 
+def _tiff_segment(
+    strip: bytes, want: int, compression: int
+) -> bytes | bytearray:
+    """Decompress one strip/tile to exactly ``want`` bytes (padded
+    segments may legally decode longer; shorter is corrupt)."""
+    if compression == 1:
+        got = strip[:want]
+    elif compression == 5:
+        got = _tiff_lzw_decode(strip, want)
+    elif compression == 32773:
+        got = _packbits_decode(strip, want)
+    else:
+        raise CodecError(f"TIFF compression {compression} unsupported")
+    if len(got) < want:
+        raise CodecError("TIFF segment shorter than declared geometry")
+    return got[:want]
+
+
+def _undo_predictor(seg: np.ndarray, max_val: int) -> np.ndarray:
+    """Undo horizontal differencing (predictor 2) on a (rows, cols,
+    samples) segment: per-sample-channel cumulative sum along the row,
+    modulo the sample depth. Differencing resets at each SEGMENT row
+    (strips split at row boundaries; each tile is compressed as an
+    independent image), which is why this runs per segment, never on
+    the assembled canvas."""
+    acc = np.cumsum(seg.astype(np.uint64), axis=1) & max_val
+    return acc.astype(seg.dtype)
+
+
 def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a baseline TIFF (first IFD only — the primary image)."""
+    """Decode a TIFF (first IFD only — the primary image).
+
+    Coverage (the common crawl payload geometries): strip AND tile
+    layouts (tags 322-325, edge tiles cropped), chunky AND planar
+    (PlanarConfiguration=2, plane-major segment order) sample storage,
+    8- and 16-bit samples (16-bit honours the file byte order and
+    returns a native uint16 array — stats callers are depth-agnostic),
+    compressions none/LZW/PackBits, predictor 1/2 (differencing undone
+    PER SEGMENT, since each strip/tile compresses independently),
+    photometrics WhiteIsZero/BlackIsZero/RGB/palette (palette 8-bit
+    only, per spec ColorMap sizing). Everything else raises
+    :class:`CodecError` for tolerant skip."""
     if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
         raise CodecError("not a TIFF")
     bo = "<" if data[:2] == b"II" else ">"
@@ -928,56 +968,99 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             return default
         return v[0]
 
-    if 322 in tags or 323 in tags:
-        raise CodecError("tiled TIFF unsupported (strips only)")
     w, h = one(256), one(257)
     if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
         raise CodecError(f"bad TIFF dimensions {w}x{h}")
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
-    if any(b != 8 for b in bits) or len(bits) != spp:
-        raise CodecError(f"non-8-bit TIFF samples {bits} unsupported")
-    if one(284, 1) != 1:
-        raise CodecError("planar TIFF (PlanarConfiguration=2) unsupported")
+    if len(bits) != spp or len(set(bits)) != 1 or bits[0] not in (8, 16):
+        raise CodecError(f"TIFF samples {bits} unsupported (uniform 8/16 only)")
+    depth = bits[0]
+    bps = depth // 8  # bytes per sample
+    dtype = np.dtype("u1") if depth == 8 else np.dtype(bo + "u2")
+    max_val = (1 << depth) - 1
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise CodecError(f"TIFF PlanarConfiguration {planar} unsupported")
     compression = one(259, 1)
     photometric = one(262)
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise CodecError(f"TIFF predictor {predictor} unsupported")
-    offsets = tags.get(273)
-    counts = tags.get(279)
+
+    tiled = 322 in tags or 323 in tags
+    if tiled:
+        offsets, counts = tags.get(324), tags.get(325)
+    else:
+        offsets, counts = tags.get(273), tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
-        raise CodecError("missing/mismatched strip offsets and byte counts")
-    rows_per_strip = one(278, h)
+        raise CodecError("missing/mismatched segment offsets and byte counts")
 
-    stride = w * spp
-    raw = bytearray()
-    for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+    n_planes = spp if planar == 2 else 1
+    seg_spp = 1 if planar == 2 else spp  # samples interleaved per segment
+
+    def read_segment(idx: int, rows: int, cols: int) -> np.ndarray:
+        """Segment ``idx`` as a (rows, cols, seg_spp) array, predictor
+        undone."""
+        soff, scnt = offsets[idx], counts[idx]
         if soff + scnt > len(data):
-            raise CodecError("strip overruns file")
-        strip = data[soff : soff + scnt]
-        nrows = min(rows_per_strip, h - si * rows_per_strip)
-        want = nrows * stride
-        if compression == 1:
-            got = strip[:want]
-        elif compression == 5:
-            got = _tiff_lzw_decode(strip, want)
-        elif compression == 32773:
-            got = _packbits_decode(strip, want)
-        else:
-            raise CodecError(f"TIFF compression {compression} unsupported")
-        if len(got) < want:
-            raise CodecError("TIFF strip shorter than declared geometry")
-        raw += got[:want]
+            raise CodecError("TIFF segment overruns file")
+        want = rows * cols * seg_spp * bps
+        got = _tiff_segment(data[soff : soff + scnt], want, compression)
+        seg = np.frombuffer(bytes(got), dtype=dtype).reshape(
+            rows, cols, seg_spp
+        )
+        if predictor == 2:
+            seg = _undo_predictor(seg, max_val)
+        return seg
 
-    img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
-    if predictor == 2:
-        img = np.cumsum(img.astype(np.uint32), axis=1).astype(np.uint8)
+    out_dtype = np.uint8 if depth == 8 else np.uint16
+    img = np.empty((h, w, spp), dtype=out_dtype)
+    if tiled:
+        tw, tl = one(322), one(323)
+        if not (0 < tw <= 1 << 14 and 0 < tl <= 1 << 14):
+            raise CodecError(f"bad TIFF tile geometry {tw}x{tl}")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) != across * down * n_planes:
+            raise CodecError("TIFF tile count mismatch")
+        for p in range(n_planes):
+            for ty in range(down):
+                for tx in range(across):
+                    idx = p * across * down + ty * across + tx
+                    # tiles are always FULL tw x tl (edges padded)
+                    tile = read_segment(idx, tl, tw)
+                    y0, x0 = ty * tl, tx * tw
+                    ys, xs = min(tl, h - y0), min(tw, w - x0)
+                    if planar == 2:
+                        img[y0 : y0 + ys, x0 : x0 + xs, p] = tile[
+                            :ys, :xs, 0
+                        ]
+                    else:
+                        img[y0 : y0 + ys, x0 : x0 + xs, :] = tile[:ys, :xs]
+    else:
+        rows_per_strip = one(278, h)
+        if rows_per_strip < 1:
+            raise CodecError("bad RowsPerStrip")
+        strips_per_plane = (h + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) != strips_per_plane * n_planes:
+            raise CodecError("TIFF strip count mismatch")
+        for p in range(n_planes):
+            for s in range(strips_per_plane):
+                idx = p * strips_per_plane + s
+                y0 = s * rows_per_strip
+                nrows = min(rows_per_strip, h - y0)
+                seg = read_segment(idx, nrows, w)
+                if planar == 2:
+                    img[y0 : y0 + nrows, :, p] = seg[:, :, 0]
+                else:
+                    img[y0 : y0 + nrows, :, :] = seg
+
     if photometric == 0:  # WhiteIsZero: invert to luminance convention
-        img = 255 - img
+        img = (max_val - img.astype(np.uint32)).astype(out_dtype)
     elif photometric == 3:
         cmap = tags.get(320)
-        if spp != 1 or not cmap or len(cmap) != 3 * 256:
+        if spp != 1 or depth != 8 or not cmap or len(cmap) != 3 * 256:
             raise CodecError("bad TIFF palette")
         lut = (np.array(cmap, dtype=np.uint16).reshape(3, 256).T >> 8).astype(
             np.uint8
@@ -1045,28 +1128,69 @@ def encode_tiff(
     compression: str = "none",
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    bits: int = 8,
+    planar: int = 1,
+    tile: tuple[int, int] | None = None,
+    byteorder: str = "<",
 ) -> bytes:
-    """Minimal little-endian TIFF encoder for tests: 8-bit gray or RGB,
-    strip layout, ``compression`` in {"none", "lzw", "packbits"}."""
-    img = np.asarray(img, dtype=np.uint8)
+    """Minimal TIFF encoder (encoder twin for round-trip tests): 8- or
+    16-bit gray/RGB, strip OR ``tile=(tw, tl)`` layout (edge tiles
+    zero-padded to full size per spec), chunky or ``planar=2``
+    plane-major segments, either ``byteorder``, ``compression`` in
+    {"none", "lzw", "packbits"}; predictor 2 differences PER SEGMENT
+    (each strip/tile compresses independently), mirroring the decoder."""
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1 or 2")
+    if byteorder not in ("<", ">"):
+        raise ValueError("byteorder must be '<' or '>'")
+    sample_dtype = np.dtype(byteorder + ("u1" if bits == 8 else "u2"))
+    img = np.asarray(img).astype(sample_dtype)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, spp = img.shape
     if spp not in (1, 3):
         raise ValueError("encode_tiff supports 1 or 3 channels")
-    if predictor == 2:
-        img = np.diff(
+
+    def diff(seg: np.ndarray) -> np.ndarray:
+        if predictor != 2:
+            return seg
+        rows, cols, ss = seg.shape
+        out = np.diff(
             np.concatenate(
-                [np.zeros((h, 1, spp), dtype=np.uint32), img.astype(np.uint32)],
+                [np.zeros((rows, 1, ss), dtype=np.uint32), seg.astype(np.uint32)],
                 axis=1,
             ),
             axis=1,
-        ).astype(np.uint8)
-    rows_per_strip = rows_per_strip or h
+        )
+        return (out & ((1 << bits) - 1)).astype(sample_dtype)
+
+    # build raw per-segment sample blocks (spec segment order)
+    segs: list[bytes] = []
+    planes = (
+        [img[:, :, p : p + 1] for p in range(spp)] if planar == 2 else [img]
+    )
+    if tile is not None:
+        tw, tl = tile
+        for plane in planes:
+            for y0 in range(0, h, tl):
+                for x0 in range(0, w, tw):
+                    block = plane[y0 : y0 + tl, x0 : x0 + tw]
+                    pad = np.zeros(
+                        (tl, tw, plane.shape[2]), dtype=sample_dtype
+                    )
+                    pad[: block.shape[0], : block.shape[1]] = block
+                    segs.append(diff(pad).tobytes())
+    else:
+        rows_per_strip = rows_per_strip or h
+        for plane in planes:
+            for y0 in range(0, h, rows_per_strip):
+                segs.append(diff(plane[y0 : y0 + rows_per_strip]).tobytes())
+
     comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     strips = []
-    for y0 in range(0, h, rows_per_strip):
-        raw = img[y0 : y0 + rows_per_strip].tobytes()
+    for raw in segs:
         if compression == "lzw":
             strips.append(_tiff_lzw_encode(raw))
         elif compression == "packbits":  # literal-only PackBits (valid RLE)
@@ -1081,27 +1205,38 @@ def encode_tiff(
 
     entries = []  # (tag, type, count, value_or_bytes)
     photometric = 1 if spp == 1 else 2
+    bo = byteorder
 
     def short(tag, *vals):
-        entries.append((tag, 3, len(vals), struct.pack(f"<{len(vals)}H", *vals)))
+        entries.append((tag, 3, len(vals), struct.pack(f"{bo}{len(vals)}H", *vals)))
 
     def long_(tag, *vals):
-        entries.append((tag, 4, len(vals), struct.pack(f"<{len(vals)}I", *vals)))
+        entries.append((tag, 4, len(vals), struct.pack(f"{bo}{len(vals)}I", *vals)))
 
+    off_tag = 324 if tile is not None else 273
     short(256, w)
     short(257, h)
-    short(258, *([8] * spp))
+    short(258, *([bits] * spp))
     short(259, comp_code)
     short(262, photometric)
-    long_(273, *([0] * len(strips)))  # patched below
+    long_(off_tag, *([0] * len(strips)))  # patched below
     short(277, spp)
-    short(278, rows_per_strip)
-    long_(279, *(len(s) for s in strips))
+    if tile is not None:
+        short(322, tile[0])
+        short(323, tile[1])
+        long_(325, *(len(s) for s in strips))
+    else:
+        short(278, rows_per_strip)
+        long_(279, *(len(s) for s in strips))
+    if planar == 2:
+        short(284, 2)
     if predictor == 2:
         short(317, 2)
     entries.sort(key=lambda e: e[0])
 
-    header = b"II*\x00" + struct.pack("<I", 8)
+    header = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(
+        bo + "I", 8
+    )
     ifd_size = 2 + 12 * len(entries) + 4
     ext_off = 8 + ifd_size
     ext = bytearray()
@@ -1111,7 +1246,7 @@ def encode_tiff(
             fixed.append((tag, typ, count, payload.ljust(4, b"\x00"), None))
         else:
             fixed.append(
-                (tag, typ, count, struct.pack("<I", ext_off + len(ext)), len(ext))
+                (tag, typ, count, struct.pack(bo + "I", ext_off + len(ext)), len(ext))
             )
             ext += payload
     data_off = ext_off + len(ext)
@@ -1120,22 +1255,22 @@ def encode_tiff(
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
-    # patch StripOffsets (tag 273) into ext or inline
+    # patch StripOffsets/TileOffsets into ext or inline
     patched = bytearray(ext)
     out_entries = []
     for tag, typ, count, val4, extpos in fixed:
-        if tag == 273:
-            payload = struct.pack(f"<{len(strip_offsets)}I", *strip_offsets)
+        if tag == off_tag:
+            payload = struct.pack(f"{bo}{len(strip_offsets)}I", *strip_offsets)
             if len(payload) <= 4:
                 val4 = payload.ljust(4, b"\x00")
             else:
                 patched[extpos : extpos + len(payload)] = payload
-        out_entries.append(struct.pack("<HHI", tag, typ, count) + val4)
+        out_entries.append(struct.pack(bo + "HHI", tag, typ, count) + val4)
     return (
         header
-        + struct.pack("<H", len(out_entries))
+        + struct.pack(bo + "H", len(out_entries))
         + b"".join(out_entries)
-        + struct.pack("<I", 0)
+        + struct.pack(bo + "I", 0)
         + bytes(patched)
         + b"".join(strips)
     )
