@@ -129,21 +129,17 @@ def repetition_stats(
     Boilerplate/generated text repeats its own n-grams long before it
     duplicates another document, so this is the quality signal near-dup
     detection cannot provide. Docs with no full shingle are dropped.
-    Pure projection, zero shuffle; tokens/shingles are materialized as
-    columns per word_shingles' perf contract."""
-    from whisper_pandas_spark.functions.text import word_shingles
+    Pure projection, zero shuffle; counts come from the zip-based
+    codegen form (functions/text.py word_shingle_stats — the lambda
+    builder is interpreted and gets re-inlined per element when a
+    filter collapses into the projection, the round-8 19 s→1.2 s fix)."""
+    from whisper_pandas_spark.functions.text import word_shingle_stats
 
-    sh = (
-        df.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("__t"))
-        .select(
-            "doc_id",
-            word_shingles(F.col("__t"), shingle_n, distinct=False).alias("__s"),
-        )
-    )
-    out = sh.select(
-        "doc_id",
-        F.size("__s").alias("n_shingles"),
-        F.size(F.array_distinct("__s")).alias("n_distinct"),
+    total, distinct = word_shingle_stats(tokenize(text_col), shingle_n)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct"),
     ).filter(F.col("n_shingles") > 0)
     return out.withColumn(
         "dup_ratio",
@@ -166,22 +162,21 @@ def quality_gate_filter(
     expressions fused into ONE scan — zero shuffles, zero joins; at
     100 TB this is a free rider on whatever scan follows it. Comparisons
     use the same 6-dp rounded values the scorer emits, so the kept set
-    is engine-portable."""
-    from whisper_pandas_spark.functions.text import word_shingles
+    is engine-portable. Repetition counts use the zip-based codegen
+    shingle form (word_shingle_stats): the whole gate is ONE compiled
+    filter even after Catalyst collapses it into the scan (the lambda
+    form re-ran tokenize per array element there — 19 s→1.2 s at
+    sf0.1)."""
+    from whisper_pandas_spark.functions.text import word_shingle_stats
 
     _, _, score = _quality_exprs(text_col)
-    tagged = df.withColumn("__toks", tokenize(text_col)).withColumn(
-        "__sh", word_shingles(F.col("__toks"), shingle_n, distinct=False)
-    )
-    total = F.size("__sh")
-    dup = F.round(
-        1.0 - F.size(F.array_distinct("__sh")).cast("double") / total, 6
-    )
-    return tagged.filter(
+    total, distinct = word_shingle_stats(tokenize(text_col), shingle_n)
+    dup = F.round(1.0 - distinct.cast("double") / total, 6)
+    return df.filter(
         (F.round(score, 6) >= min_quality)
         & (total > 0)
         & (dup <= max_dup_ratio)
-    ).drop("__toks", "__sh")
+    )
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
