@@ -130,7 +130,12 @@ def test_nonbaseline_sofs_raise_codec_error():
         decode_jpeg(_patch_sof(data, 0xC2))
     with pytest.raises(CodecError, match="non-baseline"):
         decode_jpeg(_patch_sof(data, 0xC3))
-    with pytest.raises(CodecError, match="arithmetic"):
+    with pytest.raises(CodecError, match="non-baseline"):
+        decode_jpeg(_patch_sof(data, 0xCB))  # lossless arithmetic
+    # SOF10 (progressive arithmetic) is now SUPPORTED — a Huffman
+    # baseline stream relabeled SOF10 has an invalid progressive scan
+    # header, the same contract as the SOF2 relabel above
+    with pytest.raises(CodecError, match="Se != 0"):
         decode_jpeg(_patch_sof(data, 0xCA))
 
 

@@ -12,10 +12,11 @@ several common container formats need nothing beyond ``zlib`` + ``struct``
 - **PGM/PPM** (binary ``P5``/``P6`` netpbm);
 - **GIF** (87a/89a LZW, global/local palettes, interlace, multi-frame —
   `decode_gif_frames` exposes every frame for the frame-sampling ops);
-- **TIFF** (6.0 baseline: both byte orders, strips, 8-bit gray /
+- **TIFF** (6.0: both byte orders, strip AND tile layouts, chunky and
+  planar (PlanarConfiguration=2) storage, 8- and 16-bit gray /
   WhiteIsZero / RGB / palette, uncompressed + TIFF-LZW (MSB-first,
-  early width change) + PackBits, horizontal-differencing predictor;
-  tiled/16-bit/planar variants raise CodecError for tolerant skip);
+  early width change) + PackBits, horizontal-differencing predictor
+  undone per segment);
 - **WAV** (RIFF: integer PCM 8/16-bit, IEEE float32, G.711 mu-law and
   A-law via the ITU expansion formulas);
 - **AIFF** (big-endian signed PCM 8/16-bit, 80-bit extended-float
@@ -27,7 +28,7 @@ progressive DCT: huffman entropy decode, spectral-selection/successive-
 approximation scans, dequant, vectorized IDCT, chroma upsampling,
 restart intervals) lives in the sibling :mod:`.jpeg` module and is
 dispatched from :func:`decode_image` — no stubbed leaf remains;
-recognised-but-unsupported JPEG variants (arithmetic coding, 12-bit)
+recognised-but-unsupported JPEG variants (hierarchical, 12-bit)
 raise :class:`CodecError` like every other decoder here.
 
 Everything is deterministic and byte-exact, so the Spark operators built
@@ -601,7 +602,7 @@ def decode_image(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode PNG / BMP / PGM / PPM / baseline JPEG by magic bytes.
 
     Raises :class:`CodecError` on malformed input and on
-    recognised-but-unsupported codec variants (arithmetic-coded JPEG,
+    recognised-but-unsupported codec variants (hierarchical JPEG,
     compressed BMP, ...), so tolerant callers can skip.
     """
     data = bytes(data)

@@ -11,9 +11,17 @@ DQT/DHT segments, 8- or 16-bit quantization tables — AND the progressive
 process (SOF2, T.81 Annex G): any spectral-selection / successive-
 approximation scan script, interleaved or single-component DC scans,
 EOB runs, AC refinement correction bits, restarts inside every scan
-kind (~10% of real web-crawl JPEGs are progressive). Recognised but
-unsupported variants (arithmetic coding, hierarchical, 12-bit, CMYK)
-raise :class:`~whisper_pandas_spark.functions.codecs.CodecError` so the
+kind (~10% of real web-crawl JPEGs are progressive) — AND, since round
+8, the ARITHMETIC-coded processes (SOF9 sequential / SOF10 progressive,
+T.81 Annexes D+F+G): the QM-coder state machine (Table D.3, values
+bit-verified against this container's libjpeg-turbo ``jpeg_aritab``
+export), DAC conditioning, and the DC/AC statistical models, verified
+COEFFICIENT-EXACT against libjpeg's own ``jpeg_read_coefficients`` on
+libjpeg-encoded fixtures (tests/fixtures/jpeg_arith — quantized
+coefficients are integers, so the gate is IDCT-independent).
+Recognised but unsupported variants (hierarchical, lossless, 12-bit,
+CMYK) raise
+:class:`~whisper_pandas_spark.functions.codecs.CodecError` so the
 tolerant Arrow operators skip the row — the same contract as the
 PNG/BMP/PNM decoders.
 
@@ -393,7 +401,379 @@ def _refine_ac(reader, ac_luts, block, ss: int, se: int, al: int, eobrun: int) -
     return eobrun
 
 
-def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
+# --------------------------------------------------------------------------
+# arithmetic-coded entropy decoding (T.81 Annexes D + F, SOF9/SOF10)
+# --------------------------------------------------------------------------
+
+# ITU-T T.81 Table D.3 — the QM-coder probability state machine:
+# (Qe, Next_Index_MPS, Next_Index_LPS, Switch_MPS) for states 0..112,
+# plus the fixed ~0.5 state 113 (NMPS = NLPS = 113, never leaves itself)
+# used for AC sign / DC-refinement decisions. Values are from the
+# published standard and are asserted bit-identical to the system
+# libjpeg-turbo's exported jpeg_aritab in
+# tests/test_jpeg_arith.py::test_qe_table_matches_libjpeg (the committed
+# dump tests/fixtures/jpeg_arith/jpeg_aritab.txt keeps the gate alive on
+# hosts without libjpeg).
+_QE_TABLE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _QMDecoder:
+    """T.81 Annex D QM arithmetic decoder over ONE entropy segment
+    (restart markers reset everything, so the caller makes a fresh
+    decoder per segment). The segment is already FF00-unstuffed by
+    _split_entropy; past the segment end zero bytes are fed (the
+    convention libjpeg encodes/decodes with at markers — verified by
+    the coefficient-exact fixture gate).
+
+    Register scheme (D.2.4-D.2.6 with lazy renormalization): the MPS
+    subinterval sits at the bottom [0, A-Qe), LPS on top; C accumulates
+    raw input bytes and NEVER shifts — instead CT counts how many
+    pending renormalization shifts separate A's alignment from C's, and
+    the decision boundary is scaled by ``<< ct`` at compare time.
+    Renormalization (and byte feeding) happens at the START of the next
+    decision; probability estimation fires exactly when a decision
+    requires renormalization, per the spec. Verified bit-exact against
+    libjpeg-turbo on every committed fixture."""
+
+    __slots__ = ("data", "bp", "n", "c", "a", "ct")
+
+    def __init__(self, segment: bytes):
+        self.data = segment
+        self.n = len(segment)
+        self.bp = 0
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # two initial bytes wanted before the first decision
+
+    def decode(self, st: bytearray, i: int) -> int:
+        """One binary decision against stats bin ``st[i]`` (bit 7 = MPS
+        sense, bits 0-6 = Table D.3 state index)."""
+        a, ct, c = self.a, self.ct, self.c
+        while a < 0x8000:  # deferred RENORMD + BYTEIN
+            ct -= 1
+            if ct < 0:
+                b = self.data[self.bp] if self.bp < self.n else 0
+                self.bp += 1
+                c = (c << 8) | b
+                ct += 8
+                if ct < 0:  # still inside the 2-byte initial fill
+                    ct += 1
+                    if ct == 0:
+                        a = 0x8000  # -> 0x10000 after the shift below
+            a <<= 1
+        sv = st[i]
+        qe, nmps, nlps, sw = _QE_TABLE[sv & 0x7F]
+        mps = sv >> 7
+        a -= qe
+        boundary = a << ct
+        if c < boundary:
+            # MPS subinterval; estimate only if renorm will be needed
+            if a & 0x8000:
+                d = mps
+            elif a < qe:  # conditional exchange
+                d = mps ^ 1
+                if sw:
+                    mps ^= 1
+                st[i] = (mps << 7) | nlps
+            else:
+                d = mps
+                st[i] = (mps << 7) | nmps
+        else:
+            c -= boundary
+            if a < qe:  # conditional exchange
+                d = mps
+                st[i] = (mps << 7) | nmps
+            else:
+                d = mps ^ 1
+                if sw:
+                    mps ^= 1
+                st[i] = (mps << 7) | nlps
+            a = qe
+        self.a, self.ct, self.c = a, ct, c
+        return d
+
+
+def _arith_dc_diff(dec, st: bytearray, ctx: int, lo: int, hi: int):
+    """Decode one DC difference (T.81 F.2.4.1, figures F.19-F.24).
+    ctx is the conditioning-category base bin (0/4/8/12/16 from the
+    previous diff); returns (diff, next_ctx). Bin layout per Table F.4:
+    X1 at 20, magnitude bits at the X bin + 14."""
+    if dec.decode(st, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(st, ctx + 1)
+    m = dec.decode(st, ctx + 2 + sign)
+    si = ctx + 2 + sign
+    if m:
+        si = 20
+        while dec.decode(st, si):
+            m <<= 1
+            if m == 0x8000:
+                raise CodecError("arithmetic DC magnitude overflow")
+            si += 1
+    # conditioning category for the NEXT block (F.1.4.4.1.2): compare the
+    # magnitude CATEGORY against the DAC (L, U) bounds
+    if m < (1 << lo) >> 1:
+        nctx = 0
+    elif m > (1 << hi) >> 1:
+        nctx = 12 + sign * 4
+    else:
+        nctx = 4 + sign * 4
+    v = m
+    si += 14
+    while m >> 1:
+        m >>= 1
+        if dec.decode(st, si):
+            v |= m
+    v += 1
+    return (-v if sign else v), nctx
+
+
+def _arith_ac_band(dec, st, fixed, block, ss, se, al, kx):
+    """Decode one block's AC band [ss, se] — sequential (al=0) or a
+    progressive first scan (T.81 F.2.4.2 + G: EOB decision per index,
+    run of insignificance, fixed-state sign, magnitude with low/high
+    sections split at the DAC Kx)."""
+    k = ss
+    while k <= se:
+        ctx = 3 * (k - 1)
+        if dec.decode(st, ctx):
+            break  # EOB
+        while dec.decode(st, ctx + 1) == 0:
+            k += 1
+            if k > se:
+                raise CodecError("arithmetic AC run past band end")
+            ctx = 3 * (k - 1)
+        sign = dec.decode(fixed, 0)
+        m = dec.decode(st, ctx + 2)
+        si = ctx + 2
+        if m:
+            if dec.decode(st, si):
+                m <<= 1
+                si = 189 if k <= kx else 217
+                while dec.decode(st, si):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise CodecError("arithmetic AC magnitude overflow")
+                    si += 1
+        v = m
+        si += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(st, si):
+                v |= m
+        v += 1
+        block[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_ac_refine(dec, st, fixed, block, ss, se, al):
+    """Progressive AC refinement scan for one block (T.81 G.2 arithmetic
+    variant): correction bit per already-nonzero coefficient, newly
+    significant coefficients signed via the fixed state; the EOB
+    decision only exists above the block's last prior nonzero index."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    kex = se
+    while kex > 0 and block[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        ctx = 3 * (k - 1)
+        if k > kex and dec.decode(st, ctx):
+            break  # EOB
+        while True:
+            cur = int(block[k])
+            if cur:
+                if dec.decode(st, ctx + 2):
+                    block[k] = cur + (m1 if cur < 0 else p1)
+                break
+            if dec.decode(st, ctx + 1):
+                block[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            k += 1
+            if k > se:
+                raise CodecError("arithmetic AC refinement past band end")
+            ctx = 3 * (k - 1)
+        k += 1
+
+
+def _arith_scan(
+    segments,
+    entries,
+    planes,
+    comps,
+    scan,
+    progressive,
+    ss,
+    se_b,
+    ah,
+    al,
+    restart_interval,
+    mcus_x,
+    n_mcus,
+    hmax,
+    vmax,
+    h,
+    w,
+    dac_dc,
+    dac_ac,
+):
+    """Execute one arithmetic-coded scan (sequential SOF9 or any
+    progressive SOF10 scan kind) into ``planes``. Restart segments reset
+    EVERYTHING — the QM decoder, every statistics area, DC predictors
+    and conditioning contexts (T.81 F.2.1.3 / jdarith process_restart;
+    the coefficient-exact fixture gate covers restarts)."""
+    if progressive:
+        if ss == 0 and se_b != 0:
+            raise CodecError("progressive DC scan with Se != 0")
+        if ss > 0 and not (ss <= se_b <= 63):
+            raise CodecError("bad spectral band")
+        if ss > 0 and len(scan) != 1:
+            raise CodecError("progressive AC scan must be single-component")
+    else:
+        if len(scan) != len(comps):
+            raise CodecError("SOS/SOF component count mismatch")
+        ss, se_b, ah, al = 0, 63, 0, 0
+    refine = progressive and ah > 0
+
+    def fresh_stats():
+        dc_stats = {td: bytearray(64) for _, _, _, td, _ in entries}
+        ac_stats = {ta: bytearray(256) for _, _, _, _, ta in entries}
+        return dc_stats, ac_stats, bytearray([113])
+
+    interleaved = ss == 0 and len(scan) > 1 or not progressive
+    if interleaved:
+        per_seg = restart_interval or n_mcus
+        mcu = 0
+        for segment in segments:
+            if mcu >= n_mcus:
+                break
+            dec = _QMDecoder(segment)
+            dc_stats, ac_stats, fixed = fresh_stats()
+            last_dc = [0] * len(entries)
+            dc_ctx = [0] * len(entries)
+            seg_end = min(mcu + per_seg, n_mcus)
+            for m in range(mcu, seg_end):
+                my, mx = divmod(m, mcus_x)
+                for si, (ci, hs, vs, td, ta) in enumerate(entries):
+                    lo, hi = dac_dc.get(td, (0, 1))
+                    kx = dac_ac.get(ta, 5)
+                    for by in range(vs):
+                        for bx in range(hs):
+                            block = planes[ci][my * vs + by, mx * hs + bx]
+                            if refine:  # progressive DC refinement
+                                if dec.decode(fixed, 0):
+                                    block[0] = int(block[0]) | (1 << al)
+                                continue
+                            diff, dc_ctx[si] = _arith_dc_diff(
+                                dec, dc_stats[td], dc_ctx[si], lo, hi
+                            )
+                            last_dc[si] += diff
+                            block[0] = last_dc[si] << al
+                            if not progressive:
+                                _arith_ac_band(
+                                    dec, ac_stats[ta], fixed, block,
+                                    1, 63, 0, kx,
+                                )
+            mcu = seg_end
+        if mcu < n_mcus:
+            raise CodecError("entropy data ended before last MCU")
+        return
+
+    # progressive single-component scan: DC (ss == 0) or an AC band
+    ci, hs, vs, td, ta = entries[0]
+    lo, hi = dac_dc.get(td, (0, 1))
+    kx = dac_ac.get(ta, 5)
+    bw = _ceil_div(_ceil_div(w * hs, hmax), 8)
+    bh = _ceil_div(_ceil_div(h * vs, vmax), 8)
+    nb = bw * bh
+    per_seg = restart_interval or nb
+    b = 0
+    for segment in segments:
+        if b >= nb:
+            break
+        dec = _QMDecoder(segment)
+        dc_stats, ac_stats, fixed = fresh_stats()
+        pred = 0
+        ctx = 0
+        seg_end = min(b + per_seg, nb)
+        for bi in range(b, seg_end):
+            by_, bx_ = divmod(bi, bw)
+            block = planes[ci][by_, bx_]
+            if ss == 0:
+                if refine:
+                    if dec.decode(fixed, 0):
+                        block[0] = int(block[0]) | (1 << al)
+                    continue
+                diff, ctx = _arith_dc_diff(dec, dc_stats[td], ctx, lo, hi)
+                pred += diff
+                block[0] = pred << al
+            elif not refine:
+                _arith_ac_band(
+                    dec, ac_stats[ta], fixed, block, ss, se_b, al, kx
+                )
+            else:
+                _arith_ac_refine(
+                    dec, ac_stats[ta], fixed, block, ss, se_b, al
+                )
+        b = seg_end
+    if b < nb:
+        raise CodecError("entropy data ended before last block")
+
+
+def decode_jpeg_coefficients(data: bytes):
+    """Entropy-decode only: the QUANTIZED coefficient planes, for
+    bit-exact parity tests against libjpeg's jpeg_read_coefficients
+    (integers — independent of IDCT/color differences). Returns
+    ``[(ci, blocks_h, blocks_w, plane)]`` with ``plane`` shaped
+    (mcu_rows, mcu_cols, 64) in ZIGZAG coefficient order; callers crop
+    to (blocks_h, blocks_w) — the MCU padding blocks are decode
+    artifacts libjpeg does not expose."""
+    return decode_jpeg(data, _coefficients=True)
+
+
+def decode_jpeg(
+    data: bytes, _coefficients: bool = False
+) -> tuple[int, int, int, np.ndarray]:
     """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG.
     Returns ``(h, w, channels, array[h,w,c])``.
 
@@ -413,6 +793,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     restart_interval = 0
     saw_scan = False
     progressive = False
+    arith = False
+    # DAC conditioning (T.81 B.2.4.3): DC tables carry the (L, U)
+    # difference-category bounds, AC tables the low/high split index Kx.
+    dac_dc: dict[int, tuple[int, int]] = {}
+    dac_ac: dict[int, int] = {}
     # geometry, filled at SOF
     comps: list = []
     idx_of: dict[int, int] = {}
@@ -466,10 +851,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 _build_decode_table(counts, syms)  # validates code space
                 htables[(tc, th)] = (tuple(counts), syms)
                 bp += 17 + total
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # baseline / ext sequential / progressive — Huffman (C0-C2)
+            # or arithmetic (C9 sequential, CA progressive)
             if frame is not None:
                 raise CodecError("multiple SOF segments")
-            progressive = marker == 0xC2
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             if len(body) < 6:
                 raise CodecError("truncated SOF")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -505,9 +893,29 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int32)
                 for _, hs, vs, _ in comps
             ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = {0xCA: "progressive (arithmetic)"}.get(marker, "non-baseline")
-            raise CodecError(f"{kind} JPEG (SOF{marker - 0xC0}) unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise CodecError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
+            )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning
+            bp = 0
+            while bp + 2 <= len(body):
+                tc, tb = body[bp] >> 4, body[bp] & 0x0F
+                val = body[bp + 1]
+                if tc == 0:
+                    lo, hi = val & 0x0F, val >> 4
+                    if lo > hi or hi > 15:
+                        raise CodecError("bad DAC DC conditioning")
+                    dac_dc[tb] = (lo, hi)
+                elif tc == 1:
+                    if not 1 <= val <= 63:
+                        raise CodecError("bad DAC AC conditioning")
+                    dac_ac[tb] = val
+                else:
+                    raise CodecError("bad DAC table class")
+                bp += 2
+            if bp != len(body):
+                raise CodecError("truncated DAC")
         elif marker == 0xDD:  # DRI
             if len(body) != 2:
                 raise CodecError("bad DRI length")
@@ -526,13 +934,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             se_b = body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
 
-            # resolve this scan's components + Huffman tables
+            # resolve this scan's components + entropy tables: Huffman
+            # LUTs, or for arithmetic frames the (td, ta) stats-table ids
             entries = []
             for cid, td, ta in scan:
                 if cid not in idx_of:
                     raise CodecError(f"SOS references unknown component {cid}")
                 ci = idx_of[cid]
                 _, hs, vs, _tq = comps[ci]
+                if arith:
+                    entries.append((ci, hs, vs, td, ta))
+                    continue
                 # DC refinement scans read raw bits only — no Huffman
                 # table needed (and encoders routinely omit the DHT)
                 need_dc = (not progressive) or (ss == 0 and ah == 0)
@@ -551,6 +963,32 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             segments, endpos = _split_entropy(data, pos + 2 + length)
             h, w = frame[0], frame[1]
             n_mcus = mcus_x * mcus_y
+
+            if arith:
+                _arith_scan(
+                    segments,
+                    entries,
+                    planes,
+                    comps,
+                    scan,
+                    progressive,
+                    ss,
+                    se_b,
+                    ah,
+                    al,
+                    restart_interval,
+                    mcus_x,
+                    n_mcus,
+                    hmax,
+                    vmax,
+                    h,
+                    w,
+                    dac_dc,
+                    dac_ac,
+                )
+                saw_scan = True
+                pos = endpos
+                continue
 
             if not progressive:
                 # sequential: one scan covering every component
@@ -697,6 +1135,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if frame is None or not saw_scan:
         raise CodecError("missing SOF/SOS")
     h, w = frame[0], frame[1]
+
+    if _coefficients:
+        out = []
+        for ci, ((cid, hs, vs, tq), plane) in enumerate(zip(comps, planes)):
+            bw = _ceil_div(_ceil_div(w * hs, hmax), 8)
+            bh = _ceil_div(_ceil_div(h * vs, vmax), 8)
+            out.append((ci, bh, bw, plane))
+        return out
 
     # dequantize + de-zigzag + IDCT, vectorized per component
     out_planes = []

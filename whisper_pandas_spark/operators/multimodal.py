@@ -77,7 +77,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, "object"]:
     and :mod:`~whisper_pandas_spark.functions.jpeg` (zlib + struct +
     numpy; no external library). Returns ``(h, w, channels,
     ndarray[h, w, channels] uint8)``. Raises ``CodecError`` on malformed
-    bytes and on unsupported codec variants (12-bit, arithmetic
+    bytes and on unsupported codec variants (12-bit, hierarchical
     coding, ...)."""
     from whisper_pandas_spark.functions import codecs
 
@@ -186,7 +186,7 @@ def decode_image_stats(
     no shuffle). ``on_error``:
 
     - ``"skip"``  — undecodable rows (malformed bytes OR unsupported
-      codec variants like arithmetic-coded JPEG) are dropped, mirroring the
+      codec variants like hierarchical JPEG) are dropped, mirroring the
       whisper source's corrupt-file tolerance;
     - ``"null"``  — emit the row with null stats (doc_id kept, so the
       caller can count/inspect failures);
