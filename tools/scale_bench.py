@@ -8,7 +8,14 @@ address at all (one file at a time, whole file in RAM, README.md:64):
 the engine's scan should hold its per-file cost roughly constant as the
 tree grows — the 100 TB argument in miniature. Usage:
 
-    python tools/scale_bench.py [n_files=12] [--corrupt]
+    python tools/scale_bench.py [n_files=12] [--corrupt] [--small]
+
+``--small`` switches to 1/10-size files (~8.3 MB, same 3-archive shape)
+in a separate tree — the FILE-COUNT scaling axis (planning, listing,
+per-file DataSource overhead, plan-time corrupt-member drop at 1000+
+members) decoupled from raw byte throughput, which the full-geometry
+tree covers. A 1000-file run needs ~8.3 GB instead of the ~83 GB this
+host cannot hold.
 
 ``--corrupt`` injects a garbage-header member into the tree and rescans
 with on_error=skip: row counts must equal the clean scan exactly (the
@@ -27,14 +34,25 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
 
 TREE = Path("/tmp/whisper_scale_tree")
+TREE_SMALL = Path("/tmp/whisper_scale_tree_small")
+# 1/10 of the reference geometry per archive (same 3-archive shape and
+# fill ratios): ~8.28 MB, 689 881 point slots per file
+GEOMETRY_SMALL = [
+    (10, 155_520, 1.0),
+    (60, 525_600, 0.44349),
+    (3600, 8_761, 0.44353),
+]
+_SMALL = False  # set by main() before build_tree
 
 
-def _build_one(args: tuple[str, int]) -> None:
-    path, seed = args
+def _build_one(args: tuple[str, int, bool]) -> None:
+    path, seed, small = args
     from bench import WHISPER_GEOMETRY
     from wsp_fixtures import build_wsp
 
-    build_wsp(path, archives=WHISPER_GEOMETRY, seed=seed)
+    build_wsp(
+        path, archives=GEOMETRY_SMALL if small else WHISPER_GEOMETRY, seed=seed
+    )
 
 
 def build_tree(n: int) -> list[Path]:
@@ -42,13 +60,14 @@ def build_tree(n: int) -> list[Path]:
     missing ones build in parallel (~1.8 s each single-threaded)."""
     from concurrent.futures import ProcessPoolExecutor
 
-    TREE.mkdir(parents=True, exist_ok=True)
+    tree = TREE_SMALL if _SMALL else TREE
+    tree.mkdir(parents=True, exist_ok=True)
     files, missing = [], []
     for i in range(n):
-        p = TREE / f"srv{i // 4}" / f"metric{i}.wsp"
+        p = tree / f"srv{i // 4}" / f"metric{i}.wsp"
         if not p.exists():
             p.parent.mkdir(parents=True, exist_ok=True)
-            missing.append((str(p), 100 + i))
+            missing.append((str(p), 100 + i, _SMALL))
         files.append(p)
     if missing:
         with ProcessPoolExecutor(max_workers=16) as pool:
@@ -111,9 +130,11 @@ def corrupt_scan(spark, files: list[Path]) -> None:
 
 
 def main() -> None:
+    global _SMALL
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 12
     corrupt = "--corrupt" in sys.argv[1:]
+    _SMALL = "--small" in sys.argv[1:]
     files = build_tree(n)
     size_mb = sum(f.stat().st_size for f in files) / 1e6
     if "--build-only" in sys.argv[1:]:
