@@ -496,3 +496,46 @@ def test_delay_shifts_values_not_slots(series):
     assert got == [None, 100.0, 110.0, 140.0]
     back = _vals(g.delay(series, -1), "web.host1.requests")
     assert back == [110.0, 140.0, 150.0, None]
+
+
+def test_round8_selector_batch(spark):
+    """max/min/avg/current Above/Below comparators (strict > for Above,
+    <= for Below per graphite-web), lowest (min/avg/current), and
+    mostDeviant variance ranking."""
+    rows = [("a", 0, 1.0), ("a", 10, 9.0),    # max 9 min 1 avg 5 last 9 var 16
+            ("b", 0, 4.0), ("b", 10, 4.0),    # max 4 min 4 avg 4 last 4 var 0
+            ("c", 0, -2.0), ("c", 10, 6.0)]   # max 6 min -2 avg 2 last 6 var 16
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+
+    def names(out):
+        return {r["metric"] for r in out.collect()}
+
+    assert names(g.maximum_above(df, 4.0)) == {"a", "c"}   # strict >
+    assert names(g.maximum_below(df, 4.0)) == {"b"}        # <=
+    assert names(g.minimum_above(df, 1.0)) == {"b"}        # strict >
+    assert names(g.minimum_below(df, 1.0)) == {"a", "c"}   # <=
+    assert names(g.average_below(df, 4.0)) == {"b", "c"}
+    assert names(g.current_below(df, 6.0)) == {"b", "c"}
+    assert names(g.lowest(df, 1, "min")) == {"c"}
+    assert names(g.lowest(df, 2, "avg")) == {"b", "c"}
+    assert names(g.lowest(df, 1, "current")) == {"b"}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        g.lowest(df, 1, "nope")
+    # mostDeviant: population variance a=16, c=16, b=0; tie by metric name
+    md = {r["metric"]: r["series_rank"] for r in g.most_deviant(df, 2).collect()}
+    assert md == {"a": 1, "c": 2}
+
+
+def test_round8_moving_windows(series):
+    assert _vals(g.moving_sum_points(series, 2), "web.host1.requests") == [
+        100.0, 210.0, 250.0, 290.0,
+    ]
+    assert _vals(g.moving_min_points(series, 2), "web.host1.requests") == [
+        100.0, 100.0, 110.0, 140.0,
+    ]
+    assert _vals(g.moving_max_points(series, 3), "web.host1.requests") == [
+        100.0, 110.0, 140.0, 150.0,
+    ]

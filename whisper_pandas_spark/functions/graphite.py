@@ -735,3 +735,127 @@ def delay(df: DataFrame, steps: int) -> DataFrame:
     ``steps`` points (negative shifts backward); vacated slots are null.
     Timestamps keep their slots — only values move, per the render API."""
     return _with_value(df, F.lag(_VAL, steps).over(_series_window()))
+
+
+# -- round-8 tail, second batch ---------------------------------------------
+
+
+def _series_stat_filter(df: DataFrame, stat: Column, keep) -> DataFrame:
+    """Selector shape shared by the max/min/avg/current family: one
+    unordered per-series window computes the statistic, a filter keeps
+    whole series — no join, points stay intact."""
+    w = Window.partitionBy(_METRIC)
+    return (
+        df.withColumn("__stat", stat.over(w))
+        .filter(keep(F.col("__stat")))
+        .drop("__stat")
+    )
+
+
+def maximum_above(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``maximumAbove(series, n)`` — keep series whose maximum
+    is STRICTLY above n (render/functions.py uses ``>``)."""
+    return _series_stat_filter(df, F.max(_VAL), lambda s: s > threshold)
+
+
+def maximum_below(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``maximumBelow(series, n)`` — keep series whose maximum
+    is at most n (graphite-web's complement uses ``<=``)."""
+    return _series_stat_filter(df, F.max(_VAL), lambda s: s <= threshold)
+
+
+def minimum_above(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``minimumAbove(series, n)`` — minimum strictly above n."""
+    return _series_stat_filter(df, F.min(_VAL), lambda s: s > threshold)
+
+
+def minimum_below(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``minimumBelow(series, n)`` — minimum at most n."""
+    return _series_stat_filter(df, F.min(_VAL), lambda s: s <= threshold)
+
+
+def average_below(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``averageBelow(series, n)`` — mean at most n (the
+    complement of :func:`average_above`)."""
+    return _series_stat_filter(df, F.avg(_VAL), lambda s: s <= threshold)
+
+
+def current_below(df: DataFrame, threshold: float) -> DataFrame:
+    """graphite ``currentBelow(series, n)`` — LAST value at most n."""
+    w = (
+        Window.partitionBy(_METRIC)
+        .orderBy(_TS)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        df.withColumn("__last", F.last(_VAL, ignorenulls=True).over(w))
+        .filter(F.col("__last") <= threshold)
+        .drop("__last")
+    )
+
+
+def lowest(df: DataFrame, n: int, func: str = "min") -> DataFrame:
+    """graphite ``lowestCurrent`` / ``lowestAverage`` / ``lowest(series,
+    n, func)`` — keep the n series with the LOWEST per-series statistic
+    (``min`` / ``avg`` / ``max`` / ``current``); the mirror of
+    :func:`highest`, same broadcast-rank shape."""
+    agg = {
+        "min": F.min(_VAL),
+        "max": F.max(_VAL),
+        "avg": F.avg(_VAL),
+        "current": F.max_by(F.col(_VAL), F.col(_TS)),
+    }.get(func)
+    if agg is None:
+        raise ValueError(f"unsupported lowest func {func!r}")
+    totals = df.groupBy(_METRIC).agg(agg.alias("_s"))
+    w = Window.orderBy(F.col("_s").asc(), F.col(_METRIC))
+    keep = (
+        totals.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n)
+        .select(_METRIC)
+    )
+    return df.join(F.broadcast(keep), _METRIC)
+
+
+def most_deviant(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``mostDeviant(seriesList, n)`` — the n series with the
+    largest POPULATION variance (graphite computes sigma² =
+    mean(x²) − mean(x)² over the non-null points), exposed with
+    ``series_rank`` like the other ordering functions."""
+    totals = df.groupBy(_METRIC).agg(
+        (F.avg(F.col(_VAL) * F.col(_VAL)) - F.avg(_VAL) * F.avg(_VAL)).alias(
+            "_var"
+        )
+    )
+    w = Window.orderBy(F.col("_var").desc(), F.col(_METRIC))
+    ranked = (
+        totals.withColumn("series_rank", F.row_number().over(w))
+        .where(F.col("series_rank") <= n)
+        .select(_METRIC, "series_rank")
+    )
+    return df.join(F.broadcast(ranked), _METRIC)
+
+
+def moving_sum_points(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``movingSum(series, N)`` (N points, trailing; partial
+    leading windows emit what exists, like movingAverage here)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = _series_window().rowsBetween(-(n - 1), 0)
+    return _with_value(df, F.sum(_VAL).over(w))
+
+
+def moving_min_points(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``movingMin(series, N)`` (N points, trailing)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = _series_window().rowsBetween(-(n - 1), 0)
+    return _with_value(df, F.min(_VAL).over(w))
+
+
+def moving_max_points(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``movingMax(series, N)`` (N points, trailing)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = _series_window().rowsBetween(-(n - 1), 0)
+    return _with_value(df, F.max(_VAL).over(w))
