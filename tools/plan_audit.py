@@ -137,6 +137,9 @@ AUDITED = [
     "join_q20ish_nested_agg",
     "ts_rolling_correlation",
     "stream_topk_replay",
+    # round-8 entries
+    "mmr_diversified_ann",
+    "graphite_integral_by_interval",
 ]
 
 
