@@ -1959,3 +1959,41 @@ def test_negative_samples_id_contract(spark):
     # determinism: same seed -> same picks
     again = negative_samples(inter, "u", "it", 10, k=3, item_dim=dim).collect()
     assert [(r["user"], r["item"], r["rnk"]) for r in again] == got
+
+
+def test_fuzzy_passjoin_equals_blocked_allpairs(spark):
+    """PassJoin candidate generation is LOSSLESS: on a corpus planted
+    with near-dups (1-5 edits incl. indels — alignment-shifting),
+    fuzzy_pairs_passjoin returns EXACTLY fuzzy_pairs' result, and short
+    strings (< k+1 chars, below the pigeonhole's reach) still pair."""
+    from whisper_pandas_spark.operators.dedup import (
+        fuzzy_pairs,
+        fuzzy_pairs_passjoin,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, "en", base),
+        (2, "en", base.replace("quick", "qwick")),          # 1 sub
+        (3, "en", base.replace("jumps over", "jumps far over")),  # indel shift
+        (4, "en", base[:-6]),                               # 6-char truncation
+        (5, "en", "completely different text with other words here entirely"),
+        (6, "de", base),                                    # other block
+        (7, "en", "abc"),                                   # short string
+        (8, "en", "abcd"),                                  # short, 1 edit away
+        (9, "en", "xyz"),                                   # short, far
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def snap(out):
+        return sorted(
+            (r["doc_i"], r["doc_j"], r["edit_dist"]) for r in out.collect()
+        )
+
+    blocked = snap(fuzzy_pairs(df, "doc_id", "text", "lang"))
+    passj = snap(fuzzy_pairs_passjoin(df, "doc_id", "text", "lang"))
+    assert passj == blocked
+    got = {(i, j) for i, j, _ in passj}
+    assert (1, 2) in got and (1, 3) in got          # sub + indel found
+    assert (7, 8) in got and (7, 9) in got          # short-string branch
+    assert all(i != 6 and j != 6 for i, j in got)   # block respected

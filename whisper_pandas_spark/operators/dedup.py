@@ -605,6 +605,179 @@ def fuzzy_pairs(
     )
 
 
+def fuzzy_pairs_passjoin(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_edit: int = 5,
+    prefix_len: int = 80,
+) -> DataFrame:
+    """`fuzzy_pairs` semantics with the PassJoin candidate generation —
+    the documented "second blocking key" scale path implemented.
+
+    The pigeonhole lemma (PassJoin, Li et al., VLDB 2011 — public): if
+    ``lev(a, b) <= k`` and b is split into k+1 disjoint consecutive
+    segments, an optimal alignment spends 0 edits on at least one
+    segment, so that segment occurs in a EXACTLY, at a start position
+    shifted by at most the net indel balance, i.e. within ±k. Candidate
+    generation is therefore LOSSLESS:
+
+    - index side: each doc's k+1 segments, keyed
+      (block, len, segment_idx, segment_text);
+    - probe side: each doc's substrings matching every partner length
+      in [len−k, len+k] at every shift in [−k, +k] for each segment
+      slot — ≤ (k+1)·(2k+1)² keys per doc (726 at k=5), generated by
+      three `posexplode(sequence(...))` generators over a MATERIALIZED
+      norm column (plain substring projection after the Generate —
+      no lambda HOFs, so nothing re-evaluates per element; the round-8
+      shingle lesson);
+    - verify: exact thresholded levenshtein on distinct candidate
+      pairs, identical to `fuzzy_pairs`.
+
+    Cost: near-linear Σ(candidate-key df²) instead of the blocked
+    all-pairs Σ(block²) — the key carries (length, slot, alignment), so
+    only near-duplicate-aligned segments collide. Results are EXACTLY
+    equal to `fuzzy_pairs` (the registry entry shares the plain
+    all-pairs DuckDB oracle, so the driver hash-checks the lossless
+    claim itself)."""
+    if max_edit < 1:
+        raise ValueError("max_edit must be >= 1")
+    nseg = max_edit + 1
+    norm = F.substring(
+        F.concat_ws(" ", tokenize(F.col(text_col))), 1, prefix_len
+    )
+    base = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("doc_id"),
+        norm.alias("norm"),
+        F.length(norm).alias("ln"),
+    ).where(F.col("ln") > 0)
+
+    def seg_pos(i, ln):  # 1-based start of segment i in a length-ln string
+        return F.floor(i * ln / nseg) + 1
+
+    def seg_len(i, ln):
+        return F.floor((i + 1) * ln / nseg) - F.floor(i * ln / nseg)
+
+    i_col = F.col("i")
+    # index side: own segments
+    segs = (
+        base.select(
+            "block",
+            "doc_id",
+            "norm",
+            "ln",
+            F.explode(F.sequence(F.lit(0), F.lit(nseg - 1))).alias("i"),
+        )
+        .select(
+            "block",
+            "doc_id",
+            "ln",
+            "i",
+            F.substring(
+                F.col("norm"),
+                seg_pos(i_col, F.col("ln")).cast("int"),
+                seg_len(i_col, F.col("ln")).cast("int"),
+            ).alias("seg"),
+            seg_len(i_col, F.col("ln")).alias("__sl"),
+        )
+        .where(F.col("__sl") > 0)
+        .drop("__sl")
+    )
+    # probe side: substrings for every partner geometry and shift
+    lp, sh = F.col("lp"), F.col("sh")
+    pos = (seg_pos(i_col, lp) + sh).cast("int")
+    slen = seg_len(i_col, lp).cast("int")
+    cands = (
+        base.select(
+            "block",
+            F.col("doc_id").alias("doc_a"),
+            F.col("norm").alias("norm_a"),
+            F.col("ln").alias("ln_a"),
+            F.explode(F.sequence(F.lit(0), F.lit(nseg - 1))).alias("i"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("ln_a") - max_edit, F.lit(1)),
+                    F.col("ln_a") + max_edit,
+                )
+            ).alias("lp"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(-max_edit), F.lit(max_edit))
+            ).alias("sh"),
+        )
+        .where(
+            (slen > 0) & (pos >= 1) & (pos + slen - 1 <= F.col("ln_a"))
+        )
+        .select(
+            "block",
+            "doc_a",
+            "norm_a",
+            "ln_a",
+            "i",
+            F.col("lp").alias("ln"),
+            F.substring(F.col("norm_a"), pos, slen).alias("seg"),
+        )
+    )
+    pairs = (
+        cands.join(segs, ["block", "ln", "i", "seg"])
+        .where(F.col("doc_a") != F.col("doc_id"))
+        .select(
+            F.least("doc_a", "doc_id").alias("doc_i"),
+            F.greatest("doc_a", "doc_id").alias("doc_j"),
+        )
+        .distinct()
+    )
+    # Short-string branch: the lemma needs k+1 NON-EMPTY segments, so a
+    # doc with ln < k+1 could only match via a zero-length segment the
+    # index never stores. Pair those few docs all-against any partner
+    # within the length window directly (both sets are tiny by
+    # construction: norms < k+1 resp. < 2k+1 chars).
+    shorts = base.where(F.col("ln") < nseg).select(
+        "block", F.col("doc_id").alias("doc_a"), F.col("ln").alias("la")
+    )
+    near = base.where(F.col("ln") < nseg + max_edit).select(
+        "block", F.col("doc_id").alias("doc_b"), F.col("ln").alias("lb")
+    )
+    short_pairs = (
+        shorts.join(near, "block")
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= max_edit)
+        )
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_i"),
+            F.greatest("doc_a", "doc_b").alias("doc_j"),
+        )
+        .distinct()
+    )
+    pairs = pairs.unionByName(short_pairs).distinct()
+    a = base.select(
+        F.col("doc_id").alias("doc_i"),
+        F.col("norm").alias("n_i"),
+        F.col("ln").alias("l_i"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_j"),
+        F.col("norm").alias("n_j"),
+        F.col("ln").alias("l_j"),
+    )
+    lev = F.levenshtein(F.col("n_i"), F.col("n_j"), max_edit)
+    return (
+        pairs.join(a, "doc_i")
+        .join(b, "doc_j")
+        .where(F.abs(F.col("l_i") - F.col("l_j")) <= max_edit)
+        .select("doc_i", "doc_j", lev.alias("edit_dist"))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_edit))
+    )
+
+
 def substring_span_pairs(
     df: DataFrame,
     id_col: str,

@@ -184,3 +184,57 @@ def graphite_integral_by_interval(spark: SparkSession, sf_dir: str) -> DataFrame
         "timestamp",
         F.round(F.col("value").cast("double") + 1e-9, 6).alias("value"),
     ).orderBy("metric", "timestamp")
+
+
+# -- PassJoin fuzzy dedup: the lossless scale path ---------------------------
+
+
+def _fuzzy_allpairs_oracle() -> str:
+    from whisper_pandas_spark.queries_dedup import _DUCK_TOKS
+
+    return f"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         substr(array_to_string({_DUCK_TOKS}, ' '), 1, 80) AS n
+  FROM documents
+)
+SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+       levenshtein(a.n, b.n) AS edit_dist
+FROM norm a JOIN norm b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.n, b.n) <= 5
+ORDER BY doc_i, doc_j
+"""
+
+
+@register("dedup_fuzzy_passjoin", oracle=_fuzzy_allpairs_oracle())
+def dedup_fuzzy_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/Y+ scale path: `dedup_fuzzy_pairs` semantics through PassJoin
+    pigeonhole candidate generation (operators/dedup.py:
+    fuzzy_pairs_passjoin) — k+1 segments indexed per doc, substring
+    probes over the ±k length/shift window, exact thresholded verify.
+    Shares the plain ALL-PAIRS oracle with dedup_fuzzy_pairs, so the
+    driver's hash compare IS the losslessness proof: a single candidate
+    the segment join fails to generate hash-mismatches. This replaces
+    the Σ(block²) candidate cost that made the blocked variant 18x at
+    the 10x scale step (PERF_sf0.1.md) with Σ(aligned-segment df²).
+    Measured at sf0.1: 8 748 candidate pairs to verify vs the blocked
+    join's 2 931 702 (335x fewer thresholded-DP calls); at THIS corpus
+    size the linear probe-key generation (~3.1 M keys) still costs more
+    wall-clock than the cheap 80-char DPs it saves, so the blocked
+    variant stays the small-corpus default — the crossover sits just
+    above this fixture (10x more docs ⇒ ~293 M DPs blocked vs ~31 M
+    keys here)."""
+    from whisper_pandas_spark.operators.dedup import fuzzy_pairs_passjoin
+
+    return (
+        fuzzy_pairs_passjoin(
+            _table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            block_col="lang",
+            max_edit=5,
+            prefix_len=80,
+        )
+        .withColumn("edit_dist", F.col("edit_dist").cast("long"))
+        .orderBy("doc_i", "doc_j")
+    )
