@@ -539,3 +539,65 @@ def test_round8_moving_windows(series):
     assert _vals(g.moving_max_points(series, 3), "web.host1.requests") == [
         100.0, 110.0, 140.0, 150.0,
     ]
+
+
+def test_round8_batch3_pointwise(spark):
+    rows = [("m", t, v) for t, v in
+            [(0, 4.0), (10, 0.0), (20, -9.0), (30, None), (40, 100.0)]]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    assert _vals(g.invert(df), "m") == [0.25, None, -1.0 / 9.0, None, 0.01]
+    lg = _vals(g.logarithm(df), "m")
+    assert abs(lg[0] - 0.6020599913279624) < 1e-12
+    assert lg[1] is None and lg[2] is None and lg[3] is None
+    assert abs(lg[4] - 2.0) < 1e-12
+    assert _vals(g.square_root(df), "m") == [2.0, 0.0, None, None, 10.0]
+    assert _vals(g.pow_series(df, 2.0), "m") == [16.0, 0.0, 81.0, None, 10000.0]
+    assert _vals(g.is_non_null(df), "m") == [1.0, 1.0, 1.0, 0.0, 1.0]
+
+
+def test_round8_batch3_series_ops(spark):
+    rows = [("app.db.req", 0, 2.0), ("app.db.req", 10, 4.0),
+            ("app.web.req", 0, 6.0), ("app.web.req", 10, 8.0),
+            ("app.db.err", 0, 1.0), ("app.db.err", 10, 1.0)]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    ranks = {r["metric"]: r["series_rank"] for r in g.sort_by_name(df).collect()}
+    assert ranks == {"app.db.err": 1, "app.db.req": 2, "app.web.req": 3}
+
+    # stdev over 2 points: population sd of (2,4) = 1
+    sd = _vals(g.stdev_points(df, 2), "app.db.req")
+    assert sd[0] == 0.0 and abs(sd[1] - 1.0) < 1e-9
+
+    # scaleToSeconds(60) with derived 10s step: x * 6
+    s = _vals(g.scale_to_seconds(df, 60), "app.db.req")
+    assert s == [12.0, 24.0]
+
+    # groupByNodes on (node0, node2): db.req+web.req fold per ts
+    gn = {
+        (r["metric"], int(r["timestamp"].timestamp())): r["value"]
+        for r in g.group_by_nodes(df, "sum", 0, 2).collect()
+    }
+    assert gn[("app.req", 0)] == 8.0 and gn[("app.req", 10)] == 12.0
+    assert gn[("app.err", 0)] == 1.0
+
+    # weightedAverage paired on node 1 (db/web), weights = request counts
+    w = spark.createDataFrame(
+        [("cnt.db.x", 0, 1.0), ("cnt.web.x", 0, 3.0)],
+        "metric string, epoch long, value double",
+    ).select("metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    wa = {r["timestamp"] for r in []}
+    out = g.weighted_average(
+        df.where(F.col("metric").contains("req")), w, 1
+    ).collect()
+    got = {int(r["timestamp"].timestamp()): r["value"] for r in out}
+    # ts 0: (2*1 + 6*3)/(1+3) = 5.0; ts 10 has no weights -> absent
+    assert got == {0: 5.0}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        g.group_by_nodes(df, "nope", 0)
+    with _pt.raises(ValueError):
+        g.group_by_nodes(df, "sum")

@@ -859,3 +859,138 @@ def moving_max_points(df: DataFrame, n: int) -> DataFrame:
         raise ValueError("n must be >= 1")
     w = _series_window().rowsBetween(-(n - 1), 0)
     return _with_value(df, F.max(_VAL).over(w))
+
+
+# -- round-8 tail, third batch ----------------------------------------------
+
+
+def invert(df: DataFrame) -> DataFrame:
+    """graphite ``invert(seriesList)`` — pointwise 1/x; zero becomes
+    null (graphite emits None on division by zero)."""
+    return _with_value(
+        df, F.when(F.col(_VAL) != 0, F.lit(1.0) / F.col(_VAL))
+    )
+
+
+def logarithm(df: DataFrame, base: float = 10.0) -> DataFrame:
+    """graphite ``logarithm(seriesList, base)`` — pointwise log;
+    non-positive values become null (graphite's None)."""
+    if base <= 1.0:
+        raise ValueError("base must be > 1")
+    return _with_value(
+        df, F.when(F.col(_VAL) > 0, F.log(float(base), F.col(_VAL)))
+    )
+
+
+def square_root(df: DataFrame) -> DataFrame:
+    """graphite ``squareRoot(seriesList)`` — pointwise sqrt; negative
+    values become null."""
+    return _with_value(
+        df, F.when(F.col(_VAL) >= 0, F.sqrt(F.col(_VAL)))
+    )
+
+
+def pow_series(df: DataFrame, factor: float) -> DataFrame:
+    """graphite ``pow(seriesList, factor)`` — pointwise x^factor."""
+    return _with_value(df, F.pow(F.col(_VAL), F.lit(float(factor))))
+
+
+def is_non_null(df: DataFrame) -> DataFrame:
+    """graphite ``isNonNull(seriesList)`` — 1.0 where the slot holds a
+    value, 0.0 where it is null (gap visualisation)."""
+    return _with_value(
+        df, F.when(F.col(_VAL).isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+
+
+def sort_by_name(df: DataFrame) -> DataFrame:
+    """graphite ``sortByName(seriesList)`` — series_rank by metric name
+    ascending (the DataFrame convention for series order, as in
+    sortByTotal/Maxima)."""
+    totals = df.select(_METRIC).distinct()
+    w = Window.orderBy(F.col(_METRIC).asc())
+    ranked = totals.withColumn("series_rank", F.row_number().over(w))
+    return df.join(F.broadcast(ranked), _METRIC)
+
+
+def stdev_points(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``stdev(seriesList, points)`` — trailing N-point moving
+    POPULATION standard deviation per series (graphite divides by the
+    window count, not N−1)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = _series_window().rowsBetween(-(n - 1), 0)
+    mean_sq = F.avg(F.col(_VAL) * F.col(_VAL)).over(w)
+    mean = F.avg(_VAL).over(w)
+    return _with_value(df, F.sqrt(F.greatest(mean_sq - mean * mean, F.lit(0.0))))
+
+
+def scale_to_seconds(df: DataFrame, seconds: int, step_s: int | None = None) -> DataFrame:
+    """graphite ``scaleToSeconds(seriesList, seconds)`` — rescale each
+    point from per-step to per-``seconds`` units: value * seconds/step.
+    ``step_s`` defaults to the per-series minimum positive timestamp
+    delta (graphite reads series.step; the scan schema carries it
+    implicitly, same derivation as :func:`hitcount`)."""
+    if seconds < 1:
+        raise ValueError("seconds must be >= 1")
+    if step_s is None:
+        dt = F.unix_timestamp(F.col(_TS)) - F.unix_timestamp(
+            F.lag(_TS).over(_series_window())
+        )
+        step = F.min(dt).over(Window.partitionBy(_METRIC))
+    else:
+        if step_s < 1:
+            raise ValueError("step_s must be >= 1")
+        step = F.lit(step_s)
+    return _with_value(df, F.col(_VAL) * seconds / step)
+
+
+def group_by_nodes(df: DataFrame, agg: str, *node_idxs: int) -> DataFrame:
+    """graphite ``groupByNodes(seriesList, callback, *nodes)`` — the
+    multi-node generalisation of :func:`group_by_node`: series sharing
+    ALL the named path components group together (key = the nodes
+    re-joined with dots), aggregated pointwise. Same single
+    (key, timestamp) exchange with map-side partial aggregation."""
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
+    if not node_idxs:
+        raise ValueError("at least one node index required")
+    key = F.concat_ws(".", *[_node(i) for i in node_idxs])
+    return (
+        df.groupBy(key.alias(_METRIC), F.col(_TS))
+        .agg(_AGGS[agg](_VAL).alias(_VAL))
+    )
+
+
+def weighted_average(
+    df: DataFrame, weights: DataFrame, node_idx: int
+) -> DataFrame:
+    """graphite ``weightedAverage(seriesListAvg, seriesListWeight,
+    node)`` — pointwise Σ(value·weight)/Σ(weight) across series PAIRED
+    by path node N (the SLA-weighted-mean pattern). ``weights`` shares
+    the scan schema; pairs join on (node, timestamp); zero/null total
+    weight yields null. One equi-join + one aggregation exchange."""
+    a = df.select(
+        _node(node_idx).alias("__k"), F.col(_TS), F.col(_VAL).alias("__v")
+    )
+    b = weights.select(
+        _node(node_idx).alias("__k"),
+        F.col(_TS),
+        F.col(_VAL).alias("__w"),
+    )
+    j = a.join(b, ["__k", _TS])
+    out = (
+        j.groupBy(_TS)
+        .agg(
+            F.sum(F.col("__v") * F.col("__w")).alias("__vw"),
+            F.sum("__w").alias("__sw"),
+        )
+        .select(
+            F.lit("weightedAverage").alias(_METRIC),
+            F.col(_TS),
+            F.when(
+                F.col("__sw") != 0, F.col("__vw") / F.col("__sw")
+            ).alias(_VAL),
+        )
+    )
+    return out

@@ -238,3 +238,52 @@ def dedup_fuzzy_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_dist", F.col("edit_dist").cast("long"))
         .orderBy("doc_i", "doc_j")
     )
+
+
+# -- graphite hitcount: proportional re-bucketing entry ----------------------
+
+
+def _g_hitcount_oracle() -> str:
+    from whisper_pandas_spark.queries_round6 import _METRIC_SERIES_SQL
+
+    return f"""
+WITH series AS ({_METRIC_SERIES_SQL}),
+pts AS (
+  SELECT metric, epoch(timestamp)::BIGINT AS t,
+         CAST(value AS DECIMAL(38,12)) AS v
+  FROM series WHERE value IS NOT NULL
+), spread AS (
+  SELECT p.metric, b.b,
+         least((b.b + 1) * 900, p.t + 600) - greatest(b.b * 900, p.t)
+           AS overlap,
+         p.v
+  FROM pts p,
+       LATERAL (SELECT unnest(generate_series(p.t // 900,
+                                              (p.t + 599) // 900)) AS b) b
+)
+SELECT metric, to_timestamp(b * 900)::TIMESTAMP AS timestamp,
+       round(CAST(sum(v * overlap) AS DOUBLE) + 1e-9, 6) AS value
+FROM spread GROUP BY 1, 2 ORDER BY metric, timestamp
+"""
+
+
+@register("graphite_hitcount", oracle=_g_hitcount_oracle())
+def graphite_hitcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/Y65+: graphite ``hitcount(series, '15min')`` over the 10-min
+    metric grid — the rate→count re-bucketing where points STRADDLE
+    bucket boundaries (600 s steps into 900 s buckets), so the
+    proportional split path is exercised, not just the aligned case.
+    Values fold through DECIMAL(38,12) (integer overlaps × exact-decimal
+    rates) so both engines sum exactly; one sequence-explode + one
+    (metric, bucket) partial-agg exchange."""
+    from whisper_pandas_spark.functions.graphite import hitcount
+    from whisper_pandas_spark.queries_round6 import _metric_series
+
+    s = _metric_series(spark, sf_dir).where(F.col("value").isNotNull())
+    s = s.withColumn("value", F.col("value").cast("decimal(38,12)"))
+    out = hitcount(s, 900, step_s=600)
+    return out.select(
+        "metric",
+        "timestamp",
+        F.round(F.col("value").cast("double") + 1e-9, 6).alias("value"),
+    ).orderBy("metric", "timestamp")
