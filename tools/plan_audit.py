@@ -140,6 +140,8 @@ AUDITED = [
     # round-8 entries
     "mmr_diversified_ann",
     "graphite_integral_by_interval",
+    "dedup_fuzzy_passjoin",
+    "graphite_hitcount",
 ]
 
 
