@@ -647,12 +647,15 @@ def fuzzy_pairs_passjoin(
     norm = F.substring(
         F.concat_ws(" ", tokenize(F.col(text_col))), 1, prefix_len
     )
-    base = df.select(
+    base0 = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("doc_id"),
         norm.alias("norm"),
         F.length(norm).alias("ln"),
-    ).where(F.col("ln") > 0)
+    )
+    # segmentation needs at least one char; ln == 0 docs still
+    # participate through the short-string branch and the verify side
+    base = base0.where(F.col("ln") > 0)
 
     def seg_pos(i, ln):  # 1-based start of segment i in a length-ln string
         return F.floor(i * ln / nseg) + 1
@@ -739,10 +742,10 @@ def fuzzy_pairs_passjoin(
     # index never stores. Pair those few docs all-against any partner
     # within the length window directly (both sets are tiny by
     # construction: norms < k+1 resp. < 2k+1 chars).
-    shorts = base.where(F.col("ln") < nseg).select(
+    shorts = base0.where(F.col("ln") < nseg).select(
         "block", F.col("doc_id").alias("doc_a"), F.col("ln").alias("la")
     )
-    near = base.where(F.col("ln") < nseg + max_edit).select(
+    near = base0.where(F.col("ln") < nseg + max_edit).select(
         "block", F.col("doc_id").alias("doc_b"), F.col("ln").alias("lb")
     )
     short_pairs = (
@@ -758,12 +761,12 @@ def fuzzy_pairs_passjoin(
         .distinct()
     )
     pairs = pairs.unionByName(short_pairs).distinct()
-    a = base.select(
+    a = base0.select(
         F.col("doc_id").alias("doc_i"),
         F.col("norm").alias("n_i"),
         F.col("ln").alias("l_i"),
     )
-    b = base.select(
+    b = base0.select(
         F.col("doc_id").alias("doc_j"),
         F.col("norm").alias("n_j"),
         F.col("ln").alias("l_j"),
