@@ -1982,6 +1982,7 @@ def test_fuzzy_passjoin_equals_blocked_allpairs(spark):
         (7, "en", "abc"),                                   # short string
         (8, "en", "abcd"),                                  # short, 1 edit away
         (9, "en", "xyz"),                                   # short, far
+        (10, "en", "!!!"),                                  # EMPTY normalization
     ]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
 
@@ -1996,4 +1997,5 @@ def test_fuzzy_passjoin_equals_blocked_allpairs(spark):
     got = {(i, j) for i, j, _ in passj}
     assert (1, 2) in got and (1, 3) in got          # sub + indel found
     assert (7, 8) in got and (7, 9) in got          # short-string branch
+    assert (7, 10) in got                           # empty-norm doc pairs too
     assert all(i != 6 and j != 6 for i, j in got)   # block respected
