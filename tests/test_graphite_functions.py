@@ -601,3 +601,63 @@ def test_round8_batch3_series_ops(spark):
         g.group_by_nodes(df, "nope", 0)
     with _pt.raises(ValueError):
         g.group_by_nodes(df, "sum")
+
+
+def test_round8_batch4_interpolate_and_summarize(spark):
+    rows = [("m", t, v) for t, v in
+            [(0, None), (10, 10.0), (20, None), (30, None), (40, 40.0),
+             (50, None), (60, 70.0), (70, None)]]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    got = _vals(g.interpolate(df), "m")
+    # leading/trailing stay null; 20/30 linearly between 10 and 40;
+    # 50 between 40 and 70
+    assert got == [None, 10.0, 20.0, 30.0, 40.0, 55.0, 70.0, None]
+    # limit=1: the 2-slot run (20,30) stays null, the 1-slot run fills
+    lim = _vals(g.interpolate(df, limit=1), "m")
+    assert lim == [None, 10.0, None, None, 40.0, 55.0, 70.0, None]
+
+    # smartSummarize anchors at the series' first ts (5), not the epoch
+    rows2 = [("s", 5 + 10 * i, float(i)) for i in range(6)]
+    df2 = spark.createDataFrame(rows2, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    sm = {
+        int(r["timestamp"].timestamp()): r["value"]
+        for r in g.smart_summarize(df2, 30, "sum").collect()
+    }
+    assert sm == {5: 0 + 1 + 2.0, 35: 3 + 4 + 5.0}
+
+
+def test_round8_batch4_path_ops(spark):
+    rows = [("app.db.host1.req", 0, 1.0), ("app.db.host2.req", 0, 2.0),
+            ("app.web.host1.req", 0, 4.0)]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    # drop node 2 (hostN): db series fold together
+    ag = {r["metric"]: r["value"] for r in
+          g.aggregate_with_wildcards(df, "sum", 2).collect()}
+    assert ag == {"app.db.req": 3.0, "app.web.req": 4.0}
+    assert {r["metric"] for r in g.alias_by_metric(df).collect()} == {"req"}
+    assert {r["metric"] for r in g.substr_metric(df, 1, 3).collect()} == {
+        "db.host1", "db.host2", "web.host1",
+    }
+    assert {r["metric"] for r in g.substr_metric(df, 2).collect()} == {
+        "host1.req", "host2.req",
+    }
+    cl = g.constant_line(df, 9.5).collect()
+    assert len(cl) == 1 and cl[0]["value"] == 9.5
+    al = {r["metric"]: r["value"] for r in g.aggregate_line(df, "max").collect()}
+    assert al["app.db.host1.req"] == 1.0
+
+    # removeEmptySeries / unique
+    rows2 = [("a", 0, None), ("a", 10, None), ("b", 0, 1.0),
+             ("b", 0, 3.0)]  # duplicate slot
+    df2 = spark.createDataFrame(rows2, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    assert {r["metric"] for r in g.remove_empty_series(df2).collect()} == {"b"}
+    u = g.unique_series(df2.where(F.col("metric") == "b")).collect()
+    assert len(u) == 1 and u[0]["value"] == 3.0

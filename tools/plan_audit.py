@@ -142,6 +142,7 @@ AUDITED = [
     "graphite_integral_by_interval",
     "dedup_fuzzy_passjoin",
     "graphite_hitcount",
+    "graphite_interpolate",
 ]
 
 

@@ -994,3 +994,143 @@ def weighted_average(
         )
     )
     return out
+
+
+# -- round-8 tail, fourth batch ----------------------------------------------
+
+
+def interpolate(df: DataFrame, limit: int | None = None) -> DataFrame:
+    """graphite ``interpolate(seriesList[, limit])`` — fill null slots by
+    LINEAR interpolation between the nearest non-null neighbours; runs
+    longer than ``limit`` slots stay null (graphite's inf default), and
+    leading/trailing nulls stay null (no extrapolation).
+
+    One ordered per-series window pass: previous/next anchor values and
+    their row distances via last/first(ignorenulls) + row-number
+    arithmetic — no Python, no self-join."""
+    w = _series_window()
+    rn = F.row_number().over(w)
+    df2 = df.withColumn("__rn", rn)
+    wprev = w.rowsBetween(Window.unboundedPreceding, 0)
+    wnext = w.rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last(_VAL, ignorenulls=True).over(wprev)
+    prev_rn = F.last(
+        F.when(F.col(_VAL).isNotNull(), F.col("__rn")), ignorenulls=True
+    ).over(wprev)
+    next_v = F.first(_VAL, ignorenulls=True).over(wnext)
+    next_rn = F.first(
+        F.when(F.col(_VAL).isNotNull(), F.col("__rn")), ignorenulls=True
+    ).over(wnext)
+    gap = next_rn - prev_rn
+    filled = prev_v + (next_v - prev_v) * (F.col("__rn") - prev_rn) / gap
+    ok = prev_rn.isNotNull() & next_rn.isNotNull()
+    if limit is not None:
+        ok = ok & (gap <= limit + 1)
+    out = F.when(F.col(_VAL).isNotNull(), F.col(_VAL)).otherwise(
+        F.when(ok, filled)
+    )
+    return df2.withColumn(_VAL, out).drop("__rn")
+
+
+def smart_summarize(df: DataFrame, interval_s: int, func: str = "sum") -> DataFrame:
+    """graphite ``smartSummarize(series, interval, func)`` — like
+    :func:`summarize` but buckets anchor at each SERIES' first timestamp
+    instead of the epoch (graphite-web's "smart" alignment), so partial
+    leading buckets never occur."""
+    if interval_s < 1:
+        raise ValueError("interval_s must be >= 1")
+    if func not in _AGGS:
+        raise ValueError(f"func must be one of {sorted(_AGGS)}, got {func!r}")
+    t = F.unix_timestamp(F.col(_TS))
+    t0 = F.min(t).over(Window.partitionBy(_METRIC))
+    bucket = t0 + F.floor((t - t0) / interval_s) * interval_s
+    tagged = df.withColumn("__b", F.timestamp_seconds(bucket))
+    return (
+        tagged.groupBy(_METRIC, F.col("__b").alias(_TS))
+        .agg(_AGGS[func](_VAL).alias(_VAL))
+    )
+
+
+def aggregate_with_wildcards(
+    df: DataFrame, agg: str, *drop_nodes: int
+) -> DataFrame:
+    """graphite ``sumSeriesWithWildcards`` / ``averageSeriesWithWildcards
+    (seriesList, *positions)`` — group series whose paths match after
+    DROPPING the named node positions (the complement of groupByNodes:
+    those name the KEPT key); pointwise aggregate per remaining path."""
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
+    dropped = set(drop_nodes)
+    parts = F.split(F.col(_METRIC), r"\.")
+    kept = F.filter(parts, lambda _x, i: ~i.isin(*[F.lit(d) for d in dropped]))
+    key = F.concat_ws(".", kept)
+    return (
+        df.groupBy(key.alias(_METRIC), F.col(_TS))
+        .agg(_AGGS[agg](_VAL).alias(_VAL))
+    )
+
+
+def alias_by_metric(df: DataFrame) -> DataFrame:
+    """graphite ``aliasByMetric(seriesList)`` — strip the path down to
+    its LAST node."""
+    parts = F.split(F.col(_METRIC), r"\.")
+    return df.withColumn(
+        _METRIC, F.element_at(parts, F.size(parts))
+    )
+
+
+def substr_metric(df: DataFrame, start: int, stop: int | None = None) -> DataFrame:
+    """graphite ``substr(seriesList, start[, stop])`` — keep path nodes
+    [start, stop) (0-based, stop exclusive; None = to the end), the
+    render API's path-trimming companion to aliasByNode."""
+    parts = F.split(F.col(_METRIC), r"\.")
+    n = F.size(parts)
+    stop_ix = F.lit(stop).cast("int") if stop is not None else n
+    sliced = F.slice(
+        parts, start + 1, F.greatest(stop_ix - start, F.lit(0))
+    )
+    return df.withColumn(_METRIC, F.concat_ws(".", sliced))
+
+
+def constant_line(df: DataFrame, value: float, name: str = "constantLine") -> DataFrame:
+    """graphite ``constantLine(value)`` — a flat series at ``value`` over
+    the timestamps present in the frame (the render API draws it across
+    the requested window; here the slot set defines the window)."""
+    return (
+        df.select(_TS)
+        .distinct()
+        .select(
+            F.lit(name).alias(_METRIC),
+            F.col(_TS),
+            F.lit(float(value)).alias(_VAL),
+        )
+    )
+
+
+def aggregate_line(df: DataFrame, func: str = "avg") -> DataFrame:
+    """graphite ``aggregateLine(seriesList, func)`` — per series, a flat
+    line at the aggregate of its values (avg/min/max), spanning the
+    series' own slots."""
+    if func not in ("avg", "min", "max"):
+        raise ValueError(f"func must be avg|min|max, got {func!r}")
+    w = Window.partitionBy(_METRIC)
+    return _with_value(df, _AGGS[func](_VAL).over(w))
+
+
+def remove_empty_series(df: DataFrame) -> DataFrame:
+    """graphite ``removeEmptySeries(seriesList)`` — drop series whose
+    every slot is null."""
+    w = Window.partitionBy(_METRIC)
+    return (
+        df.withColumn("__n", F.count(_VAL).over(w))
+        .where(F.col("__n") > 0)
+        .drop("__n")
+    )
+
+
+def unique_series(df: DataFrame) -> DataFrame:
+    """graphite ``unique(seriesList)`` — drop duplicate (metric,
+    timestamp) slots, keeping the maximum value per slot (a DataFrame
+    has no series-list order to keep "the first", so the deterministic
+    representative is documented here)."""
+    return df.groupBy(_METRIC, _TS).agg(F.max(_VAL).alias(_VAL))

@@ -287,3 +287,69 @@ def graphite_hitcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp",
         F.round(F.col("value").cast("double") + 1e-9, 6).alias("value"),
     ).orderBy("metric", "timestamp")
+
+
+# -- graphite interpolate: gap-fill window entry ------------------------------
+
+
+def _g_interp_oracle() -> str:
+    from whisper_pandas_spark.queries_round6 import _METRIC_SERIES_SQL
+
+    return f"""
+WITH series AS ({_METRIC_SERIES_SQL}),
+gapped AS (
+  SELECT metric, timestamp,
+         CASE WHEN (epoch(timestamp)::BIGINT // 600) % 7 = 3
+              THEN NULL ELSE value END AS value
+  FROM series
+), numbered AS (
+  SELECT metric, timestamp, value,
+         row_number() OVER (PARTITION BY metric ORDER BY timestamp) AS r
+  FROM gapped
+), anchored AS (
+  SELECT metric, timestamp, value, r,
+         last_value(value IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN value IS NOT NULL THEN r END IGNORE NULLS)
+           OVER wp AS pr,
+         first_value(value IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN value IS NOT NULL THEN r END IGNORE NULLS)
+           OVER wn AS nr
+  FROM numbered
+  WINDOW wp AS (PARTITION BY metric ORDER BY timestamp
+                ROWS UNBOUNDED PRECEDING),
+         wn AS (PARTITION BY metric ORDER BY timestamp
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT metric, timestamp,
+       round(CASE WHEN value IS NOT NULL THEN value
+                  WHEN pr IS NOT NULL AND nr IS NOT NULL
+                  THEN pv + (nv - pv) * (r - pr) / (nr - pr)
+             END + 1e-9, 6) AS value
+FROM anchored ORDER BY metric, timestamp
+"""
+
+
+@register("graphite_interpolate", oracle=_g_interp_oracle())
+def graphite_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/Y65+: graphite ``interpolate(seriesList)`` — every 7th grid
+    slot nulled deterministically (epoch-bucket mod), then linear
+    gap-fill between the nearest non-null neighbours via ONE ordered
+    per-series window pass (last/first IGNORE NULLS + row-number
+    arithmetic, functions/graphite.py:interpolate). The oracle replays
+    the identical window formulation, fill expression in the same
+    operation order, so the filled doubles hash-match."""
+    from whisper_pandas_spark.functions.graphite import interpolate
+    from whisper_pandas_spark.queries_round6 import _metric_series
+
+    s = _metric_series(spark, sf_dir)
+    gap = F.when(
+        F.pmod((F.unix_timestamp("timestamp") / 600).cast("long"), F.lit(7))
+        != 3,
+        F.col("value"),
+    )
+    out = interpolate(s.withColumn("value", gap))
+    return out.select(
+        "metric",
+        "timestamp",
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
+    ).orderBy("metric", "timestamp")
