@@ -1999,3 +1999,39 @@ def test_fuzzy_passjoin_equals_blocked_allpairs(spark):
     assert (7, 8) in got and (7, 9) in got          # short-string branch
     assert (7, 10) in got                           # empty-norm doc pairs too
     assert all(i != 6 and j != 6 for i, j in got)   # block respected
+
+
+def test_quality_temperature_sample(spark):
+    """Acceptance replays the exact integer test (Python md5 replay);
+    sharper temperature keeps a SUBSET (acceptance shrinks with p for
+    quality < 1); quality 1.0 always kept, 0.0 never; bounds raise."""
+    import hashlib
+
+    import pytest as _pt
+
+    from whisper_pandas_spark.operators.sampling import (
+        quality_temperature_sample,
+    )
+
+    rows = [(i, [0.0, 0.25, 0.5, 0.75, 0.9, 1.0][i % 6]) for i in range(600)]
+    df = spark.createDataFrame(rows, "k long, q double")
+
+    def py_kept(p):
+        out = set()
+        for k, q in rows:
+            u = int(hashlib.md5(f"0:{k}".encode()).hexdigest()[:8], 16)
+            qm = round(q * 1_000_000)
+            if u * 10 ** (6 * p) < qm**p * (1 << 32):
+                out.add(k)
+        return out
+
+    for p in (1, 2, 4):
+        got = {r["k"] for r in quality_temperature_sample(df, "k", "q", p).collect()}
+        assert got == py_kept(p), p
+    k1, k2, k4 = py_kept(1), py_kept(2), py_kept(4)
+    assert k4 <= k2 <= k1 and len(k4) < len(k1)
+    ones = {k for k, q in rows if q == 1.0}
+    zeros = {k for k, q in rows if q == 0.0}
+    assert ones <= k4 and not (zeros & k1)
+    with _pt.raises(ValueError):
+        quality_temperature_sample(df, "k", "q", 5)

@@ -143,6 +143,7 @@ AUDITED = [
     "dedup_fuzzy_passjoin",
     "graphite_hitcount",
     "graphite_interpolate",
+    "sample_quality_temperature",
 ]
 
 

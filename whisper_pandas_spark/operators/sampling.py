@@ -305,3 +305,44 @@ def weighted_sample_k(
         .withColumn("rank_key", F.round(F.col("__rk"), 12))
         .drop("__rk")
     )
+
+
+def quality_temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    quality_col: str,
+    inv_temperature: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """Quality-weighted IMPORTANCE sampling with an integer temperature:
+    keep each row with probability ``quality^inv_temperature`` (quality
+    in [0, 1]; ``inv_temperature`` = 1/T, so 2 = sharpen toward
+    high-quality docs, 1 = proportional, higher = sharper) — the
+    standard curation move for up-weighting high-quality text without a
+    hard threshold.
+
+    Deterministic and engine-exact: the uniform draw is the md5 bucket
+    of the key (re-runs/appends keep decisions stable, like every
+    sampler here), and the acceptance test is pure INTEGER arithmetic —
+    quality quantized to millionths, both sides of
+
+        u * 10^(6*p)  <  qm^p * 2^32      (p = inv_temperature)
+
+    folded through DECIMAL(38,0) — so no pow()/exp() ever runs and the
+    kept set replays bit-for-bit in DuckDB (pow is exp∘ln on most
+    engines and NOT cross-engine stable). p <= 4 keeps both sides
+    under DECIMAL(38)'s range (u*10^24 < 4.3e33, qm^4*2^32 < 4.3e33).
+    One scan, zero shuffles."""
+    if not 1 <= inv_temperature <= 4:
+        raise ValueError("inv_temperature must be in [1, 4]")
+    u = hash_bucket(F.col(key_col), seed).cast("decimal(38,0)")
+    qm = F.round(F.col(quality_col) * 1_000_000, 0).cast("decimal(38,0)")
+    p = inv_temperature
+    # 10^(6p) exceeds a Java long at p >= 4 — route big literals through
+    # an explicit DECIMAL cast expression
+    lhs = u * F.expr(f"CAST({10 ** (6 * p)} AS DECIMAL(38,0))")
+    rhs = F.expr("CAST(1 AS DECIMAL(38,0))")
+    for _ in range(p):
+        rhs = rhs * qm
+    rhs = rhs * F.expr(f"CAST({BUCKET_SPACE} AS DECIMAL(38,0))")
+    return df.filter(lhs < rhs)

@@ -353,3 +353,80 @@ def graphite_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timestamp",
         F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
     ).orderBy("metric", "timestamp")
+
+
+# -- quality-temperature importance sampling ----------------------------------
+
+
+def _qts_oracle() -> str:
+    from whisper_pandas_spark.operators.sampling import duck_hash_bucket
+    from whisper_pandas_spark.operators.textstats import STOPWORDS
+    from whisper_pandas_spark.queries_dedup import _DUCK_TOKS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    u = duck_hash_bucket("doc_id", seed=0)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, {_DUCK_TOKS} AS t,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct
+  FROM documents
+), ratios AS (
+  SELECT doc_id, lang,
+    punct::DOUBLE / n_chars AS punct_ratio,
+    len(list_filter(t, x -> x IN ({stop_list})))::DOUBLE / len(t)
+      AS stop_ratio,
+    CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END AS length_ok
+  FROM base
+), scored AS (
+  SELECT doc_id, lang,
+    round(0.4 * length_ok + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+          + 0.3 * least(stop_ratio * 10, 1.0), 6) AS quality
+  FROM ratios
+), kept AS (
+  SELECT doc_id, lang, quality FROM scored
+  WHERE CAST({u} AS DECIMAL(38,0)) * CAST(1000000000000 AS DECIMAL(38,0))
+      < CAST(round(quality * 1000000, 0) AS DECIMAL(38,0))
+        * CAST(round(quality * 1000000, 0) AS DECIMAL(38,0))
+        * CAST(4294967296 AS DECIMAL(38,0))
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       round(sum(CAST(quality AS DECIMAL(38,12)))::DOUBLE + 1e-9, 6)
+         AS sum_quality
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+@register("sample_quality_temperature", oracle=_qts_oracle())
+def sample_quality_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y+: quality-weighted importance sampling at 1/T = 2
+    (operators/sampling.py:quality_temperature_sample) — every doc kept
+    with probability quality², decided by its own md5 uniform: the
+    no-threshold curation upsampler. The acceptance test is exact
+    integer DECIMAL arithmetic (no pow/exp), so the kept SET — checked
+    here via per-lang counts + id sums + quality mass — replays
+    bit-for-bit in DuckDB."""
+    from whisper_pandas_spark.operators.sampling import (
+        quality_temperature_sample,
+    )
+    from whisper_pandas_spark.operators.textstats import quality_score
+
+    docs = _table(spark, sf_dir, "documents")
+    scored = quality_score(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    kept = quality_temperature_sample(scored, "doc_id", "quality", 2, seed=0)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(38,12)")).cast("double")
+                + 1e-9,
+                6,
+            ).alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )
