@@ -2035,3 +2035,53 @@ def test_quality_temperature_sample(spark):
     assert ones <= k4 and not (zeros & k1)
     with _pt.raises(ValueError):
         quality_temperature_sample(df, "k", "q", 5)
+
+
+def test_holt_winters_matches_python_fold(spark):
+    """holt_winters_forecast replays an INDEPENDENT Python fold of the
+    Brutlag recursions exactly (level/trend/seasonal/deviation state,
+    time-anchored phases, m=3 bands); validation errors raise."""
+    import numpy as np
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.forecast import holt_winters_forecast
+
+    rng = np.random.default_rng(11)
+    P, res, n, base = 5, 30, 43, 1_600_000_060  # offset, partial seasons
+    vals = np.round(20 + 8 * np.sin(2 * np.pi * np.arange(n) / P)
+                    + rng.normal(0, 0.5, n), 3)
+    rows = [("m", base + res * i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("ts"), "value"
+    )
+    a, b_, g, m = 0.2, 0.05, 0.3, 2.0
+    out = {r["h"]: r for r in holt_winters_forecast(
+        df, ("metric",), "ts", "value", P, res, a, b_, g, horizon=7, m=m
+    ).collect()}
+
+    ts = [(base // res + i) for i in range(n)]
+    l, b = float(vals[0]), 0.0
+    s, d = [0.0] * P, [0.0] * P
+    for i in range(1, n):
+        ph = ts[i] % P
+        pred = l + b + s[ph]
+        nl = a * (vals[i] - s[ph]) + (1 - a) * (l + b)
+        nb = b_ * (nl - l) + (1 - b_) * b
+        ns = g * (vals[i] - nl) + (1 - g) * s[ph]
+        nd = g * abs(vals[i] - pred) + (1 - g) * d[ph]
+        l, b, s[ph], d[ph] = nl, nb, ns, nd
+    for h in range(1, 8):
+        ph = (ts[-1] + h) % P
+        fc = l + h * b + s[ph]
+        r = out[h]
+        assert abs(r["forecast"] - round(fc, 6)) < 1e-9, h
+        assert abs(r["lower"] - round(fc - m * d[ph], 6)) < 1e-9, h
+        assert abs(r["upper"] - round(fc + m * d[ph], 6)) < 1e-9, h
+    # bands contain the forecast and are symmetric
+    assert all(out[h]["lower"] <= out[h]["forecast"] <= out[h]["upper"]
+               for h in out)
+    with _pt.raises(ValueError):
+        holt_winters_forecast(df, ("metric",), "ts", "value", 1, res)
+    with _pt.raises(ValueError):
+        holt_winters_forecast(df, ("metric",), "ts", "value", P, res, alpha=0.0)

@@ -144,6 +144,7 @@ AUDITED = [
     "graphite_hitcount",
     "graphite_interpolate",
     "sample_quality_temperature",
+    "ts_holtwinters_forecast",
 ]
 
 

@@ -430,3 +430,132 @@ def sample_quality_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- Holt-Winters / Brutlag seasonal forecast ---------------------------------
+
+_HWF_P = 24        # season = 24 slots of the 600 s grid (4 h)
+_HWF_RES = 600
+_HWF_H = 12
+_HWF_A, _HWF_B, _HWF_G = "0.1", "0.0035", "0.1"  # graphite-web defaults
+_HWF_M = "3.0"     # Brutlag band multiplier
+
+
+def _hw_oracle() -> str:
+    P = _HWF_P
+    A = f"CAST({_HWF_A} AS DOUBLE)"
+    B = f"CAST({_HWF_B} AS DOUBLE)"
+    G = f"CAST({_HWF_G} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    # flat list state [l, b, s_0..s_{P-1}, d_0..d_{P-1}] (the holt-oracle
+    # lesson: DuckDB struct accumulators mis-evaluate; lists fold right).
+    # Elements are [x, phase] — also LIST(DOUBLE), so types line up.
+    PH = "CAST(cur[2] AS INT)"
+    LS = f"acc[3 + {PH}]"
+    NL = f"{A} * (cur[1] - {LS}) + ({one} - {A}) * (acc[1] + acc[2])"
+    NB = f"{B} * (({NL}) - acc[1]) + ({one} - {B}) * acc[2]"
+    NS = f"{G} * (cur[1] - ({NL})) + ({one} - {G}) * {LS}"
+    ND = (
+        f"{G} * abs(cur[1] - (acc[1] + acc[2] + {LS}))"
+        f" + ({one} - {G}) * acc[3 + {P} + {PH}]"
+    )
+    step = (
+        f"[({NL}), ({NB})]"
+        f" || acc[3 : 2 + {PH}] || [({NS})] || acc[4 + {PH} : 2 + {P}]"
+        f" || acc[3 + {P} : 2 + {P} + {PH}] || [({ND})]"
+        f" || acc[4 + {P} + {PH} : 2 + 2 * {P}]"
+    )
+    zeros = ", ".join(["CAST(0.0 AS DOUBLE)"] * (2 * P))
+    return f"""
+WITH series AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {_HWF_RES}) AS t,
+         round(avg(value), 6) AS value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, t
+), packed AS (
+  SELECT event_type,
+         list([value::DOUBLE, (t % {P})::DOUBLE] ORDER BY t) AS es,
+         list(t ORDER BY t) AS ts,
+         count(*) AS n_points
+  FROM series GROUP BY event_type
+), st AS (
+  SELECT event_type, n_points, ts[len(ts)] AS tn,
+    list_reduce(
+      list_prepend([es[1][1], CAST(0.0 AS DOUBLE), {zeros}], es[2:]),
+      (acc, cur) -> {step}
+    ) AS s
+  FROM packed WHERE n_points >= 2
+)
+SELECT event_type, CAST(n_points AS BIGINT) AS n_points,
+       CAST(h.range + 1 AS INT) AS h,
+       -- double rounding mirrors the Spark side exactly: the operator
+       -- rounds to 6, the entry re-rounds with the +1e-9 tie nudge
+       round(round(s[1] + CAST(h.range + 1 AS DOUBLE) * s[2]
+             + s[3 + CAST((tn + h.range + 1) % {P} AS INT)], 6) + 1e-9, 6)
+         AS forecast,
+       round(round(s[1] + CAST(h.range + 1 AS DOUBLE) * s[2]
+             + s[3 + CAST((tn + h.range + 1) % {P} AS INT)]
+             - CAST({_HWF_M} AS DOUBLE)
+               * s[3 + {P} + CAST((tn + h.range + 1) % {P} AS INT)], 6)
+             + 1e-9, 6) AS lower,
+       round(round(s[1] + CAST(h.range + 1 AS DOUBLE) * s[2]
+             + s[3 + CAST((tn + h.range + 1) % {P} AS INT)]
+             + CAST({_HWF_M} AS DOUBLE)
+               * s[3 + {P} + CAST((tn + h.range + 1) % {P} AS INT)], 6)
+             + 1e-9, 6) AS upper
+FROM st, range(0, {_HWF_H}) h
+ORDER BY event_type, h
+"""
+
+
+@register("ts_holtwinters_forecast", oracle=_hw_oracle())
+def ts_holtwinters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+/S10+: Holt-Winters additive seasonal forecast with Brutlag
+    confidence bands (operators/forecast.py:holt_winters_forecast — the
+    recursion behind graphite's holtWinters* family, published in
+    Brutlag LISA 2000; graphite's default alpha/beta/gamma and m=3).
+    Per event_type over the 600 s average grid, season = 24 slots,
+    12-step horizon. The oracle replays the ENTIRE (l, b, s[24], d[24])
+    fold as one DuckDB list_reduce over a flat 50-double state list —
+    expression-identical text, so every forecast and band hash-matches
+    bit-for-bit."""
+    from whisper_pandas_spark.operators.forecast import holt_winters_forecast
+
+    ev = _table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    grid = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_timestamp("ts") / _HWF_RES).cast("long").alias("__t"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+        .select(
+            "event_type",
+            F.timestamp_seconds(F.col("__t") * _HWF_RES).alias("ts"),
+            "value",
+        )
+    )
+    out = holt_winters_forecast(
+        grid,
+        ("event_type",),
+        "ts",
+        "value",
+        _HWF_P,
+        _HWF_RES,
+        float(_HWF_A),
+        float(_HWF_B),
+        float(_HWF_G),
+        horizon=_HWF_H,
+        m=float(_HWF_M),
+    )
+    eps = F.lit(1e-9)
+    return out.select(
+        "event_type",
+        F.col("n_points").cast("long").alias("n_points"),
+        "h",
+        F.round(F.col("forecast") + eps, 6).alias("forecast"),
+        F.round(F.col("lower") + eps, 6).alias("lower"),
+        F.round(F.col("upper") + eps, 6).alias("upper"),
+    ).orderBy("event_type", "h")
