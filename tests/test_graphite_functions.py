@@ -661,3 +661,57 @@ def test_round8_batch4_path_ops(spark):
     assert {r["metric"] for r in g.remove_empty_series(df2).collect()} == {"b"}
     u = g.unique_series(df2.where(F.col("metric") == "b")).collect()
     assert len(u) == 1 and u[0]["value"] == 3.0
+
+
+def test_holt_winters_per_point_face(spark):
+    """Per-point prediction/bands/aberration replay an independent
+    Python fold; the operator-face horizon forecast (tested in
+    test_extensions) shares the recursion; aberration is 0 inside the
+    band and the signed excess outside."""
+    import numpy as np
+
+    from whisper_pandas_spark.operators.forecast import holt_winters_forecast
+
+    rng = np.random.default_rng(21)
+    P, res, n, base = 4, 60, 24, 1_600_000_000
+    vals = np.round(10 + 5 * np.sin(2 * np.pi * np.arange(n) / P)
+                    + rng.normal(0, 0.3, n), 3)
+    vals[17] += 30.0  # planted spike must show as positive aberration
+    rows = [("m", base + res * i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    a, b_, gm, m = 0.3, 0.05, 0.4, 2.0
+    got = {
+        int(r["timestamp"].timestamp()): r
+        for r in g.holt_winters(df, P, res, a, b_, gm, m).collect()
+    }
+    # independent fold
+    t = [(base // res + i) for i in range(n)]
+    l, b = float(vals[0]), 0.0
+    s, d = [0.0] * P, [0.0] * P
+    exp_pred = {t[0] * res - (base - base): (base, float(vals[0]), 0.0)}
+    preds = {base: (float(vals[0]), 0.0)}
+    for i in range(1, n):
+        ph = t[i] % P
+        p_i = l + b + s[ph]
+        preds[base + res * i] = (p_i, d[ph])
+        nl = a * (vals[i] - s[ph]) + (1 - a) * (l + b)
+        nb = b_ * (nl - l) + (1 - b_) * b
+        ns = gm * (vals[i] - nl) + (1 - gm) * s[ph]
+        nd = gm * abs(vals[i] - p_i) + (1 - gm) * d[ph]
+        l, b, s[ph], d[ph] = nl, nb, ns, nd
+    for ts_abs, (p_i, dv) in preds.items():
+        r = got[ts_abs]
+        assert abs(r["prediction"] - p_i) < 1e-9
+        assert abs(r["lower"] - (p_i - m * dv)) < 1e-9
+        assert abs(r["upper"] - (p_i + m * dv)) < 1e-9
+        x = r["value"]
+        if x > r["upper"]:
+            assert abs(r["aberration"] - (x - r["upper"])) < 1e-9
+        elif x < r["lower"]:
+            assert abs(r["aberration"] - (x - r["lower"])) < 1e-9
+        else:
+            assert r["aberration"] == 0.0
+    spike = got[base + res * 17]
+    assert spike["aberration"] > 10.0  # the planted anomaly fires

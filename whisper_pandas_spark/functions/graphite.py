@@ -1134,3 +1134,82 @@ def unique_series(df: DataFrame) -> DataFrame:
     has no series-list order to keep "the first", so the deterministic
     representative is documented here)."""
     return df.groupBy(_METRIC, _TS).agg(F.max(_VAL).alias(_VAL))
+
+
+# -- holtWinters* family (per-point render face) ------------------------------
+
+
+def holt_winters(
+    df: DataFrame,
+    period: int,
+    resolution: int,
+    alpha: float = 0.1,
+    beta: float = 0.0035,
+    gamma: float = 0.1,
+    m: float = 3.0,
+) -> DataFrame:
+    """graphite ``holtWintersForecast`` / ``holtWintersConfidenceBands``
+    / ``holtWintersAberration`` in one pass: per point, the
+    one-step-ahead Brutlag prediction (state BEFORE the point), the
+    ±m·deviation band, and the aberration (excess beyond the band, 0
+    inside it) — the published aberrant-behaviour method (Brutlag,
+    LISA 2000) with graphite-web's default parameters.
+
+    Output: (metric, timestamp, value, prediction, lower, upper,
+    aberration). The horizon-forecast face of the same recursion lives
+    in operators/forecast.py:holt_winters_forecast (expression fold,
+    oracle-replayable); THIS per-point face needs every intermediate
+    prediction, so it runs the fold in ONE Arrow ``applyInPandas`` pass
+    per series — numpy per group, no shuffle beyond the series groupBy,
+    identical recursion (asserted equal in tests)."""
+    if period < 2 or resolution < 1:
+        raise ValueError("period must be >= 2 and resolution >= 1")
+
+    import numpy as np
+    import pandas as pd
+
+    P = period
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(_TS).reset_index(drop=True)
+        t = (pdf[_TS].astype("int64") // 10**9 // resolution).to_numpy()
+        x = pdf[_VAL].to_numpy(dtype=float)
+        n = len(pdf)
+        pred = np.full(n, np.nan)
+        dev = np.full(n, np.nan)
+        if n:
+            l, b = x[0], 0.0
+            s = np.zeros(P)
+            d = np.zeros(P)
+            pred[0], dev[0] = x[0], 0.0
+            for i in range(1, n):
+                ph = int(t[i] % P)
+                p_i = l + b + s[ph]
+                nl = alpha * (x[i] - s[ph]) + (1 - alpha) * (l + b)
+                nb = beta * (nl - l) + (1 - beta) * b
+                ns = gamma * (x[i] - nl) + (1 - gamma) * s[ph]
+                nd = gamma * abs(x[i] - p_i) + (1 - gamma) * d[ph]
+                pred[i], dev[i] = p_i, d[ph]
+                l, b, s[ph], d[ph] = nl, nb, ns, nd
+        out = pdf.copy()
+        out["prediction"] = pred
+        out["lower"] = pred - m * dev
+        out["upper"] = pred + m * dev
+        ab = np.zeros(n)
+        over = x > out["upper"].to_numpy()
+        under = x < out["lower"].to_numpy()
+        ab[over] = (x - out["upper"].to_numpy())[over]
+        ab[under] = (x - out["lower"].to_numpy())[under]
+        out["aberration"] = ab
+        return out
+
+    schema = (
+        f"{_METRIC} string, {_TS} timestamp, {_VAL} double, "
+        "prediction double, lower double, upper double, aberration double"
+    )
+    return (
+        df.select(_METRIC, _TS, _VAL)
+        .where(F.col(_VAL).isNotNull())
+        .groupBy(_METRIC)
+        .applyInPandas(fold, schema)
+    )
