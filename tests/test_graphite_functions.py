@@ -715,3 +715,45 @@ def test_holt_winters_per_point_face(spark):
             assert r["aberration"] == 0.0
     spike = got[base + res * 17]
     assert spike["aberration"] > 10.0  # the planted anomaly fires
+
+
+def test_round8_batch5(spark):
+    rows = [("m", 10 * i, v) for i, v in
+            enumerate([2.0, 4.0, 6.0, None, 10.0])]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    # EMA(window 2): seed = avg(2,4)=3 at i=1; c=2/3
+    # i=2: (2/3)*6 + (1/3)*3 = 5; i=3 null carries 5; i=4: (2/3)*10+(1/3)*5
+    ema = _vals(g.exponential_moving_average(df, 2), "m")
+    assert ema[0] is None and ema[1] == 3.0 and abs(ema[2] - 5.0) < 1e-9
+    assert abs(ema[3] - 5.0) < 1e-9
+    assert abs(ema[4] - (2/3*10 + 1/3*5)) < 1e-9
+
+    mm = _vals(g.min_max(df), "m")
+    assert mm == [0.0, 0.25, 0.5, None, 1.0]
+    flat = spark.createDataFrame([("c", 0, 7.0), ("c", 10, 7.0)],
+                                 "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    assert _vals(g.min_max(flat), "c") == [0.0, 0.0]
+
+    # timeStack: shift 20s, k in [0,2): k=1 copy lands 20s later
+    ts = g.time_stack(df.where(F.col("value").isNotNull()), 20, 0, 2)
+    got = {(r["metric"], int(r["timestamp"].timestamp())): r["value"]
+           for r in ts.collect()}
+    assert got[("m", 0)] == 2.0                       # k=0 untouched
+    assert got[("m_timeshift_-1", 20)] == 2.0         # past value on later slot
+    assert got[("m_timeshift_-1", 30)] == 4.0
+
+    # divideSeriesLists paired on node 1
+    num = spark.createDataFrame(
+        [("err.db.x", 0, 3.0), ("err.web.x", 0, 9.0)],
+        "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    den = spark.createDataFrame(
+        [("req.db.x", 0, 6.0), ("req.web.x", 0, 0.0)],
+        "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    dv = {r["metric"]: r["value"]
+          for r in g.divide_series_lists(num, den, 1).collect()}
+    assert dv == {"err.db.x": 0.5, "err.web.x": None}  # zero divisor -> null

@@ -1213,3 +1213,134 @@ def holt_winters(
         .groupBy(_METRIC)
         .applyInPandas(fold, schema)
     )
+
+
+# -- round-8 tail, fifth batch -------------------------------------------------
+
+
+def exponential_moving_average(df: DataFrame, n: int) -> DataFrame:
+    """graphite ``exponentialMovingAverage(seriesList, windowSize)`` —
+    EMA with the standard smoothing constant c = 2/(N+1); graphite
+    seeds the recursion with the SIMPLE average of the first N points
+    (its documented first-period behaviour), emitting values from point
+    N onward (earlier slots null). Sequential per series, so it runs as
+    one Arrow ``applyInPandas`` fold per series (the holtWinters-face
+    pattern); null slots carry the previous EMA forward without
+    updating it (gaps don't decay the average)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    import numpy as np
+    import pandas as pd
+
+    c = 2.0 / (n + 1.0)
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(_TS).reset_index(drop=True)
+        x = pdf[_VAL].to_numpy(dtype=float)
+        out = np.full(len(pdf), np.nan)
+        seen = 0
+        acc = 0.0
+        ema = None
+        for i in range(len(x)):
+            if np.isnan(x[i]):
+                if ema is not None:
+                    out[i] = ema
+                continue
+            if ema is None:
+                acc += x[i]
+                seen += 1
+                if seen == n:
+                    ema = acc / n
+                    out[i] = ema
+                continue
+            ema = c * x[i] + (1.0 - c) * ema
+            out[i] = ema
+        res = pdf.copy()
+        res[_VAL] = out
+        return res
+
+    schema = f"{_METRIC} string, {_TS} timestamp, {_VAL} double"
+    return (
+        df.select(_METRIC, _TS, _VAL).groupBy(_METRIC).applyInPandas(fold, schema)
+    )
+
+
+def min_max(df: DataFrame) -> DataFrame:
+    """graphite ``minMax(seriesList)`` — normalize each series to
+    [0, 1] by its own min/max; a constant series maps to 0 (graphite's
+    zero-range convention)."""
+    w = Window.partitionBy(_METRIC)
+    lo = F.min(_VAL).over(w)
+    hi = F.max(_VAL).over(w)
+    return _with_value(
+        df,
+        F.when(hi > lo, (F.col(_VAL) - lo) / (hi - lo)).otherwise(
+            F.when(F.col(_VAL).isNotNull(), F.lit(0.0))
+        ),
+    )
+
+
+def time_stack(
+    df: DataFrame, shift_s: int, start: int = 0, end: int = 7
+) -> DataFrame:
+    """graphite ``timeStack(seriesList, shiftUnit, start, end)`` — one
+    shifted copy of every series per k in [start, end): values from
+    ``k * shift_s`` seconds ago placed on today's slots, metric
+    suffixed ``_timeshift_-k`` (k=0 keeps the bare name) — the
+    week-over-week overlay. Implemented as a sequence-explode + one
+    shifted self-alignment per row: timestamps shift forward by k*shift
+    so the PAST value lands on the CURRENT slot."""
+    if shift_s < 1:
+        raise ValueError("shift_s must be >= 1")
+    if not 0 <= start < end:
+        raise ValueError("need 0 <= start < end")
+    k = F.col("__k")
+    shifted = df.select(
+        F.col(_METRIC),
+        F.col(_TS),
+        F.col(_VAL),
+        F.explode(F.sequence(F.lit(start), F.lit(end - 1))).alias("__k"),
+    ).select(
+        F.when(k == 0, F.col(_METRIC))
+        .otherwise(
+            F.concat(F.col(_METRIC), F.lit("_timeshift_-"), k.cast("string"))
+        )
+        .alias(_METRIC),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.col(_TS)) + k.cast("long") * shift_s
+        ).alias(_TS),
+        F.col(_VAL),
+    )
+    return shifted
+
+
+def divide_series_lists(
+    df: DataFrame, divisors: DataFrame, node_idx: int
+) -> DataFrame:
+    """graphite ``divideSeriesLists(dividendSeriesList,
+    divisorSeriesList)`` with the practical pairing rule: series match
+    by path node ``node_idx`` (graphite pairs by list position, which a
+    DataFrame doesn't have; node pairing is the weightedAverage
+    convention here). Pointwise dividend/divisor; zero or null divisor
+    yields null. One equi-join on (node, timestamp)."""
+    a = df.select(
+        F.col(_METRIC),
+        _node(node_idx).alias("__k"),
+        F.col(_TS),
+        F.col(_VAL).alias("__num"),
+    )
+    b = divisors.select(
+        _node(node_idx).alias("__k"),
+        F.col(_TS),
+        F.col(_VAL).alias("__den"),
+    )
+    return (
+        a.join(b, ["__k", _TS])
+        .select(
+            _METRIC,
+            _TS,
+            F.when(F.col("__den") != 0, F.col("__num") / F.col("__den")).alias(
+                _VAL
+            ),
+        )
+    )
