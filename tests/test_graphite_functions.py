@@ -757,3 +757,19 @@ def test_round8_batch5(spark):
     dv = {r["metric"]: r["value"]
           for r in g.divide_series_lists(num, den, 1).collect()}
     assert dv == {"err.db.x": 0.5, "err.web.x": None}  # zero divisor -> null
+
+
+def test_hitcount_spread_guard(spark):
+    """A pathological derived step (sparse series) fails loudly instead
+    of exploding one point into tens of thousands of buckets."""
+    import pytest as _pt
+
+    rows = [("m", 0, 1.0), ("m", 100_000_000, 2.0)]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    with _pt.raises(Exception, match="pass step_s"):
+        g.hitcount(df, 30).collect()
+    # explicit step keeps working
+    ok = g.hitcount(df, 30, step_s=10).collect()
+    assert len(ok) == 2

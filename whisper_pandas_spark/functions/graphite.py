@@ -548,8 +548,22 @@ def hitcount(df: DataFrame, interval_s: int, step_s: int | None = None) -> DataF
             raise ValueError("step_s must be >= 1")
         df = df.withColumn("__step", F.lit(step_s).cast("long"))
     end = t + F.col("__step")
-    buckets = F.sequence(
-        F.floor(t / interval_s), F.floor((end - 1) / interval_s)
+    # spread guard: a point covers ceil(step/interval)+1 buckets; a
+    # pathologically sparse series (two points a year apart) with a
+    # DERIVED step would explode one row into tens of thousands of
+    # buckets — fail loudly in-plan instead (pass step_s explicitly for
+    # genuinely coarse data)
+    chk = F.assert_true(
+        F.col("__step") <= F.lit(10_000) * interval_s,
+        F.concat(
+            F.lit("hitcount: derived step "),
+            F.col("__step").cast("string"),
+            F.lit(f" spans > 10000 buckets of {interval_s}s — pass step_s"),
+        ),
+    )
+    buckets = F.when(
+        chk.isNull(),
+        F.sequence(F.floor(t / interval_s), F.floor((end - 1) / interval_s)),
     )
     b = df.where(F.col(_VAL).isNotNull() & F.col("__step").isNotNull()).select(
         _METRIC,
