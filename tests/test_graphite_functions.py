@@ -773,3 +773,44 @@ def test_hitcount_spread_guard(spark):
     # explicit step keeps working
     ok = g.hitcount(df, 30, step_s=10).collect()
     assert len(ok) == 2
+
+
+def test_round8_batch6_pointwise_cross_series(spark):
+    rows = [("a", 0, 2.0), ("b", 0, 3.0), ("c", 0, 4.0),
+            ("a", 10, 1.0), ("b", 10, 1.0), ("c", 10, 7.0)]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    mp = {int(r["timestamp"].timestamp()): r["value"]
+          for r in g.multiply_series(df).collect()}
+    assert mp == {0: 24.0, 10: 7.0}
+    sd = {int(r["timestamp"].timestamp()): r["value"]
+          for r in g.stddev_series(df).collect()}
+    import math
+    assert abs(sd[0] - math.sqrt(2/3)) < 1e-9   # pop sd of 2,3,4
+    md = {int(r["timestamp"].timestamp()): r["value"]
+          for r in g.median_series(df).collect()}
+    assert md == {0: 3.0, 10: 1.0}
+    ag = {int(r["timestamp"].timestamp()): r["value"]
+          for r in g.aggregate_series(df, "max").collect()}
+    assert ag == {0: 4.0, 10: 7.0}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        g.aggregate_series(df, "nope")
+
+    # removeBetweenPercentile(80): per-ts band [p20, p80] over 3 values:
+    # NIST rank q80: ceil(.8*4)=4->clamp 3 -> max; q20: ceil(.2*4)=1 -> min.
+    # Band covers ALL values -> nothing outside -> everything removed...
+    # widen: use 5 series so the band is interior.
+    rows5 = [(f"s{i}", 0, float(i)) for i in range(1, 6)]
+    rows5 += [(f"s{i}", 10, 3.0) for i in range(1, 6)]  # flat slot
+    d5 = spark.createDataFrame(rows5, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    # q80 over 5 values: rank ceil(.8*6)=5 -> value 5; q20: rank ceil(.2*6)=2 -> 2
+    # outside (v>5 | v<2) at ts0: only s1 (v=1). ts10: none.
+    kept = {r["metric"] for r in g.remove_between_percentile(d5, 80).collect()}
+    assert kept == {"s1"}
+    # reflection
+    kept2 = {r["metric"] for r in g.remove_between_percentile(d5, 20).collect()}
+    assert kept2 == kept

@@ -1358,3 +1358,79 @@ def divide_series_lists(
             ),
         )
     )
+
+
+# -- round-8 tail, sixth batch -------------------------------------------------
+
+
+def _pointwise_series(df: DataFrame, agg: Column, name: str) -> DataFrame:
+    return df.groupBy(F.col(_TS)).agg(agg.alias(_VAL)).select(
+        F.lit(name).alias(_METRIC), F.col(_TS), F.col(_VAL)
+    )
+
+
+def multiply_series(df: DataFrame, name: str = "multiplySeries") -> DataFrame:
+    """graphite ``multiplySeries(seriesList)`` — pointwise product of
+    ALL series per timestamp."""
+    return _pointwise_series(df, F.product(_VAL), name)
+
+
+def stddev_series(df: DataFrame, name: str = "stddevSeries") -> DataFrame:
+    """graphite ``stddevSeries(seriesList)`` — pointwise POPULATION
+    standard deviation across series per timestamp (graphite divides by
+    the count, not n-1)."""
+    return _pointwise_series(df, F.stddev_pop(_VAL), name)
+
+
+def median_series(df: DataFrame, name: str = "medianSeries") -> DataFrame:
+    """graphite ``medianSeries(seriesList)`` — pointwise median across
+    series (exact, interpolating between the two middle values for even
+    counts — Spark's median == percentile(0.5))."""
+    return _pointwise_series(df, F.median(_VAL), name)
+
+
+def aggregate_series(df: DataFrame, func: str, name: str | None = None) -> DataFrame:
+    """graphite ``aggregate(seriesList, func)`` — the generic pointwise
+    cross-series aggregator behind sum/avg/min/max/count Series
+    (graphite 1.1's consolidated entry point)."""
+    if func not in _AGGS:
+        raise ValueError(f"func must be one of {sorted(_AGGS)}, got {func!r}")
+    return _pointwise_series(
+        df, _AGGS[func](_VAL), name or f"{func}Series"
+    )
+
+
+def remove_between_percentile(df: DataFrame, q: float) -> DataFrame:
+    """graphite ``removeBetweenPercentile(seriesList, n)`` — keep only
+    series that have at least ONE point outside the pointwise
+    [100-n, n] percentile band of all series at that timestamp
+    (graphite-web: series entirely inside the band are removed; n < 50
+    reflects). Both band edges use the NIST rank pick per timestamp."""
+    if not 0 < q <= 100:
+        raise ValueError("q must be in (0, 100]")
+    if q < 50:
+        q = 100 - q
+    hi = _nist_percentile_over(df, _VAL, [_TS], q).select(
+        F.col(_TS), F.col("_p").alias("_hi")
+    )
+    lo = _nist_percentile_over(df, _VAL, [_TS], 100 - q).select(
+        F.col(_TS), F.col("_p").alias("_lo")
+    )
+    tagged = (
+        df.join(hi, _TS, "left")
+        .join(lo, _TS, "left")
+        .withColumn(
+            "__out",
+            F.when(
+                (F.col(_VAL) > F.col("_hi")) | (F.col(_VAL) < F.col("_lo")),
+                1,
+            ).otherwise(0),
+        )
+    )
+    keep = (
+        tagged.groupBy(_METRIC)
+        .agg(F.max("__out").alias("__any"))
+        .where(F.col("__any") == 1)
+        .select(_METRIC)
+    )
+    return df.join(F.broadcast(keep), _METRIC)
