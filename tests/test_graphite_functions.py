@@ -724,10 +724,11 @@ def test_round8_batch5(spark):
         "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
     )
     # EMA(window 2): seed = avg(2,4)=3 at i=1; c=2/3
-    # i=2: (2/3)*6 + (1/3)*3 = 5; i=3 null carries 5; i=4: (2/3)*10+(1/3)*5
+    # i=2: (2/3)*6 + (1/3)*3 = 5; i=3 null in -> null out (state held);
+    # i=4: (2/3)*10+(1/3)*5 — the gap neither decays nor emits
     ema = _vals(g.exponential_moving_average(df, 2), "m")
     assert ema[0] is None and ema[1] == 3.0 and abs(ema[2] - 5.0) < 1e-9
-    assert abs(ema[3] - 5.0) < 1e-9
+    assert ema[3] is None
     assert abs(ema[4] - (2/3*10 + 1/3*5)) < 1e-9
 
     mm = _vals(g.min_max(df), "m")
@@ -775,6 +776,23 @@ def test_hitcount_spread_guard(spark):
     assert len(ok) == 2
 
 
+def test_hitcount_duplicate_timestamp_guard(spark):
+    """Duplicate timestamps derive __step = 0 (min positive-delta includes
+    0); that used to make F.sequence produce a descending range and a
+    spurious negative-overlap bucket — now the in-plan assert fires."""
+    import pytest as _pt
+
+    rows = [("m", 0, 1.0), ("m", 0, 2.0), ("m", 10, 3.0)]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+    with _pt.raises(Exception, match="pass step_s"):
+        g.hitcount(df, 30).collect()
+    # explicit step bypasses derivation and keeps working
+    ok = g.hitcount(df, 30, step_s=10).collect()
+    assert len(ok) >= 1
+
+
 def test_round8_batch6_pointwise_cross_series(spark):
     rows = [("a", 0, 2.0), ("b", 0, 3.0), ("c", 0, 4.0),
             ("a", 10, 1.0), ("b", 10, 1.0), ("c", 10, 7.0)]
@@ -802,15 +820,116 @@ def test_round8_batch6_pointwise_cross_series(spark):
     # NIST rank q80: ceil(.8*4)=4->clamp 3 -> max; q20: ceil(.2*4)=1 -> min.
     # Band covers ALL values -> nothing outside -> everything removed...
     # widen: use 5 series so the band is interior.
+    # NOTE: no flat slot — a slot where all series share one value has
+    # hi == lo == that value, so under graphite's inclusive-outside rule
+    # (keep when NOT lo < v < hi) EVERY series is outside there and the
+    # fixture stops discriminating.
     rows5 = [(f"s{i}", 0, float(i)) for i in range(1, 6)]
-    rows5 += [(f"s{i}", 10, 3.0) for i in range(1, 6)]  # flat slot
     d5 = spark.createDataFrame(rows5, "metric string, epoch long, value double").select(
         "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
     )
     # q80 over 5 values: rank ceil(.8*6)=5 -> value 5; q20: rank ceil(.2*6)=2 -> 2
-    # outside (v>5 | v<2) at ts0: only s1 (v=1). ts10: none.
+    # graphite-web keeps when NOT (lo < v < hi), edges inclusive-outside:
+    # v>=5 (s5) and v<=2 (s1, s2); s3, s4 strictly inside -> removed.
     kept = {r["metric"] for r in g.remove_between_percentile(d5, 80).collect()}
-    assert kept == {"s1"}
+    assert kept == {"s1", "s2", "s5"}
     # reflection
     kept2 = {r["metric"] for r in g.remove_between_percentile(d5, 20).collect()}
     assert kept2 == kept
+
+
+def test_round9_batch7_tail(spark):
+    # five series, two slots: values 1..5 at t0, 10..50 at t10
+    rows = [(f"s{i}", 0, float(i)) for i in range(1, 6)]
+    rows += [(f"s{i}", 10, float(10 * i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+
+    # percentileOfSeries(50): NIST rank ceil(.5*6)=3 -> 3rd of 5 sorted
+    p = _vals(g.percentile_of_series(df, 50), "percentileOfSeries")
+    assert p == [3.0, 30.0]
+    # q=100 -> max, q tiny -> clamped to min
+    assert _vals(g.percentile_of_series(df, 100), "percentileOfSeries") == [5.0, 50.0]
+    assert _vals(g.percentile_of_series(df, 1), "percentileOfSeries") == [1.0, 10.0]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        g.percentile_of_series(df, 0)
+
+    # filterSeries: generic selector
+    kept = {r["metric"] for r in g.filter_series(df, "max", ">", 30.0).collect()}
+    assert kept == {"s4", "s5"}
+    kept = {r["metric"] for r in g.filter_series(df, "average", "<=", 11.0).collect()}
+    assert kept == {"s1", "s2"}  # avgs: 5.5, 11, 16.5, 22, 27.5
+    kept = {r["metric"] for r in g.filter_series(df, "last", "=", 30.0).collect()}
+    assert kept == {"s3"}
+    with _pt.raises(ValueError):
+        g.filter_series(df, "nope", ">", 0)
+    with _pt.raises(ValueError):
+        g.filter_series(df, "max", "~", 0)
+
+    # round: banker's (HALF_EVEN) like python3 round in graphite-web
+    rd = spark.createDataFrame(
+        [("m", 0, 0.5), ("m", 10, 1.5), ("m", 20, 2.675), ("m", 30, None)],
+        "metric string, epoch long, value double",
+    ).select("metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    assert _vals(g.round_series(rd), "m") == [0.0, 2.0, 3.0, None]
+    got = _vals(g.round_series(rd, 2), "m")
+    assert got[0] == 0.5 and got[1] == 1.5 and got[3] is None
+    # documented deviation: bround rounds the shortest-decimal repr
+    # (2.675 -> 2.68); CPython rounds the binary value (-> 2.67)
+    assert abs(got[2] - 2.68) < 1e-9
+
+
+def test_round9_apply_fallback_consolidate(spark):
+    rows = [
+        ("web.h1.req", 0, 1.0), ("web.h1.err", 0, 2.0),
+        ("web.h2.req", 0, 10.0), ("web.h2.err", 0, 20.0),
+        ("web.h1.req", 10, 3.0), ("web.h2.req", 10, 30.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double").select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+
+    # applyByNode(1, sumSeries-per-prefix): prefix = web.hN
+    out = g.apply_by_node(df, 1, lambda d: g.group_by_node(d, 0, "sum"))
+    # group_by_node(0) over the prefix-rewritten frame groups by 'web'... use
+    # the identity-style template instead: summarize keeps metric
+    got = {(r["metric"], int(r["timestamp"].timestamp())): r["value"]
+           for r in g.apply_by_node(df, 1, lambda d: g.summarize(d, 10, "sum")).collect()}
+    assert got[("web.h1", 0)] == 3.0 and got[("web.h2", 0)] == 30.0
+    assert got[("web.h1", 10)] == 3.0 and got[("web.h2", 10)] == 30.0
+
+    # fallbackSeries: non-empty primary wins; empty primary falls back
+    fb = spark.createDataFrame(
+        [("fallback", 0, 0.0)], "metric string, epoch long, value double"
+    ).select("metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+    assert g.fallback_series(df, fb).count() == 6
+    empty = df.where(F.col("value") > 1e9)
+    assert [r["metric"] for r in g.fallback_series(empty, fb).collect()] == ["fallback"]
+
+    # consolidateBy: first/last pick by timestamp inside the bucket
+    got = {r["metric"]: r["value"]
+           for r in g.consolidate_by(df, 60, "first").collect()}
+    assert got["web.h1.req"] == 1.0 and got["web.h2.req"] == 10.0
+    got = {r["metric"]: r["value"]
+           for r in g.consolidate_by(df, 60, "last").collect()}
+    assert got["web.h1.req"] == 3.0 and got["web.h2.req"] == 30.0
+    got = {r["metric"]: r["value"]
+           for r in g.consolidate_by(df, 60, "average").collect()}
+    assert got["web.h1.req"] == 2.0
+    # cumulative == consolidateBy sum
+    got = {r["metric"]: r["value"] for r in g.cumulative(df, 60).collect()}
+    assert got["web.h1.req"] == 4.0 and got["web.h2.req"] == 40.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        g.consolidate_by(df, 60, "nope")
+
+    # useSeriesAbove: max(web.h2.req)=30 > 5 -> fetch web.h2.err's data
+    got = {(r["metric"], int(r["timestamp"].timestamp())): r["value"]
+           for r in g.use_series_above(df, 5.0, "req", "err").collect()}
+    # qualifiers: h1.req(max 3) no; h1.err(2) no; h2.req(30) yes -> h2.err;
+    # h2.err(20) yes -> name unchanged... regexp replaces 'req'->'err' so
+    # h2.err stays h2.err; both map to web.h2.err
+    assert set(got) == {("web.h2.err", 0)}
+    assert got[("web.h2.err", 0)] == 20.0

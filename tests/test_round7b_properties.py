@@ -28,22 +28,34 @@ series = st.lists(
     st.integers(min_value=-1000, max_value=1000), min_size=3, max_size=40
 )
 
+# 2024-01-01 00:00:00 UTC.  Timestamps are built by EPOCH ARITHMETIC
+# (base + d*86400), never by formatting day-of-month strings: the r8
+# suite broke on draws of >=32 points because f"2024-01-{d+1}" constructs
+# the invalid date 2024-01-32.  The session timezone is pinned to UTC
+# (session.py), so date_trunc('day') of a midnight-UTC epoch is exact and
+# the changepoint assertion can stay on epoch values end to end.
+_EPOCH_BASE = 1_704_067_200
 
-@SLOW
-@given(ys=series)
-def test_changepoint_matches_bruteforce(spark, ys):
+
+def _check_changepoint(spark, ys):
     from whisper_pandas_spark.operators.changepoint import changepoint_max_cusum
 
     rows = [
-        ("g", f"2024-01-{d + 1:02d} 00:00:00", y / 1000.0)
-        for d, y in enumerate(ys)
+        ("g", _EPOCH_BASE + d * 86400, y / 1000.0) for d, y in enumerate(ys)
     ]
-    df = spark.createDataFrame(rows, "k string, ts string, v string").select(
-        "k",
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.col("v").cast("double").alias("v"),
+    df = spark.createDataFrame(rows, "k string, epoch long, v double").select(
+        "k", F.timestamp_seconds("epoch").alias("ts"), "v"
     )
-    got = changepoint_max_cusum(df, ["k"], "ts", "v", scale=1000).collect()[0]
+    got = (
+        changepoint_max_cusum(df, ["k"], "ts", "v", scale=1000)
+        .select(
+            "n_buckets",
+            "s_n",
+            "d_stat",
+            F.unix_timestamp("cp_bucket").alias("cp_epoch"),
+        )
+        .collect()[0]
+    )
 
     n = len(ys)
     s = 0
@@ -57,7 +69,22 @@ def test_changepoint_matches_bruteforce(spark, ys):
     assert got.n_buckets == n
     assert got.s_n == s_n
     assert got.d_stat == best[0]
-    assert int(str(got.cp_bucket)[8:10]) == best[1]
+    assert got.cp_epoch == _EPOCH_BASE + (best[1] - 1) * 86400
+
+
+@SLOW
+@given(ys=series)
+def test_changepoint_matches_bruteforce(spark, ys):
+    _check_changepoint(spark, ys)
+
+
+def test_changepoint_regression_over_31_points(spark):
+    """Pinned regression for the r8 calendar bug: any draw of >=32 points
+    used to construct '2024-01-32' and throw CAST_INVALID_INPUT before the
+    operator ran.  40 points spans two month boundaries under the old
+    string scheme."""
+    ys = [(-1) ** d * (d * 37 % 1000) for d in range(40)]
+    _check_changepoint(spark, ys)
 
 
 # -- robust MAD vs brute force --------------------------------------------------

@@ -552,13 +552,21 @@ def hitcount(df: DataFrame, interval_s: int, step_s: int | None = None) -> DataF
     # pathologically sparse series (two points a year apart) with a
     # DERIVED step would explode one row into tens of thousands of
     # buckets — fail loudly in-plan instead (pass step_s explicitly for
-    # genuinely coarse data)
+    # genuinely coarse data).  The lower bound catches duplicate
+    # timestamps: min positive-delta would derive __step = 0, making
+    # end-1 < t so F.sequence silently produces a descending range and
+    # a spurious bucket with negative overlap weight — an error, not a
+    # number.
     chk = F.assert_true(
-        F.col("__step") <= F.lit(10_000) * interval_s,
+        (F.col("__step") >= 1)
+        & (F.col("__step") <= F.lit(10_000) * interval_s),
         F.concat(
             F.lit("hitcount: derived step "),
             F.col("__step").cast("string"),
-            F.lit(f" spans > 10000 buckets of {interval_s}s — pass step_s"),
+            F.lit(
+                f" invalid — must be >= 1s (duplicate timestamps?) and"
+                f" span <= 10000 buckets of {interval_s}s — pass step_s"
+            ),
         ),
     )
     buckets = F.when(
@@ -1239,8 +1247,9 @@ def exponential_moving_average(df: DataFrame, n: int) -> DataFrame:
     (its documented first-period behaviour), emitting values from point
     N onward (earlier slots null). Sequential per series, so it runs as
     one Arrow ``applyInPandas`` fold per series (the holtWinters-face
-    pattern); null slots carry the previous EMA forward without
-    updating it (gaps don't decay the average)."""
+    pattern); null input slots emit null — matching graphite-web, which
+    holds the EMA state across a gap but leaves the None slot None
+    (gaps neither decay the average nor fabricate output)."""
     if n < 1:
         raise ValueError("n must be >= 1")
     import numpy as np
@@ -1257,9 +1266,7 @@ def exponential_moving_average(df: DataFrame, n: int) -> DataFrame:
         ema = None
         for i in range(len(x)):
             if np.isnan(x[i]):
-                if ema is not None:
-                    out[i] = ema
-                continue
+                continue  # null in -> null out; EMA state held unchanged
             if ema is None:
                 acc += x[i]
                 seen += 1
@@ -1405,7 +1412,11 @@ def remove_between_percentile(df: DataFrame, q: float) -> DataFrame:
     series that have at least ONE point outside the pointwise
     [100-n, n] percentile band of all series at that timestamp
     (graphite-web: series entirely inside the band are removed; n < 50
-    reflects). Both band edges use the NIST rank pick per timestamp."""
+    reflects). Both band edges use the NIST rank pick per timestamp.
+    Boundary semantics match graphite-web's ``not lo < val < hi``: a
+    point exactly EQUAL to either percentile edge counts as outside —
+    this matters because the NIST rank pick returns an actual data
+    value, so the series holding the picked value is always kept."""
     if not 0 < q <= 100:
         raise ValueError("q must be in (0, 100]")
     if q < 50:
@@ -1422,7 +1433,7 @@ def remove_between_percentile(df: DataFrame, q: float) -> DataFrame:
         .withColumn(
             "__out",
             F.when(
-                (F.col(_VAL) > F.col("_hi")) | (F.col(_VAL) < F.col("_lo")),
+                (F.col(_VAL) >= F.col("_hi")) | (F.col(_VAL) <= F.col("_lo")),
                 1,
             ).otherwise(0),
         )
@@ -1434,3 +1445,184 @@ def remove_between_percentile(df: DataFrame, q: float) -> DataFrame:
         .select(_METRIC)
     )
     return df.join(F.broadcast(keep), _METRIC)
+
+
+# -- round-9 tail, seventh batch: the last data-bearing functions -------------
+# (graphite-web render/functions.py; tag-based functions — seriesByTag,
+# aliasByTags, groupByTags — are OUT OF SCOPE: they need a tag store the
+# Whisper format does not carry; see COVERAGE.md.)
+
+
+def percentile_of_series(df: DataFrame, q: float, name: str = "percentileOfSeries") -> DataFrame:
+    """graphite ``percentileOfSeries(seriesList, n)`` — ONE output series
+    whose value at each timestamp is the n-th percentile of all series'
+    non-null values there (non-interpolating NIST rank pick, the same
+    ``_getPercentile`` recipe as nPercentile — but pointwise ACROSS
+    series instead of per series).  One shuffle on timestamp; the rank
+    pick is two window passes over groups whose size is the series
+    count, bounded and skew-free."""
+    if not 0 < q <= 100:
+        raise ValueError("q must be in (0, 100]")
+    return _nist_percentile_over(df, _VAL, [_TS], q).select(
+        F.lit(name).alias(_METRIC), F.col(_TS), F.col("_p").alias(_VAL)
+    )
+
+
+def apply_by_node(
+    df: DataFrame,
+    node_idx: int,
+    template_fn,
+    new_name_node: int | None = None,
+) -> DataFrame:
+    """graphite ``applyByNode(seriesList, nodeNum, templateFunction)`` —
+    group series by their first nodeNum+1 path nodes and apply the
+    template per group.
+
+    Spark-first formulation: instead of a driver-side loop over prefixes
+    (graphite-web evaluates the template once per unique prefix), the
+    metric column is REWRITTEN to the prefix and *template_fn* (any
+    DataFrame -> DataFrame function from this module) runs ONCE over the
+    whole frame — every cross-series aggregator here groups by (metric,
+    timestamp), so collapsing metric to the prefix makes the single call
+    compute all per-prefix results in one distributed pass with no
+    per-group job submission.  *new_name_node* optionally re-labels the
+    output to that node of the prefix (graphite's newName template)."""
+    if node_idx < 0:
+        raise ValueError("node_idx must be >= 0")
+    prefix = F.array_join(
+        F.slice(F.split(F.col(_METRIC), r"\."), 1, node_idx + 1), "."
+    )
+    out = template_fn(df.withColumn(_METRIC, prefix))
+    if new_name_node is not None:
+        out = out.withColumn(_METRIC, _node(new_name_node))
+    return out
+
+
+def fallback_series(df: DataFrame, fallback: DataFrame) -> DataFrame:
+    """graphite ``fallbackSeries(seriesList, fallback)`` — *df* if it has
+    any series, else *fallback*.  The emptiness probe is a bounded
+    driver-side ``limit(1)`` scan (one row fetched, filters/limits pushed
+    down) — the decision is inherently global, and a one-row probe is the
+    cheapest correct formulation at any scale."""
+    if df.limit(1).count() > 0:
+        return df
+    return fallback
+
+
+_CONSOLIDATE = {
+    "average": F.avg,
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "first": None,  # min_by / max_by on timestamp, built below
+    "last": None,
+}
+
+
+def consolidate_by(df: DataFrame, interval_s: int, func: str = "average") -> DataFrame:
+    """graphite ``consolidateBy(seriesList, func)`` — in graphite-web this
+    TAGS a series with the consolidation function the renderer applies
+    when reducing points to pixels; the data-bearing equivalent is the
+    reduction itself: re-bucket each series onto an *interval_s* grid with
+    the chosen function.  Superset of ``summarize``: adds graphite's
+    ``first``/``last`` consolidators (min_by/max_by on the timestamp —
+    single exchange, partial-agg map-side, like every rollup here)."""
+    if interval_s < 1:
+        raise ValueError("interval_s must be >= 1")
+    if func not in _CONSOLIDATE:
+        raise ValueError(
+            f"func must be one of {sorted(_CONSOLIDATE)}, got {func!r}"
+        )
+    t = F.unix_timestamp(F.col(_TS))
+    bucket = F.timestamp_seconds((t / interval_s).cast("long") * interval_s)
+    nn = df.where(F.col(_VAL).isNotNull())
+    if func == "first":
+        agg = F.min_by(_VAL, _TS)
+    elif func == "last":
+        agg = F.max_by(_VAL, _TS)
+    else:
+        agg = _CONSOLIDATE[func](_VAL)
+    return nn.groupBy(F.col(_METRIC), bucket.alias(_TS)).agg(agg.alias(_VAL))
+
+
+def cumulative(df: DataFrame, interval_s: int) -> DataFrame:
+    """graphite ``cumulative(seriesList)`` — alias for
+    ``consolidateBy(seriesList, 'sum')`` (graphite-web defines it exactly
+    so); the running-total reading is ``integral``, already separate."""
+    return consolidate_by(df, interval_s, "sum")
+
+
+def use_series_above(
+    df: DataFrame, value: float, search: str, replace: str
+) -> DataFrame:
+    """graphite ``useSeriesAbove(seriesList, value, search, replace)`` —
+    for each series whose MAXIMUM exceeds *value*, rewrite *search* ->
+    *replace* in its name and return the data of the series that CARRY
+    the rewritten names (graphite-web re-fetches the new targets from the
+    store; here the frame is the store, so the rewrite is a broadcast
+    semi-join of the renamed qualifier list back onto the scan).
+    Typical use: metric.requests -> metric.latency for busy metrics."""
+    qual = (
+        df.groupBy(_METRIC)
+        .agg(F.max(_VAL).alias("__mx"))
+        .where(F.col("__mx") > F.lit(float(value)))
+        .select(
+            F.regexp_replace(F.col(_METRIC), search, replace).alias(_METRIC)
+        )
+        .distinct()
+    )
+    return df.join(F.broadcast(qual), _METRIC, "semi")
+
+
+_FILTER_FUNCS = {
+    "average": F.avg,
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "stddev": F.stddev_pop,
+    "median": F.median,
+    "last": None,  # max_by on timestamp
+}
+
+_FILTER_OPS = {
+    "=": lambda s, t: s == t,
+    "!=": lambda s, t: s != t,
+    ">": lambda s, t: s > t,
+    ">=": lambda s, t: s >= t,
+    "<": lambda s, t: s < t,
+    "<=": lambda s, t: s <= t,
+}
+
+
+def filter_series(df: DataFrame, func: str, op: str, threshold: float) -> DataFrame:
+    """graphite ``filterSeries(seriesList, func, operator, threshold)`` —
+    the 1.1 generalization of the {average,current,maximum,minimum} x
+    {Above,Below} selector family: keep whole series where
+    ``func(series) op threshold``.  Same single-window shape as
+    ``_series_stat_filter`` — no join, points stay intact."""
+    if func not in _FILTER_FUNCS:
+        raise ValueError(
+            f"func must be one of {sorted(_FILTER_FUNCS)}, got {func!r}"
+        )
+    if op not in _FILTER_OPS:
+        raise ValueError(f"op must be one of {sorted(_FILTER_OPS)}, got {op!r}")
+    stat = F.max_by(_VAL, _TS) if func == "last" else _FILTER_FUNCS[func](_VAL)
+    t = F.lit(float(threshold))
+    return _series_stat_filter(df, stat, lambda s: _FILTER_OPS[op](s, t))
+
+
+def round_series(df: DataFrame, precision: int = 0) -> DataFrame:
+    """graphite ``round(seriesList, precision)`` — round every value to
+    *precision* decimal places with HALF_EVEN (banker's) rounding:
+    graphite-web calls Python 3's built-in ``round``, which is
+    round-half-to-even, so Spark's ``bround`` (not ``round``, which is
+    HALF_UP) is the matching kernel.  One documented edge: for decimals a
+    double can't represent exactly, ``bround`` rounds the SHORTEST
+    DECIMAL representation (2.675 -> 2.68) while CPython rounds the
+    underlying binary value (2.675 is stored as 2.67499.. -> 2.67);
+    ties that doubles DO represent exactly (x.5 at precision 0) agree on
+    both engines."""
+    return _with_value(df, F.bround(F.col(_VAL), int(precision)))

@@ -27,19 +27,62 @@ from whisper_pandas_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
 )
-from whisper_pandas_spark.registry import _table, register
 
+# ALL module constants live ABOVE the registry import: importing registry
+# triggers the staged-module promotion chain (registry -> queries_round6),
+# and queries_round6's oracle builders read DIM/KM_K/KM_ITERS back from
+# this (then only partially initialized) module at import time.  With the
+# constants bound first, either import order is safe; with them below,
+# `import whisper_pandas_spark.queries_similarity` standalone raises
+# ImportError (the test_extensions.py standalone-run failure).
 DIM = 64
 K = 10
 N_PLANES = 8
 NEAR_DUP_T = 0.3
-
+N_TABLES = 16
+N_PLANES_MULTI = 3
+IVF_K_CENTROIDS = 16
+IVF_NPROBE = 4
+KM_K = 8
+KM_ITERS = 2
 
 from whisper_pandas_spark.functions.duck import (  # noqa: E402
     duck_cos as _duck_cos,
     duck_dot as _duck_dot,
     duck_norm as _duck_norm,
 )
+
+
+def _kmeans_iter_sql(prev: str, idx: int) -> str:
+    """One Lloyd iteration as CTE blocks: assignment (argmax cosine, ties
+    by cid) then exact-decimal element-wise mean — the same arithmetic the
+    Spark trainer runs (operators/kmeans.py).  Defined above the registry
+    import because queries_round6's oracle builders call it through the
+    partially initialized module during the promotion chain."""
+    return f"""asg{idx} AS (
+  SELECT e.vec_id, e.embedding AS vec, c.cid,
+         {_duck_cos("e.embedding", "c.centroid")} AS ccos
+  FROM embeddings e CROSS JOIN {prev} c
+), cell{idx} AS (
+  SELECT vec_id, vec, cid AS cell FROM (
+    SELECT vec_id, vec, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM asg{idx}
+  ) WHERE rn = 1
+), mean{idx} AS (
+  SELECT cell, r.range AS pos,
+         CAST(sum(CAST(CAST(vec[r.range + 1] AS DOUBLE) AS DECIMAL(38,12)))
+              AS DOUBLE) / count(*) AS mval
+  FROM cell{idx}, range(0, {DIM}) r
+  GROUP BY cell, r.range
+), cent{idx} AS (
+  SELECT cell AS cid, list(mval ORDER BY pos) AS centroid
+  FROM mean{idx} GROUP BY cell
+)"""
+
+
+from whisper_pandas_spark.registry import _table, register  # noqa: E402
 
 
 def _duck_plane_literal(plane: list[float]) -> str:
@@ -218,9 +261,8 @@ def sim_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # b=3, K=16 is what reaches >=0.9 recall HERE (asserted in
 # test_extensions.py); at 1 B clustered vectors p rises toward 1 for true
 # neighbors and b grows with ln(n) while K stays O(10) — same operator,
-# different dial settings (SCALE.md).
-N_TABLES = 16
-N_PLANES_MULTI = 3
+# different dial settings (SCALE.md).  (N_TABLES / N_PLANES_MULTI are
+# bound in the top constants block, above the registry import.)
 
 
 def _lsh_multi_oracle() -> str:
@@ -376,12 +418,6 @@ ORDER BY query_id, rnk
 """
 
 
-IVF_K_CENTROIDS = 16
-IVF_NPROBE = 4
-KM_K = 8
-KM_ITERS = 2
-
-
 @register("sim_topk_ivf", oracle=_ivf_oracle())
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path #2: IVF-flat ANN — coarse-quantize into 16 cells
@@ -395,33 +431,6 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < IVF_K_CENTROIDS)
     q = emb.filter(F.col("vec_id") < 5)
     return cosine_topk_ivf(emb, q, K, cent, IVF_NPROBE).orderBy("query_id", "rnk")
-
-
-def _kmeans_iter_sql(prev: str, idx: int) -> str:
-    """One Lloyd iteration as CTE blocks: assignment (argmax cosine, ties
-    by cid) then exact-decimal element-wise mean — the same arithmetic the
-    Spark trainer runs (operators/kmeans.py)."""
-    return f"""asg{idx} AS (
-  SELECT e.vec_id, e.embedding AS vec, c.cid,
-         {_duck_cos("e.embedding", "c.centroid")} AS ccos
-  FROM embeddings e CROSS JOIN {prev} c
-), cell{idx} AS (
-  SELECT vec_id, vec, cid AS cell FROM (
-    SELECT vec_id, vec, cid,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY ccos DESC, cid) AS rn
-    FROM asg{idx}
-  ) WHERE rn = 1
-), mean{idx} AS (
-  SELECT cell, r.range AS pos,
-         CAST(sum(CAST(CAST(vec[r.range + 1] AS DOUBLE) AS DECIMAL(38,12)))
-              AS DOUBLE) / count(*) AS mval
-  FROM cell{idx}, range(0, {DIM}) r
-  GROUP BY cell, r.range
-), cent{idx} AS (
-  SELECT cell AS cid, list(mval ORDER BY pos) AS centroid
-  FROM mean{idx} GROUP BY cell
-)"""
 
 
 def _ivf_trained_oracle() -> str:

@@ -170,4 +170,7 @@ from whisper_pandas_spark import queries_round7c  # noqa: E402,F401
 # Round 8: same direct-registration pattern.
 from whisper_pandas_spark import queries_round8  # noqa: E402,F401
 
+# Round 9: same direct-registration pattern.
+from whisper_pandas_spark import queries_round9  # noqa: E402,F401
+
 _reorder()
