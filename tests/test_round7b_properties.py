@@ -343,3 +343,76 @@ def test_negative_samples_match_bruteforce(spark, pairs, k):
             if rnk == k:
                 break
     assert got == want
+
+
+# -- Cavnar–Trenkle language ID vs brute force ---------------------------------
+
+ct_corpus = st.lists(
+    st.tuples(
+        st.sampled_from(["aa", "bb", "cc"]),           # label
+        st.text(alphabet="abc xyz", min_size=0, max_size=24),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SLOW
+@given(docs=ct_corpus)
+def test_langid_matches_bruteforce(spark, docs):
+    """Trained profiles + out-of-place argmin vs an independent Python
+    reference, including degenerate draws: empty texts (no n-grams ->
+    document unclassifiable, dropped), languages whose every text is too
+    short (no profile -> never predicted), rank ties (count DESC, gram
+    ASC on both sides)."""
+    from collections import Counter, defaultdict
+
+    from whisper_pandas_spark.operators.langid import (
+        classify_language,
+        train_language_profiles,
+    )
+
+    ns, k = (2, 3), 5  # tiny profile so ties and penalties actually bind
+
+    rows = [(i, lang, text) for i, (lang, text) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    prof = train_language_profiles(df, "lang", "text", ns=ns, k=k)
+    got = {
+        r.doc_id: (r.pred_lang, r.lang_dist)
+        for r in classify_language(
+            df, "doc_id", "text", prof, ns=ns, k=k
+        ).collect()
+    }
+
+    def grams(t: str) -> list[str]:
+        t = t.lower()
+        return [
+            t[i : i + n] for n in ns for i in range(len(t) - n + 1)
+        ]
+
+    def rank_profile(counts: Counter) -> dict[str, int]:
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return {g: r + 1 for r, (g, _) in enumerate(ranked)}
+
+    lang_counts: dict[str, Counter] = defaultdict(Counter)
+    for _i, lang, text in rows:
+        lang_counts[lang].update(grams(text))
+    profiles = {
+        lang: rank_profile(c) for lang, c in lang_counts.items() if c
+    }
+
+    want = {}
+    for i, _lang, text in rows:
+        dprof = rank_profile(Counter(grams(text)))
+        if not dprof or not profiles:
+            continue  # unclassifiable: no n-grams (or no trained profile)
+        best = None
+        for cand in sorted(profiles):
+            p = profiles[cand]
+            d = sum(
+                abs(dr - p[g]) if g in p else k for g, dr in dprof.items()
+            )
+            if best is None or d < best[0]:
+                best = (d, cand)
+        want[i] = (best[1], best[0])
+    assert got == want

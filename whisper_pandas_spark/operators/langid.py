@@ -1,0 +1,153 @@
+"""Trained n-gram language identification (Cavnar & Trenkle 1994).
+
+"N-Gram-Based Text Categorization" — the classic rank-profile method:
+
+- TRAIN: per language, count character n-grams over the labeled corpus
+  and keep the top-K by frequency; a language's PROFILE is the rank
+  order of those n-grams (1 = most frequent).
+- CLASSIFY: build the same top-K rank profile for each document, then
+  score each language by the OUT-OF-PLACE distance — for every n-gram
+  in the document profile, |doc_rank - lang_rank| if the language
+  profile contains it, else a fixed penalty (the profile size, the
+  maximum displacement). Predict the argmin.
+
+The reference engine (whisper_pandas.py) has no text surface at all;
+this extends the engine's X4 text-analysis family (SURVEY §2 X4) with
+the in-engine TRAINED counterpart of the fixed-profile heuristic in
+textstats.lang_id.
+
+Determinism (oracle-parity): everything is integer arithmetic — counts,
+row_number ranks with (count DESC, ngram ASC) tie-break, absolute rank
+displacements, integer penalties — so a SQL engine replays the argmin
+bit-for-bit. Prediction ties break to the lexicographically smallest
+language.
+
+Scale shape (100 TB corpus):
+- training is one explode + one (lang, ngram) partial-agg exchange +
+  one per-language window over AT MOST |alphabet|^n counted rows per
+  language — and the resulting profile table is L languages x K rows,
+  i.e. kilobytes: it BROADCASTS.
+- classification is one explode + one (doc, ngram) exchange + a per-doc
+  window bounded by document length, then a broadcast join against the
+  profiles — the corpus never shuffles on anything wider than its own
+  doc id, and no stage is quadratic in anything.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _char_ngrams(df: DataFrame, text_col: str, ns: Sequence[int]) -> DataFrame:
+    """Explode lower(text) into all character n-grams for each n in *ns*
+    (column ``g``); input rows shorter than n contribute nothing for that
+    n.  The F.when guard matters: F.sequence(1, len-n+1) with len < n
+    would generate a DESCENDING range, not an empty one."""
+    t = F.lower(F.col(text_col))
+    return (
+        df.withColumn("__t", t)
+        .withColumn("__n", F.explode(F.array(*[F.lit(int(n)) for n in ns])))
+        .withColumn(
+            "__i",
+            F.explode(
+                F.when(
+                    F.length("__t") >= F.col("__n"),
+                    F.sequence(
+                        F.lit(1), F.length("__t") - F.col("__n") + F.lit(1)
+                    ),
+                )
+            ),
+        )
+        .withColumn("g", F.substring(F.col("__t"), F.col("__i"), F.col("__n")))
+        .drop("__t", "__n", "__i")
+    )
+
+
+def _rank_profile(
+    grams: DataFrame, key_cols: list[str], k: int, rank_name: str
+) -> DataFrame:
+    """(key..., g, rank): top-*k* n-grams per key by (count DESC, g ASC)
+    — the deterministic Cavnar–Trenkle rank profile."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("__c"), F.col("g"))
+    return (
+        grams.groupBy(*key_cols, "g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn(rank_name, F.row_number().over(w))
+        .where(F.col(rank_name) <= k)
+        .select(*key_cols, "g", rank_name)
+    )
+
+
+def train_language_profiles(
+    df: DataFrame,
+    lang_col: str,
+    text_col: str,
+    *,
+    ns: Sequence[int] = (2, 3),
+    k: int = 40,
+) -> DataFrame:
+    """(lang, g, lr): the top-*k* rank profile per language, trained from
+    the labeled corpus.  L x K rows — broadcastable at any corpus size."""
+    grams = _char_ngrams(df, text_col, ns).select(
+        F.col(lang_col).alias("lang"), "g"
+    )
+    return _rank_profile(grams, ["lang"], k, "lr")
+
+
+def classify_language(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: DataFrame,
+    *,
+    ns: Sequence[int] = (2, 3),
+    k: int = 40,
+    penalty: int | None = None,
+) -> DataFrame:
+    """(doc_id, pred_lang, lang_dist): out-of-place argmin per document.
+
+    *penalty* is charged for every document-profile n-gram absent from a
+    language's profile; defaults to *k*, the maximum in-profile
+    displacement (Cavnar–Trenkle's "maximum distance").  Ties break to
+    the smallest language string.
+    """
+    if penalty is None:
+        penalty = k
+    doc_grams = _char_ngrams(df, text_col, ns).select(
+        F.col(id_col).alias("doc_id"), "g"
+    )
+    doc_prof = _rank_profile(doc_grams, ["doc_id"], k, "dr")
+    doc_n = doc_prof.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__nd"))
+    langs = profiles.select("lang").distinct()
+
+    matched = (
+        doc_prof.join(F.broadcast(profiles), "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.sum(F.abs(F.col("dr") - F.col("lr"))).alias("__s"),
+        )
+    )
+    dist = (
+        doc_n.crossJoin(F.broadcast(langs))
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.coalesce(F.col("__s"), F.lit(0).cast("long"))
+                + (F.col("__nd") - F.coalesce(F.col("__m"), F.lit(0)))
+                * F.lit(int(penalty))
+            ).alias("lang_dist"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("lang_dist", "lang")
+    return (
+        dist.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "lang_dist")
+    )

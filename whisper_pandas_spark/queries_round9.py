@@ -60,3 +60,85 @@ def graphite_percentile_of_series(spark: SparkSession, sf_dir: str) -> DataFrame
 
     s = _metric_series(spark, sf_dir)
     return percentile_of_series(s, _POS_Q).orderBy("timestamp")
+
+
+# -- trained Cavnar–Trenkle language ID ---------------------------------------
+
+_CT_NS = (2, 3)
+_CT_K = 40
+
+
+def _ct_oracle() -> str:
+    ns_values = ", ".join(f"({n})" for n in _CT_NS)
+    return f"""
+WITH norm AS (
+  SELECT doc_id, lang, lower(text) AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, substr(t, i.i, ns.n) AS g
+  FROM norm, (VALUES {ns_values}) ns(n),
+       LATERAL (SELECT unnest(generate_series(1, length(t) - ns.n + 1)) AS i) i
+),
+lang_prof AS (
+  SELECT lang, g, lr FROM (
+    SELECT lang, g, count(*) AS c,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, g) AS lr
+    FROM grams GROUP BY lang, g
+  ) WHERE lr <= {_CT_K}
+),
+doc_prof AS (
+  SELECT doc_id, g, dr FROM (
+    SELECT doc_id, g, count(*) AS c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g) AS dr
+    FROM grams GROUP BY doc_id, g
+  ) WHERE dr <= {_CT_K}
+),
+doc_n AS (SELECT doc_id, count(*) AS nd FROM doc_prof GROUP BY doc_id),
+-- candidate languages come from the TRAINED profiles (as the operator's
+-- classify_language does), not from the raw labels: a language whose
+-- every document is shorter than min(ns) has no profile and is never
+-- predicted
+langs AS (SELECT DISTINCT lang FROM lang_prof),
+matched AS (
+  SELECT d.doc_id, p.lang, count(*) AS m,
+         CAST(sum(abs(d.dr - p.lr)) AS BIGINT) AS s
+  FROM doc_prof d JOIN lang_prof p ON d.g = p.g
+  GROUP BY 1, 2
+),
+dist AS (
+  SELECT dn.doc_id, l.lang,
+         coalesce(m.s, 0) + (dn.nd - coalesce(m.m, 0)) * {_CT_K} AS lang_dist
+  FROM doc_n dn CROSS JOIN langs l
+  LEFT JOIN matched m ON m.doc_id = dn.doc_id AND m.lang = l.lang
+)
+SELECT doc_id, lang AS pred_lang, lang_dist FROM (
+  SELECT doc_id, lang, lang_dist,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY lang_dist, lang) AS rn
+  FROM dist
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@register("text_lang_id_trained", oracle=_ct_oracle())
+def text_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: TRAINED Cavnar–Trenkle language ID (1994) — top-40 char-2/3-gram
+    rank profiles trained per language from the corpus's own labels, then
+    out-of-place rank distance classifies every document (penalty = profile
+    size for absent n-grams, ties to the smallest language).  The in-engine
+    counterpart of the fixed-profile ``text_lang_id`` heuristic; all-integer
+    arithmetic so the oracle replays the argmin bit-for-bit.  Profiles are
+    L x 40 rows at ANY corpus size — broadcast; the corpus shuffles only on
+    (doc, ngram) for its own profile build."""
+    from whisper_pandas_spark.operators.langid import (
+        classify_language,
+        train_language_profiles,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    prof = train_language_profiles(docs, "lang", "text", ns=_CT_NS, k=_CT_K)
+    return classify_language(
+        docs, "doc_id", "text", prof, ns=_CT_NS, k=_CT_K
+    ).orderBy("doc_id")
