@@ -658,3 +658,64 @@ def test_on_error_skip_mixed_tree_chunked_and_adaptive(spark, tmp_path):
         r["metric"]: r["count"] for r in df2.groupBy("metric").count().collect()
     }
     assert counts2 == {"good": len(good[0].filled)}
+
+
+def test_u32_timestamp_boundaries_roundtrip(spark, tmp_path):
+    """SURVEY §1.3's non-limitation claim, pinned: the reference documents
+    a 2038 int32 downcast caveat (whisper_pandas.py:217-221 casts the u32
+    timestamps to datetime64 via int32); this engine decodes ``>u4`` ->
+    int64 end to end, so timestamps past 2^31 (2038) and right up to the
+    format's own ceiling 2^32-1 (2106) survive the write -> scan round
+    trip exactly.  One file per boundary: the two ranges are ~2.1e9 s
+    apart, far beyond any single ring's retention."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.sources.whisper import register_whisper
+    from whisper_pandas_spark.sources.whisper_write import write_whisper
+
+    register_whisper(spark)
+    step = 10
+    base38 = (2**31 // step) * step  # 2147483640 < 2^31 < base38 + step
+    cases = {
+        # straddle 2^31: the int32-downcast failure point (2038-01-19).
+        # All points step-aligned — the writer buckets to the step grid.
+        "epoch2038": [base38 - 2 * step, base38 - step, base38,
+                      base38 + step],
+        # top of the u32 range (2106-02-07): 2^32 - 6 is the largest
+        # 10-aligned u32... (2^32 = 4294967296; last multiple of 10 below
+        # is 4294967290)
+        "epoch2106": [(2**32 - 1) // step * step - k * step
+                      for k in range(3, -1, -1)],
+    }
+    for name, ts_list in cases.items():
+        rows = [(f"b.{name}", int(t), float(i)) for i, t in enumerate(ts_list)]
+        df = spark.createDataFrame(rows, ["metric", "epoch", "value"]).select(
+            "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+        )
+        out = str(tmp_path / name)
+        write_whisper(df, out, archives=f"{step}:50", aggregation="average")
+
+        # scan as LONG epochs: exact integer compare, no datetime layer
+        got = {
+            (r["metric"], r["timestamp"]): r["value"]
+            for r in spark.read.format("whisper")
+            .option("base_dir", out)
+            .option("to_datetime", "false")
+            .load(out)
+            .collect()
+        }
+        for i, t in enumerate(ts_list):
+            assert got[(f"b.{name}", t)] == float(i), (name, t)
+        assert all(t > 2**31 - 3 * step for (_m, t) in got), name
+
+        # and as TIMESTAMPs: the datetime layer must place them in the
+        # right century (the downcast failure mode wraps 2106 -> 1970s)
+        ts_vals = sorted(
+            int(r["timestamp"].replace(tzinfo=__import__("datetime").timezone.utc)
+                .timestamp())
+            for r in spark.read.format("whisper")
+            .option("base_dir", out)
+            .load(out)
+            .collect()
+        )
+        assert ts_vals == sorted(int(t) for t in ts_list), name

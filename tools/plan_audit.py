@@ -145,6 +145,9 @@ AUDITED = [
     "graphite_interpolate",
     "sample_quality_temperature",
     "ts_holtwinters_forecast",
+    # round-9 entries
+    "graphite_percentile_of_series",
+    "text_lang_id_trained",
 ]
 
 
