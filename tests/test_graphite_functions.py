@@ -900,6 +900,16 @@ def test_round9_apply_fallback_consolidate(spark):
     assert got[("web.h1", 0)] == 3.0 and got[("web.h2", 0)] == 30.0
     assert got[("web.h1", 10)] == 3.0 and got[("web.h2", 10)] == 30.0
 
+    # newName template: relabel output to node 1 of the prefix (hN)
+    got2 = {(r["metric"], int(r["timestamp"].timestamp())): r["value"]
+            for r in g.apply_by_node(
+                df, 1, lambda d: g.summarize(d, 10, "sum"), new_name_node=1
+            ).collect()}
+    assert got2[("h1", 0)] == 3.0 and got2[("h2", 0)] == 30.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        g.apply_by_node(df, -1, lambda d: d)
+
     # fallbackSeries: non-empty primary wins; empty primary falls back
     fb = spark.createDataFrame(
         [("fallback", 0, 0.0)], "metric string, epoch long, value double"

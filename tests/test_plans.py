@@ -432,3 +432,28 @@ def test_round7c_tpch_plan_shapes(spark):
     p20 = formatted_plan(QUERIES["join_q20ish_nested_agg"](spark, sf))
     n_scans = len(re.findall(r"Scan parquet", p20))
     assert n_scans <= 3, f"q20ish re-scans its inputs: {n_scans} scans"
+
+
+def test_round9_plan_shapes(spark):
+    """Round-9 scale pins: the trained lang-ID classification must join
+    its (L x K, kilobyte-sized) profile table by BROADCAST — the corpus
+    must never shuffle on ngram against a hash-partitioned profile — and
+    the cross-series percentile's two window passes must share a single
+    timestamp exchange."""
+    import re
+
+    from whisper_pandas_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    plan_ct = formatted_plan(QUERIES["text_lang_id_trained"](spark, sf))
+    assert "BroadcastHashJoin" in plan_ct or "BroadcastNestedLoopJoin" in plan_ct
+    # no row-at-a-time Python anywhere in the classification pipeline
+    assert "BatchEvalPython" not in plan_ct
+
+    plan_p = formatted_plan(QUERIES["graphite_percentile_of_series"](spark, sf))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan_p))
+    # grid agg exchange + ONE timestamp exchange shared by both windows +
+    # presentation range sort — a fourth would mean the rank-pick windows
+    # stopped sharing their partitioning
+    assert n_ex <= 3, f"percentileOfSeries plan grew an exchange: {n_ex}"
+    assert plan_p.count("(9) Window") + plan_p.count("Window") >= 2
