@@ -626,12 +626,19 @@ def fuzzy_pairs_passjoin(
     - index side: each doc's k+1 segments, keyed
       (block, len, segment_idx, segment_text);
     - probe side: each doc's substrings matching every partner length
-      in [len−k, len+k] at every shift in [−k, +k] for each segment
-      slot — ≤ (k+1)·(2k+1)² keys per doc (726 at k=5), generated by
-      three `posexplode(sequence(...))` generators over a MATERIALIZED
-      norm column (plain substring projection after the Generate —
-      no lambda HOFs, so nothing re-evaluates per element; the round-8
-      shingle lesson);
+      in [len−k, len+k] for each segment slot, at every shift that can
+      still yield a ≤k pair: aligning segment i of the partner at shift
+      ``sh`` forces the prefix regions (lengths differing by |sh|) to
+      spend ≥ |sh| edits and the suffix regions ≥ |Δ−sh| (Δ = own len −
+      partner len), disjoint from the 0-edit segment — so only
+      ``|sh| + |Δ−sh| <= k`` shifts are generated (PassJoin's
+      shift-aware substring selection; LOSSLESS by the same alignment
+      argument). That is ~(k+1) shifts per partner length instead of
+      the loose 2k+1 — ≤ ~400 keys per doc at k=5 instead of 726 —
+      generated by three `posexplode(sequence(...))` generators over a
+      MATERIALIZED norm column (plain substring projection after the
+      Generate — no lambda HOFs, so nothing re-evaluates per element;
+      the round-8 shingle lesson);
     - verify: exact thresholded levenshtein on distinct candidate
       pairs, identical to `fuzzy_pairs`.
 
@@ -716,7 +723,15 @@ def fuzzy_pairs_passjoin(
             ).alias("sh"),
         )
         .where(
-            (slen > 0) & (pos >= 1) & (pos + slen - 1 <= F.col("ln_a"))
+            (slen > 0)
+            & (pos >= 1)
+            & (pos + slen - 1 <= F.col("ln_a"))
+            # shift-aware pruning: a pair surviving verify must fit
+            # |sh| edits in the prefix + |Δ - sh| in the suffix
+            & (
+                F.abs(sh) + F.abs((F.col("ln_a") - lp) - sh)
+                <= F.lit(max_edit)
+            )
         )
         .select(
             "block",
