@@ -28,8 +28,11 @@ Scale properties:
   near-dup minority, not the corpus);
 - lineage is truncated per round with an eager localCheckpoint (the
   cluster-scale twin is a parquet checkpoint per round);
-- the convergence probe is a scalar changed-row count per round — an
-  aggregate action, not a collect.
+- the convergence probe exploits monotonicity: labels only ever
+  DECREASE, so "no label changed" is exactly "the label-sum is
+  unchanged" — one exact DECIMAL sum over the just-checkpointed frame
+  per round (a scan-aggregate), not a labels-vs-labels join + count
+  (which cost an extra shuffle job per round).
 """
 
 from __future__ import annotations
@@ -61,6 +64,15 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    def label_sum(frame: DataFrame):
+        # exact + associative (partitioning-independent); DECIMAL(38,0)
+        # holds node-id sums far past any BIGINT-id corpus
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     converged = False
     for _ in range(max_iters):
         prop = edges.join(
@@ -82,16 +94,14 @@ def connected_components(
             .select("node", F.least("comp", "comp2").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.select("node", F.col("comp").alias("c_new"))
-            .join(labels.select("node", F.col("comp").alias("c_old")), "node")
-            .filter(F.col("c_new") != F.col("c_old"))
-            .count()
-        )
+        # monotone convergence probe: labels never increase, so the
+        # label-sum is strictly smaller iff ANY label changed
+        cur_sum = label_sum(new)
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     edges.unpersist()
     if not converged:
         raise RuntimeError(
