@@ -416,3 +416,42 @@ def test_langid_matches_bruteforce(spark, docs):
                 best = (d, cand)
         want[i] = (best[1], best[0])
     assert got == want
+
+
+# -- PassJoin candidate generation vs all-pairs --------------------------------
+
+fuzzy_corpus = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=30),
+    min_size=2,
+    max_size=12,
+)
+
+
+@SLOW
+@given(
+    texts=fuzzy_corpus,
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_passjoin_lossless_vs_allpairs(spark, texts, k):
+    """The pigeonhole + shift-aware substring selection must be LOSSLESS
+    for any inputs and any threshold: fuzzy_pairs_passjoin returns
+    EXACTLY the all-pairs fuzzy_pairs result — including empty-norm
+    docs, strings shorter than k+1 (the short-string branch), and
+    length gaps right at the +-k boundary.  Guards the round-9
+    |sh| + |delta - sh| <= k pruning in particular."""
+    from whisper_pandas_spark.operators.dedup import (
+        fuzzy_pairs,
+        fuzzy_pairs_passjoin,
+    )
+
+    rows = [(i, "blk", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def snap(out):
+        return sorted(
+            (r["doc_i"], r["doc_j"], r["edit_dist"]) for r in out.collect()
+        )
+
+    blocked = snap(fuzzy_pairs(df, "doc_id", "text", "lang", max_edit=k))
+    passj = snap(fuzzy_pairs_passjoin(df, "doc_id", "text", "lang", max_edit=k))
+    assert passj == blocked

@@ -10,6 +10,10 @@
                           documents, then out-of-place rank distance
                           classifies every document — the oracle replays
                           profile building and classification in SQL.
+- graphite_consolidate_last  consolidateBy's positional pick consolidator
+                          (max_by on timestamp) — the one graphite
+                          aggregate shape sum/avg/min/max entries don't
+                          exercise.
 """
 
 from __future__ import annotations
@@ -142,3 +146,36 @@ def text_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify_language(
         docs, "doc_id", "text", prof, ns=_CT_NS, k=_CT_K
     ).orderBy("doc_id")
+
+
+# -- graphite consolidateBy: first/last consolidators -------------------------
+
+
+def _g_consolidate_oracle() -> str:
+    from whisper_pandas_spark.queries_round6 import _METRIC_SERIES_SQL
+
+    return f"""
+WITH series AS ({_METRIC_SERIES_SQL})
+SELECT metric,
+       to_timestamp((epoch(timestamp)::BIGINT // 3600) * 3600)::TIMESTAMP
+         AS timestamp,
+       arg_max(value, timestamp) AS value
+FROM series WHERE value IS NOT NULL
+GROUP BY 1, 2 ORDER BY metric, timestamp
+"""
+
+
+@register("graphite_consolidate_last", oracle=_g_consolidate_oracle())
+def graphite_consolidate_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/Y97: graphite ``consolidateBy(series, 'last')`` re-bucketing the
+    10-min grid to 1-hour buckets — the max_by-on-timestamp consolidator,
+    the one aggregate shape the rest of the graphite family doesn't
+    exercise (sum/avg/min/max are plain aggs; first/last are positional
+    picks). Hash-exact: bucket timestamps are unique within a series, so
+    the pick is deterministic and returns an actual data value; a single
+    (metric, bucket) partial-agg exchange (max_by is mergeable)."""
+    from whisper_pandas_spark.functions.graphite import consolidate_by
+    from whisper_pandas_spark.queries_round6 import _metric_series
+
+    s = _metric_series(spark, sf_dir)
+    return consolidate_by(s, 3600, "last").orderBy("metric", "timestamp")
