@@ -369,6 +369,7 @@ def test_langid_matches_bruteforce(spark, docs):
 
     from whisper_pandas_spark.operators.langid import (
         classify_language,
+        train_and_classify,
         train_language_profiles,
     )
 
@@ -383,6 +384,14 @@ def test_langid_matches_bruteforce(spark, docs):
             df, "doc_id", "text", prof, ns=ns, k=k
         ).collect()
     }
+    # the one-explode fused path must be bit-identical to train+classify
+    fused = {
+        r.doc_id: (r.pred_lang, r.lang_dist)
+        for r in train_and_classify(
+            df, "doc_id", "lang", "text", ns=ns, k=k
+        ).collect()
+    }
+    assert fused == got
 
     def grams(t: str) -> list[str]:
         t = t.lower()

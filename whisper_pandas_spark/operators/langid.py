@@ -98,29 +98,12 @@ def train_language_profiles(
     return _rank_profile(grams, ["lang"], k, "lr")
 
 
-def classify_language(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    profiles: DataFrame,
-    *,
-    ns: Sequence[int] = (2, 3),
-    k: int = 40,
-    penalty: int | None = None,
+def _classify_from_profiles(
+    doc_prof: DataFrame, profiles: DataFrame, penalty: int
 ) -> DataFrame:
-    """(doc_id, pred_lang, lang_dist): out-of-place argmin per document.
-
-    *penalty* is charged for every document-profile n-gram absent from a
-    language's profile; defaults to *k*, the maximum in-profile
-    displacement (Cavnar–Trenkle's "maximum distance").  Ties break to
-    the smallest language string.
-    """
-    if penalty is None:
-        penalty = k
-    doc_grams = _char_ngrams(df, text_col, ns).select(
-        F.col(id_col).alias("doc_id"), "g"
-    )
-    doc_prof = _rank_profile(doc_grams, ["doc_id"], k, "dr")
+    """The out-of-place argmin over precomputed (doc_id, g, dr) document
+    profiles and (lang, g, lr) language profiles — shared by the
+    separate-API path and the one-explode fused path."""
     doc_n = doc_prof.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__nd"))
     langs = profiles.select("lang").distinct()
 
@@ -151,3 +134,75 @@ def classify_language(
         .where(F.col("__rn") == 1)
         .select("doc_id", F.col("lang").alias("pred_lang"), "lang_dist")
     )
+
+
+def classify_language(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: DataFrame,
+    *,
+    ns: Sequence[int] = (2, 3),
+    k: int = 40,
+    penalty: int | None = None,
+) -> DataFrame:
+    """(doc_id, pred_lang, lang_dist): out-of-place argmin per document.
+
+    *penalty* is charged for every document-profile n-gram absent from a
+    language's profile; defaults to *k*, the maximum in-profile
+    displacement (Cavnar–Trenkle's "maximum distance").  Ties break to
+    the smallest language string.
+    """
+    if penalty is None:
+        penalty = k
+    doc_grams = _char_ngrams(df, text_col, ns).select(
+        F.col(id_col).alias("doc_id"), "g"
+    )
+    doc_prof = _rank_profile(doc_grams, ["doc_id"], k, "dr")
+    return _classify_from_profiles(doc_prof, profiles, penalty)
+
+
+def train_and_classify(
+    df: DataFrame,
+    id_col: str,
+    lang_col: str,
+    text_col: str,
+    *,
+    ns: Sequence[int] = (2, 3),
+    k: int = 40,
+    penalty: int | None = None,
+) -> DataFrame:
+    """Train on the corpus's own labels AND classify it in ONE n-gram
+    pass: grams are exploded and counted once at (doc, lang, gram)
+    granularity; the per-document profile ranks those counts directly,
+    and the per-language profile is the same counts summed over docs
+    (identical totals — counts are additive), so results are
+    bit-identical to train_language_profiles + classify_language while
+    scanning and shuffling the exploded grams once instead of twice.
+    The counted (doc, gram) table is corpus-profile-sized and
+    checkpoint-shared between the two rank builds."""
+    if penalty is None:
+        penalty = k
+    grams = _char_ngrams(df, text_col, ns).select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"), "g"
+    )
+    dc = (
+        grams.groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("__c"), F.col("g"))
+    doc_prof = (
+        dc.withColumn("dr", F.row_number().over(w_doc))
+        .where(F.col("dr") <= k)
+        .select("doc_id", "g", "dr")
+    )
+    w_lang = Window.partitionBy("lang").orderBy(F.desc("__lc"), F.col("g"))
+    profiles = (
+        dc.groupBy("lang", "g")
+        .agg(F.sum("__c").alias("__lc"))
+        .withColumn("lr", F.row_number().over(w_lang))
+        .where(F.col("lr") <= k)
+        .select("lang", "g", "lr")
+    )
+    return _classify_from_profiles(doc_prof, profiles, penalty)

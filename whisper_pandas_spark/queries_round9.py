@@ -136,15 +136,11 @@ def text_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic so the oracle replays the argmin bit-for-bit.  Profiles are
     L x 40 rows at ANY corpus size — broadcast; the corpus shuffles only on
     (doc, ngram) for its own profile build."""
-    from whisper_pandas_spark.operators.langid import (
-        classify_language,
-        train_language_profiles,
-    )
+    from whisper_pandas_spark.operators.langid import train_and_classify
 
     docs = _table(spark, sf_dir, "documents")
-    prof = train_language_profiles(docs, "lang", "text", ns=_CT_NS, k=_CT_K)
-    return classify_language(
-        docs, "doc_id", "text", prof, ns=_CT_NS, k=_CT_K
+    return train_and_classify(
+        docs, "doc_id", "lang", "text", ns=_CT_NS, k=_CT_K
     ).orderBy("doc_id")
 
 
