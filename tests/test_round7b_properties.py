@@ -464,3 +464,53 @@ def test_passjoin_lossless_vs_allpairs(spark, texts, k):
     blocked = snap(fuzzy_pairs(df, "doc_id", "text", "lang", max_edit=k))
     passj = snap(fuzzy_pairs_passjoin(df, "doc_id", "text", "lang", max_edit=k))
     assert passj == blocked
+
+
+# -- percentileOfSeries vs brute-force NIST pick --------------------------------
+
+pos_frames = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # series index
+        st.integers(min_value=0, max_value=4),    # slot index
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SLOW
+@given(points=pos_frames, q=st.integers(min_value=1, max_value=100))
+def test_percentile_of_series_matches_bruteforce(spark, points, q):
+    """graphite percentileOfSeries: per timestamp, the NIST rank pick
+    (ceil(q/100*(n+1)) into the sorted non-null values, clamped) across
+    series — checked against a direct Python replay, including all-null
+    slots (no output row) and duplicate (series, slot) draws."""
+    import math
+    from collections import defaultdict
+
+    from whisper_pandas_spark.functions import graphite as g
+
+    rows = [
+        (f"s{si}", slot * 10, None if v is None else v / 2.0)
+        for si, slot, v in points
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, epoch long, value double"
+    ).select("metric", F.timestamp_seconds("epoch").alias("timestamp"), "value")
+
+    got = {
+        int(r["timestamp"].timestamp()): r["value"]
+        for r in g.percentile_of_series(df, q).collect()
+    }
+
+    by_ts = defaultdict(list)
+    for m, ep, v in rows:
+        if v is not None:
+            by_ts[ep].append(v)
+    want = {}
+    for ep, vals in by_ts.items():
+        sv = sorted(vals)
+        rank = min(max(math.ceil(q / 100.0 * (len(sv) + 1)), 1), len(sv))
+        want[ep] = sv[rank - 1]
+    assert got == want
