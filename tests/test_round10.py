@@ -1,0 +1,359 @@
+"""Round-10 operator tests: RAG chunking, count-min sketch, multi-source
+BFS, per-series autocorrelation."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# -- rag_chunks ---------------------------------------------------------------
+
+
+def _chunk_rows(spark, texts, size, stride):
+    from whisper_pandas_spark.operators.chunking import rag_chunks
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return (
+        rag_chunks(df, "text", ("doc_id",), size=size, stride=stride)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+
+
+def test_rag_chunks_single_window_when_short(spark):
+    rows = _chunk_rows(spark, ["a b c"], size=5, stride=3)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.chunk_idx, r.n_words, r.n_chunk_words, r.chunk_text) == (
+        0,
+        3,
+        3,
+        "a b c",
+    )
+
+
+def test_rag_chunks_exact_boundary_one_chunk(spark):
+    # exactly `size` words -> one chunk, not a dangling empty second
+    rows = _chunk_rows(spark, ["w1 w2 w3 w4 w5"], size=5, stride=3)
+    assert [r.chunk_idx for r in rows] == [0]
+    assert rows[0].chunk_text == "w1 w2 w3 w4 w5"
+
+
+def test_rag_chunks_overlap_and_tail(spark):
+    words = [f"w{i}" for i in range(8)]
+    rows = _chunk_rows(spark, [" ".join(words)], size=5, stride=3)
+    # n=8, size=5, stride=3 -> nch = 1 + ceil(3/3) = 2
+    assert [(r.chunk_idx, r.n_chunk_words) for r in rows] == [(0, 5), (1, 5)]
+    assert rows[0].chunk_text == "w0 w1 w2 w3 w4"
+    assert rows[1].chunk_text == "w3 w4 w5 w6 w7"
+
+
+def test_rag_chunks_short_tail_window(spark):
+    words = [f"w{i}" for i in range(9)]
+    rows = _chunk_rows(spark, [" ".join(words)], size=5, stride=3)
+    # n=9 -> nch = 1 + ceil(4/3) = 3; final window has 3 words
+    assert [(r.chunk_idx, r.n_chunk_words) for r in rows] == [
+        (0, 5),
+        (1, 5),
+        (2, 3),
+    ]
+    assert rows[2].chunk_text == "w6 w7 w8"
+
+
+def test_rag_chunks_drops_empty_and_whitespace_docs(spark):
+    rows = _chunk_rows(spark, ["", "   ", "solo"], size=4, stride=2)
+    assert [(r.doc_id, r.chunk_text) for r in rows] == [(2, "solo")]
+
+
+def test_rag_chunks_validation(spark):
+    from whisper_pandas_spark.operators.chunking import rag_chunks
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        rag_chunks(df, size=0, stride=1)
+    with pytest.raises(ValueError):
+        rag_chunks(df, size=4, stride=5)
+
+
+def test_rag_chunks_full_coverage_property(spark):
+    # every word appears in at least one chunk; stride-step reconstruction
+    # (first `stride` words of every chunk + the tail of the last) gives
+    # back the document, for several (n, size, stride) geometries
+    rng = random.Random(100)
+    cases = [(1, 4, 2), (4, 4, 2), (5, 4, 2), (17, 6, 4), (23, 8, 8)]
+    for n, size, stride in cases:
+        words = [f"t{rng.randrange(100)}_{i}" for i in range(n)]
+        rows = _chunk_rows(spark, [" ".join(words)], size=size, stride=stride)
+        seen = set()
+        rebuilt: list[str] = []
+        for r in rows:
+            ws = r.chunk_text.split(" ")
+            assert len(ws) == r.n_chunk_words
+            start = r.chunk_idx * stride
+            assert ws == words[start : start + size]
+            seen.update(range(start, start + len(ws)))
+            rebuilt.extend(
+                ws[:stride] if r.chunk_idx < rows[-1].chunk_idx else ws
+            )
+        assert seen == set(range(n))
+        # stride-step reconstruction only works when consecutive chunks
+        # advance by exactly `stride`
+        dedup = []
+        for r in rows:
+            start = r.chunk_idx * stride
+            for j, w in enumerate(r.chunk_text.split(" ")):
+                if start + j == len(dedup):
+                    dedup.append(w)
+        assert dedup == words
+
+
+# -- count-min sketch ---------------------------------------------------------
+
+
+def _cms_modules():
+    from whisper_pandas_spark.operators.sketches import (
+        cms_estimate,
+        cms_rollup,
+        cms_shard_sketches,
+    )
+
+    return cms_shard_sketches, cms_rollup, cms_estimate
+
+
+def test_cms_never_undercounts(spark):
+    build, rollup, estimate = _cms_modules()
+    rng = random.Random(7)
+    vals = [rng.randrange(50) for _ in range(2000)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, item long"
+    )
+    sk = build(df, ("grp",), "item", depth=3, width=16)
+    probes = spark.createDataFrame(
+        [(v,) for v in range(50)], "item long"
+    )
+    est = {
+        r.item: r.est
+        for r in estimate(sk, ("grp",), probes, "item", depth=3, width=16)
+        .collect()
+    }
+    from collections import Counter
+
+    exact = Counter(vals)
+    for v in range(50):
+        assert est[v] >= exact.get(v, 0)
+    # width 16 over 50 items guarantees collisions -> at least one strict
+    # overcount (sanity that the test regime is the approximate one)
+    assert any(est[v] > exact.get(v, 0) for v in range(50))
+
+
+def test_cms_rollup_equals_direct_build(spark):
+    build, rollup, _ = _cms_modules()
+    rng = random.Random(11)
+    rows = [
+        (f"shard{rng.randrange(4)}", rng.randrange(30))
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "shard string, item long")
+    shards = build(df, ("shard",), "item", depth=2, width=8)
+    merged = rollup(
+        shards.withColumn("shard", F.lit("all")), ("shard",)
+    )
+    direct = build(
+        df.withColumn("shard", F.lit("all")), ("shard",), "item",
+        depth=2, width=8,
+    )
+    m = {(r.row, r.col): r.cnt for r in merged.collect()}
+    d = {(r.row, r.col): r.cnt for r in direct.collect()}
+    assert m == d
+
+
+def test_cms_absent_probe_estimates_zero_or_collision(spark):
+    build, _, estimate = _cms_modules()
+    df = spark.createDataFrame(
+        [("g", i) for i in range(4)], "grp string, item long"
+    )
+    sk = build(df, ("grp",), "item", depth=3, width=1024)
+    probes = spark.createDataFrame([(999999,)], "item long")
+    rows = estimate(sk, ("grp",), probes, "item", depth=3, width=1024).collect()
+    assert len(rows) == 1
+    # wide sketch, 4 items: overwhelmingly likely all 3 rows miss -> 0;
+    # the law we assert is just the one-sided bound
+    assert 0 <= rows[0].est <= 4
+
+
+def test_cms_validation(spark):
+    build, _, _ = _cms_modules()
+    df = spark.createDataFrame([("g", 1)], "grp string, item long")
+    with pytest.raises(ValueError):
+        build(df, ("grp",), "item", depth=0)
+    with pytest.raises(ValueError):
+        build(df, ("grp",), "item", width=1)
+
+
+# -- bfs_distances ------------------------------------------------------------
+
+
+def _bfs(spark, edge_pairs, sources, max_hops):
+    from whisper_pandas_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(edge_pairs, "src long, dst long")
+    s = spark.createDataFrame([(n,) for n in sources], "node long")
+    return {
+        r.node: r.dist
+        for r in bfs_distances(e, s, max_hops=max_hops).collect()
+    }
+
+
+def _sym(pairs):
+    return pairs + [(b, a) for a, b in pairs]
+
+
+def test_bfs_path_graph(spark):
+    edges = _sym([(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert _bfs(spark, edges, [1], 2) == {1: 0, 2: 1, 3: 2}
+    assert _bfs(spark, edges, [1], 0) == {1: 0}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    edges = _sym([(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = _bfs(spark, edges, [1, 5], 2)
+    assert got == {1: 0, 2: 1, 3: 2, 5: 0, 4: 1}
+
+
+def test_bfs_disconnected_component_absent(spark):
+    edges = _sym([(1, 2), (10, 11)])
+    got = _bfs(spark, edges, [1], 4)
+    assert got == {1: 0, 2: 1}
+
+
+def test_bfs_source_not_in_graph_still_reported(spark):
+    edges = _sym([(1, 2)])
+    got = _bfs(spark, edges, [99], 3)
+    assert got == {99: 0}
+
+
+def test_bfs_validation(spark):
+    from whisper_pandas_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError):
+        bfs_distances(e, s, max_hops=-1)
+
+
+def test_bfs_matches_python_reference_on_random_graph(spark):
+    rng = random.Random(42)
+    n = 40
+    pairs = list(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(90)
+        }
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = _sym(pairs)
+    sources = [0, 1]
+    hops = 4
+    # plain python BFS truncated at `hops`
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for d in range(1, hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    assert _bfs(spark, edges, sources, hops) == dist
+
+
+# -- autocorrelation ----------------------------------------------------------
+
+
+def _acf(spark, rows, max_lag=2, scale=1000):
+    from whisper_pandas_spark.operators.decompose import autocorrelation
+
+    df = spark.createDataFrame(
+        rows, "series string, ts timestamp, value double"
+    )
+    return {
+        (r.series, r.lag): r
+        for r in autocorrelation(
+            df, "series", "ts", "value", bucket="day", max_lag=max_lag,
+            scale=scale,
+        ).collect()
+    }
+
+
+def _days(vals, series="m"):
+    # epoch arithmetic, never day-of-month interpolation (a 40-element
+    # series would otherwise build the invalid date 2024-03-41)
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1, 10, 30)
+    return [
+        (series, base + timedelta(days=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+
+
+def test_acf_constant_series_null_r(spark):
+    got = _acf(spark, _days([5.0] * 10))
+    assert got[("m", 1)].r is None
+    assert got[("m", 1)].n_pairs == 9
+
+
+def test_acf_alternating_series_lag1_negative(spark):
+    got = _acf(spark, _days([1.0, -1.0] * 8), max_lag=2)
+    assert got[("m", 1)].r == pytest.approx(-1.0)
+    assert got[("m", 2)].r == pytest.approx(1.0)
+
+
+def test_acf_gap_pairs_only_adjacent_days(spark):
+    from datetime import datetime
+
+    rows = [
+        ("m", datetime(2024, 3, 1), 1.0),
+        ("m", datetime(2024, 3, 2), 2.0),
+        # gap: no 2024-03-03
+        ("m", datetime(2024, 3, 4), 3.0),
+        ("m", datetime(2024, 3, 5), 4.0),
+    ]
+    got = _acf(spark, rows, max_lag=1)
+    assert got[("m", 1)].n_pairs == 2  # (1->2) and (4->5) only
+
+
+def test_acf_matches_numpy_on_random_series(spark):
+    import numpy as np
+
+    rng = random.Random(5)
+    vals = [round(rng.uniform(-10, 10), 3) for _ in range(40)]
+    got = _acf(spark, _days(vals), max_lag=3)
+    # micro-unit quantization at scale=1000 is exact for 3-decimal values
+    arr = np.array(vals)
+    for k in (1, 2, 3):
+        expect = np.corrcoef(arr[:-k], arr[k:])[0, 1]
+        assert got[("m", k)].r == pytest.approx(expect, abs=1e-9)
+        assert got[("m", k)].n_pairs == 40 - k
+
+
+def test_acf_validation(spark):
+    from whisper_pandas_spark.operators.decompose import autocorrelation
+
+    df = spark.createDataFrame(
+        [("m", None, 1.0)], "series string, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError):
+        autocorrelation(df, "series", "ts", "value", max_lag=0)
+    with pytest.raises(ValueError):
+        autocorrelation(df, "series", "ts", "value", bucket="minute")

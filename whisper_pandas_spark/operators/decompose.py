@@ -315,3 +315,103 @@ def rolling_correlation(
         F.col("sy").alias("sum_y"),
         F.when(den > 0, num.cast("double") / den).alias("r"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    series_col: str,
+    time_col: str,
+    value_col: str,
+    *,
+    bucket: str = "day",
+    max_lag: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-series autocorrelation function (ACF) at lags 1..max_lag.
+
+    Buckets each series to a shared calendar grid (micro-unit BIGINT
+    sums), pairs each bucket with the bucket exactly ``lag`` grid steps
+    later (calendar-shift equi-join — gaps simply produce no pair, which
+    is the 'paired-observations' ACF convention), and computes the
+    Pearson coefficient per (series, lag) from exact sufficient
+    statistics:
+
+        r_k = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²) · (n·Σyy − Σy²))
+
+    Determinism (oracle-parity): values quantize to ``scale`` integer
+    units before any sum, all five Σ fold through DECIMAL(38,0) (exact,
+    partition-order independent), and only the final fixed-order
+    cast/multiply/sqrt/divide runs in doubles — identical IEEE ops on
+    identical inputs, so r_k replays bit-for-bit. Lags with fewer than
+    2 pairs or zero variance on either side yield NULL r.
+
+    Shape: ONE bucket aggregation over raw data, then the lag explode
+    and self-join operate on the bucket grid (bounded by series x
+    buckets, orders of magnitude smaller), keyed on the series — so the
+    join shuffle carries grid rows only and partial aggregation absorbs
+    any per-series skew. No windows over raw rows, no Python.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    if bucket not in ("day", "hour"):
+        raise ValueError("bucket must be 'day' or 'hour'")
+    unit_args = {"day": "0, 0, 0, l.lag, 0, 0, 0", "hour": "0, 0, 0, 0, l.lag, 0, 0"}[bucket]
+    grid = (
+        df.where(
+            F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(series_col).alias("series"),
+            F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
+        )
+        .agg(F.sum(F.round(F.col(value_col) * scale).cast("long")).alias("x"))
+        .persist()
+    )
+    lags = grid.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = grid.alias("a").crossJoin(F.broadcast(lags.alias("l")))
+    b = grid.select(
+        F.col("series").alias("series_b"),
+        F.col("bucket_ts").alias("ts_b"),
+        F.col("x").alias("y"),
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.series") == F.col("series_b"))
+        & (
+            F.col("ts_b")
+            == F.col("a.bucket_ts") + F.expr(f"make_interval({unit_args})")
+        ),
+    )
+    dec = "decimal(38,0)"
+    # second-order products multiply as DECIMAL(38,0), never long*long —
+    # a daily micro-unit sum squares past 2^63 well before 100 TB
+    xd = F.col("a.x").cast(dec)
+    yd = F.col("y").cast(dec)
+    sums = pairs.groupBy(F.col("a.series").alias("series"), F.col("l.lag").alias("lag")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    return sums.select(
+        "series",
+        "lag",
+        "n_pairs",
+        F.when(
+            (F.col("n_pairs") >= 2) & (vx > 0.0) & (vy > 0.0),
+            num / F.sqrt(vx * vy),
+        ).alias("r"),
+    )

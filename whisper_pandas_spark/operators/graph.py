@@ -248,3 +248,73 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Multi-source BFS hop distances, bounded at ``max_hops``.
+
+    Returns (node, dist INT) for every node reachable from any source
+    within ``max_hops`` edge traversals — dist 0 for the sources
+    themselves, and the MINIMUM hop count otherwise (synchronous
+    level-by-level relaxation, so the bound is exact, not approximate).
+    Nodes not reached within the bound are absent from the output.
+
+    The iteration is the frontier formulation: only nodes discovered in
+    round i-1 (the frontier) join the edge list in round i, so each
+    round's join input is the newly-reached set, not the whole distance
+    table — on a graph with small diameter the frontier collapses to
+    empty and later rounds are no-ops over zero rows. All arithmetic is
+    integer (hop counts), which is what lets a SQL oracle unroll the
+    identical relaxation and hash-match bit-for-bit.
+
+    Scale: per round ONE shuffle — the neighbor expansion keyed on the
+    join key — plus a node-keyed min-aggregate that partial-aggregates
+    map-side (hot hubs combine before the exchange). The distance table
+    is node-sized; the edge list is scanned once per round and never
+    re-keyed, so bucketing edges by ``src`` makes the frontier join
+    exchange-free on a real cluster. Rounds end in an eager
+    ``localCheckpoint`` (``checkpoint()`` on a cluster) so the plan
+    stays constant in ``max_hops`` instead of compounding.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    dist = sources.select(
+        F.col(node).cast("long").alias("node")
+    ).distinct().withColumn("dist", F.lit(0).cast("int"))
+    if checkpoint:
+        dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_hops):
+        reached = (
+            e.join(
+                frontier.select(F.col("node").alias("src"), "dist"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("dist") + F.lit(1)).cast("int").alias("dist"))
+        )
+        frontier = reached.join(
+            dist.select("node"), "node", "left_anti"
+        )
+        if checkpoint:
+            frontier = frontier.localCheckpoint(eager=True)
+        dist = dist.unionByName(frontier)
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=True)
+    e.unpersist()
+    return dist

@@ -719,3 +719,149 @@ def kmv_pair_ops(
         jac.alias("jaccard"),
         (jac * uest).alias("inter_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode-Muthukrishnan 2005): fixed d x w counter grid;
+# point frequency estimate = min over d rows of the counter at that row's
+# hash column — never an undercount, overcount bounded by n/w per row.
+#
+# Like KMV (and unlike HLL), the hash family is the repo's cross-engine
+# md5 construction, and every counter is an exact BIGINT sum — so the
+# sketch content AND the approximate estimates replay bit-for-bit in a
+# SQL oracle (`sketch_cms_rollup` hash-gates the estimator in a
+# collision-heavy regime, overcounts included).
+#
+# Representation: SPARSE (keys..., row INT, col INT, cnt BIGINT) — only
+# touched cells exist (absent cell == 0), which keeps the sketch table
+# plain-Spark-typed, parquet-persistable, and mergeable by a single
+# group-by sum. Merge(A, B) = elementwise counter sum, exactly the CMS
+# merge law, and rollup == direct-build holds exactly (both are sums of
+# the same per-row increments).
+# ---------------------------------------------------------------------------
+
+
+def _cms_col(value, seed: int, width: int):
+    """Column index of *value* in hash row *seed*: first 15 md5 hex chars
+    as a BIGINT (non-negative), mod width — the same construction (and
+    therefore the same collisions) as :func:`cms_duck_hash`."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(f"cms{seed}"), F.col(value).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    ).cast("int")
+
+
+def cms_duck_hash(value_sql: str, seed: int, width: int) -> str:
+    """DuckDB twin of the CMS column hash — oracles build on this."""
+    return (
+        f"CAST(('0x' || substr(md5('cms{seed}:' || CAST({value_sql} AS"
+        f" VARCHAR)), 1, 15))::BIGINT % {width} AS INT)"
+    )
+
+
+def cms_shard_sketches(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str,
+    depth: int = 3,
+    width: int = 128,
+    seed: int = 0,
+) -> DataFrame:
+    """Build one CMS per *keys* group over *value_col* occurrences
+    (multiset counts — every row increments, unlike the distinct-counting
+    sketches). Returns sparse cells (keys..., row INT, col INT, cnt
+    BIGINT). Nulls excluded.
+
+    Scale: the depth-way explode happens BEFORE the aggregation, but the
+    aggregate is a sum keyed on (keys, row, col) — bounded by
+    groups x d x w cells, so the exchange carries the (tiny) sketch, not
+    the raw rows: map-side partial aggregation combines every hot value
+    locally. ONE shuffle regardless of input size."""
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    kcols = [F.col(c) for c in keys]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                _cms_col(value_col, seed * depth + r, width).alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*kcols, F.explode(rows).alias("rc"))
+        .groupBy(*kcols, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_rollup(sketches: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Merge CMS cell tables to coarser *keys*: elementwise counter sum
+    (the CMS merge law — exact, associative, commutative). Never touches
+    raw data; the exchange is sketch-sized."""
+    kcols = [F.col(c) for c in keys]
+    return (
+        sketches.groupBy(*kcols, "row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketches: DataFrame,
+    keys: tuple[str, ...],
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 3,
+    width: int = 128,
+    seed: int = 0,
+) -> DataFrame:
+    """Point-frequency estimates: for every (sketch group x probe value),
+    est = min over the d rows of the counter at that row's column for the
+    value (absent cell = 0). Returns (keys..., probe value, est BIGINT).
+
+    ``depth/width/seed`` must match the build. The probe table is
+    expected to be small (a vocabulary / watchlist); it is exploded
+    d-ways and broadcast against the sketch cells, so the only exchange
+    is the group-keyed min — bounded by groups x probes."""
+    kcols = [F.col(c) for c in keys]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                _cms_col(probe_col, seed * depth + r, width).alias("col"),
+            )
+            for r in range(depth)
+        ]
+    )
+    pr = (
+        probes.filter(F.col(probe_col).isNotNull())
+        .select(F.col(probe_col), F.explode(rows).alias("rc"))
+        .select(
+            probe_col, F.col("rc.row").alias("row"), F.col("rc.col").alias("col")
+        )
+    )
+    # absent cells mean 0, and a probe may miss EVERY cell of a group —
+    # so the probe rows are crossed with the group list (both tiny) and
+    # the sketch left-joined in, rather than right-joining the sketch.
+    groups = sketches.select(*kcols).distinct()
+    probe_rows = groups.crossJoin(F.broadcast(pr))
+    cells = probe_rows.join(
+        sketches, [*keys, "row", "col"], "left"
+    ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    return cells.groupBy(*kcols, probe_col).agg(
+        F.min("cnt").alias("est")
+    )

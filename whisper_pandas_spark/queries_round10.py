@@ -1,0 +1,326 @@
+"""Round-10 registry entries.
+
+- text_rag_chunks        sliding-window RAG chunking: overlapping
+                         fixed-size word windows with stable chunk ids —
+                         the generator-heavy (posexplode-of-sequence)
+                         plan shape no other text entry has.
+- sketch_cms_estimate    count-min sketch: per-shard sparse d x w counter
+                         grids, elementwise-sum rollup, min-over-rows
+                         point estimates in a collision-heavy regime —
+                         approximate OVERcounts hash-gated next to the
+                         exact truth column.
+- graph_bfs_distances    multi-source BFS hop distances over the trade
+                         graph, frontier-iterated in the engine and
+                         unrolled as Bellman-Ford rounds in SQL — the
+                         reachability shape pagerank/LPA don't exercise
+                         (monotone min-relaxation, not mass propagation).
+- ts_autocorrelation     per-series ACF at lags 1..3 from exact
+                         DECIMAL(38,0) sufficient statistics over the
+                         calendar-shifted self-join of the bucket grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.registry import _table, register
+
+# -- RAG chunking -------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+def _rag_oracle() -> str:
+    s, t = _CHUNK_SIZE, _CHUNK_STRIDE
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+c AS (
+  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+         CASE WHEN len(ws) <= {s} THEN 1
+              ELSE 1 + (len(ws) - {s} + {t} - 1) // {t} END AS nch
+  FROM w
+),
+g AS (
+  SELECT doc_id, ws, n_words,
+         unnest(generate_series(0, nch - 1)) AS i
+  FROM c
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx, n_words,
+       CAST(least({s}, n_words - i * {t}) AS INT) AS n_chunk_words,
+       array_to_string(list_slice(ws, i * {t} + 1, i * {t} + {s}), ' ')
+         AS chunk_text
+FROM g
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("text_rag_chunks", oracle=_rag_oracle())
+def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: retrieval/context-window chunking (operators/chunking.py:
+    rag_chunks) — every document split into {size}-word windows every
+    {stride} words (1/4 overlap), with the document word count and the
+    (possibly short) final-window length carried per chunk.  Chunk
+    identity is (doc_id, chunk_idx): deterministic, append-stable, and
+    replayable — which is what makes downstream embedding tables
+    idempotently re-buildable.  Plan: one scan + one generator
+    (posexplode of a sequence), pure whole-stage codegen (no lambda
+    HOFs — the round-8 CodegenFallback lesson), ZERO shuffles before
+    the presentation sort.  Scale: output bytes are ~(size/stride)x
+    the corpus and each task fans out locally; nothing is keyed, so
+    there is no skew surface at all."""
+    from whisper_pandas_spark.operators.chunking import rag_chunks
+
+    docs = _table(spark, sf_dir, "documents")
+    return rag_chunks(
+        docs, "text", ("doc_id",), size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# -- count-min sketch ---------------------------------------------------------
+
+_CMS_D = 3
+_CMS_W = 128
+_CMS_BUCKETS = 1000  # item space: user_id % 1000 >> width, so collisions
+_CMS_PROBES = 20
+
+
+def _cms_duck_hash_rowvar(value_sql: str, width: int) -> str:
+    """The cms_duck_hash construction with the seed taken from the
+    ``rows_`` CTE's ``r.row`` column instead of a literal (seed*depth+r
+    with seed=0 is just r) — same md5 input string, same collisions."""
+    return (
+        "CAST(('0x' || substr(md5('cms' || CAST(r.row AS VARCHAR) || ':' ||"
+        f" CAST({value_sql} AS VARCHAR)), 1, 15))::BIGINT % {width} AS INT)"
+    )
+
+
+def _cms_oracle() -> str:
+    d, w, nb, np_ = _CMS_D, _CMS_W, _CMS_BUCKETS, _CMS_PROBES
+    return f"""
+WITH items AS (
+  SELECT user_id % {nb} AS item FROM events WHERE user_id IS NOT NULL
+),
+rows_ AS (SELECT CAST(i AS INT) AS row FROM generate_series(0, {d - 1}) t(i)),
+cells AS (
+  SELECT r.row,
+         {_cms_duck_hash_rowvar("item", w)} AS col,
+         count(*) AS cnt
+  FROM items, rows_ r GROUP BY 1, 2
+),
+probes AS (
+  SELECT CAST(i AS BIGINT) AS bucket FROM generate_series(0, {np_ - 1}) t(i)
+),
+est AS (
+  SELECT p.bucket, min(coalesce(c.cnt, 0)) AS est
+  FROM probes p CROSS JOIN rows_ r
+  LEFT JOIN cells c ON c.row = r.row AND c.col =
+    {_cms_duck_hash_rowvar("p.bucket", w)}
+  GROUP BY 1
+),
+exact AS (SELECT item AS bucket, count(*) AS cnt FROM items GROUP BY 1)
+SELECT p.bucket, e.est, coalesce(x.cnt, 0) AS exact
+FROM probes p JOIN est e USING (bucket) LEFT JOIN exact x USING (bucket)
+ORDER BY bucket
+"""
+
+
+@register("sketch_cms_estimate", oracle=_cms_oracle())
+def sketch_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family +: count-min (Cormode-Muthukrishnan 2005) point
+    frequencies (operators/sketches.py:cms_*).  Per-event-type shard
+    sketches over the user-bucket stream (user_id % 1000 — 1000 items
+    into width 128, so collisions are GUARANTEED and some estimates
+    overcount), merged to one global sketch by the elementwise-sum law,
+    then probed for buckets 0..19 with the exact truth joined alongside.
+    Because the hash family is the cross-engine md5 construction and
+    every counter is an exact BIGINT sum, the APPROXIMATE estimates —
+    overcounts included — replay bit-for-bit in the oracle; est >= exact
+    holds row-for-row by the CMS one-sided-error law.  Scale: the only
+    raw-data exchange is the (groups x d x w)-bounded cell aggregation
+    (map-side combine absorbs hot items); rollup and probe touch sketch
+    cells only."""
+    from whisper_pandas_spark.operators.sketches import (
+        cms_estimate,
+        cms_rollup,
+        cms_shard_sketches,
+    )
+
+    ev = _table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    items = ev.select(
+        F.col("event_type").alias("scope"),
+        (F.col("user_id") % _CMS_BUCKETS).alias("item"),
+    )
+    shards = cms_shard_sketches(
+        items, ("scope",), "item", depth=_CMS_D, width=_CMS_W
+    )
+    merged = cms_rollup(
+        shards.withColumn("scope", F.lit("all")), ("scope",)
+    )
+    probes = spark.range(_CMS_PROBES).select(F.col("id").alias("item"))
+    est = cms_estimate(
+        merged, ("scope",), probes, "item", depth=_CMS_D, width=_CMS_W
+    ).select(F.col("item").alias("bucket"), "est")
+    exact = (
+        items.join(F.broadcast(probes), "item")
+        .groupBy(F.col("item").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "bucket", "left")
+        .select(
+            "bucket", "est", F.coalesce("exact", F.lit(0)).alias("exact")
+        )
+        .orderBy("bucket")
+    )
+
+
+# -- multi-source BFS ---------------------------------------------------------
+
+_BFS_HOPS = 3
+_BFS_NATION = 1
+
+
+def _bfs_oracle() -> str:
+    blocks = []
+    for i in range(1, _BFS_HOPS + 1):
+        blocks.append(f"""d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.dist + 1 AS dist
+    FROM e JOIN d{i - 1} r ON e.src = r.node
+  ) GROUP BY node
+)""")
+    iter_blocks = ",\n".join(blocks)
+    return f"""
+WITH base AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), e AS (
+  SELECT src, dst FROM base UNION SELECT dst, src FROM base
+), d0 AS (
+  SELECT DISTINCT c_custkey * 2 AS node, 0 AS dist
+  FROM customer WHERE c_nationkey = {_BFS_NATION}
+),
+{iter_blocks}
+SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+       node // 2 AS key,
+       CAST(dist AS INT) AS dist
+FROM d{_BFS_HOPS}
+ORDER BY dist, kind, key
+"""
+
+
+@register("graph_bfs_distances", oracle=_bfs_oracle())
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family +: multi-source BFS (operators/graph.py:
+    bfs_distances) — hop distance from ANY nation-{n} customer through
+    the symmetrized customer<->supplier trade graph, bounded at 3 hops.
+    The engine iterates the FRONTIER formulation (only newly-reached
+    nodes join the edge list each round, anti-joined against the known
+    set, checkpointed so the plan is constant in the hop bound); the
+    oracle unrolls the equivalent Bellman-Ford min-relaxation — equal
+    on unit weights, and all-integer, so the driver hash is exact.
+    Scale: per round one src-keyed join + one map-side-combined min
+    aggregate; the edge list is never re-keyed, so bucketing by src
+    makes rounds exchange-free; hub skew is absorbed by the partial
+    min."""
+    from whisper_pandas_spark.operators.graph import bfs_distances
+
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    cu = _table(spark, sf_dir, "customer")
+    base = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = cu.where(F.col("c_nationkey") == _BFS_NATION).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    dist = bfs_distances(edges, sources, max_hops=_BFS_HOPS)
+    return dist.select(
+        F.when(F.col("node") % 2 == 0, F.lit("c"))
+        .otherwise(F.lit("s"))
+        .alias("kind"),
+        F.floor(F.col("node") / 2).alias("key"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("dist", "kind", "key")
+
+
+# -- per-series autocorrelation ----------------------------------------------
+
+_ACF_MAX_LAG = 3
+_ACF_SCALE = 1000
+
+
+def _acf_oracle() -> str:
+    k, sc = _ACF_MAX_LAG, _ACF_SCALE
+    return f"""
+WITH grid AS (
+  SELECT event_type AS series, date_trunc('day', ts) AS bucket_ts,
+         sum(CAST(round(value * {sc}) AS BIGINT)) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+lags AS (SELECT CAST(i AS INT) AS lag FROM generate_series(1, {k}) t(i)),
+pairs AS (
+  SELECT a.series, l.lag,
+         CAST(a.x AS DECIMAL(38,0)) AS x, CAST(b.x AS DECIMAL(38,0)) AS y
+  FROM grid a CROSS JOIN lags l
+  JOIN grid b ON b.series = a.series
+             AND b.bucket_ts = a.bucket_ts + INTERVAL (l.lag) DAY
+),
+sums AS (
+  SELECT series, lag, count(*) AS n_pairs,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT series, lag, n_pairs,
+  CASE WHEN n_pairs >= 2
+        AND CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+  THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+  END AS r
+FROM sums ORDER BY series, lag
+"""
+
+
+@register("ts_autocorrelation", oracle=_acf_oracle())
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries family +: the autocorrelation function (operators/
+    decompose.py:autocorrelation) — per event type, Pearson r between
+    the daily micro-unit grid and itself shifted 1..3 days (calendar
+    equi-join, so gaps pair nothing rather than mis-aligning).  All five
+    sufficient statistics fold through DECIMAL(38,0); only the final
+    fixed-order IEEE expression is floating point, so r replays
+    bit-for-bit in the oracle.  Scale: ONE aggregation touches raw
+    events; the lag explode and self-join run on the series x days
+    grid."""
+    from whisper_pandas_spark.operators.decompose import autocorrelation
+
+    ev = _table(spark, sf_dir, "events")
+    return autocorrelation(
+        ev,
+        "event_type",
+        "ts",
+        "value",
+        bucket="day",
+        max_lag=_ACF_MAX_LAG,
+        scale=_ACF_SCALE,
+    ).orderBy("series", "lag")

@@ -173,4 +173,7 @@ from whisper_pandas_spark import queries_round8  # noqa: E402,F401
 # Round 9: same direct-registration pattern.
 from whisper_pandas_spark import queries_round9  # noqa: E402,F401
 
+# Round 10: same direct-registration pattern.
+from whisper_pandas_spark import queries_round10  # noqa: E402,F401
+
 _reorder()
