@@ -318,3 +318,67 @@ def bfs_distances(
             dist = dist.localCheckpoint(eager=True)
     e.unpersist()
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling, bounded at
+    ``max_rounds``.
+
+    Returns (node, deg INT): the nodes surviving ``max_rounds`` rounds of
+    "delete every node whose distinct-neighbor degree is below k", with
+    their degree inside the surviving subgraph. Pass a SYMMETRIZED edge
+    list for undirected cores (degree counts out-neighbors). Because the
+    peel is monotone (survivor sets only shrink) and a converged round
+    is a no-op, running MORE rounds than needed never changes the
+    output — the engine may stop early at a fixpoint while a SQL oracle
+    unrolls the full ``max_rounds``, and both agree. Rounds beyond
+    convergence cost nothing (the survivor set is already stable).
+
+    Scale: each round is one groupBy(src) count over the surviving edge
+    list plus two semi-joins against the node-sized survivor table —
+    broadcastable once peeling shrinks it; the edge list is re-filtered,
+    never re-keyed, so bucketing by src keeps every round's aggregation
+    exchange-free. Checkpointed per round (plan constant in rounds).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    alive = deg.where(F.col("deg") >= k).select("src", "deg")
+    if checkpoint:
+        alive = alive.localCheckpoint(eager=True)
+    prev_n = alive.count()
+    for _ in range(max_rounds - 1):
+        nodes = alive.select(F.col("src").alias("n"))
+        ee = e.join(
+            nodes.withColumnRenamed("n", "src"), "src", "left_semi"
+        ).join(nodes.withColumnRenamed("n", "dst"), "dst", "left_semi")
+        deg = ee.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.where(F.col("deg") >= k).select("src", "deg")
+        if checkpoint:
+            alive = alive.localCheckpoint(eager=True)
+        n = alive.count()
+        if n == prev_n:
+            break  # fixpoint: further rounds are no-ops
+        prev_n = n
+    e.unpersist()
+    return alive.select(
+        F.col("src").alias("node"), F.col("deg").cast("int").alias("deg")
+    )

@@ -324,3 +324,228 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_lag=_ACF_MAX_LAG,
         scale=_ACF_SCALE,
     ).orderBy("series", "lag")
+
+
+# -- streaming CMS maintenance -------------------------------------------------
+
+
+def _stream_cms_oracle() -> str:
+    # the streaming state merged over all batches equals the direct build
+    # over all raw rows (CMS merge law) — so the oracle is the batch
+    # recompute of the same estimates, exact truth alongside
+    return _cms_oracle()
+
+
+@register("stream_cms_replay", oracle=_stream_cms_oracle())
+def stream_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+: streaming count-min maintenance (streaming/sketches.py:
+    stream_cms_update) replayed end-to-end — the user-bucket stream
+    split into two change files streams through foreachBatch
+    elementwise-sum merges into the versioned CMS state (exactly-once
+    via checkpoint-scoped batch markers; the merge is additive, so a
+    replayed batch would double-count), then point estimates for
+    buckets 0..19 are read off the FINAL state with the exact truth
+    joined alongside.  The CMS merge law makes state == direct build
+    bit-for-bit, so this shares `sketch_cms_estimate`'s oracle — one
+    hash gate proving batch sketching, additive merge, version flips,
+    AND the probe readout."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.operators.sketches import cms_estimate
+    from whisper_pandas_spark.streaming.sketches import stream_cms_update
+
+    ev = _table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    items = ev.select(
+        F.lit("all").alias("scope"),
+        F.col("event_id"),
+        (F.col("user_id") % _CMS_BUCKETS).alias("item"),
+    )
+    d = tempfile.mkdtemp(prefix="wps_cmsstream_")
+    items.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{d}/changes/f1"
+    )
+    items.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{d}/changes/f2"
+    )
+    sdf = (
+        spark.readStream.schema("scope string, event_id long, item long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/changes/*")
+    )
+    q = stream_cms_update(
+        sdf,
+        f"{d}/state",
+        ("scope",),
+        "item",
+        depth=_CMS_D,
+        width=_CMS_W,
+        checkpoint_dir=f"{d}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.parquet(current_version_path(f"{d}/state"))
+    probes = spark.range(_CMS_PROBES).select(F.col("id").alias("item"))
+    est = cms_estimate(
+        state, ("scope",), probes, "item", depth=_CMS_D, width=_CMS_W
+    ).select(F.col("item").alias("bucket"), "est")
+    exact = (
+        items.join(F.broadcast(probes), "item")
+        .groupBy(F.col("item").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "bucket", "left")
+        .select(
+            "bucket", "est", F.coalesce("exact", F.lit(0)).alias("exact")
+        )
+        .orderBy("bucket")
+    )
+
+
+# -- k-core decomposition ------------------------------------------------------
+
+_KCORE_K = 40
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    k, r = _KCORE_K, _KCORE_ROUNDS
+    blocks = []
+    for i in range(1, r):
+        blocks.append(f"""e{i} AS (
+  SELECT e.src, e.dst FROM e
+  JOIN a{i - 1} s ON e.src = s.node JOIN a{i - 1} t ON e.dst = t.node
+), a{i} AS (
+  SELECT src AS node, count(*) AS deg FROM e{i}
+  GROUP BY src HAVING count(*) >= {k}
+)""")
+    iter_blocks = ",\n".join(blocks)
+    return f"""
+WITH base AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), e AS (
+  SELECT src, dst FROM base UNION SELECT dst, src FROM base
+), a0 AS (
+  SELECT src AS node, count(*) AS deg FROM e
+  GROUP BY src HAVING count(*) >= {k}
+),
+{iter_blocks}
+SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+       node // 2 AS key,
+       CAST(deg AS INT) AS deg
+FROM a{r - 1}
+ORDER BY kind, key
+"""
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family +: k-core decomposition (operators/graph.py:kcore) —
+    synchronous peeling of the symmetrized trade graph: delete every
+    node with fewer than {k} distinct surviving neighbors, recount,
+    repeat.  The deletion-based monotone fixpoint is the iterative
+    shape pagerank (mass propagation), LPA (label voting), and BFS
+    (min relaxation) don't exercise.  The engine stops early at a
+    fixpoint (survivor counts stop shrinking); the oracle unrolls the
+    full round budget — equal by monotonicity, since converged rounds
+    are no-ops.  All-integer, hash-exact.  Scale: each round is one
+    map-side-combined degree count over the surviving edge list plus
+    two semi-joins against the (shrinking, broadcastable) survivor
+    table; the edge list is filtered, never re-keyed."""
+    from whisper_pandas_spark.operators.graph import kcore
+
+    o = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    base = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cores = kcore(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+    return cores.select(
+        F.when(F.col("node") % 2 == 0, F.lit("c"))
+        .otherwise(F.lit("s"))
+        .alias("kind"),
+        F.floor(F.col("node") / 2).alias("key"),
+        "deg",
+    ).orderBy("kind", "key")
+
+
+# -- gaps-and-islands streaks ---------------------------------------------------
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+r AS (
+  SELECT user_id, d,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+),
+s AS (
+  SELECT user_id, d - CAST(rn AS INT) AS g, count(*) AS len,
+         min(d) AS streak_start
+  FROM r GROUP BY user_id, d - CAST(rn AS INT)
+),
+m AS (
+  SELECT user_id, g, len, streak_start,
+         max(len) OVER (PARTITION BY user_id) AS ml
+  FROM s
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(min(ml) AS BIGINT) AS max_streak,
+       min(CASE WHEN len = ml THEN streak_start END) AS max_streak_start
+FROM m GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6+: gaps-and-islands — per-user consecutive-active-day streaks
+    via the classic date-minus-row_number island key (consecutive days
+    share `d - rn`), then per-user streak stats: active days, streak
+    count, longest streak, and the start date of the EARLIEST longest
+    streak (deterministic tie-break).  All integer/date arithmetic.
+    Plan: ONE exchange on user_id serves the distinct, the row_number
+    window, both group-bys, and the max window — every downstream key
+    set contains user_id, so Catalyst reuses the partitioning
+    end-to-end (no second shuffle at any scale)."""
+    from pyspark.sql.window import Window
+
+    ev = _table(spark, sf_dir, "events")
+    days = (
+        ev.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "g", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("streak_start"),
+    )
+    ml = F.max("len").over(Window.partitionBy("user_id"))
+    m = streaks.withColumn("ml", ml)
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.min("ml").alias("max_streak"),
+            F.min(
+                F.when(F.col("len") == F.col("ml"), F.col("streak_start"))
+            ).alias("max_streak_start"),
+        )
+        .orderBy("user_id")
+    )

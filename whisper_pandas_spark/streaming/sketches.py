@@ -277,3 +277,82 @@ def stream_topk_update(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_cms_update(
+    sdf: DataFrame,
+    base: str,
+    keys: tuple[str, ...],
+    value_col: str,
+    depth: int = 3,
+    width: int = 128,
+    seed: int = 0,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming twin for the count-min sketches (operators/sketches.py
+    cms_*): each micro-batch is sketched on its own (the batch IS the
+    shard) and merged into the versioned state by the CMS elementwise-sum
+    law (cms_rollup over the sparse cell union).
+
+    Like the histogram merge — and unlike KMV — the merge is ADDITIVE,
+    so a replayed batch would double-count every counter and
+    ``checkpoint_dir`` is REQUIRED: the `_LAST_BATCH` marker
+    short-circuit provides the standard exactly-once foreachBatch
+    recipe. State is (keys..., row, col, cnt) — at most
+    groups x depth x width rows, kilobytes per group — and any later
+    consumer reads point-frequency estimates off it with cms_estimate
+    without touching raw history.
+    """
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        write_version,
+    )
+    from whisper_pandas_spark.operators.sketches import (
+        cms_rollup,
+        cms_shard_sketches,
+    )
+
+    if not checkpoint_dir:
+        raise ValueError(
+            "checkpoint_dir is required: the CMS merge is additive, so a "
+            "replayed batch would double-count — batch-id dedup needs "
+            "durable batch numbering"
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = current_version_path(base)
+        next_version = 0
+        if cur is not None:
+            marker = Path(cur) / "_LAST_BATCH"
+            if marker.exists():
+                sid, _, last = marker.read_text().rpartition(":")
+                if sid == checkpoint_dir and int(last) >= batch_id:
+                    return  # replay of an already-merged batch
+            next_version = int(Path(cur).name[1:]) + 1
+        batch_sketch = cms_shard_sketches(
+            batch_df, keys, value_col, depth=depth, width=width, seed=seed
+        )
+        if cur is None:
+            new_state = batch_sketch
+        else:
+            prior = batch_df.sparkSession.read.parquet(cur).select(
+                *keys, "row", "col", "cnt"
+            )
+            new_state = cms_rollup(prior.unionByName(batch_sketch), keys)
+        write_version(
+            base,
+            new_state,
+            next_version,
+            extra_files={"_LAST_BATCH": f"{checkpoint_dir}:{batch_id}"},
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
