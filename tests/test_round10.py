@@ -540,3 +540,127 @@ def test_gaps_islands_basic(spark):
         (1, "2024-05-06"): 2,
         (2, "2024-05-01"): 1,
     }
+
+
+# -- RAKE ---------------------------------------------------------------------
+
+
+def _rake(spark, texts, top_n=25):
+    from whisper_pandas_spark.operators.rake import rake_keywords
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return rake_keywords(df, top_n=top_n).collect()
+
+
+def test_rake_hand_example(spark):
+    # stopwords: the a of and to in is on for it
+    rows = _rake(spark, ["the quick brown fox and a lazy dog in the sun"])
+    got = {r.phrase: (r.n_words, r.occurrences, r.score) for r in rows}
+    # islands: [quick brown fox] [lazy dog] [sun]
+    # deg/freq: quick 3/1 brown 3/1 fox 3/1 lazy 2/1 dog 2/1 sun 1/1
+    assert got == {
+        "quick brown fox": (3, 1, 9.0),
+        "lazy dog": (2, 1, 4.0),
+        "sun": (1, 1, 1.0),
+    }
+    # ranking: highest score first
+    assert rows[0].phrase == "quick brown fox"
+
+
+def test_rake_shared_word_across_phrases(spark):
+    rows = _rake(spark, ["spark jobs and spark tasks"])
+    got = {r.phrase: r.score for r in rows}
+    # freq: spark 2, jobs 1, tasks 1; deg: spark 4, jobs 2, tasks 2
+    assert got == {"spark jobs": 4.0, "spark tasks": 4.0}
+
+
+def test_rake_long_island_discarded_entirely(spark):
+    rows = _rake(spark, ["alpha beta gamma delta and short run"])
+    got = {r.phrase for r in rows}
+    # 4-word island contributes nothing (neither phrase nor word stats)
+    assert got == {"short run"}
+    # and 'short run' stats are unpolluted by the dropped island
+    sr = [r for r in rows if r.phrase == "short run"][0]
+    assert sr.score == 4.0
+
+
+def test_rake_punctuation_delimits(spark):
+    # tokenize() maps non-alnum to spaces, so punctuation acts as a
+    # stopword-like delimiter only via stopwords; commas just vanish —
+    # this pins that 'x, y' still forms one island (RAKE variants that
+    # split on punctuation would need the raw-text islands)
+    rows = _rake(spark, ["data, pipelines"])
+    assert {r.phrase for r in rows} == {"data pipelines"}
+
+
+def test_rake_matches_python_reference(spark):
+    from fractions import Fraction
+
+    from whisper_pandas_spark.operators.textstats import STOPWORDS
+
+    rng = random.Random(31)
+    vocab = ["alpha", "beta", "gamma", "delta", "and", "the", "run", "it"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 25)))
+        for _ in range(12)
+    ]
+    stops = set(STOPWORDS)
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    occs: dict[str, int] = {}
+    for t in texts:
+        toks = [w for w in t.split() if w]
+        islands: list[list[str]] = [[]]
+        for w in toks:
+            if w in stops:
+                if islands[-1]:
+                    islands.append([])
+            else:
+                islands[-1].append(w)
+        for isl in islands:
+            if not isl or len(isl) > 3:
+                continue
+            occs[" ".join(isl)] = occs.get(" ".join(isl), 0) + 1
+            for w in isl:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(isl)
+    expect = {
+        p: sum(Fraction(deg[w], freq[w]) for w in p.split())
+        for p in occs
+    }
+    rows = _rake(spark, texts, top_n=1000)
+    got = {r.phrase: (r.occurrences, r.score) for r in rows}
+    assert set(got) == set(expect)
+    for p, fr in expect.items():
+        assert got[p][0] == occs[p]
+        assert got[p][1] == pytest.approx(float(fr), rel=1e-12)
+
+
+def test_rake_validation(spark):
+    from whisper_pandas_spark.operators.rake import rake_keywords
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        rake_keywords(df, max_phrase_len=4)
+    with pytest.raises(ValueError):
+        rake_keywords(df, max_phrase_len=0)
+
+
+# -- Benford ------------------------------------------------------------------
+
+
+def test_benford_digit_extraction_and_shares(spark, sf_dir):
+    import math
+
+    from whisper_pandas_spark.queries_round10 import profile_benford
+
+    rows = profile_benford(spark, sf_dir).collect()
+    assert [r.digit for r in rows] == sorted({r.digit for r in rows})
+    assert all(1 <= r.digit <= 9 for r in rows)
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert r.observed == pytest.approx(r.n / total)
+        assert r.expected == pytest.approx(math.log10(1 + 1 / r.digit))
+    assert sum(r.observed for r in rows) == pytest.approx(1.0)

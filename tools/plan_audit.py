@@ -148,6 +148,16 @@ AUDITED = [
     # round-9 entries
     "graphite_percentile_of_series",
     "text_lang_id_trained",
+    # round-10 entries (stream_cms_replay explains a drained sink —
+    # its batch plan is sketch_cms_estimate's, already audited)
+    "text_rag_chunks",
+    "sketch_cms_estimate",
+    "graph_bfs_distances",
+    "ts_autocorrelation",
+    "graph_kcore",
+    "window_gaps_islands",
+    "text_rake_keywords",
+    "profile_benford",
 ]
 
 

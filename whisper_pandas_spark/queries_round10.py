@@ -549,3 +549,155 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# -- RAKE keyword extraction ---------------------------------------------------
+
+_RAKE_TOPN = 25
+
+
+def _rake_oracle() -> str:
+    from whisper_pandas_spark.operators.textstats import STOPWORDS
+    from whisper_pandas_spark.queries_text import _DUCK_TOKS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    dec = "DECIMAL(12,0)"
+    picks = []
+    for p in (1, 2, 3):
+        picks.append(
+            f"max(CASE WHEN wpos = {p} THEN CAST(freq AS {dec}) END) AS f{p},"
+            f"\n    max(CASE WHEN wpos = {p} THEN CAST(deg AS {dec}) END)"
+            f" AS d{p}"
+        )
+    pick_sql = ",\n    ".join(picks)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+),
+pt AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+  WHERE t[i] != ''
+),
+ns AS (
+  SELECT doc_id, pos, tok,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM pt WHERE tok NOT IN ({stops})
+),
+isl AS (
+  SELECT doc_id, pos, tok, g,
+         count(*) OVER (PARTITION BY doc_id, g) AS plen
+  FROM ns
+),
+cand AS (SELECT * FROM isl WHERE plen <= 3),
+ws AS (SELECT tok, count(*) AS freq, sum(plen) AS deg FROM cand GROUP BY tok),
+occ AS (
+  SELECT doc_id, g, plen, string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM cand GROUP BY doc_id, g, plen
+),
+ph AS (
+  SELECT phrase, plen, count(*) AS occurrences FROM occ GROUP BY phrase, plen
+),
+pw AS (
+  SELECT phrase, plen, occurrences, i AS wpos,
+         string_split(phrase, ' ')[i] AS wtok
+  FROM ph, unnest(generate_series(1, plen)) AS gg(i)
+),
+pv AS (
+  SELECT phrase, plen, occurrences,
+    {pick_sql}
+  FROM pw JOIN ws ON ws.tok = pw.wtok
+  GROUP BY phrase, plen, occurrences
+)
+SELECT phrase, CAST(plen AS INT) AS n_words,
+       CAST(occurrences AS BIGINT) AS occurrences,
+       CAST(d1 * coalesce(f2, 1) * coalesce(f3, 1)
+            + coalesce(d2, 0) * f1 * coalesce(f3, 1)
+            + coalesce(d3, 0) * f1 * coalesce(f2, 1) AS DOUBLE)
+       / CAST(f1 * coalesce(f2, 1) * coalesce(f3, 1) AS DOUBLE) AS score
+FROM pv
+ORDER BY score DESC, phrase
+LIMIT {_RAKE_TOPN}
+"""
+
+
+@register("text_rake_keywords", oracle=_rake_oracle())
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: RAKE keyword extraction (operators/rake.py:rake_keywords,
+    Rose et al. 2010) — candidate phrases are stopword-delimited token
+    islands (the same gaps-and-islands key as window_gaps_islands, on
+    token positions), word score = deg/freq over candidate occurrences,
+    phrase score = Σ word scores computed as ONE exact rational
+    (DECIMAL positional pivot, single IEEE division) so the ranking
+    replays bit-for-bit — a naive float sum would be partition-order
+    dependent.  Top-{n} corpus keywords.  Scale: one per-doc window
+    pass over tokens; every later aggregation is vocabulary- or
+    phrase-bounded with map-side combine; word stats join back
+    broadcast."""
+    from whisper_pandas_spark.operators.rake import rake_keywords
+
+    docs = _table(spark, sf_dir, "documents")
+    return rake_keywords(docs, "text", "doc_id", top_n=_RAKE_TOPN)
+
+
+# -- Benford first-digit profile ------------------------------------------------
+
+
+@register(
+    "profile_benford",
+    oracle="""
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+d AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM cents WHERE c > 0 GROUP BY 1
+),
+t AS (SELECT sum(n) AS total FROM d)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+         AS observed,
+       log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected
+FROM d ORDER BY digit
+""",
+)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling family +: Benford first-significant-digit audit over
+    lineitem extended prices — the classic fraud/synthetic-data screen.
+    The first digit comes from the INTEGER cents string (decimal
+    formatting differences between engines can't bite), counts are
+    exact, and the observed share plus the Benford expectation
+    log10(1+1/d) are single fixed-order IEEE expressions.  Plan: one
+    scan, one 9-group aggregate with map-side combine, one broadcast
+    of the 1-row total — nothing keyed finer than the digit."""
+    li = _table(spark, sf_dir, "lineitem")
+    cents = li.where(F.col("l_extendedprice").isNotNull()).select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    d = (
+        cents.where(F.col("c") > 0)
+        .select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = d.agg(F.sum("n").alias("total"))
+    return (
+        d.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "observed"
+            ),
+            F.log10(
+                F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+            ).alias("expected"),
+        )
+        .orderBy("digit")
+    )
