@@ -235,6 +235,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     total_ext = round(total + sum(timings2.values()), 4)
+    # The driver parses the LAST stdout line and keeps only a ~2000-char
+    # tail of output; round 10's artifact came back ``parsed: null``
+    # because ``query_stats`` grew the single line past that window
+    # (VERDICT r10 What's-wrong #1). Bulky per-rep detail therefore goes
+    # on its OWN earlier line, and the final line stays a compact JSON
+    # (~1 kB) carrying the headline metric plus per-query bests.
+    print(json.dumps({"bench_detail": {"query_stats": stats}}))
     print(
         json.dumps(
             {
@@ -244,7 +251,6 @@ def main() -> None:
                 "queries": timings,
                 "queries2": timings2,
                 "value_extended": total_ext,
-                "query_stats": stats,
                 "reps": reps,
                 "load_at_start": load_at_start,
                 "load_initial": load_initial,

@@ -71,6 +71,26 @@ def test_rag_chunks_drops_empty_and_whitespace_docs(spark):
     assert [(r.doc_id, r.chunk_text) for r in rows] == [(2, "solo")]
 
 
+def test_rag_chunks_exotic_whitespace_tokenization(spark):
+    # Tab-leading text must NOT produce an empty first token (trim() only
+    # strips 0x20), and vertical tab (\x0B) must be a separator on BOTH
+    # engines — the explicit [ \t\n\r\f\x0B]+ class, not \s (ADVICE r10:
+    # Java \s includes \x0B, RE2's does not).
+    texts = [
+        "\ta b",  # leading tab
+        "a\x0bb c",  # vertical tab separator
+        "a\xa0b",  # NBSP is NOT a separator -> one token
+        "\t\x0b \n",  # whitespace-only -> dropped
+    ]
+    rows = _chunk_rows(spark, texts, size=10, stride=10)
+    got = {(r.doc_id, r.n_words, r.chunk_text) for r in rows}
+    assert got == {
+        (0, 2, "a b"),
+        (1, 3, "a b c"),
+        (2, 1, "a\xa0b"),
+    }
+
+
 def test_rag_chunks_validation(spark):
     from whisper_pandas_spark.operators.chunking import rag_chunks
 

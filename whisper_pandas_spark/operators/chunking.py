@@ -30,6 +30,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# ASCII whitespace, spelled out: Java's \s includes \x0B (vertical tab)
+# while RE2's does not, so an explicit class is the only spelling that
+# reads identically in the engine (Spark/Java) and the oracle
+# (DuckDB/RE2). The same literal is used in the registry oracle SQL
+# (queries_round10.py) — keep the two in sync.
+WS_SPLIT_RE = "[ \\t\\n\\r\\f\\x0B]+"
+WS_TRIM_RE = "^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$"
+
 
 def rag_chunks(
     df: DataFrame,
@@ -47,15 +55,23 @@ def rag_chunks(
     exactly one chunk. Documents whose text is empty or whitespace-only
     are dropped (no words to window).
 
-    Tokenization is the whitespace split ``\\s+`` on the trimmed text —
-    the same normalization the token-stats operators use, and a regex
-    both Java and RE2 dialects read identically (oracle parity).
+    Tokenization splits on the EXPLICIT whitespace class
+    ``[ \\t\\n\\r\\f\\x0B]+`` after stripping that same class from both
+    ends — spelled out rather than ``\\s`` because Java's ``\\s``
+    includes vertical tab (``\\x0B``) while RE2's does not, and because
+    ``trim()`` strips only 0x20, so text leading with a tab would
+    otherwise yield an empty first token that inflates ``n_words``.
+    With the explicit class and regex trim, both engines (Spark/Java and
+    DuckDB/RE2) tokenize identically for ASCII whitespace; exotic
+    Unicode spaces (e.g. U+00A0) are deliberately NOT separators on
+    either side.
     """
     if size < 1 or stride < 1:
         raise ValueError("size and stride must be >= 1")
     if stride > size:
         raise ValueError("stride must be <= size (windows must tile)")
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    trimmed = F.regexp_replace(F.col(text_col), WS_TRIM_RE, "")
+    words = F.split(trimmed, WS_SPLIT_RE)
     n = F.size(words).cast("bigint")
     # integer ceil((n-size)/stride): exact — the double division sees
     # integers far below 2^53, and floor of an exact quotient is the DIV
@@ -63,7 +79,7 @@ def rag_chunks(
         F.lit(1) + F.floor((n - size + stride - 1) / F.lit(stride))
     )
     base = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        df.filter(F.length(trimmed) > 0)
         .select(
             *[F.col(c) for c in id_cols],
             words.alias("__ws"),

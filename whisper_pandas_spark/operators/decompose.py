@@ -365,7 +365,17 @@ def autocorrelation(
             F.date_trunc(bucket, F.col(time_col)).alias("bucket_ts"),
         )
         .agg(F.sum(F.round(F.col(value_col) * scale).cast("long")).alias("x"))
-        .persist()
+        # The grid is consumed TWICE in the returned lazy plan (both
+        # sides of the lag self-join), but the returned DataFrame gives
+        # the caller no handle to unpersist a cache — a plain persist()
+        # here would pin blocks in the CacheManager across repeated
+        # calls (it is never released until the session dies). An eager
+        # localCheckpoint materializes the grid exactly once, truncates
+        # lineage, and its blocks are released by the ContextCleaner
+        # when the DataFrame is garbage-collected — the same lifecycle
+        # graph.py's iterative operators use, without needing an
+        # explicit unpersist the caller can't make.
+        .localCheckpoint(eager=True)
     )
     lags = grid.sparkSession.range(1, max_lag + 1).select(
         F.col("id").cast("int").alias("lag")

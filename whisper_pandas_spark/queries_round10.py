@@ -1,4 +1,4 @@
-"""Round-10 registry entries.
+"""Round-10 registry entries (all NINE registered by this module).
 
 - text_rag_chunks        sliding-window RAG chunking: overlapping
                          fixed-size word windows with stable chunk ids —
@@ -17,6 +17,25 @@
 - ts_autocorrelation     per-series ACF at lags 1..3 from exact
                          DECIMAL(38,0) sufficient statistics over the
                          calendar-shifted self-join of the bucket grid.
+- stream_cms_replay      streaming CMS maintenance: foreachBatch
+                         elementwise-sum merges into versioned state with
+                         exactly-once batch markers; shares the batch
+                         entry's oracle (the additive merge law makes
+                         state == direct build bit-for-bit).
+- graph_kcore            k-core decomposition by synchronous peeling —
+                         deletion-based monotone fixpoint; engine stops
+                         early at convergence, oracle unrolls the full
+                         budget (converged rounds are no-ops).
+- window_gaps_islands    per-user consecutive-active-day streaks via the
+                         date-minus-row_number island key; ONE user_id
+                         exchange serves every downstream key set.
+- text_rake_keywords     RAKE keyword extraction: stopword-delimited
+                         token islands, word deg/freq over candidates,
+                         phrase score as ONE exact rational (DECIMAL
+                         positional pivot, single IEEE division).
+- profile_benford        Benford first-significant-digit audit from
+                         integer cents strings, observed share vs
+                         log10(1+1/d) expected.
 """
 
 from __future__ import annotations
@@ -33,11 +52,21 @@ _CHUNK_STRIDE = 48
 
 
 def _rag_oracle() -> str:
+    # Explicit ASCII whitespace class, kept in sync with
+    # operators/chunking.py WS_SPLIT_RE/WS_TRIM_RE: Java \\s includes
+    # \\x0B while RE2's does not, and trim() strips only 0x20 — the
+    # spelled-out class + regex trim is what makes both engines
+    # tokenize identically (including tab-leading text).
+    ws_cls = "[ \\t\\n\\r\\f\\x0B]+"
+    ws_trim = f"^{ws_cls}|{ws_cls}$"
     s, t = _CHUNK_SIZE, _CHUNK_STRIDE
     return f"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(text, '{ws_trim}', '', 'g'), '{ws_cls}') AS ws
+  FROM documents
+  WHERE length(regexp_replace(text, '{ws_trim}', '', 'g')) > 0
 ),
 c AS (
   SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
