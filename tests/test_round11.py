@@ -1,0 +1,181 @@
+"""Round-11 operator tests: Gopher/Dolma repetition profile."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+
+
+# -- python reference ----------------------------------------------------------
+
+
+def _ref_profile(text: str) -> dict:
+    """Brute-force reference of operators/repetition.py:repetition_profile
+    (same tokenizer, same counting conventions, same thresholds)."""
+    from whisper_pandas_spark.operators.repetition import (
+        BULLET_LINE_MAX,
+        ELLIPSIS_LINE_MAX,
+        SYMBOL_WORD_MAX,
+        TOP_SHARE_MAX,
+    )
+
+    cleaned = re.sub("[^a-z0-9]+", " ", text.lower()).strip()
+    toks = cleaned.split(" ")
+    n_words = len(toks)
+    out = {"n_words": n_words, "n_lines": text.count("\n") + 1}
+    shares = {}
+    for n in (2, 3, 4):
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(max(n_words - n + 1, 0))
+        ]
+        total = len(grams)
+        if total:
+            from collections import Counter
+
+            c = Counter(grams)
+            shares[f"dup{n}_share"] = round(
+                (total - len(c)) / total, 6
+            )
+            shares[f"top{n}_share"] = round(max(c.values()) / total, 6)
+        else:
+            shares[f"dup{n}_share"] = None
+            shares[f"top{n}_share"] = None
+    symbol = (
+        text.count("#")
+        + len(re.findall(r"\.\.\.", text))
+        + text.count("…")
+    )
+    n_lines = out["n_lines"]
+    bullets = len(re.findall("\n[ \t]*[-*•]", "\n" + text))
+    ell = len(re.findall("(?:\\.\\.\\.|…)[ \t\r]*\n", text + "\n"))
+    shares["symbol_word_ratio"] = (
+        round(symbol / n_words, 6) if n_words else None
+    )
+    shares["bullet_line_frac"] = round(bullets / n_lines, 6)
+    shares["ellipsis_line_frac"] = round(ell / n_lines, 6)
+    out.update(shares)
+    gate = (
+        (shares["top2_share"] or 0.0) <= TOP_SHARE_MAX[2]
+        and (shares["top3_share"] or 0.0) <= TOP_SHARE_MAX[3]
+        and (shares["top4_share"] or 0.0) <= TOP_SHARE_MAX[4]
+        and (shares["symbol_word_ratio"] or 0.0) <= SYMBOL_WORD_MAX
+        and (shares["bullet_line_frac"] or 0.0) <= BULLET_LINE_MAX
+        and (shares["ellipsis_line_frac"] or 0.0) <= ELLIPSIS_LINE_MAX
+    )
+    out["pass_repetition"] = gate
+    return out
+
+
+def _run_profile(spark, texts):
+    from whisper_pandas_spark.operators.repetition import repetition_profile
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {
+        r.doc_id: r.asDict()
+        for r in repetition_profile(df, "doc_id", "text").collect()
+    }
+
+
+def _assert_matches(got: dict, want: dict, doc_id, text):
+    float_keys = [
+        k
+        for k in want
+        if k.endswith("_share") or k.endswith("_ratio") or k.endswith("_frac")
+    ]
+    for k, v in want.items():
+        g = got[k]
+        if k in float_keys:
+            if v is None:
+                assert g is None, (doc_id, k, g, repr(text))
+            else:
+                assert g is not None and abs(g - v) <= 1e-6, (
+                    doc_id,
+                    k,
+                    g,
+                    v,
+                    repr(text),
+                )
+        else:
+            assert g == v, (doc_id, k, g, v, repr(text))
+
+
+def test_repetition_profile_crafted_edges(spark):
+    texts = [
+        # heavy bigram repetition: "ha ha ha..." -> top2 share near 1
+        "ha " * 30,
+        # bullet list with mixed markers and indentation
+        "- alpha beta\n  * gamma delta\n• epsilon zeta\nplain line",
+        # ellipsis-ending lines, ASCII and Unicode, CRLF and trailing spaces
+        "first line...\nsecond… \nthird... \r\nclean end",
+        # symbols: hashes and ellipses inline
+        "head # tag ## more... mid… tail",
+        # no duplicate n-grams at all
+        "one two three four five six seven",
+        # single word (no n-grams -> NULL shares, passes gate)
+        "solo",
+        # empty-ish punctuation-only text
+        "!!! ???",
+        # dup 3-grams without dup 4-grams
+        "a b c x a b c y a b c",
+        # text ending in ellipsis without trailing newline
+        "trailing dots...",
+    ]
+    got = _run_profile(spark, texts)
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        _assert_matches(got[i], _ref_profile(t), i, t)
+
+
+def test_repetition_profile_random_property(spark):
+    rng = random.Random(1109)
+    vocab = ["aa", "bb", "cc", "dd", "spark", "row", "#", "...", "…"]
+    seps = [" ", " ", " ", "\n", "\n- ", "...\n", "\t"]
+    texts = []
+    for _ in range(40):
+        n = rng.randrange(1, 60)
+        parts = []
+        for _ in range(n):
+            parts.append(rng.choice(vocab))
+            parts.append(rng.choice(seps))
+        texts.append("".join(parts))
+    got = _run_profile(spark, texts)
+    for i, t in enumerate(texts):
+        _assert_matches(got[i], _ref_profile(t), i, t)
+
+
+def test_repetition_gate_thresholds(spark):
+    # a document that trips ONLY the top-2-gram rule, and one that trips
+    # ONLY the symbol rule — the gate is the AND of independent rules
+    repetitive = "spam eggs " * 50 + "x y z w v u t s r q"
+    symbolic = " ".join(f"w{i}" for i in range(20)) + " ###"
+    clean = " ".join(f"u{i} v{i}" for i in range(40))
+    got = _run_profile(spark, [repetitive, symbolic, clean])
+    assert got[0]["pass_repetition"] is False
+    assert got[0]["top2_share"] > 0.20
+    assert got[1]["pass_repetition"] is False
+    assert got[1]["symbol_word_ratio"] > 0.10
+    assert got[2]["pass_repetition"] is True
+
+
+def test_repetition_profile_registry_entry(spark, sf_dir):
+    from whisper_pandas_spark.registry import QUERIES
+
+    df = QUERIES["text_repetition_profile"](spark, sf_dir)
+    rows = df.limit(50).collect()
+    assert rows, "entry must produce rows on the documents table"
+    cols = set(df.columns)
+    assert {
+        "doc_id",
+        "dup2_share",
+        "top4_share",
+        "symbol_word_ratio",
+        "pass_repetition",
+    } <= cols
+    # the synthetic corpus has a ~30-word vocabulary, so across 50 docs
+    # SOME bigram repetition is certain (77 draws from ~900 pairs
+    # needn't collide in any single doc, but not in none of them)
+    assert any(r.dup2_share and r.dup2_share > 0 for r in rows)

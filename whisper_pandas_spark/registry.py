@@ -176,4 +176,7 @@ from whisper_pandas_spark import queries_round9  # noqa: E402,F401
 # Round 10: same direct-registration pattern.
 from whisper_pandas_spark import queries_round10  # noqa: E402,F401
 
+# Round 11: same direct-registration pattern.
+from whisper_pandas_spark import queries_round11  # noqa: E402,F401
+
 _reorder()
