@@ -1,4 +1,5 @@
-"""Round-11 operator tests: Gopher/Dolma repetition profile."""
+"""Round-11 operator tests: Gopher/Dolma repetition profile, byte-level
+BPE."""
 
 from __future__ import annotations
 
@@ -179,3 +180,166 @@ def test_repetition_profile_registry_entry(spark, sf_dir):
     # SOME bigram repetition is certain (77 draws from ~900 pairs
     # needn't collide in any single doc, but not in none of them)
     assert any(r.dup2_share and r.dup2_share > 0 for r in rows)
+
+
+# -- byte-level BPE ------------------------------------------------------------
+
+
+def _ref_bpe_train(words_freq, num_merges, min_pair_freq=2):
+    """Brute-force single-node byte-level BPE trainer (same tie-break:
+    freq desc, then (a, b) lexicographically ascending)."""
+    from collections import Counter
+
+    from whisper_pandas_spark.operators.bpe_bytes import pretoken_syms
+    from whisper_pandas_spark.operators.bpe_train import _merge_syms
+
+    vocab = [(pretoken_syms(w), f) for w, f in words_freq.items()]
+    merges = []
+    for _ in range(num_merges):
+        cnt = Counter()
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += f
+        if not cnt:
+            break
+        # freq desc, then (a, b) lexicographically ascending
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if best[1] < min_pair_freq:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        vocab = [(_merge_syms(list(s), a, b), f) for s, f in vocab]
+    return merges
+
+
+def _rank_greedy(syms, merges):
+    from whisper_pandas_spark.operators.bpe_train import _merge_syms
+
+    rank = {m: i for i, m in enumerate(merges)}
+    syms = list(syms)
+    while True:
+        best, br = None, len(rank)
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and r < br:
+                best, br = (syms[i], syms[i + 1]), r
+        if best is None:
+            return syms
+        syms = _merge_syms(syms, best[0], best[1])
+
+
+def test_bytes_to_unicode_table():
+    from whisper_pandas_spark.operators.bpe_bytes import bytes_to_unicode
+
+    t = bytes_to_unicode()
+    assert len(t) == 256
+    assert len(set(t.values())) == 256  # injective
+    assert all(len(v) == 1 for v in t.values())
+    # no stand-in is a space (the separator the oracle's replay relies on)
+    assert " " not in t.values()
+    assert t[ord("a")] == "a" and t[ord("!")] == "!"
+    assert t[32] == chr(256 + 32) and t[10] == chr(256 + 10)
+    assert t[173] == chr(323)  # soft hyphen, the last excluded byte
+
+
+def test_pretoken_syms_non_ascii():
+    from whisper_pandas_spark.operators.bpe_bytes import (
+        bytes_to_unicode,
+        pretoken_syms,
+    )
+
+    inv = {v: k for k, v in bytes_to_unicode().items()}
+    for w in [" café", "naïve", "héllo", "日本", "a\U0001F600b"]:
+        syms = pretoken_syms(w)
+        assert len(syms) == len(w.encode("utf-8"))
+        assert bytes(inv[s] for s in syms).decode("utf-8") == w
+
+
+def test_bpe_bytes_train_matches_reference(spark):
+    from collections import Counter
+
+    import re
+
+    from whisper_pandas_spark.operators.bpe_bytes import bpe_bytes_train
+    from whisper_pandas_spark.operators.textstats import BPE_REGEX
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "that hat is the cat's hat",
+        "statistics that matter",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(BPE_REGEX, t))
+    want = _ref_bpe_train(words, 12, 2)
+    got = bpe_bytes_train(df, "text", 12, 2)
+    assert got == want
+    assert len(got) >= 4  # 'th'/'at' families guarantee learnable merges
+
+
+def test_bpe_bytes_sequential_equals_rank_greedy(spark):
+    import re
+    import random as rnd
+
+    from whisper_pandas_spark.operators.bpe_bytes import (
+        apply_merges,
+        bpe_bytes_train,
+        pretoken_syms,
+    )
+    from whisper_pandas_spark.operators.textstats import BPE_REGEX
+
+    texts = [
+        "aaa aaaa aa aaa baab abab",
+        "the theme there then at hat that",
+        "123 12 312 31 23",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_bytes_train(df, "text", 10, 2)
+    assert merges
+    pretokens = {w for t in texts for w in re.findall(BPE_REGEX, t)}
+    rng = rnd.Random(11)
+    randoms = [
+        "".join(rng.choice("abthe 123") for _ in range(rng.randrange(1, 12))).strip()
+        or "a"
+        for _ in range(200)
+    ]
+    for w in sorted(pretokens) + randoms:
+        syms = pretoken_syms(w)
+        assert apply_merges(syms, merges) == _rank_greedy(syms, merges), w
+
+
+def test_bpe_bytes_counts_invariants(spark):
+    from whisper_pandas_spark.operators.bpe_bytes import (
+        bpe_bytes_counts,
+        bpe_bytes_train,
+    )
+
+    texts = ["the cat sat on the mat", "", None, "the the the"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_bytes_train(df, "text", 8, 2)
+    rows = {r.doc_id: r for r in bpe_bytes_counts(df, "doc_id", "text", merges).collect()}
+    assert set(rows) == {0, 1, 2, 3}  # empty and NULL docs keep a row
+    assert rows[1].n_pretokens == rows[1].n_tokens == rows[1].n_bytes == 0
+    assert rows[2].n_pretokens == 0
+    for r in rows.values():
+        assert r.n_tokens <= r.n_bytes  # merges only shrink
+        assert r.n_pretokens <= r.n_tokens or r.n_pretokens == 0
+    # doc 0: merges learned from 'the' repetition must compress it
+    assert rows[0].n_tokens < rows[0].n_bytes
+
+
+def test_bpe_bytes_registry_entry(spark, sf_dir):
+    from whisper_pandas_spark.registry import ORACLES, QUERIES
+
+    assert "text_bpe_bytes" in QUERIES and "text_bpe_bytes" in ORACLES
+    df = QUERIES["text_bpe_bytes"](spark, sf_dir)
+    rows = df.limit(20).collect()
+    assert rows and all(r.n_tokens <= r.n_bytes for r in rows)

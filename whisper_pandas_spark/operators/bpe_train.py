@@ -73,34 +73,21 @@ def _merge_syms(syms: list, a: str, b: str) -> list:
     return out
 
 
-def bpe_train(
-    df: DataFrame,
-    text_col: str,
-    num_merges: int,
-    min_pair_freq: int = 2,
+def learn_merges(
+    vocab: DataFrame, num_merges: int, min_pair_freq: int = 2
 ) -> list[tuple[str, str]]:
-    """Learn ``num_merges`` BPE merges from the corpus; returns the
-    ordered merge list. Stops early when no pair reaches
-    ``min_pair_freq``."""
+    """The BPE merge-learning loop over a (syms array<string>, freq long)
+    vocabulary frame — shared by the character-level (:func:`bpe_train`)
+    and byte-level (operators/bpe_bytes.py) trainers. Per iteration: one
+    partial-agg exchange for adjacent-pair counts, a driver-side top-1
+    (ties break (freq desc, a asc, b asc) — both engines' string order
+    agrees for BMP code points), one Arrow merge pass, and an eager
+    ``localCheckpoint`` so plan depth stays constant."""
     import pandas as pd
 
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
-
-    def to_syms(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "syms": [list(w) + [END] for w in pdf["word"]],
-                    "freq": pdf["freq"],
-                }
-            )
-
-    vocab = (
-        _word_vocab(df, text_col)
-        .mapInPandas(to_syms, "syms array<string>, freq long")
-        .localCheckpoint(eager=True)
-    )
+    vocab = vocab.localCheckpoint(eager=True)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -142,6 +129,32 @@ def bpe_train(
             apply_merge, "syms array<string>, freq long"
         ).localCheckpoint(eager=True)
     return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus; returns the
+    ordered merge list. Stops early when no pair reaches
+    ``min_pair_freq``."""
+    import pandas as pd
+
+    def to_syms(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "syms": [list(w) + [END] for w in pdf["word"]],
+                    "freq": pdf["freq"],
+                }
+            )
+
+    vocab = _word_vocab(df, text_col).mapInPandas(
+        to_syms, "syms array<string>, freq long"
+    )
+    return learn_merges(vocab, num_merges, min_pair_freq)
 
 
 def bpe_segment_counts(

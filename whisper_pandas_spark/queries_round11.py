@@ -8,6 +8,13 @@
                            scan, top counts via a local explode + two
                            keyed exchanges (the conditional-max pivot
                            plan shape no earlier text entry has).
+- text_bpe_bytes           byte-level BPE (GPT-2 style): trained
+                           in-engine over regex pre-tokens on the byte
+                           alphabet (public byte→unicode stand-in
+                           table), corpus re-encoded under the learned
+                           merges; the oracle replays training AND
+                           encoding via unrolled boundary-anchored
+                           string-replace merge stages.
 """
 
 from __future__ import annotations
@@ -124,6 +131,140 @@ SELECT doc_id, n_words, n_lines,
 FROM scal LEFT JOIN tops USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# -- byte-level BPE ------------------------------------------------------------
+
+_BPE_BYTES_MERGES = 16
+_BPE_BYTES_MIN_FREQ = 2
+
+# BPE_REGEX as a DuckDB string literal ('' = escaped quote) — the same
+# Java∩RE2 pattern text_bpe_token_count already oracles with.
+_DUCK_BPE_RE = (
+    "'''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s'']+'"
+)
+
+# UTF-8 byte expansion + the GPT-2 byte→unicode stand-in table, as one
+# DuckDB list expression over a word (mirrors operators/bpe_bytes.py:
+# pretoken_syms exactly — printable bytes keep chr(b), the 68 excluded
+# bytes (0..32, 127..160, 173) take chr(256+k) in ascending byte order).
+_DUCK_SYMS0 = """' ' || array_to_string(list_transform(
+  flatten(list_transform(
+    list_transform(range(1, length(word)+1),
+                   i -> unicode(substr(word, CAST(i AS INT), 1))),
+    cp -> CASE
+      WHEN cp < 128 THEN [cp]
+      WHEN cp < 2048 THEN [192 + cp//64, 128 + cp%64]
+      WHEN cp < 65536 THEN [224 + cp//4096, 128 + (cp//64)%64, 128 + cp%64]
+      ELSE [240 + cp//262144, 128 + (cp//4096)%64,
+            128 + (cp//64)%64, 128 + cp%64] END)),
+  b -> CASE
+    WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+         OR (b BETWEEN 174 AND 255) THEN chr(CAST(b AS INT))
+    WHEN b <= 32 THEN chr(CAST(256 + b AS INT))
+    WHEN b <= 160 THEN chr(CAST(256 + 33 + b - 127 AS INT))
+    ELSE chr(323) END), '  ') || ' '"""
+
+
+def _bpe_bytes_oracle() -> str:
+    """Unrolled replay of byte-level BPE training AND encoding.
+
+    Symbols never contain a space (the stand-in table maps every byte to
+    a non-space character), so each word's symbol sequence serializes as
+    ``' t1  t2  …  tn '`` — single-space outer sentinels, double-space
+    separators. One merge (a,b) is then ONE string replace of
+    ``' a  b '`` with ``' ab '``: both boundary spaces are asserted (no
+    prefix/suffix false matches) but only the LEADING one is consumed,
+    so a left-to-right replace-all pass merges exactly the leftmost
+    non-overlapping occurrences — the same pass _merge_syms makes.
+    Training unrolls {K} (pairs → argmax → apply) stages; an empty
+    argmax (best pair below min_freq) no-ops that stage and every later
+    one, matching the engine's early stop. Encoding reuses the final
+    vocabulary state (the entry encodes its own training corpus)."""
+    k_stages = []
+    for k in range(1, _BPE_BYTES_MERGES + 1):
+        p = k - 1
+        k_stages.append(f"""toks_{p} AS MATERIALIZED (
+  SELECT word, freq,
+         string_split(substr(s, 2, length(s)-2), '  ') AS t
+  FROM syms_{p}
+),
+pairs_{k} AS MATERIALIZED (
+  SELECT a, b, sum(freq) AS n FROM (
+    SELECT t[i] AS a, t[i+1] AS b, freq
+    FROM (SELECT freq, t, unnest(range(1, len(t))) AS i FROM toks_{p})
+  ) GROUP BY a, b
+),
+m_{k} AS MATERIALIZED (
+  SELECT a, b FROM pairs_{k} WHERE n >= {_BPE_BYTES_MIN_FREQ}
+  ORDER BY n DESC, a, b LIMIT 1
+),
+syms_{k} AS MATERIALIZED (
+  SELECT word, freq,
+    CASE WHEN m.a IS NULL THEN s
+         ELSE replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                         ' ' || m.a || m.b || ' ') END AS s
+  FROM syms_{p} LEFT JOIN m_{k} m ON TRUE
+)""")
+    stages = ",\n".join(k_stages)
+    kk = _BPE_BYTES_MERGES
+    return f"""
+WITH pt AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(text, {_DUCK_BPE_RE})) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+syms_0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq, {_DUCK_SYMS0} AS s
+  FROM pt GROUP BY word
+),
+{stages},
+enc AS (
+  SELECT word,
+         CAST(octet_length(encode(word)) AS BIGINT) AS nb,
+         CAST(len(string_split(substr(s, 2, length(s)-2), '  '))
+              AS BIGINT) AS nt
+  FROM syms_{kk}
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_pretokens, sum(e.nb) AS n_bytes,
+         sum(e.nt) AS n_tokens
+  FROM pt JOIN enc e USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(n_pretokens, 0) AS BIGINT) AS n_pretokens,
+  CAST(coalesce(n_bytes, 0) AS BIGINT) AS n_bytes,
+  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("text_bpe_bytes", oracle=_bpe_bytes_oracle())
+def text_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: byte-level BPE (GPT-2 style, operators/bpe_bytes.py) trained
+    in-engine on the corpus' regex pre-tokens ({K} merges, byte alphabet
+    via the public byte→unicode stand-in table — no UNK ever), then the
+    same corpus encoded under the learned table: per-document pre-token
+    / byte / token counts.  Plan: training is one corpus shuffle to the
+    pre-token vocabulary then per-merge ONE partial-agg exchange + a
+    1-row driver top-1 + one Arrow pass (checkpointed, constant plan
+    depth); encoding is one Arrow pass over UNIQUE pre-tokens joined
+    back (two exchanges, independent of merge count and document
+    length).  The oracle replays training AND encoding exactly: {K}
+    unrolled (pair-count → argmax → string-replace merge) stages where
+    a boundary-anchored replace IS the left-to-right merge pass —
+    symbols never contain the space separator, so no false matches."""
+    from whisper_pandas_spark.operators.bpe_bytes import (
+        bpe_bytes_counts,
+        bpe_bytes_train,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    merges = bpe_bytes_train(
+        docs, "text", _BPE_BYTES_MERGES, _BPE_BYTES_MIN_FREQ
+    )
+    return bpe_bytes_counts(docs, "doc_id", "text", merges).orderBy("doc_id")
 
 
 @register("text_repetition_profile", oracle=_rep_oracle())
