@@ -943,3 +943,82 @@ def test_round9_apply_fallback_consolidate(spark):
     # h2.err stays h2.err; both map to web.h2.err
     assert set(got) == {("web.h2.err", 0)}
     assert got[("web.h2.err", 0)] == 20.0
+
+
+# -- tag functions (seriesByTag / groupByTags / aliasByTags) ----------------
+
+
+@pytest.fixture(scope="module")
+def tagdb(spark):
+    # host1/host2 tagged; web.host3.requests exists in the POINTS but not
+    # in the tagdb (must be invisible to seriesByTag); host2 lacks 'dc'
+    rows = [
+        ("web.host1.requests", "host", "host1"),
+        ("web.host1.requests", "dc", "east"),
+        ("web.host2.requests", "host", "host2"),
+    ]
+    return spark.createDataFrame(rows, "metric string, tag string, tag_value string")
+
+
+@pytest.fixture(scope="module")
+def tagged_points(spark):
+    rows = [
+        ("web.host1.requests", 0, 1.0),
+        ("web.host1.requests", 10, 2.0),
+        ("web.host2.requests", 0, 10.0),
+        ("web.host2.requests", 10, 20.0),
+        ("web.host3.requests", 0, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, epoch long, value double")
+    return df.select(
+        "metric", F.timestamp_seconds("epoch").alias("timestamp"), "value"
+    )
+
+
+def _metrics(df):
+    return sorted({r["metric"] for r in df.collect()})
+
+
+def test_series_by_tag_equality_and_regex(tagged_points, tagdb):
+    out = g.series_by_tag(tagged_points, tagdb, "host=host1")
+    assert _metrics(out) == ["web.host1.requests"]
+    out = g.series_by_tag(tagged_points, tagdb, "host=~host.*")
+    # host3 is NOT in the tagdb -> invisible even to a matching regex
+    assert _metrics(out) == ["web.host1.requests", "web.host2.requests"]
+    # anchored at the start: 'ost1' must NOT match 'host1'
+    assert _metrics(g.series_by_tag(tagged_points, tagdb, "host=~ost.*")) == []
+
+
+def test_series_by_tag_negation_matches_missing_tag(tagged_points, tagdb):
+    # host2 has no 'dc' tag -> '' != 'east' -> matches
+    out = g.series_by_tag(tagged_points, tagdb, "host=~host.*", "dc!=east")
+    assert _metrics(out) == ["web.host2.requests"]
+    out = g.series_by_tag(tagged_points, tagdb, "host=~host.*", "dc!=~ea.*")
+    assert _metrics(out) == ["web.host2.requests"]
+
+
+def test_series_by_tag_validation(tagged_points, tagdb):
+    with pytest.raises(ValueError):
+        g.series_by_tag(tagged_points, tagdb)  # no predicates
+    with pytest.raises(ValueError):
+        # every spec could match a missing tag -> rejected, like graphite
+        g.series_by_tag(tagged_points, tagdb, "dc!=east")
+    with pytest.raises(ValueError):
+        g.series_by_tag(tagged_points, tagdb, "not a predicate!")
+
+
+def test_group_by_tags_sum_missing_groups_under_empty(tagged_points, tagdb):
+    out = g.group_by_tags(tagged_points, tagdb, "sum", "dc").collect()
+    got = {(r["metric"], r["timestamp"].second): r["value"] for r in out}
+    # host1 -> dc=east; host2 and the untagged host3 -> dc=''
+    assert got[("sum;dc=east", 0)] == 1.0
+    assert got[("sum;dc=east", 10)] == 2.0
+    assert got[("sum;dc=", 0)] == 110.0
+    assert got[("sum;dc=", 10)] == 20.0
+
+
+def test_alias_by_tags(tagged_points, tagdb):
+    out = g.alias_by_tags(tagged_points, tagdb, "host", "dc")
+    names = _metrics(out)
+    # host3 is untagged -> both tags render empty
+    assert names == [".", "host1.east", "host2."]

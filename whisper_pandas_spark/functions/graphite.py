@@ -1626,3 +1626,139 @@ def round_series(df: DataFrame, precision: int = 0) -> DataFrame:
     ties that doubles DO represent exactly (x.5 at precision 0) agree on
     both engines."""
     return _with_value(df, F.bround(F.col(_VAL), int(precision)))
+
+
+# -- tag functions (graphite 1.1 tagdb, over an explicit tag table) --------
+#
+# The Whisper file format carries no tag store: graphite-web keeps tags
+# in a separate TagDB keyed by series name. These functions therefore
+# take the TagDB EXPLICITLY as a ``(metric, tag, tag_value)`` dimension
+# table — a deployment that migrated its tagdb supplies it; deployments
+# without one simply have no tagged series (COVERAGE.md scope note).
+# Faithful consequence of querying a tagdb: series absent from
+# ``tags_df`` are invisible to seriesByTag (exactly graphite's
+# behavior), and a tag a series lacks reads as the empty string for
+# predicate evaluation.
+
+import re as _re
+
+_TAG_PRED_RE = _re.compile(r"^([A-Za-z0-9_.-]+)(!=~|=~|!=|=)(.*)$")
+
+
+def _tags_wide(tags_df: DataFrame, keys: list[str]) -> DataFrame:
+    """(metric, <one column per referenced tag key>) — conditional-max
+    pivot, ONE exchange on metric, sized by the series count (never the
+    point count)."""
+    return tags_df.groupBy(F.col("metric")).agg(
+        *[
+            F.max(F.when(F.col("tag") == k, F.col("tag_value"))).alias(
+                f"__tag_{k}"
+            )
+            for k in keys
+        ]
+    )
+
+
+def _parse_tag_predicates(
+    predicates: tuple[str, ...]
+) -> list[tuple[str, str, str]]:
+    if not predicates:
+        raise ValueError("seriesByTag needs at least one tag predicate")
+    parsed = []
+    for p in predicates:
+        m = _TAG_PRED_RE.match(p)
+        if not m:
+            raise ValueError(f"bad tag predicate: {p!r}")
+        parsed.append((m.group(1), m.group(2), m.group(3)))
+    # graphite requires at least one spec that cannot match a missing
+    # tag ('=' with a non-empty value, or a regex — anchored regexes
+    # against '' are almost never intended and graphite applies the
+    # same rule to them)
+    if not any(
+        (op == "=" and val != "") or op == "=~" for _, op, val in parsed
+    ):
+        raise ValueError(
+            "seriesByTag needs at least one '=non-empty' or '=~' predicate"
+        )
+    return parsed
+
+
+def series_by_tag(df: DataFrame, tags_df: DataFrame, *predicates: str) -> DataFrame:
+    """graphite ``seriesByTag('tag=value', ...)`` over an explicit tagdb
+    table ``tags_df`` = (metric, tag, tag_value).
+
+    Operators: ``=`` equality, ``!=`` inequality, ``=~`` regex match
+    (anchored at the start, graphite-web's ``re.match`` semantics),
+    ``!=~`` regex non-match. A missing tag evaluates as ``''`` — so
+    ``!=`` and ``!=~`` match series lacking the tag, exactly the tagdb
+    rule. ALL predicates must hold (conjunction).
+
+    Plan: pivot the referenced tags per metric (one exchange over the
+    series-sized tagdb), evaluate every predicate on that one row, then
+    LEFT SEMI join the points — the matched-series set is
+    series-cardinality, so AQE broadcasts it under any realistic tagdb
+    size and the fact scan never shuffles."""
+    parsed = _parse_tag_predicates(predicates)
+    keys = sorted({k for k, _, _ in parsed})
+    wide = _tags_wide(tags_df, keys)
+    cond = F.lit(True)
+    for k, op, val in parsed:
+        v = F.coalesce(F.col(f"__tag_{k}"), F.lit(""))
+        if op == "=":
+            c = v == val
+        elif op == "!=":
+            c = v != val
+        elif op == "=~":
+            c = v.rlike("^(?:" + val + ")")
+        else:  # '!=~'
+            c = ~v.rlike("^(?:" + val + ")")
+        cond = cond & c
+    matched = wide.filter(cond).select("metric")
+    return df.join(matched, _METRIC, "left_semi")
+
+
+def group_by_tags(
+    df: DataFrame, tags_df: DataFrame, agg: str, *keys: str
+) -> DataFrame:
+    """graphite ``groupByTags(seriesList, func, tag1, ...)``: aggregate
+    pointwise across series sharing the listed tag values. Output series
+    are named ``func;tag1=v1;...`` (missing tags group under and print
+    as the empty value, the tagdb convention).
+
+    Plan: tag pivot (series-sized) -> left join points on metric ->
+    ONE exchange on (tag values..., timestamp) with map-side partial
+    aggregation — the groupByNode shape with tagdb keys."""
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
+    if not keys:
+        raise ValueError("groupByTags needs at least one tag key")
+    wide = _tags_wide(tags_df, sorted(set(keys)))
+    joined = df.join(wide, _METRIC, "left")
+    vals = [F.coalesce(F.col(f"__tag_{k}"), F.lit("")) for k in keys]
+    name = F.concat_ws(
+        ";",
+        F.lit(agg),
+        *[F.concat(F.lit(f"{k}="), v) for k, v in zip(keys, vals)],
+    )
+    return (
+        joined.groupBy(name.alias(_METRIC), F.col(_TS))
+        .agg(_AGGS[agg](_VAL).alias(_VAL))
+    )
+
+
+def alias_by_tags(df: DataFrame, tags_df: DataFrame, *keys: str) -> DataFrame:
+    """graphite ``aliasByTags(seriesList, tag1, ...)`` — rename each
+    series to its tag values joined by dots (missing tags render
+    empty). No aggregation; same-name collisions stay separate rows,
+    like aliasByNode."""
+    if not keys:
+        raise ValueError("aliasByTags needs at least one tag key")
+    wide = _tags_wide(tags_df, sorted(set(keys)))
+    joined = df.join(wide, _METRIC, "left")
+    name = F.concat_ws(
+        ".",
+        *[F.coalesce(F.col(f"__tag_{k}"), F.lit("")) for k in keys],
+    )
+    return joined.select(
+        name.alias(_METRIC), F.col(_TS), F.col(_VAL)
+    )

@@ -286,3 +286,95 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents")
     return repetition_profile(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# -- graphite tag functions ----------------------------------------------------
+
+_TAG_PREDICATES = ("shard=s0", "type=~(purch|sign).*", "name!=web")
+
+
+def _tag_table(series: DataFrame) -> DataFrame:
+    """The demo TagDB: a (metric, tag, tag_value) dimension table derived
+    deterministically from the metric paths (name/type from path nodes,
+    shard from a length parity) — standing in for graphite-web's tagdb,
+    which a migrating deployment would load as exactly this shape."""
+    from pyspark.sql import functions as F
+
+    m = series.select("metric").distinct()
+    node = F.split(F.col("metric"), r"\.")
+    entries = F.array(
+        F.struct(
+            F.lit("name").alias("tag"), node.getItem(0).alias("tag_value")
+        ),
+        F.struct(
+            F.lit("type").alias("tag"), node.getItem(1).alias("tag_value")
+        ),
+        F.struct(
+            F.lit("shard").alias("tag"),
+            F.concat(
+                F.lit("s"), (F.length(node.getItem(1)) % 2).cast("string")
+            ).alias("tag_value"),
+        ),
+    )
+    return m.select("metric", F.explode(entries).alias("t")).select(
+        "metric", "t.tag", "t.tag_value"
+    )
+
+
+def _series_by_tag_oracle() -> str:
+    from whisper_pandas_spark.queries_round6 import _METRIC_SERIES_SQL
+
+    return f"""
+WITH series AS ({_METRIC_SERIES_SQL}),
+m AS (SELECT DISTINCT metric FROM series),
+tags AS (
+  SELECT metric, 'name' AS tag, str_split(metric, '.')[1] AS tag_value FROM m
+  UNION ALL
+  SELECT metric, 'type', str_split(metric, '.')[2] FROM m
+  UNION ALL
+  SELECT metric, 'shard',
+         's' || CAST(length(str_split(metric, '.')[2]) % 2 AS VARCHAR)
+  FROM m
+),
+wide AS (
+  SELECT metric,
+    coalesce(max(CASE WHEN tag = 'name' THEN tag_value END), '') AS t_name,
+    coalesce(max(CASE WHEN tag = 'type' THEN tag_value END), '') AS t_type,
+    coalesce(max(CASE WHEN tag = 'shard' THEN tag_value END), '') AS t_shard
+  FROM tags GROUP BY metric
+),
+matched AS (
+  SELECT metric FROM wide
+  WHERE t_shard = 's0'
+    AND regexp_matches(t_type, '^(?:(purch|sign).*)')
+    AND t_name <> 'web'
+)
+SELECT s.metric, s.timestamp, s.value
+FROM series s JOIN matched USING (metric)
+ORDER BY metric, timestamp
+"""
+
+
+@register("graphite_series_by_tag", oracle=_series_by_tag_oracle())
+def graphite_series_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10+/Y97+: graphite 1.1 ``seriesByTag('shard=s0',
+    'type=~(purch|sign).*', 'name!=web')`` over an EXPLICIT tagdb
+    dimension table (functions/graphite.py:series_by_tag) — the
+    formerly out-of-scope tag family made in-scope by modeling
+    graphite-web's TagDB as one (metric, tag, tag_value) table; the
+    Whisper format itself still carries no tags (COVERAGE.md scope
+    note), so deployments supply the table.  Exercises all of '='
+    equality, '!=' inequality-with-missing-as-empty, and anchored '=~'
+    regex.  Plan: a conditional-max tag pivot over the series-sized
+    tagdb (one exchange), every predicate evaluated on that single row
+    per series, then a LEFT SEMI join against the points — the
+    matched-series set is series-cardinality, so it broadcasts and the
+    fact scan never shuffles (the new plan shape: broadcast semi-join
+    driven by a tag-predicate dimension filter)."""
+    from whisper_pandas_spark.functions.graphite import series_by_tag
+    from whisper_pandas_spark.queries_round6 import _metric_series
+
+    s = _metric_series(spark, sf_dir)
+    return series_by_tag(s, _tag_table(s), *_TAG_PREDICATES).orderBy(
+        "metric", "timestamp"
+    )
