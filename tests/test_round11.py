@@ -343,3 +343,109 @@ def test_bpe_bytes_registry_entry(spark, sf_dir):
     df = QUERIES["text_bpe_bytes"](spark, sf_dir)
     rows = df.limit(20).collect()
     assert rows and all(r.n_tokens <= r.n_bytes for r in rows)
+
+
+# -- BFS / k-core on adversarially skewed graphs (VERDICT r10 task #7) ---------
+# The round-10 random-graph properties are degree-uniform; these pin
+# exact frontier sizes and peel-round counts on a 10k-leaf star (the
+# power-law hub extreme) and a bridged clique chain.
+
+
+def _sym_edges(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sorted(set(rows)), "src long, dst long")
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+def test_bfs_star_frontier_sizes(spark):
+    from whisper_pandas_spark.operators.graph import bfs_distances
+
+    n_leaves = 10_000
+    star = _sym_edges(spark, [(0, i) for i in range(1, n_leaves + 1)])
+    # from the hub: frontier sizes [1, 10000] — one round floods the graph
+    by_dist = {
+        r.dist: r.cnt
+        for r in bfs_distances(star, _nodes(spark, [0]), max_hops=3)
+        .groupBy("dist")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("cnt"))
+        .collect()
+    }
+    assert by_dist == {0: 1, 1: n_leaves}
+    # from one leaf: frontiers [1, 1, 9999] — the hub fans the third
+    # round out to every remaining leaf in ONE join
+    by_dist = {
+        r.dist: r.cnt
+        for r in bfs_distances(star, _nodes(spark, [7]), max_hops=3)
+        .groupBy("dist")
+        .agg(__import__("pyspark").sql.functions.count("*").alias("cnt"))
+        .collect()
+    }
+    assert by_dist == {0: 1, 1: 1, 2: n_leaves - 1}
+
+
+def test_bfs_clique_chain_distances(spark):
+    from whisper_pandas_spark.operators.graph import bfs_distances
+
+    # 10 cliques of 5; node c*10+j, bridge j=0; bridges form a path
+    pairs = []
+    for c in range(10):
+        ids = [c * 10 + j for j in range(5)]
+        pairs += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        if c < 9:
+            pairs.append((c * 10, (c + 1) * 10))
+    g = _sym_edges(spark, pairs)
+    dist = {
+        r.node: r.dist
+        for r in bfs_distances(g, _nodes(spark, [0]), max_hops=20).collect()
+    }
+    # bridge of clique c is c hops out; its clique-mates one more
+    for c in range(10):
+        assert dist[c * 10] == c
+        for j in range(1, 5):
+            assert dist[c * 10 + j] == c + 1
+    assert len(dist) == 50
+
+
+def test_kcore_star_peels_in_two_rounds(spark):
+    from whisper_pandas_spark.operators.graph import kcore
+
+    star = _sym_edges(spark, [(0, i) for i in range(1, 10_001)])
+    # round 1 deletes every leaf (deg 1 < 2); round 2 deletes the hub
+    # (deg 0 among survivors) — pinned via the max_rounds budget. A
+    # truncated budget reports the degree the final round FILTERED on
+    # (the pre-peel degree): in-subgraph degrees hold at the fixpoint.
+    after1 = kcore(star, k=2, max_rounds=1).collect()
+    assert [(r.node, r.deg) for r in after1] == [(0, 10_000)]
+    assert kcore(star, k=2, max_rounds=2).collect() == []
+    # k=1: everything survives, hub degree intact
+    deg = {r.node: r.deg for r in kcore(star, k=1, max_rounds=3).collect()}
+    assert deg[0] == 10_000 and len(deg) == 10_001
+    assert all(d == 1 for n, d in deg.items() if n != 0)
+
+
+def test_kcore_clique_chain_rounds(spark):
+    from whisper_pandas_spark.operators.graph import kcore
+
+    pairs = []
+    for c in range(10):
+        ids = [c * 10 + j for j in range(5)]
+        pairs += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        if c < 9:
+            pairs.append((c * 10, (c + 1) * 10))
+    g = _sym_edges(spark, pairs)
+    # k=4: every K5 member has in-clique degree 4 -> the whole graph IS
+    # the 4-core, converged in one round (more rounds change nothing)
+    one = sorted((r.node, r.deg) for r in kcore(g, k=4, max_rounds=1).collect())
+    many = sorted((r.node, r.deg) for r in kcore(g, k=4, max_rounds=8).collect())
+    assert one == many and len(one) == 50
+    # interior bridges carry their 2 bridge edges on top of the clique 4
+    degs = dict(one)
+    assert degs[10] == 6 and degs[0] == 5 and degs[1] == 4
+    # k=5: round 1 peels non-bridge members (deg 4), round 2 the now
+    # bare bridges -> empty; max_rounds=1 must show the half-peeled state
+    half = sorted(r.node for r in kcore(g, k=5, max_rounds=1).collect())
+    assert half == [0] + [c * 10 for c in range(1, 9)] + [90]
+    assert kcore(g, k=5, max_rounds=2).collect() == []

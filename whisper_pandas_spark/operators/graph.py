@@ -333,7 +333,11 @@ def kcore(
 
     Returns (node, deg INT): the nodes surviving ``max_rounds`` rounds of
     "delete every node whose distinct-neighbor degree is below k", with
-    their degree inside the surviving subgraph. Pass a SYMMETRIZED edge
+    the degree the final round FILTERED on (the pre-peel degree of that
+    round) — at the fixpoint this IS the degree inside the surviving
+    subgraph; under a truncated budget it is the last decision basis
+    (pinned in tests/test_round11.py on a 10k-leaf star). Pass a
+    SYMMETRIZED edge
     list for undirected cores (degree counts out-neighbors). Because the
     peel is monotone (survivor sets only shrink) and a converged round
     is a no-op, running MORE rounds than needed never changes the
