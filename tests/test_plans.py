@@ -457,3 +457,35 @@ def test_round9_plan_shapes(spark):
     # stopped sharing their partitioning
     assert n_ex <= 3, f"percentileOfSeries plan grew an exchange: {n_ex}"
     assert plan_p.count("(9) Window") + plan_p.count("Window") >= 2
+
+
+def test_round11_plan_shapes(spark):
+    """Round-11 scale pins. text_repetition_profile: the only Exchanges
+    are the gram frequency group, the per-doc pivot, the tops-side join
+    distribution, and the presentation sort — and nothing falls out of
+    codegen into row-at-a-time Python. graphite_series_by_tag: the
+    matched-series set reaches the points by a LEFT SEMI join (broadcast
+    at any realistic tagdb size) — the fact side must NOT shuffle on
+    metric. text_bpe_bytes: the encode half is one MapInPandas over
+    UNIQUE pre-tokens joined back — no Python over the full stream."""
+    import re
+
+    from whisper_pandas_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    plan_rep = formatted_plan(QUERIES["text_repetition_profile"](spark, sf))
+    assert "BatchEvalPython" not in plan_rep
+    assert "ArrowEvalPython" not in plan_rep  # pure JVM expressions
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan_rep))
+    assert n_ex <= 5, f"repetition profile grew an exchange: {n_ex}"
+
+    plan_tag = formatted_plan(QUERIES["graphite_series_by_tag"](spark, sf))
+    assert "LeftSemi" in plan_tag
+    assert "BatchEvalPython" not in plan_tag
+
+    plan_bpe = formatted_plan(QUERIES["text_bpe_bytes"](spark, sf))
+    assert "MapInPandas" in plan_bpe
+    assert "BatchEvalPython" not in plan_bpe
+    # the Arrow pass feeds a join back to the positional stream
+    assert "Join" in plan_bpe

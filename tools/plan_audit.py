@@ -158,6 +158,12 @@ AUDITED = [
     "window_gaps_islands",
     "text_rake_keywords",
     "profile_benford",
+    # round-11 entries (text_bpe_bytes' audited plan is the COUNTS half —
+    # training runs eagerly before the plan exists, its per-iteration
+    # shape is learn_merges', pinned in tests/test_plans.py)
+    "text_repetition_profile",
+    "text_bpe_bytes",
+    "graphite_series_by_tag",
 ]
 
 
