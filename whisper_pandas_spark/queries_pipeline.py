@@ -522,7 +522,15 @@ def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("__keep"))
         .drop("__keep")
     )
-    assigned = split_assign(deduped, "doc_id", TEST_FRAC, VAL_FRAC).persist()
+    # eager localCheckpoint, not persist: the frame feeds FOUR downstream
+    # consumers in the RETURNED lazy plan (train twice, heldout, the
+    # non-train union), and the caller has no handle to unpersist — a
+    # persist here would pin a fresh copy in the CacheManager on every
+    # bench rep / driver run (the round-11 ADVICE leak class; checkpoint
+    # blocks are GC-released with the DataFrame)
+    assigned = split_assign(deduped, "doc_id", TEST_FRAC, VAL_FRAC).localCheckpoint(
+        eager=True
+    )
     train = assigned.filter(F.col("split") == "train")
     heldout = assigned.filter(F.col("split") == "test")
     dirty = ngram_contamination(train, heldout).select("doc_id")
