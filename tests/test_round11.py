@@ -7,6 +7,7 @@ import random
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 
 # -- python reference ----------------------------------------------------------
@@ -449,3 +450,76 @@ def test_kcore_clique_chain_rounds(spark):
     half = sorted(r.node for r in kcore(g, k=5, max_rounds=1).collect())
     assert half == [0] + [c * 10 for c in range(1, 9)] + [90]
     assert kcore(g, k=5, max_rounds=2).collect() == []
+
+
+# -- Bloom filter ---------------------------------------------------------------
+
+
+def _bloom_modules():
+    from whisper_pandas_spark.operators.sketches import (
+        bloom_contains,
+        bloom_rollup,
+        bloom_shard_sketches,
+    )
+
+    return bloom_shard_sketches, bloom_rollup, bloom_contains
+
+
+def test_bloom_never_false_negative(spark):
+    build, _, contains = _bloom_modules()
+    rng = random.Random(23)
+    vals = sorted({rng.randrange(10_000) for _ in range(300)})
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, item long")
+    # tiny m forces heavy collision: the one-sided law must still hold
+    sk = build(df, ("grp",), "item", k=3, m=64)
+    probes = spark.createDataFrame([(v,) for v in vals], "item long")
+    rows = contains(sk, ("grp",), probes, "item", k=3, m=64).collect()
+    assert len(rows) == len(vals)
+    assert all(r.maybe_present for r in rows)  # inserted -> never negative
+
+
+def test_bloom_false_positives_only_when_absent(spark):
+    build, _, contains = _bloom_modules()
+    present = list(range(0, 2000, 2))  # evens
+    df = spark.createDataFrame([("g", v) for v in present], "grp string, item long")
+    sk = build(df, ("grp",), "item", k=3, m=4096)
+    absent = list(range(1, 2000, 2))  # odds
+    probes = spark.createDataFrame([(v,) for v in absent], "item long")
+    rows = contains(sk, ("grp",), probes, "item", k=3, m=4096).collect()
+    # ~1000 insertions into 4096 bits at k=3: some false positives are
+    # near-certain, but most absent probes must read absent
+    fp = sum(1 for r in rows if r.maybe_present)
+    assert 0 < fp < len(rows) // 2
+
+
+def test_bloom_rollup_equals_direct_build(spark):
+    build, rollup, _ = _bloom_modules()
+    rng = random.Random(31)
+    rows = [(f"shard{rng.randrange(4)}", rng.randrange(500)) for _ in range(1200)]
+    df = spark.createDataFrame(rows, "shard string, item long")
+    shards = build(df, ("shard",), "item", k=2, m=256)
+    merged = rollup(shards.withColumn("shard", F.lit("all")), ("shard",))
+    direct = build(
+        df.withColumn("shard", F.lit("all")), ("shard",), "item", k=2, m=256
+    )
+    assert {r.bit for r in merged.collect()} == {r.bit for r in direct.collect()}
+    # idempotent: merging the merge changes nothing (replay safety)
+    again = rollup(merged.unionByName(merged), ("shard",))
+    assert again.count() == merged.count()
+
+
+def test_bloom_validation_and_registry(spark, sf_dir):
+    build, _, _ = _bloom_modules()
+    df = spark.createDataFrame([("g", 1)], "grp string, item long")
+    with pytest.raises(ValueError):
+        build(df, ("grp",), "item", k=0)
+    with pytest.raises(ValueError):
+        build(df, ("grp",), "item", m=1)
+    from whisper_pandas_spark.registry import ORACLES, QUERIES
+
+    assert "sketch_bloom_membership" in ORACLES
+    rows = QUERIES["sketch_bloom_membership"](spark, sf_dir).collect()
+    assert len(rows) == 40
+    for r in rows:
+        if r.truly_present:
+            assert r.maybe_present  # one-sided error

@@ -164,6 +164,7 @@ AUDITED = [
     "text_repetition_profile",
     "text_bpe_bytes",
     "graphite_series_by_tag",
+    "sketch_bloom_membership",
 ]
 
 

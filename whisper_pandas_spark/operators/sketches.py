@@ -865,3 +865,136 @@ def cms_estimate(
     return cells.groupBy(*kcols, probe_col).agg(
         F.min("cnt").alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — the membership sketch (what Dolma-style
+# pipelines use for streaming dedup at corpus scale). Stored SPARSE, like
+# the CMS above: one row per SET BIT, (keys..., bit INT) — absent bit = 0.
+# Sparse rows make the merge law trivially relational: union-distinct
+# (idempotent, associative, commutative — replays and reorderings are
+# free, no exactly-once machinery needed, unlike the additive CMS).
+# One-sided error: an inserted value's bits are all set, so membership
+# probes have NO false negatives; false positives appear when all k bits
+# collide with other insertions. The hash family is the same cross-engine
+# md5 construction as the CMS, so the oracle replays the sketch — false
+# positives included — bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_bit(value, seed: int, m: int):
+    """Bit index of *value* under hash *seed*: first 15 md5 hex chars as
+    a non-negative BIGINT, mod m — same construction (same collisions)
+    as :func:`bloom_duck_hash`."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(f"bloom{seed}"), F.col(value).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % m
+    ).cast("int")
+
+
+def bloom_duck_hash(value_sql: str, seed_sql: str, m: int) -> str:
+    """DuckDB twin of the Bloom bit hash (*seed_sql* may be a column)."""
+    return (
+        f"CAST(('0x' || substr(md5('bloom' || CAST({seed_sql} AS VARCHAR)"
+        f" || ':' || CAST({value_sql} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {m} AS INT)"
+    )
+
+
+def bloom_shard_sketches(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str,
+    k: int = 3,
+    m: int = 4096,
+    seed: int = 0,
+) -> DataFrame:
+    """Build one Bloom filter per *keys* group over the DISTINCT values
+    of *value_col* (membership is a set property — duplicate insertions
+    are no-ops by construction). Returns sparse set bits
+    (keys..., bit INT). Nulls excluded.
+
+    Scale: the k-way explode happens before the aggregation, but the
+    output is distinct-keyed on (keys, bit) — bounded by groups x m
+    rows, so the ONE exchange carries the (tiny) sketch with map-side
+    partial aggregation absorbing hot values."""
+    if k < 1 or m < 2:
+        raise ValueError("k must be >= 1 and m >= 2")
+    kcols = [F.col(c) for c in keys]
+    bits = F.array_distinct(
+        F.array(
+            *[_bloom_bit(value_col, seed * k + i, m) for i in range(k)]
+        )
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*kcols, F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_rollup(sketches: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Merge Bloom sketches to coarser *keys*: bitwise OR == sparse-row
+    union-distinct. Idempotent (safe under replay) and exact w.r.t. a
+    direct build over the union of inputs — the Bloom merge law."""
+    return sketches.select(*[F.col(c) for c in keys], "bit").distinct()
+
+
+def bloom_contains(
+    sketches: DataFrame,
+    keys: tuple[str, ...],
+    probes: DataFrame,
+    probe_col: str,
+    k: int = 3,
+    m: int = 4096,
+    seed: int = 0,
+) -> DataFrame:
+    """Membership probes: for every (sketch group x probe value),
+    ``maybe_present`` iff ALL of the probe's (distinct) bit positions
+    are set in the group's filter. Returns (keys..., probe value,
+    n_hits BIGINT, maybe_present BOOLEAN). ``k/m/seed`` must match the
+    build.
+
+    The probe table is expected to be small (a watchlist); it explodes
+    k ways, crosses with the group list, and LEFT JOINs the sketch —
+    the only exchange is the group-keyed count, bounded by
+    groups x probes."""
+    kcols = [F.col(c) for c in keys]
+    bits = F.array_distinct(
+        F.array(
+            *[_bloom_bit(probe_col, seed * k + i, m) for i in range(k)]
+        )
+    )
+    pr = (
+        probes.filter(F.col(probe_col).isNotNull())
+        .select(
+            F.col(probe_col),
+            F.size(bits).alias("__nbits"),
+            F.explode(bits).alias("bit"),
+        )
+    )
+    groups = sketches.select(*kcols).distinct()
+    probe_rows = groups.crossJoin(F.broadcast(pr))
+    hits = probe_rows.join(
+        sketches.withColumn("__set", F.lit(1)), [*keys, "bit"], "left"
+    )
+    return hits.groupBy(*kcols, probe_col, "__nbits").agg(
+        F.sum(F.coalesce(F.col("__set"), F.lit(0))).alias("n_hits")
+    ).select(
+        *kcols,
+        probe_col,
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits") == F.col("__nbits")).alias("maybe_present"),
+    )

@@ -15,6 +15,15 @@
                            merges; the oracle replays training AND
                            encoding via unrolled boundary-anchored
                            string-replace merge stages.
+- graphite_series_by_tag   graphite 1.1 seriesByTag over an explicit
+                           TagDB dimension table: tag pivot + predicate
+                           filter + LEFT SEMI join (=, !=, anchored =~);
+                           the fact scan never shuffles.
+- sketch_bloom_membership  Bloom filter membership: sparse set-bit rows,
+                           union-distinct merge law (idempotent,
+                           replay-safe), all-k-bits probe verdicts with
+                           exact truth joined alongside — one-sided
+                           error replayed bit-for-bit.
 """
 
 from __future__ import annotations
@@ -377,4 +386,106 @@ def graphite_series_by_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _metric_series(spark, sf_dir)
     return series_by_tag(s, _tag_table(s), *_TAG_PREDICATES).orderBy(
         "metric", "timestamp"
+    )
+
+
+# -- Bloom filter membership ----------------------------------------------------
+
+_BLOOM_K = 3
+_BLOOM_M = 4096
+_BLOOM_SPREAD = 25  # items live on a sparse lattice so most probes are absent
+_BLOOM_PROBES = 40
+
+
+def _bloom_oracle() -> str:
+    from whisper_pandas_spark.operators.sketches import bloom_duck_hash
+
+    k, m, sp, np_ = _BLOOM_K, _BLOOM_M, _BLOOM_SPREAD, _BLOOM_PROBES
+    return f"""
+WITH items AS (
+  SELECT DISTINCT (user_id % 1000) * {sp} AS item
+  FROM events WHERE user_id IS NOT NULL
+),
+seeds AS (SELECT CAST(i AS INT) AS s FROM generate_series(0, {k - 1}) t(i)),
+bits AS (
+  SELECT DISTINCT {bloom_duck_hash("i.item", "s.s", m)} AS bit
+  FROM items i, seeds s
+),
+probes AS (
+  SELECT CAST(i AS BIGINT) AS item FROM generate_series(0, {np_ - 1}) t(i)
+),
+pbits AS (
+  SELECT DISTINCT p.item, {bloom_duck_hash("p.item", "s.s", m)} AS bit
+  FROM probes p, seeds s
+),
+nb AS (SELECT item, count(*) AS nbits FROM pbits GROUP BY item),
+hits AS (
+  SELECT p.item,
+         CAST(sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_hits
+  FROM pbits p LEFT JOIN bits b ON b.bit = p.bit
+  GROUP BY p.item
+)
+SELECT 'all' AS scope, h.item, h.n_hits,
+       h.n_hits = nb.nbits AS maybe_present,
+       coalesce(x.present, FALSE) AS truly_present
+FROM hits h
+JOIN nb USING (item)
+LEFT JOIN (SELECT item, TRUE AS present FROM items) x USING (item)
+ORDER BY item
+"""
+
+
+@register("sketch_bloom_membership", oracle=_bloom_oracle())
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family +: Bloom filter membership (Bloom 1970 — the sketch
+    Dolma-style streaming dedup runs at corpus scale;
+    operators/sketches.py:bloom_*).  Per-event-type shard filters over
+    the sparse user-bucket lattice (user_id % 1000, spread x25 so most
+    of the probe range is truly absent), merged to one global filter by
+    the set-union law (idempotent — replay-safe with NO exactly-once
+    machinery, the structural contrast to the additive CMS), probed for
+    items 0..39 with the exact truth joined alongside.  The md5 hash
+    family is cross-engine, so the probe verdicts — false positives
+    included — replay bit-for-bit; maybe_present is never false for a
+    truly present item (one-sided error, pytest-pinned).  Scale: the
+    only raw-data exchange is the distinct on (group, bit), bounded by
+    groups x m rows with map-side combine; rollup and probes touch
+    sketch rows only."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.sketches import (
+        bloom_contains,
+        bloom_rollup,
+        bloom_shard_sketches,
+    )
+
+    ev = _table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    items = ev.select(
+        F.col("event_type").alias("scope"),
+        ((F.col("user_id") % 1000) * _BLOOM_SPREAD).alias("item"),
+    )
+    shards = bloom_shard_sketches(
+        items, ("scope",), "item", k=_BLOOM_K, m=_BLOOM_M
+    )
+    merged = bloom_rollup(
+        shards.withColumn("scope", F.lit("all")), ("scope",)
+    )
+    probes = spark.range(_BLOOM_PROBES).select(F.col("id").alias("item"))
+    got = bloom_contains(
+        merged, ("scope",), probes, "item", k=_BLOOM_K, m=_BLOOM_M
+    )
+    truth = (
+        items.select("item").distinct().withColumn("__t", F.lit(True))
+    )
+    return (
+        got.join(truth, "item", "left")
+        .select(
+            "scope",
+            "item",
+            "n_hits",
+            "maybe_present",
+            F.coalesce(F.col("__t"), F.lit(False)).alias("truly_present"),
+        )
+        .orderBy("item")
     )
