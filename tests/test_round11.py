@@ -523,3 +523,48 @@ def test_bloom_validation_and_registry(spark, sf_dir):
     for r in rows:
         if r.truly_present:
             assert r.maybe_present  # one-sided error
+
+
+def test_stream_bloom_idempotent_under_full_replay(spark, tmp_path):
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.sketches import stream_bloom_update
+
+    rows = [("g", i, (i * 37) % 400) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, seq long, item long")
+    d = str(tmp_path)
+    df.filter(F.col("seq") % 2 == 0).coalesce(1).write.parquet(f"{d}/c/f1")
+    df.filter(F.col("seq") % 2 == 1).coalesce(1).write.parquet(f"{d}/c/f2")
+
+    def run(ckpt):
+        sdf = (
+            spark.readStream.schema("grp string, seq long, item long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/c/*")
+        )
+        q = stream_bloom_update(
+            sdf, f"{d}/state", ("grp",), "item", k=3, m=512,
+            checkpoint_dir=ckpt,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(f"{d}/ck1")
+    bits1 = {
+        r.bit
+        for r in spark.read.parquet(current_version_path(f"{d}/state")).collect()
+    }
+    # full reprocess (fresh checkpoint => every batch replays): the
+    # union-distinct merge law must leave the state bit-identical
+    run(f"{d}/ck2")
+    bits2 = {
+        r.bit
+        for r in spark.read.parquet(current_version_path(f"{d}/state")).collect()
+    }
+    assert bits1 == bits2
+    # and it equals the direct batch build
+    from whisper_pandas_spark.operators.sketches import bloom_shard_sketches
+
+    direct = {
+        r.bit for r in bloom_shard_sketches(df, ("grp",), "item", k=3, m=512).collect()
+    }
+    assert bits1 == direct

@@ -24,11 +24,18 @@
                            replay-safe), all-k-bits probe verdicts with
                            exact truth joined alongside — one-sided
                            error replayed bit-for-bit.
+- stream_bloom_replay      streaming Bloom maintenance: foreachBatch
+                           union-distinct merges into versioned state,
+                           whole stream deliberately REPROCESSED with a
+                           fresh checkpoint — idempotence means no
+                           exactly-once markers anywhere, hash-gated by
+                           the shared batch oracle.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from whisper_pandas_spark.registry import _table, register
 
@@ -474,6 +481,94 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.range(_BLOOM_PROBES).select(F.col("id").alias("item"))
     got = bloom_contains(
         merged, ("scope",), probes, "item", k=_BLOOM_K, m=_BLOOM_M
+    )
+    truth = (
+        items.select("item").distinct().withColumn("__t", F.lit(True))
+    )
+    return (
+        got.join(truth, "item", "left")
+        .select(
+            "scope",
+            "item",
+            "n_hits",
+            "maybe_present",
+            F.coalesce(F.col("__t"), F.lit(False)).alias("truly_present"),
+        )
+        .orderBy("item")
+    )
+
+
+# -- streaming Bloom maintenance -------------------------------------------------
+
+
+def _stream_bloom_oracle() -> str:
+    # state merged over all batches — AND deliberately re-merged over a
+    # full reprocess — equals the direct build (union-distinct is
+    # idempotent), so the oracle is the batch recompute of the same
+    # membership verdicts
+    return _bloom_oracle()
+
+
+@register("stream_bloom_replay", oracle=_stream_bloom_oracle())
+def stream_bloom_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+: streaming Bloom maintenance (streaming/sketches.py:
+    stream_bloom_update) replayed end-to-end — the sparse item lattice
+    streams through foreachBatch union-distinct merges into the
+    versioned filter state, and then the WHOLE stream is deliberately
+    reprocessed into the same state by a second checkpoint-less query
+    (every batch is a replay): the idempotent merge law means no
+    `_LAST_BATCH` marker machinery exists anywhere in this path, and
+    the final state still equals the direct build — which is exactly
+    what the shared batch oracle hash-gates (the structural contrast to
+    `stream_cms_replay`, whose additive merge REQUIRES exactly-once
+    markers).  Probes 0..39 read membership verdicts off the final
+    state with the exact truth joined alongside."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.operators.sketches import bloom_contains
+    from whisper_pandas_spark.streaming.sketches import stream_bloom_update
+
+    ev = _table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    items = ev.select(
+        F.lit("all").alias("scope"),
+        F.col("event_id"),
+        ((F.col("user_id") % 1000) * _BLOOM_SPREAD).alias("item"),
+    )
+    d = tempfile.mkdtemp(prefix="wps_bloomstream_")
+    items.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{d}/changes/f1"
+    )
+    items.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{d}/changes/f2"
+    )
+
+    def run_pass(ckpt: str) -> None:
+        sdf = (
+            spark.readStream.schema("scope string, event_id long, item long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/changes/*")
+        )
+        q = stream_bloom_update(
+            sdf,
+            f"{d}/state",
+            ("scope",),
+            "item",
+            k=_BLOOM_K,
+            m=_BLOOM_M,
+            checkpoint_dir=ckpt,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_pass(f"{d}/ckpt1")
+    # full reprocess with a FRESH checkpoint: every batch re-merges into
+    # the existing state — harmless by idempotence, proven by the hash
+    run_pass(f"{d}/ckpt2")
+    state = spark.read.parquet(current_version_path(f"{d}/state"))
+    probes = spark.range(_BLOOM_PROBES).select(F.col("id").alias("item"))
+    got = bloom_contains(
+        state, ("scope",), probes, "item", k=_BLOOM_K, m=_BLOOM_M
     )
     truth = (
         items.select("item").distinct().withColumn("__t", F.lit(True))

@@ -356,3 +356,63 @@ def stream_cms_update(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_bloom_update(
+    sdf: DataFrame,
+    base: str,
+    keys: tuple[str, ...],
+    value_col: str,
+    k: int = 3,
+    m: int = 4096,
+    seed: int = 0,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming twin for the Bloom membership sketches
+    (operators/sketches.py bloom_*): each micro-batch is sketched on its
+    own and set-union-merged (bloom_rollup) into the versioned state —
+    the streaming face of Dolma-style corpus dedup, where every arriving
+    shard's keys are added to one global membership filter.
+
+    Like KMV — and unlike the additive CMS — the merge is IDEMPOTENT
+    (re-unioning bits that are already set changes nothing), so a
+    replayed batch, a duplicated file, or a full reprocess CANNOT
+    corrupt the state: ``checkpoint_dir`` is optional for correctness
+    (it still buys restart progress tracking), and no `_LAST_BATCH`
+    marker machinery is needed. Asserted end-to-end in the
+    `stream_bloom_replay` entry, which deliberately reprocesses the
+    whole stream into the same state.
+    """
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        write_version,
+    )
+    from whisper_pandas_spark.operators.sketches import (
+        bloom_rollup,
+        bloom_shard_sketches,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_sketch = bloom_shard_sketches(
+            batch_df, keys, value_col, k=k, m=m, seed=seed
+        )
+        cur = current_version_path(base)
+        if cur is None:
+            new_state = bloom_rollup(batch_sketch, keys)
+            next_version = 0
+        else:
+            prior = batch_df.sparkSession.read.parquet(cur).select(
+                *keys, "bit"
+            )
+            new_state = bloom_rollup(prior.unionByName(batch_sketch), keys)
+            next_version = int(Path(cur).name[1:]) + 1
+        write_version(base, new_state, next_version)
+
+    writer = sdf.writeStream.foreachBatch(apply).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
