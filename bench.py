@@ -76,6 +76,19 @@ HEADLINE2 = [
     "ts_holtwinters_forecast",
 ]
 
+# Third stanza (round 11): representative HEAVY entries from the
+# round-9..11 families (iterative graph frontier, in-engine trained
+# lang-ID, byte-level BPE training+encode, the fused repetition pack).
+# SEPARATE so both historical totals (``value``: 15 queries since r1;
+# ``value_extended``: +5 since r9) stay comparable; these report under
+# ``queries3`` / ``value_r9plus`` (= value_extended + stanza 3).
+HEADLINE3 = [
+    "graph_bfs_distances",
+    "text_lang_id_trained",
+    "text_bpe_bytes",
+    "text_repetition_profile",
+]
+
 
 # Reference golden-fixture geometry (BASELINE.md: 82.8 MB, 6 898 801 point
 # slots, 3 archives at 10 s/60 s/3600 s with the measured fill ratios) —
@@ -206,9 +219,11 @@ def main() -> None:
 
     names2 = [n for n in HEADLINE2 if n in QUERIES]
     timings2: dict[str, float] = {}
+    names3 = [n for n in HEADLINE3 if n in QUERIES]
+    timings3: dict[str, float] = {}
 
     record("whisper_scan_83mb", _bench_whisper_scan(spark))
-    for name in names + names2:
+    for name in names + names2 + names3:
         fn = QUERIES[name]
         # Ask the JVM to collect BEFORE the timed reps so one query's
         # garbage doesn't bill the next query's first run (single shared
@@ -231,10 +246,17 @@ def main() -> None:
             # evaluates the complete plan with no driver transfer.
             df.write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
-        record(name, times, timings2 if name in names2 else None)
+        record(
+            name,
+            times,
+            timings2
+            if name in names2
+            else (timings3 if name in names3 else None),
+        )
 
     total = round(sum(timings.values()), 4)
     total_ext = round(total + sum(timings2.values()), 4)
+    total_r9p = round(total_ext + sum(timings3.values()), 4)
     # The driver parses the LAST stdout line and keeps only a ~2000-char
     # tail of output; round 10's artifact came back ``parsed: null``
     # because ``query_stats`` grew the single line past that window
@@ -251,6 +273,8 @@ def main() -> None:
                 "queries": timings,
                 "queries2": timings2,
                 "value_extended": total_ext,
+                "queries3": timings3,
+                "value_r9plus": total_r9p,
                 "reps": reps,
                 "load_at_start": load_at_start,
                 "load_initial": load_initial,
