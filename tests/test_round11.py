@@ -568,3 +568,45 @@ def test_stream_bloom_idempotent_under_full_replay(spark, tmp_path):
         r.bit for r in bloom_shard_sketches(df, ("grp",), "item", k=3, m=512).collect()
     }
     assert bits1 == direct
+
+
+def test_bloom_contamination_is_superset_of_exact(spark):
+    from whisper_pandas_spark.operators.decontam import (
+        bloom_contamination,
+        ngram_contamination,
+    )
+
+    rng = random.Random(47)
+    vocab = [f"w{i}" for i in range(60)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    heldout_texts = [mk(30) for _ in range(10)]
+    train_texts = [mk(40) for _ in range(60)]
+    # plant exact leakage: three train docs embed a heldout passage
+    for i in (3, 17, 42):
+        train_texts[i] = train_texts[i] + " " + heldout_texts[i % 10]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    heldout = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(heldout_texts)],
+        "doc_id long, text string",
+    )
+    exact = {
+        r.doc_id: r.n_shared
+        for r in ngram_contamination(train, heldout).collect()
+    }
+    # tiny filter (high FP rate) to stress the superset property hard
+    flagged = {
+        r.doc_id: r.n_flagged
+        for r in bloom_contamination(train, heldout, k=3, m=2048).collect()
+    }
+    assert set(exact) <= set(flagged)  # no false negatives, ever
+    for d, n in exact.items():
+        assert flagged[d] >= n  # per-doc counts dominate the exact ones
+    assert {3, 17, 42} <= set(exact)  # the planted leaks were caught
+    # a big filter approaches exactness: no spurious DOC at m=2^20
+    precise = {
+        r.doc_id
+        for r in bloom_contamination(train, heldout, k=3, m=1 << 20).collect()
+    }
+    assert set(exact) <= precise

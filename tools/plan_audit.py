@@ -165,6 +165,7 @@ AUDITED = [
     "text_bpe_bytes",
     "graphite_series_by_tag",
     "sketch_bloom_membership",
+    "decontam_bloom_flags",
 ]
 
 

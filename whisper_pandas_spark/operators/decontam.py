@@ -50,3 +50,75 @@ def ngram_contamination(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def bloom_contamination(
+    train: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 3,
+    m: int = 1 << 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Bloom-filtered decontamination: like :func:`ngram_contamination`,
+    but the held-out shingle set is compressed into an m-bit Bloom
+    filter (operators/sketches.py bloom_*) before it meets the corpus —
+    the production pattern when the benchmark suite's distinct-shingle
+    set is itself too large to broadcast comfortably: the filter is a
+    FIXED size (m bits) regardless of how many shingles it holds.
+
+    Returns (doc_id, n_flagged): per train doc, how many of its distinct
+    shingles the filter reports present; only flagged docs are returned.
+    One-sided by construction: every truly-shared shingle is flagged
+    (the Bloom filter has no false negatives), so the verdict set is a
+    SUPERSET of the exact operator's — scrubbing on it can only
+    over-drop, never leak (n_flagged >= n_shared per doc,
+    pytest-pinned). The false-positive rate is the documented knob:
+    k/m size the filter against the held-out cardinality.
+
+    Plan: the filter's set bits (<= m rows, kilobytes) broadcast; the
+    corpus side is one scan + a k-way bit explode + an anti-join pair
+    that keeps exactly the all-bits-present shingles — no corpus-side
+    self-shuffle, same budget as the exact operator with a
+    constant-size small side.
+    """
+    from whisper_pandas_spark.operators.sketches import (
+        _bloom_bit,
+        bloom_shard_sketches,
+    )
+
+    held_h = (
+        shingle_hashes_arrow(heldout, id_col, text_col, shingle_n)
+        .select(F.explode("hh").alias("h"))
+        .distinct()
+    )
+    bits = bloom_shard_sketches(
+        held_h.select(F.lit("g").alias("g"), "h"),
+        ("g",),
+        "h",
+        k=k,
+        m=m,
+        seed=seed,
+    ).select("bit").distinct()
+    train_h = shingle_hashes_arrow(train, id_col, text_col, shingle_n).select(
+        "doc_id", F.explode("hh").alias("h")
+    )
+    barr = F.array_distinct(
+        F.array(*[_bloom_bit("h", seed * k + i, m) for i in range(k)])
+    )
+    pb = train_h.select("doc_id", "h", F.explode(barr).alias("bit"))
+    # a shingle is flagged iff NONE of its bits is missing from the
+    # filter: miss-list anti-join keeps the all-bits-present shingles
+    miss = (
+        pb.join(F.broadcast(bits), "bit", "left_anti")
+        .select("doc_id", "h")
+        .distinct()
+    )
+    flagged = train_h.join(miss, ["doc_id", "h"], "left_anti")
+    # (doc_id, h) rows are unique (hh is distinct per doc), so a plain
+    # count is the distinct flagged-shingle count
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_flagged")
+    )

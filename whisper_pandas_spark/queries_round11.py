@@ -30,6 +30,12 @@
                            fresh checkpoint — idempotence means no
                            exactly-once markers anywhere, hash-gated by
                            the shared batch oracle.
+- decontam_bloom_flags     Bloom-filtered decontamination: held-out
+                           shingles compressed into one fixed-size
+                           filter, training shingles probe via k-way bit
+                           explode + broadcast anti-join pair; verdicts
+                           are a SUPERSET of the exact overlap (no false
+                           negatives), false positives replay exactly.
 """
 
 from __future__ import annotations
@@ -584,3 +590,81 @@ def stream_bloom_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+# -- Bloom-filtered decontamination ---------------------------------------------
+
+_DC_BLOOM_K = 3
+_DC_BLOOM_M = 1 << 16
+
+
+def _decontam_bloom_oracle() -> str:
+    from whisper_pandas_spark.functions.text import (
+        DUCK_SHINGLES,
+        duck_base_hash32,
+    )
+    from whisper_pandas_spark.operators.sketches import bloom_duck_hash
+    from whisper_pandas_spark.queries_dedup import _split_case
+
+    k, m = _DC_BLOOM_K, _DC_BLOOM_M
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text, {_split_case()} AS split FROM documents
+), toks AS (
+  SELECT doc_id, split, {_DUCK_TOKS} AS t FROM assigned
+), shing AS (
+  SELECT doc_id, split, {DUCK_SHINGLES} AS s FROM toks
+), shf AS (
+  SELECT doc_id, split,
+         list_distinct(list_transform(s, x -> {duck_base_hash32("x")})) AS hh
+  FROM shing WHERE len(s) > 0
+), held AS (
+  SELECT DISTINCT unnest(hh) AS h FROM shf WHERE split = 'test'
+), seeds AS (
+  SELECT CAST(i AS INT) AS s FROM generate_series(0, {k - 1}) t(i)
+), bits AS (
+  SELECT DISTINCT {bloom_duck_hash("held.h", "s.s", m)} AS bit
+  FROM held, seeds s
+), train_h AS (
+  SELECT doc_id, unnest(hh) AS h FROM shf WHERE split = 'train'
+), pb AS (
+  SELECT DISTINCT t.doc_id, t.h, {bloom_duck_hash("t.h", "s.s", m)} AS bit
+  FROM train_h t, seeds s
+), miss AS (
+  SELECT DISTINCT p.doc_id, p.h
+  FROM pb p LEFT JOIN bits b USING (bit) WHERE b.bit IS NULL
+), flagged AS (
+  SELECT doc_id, h FROM train_h
+  EXCEPT
+  SELECT doc_id, h FROM miss
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("decontam_bloom_flags", oracle=_decontam_bloom_oracle())
+def decontam_bloom_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-pipeline+: Bloom-filtered train/eval decontamination
+    (operators/decontam.py:bloom_contamination) composed with the
+    deterministic splitter — the production shape when the benchmark
+    suite's shingle set is too large to broadcast raw: the held-out
+    shingles compress into one fixed-size (m-bit) Bloom filter, and
+    training shingles probe it with a k-way bit explode + broadcast
+    anti-join pair.  One-sided by the Bloom law: the verdict set is a
+    SUPERSET of `decontam_ngram_overlap`'s exact answer (scrubbing
+    over-drops, never leaks; the md5 bit family is cross-engine, so the
+    false positives themselves replay bit-for-bit in the oracle).
+    Scale: the filter is m bits REGARDLESS of held-out cardinality; the
+    corpus side stays scan-shaped with no self-shuffle."""
+    from whisper_pandas_spark.operators.decontam import bloom_contamination
+    from whisper_pandas_spark.operators.sampling import split_assign
+    from whisper_pandas_spark.queries_dedup import TEST_FRAC, VAL_FRAC
+
+    docs = _table(spark, sf_dir, "documents")
+    assigned = split_assign(docs, "doc_id", TEST_FRAC, VAL_FRAC)
+    train = assigned.filter(F.col("split") == "train")
+    test = assigned.filter(F.col("split") == "test")
+    return bloom_contamination(
+        train, test, k=_DC_BLOOM_K, m=_DC_BLOOM_M
+    ).orderBy("doc_id")
