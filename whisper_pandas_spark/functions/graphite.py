@@ -36,6 +36,15 @@ def _series_window() -> Window:
     return Window.partitionBy(_METRIC).orderBy(_TS)
 
 
+def _series_rev_window() -> Window:
+    """The same per-series window ordered DESCENDING — running
+    (unbounded-preceding, current) frames over it read the original
+    order's suffix in one O(n) streaming pass, replacing (current row,
+    unbounded following) frames, which Spark evaluates by re-scanning
+    the partition tail per row (O(rows²) per series)."""
+    return Window.partitionBy(_METRIC).orderBy(F.col(_TS).desc())
+
+
 def _with_value(df: DataFrame, col: Column) -> DataFrame:
     return df.withColumn(_VAL, col)
 
@@ -151,8 +160,12 @@ def keep_last_value(df: DataFrame, limit: int | None = None) -> DataFrame:
         return _with_value(df, filled)
     rn = F.row_number().over(_series_window())
     last_present = F.max(F.when(F.col(_VAL).isNotNull(), rn)).over(wp)
-    wf = _series_window().rowsBetween(0, Window.unboundedFollowing)
-    next_present = F.min(F.when(F.col(_VAL).isNotNull(), rn)).over(wf)
+    # suffix-min via the REVERSED running frame — a (current row,
+    # unbounded following) frame re-scans the partition tail per row
+    # (O(rows²) per series; see operators/resample.py) and min() is
+    # set-order-insensitive, so the descending frame is exact
+    wf_rev = _series_rev_window().rowsBetween(Window.unboundedPreceding, 0)
+    next_present = F.min(F.when(F.col(_VAL).isNotNull(), rn)).over(wf_rev)
     n_rows = F.count(F.lit(1)).over(
         Window.partitionBy(_METRIC).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
@@ -1034,15 +1047,17 @@ def interpolate(df: DataFrame, limit: int | None = None) -> DataFrame:
     rn = F.row_number().over(w)
     df2 = df.withColumn("__rn", rn)
     wprev = w.rowsBetween(Window.unboundedPreceding, 0)
-    wnext = w.rowsBetween(0, Window.unboundedFollowing)
+    # nearest-following anchors via the reversed running frame (see
+    # _series_rev_window — the forward-unbounded frame is O(rows²))
+    wnext_rev = _series_rev_window().rowsBetween(Window.unboundedPreceding, 0)
     prev_v = F.last(_VAL, ignorenulls=True).over(wprev)
     prev_rn = F.last(
         F.when(F.col(_VAL).isNotNull(), F.col("__rn")), ignorenulls=True
     ).over(wprev)
-    next_v = F.first(_VAL, ignorenulls=True).over(wnext)
-    next_rn = F.first(
+    next_v = F.last(_VAL, ignorenulls=True).over(wnext_rev)
+    next_rn = F.last(
         F.when(F.col(_VAL).isNotNull(), F.col("__rn")), ignorenulls=True
-    ).over(wnext)
+    ).over(wnext_rev)
     gap = next_rn - prev_rn
     filled = prev_v + (next_v - prev_v) * (F.col("__rn") - prev_rn) / gap
     ok = prev_rn.isNotNull() & next_rn.isNotNull()
