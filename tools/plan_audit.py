@@ -166,6 +166,9 @@ AUDITED = [
     "graphite_series_by_tag",
     "sketch_bloom_membership",
     "decontam_bloom_flags",
+    # round-11 window-frame fix: the gap-fill plan is pinned so the
+    # reversed-order running frames stay visible in the audit
+    "resample_gapfill",
 ]
 
 
