@@ -74,19 +74,29 @@ def _merge_syms(syms: list, a: str, b: str) -> list:
 
 
 def learn_merges(
-    vocab: DataFrame, num_merges: int, min_pair_freq: int = 2
+    vocab: DataFrame,
+    num_merges: int,
+    min_pair_freq: int = 2,
+    checkpoint_every: int = 4,
 ) -> list[tuple[str, str]]:
     """The BPE merge-learning loop over a (syms array<string>, freq long)
     vocabulary frame — shared by the character-level (:func:`bpe_train`)
     and byte-level (operators/bpe_bytes.py) trainers. Per iteration: one
     partial-agg exchange for adjacent-pair counts, a driver-side top-1
     (ties break (freq desc, a asc, b asc) — both engines' string order
-    agrees for BMP code points), one Arrow merge pass, and an eager
-    ``localCheckpoint`` so plan depth stays constant."""
+    agrees for BMP code points), and one Arrow merge pass. Lineage is
+    truncated by an eager ``localCheckpoint`` every ``checkpoint_every``
+    merges rather than every merge (the round-9 MMR lesson): between
+    checkpoints the pending plan carries at most ``checkpoint_every``
+    stacked Arrow maps, each re-run once by the next pair-count action —
+    cheaper than a materialization job per merge, while plan depth stays
+    bounded in the merge count."""
     import pandas as pd
 
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     vocab = vocab.localCheckpoint(eager=True)
 
     merges: list[tuple[str, str]] = []
@@ -125,9 +135,9 @@ def learn_merges(
                     }
                 )
 
-        vocab = vocab.mapInPandas(
-            apply_merge, "syms array<string>, freq long"
-        ).localCheckpoint(eager=True)
+        vocab = vocab.mapInPandas(apply_merge, "syms array<string>, freq long")
+        if len(merges) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
     return merges
 
 
