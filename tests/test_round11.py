@@ -610,3 +610,42 @@ def test_bloom_contamination_is_superset_of_exact(spark):
         for r in bloom_contamination(train, heldout, k=3, m=1 << 20).collect()
     }
     assert set(exact) <= precise
+
+
+def test_bpe_bytes_ids_roundtrip_and_consistency(spark):
+    from whisper_pandas_spark.operators.bpe_bytes import (
+        bpe_bytes_counts,
+        bpe_bytes_encode_ids,
+        bpe_bytes_train,
+        bpe_bytes_vocab,
+        bytes_to_unicode,
+    )
+
+    texts = ["the cat sat on the mat", "that hat is the cat's hat", "", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_bytes_train(df, "text", 10, 2)
+    vocab = bpe_bytes_vocab(merges)
+    inv_tok = {v: k for k, v in vocab.items()}
+    inv_byte = {v: k for k, v in bytes_to_unicode().items()}
+    ids = {r.doc_id: r for r in bpe_bytes_encode_ids(df, "doc_id", "text", merges).collect()}
+    counts = {r.doc_id: r for r in bpe_bytes_counts(df, "doc_id", "text", merges).collect()}
+    assert set(ids) == {0, 1, 2, 3}
+    for d in (2, 3):
+        assert ids[d].ids_csv == "" and ids[d].n_tokens == 0
+    import re
+
+    from whisper_pandas_spark.operators.textstats import BPE_REGEX
+
+    for d in (0, 1):
+        r = ids[d]
+        assert r.n_tokens == counts[d].n_tokens  # two encoders agree
+        toks = [inv_tok[int(x)] for x in r.ids_csv.split(",")]
+        # byte-level decode is LOSSLESS over the matched pre-tokens
+        decoded = bytes(
+            inv_byte[c] for t in toks for c in t
+        ).decode("utf-8")
+        assert decoded == "".join(re.findall(BPE_REGEX, texts[d]))
+        # no unknown ids, base ids are raw bytes
+        assert all(0 <= int(x) < len(vocab) for x in r.ids_csv.split(","))

@@ -196,3 +196,85 @@ def bpe_bytes_counts(
             for c in ("n_pretokens", "n_bytes", "n_tokens")
         ],
     )
+
+
+def bpe_bytes_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """token -> id under the GPT-2 id convention: the 256 byte stand-ins
+    first (ids 0..255 in BYTE order — the stand-in table is a bijection,
+    so byte value IS the id), then each merge's output in training order
+    (a later merge that reproduces an existing output keeps the first
+    id)."""
+    table = bytes_to_unicode()
+    vocab = {table[b]: b for b in range(256)}
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_bytes_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode every document to its byte-level BPE id sequence:
+    (doc_id, n_tokens BIGINT, ids_csv STRING — comma-joined ids in
+    document order). Byte fallback means NO unknown id can ever occur:
+    every symbol is either a base byte (id 0..255) or a merge output.
+
+    Same two-exchange shape as :func:`bpe_bytes_counts`: the merge loop
+    runs once per UNIQUE pre-token (Arrow pass, merges + vocab in the
+    closure), per-pre-token id strings join back to the POSITIONAL
+    pre-token stream, and each document reassembles with one
+    sort_array-over-structs aggregation — order-correct under any
+    partitioning, no window. Documents with no pre-token keep a row
+    with ids_csv = '' (callers zip output back to the corpus).
+    """
+    import pandas as pd
+
+    vocab = bpe_bytes_vocab(merges)
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))
+            ).alias("pos", "word"),
+        )
+    )
+    uniq = words.select("word").distinct()
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for w in pdf["word"]:
+                syms = apply_merges(pretoken_syms(w), merges)
+                out.append(",".join(str(vocab[s]) for s in syms))
+            yield pd.DataFrame({"word": pdf["word"], "wid": out})
+
+    encoded = uniq.mapInPandas(enc, "word string, wid string")
+    assembled = (
+        words.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "wid"))),
+                    lambda s: s["wid"],
+                ),
+                ",",
+            ).alias("ids_csv")
+        )
+    )
+    all_docs = df.select(F.col(id_col).alias("doc_id")).distinct()
+    out = all_docs.join(assembled, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("ids_csv"), F.lit("")).alias("ids_csv")
+    )
+    n_tokens = F.when(F.col("ids_csv") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("ids_csv"), ","))
+    )
+    return out.select(
+        "doc_id", n_tokens.cast("bigint").alias("n_tokens"), "ids_csv"
+    )

@@ -36,6 +36,11 @@
                            explode + broadcast anti-join pair; verdicts
                            are a SUPERSET of the exact overlap (no false
                            negatives), false positives replay exactly.
+- text_bpe_bytes_ids       the byte-BPE encode-to-ids half: full per-doc
+                           token-id sequences (GPT-2 id convention),
+                           positional reassembly with no window; oracle
+                           replays training, id assignment AND the
+                           ordered readout — whole sequences hash-match.
 """
 
 from __future__ import annotations
@@ -188,8 +193,8 @@ _DUCK_SYMS0 = """' ' || array_to_string(list_transform(
     ELSE chr(323) END), '  ') || ' '"""
 
 
-def _bpe_bytes_oracle() -> str:
-    """Unrolled replay of byte-level BPE training AND encoding.
+def _bpe_bytes_stages() -> str:
+    """The shared WITH-prefix replaying byte-level BPE TRAINING.
 
     Symbols never contain a space (the stand-in table maps every byte to
     a non-space character), so each word's symbol sequence serializes as
@@ -199,10 +204,11 @@ def _bpe_bytes_oracle() -> str:
     prefix/suffix false matches) but only the LEADING one is consumed,
     so a left-to-right replace-all pass merges exactly the leftmost
     non-overlapping occurrences — the same pass _merge_syms makes.
-    Training unrolls {K} (pairs → argmax → apply) stages; an empty
+    Training unrolls K (pairs → argmax → apply) stages; an empty
     argmax (best pair below min_freq) no-ops that stage and every later
-    one, matching the engine's early stop. Encoding reuses the final
-    vocabulary state (the entry encodes its own training corpus)."""
+    one, matching the engine's early stop. CTEs are MATERIALIZED: each
+    stage references its predecessor twice, and DuckDB's default CTE
+    inlining would blow up 2^K."""
     k_stages = []
     for k in range(1, _BPE_BYTES_MERGES + 1):
         p = k - 1
@@ -229,9 +235,7 @@ syms_{k} AS MATERIALIZED (
   FROM syms_{p} LEFT JOIN m_{k} m ON TRUE
 )""")
     stages = ",\n".join(k_stages)
-    kk = _BPE_BYTES_MERGES
-    return f"""
-WITH pt AS MATERIALIZED (
+    return f"""pt AS MATERIALIZED (
   SELECT doc_id, unnest(regexp_extract_all(text, {_DUCK_BPE_RE})) AS word
   FROM documents WHERE text IS NOT NULL
 ),
@@ -239,7 +243,15 @@ syms_0 AS MATERIALIZED (
   SELECT word, count(*) AS freq, {_DUCK_SYMS0} AS s
   FROM pt GROUP BY word
 ),
-{stages},
+{stages}"""
+
+
+def _bpe_bytes_oracle() -> str:
+    """Training-stage prefix (see :func:`_bpe_bytes_stages`) + the
+    per-document count readout."""
+    kk = _BPE_BYTES_MERGES
+    return f"""
+WITH {_bpe_bytes_stages()},
 enc AS (
   SELECT word,
          CAST(octet_length(encode(word)) AS BIGINT) AS nb,
@@ -287,6 +299,105 @@ def text_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", _BPE_BYTES_MERGES, _BPE_BYTES_MIN_FREQ
     )
     return bpe_bytes_counts(docs, "doc_id", "text", merges).orderBy("doc_id")
+
+
+# the GPT-2 byte→stand-in mapping as a scalar CASE over a byte column
+# (the same mapping _DUCK_SYMS0 applies inside its lambda)
+_DUCK_BYTE_TOK = """CASE
+    WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+         OR (b BETWEEN 174 AND 255) THEN chr(CAST(b AS INT))
+    WHEN b <= 32 THEN chr(CAST(256 + b AS INT))
+    WHEN b <= 160 THEN chr(CAST(256 + 33 + b - 127 AS INT))
+    ELSE chr(323) END"""
+
+
+def _bpe_bytes_ids_oracle() -> str:
+    """Training-stage prefix + vocabulary id assignment + the ordered
+    per-document id-sequence readout. Ids follow the GPT-2 convention
+    the engine's bpe_bytes_vocab implements: byte stand-ins get ids
+    0..255 (byte value IS the id), merge outputs get 256.. in training
+    order with first-occurrence wins for duplicate outputs."""
+    kk = _BPE_BYTES_MERGES
+    merges_union = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, a, b FROM m_{k}" for k in range(1, kk + 1)
+    )
+    return f"""
+WITH {_bpe_bytes_stages()},
+merges_all AS (
+  {merges_union}
+),
+firsts AS (
+  SELECT a || b AS tok, min(k) AS k0 FROM merges_all GROUP BY tok
+),
+mvocab AS (
+  SELECT tok, 255 + row_number() OVER (ORDER BY k0) AS id FROM firsts
+),
+base AS (
+  SELECT {_DUCK_BYTE_TOK} AS tok, CAST(b AS BIGINT) AS id
+  FROM (SELECT unnest(range(0, 256)) AS b)
+),
+vt AS (
+  SELECT tok, id FROM base UNION ALL SELECT tok, CAST(id AS BIGINT) FROM mvocab
+),
+vmap AS (
+  SELECT map(list(tok ORDER BY id), list(id ORDER BY id)) AS m FROM vt
+),
+wids AS (
+  SELECT word,
+    array_to_string(list_transform(
+      string_split(substr(s, 2, length(s)-2), '  '),
+      t -> CAST(m[t][1] AS VARCHAR)), ',') AS wcsv,
+    CAST(len(string_split(substr(s, 2, length(s)-2), '  ')) AS BIGINT) AS nt
+  FROM syms_{kk}, vmap
+),
+ptp AS (
+  SELECT doc_id, i.i AS pos, ta[i.i] AS word
+  FROM (SELECT doc_id, regexp_extract_all(text, {_DUCK_BPE_RE}) AS ta
+        FROM documents WHERE text IS NOT NULL) d,
+       LATERAL (SELECT unnest(range(1, len(ta) + 1)) AS i) i
+),
+agg AS (
+  SELECT p.doc_id,
+         string_agg(w.wcsv, ',' ORDER BY p.pos) AS ids_csv,
+         CAST(sum(w.nt) AS BIGINT) AS n_tokens
+  FROM ptp p JOIN wids w USING (word) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+  coalesce(ids_csv, '') AS ids_csv
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("text_bpe_bytes_ids", oracle=_bpe_bytes_ids_oracle())
+def text_bpe_bytes_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: the byte-level BPE ENCODE-TO-IDS half (operators/bpe_bytes.py:
+    bpe_bytes_encode_ids) — every document's full token-id sequence
+    under the in-engine-trained merge table, with the GPT-2 id
+    convention (byte value IS the id for the 256 stand-ins; merge
+    outputs number 256.. in training order, first occurrence wins).
+    Byte fallback means no unknown id can ever occur.  Plan: the merge
+    loop runs once per UNIQUE pre-token (Arrow pass), id strings join
+    back to the POSITIONAL pre-token stream, and each document
+    reassembles with one sort_array-over-structs aggregation —
+    order-correct under any partitioning, no window; two exchanges
+    independent of merge count.  The oracle replays training, id
+    assignment AND the ordered reassembly (string_agg ORDER BY
+    position), so whole id sequences hash-match."""
+    from whisper_pandas_spark.operators.bpe_bytes import (
+        bpe_bytes_encode_ids,
+        bpe_bytes_train,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    merges = bpe_bytes_train(
+        docs, "text", _BPE_BYTES_MERGES, _BPE_BYTES_MIN_FREQ
+    )
+    return bpe_bytes_encode_ids(docs, "doc_id", "text", merges).orderBy(
+        "doc_id"
+    )
 
 
 @register("text_repetition_profile", oracle=_rep_oracle())
