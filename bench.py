@@ -149,6 +149,24 @@ def _bench_whisper_scan(spark) -> list[float]:
     return times
 
 
+def _spin_probe(iters: int = 20_000_000) -> float:
+    """Single-thread CPU-speed probe: a fixed pure-Python integer loop.
+
+    Cross-round artifact totals are host-confounded (hypervisor steal
+    windows measured at 322 s over 2 h in round 11, VERDICT r11
+    Performance): the same code measures 1.3-1.6x slower in a steal
+    window with no code change. Emitting the probe in the artifact
+    makes normalization mechanical — divide totals by (spin_s /
+    reference_spin_s) instead of reconstructing host state from prose.
+    ~1.6 s on this host quiet, ~2.5 s under co-tenant load."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(iters):
+        x += i
+    assert x >= 0
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     from whisper_pandas_spark.registry import QUERIES, reset_result_caches
 
@@ -174,6 +192,10 @@ def main() -> None:
         time.sleep(sleep_s)
         waited += 1
     load_at_start = round(os.getloadavg()[0], 2)
+    # Host-speed calibration (see _spin_probe): once before the session
+    # starts (the quiet-window number) and once after the last timed
+    # query (did the host stay quiet THROUGH the run?).
+    spin_s = _spin_probe()
 
     spark = get_spark(app_name="whisper_pandas_spark_bench")
 
@@ -254,6 +276,7 @@ def main() -> None:
             else (timings3 if name in names3 else None),
         )
 
+    spin_s_end = _spin_probe()
     total = round(sum(timings.values()), 4)
     total_ext = round(total + sum(timings2.values()), 4)
     total_r9p = round(total_ext + sum(timings3.values()), 4)
@@ -279,6 +302,8 @@ def main() -> None:
                 "load_at_start": load_at_start,
                 "load_initial": load_initial,
                 "quiet_waits": waited,
+                "spin_s": spin_s,
+                "spin_s_end": spin_s_end,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -44,7 +44,9 @@ from pyspark.sql import functions as F
 
 from whisper_pandas_spark.operators.bpe_train import (
     _merge_syms,
+    collect_vocab,
     learn_merges,
+    learn_merges_local,
 )
 from whisper_pandas_spark.operators.textstats import BPE_REGEX
 
@@ -100,9 +102,19 @@ def bpe_bytes_train(
     text_col: str,
     num_merges: int,
     min_pair_freq: int = 2,
+    distributed: bool = False,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` byte-level merges from the corpus; returns
-    the ordered merge list (stops early below ``min_pair_freq``)."""
+    the ordered merge list (stops early below ``min_pair_freq``).
+
+    The pre-token histogram is always built distributed (the one corpus
+    shuffle). The merge loop defaults to the driver-local path over the
+    collected Zipf-bounded histogram (bpe_train.learn_merges_local) —
+    a production 32k–50k-merge vocabulary is then a local loop instead
+    of tens of thousands of sequential Spark jobs. ``distributed=True``
+    opts back into the one-Spark-iteration-per-merge loop for corpora
+    whose unique pre-token table cannot collect. Bit-identical merge
+    lists either way (property-tested)."""
     import pandas as pd
 
     def to_syms(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -119,7 +131,9 @@ def bpe_bytes_train(
     vocab = _pretoken_vocab(df, text_col).mapInPandas(
         to_syms, "syms array<string>, freq long"
     )
-    return learn_merges(vocab, num_merges, min_pair_freq)
+    if distributed:
+        return learn_merges(vocab, num_merges, min_pair_freq)
+    return learn_merges_local(collect_vocab(vocab), num_merges, min_pair_freq)
 
 
 def apply_merges(syms: list[str], merges: list[tuple[str, str]]) -> list[str]:

@@ -742,3 +742,166 @@ def image_features(
         "std_px double, skew_px double, grad_x_mean double, "
         "grad_y_mean double, orient_hist array<double>",
     )
+
+
+DHASH_ROWS = 8   # dHash grid: 8 row-comparisons ...
+DHASH_COLS = 9   # ... over 9 columns -> 8x8 = 64 bits
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    on_error: str = "skip",
+) -> DataFrame:
+    """64-bit difference hash (dHash) over decoded luma — the public
+    perceptual fingerprint (aHash/dHash family, e.g. the widely-cited
+    "Kind of Like That" dHash recipe): downscale the luma plane to a
+    9-column x 8-row grid, set bit ``r*8 + c`` iff
+    ``grid[r][c] < grid[r][c+1]``. Brightness shifts preserve every
+    inequality (hamming 0); small local edits flip only the bits whose
+    grid cells they touch — so near-duplicate images land within a few
+    bits while distinct images differ in ~32.
+
+    Determinism / oracle-ability: the downscale is INTEGER block
+    averaging — cell (r, c) spans pixel rows ``[r*h//8, (r+1)*h//8)``
+    and cols ``[c*w//9, (c+1)*w//9)`` and takes ``sum // count`` — so
+    when 8 | h and 9 | w (the planted 18x16 fixture) a SQL engine
+    replays the exact grid with integer arithmetic. Images smaller than
+    the grid (h < 8 or w < 9) are decode errors under the usual
+    skip/null/fail contract.
+
+    Returns (doc_id, dhash LONG) — bit k at numeric position k, two's
+    complement when bit 63 is set (both Spark and DuckDB BIGINTs are
+    64-bit two's complement, so XOR/bit_count agree). One narrow Arrow
+    pass, scan-aligned, no shuffle — numpy touches each IMAGE once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.functions.codecs import (
+        CodecError,
+        decode_image as _dec,
+    )
+
+    if on_error not in ("skip", "null", "fail"):
+        raise ValueError(f"on_error must be skip|null|fail, got {on_error!r}")
+
+    def one_hash(h: int, w: int, c: int, img: "np.ndarray") -> int:
+        if h < DHASH_ROWS or w < DHASH_COLS:
+            raise CodecError(f"image {h}x{w} smaller than dHash grid")
+        plane = (
+            img[:, :, 0].astype(np.int64)
+            if c == 1
+            # integer luma for multi-channel: channel SUM (the relative
+            # order of cell means is what dHash compares; summing keeps
+            # the arithmetic exact where averaging would need floats)
+            else img.astype(np.int64).sum(axis=2)
+        )
+        rb = [r * h // DHASH_ROWS for r in range(DHASH_ROWS + 1)]
+        cb = [c_ * w // DHASH_COLS for c_ in range(DHASH_COLS + 1)]
+        grid = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
+        for r in range(DHASH_ROWS):
+            for cc in range(DHASH_COLS):
+                blk = plane[rb[r] : rb[r + 1], cb[cc] : cb[cc + 1]]
+                grid[r, cc] = int(blk.sum()) // blk.size
+        bits = grid[:, :-1] < grid[:, 1:]
+        val = 0
+        for k, bit in enumerate(bits.ravel()):
+            if bit:
+                val |= 1 << k
+        if val >= 1 << 63:
+            val -= 1 << 64
+        return val
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids: list = []
+            hashes: list = []
+            for doc_id, p in zip(pdf["_id"], pdf["_payload"]):
+                try:
+                    if p is None:
+                        raise CodecError("null payload")
+                    h, w, c, img = _dec(bytes(p))
+                    val = one_hash(h, w, c, img)
+                except (CodecError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    val = None
+                ids.append(doc_id)
+                hashes.append(val)
+            if not ids:
+                continue
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes}).astype(
+                {"doc_id": "int64", "dhash": "Int64"}
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return src.mapInPandas(run, "doc_id long, dhash long")
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs by dHash hamming distance — the image
+    twin of dedup.simhash_pairs, VERDICT r11 task #4.
+
+    Pigeonhole blocking over the 64-bit hash: 8 bands of 8 bits; any two
+    hashes with hamming <= 7 share at least one identical band, so the
+    band-equality self-join has NO false negatives for
+    ``max_hamming <= 7`` (the default 6 keeps the guarantee) and the
+    banded result provably equals the O(n^2) brute force. Verification
+    is ``bit_count(h_i XOR h_j) <= k`` — bitwise on two's complement, so
+    a sign bit in the hash is harmless.
+
+    ``max_bucket`` is the same cluster-scale skew guard as
+    simhash_pairs/lsh_pairs: 8-bit bands have only 256 distinct keys, so
+    at corpus scale every band key is dense; capping drops degenerate
+    buckets BEFORE the join at a documented recall cost. Default None
+    keeps exactness.
+
+    Returns (doc_i, doc_j, hamming) with doc_i < doc_j.
+    """
+    from pyspark.sql import Window
+
+    base = image_dhash(df, id_col, payload_col).persist()
+    band_keys = F.array(
+        *[
+            F.shiftrightunsigned("dhash", b * 8).bitwiseAND(F.lit(255))
+            for b in range(8)
+        ]
+    )
+    bands = base.select(
+        "doc_id", "dhash", F.posexplode(band_keys).alias("band", "bkey")
+    )
+    if max_bucket is not None:
+        bands = bands.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "bkey")),
+        ).filter(F.col("bucket_n") <= max_bucket)
+    left = bands.select(
+        "band", "bkey",
+        F.col("doc_id").alias("doc_i"), F.col("dhash").alias("dh_i"),
+    )
+    right = bands.select(
+        "band", "bkey",
+        F.col("doc_id").alias("doc_j"), F.col("dhash").alias("dh_j"),
+    )
+    ham = F.bit_count(F.expr("dh_i ^ dh_j"))
+    out = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .select("doc_i", "doc_j", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    out._wps_cached = [base]
+    return out
