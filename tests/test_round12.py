@@ -1,0 +1,141 @@
+"""Round-12 operators: perceptual-hash image near-dup (image_dhash /
+phash_neardup_pairs) — property tests per VERDICT r11 task #4: crop and
+brightness perturbations cluster, distinct images don't, and the banded
+join equals the O(n^2) brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.functions.codecs import encode_png
+from whisper_pandas_spark.operators.multimodal import (
+    image_dhash,
+    phash_neardup_pairs,
+)
+
+
+def _pgm(img: np.ndarray) -> bytes:
+    h, w = img.shape
+    return f"P5\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def _rng_img(seed: int, h: int = 32, w: int = 36) -> np.ndarray:
+    return np.random.default_rng(seed).integers(0, 200, (h, w), dtype=np.uint8)
+
+
+def _hashes(spark, payloads: dict[int, bytes]) -> dict[int, int]:
+    df = spark.createDataFrame(
+        list(payloads.items()), "doc_id long, payload binary"
+    )
+    return {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(df, "doc_id").collect()
+    }
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dhash_brightness_invariant(spark):
+    base = _rng_img(1)
+    shifted = np.clip(base.astype(np.int64) + 30, 0, 255).astype(np.uint8)
+    h = _hashes(spark, {0: _pgm(base), 1: _pgm(shifted)})
+    # +30 with no clipping below 230: every grid inequality preserved
+    assert _ham(h[0], h[1]) == 0
+
+
+def test_dhash_small_perturbation_small_distance(spark):
+    base = _rng_img(2)
+    noisy = base.copy()
+    noisy[5:7, 5:7] = 255  # one localized blotch
+    h = _hashes(spark, {0: _pgm(base), 1: _pgm(noisy)})
+    d = _ham(h[0], h[1])
+    assert 0 <= d <= 6
+
+
+def test_dhash_crop_tolerant(spark):
+    base = _rng_img(3, 40, 45)
+    # shave one row/col: block boundaries shift by <1 pixel per cell
+    crop = base[1:, 1:]
+    h = _hashes(spark, {0: _pgm(base), 1: _pgm(crop)})
+    assert _ham(h[0], h[1]) <= 16  # clusters, even if not identical
+
+
+def test_dhash_distinct_images_far(spark):
+    h = _hashes(spark, {i: _pgm(_rng_img(100 + i)) for i in range(6)})
+    ds = [
+        _ham(h[i], h[j]) for i in range(6) for j in range(i + 1, 6)
+    ]
+    assert min(ds) > 10  # random 64-bit-ish fingerprints: expect ~32
+    assert sum(ds) / len(ds) > 20
+
+
+def test_dhash_png_and_pgm_agree(spark):
+    img = _rng_img(7, 16, 18)
+    h = _hashes(
+        spark,
+        {0: _pgm(img), 1: encode_png(img[:, :, None])},
+    )
+    assert h[0] == h[1]
+
+
+def test_dhash_rejects_tiny_and_null(spark):
+    df = spark.createDataFrame(
+        [(0, _pgm(np.zeros((4, 4), dtype=np.uint8))), (1, None),
+         (2, _pgm(_rng_img(9, 16, 18)))],
+        "doc_id long, payload binary",
+    )
+    ok = image_dhash(df, "doc_id").collect()  # skip mode
+    assert [r["doc_id"] for r in ok] == [2]
+    nulls = image_dhash(df, "doc_id", on_error="null").collect()
+    assert sorted(r["doc_id"] for r in nulls) == [0, 1, 2]
+    assert {r["doc_id"]: r["dhash"] is None for r in nulls}[1] is True
+
+
+def test_banded_pairs_equal_brute_force(spark):
+    # 3 clusters of perturbed twins + singletons
+    payloads: dict[int, bytes] = {}
+    for c in range(3):
+        base = _rng_img(200 + c)
+        payloads[c * 10] = _pgm(base)
+        tw = base.copy()
+        tw[c : c + 2, c : c + 2] = 0
+        payloads[c * 10 + 1] = _pgm(tw)
+    for s in range(3):
+        payloads[100 + s] = _pgm(_rng_img(300 + s))
+
+    df = spark.createDataFrame(
+        list(payloads.items()), "doc_id long, payload binary"
+    )
+    pairs = phash_neardup_pairs(df, "doc_id", max_hamming=7)
+    got = {
+        (r["doc_i"], r["doc_j"]): r["hamming"] for r in pairs.collect()
+    }
+    h = _hashes(spark, payloads)
+    ids = sorted(h)
+    want = {
+        (a, b): _ham(h[a], h[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _ham(h[a], h[b]) <= 7
+    }
+    assert got == want
+    assert all((c * 10, c * 10 + 1) in want for c in range(3))
+
+
+def test_dhash_sign_bit_safe(spark):
+    # an image whose top-left grid comparisons all ascend sets high bits;
+    # force bit 63: gradient image ascending along x everywhere
+    g = np.tile(np.arange(0, 180, 5, dtype=np.uint8), (16, 1))
+    h = _hashes(spark, {0: _pgm(g)})
+    assert h[0] == -1  # all 64 bits set -> two's-complement -1
+    # and hamming against itself is zero through the banded join
+    df = spark.createDataFrame(
+        [(0, _pgm(g)), (1, _pgm(g))], "doc_id long, payload binary"
+    )
+    rows = phash_neardup_pairs(df, "doc_id").collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 0

@@ -1,0 +1,122 @@
+"""Registry entries: round 12 (VERDICT r11 "Next round" tasks #4-#7).
+
+- mm_phash_neardup       image near-duplicate pairs by 64-bit dHash over
+                         DECODED pixels (planted 18x16 PGM twins), banded
+                         like dedup_simhash_pairs
+- dedup_paragraph_exact  Dolma-style corpus-wide duplicate-paragraph drop
+                         with positional reassembly
+- text_url_domain_key    URL normalization + registered-domain keying
+- graphite_group_by_tags groupByTags over the explicit TagDB (tag pivot ->
+                         cross-series aggregation, a distinct plan shape
+                         from seriesByTag's broadcast semi-join)
+
+No reference-repo parity: whisper_pandas (reference, 299-line .wsp
+decoder) has no image/text/URL surface; these back SURVEY.md §2.10/§2.11
+extension rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.registry import _table, register
+
+# ---------------------------------------------------------------------------
+# mm_phash_neardup
+# ---------------------------------------------------------------------------
+# Fixture geometry: each even doc_id plants TWO real P5 PGM containers —
+# the base image (text cycled to 288 chars, codepoint % 128 per pixel,
+# 18 wide x 16 tall so the dHash 9x8 grid divides evenly) and a
+# perturbed twin under img_id + 1_000_000 whose pixels at i % 97 == 0
+# shift by (+3 mod 128). The Spark side DECODES the containers
+# (functions/codecs.py netpbm path) and hashes pixels; DuckDB replays
+# the integer pixel/grid/bit math from the text directly and does the
+# same 8-band pigeonhole join — banded-result == brute-force is
+# guaranteed for hamming <= 7 (8 bands of 8 bits), so both engines
+# enumerate identical pairs.
+
+_PHASH_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id AS img_id, 0 AS pert, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS img_id, 1 AS pert, text
+  FROM documents WHERE doc_id % 2 = 0
+), px AS (
+  SELECT img_id, CAST(t.i AS BIGINT) AS i,
+         (ord(substr(rpad(text, 288, text), CAST(t.i + 1 AS INT), 1)) % 128
+          + CASE WHEN pert = 1 AND t.i % 97 = 0 THEN 3 ELSE 0 END) % 128 AS b
+  FROM imgs CROSS JOIN range(0, 288) AS t(i)
+), grid AS (
+  SELECT img_id, (i // 18) // 2 AS r, (i % 18) // 2 AS c,
+         CAST(sum(b) // 4 AS BIGINT) AS g
+  FROM px GROUP BY 1, 2, 3
+), bits AS (
+  SELECT a.img_id, a.r * 8 + a.c AS k,
+         CASE WHEN a.g < b.g THEN '1' ELSE '0' END AS bit
+  FROM grid a JOIN grid b ON a.img_id = b.img_id AND a.r = b.r
+                         AND b.c = a.c + 1
+  WHERE a.c < 8
+), hstr AS (
+  SELECT img_id, string_agg(bit, '' ORDER BY k) AS bs FROM bits GROUP BY img_id
+), bands AS (
+  SELECT img_id, bs, t.b AS band,
+         substr(bs, CAST(t.b * 8 + 1 AS INT), 8) AS bkey
+  FROM hstr CROSS JOIN range(0, 8) AS t(b)
+), cand AS (
+  SELECT DISTINCT l.img_id AS doc_i, r2.img_id AS doc_j, l.bs AS bi, r2.bs AS bj
+  FROM bands l JOIN bands r2 ON l.band = r2.band AND l.bkey = r2.bkey
+  WHERE l.img_id < r2.img_id
+), ham AS (
+  SELECT doc_i, doc_j,
+    CAST(len(list_filter(range(1, 65),
+         k -> substr(bi, CAST(k AS INT), 1) <> substr(bj, CAST(k AS INT), 1)))
+      AS INT) AS hamming
+  FROM cand
+)
+SELECT doc_i, doc_j, hamming FROM ham WHERE hamming <= 6
+ORDER BY doc_i, doc_j
+"""
+
+
+@register("mm_phash_neardup", oracle=_PHASH_ORACLE)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/X2 bridge: perceptual-hash image near-dup (VERDICT r11 #4).
+    Plants real PGM containers (base + perturbed twin per even doc),
+    dHashes DECODED luma in one Arrow pass
+    (operators/multimodal.py:image_dhash), then 8x8-bit pigeonhole
+    banding + bit_count(xor) verification — the image twin of
+    dedup_simhash_pairs. The oracle replays pixel/grid/bit integer math
+    and the banding in SQL over bit STRINGS (independent idiom: no
+    shift/xor on the SQL side)."""
+    from whisper_pandas_spark.operators.multimodal import phash_neardup_pairs
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    base_px = F.expr(
+        "array_join(transform(split(rpad(text, 288, text), ''),"
+        " c -> char(ascii(c) % 128)), '')"
+    )
+    pert_px = F.expr(
+        "array_join(transform(split(rpad(text, 288, text), ''),"
+        " (c, i) -> char((ascii(c) % 128"
+        "   + IF(i % 97 = 0, 3, 0)) % 128)), '')"
+    )
+    header = F.lit("P5\n18 16\n255\n")
+    base = docs.select(
+        F.col("doc_id").alias("img_id"),
+        F.encode(F.concat(header, base_px), "utf-8").alias("payload"),
+    )
+    pert = docs.select(
+        (F.col("doc_id") + 1000000).alias("img_id"),
+        F.encode(F.concat(header, pert_px), "utf-8").alias("payload"),
+    )
+    pairs = phash_neardup_pairs(
+        base.unionByName(pert), "img_id", max_hamming=6
+    )
+    out = pairs.select(
+        "doc_i", "doc_j", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("doc_i", "doc_j")
+    out = out.localCheckpoint(eager=True)
+    for c in getattr(pairs, "_wps_cached", []):
+        c.unpersist()
+    return out.orderBy("doc_i", "doc_j")

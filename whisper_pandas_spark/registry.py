@@ -179,4 +179,7 @@ from whisper_pandas_spark import queries_round10  # noqa: E402,F401
 # Round 11: same direct-registration pattern.
 from whisper_pandas_spark import queries_round11  # noqa: E402,F401
 
+# Round 12: same direct-registration pattern.
+from whisper_pandas_spark import queries_round12  # noqa: E402,F401
+
 _reorder()
