@@ -139,3 +139,73 @@ def test_dhash_sign_bit_safe(spark):
     )
     rows = phash_neardup_pairs(df, "doc_id").collect()
     assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup (Dolma-style)
+# ---------------------------------------------------------------------------
+
+from whisper_pandas_spark.operators.dedup import paragraph_dedup  # noqa: E402
+
+
+def test_paragraph_dedup_no_dups_round_trips(spark):
+    texts = [
+        "alpha\n\nbeta\n\ngamma",
+        "delta",
+        "eps zeta\n\neta",
+        "",  # empty doc: one empty paragraph, unique nowhere else? it is
+    ]
+    # make every paragraph globally unique (and non-empty) to guarantee
+    # a byte-identical round trip
+    texts = [t if t else "lone-empty-stand-in" for t in texts]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        assert out[i]["text_dedup"] == t
+        assert out[i]["n_kept"] == out[i]["n_paras"] == t.count("\n\n") + 1
+
+
+def test_paragraph_dedup_drop_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "HDR\n\nalpha beta\n\ngamma"),
+            (1, "HDR\n\nalpha beta\n\ndelta"),  # both dups dropped
+            (2, "same\n\nsame\n\nHDR"),  # within-doc repeat + corpus dup
+            (3, "HDR"),  # everything seen before -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert out[0]["text_dedup"] == "HDR\n\nalpha beta\n\ngamma"
+    assert out[1]["text_dedup"] == "delta" and out[1]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "same" and out[2]["n_kept"] == 1
+    assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
+    assert all(out[i]["n_paras"] in (1, 3) for i in out)
+
+
+def test_paragraph_dedup_partitioning_independent(spark):
+    rows = [(i, f"HDR\n\nuniq {i}\n\nshared {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        map(tuple, paragraph_dedup(df, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            paragraph_dedup(df.repartition(7), "doc_id", "text").collect(),
+        )
+    )
+    assert a == b
+    # min-(doc_id,pos) winner: doc 0 keeps all three paragraphs
+    byid = dict((t[0], t) for t in a)
+    assert byid[0][2] == 3
+    # docs 3..29 lose HDR and their shared paragraph
+    assert byid[4][2] == 1 and byid[4][3] == "uniq 4"

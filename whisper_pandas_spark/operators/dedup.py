@@ -979,3 +979,75 @@ def semantic_dedup(
     # corpus-wide cell assignment stays pinned in executor storage
     out._wps_cached = [cells]
     return out
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact duplicate-PARAGRAPH drop (the Dolma recipe —
+    public: Soldaini et al. 2024, "Dolma", §duplicate removal): split
+    every document on blank lines, keep each distinct paragraph only at
+    its FIRST corpus occurrence (minimal (doc_id, position) — so
+    within-document repeats drop too), and reassemble what survives in
+    original order. Complements the within-pair substring spans
+    (:func:`substring_span_pairs`): this is the one global pass Dolma
+    actually runs over a crawl.
+
+    Returns (doc_id, n_paras, n_kept, text_dedup) — one row per input
+    document; a document whose every paragraph occurred earlier
+    elsewhere keeps a row with n_kept = 0 and text_dedup = ''. A corpus
+    with no duplicate paragraphs round-trips byte-identical
+    (pytest-pinned).
+
+    Scale shape: winner election groups by md5(paragraph) — the shuffle
+    carries (16-byte hash, doc_id, pos), never paragraph text; partial
+    aggregation (min-struct) combines map-side. Survivors are an
+    equi-join of the paragraph stream against the winner set on
+    (hash, doc_id, pos); reassembly is ONE groupBy(doc_id) with the
+    sort_array-over-structs pattern (order-correct under any
+    partitioning, no window). Paragraph text moves exactly twice: the
+    initial explode projection and the reassembly shuffle of KEPT
+    paragraphs only.
+    """
+    import re as _re
+
+    docs = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), _re.escape(sep), -1)).alias(
+            "pos", "para"
+        ),
+    ).withColumn("h", F.md5(F.col("para")))
+    winners = (
+        paras.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select("h", F.col("w.doc_id").alias("wdoc"), F.col("w.pos").alias("wpos"))
+    )
+    kept = paras.join(
+        winners,
+        (paras["h"] == winners["h"])
+        & (paras["doc_id"] == winners["wdoc"])
+        & (paras["pos"] == winners["wpos"]),
+    ).select(paras["doc_id"], paras["pos"], paras["para"])
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )
+    counts = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), _re.escape(sep), -1)).alias("n_paras")
+    )
+    return counts.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_paras").cast("int").alias("n_paras"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )

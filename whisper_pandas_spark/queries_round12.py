@@ -120,3 +120,79 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in getattr(pairs, "_wps_cached", []):
         c.unpersist()
     return out.orderBy("doc_i", "doc_j")
+
+
+# ---------------------------------------------------------------------------
+# dedup_paragraph_exact
+# ---------------------------------------------------------------------------
+# The corpus has no blank-line structure, so the fixture plants it
+# deterministically: every document becomes 4 paragraphs — a boilerplate
+# header shared by ALL docs (survives only in doc 0), two slices of its
+# own text, and the first slice of its group-of-10 buddy's text (a
+# cross-doc duplicate that survives only in the buddy; for the buddy
+# itself it equals paragraph 2 — a WITHIN-doc duplicate). Exercises
+# every drop rule Dolma's paragraph pass has.
+
+_PARA_ORACLE = """
+WITH fix AS (
+  SELECT d.doc_id,
+         'BOILERPLATE LICENSE HEADER' || chr(10) || chr(10) ||
+         substr(d.text, 1, 60) || chr(10) || chr(10) ||
+         substr(d.text, 61, 60) || chr(10) || chr(10) ||
+         substr(b.text, 1, 60) AS text
+  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 10
+), parts AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM fix
+), paras AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos, ps[CAST(t.i + 1 AS INT)] AS para
+  FROM parts CROSS JOIN range(0, 8) AS t(i) WHERE t.i < len(ps)
+), kept AS (
+  SELECT doc_id, pos, para FROM (
+    SELECT doc_id, pos, para,
+           row_number() OVER (PARTITION BY md5(para)
+                              ORDER BY doc_id, pos) AS rn
+    FROM paras) WHERE rn = 1
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(len(p.ps) AS INT) AS n_paras,
+       CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+       coalesce(a.text_dedup, '') AS text_dedup
+FROM parts p LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_paragraph_exact", oracle=_PARA_ORACLE)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 extension: Dolma-style corpus-wide duplicate-paragraph drop
+    with positional reassembly (operators/dedup.py:paragraph_dedup,
+    VERDICT r11 #5). Winner election shuffles (md5, doc_id, pos) only;
+    reassembly is one sort_array-over-structs groupBy. The oracle
+    elects winners with a window row_number (independent idiom from the
+    Spark side's min-struct partial aggregation)."""
+    from whisper_pandas_spark.operators.dedup import paragraph_dedup
+
+    docs = _table(spark, sf_dir, "documents")
+    buddy = docs.select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    fix = (
+        docs.join(
+            buddy,
+            (F.col("doc_id") - F.col("doc_id") % 10) == F.col("bid"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n",
+                F.lit("BOILERPLATE LICENSE HEADER"),
+                F.substring("text", 1, 60),
+                F.substring("text", 61, 60),
+                F.substring("btext", 1, 60),
+            ).alias("text"),
+        )
+    )
+    return paragraph_dedup(fix, "doc_id", "text").orderBy("doc_id")
