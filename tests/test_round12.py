@@ -209,3 +209,55 @@ def test_paragraph_dedup_partitioning_independent(spark):
     assert byid[0][2] == 3
     # docs 3..29 lose HDR and their shared paragraph
     assert byid[4][2] == 1 and byid[4][3] == "uniq 4"
+
+
+# ---------------------------------------------------------------------------
+# url_key_df (URL normalization + registered-domain keying)
+# ---------------------------------------------------------------------------
+
+from whisper_pandas_spark.operators.urlkey import url_key_df  # noqa: E402
+
+URL_GOLDEN = [
+    # url, scheme, host, path, reg_domain
+    ("https://WWW.Example.COM/path/a?q=1#f", "https", "www.example.com",
+     "/path/a", "example.com"),
+    ("http://sub.shop.example.CO.UK:8080/x", "http",
+     "sub.shop.example.co.uk", "/x", "example.co.uk"),
+    ("ftp://user:pw@files.example.com.au/dl", "ftp",
+     "files.example.com.au", "/dl", "example.com.au"),
+    ("example.org/no-scheme", "http", "example.org", "/no-scheme",
+     "example.org"),
+    ("https://192.168.1.7/ip", "https", "192.168.1.7", "/ip",
+     "192.168.1.7"),
+    ("https://blog.team.github.io/post/", "https", "blog.team.github.io",
+     "/post/", "team.github.io"),
+    ("https://deep.example.net./trail.", "https", "deep.example.net",
+     "/trail.", "example.net"),
+    ("HTTPS://EXAMPLE.IO?onlyquery", "https", "example.io", "/",
+     "example.io"),
+    ("localhost", "http", "localhost", "/", "localhost"),
+    ("https://example.com", "https", "example.com", "/", "example.com"),
+    ("scheme+v1.2://Weird.Example.ORG/ok", "scheme+v1.2",
+     "weird.example.org", "/ok", "example.org"),
+    ("https://a@b@evil.example.com/p", "https", "evil.example.com", "/p",
+     "example.com"),
+]
+
+
+def test_url_key_golden(spark):
+    df = spark.createDataFrame(
+        [(i, u[0]) for i, u in enumerate(URL_GOLDEN)],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r for r in url_key_df(df, "url").collect()}
+    for i, (url, scheme, host, path, dom) in enumerate(URL_GOLDEN):
+        got = rows[i]
+        assert (got["scheme"], got["host"], got["path"], got["reg_domain"]) \
+            == (scheme, host, path, dom), url
+
+
+def test_url_key_is_codegen_only(spark):
+    df = spark.createDataFrame([(1, "https://x.example.com/a")],
+                               "doc_id long, url string")
+    plan = url_key_df(df, "url")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
