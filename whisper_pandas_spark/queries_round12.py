@@ -300,3 +300,90 @@ def text_url_domain_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_key_df(urls, "url").select(
         "doc_id", "url", "scheme", "host", "path", "reg_domain"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# graphite groupByTags / aliasByTags (live entries for the r10-golden pair)
+# ---------------------------------------------------------------------------
+
+_TAGS_WIDE_SQL = """
+m AS (SELECT DISTINCT metric FROM series),
+tags AS (
+  SELECT metric, 'name' AS tag, str_split(metric, '.')[1] AS tag_value FROM m
+  UNION ALL
+  SELECT metric, 'type', str_split(metric, '.')[2] FROM m
+  UNION ALL
+  SELECT metric, 'shard',
+         's' || CAST(length(str_split(metric, '.')[2]) % 2 AS VARCHAR)
+  FROM m
+),
+wide AS (
+  SELECT metric,
+    coalesce(max(CASE WHEN tag = 'type' THEN tag_value END), '') AS t_type,
+    coalesce(max(CASE WHEN tag = 'shard' THEN tag_value END), '') AS t_shard
+  FROM tags GROUP BY metric
+)
+"""
+
+
+def _group_by_tags_oracle() -> str:
+    from whisper_pandas_spark.queries_round6 import _METRIC_SERIES_SQL
+
+    return f"""
+WITH series AS ({_METRIC_SERIES_SQL}),
+{_TAGS_WIDE_SQL}
+SELECT 'sum;type=' || w.t_type || ';shard=' || w.t_shard AS metric,
+       s.timestamp, round(sum(s.value), 6) AS value
+FROM series s LEFT JOIN wide w USING (metric)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("graphite_group_by_tags", oracle=_group_by_tags_oracle())
+def graphite_group_by_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10+: graphite 1.1 ``groupByTags(seriesList, 'sum', 'type',
+    'shard')`` over the explicit TagDB (functions/graphite.py:
+    group_by_tags, VERDICT r11 #7) — pointwise aggregation across
+    series sharing tag values, a DISTINCT plan shape from seriesByTag's
+    broadcast semi-join: series-sized tag pivot -> left join points on
+    metric (broadcast, dimension side is series-cardinality) -> ONE
+    exchange on (output name, timestamp) with map-side partial
+    aggregation."""
+    from whisper_pandas_spark.functions.graphite import group_by_tags
+    from whisper_pandas_spark.queries_round11 import _tag_table
+    from whisper_pandas_spark.queries_round6 import _metric_series
+
+    s = _metric_series(spark, sf_dir)
+    out = group_by_tags(s, _tag_table(s), "sum", "type", "shard")
+    return out.select(
+        "metric", "timestamp", F.round("value", 6).alias("value")
+    ).orderBy("metric", "timestamp")
+
+
+def _alias_by_tags_oracle() -> str:
+    from whisper_pandas_spark.queries_round6 import _METRIC_SERIES_SQL
+
+    return f"""
+WITH series AS ({_METRIC_SERIES_SQL}),
+{_TAGS_WIDE_SQL}
+SELECT w.t_type || '.' || w.t_shard AS metric, s.timestamp, s.value
+FROM series s LEFT JOIN wide w USING (metric)
+ORDER BY 1, 2
+"""
+
+
+@register("graphite_alias_by_tags", oracle=_alias_by_tags_oracle())
+def graphite_alias_by_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10+: graphite 1.1 ``aliasByTags(seriesList, 'type', 'shard')``
+    (functions/graphite.py:alias_by_tags) — pure rename projection via
+    the tag pivot + broadcast left join; collisions stay separate rows
+    (aliasByNode semantics), no aggregation, fact scan never
+    shuffles."""
+    from whisper_pandas_spark.functions.graphite import alias_by_tags
+    from whisper_pandas_spark.queries_round11 import _tag_table
+    from whisper_pandas_spark.queries_round6 import _metric_series
+
+    s = _metric_series(spark, sf_dir)
+    return alias_by_tags(s, _tag_table(s), "type", "shard").orderBy(
+        "metric", "timestamp"
+    )
