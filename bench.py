@@ -87,6 +87,10 @@ HEADLINE3 = [
     "text_lang_id_trained",
     "text_bpe_bytes",
     "text_repetition_profile",
+    # round 12 additions (heavy new families; stanza-3 totals before/after
+    # r12 compare via per-query bests — BENCH_NOTES — not the raw sum)
+    "mm_phash_neardup",
+    "dedup_paragraph_exact",
 ]
 
 

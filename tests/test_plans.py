@@ -512,3 +512,50 @@ def test_no_forward_unbounded_window_frames(spark):
             continue
         plan = formatted_plan(QUERIES[name](spark, "/root/testdata/sf0.001"))
         assert "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING" not in plan, name
+
+
+def test_round12_plan_shapes(spark):
+    """Round-12 scale pins. phash_neardup_pairs (pre-checkpoint): the
+    dHash pass is ONE MapInPandas (never row-at-a-time Python), pairs
+    come from a band-key equi-join with bit_count verification — no
+    nested-loop cross join. dedup_paragraph_exact: winner election is a
+    partial aggregation (map-side combine on the md5 key) and the
+    reassembly is an ordinary hash aggregate — no Window over the full
+    paragraph stream. text_url_domain_key: codegen only (also pinned in
+    tests/test_round12.py)."""
+    import re
+
+    import numpy as np
+
+    from whisper_pandas_spark.operators.multimodal import phash_neardup_pairs
+    from whisper_pandas_spark.plans.inspect import formatted_plan as fp
+
+    def _pgm(img):
+        h, w = img.shape
+        return f"P5\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+    imgs = spark.createDataFrame(
+        [
+            (i, _pgm(np.random.default_rng(i).integers(0, 200, (16, 18),
+                                                       dtype=np.uint8)))
+            for i in range(4)
+        ],
+        "doc_id long, payload binary",
+    )
+    pairs = phash_neardup_pairs(imgs, "doc_id")
+    plan = formatted_plan(pairs)
+    assert "MapInPandas" in plan
+    # the fingerprint base is persisted, so both join sides read the
+    # cache instead of re-running the Arrow decode pass
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan
+    for c in getattr(pairs, "_wps_cached", []):
+        c.unpersist()
+
+    sf = "/root/testdata/sf0.001"
+    plan_para = formatted_plan(QUERIES["dedup_paragraph_exact"](spark, sf))
+    assert "partial_min" in plan_para or "partial" in plan_para
+    assert "BatchEvalPython" not in plan_para
+    assert "Window" not in plan_para

@@ -169,6 +169,12 @@ AUDITED = [
     # round-11 window-frame fix: the gap-fill plan is pinned so the
     # reversed-order running frames stay visible in the audit
     "resample_gapfill",
+    # round-12 entries (mm_phash_neardup explains the post-checkpoint
+    # pair table — the banded-join shape itself is pinned by
+    # tests/test_plans.py's phash audit instead)
+    "dedup_paragraph_exact",
+    "text_url_domain_key",
+    "graphite_group_by_tags",
 ]
 
 
