@@ -261,3 +261,92 @@ def test_url_key_is_codegen_only(spark):
                                "doc_id long, url string")
     plan = url_key_df(df, "url")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint / audio_neardup_pairs
+# ---------------------------------------------------------------------------
+
+from whisper_pandas_spark.functions.codecs import encode_wav  # noqa: E402
+from whisper_pandas_spark.operators.multimodal import (  # noqa: E402
+    audio_fingerprint,
+    audio_neardup_pairs,
+)
+
+
+def _clip(seed: int, n: int = 1056) -> np.ndarray:
+    return np.random.default_rng(seed).integers(
+        -20000, 20000, n, dtype=np.int64
+    ).astype(np.int16)
+
+
+def _afps(spark, clips: dict[int, np.ndarray]) -> dict[int, int]:
+    df = spark.createDataFrame(
+        [(i, encode_wav(s, 8000)) for i, s in clips.items()],
+        "doc_id long, payload binary",
+    )
+    return {
+        r["doc_id"]: r["afp"] for r in audio_fingerprint(df, "doc_id").collect()
+    }
+
+
+def test_audio_fp_gain_invariant(spark):
+    base = (_clip(1) // 4).astype(np.int16)  # headroom for 3x gain
+    loud = (base.astype(np.int64) * 3).astype(np.int16)
+    fp = _afps(spark, {0: base, 1: loud})
+    assert fp[0] == fp[1]  # every energy scales by 9x: inequalities keep
+
+
+def test_audio_fp_local_edit_small_distance(spark):
+    base = _clip(2)
+    edited = base.copy()
+    edited[100:110] = 32000  # one loud blip inside frame 3
+    fp = _afps(spark, {0: base, 1: edited})
+    d = bin(fp[0] ^ fp[1]).count("1")
+    assert 0 < d <= 4  # frames 3 only -> bits 2 and 3 at most... plus margin
+
+
+def test_audio_fp_distinct_clips_far(spark):
+    fp = _afps(spark, {i: _clip(50 + i) for i in range(6)})
+    ds = [
+        bin(fp[a] ^ fp[b]).count("1")
+        for a in range(6)
+        for b in range(a + 1, 6)
+    ]
+    assert min(ds) > 4 and sum(ds) / len(ds) > 10
+
+
+def test_audio_fp_short_clip_errors(spark):
+    df = spark.createDataFrame(
+        [(0, encode_wav(_clip(9, 500), 8000)), (1, encode_wav(_clip(9), 8000))],
+        "doc_id long, payload binary",
+    )
+    assert [r["doc_id"] for r in audio_fingerprint(df, "doc_id").collect()] == [1]
+
+
+def test_audio_banded_pairs_equal_brute_force(spark):
+    clips: dict[int, np.ndarray] = {}
+    for c in range(3):
+        base = _clip(300 + c)
+        clips[c * 10] = base
+        tw = base.copy()
+        tw[c * 37 : c * 37 + 5] = 31000
+        clips[c * 10 + 1] = tw
+    for s in range(3):
+        clips[100 + s] = _clip(400 + s)
+    df = spark.createDataFrame(
+        [(i, encode_wav(v, 8000)) for i, v in clips.items()],
+        "doc_id long, payload binary",
+    )
+    pairs = audio_neardup_pairs(df, "doc_id", max_hamming=3)
+    got = {(r["doc_i"], r["doc_j"]): r["hamming"] for r in pairs.collect()}
+    fp = _afps(spark, clips)
+    ids = sorted(fp)
+    # hamming <= 3 is inside the pigeonhole guarantee: banded == brute
+    want = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    assert got == want

@@ -905,3 +905,143 @@ def phash_neardup_pairs(
     )
     out._wps_cached = [base]
     return out
+
+
+AFP_FRAME = 32    # samples per energy frame
+AFP_BITS = 32     # energy-difference comparison bits (needs 33 frames)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    on_error: str = "skip",
+) -> DataFrame:
+    """32-bit energy-difference audio fingerprint — the audio twin of
+    :func:`image_dhash` (the public acoustic-fingerprint recipe family:
+    Haitsma & Kalker 2002's energy-band sign bits, simplified to one
+    band so the integer math is SQL-replayable): split the decoded
+    sample stream into consecutive 32-sample frames, compute each
+    frame's EXACT integer energy E_f = sum(v^2) (int64 — 32 squares of
+    int16 fit with headroom), and set bit f iff E_f < E_{f+1} for the
+    first 32 frame transitions. Clips shorter than 33 frames (1056
+    samples) are decode errors under the usual skip/null/fail contract;
+    longer clips fingerprint their prefix (documented — a production
+    variant would hash overlapping windows).
+
+    Gain-scaling robustness: multiplying every sample by a constant
+    scales every energy equally, preserving all inequalities — the
+    audio analogue of dHash's brightness invariance (pytest-pinned).
+    Returns (doc_id, afp LONG) with afp in [0, 2^32) — no sign bit, so
+    band arithmetic needs no unsigned-shift care. One narrow Arrow
+    pass, scan-aligned, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.functions.codecs import (
+        CodecError,
+        decode_audio as _dec,
+    )
+
+    if on_error not in ("skip", "null", "fail"):
+        raise ValueError(f"on_error must be skip|null|fail, got {on_error!r}")
+
+    need = AFP_FRAME * (AFP_BITS + 1)
+
+    def one_fp(samples: "np.ndarray") -> int:
+        mono = samples if samples.ndim == 1 else samples[:, 0]
+        if mono.shape[0] < need:
+            raise CodecError(
+                f"clip has {mono.shape[0]} samples, fingerprint needs {need}"
+            )
+        v = mono[:need].astype(np.int64)
+        e = (v * v).reshape(AFP_BITS + 1, AFP_FRAME).sum(axis=1)
+        bits = e[:-1] < e[1:]
+        val = 0
+        for k, bit in enumerate(bits):
+            if bit:
+                val |= 1 << k
+        return val
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, p in zip(pdf["_id"], pdf["_payload"]):
+                try:
+                    if p is None:
+                        raise CodecError("null payload")
+                    _rate, _ch, samples = _dec(bytes(p))
+                    val = one_fp(samples)
+                except (CodecError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    val = None
+                ids.append(doc_id)
+                fps.append(val)
+            if not ids:
+                continue
+            yield pd.DataFrame({"doc_id": ids, "afp": fps}).astype(
+                {"doc_id": "int64", "afp": "Int64"}
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return src.mapInPandas(run, "doc_id long, afp long")
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_hamming: int = 5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs by fingerprint hamming distance —
+    4 bands of 8 bits over the 32-bit fingerprint. Pigeonhole gives NO
+    false negatives for hamming <= 3; the default ``max_hamming=5``
+    keeps localized edits (a few perturbed frames) while accepting that
+    a 4-5-bit pair must ALSO share a band to surface — the recall
+    contract is the banding itself, replayed identically by the SQL
+    oracle, so both engines enumerate the same pairs. ``max_bucket`` is
+    the usual dense-bucket skew guard. Returns (doc_i, doc_j, hamming),
+    doc_i < doc_j."""
+    from pyspark.sql import Window
+
+    base = audio_fingerprint(df, id_col, payload_col).persist()
+    band_keys = F.array(
+        *[
+            F.shiftright("afp", b * 8).bitwiseAND(F.lit(255))
+            for b in range(4)
+        ]
+    )
+    bands = base.select(
+        "doc_id", "afp", F.posexplode(band_keys).alias("band", "bkey")
+    )
+    if max_bucket is not None:
+        bands = bands.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "bkey")),
+        ).filter(F.col("bucket_n") <= max_bucket)
+    left = bands.select(
+        "band", "bkey",
+        F.col("doc_id").alias("doc_i"), F.col("afp").alias("fp_i"),
+    )
+    right = bands.select(
+        "band", "bkey",
+        F.col("doc_id").alias("doc_j"), F.col("afp").alias("fp_j"),
+    )
+    ham = F.bit_count(F.expr("fp_i ^ fp_j"))
+    out = (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .select("doc_i", "doc_j", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    out._wps_cached = [base]
+    return out
