@@ -491,7 +491,8 @@ WITH clips AS (
       + CASE WHEN pert = 1 AND t.i % 509 = 0 THEN 20000 ELSE 0 END)
      % 65536 - 32768 AS v
   FROM (SELECT clip_id, pert,
-          CASE WHEN pert = 1 THEN clip_id - 1000000 ELSE clip_id END AS d
+          (CASE WHEN pert = 1 THEN clip_id - 1000000 ELSE clip_id END)
+            % 100000 AS d
         FROM clips) CROSS JOIN range(0, 1056) AS t(i)
 ), e AS (
   SELECT clip_id, i // 32 AS f, sum(v * v) AS en FROM s GROUP BY 1, 2
@@ -554,7 +555,11 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, blobs = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                prod = (d * 7919 + idx * idx + 1) * (d + idx * 31 + 7)
+                # clamp the formula input so the product stays far below
+                # 2^63 at ANY doc_id scale (identity at oracle scales;
+                # numpy would wrap silently where SQL BIGINTs error)
+                dk = d % 100000
+                prod = (dk * 7919 + idx * idx + 1) * (dk + idx * 31 + 7)
                 base = ((prod % 65536) - 32768).astype(np.int16)
                 twin = (((prod + pert_add) % 65536) - 32768).astype(np.int16)
                 ids.append(d)
