@@ -350,3 +350,63 @@ def test_audio_banded_pairs_equal_brute_force(spark):
         if bin(fp[a] ^ fp[b]).count("1") <= 3
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# video_frame_dhash / video_neardup_pairs
+# ---------------------------------------------------------------------------
+
+from whisper_pandas_spark.functions.codecs import encode_gif  # noqa: E402
+from whisper_pandas_spark.operators.multimodal import (  # noqa: E402
+    video_frame_dhash,
+    video_neardup_pairs,
+)
+
+_GRAY = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+
+def _gif(seed: int, n_frames: int = 4) -> bytes:
+    rng = np.random.default_rng(seed)
+    return encode_gif(
+        [rng.integers(0, 200, (16, 18), dtype=np.uint8) for _ in range(n_frames)],
+        _GRAY,
+    )
+
+
+def test_video_frame_dhash_rows_and_sampling(spark):
+    df = spark.createDataFrame(
+        [(0, _gif(1, 6))], "doc_id long, payload binary"
+    )
+    rows = video_frame_dhash(df, "doc_id").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3, 4, 5]
+    sampled = video_frame_dhash(df, "doc_id", every=2).collect()
+    assert [r["frame_idx"] for r in sampled] == [0, 2, 4]
+    # sampled hashes equal the full pass at the same indices
+    full = {r["frame_idx"]: r["dhash"] for r in rows}
+    assert all(full[r["frame_idx"]] == r["dhash"] for r in sampled)
+
+
+def test_video_neardup_one_edited_frame(spark):
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 200, (16, 18), dtype=np.uint8) for _ in range(4)]
+    twin = [f.copy() for f in frames]
+    twin[2][4:6, 4:6] = 255  # local blotch in one frame
+    df = spark.createDataFrame(
+        [(0, encode_gif(frames, _GRAY)), (1, encode_gif(twin, _GRAY)),
+         (100, _gif(50)), (101, _gif(51))],
+        "doc_id long, payload binary",
+    )
+    pairs = video_neardup_pairs(df, "doc_id", max_total_hamming=8)
+    got = {(r["doc_i"], r["doc_j"]): r["total_hamming"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] <= 8
+    # distinct random clips never pair
+    assert all(p == (0, 1) for p in got)
+
+
+def test_video_identical_clips_distance_zero(spark):
+    g = _gif(99)
+    df = spark.createDataFrame(
+        [(0, g), (1, g)], "doc_id long, payload binary"
+    )
+    rows = video_neardup_pairs(df, "doc_id").collect()
+    assert len(rows) == 1 and rows[0]["total_hamming"] == 0

@@ -1045,3 +1045,165 @@ def audio_neardup_pairs(
     )
     out._wps_cached = [base]
     return out
+
+
+def video_frame_dhash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    every: int = 1,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Per-frame dHash over a multi-frame container (animated GIF):
+    (doc_id, frame_idx, dhash) — one row per SAMPLED frame (``every``
+    is the container-level sampling stride: skipped frames' LZW streams
+    are never decoded, see functions/codecs.py:decode_gif_frames). Each
+    frame hashes exactly like :func:`image_dhash` (integer block
+    average to the 9x8 grid over the channel-sum luma). One narrow
+    Arrow pass; rows explode inside the task, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.functions.codecs import (
+        CodecError,
+        decode_gif_frames,
+    )
+
+    if on_error not in ("skip", "null", "fail"):
+        raise ValueError(f"on_error must be skip|null|fail, got {on_error!r}")
+
+    def one_hash(img: "np.ndarray") -> int:
+        h, w = img.shape[:2]
+        if h < DHASH_ROWS or w < DHASH_COLS:
+            raise CodecError(f"frame {h}x{w} smaller than dHash grid")
+        plane = img.astype(np.int64).sum(axis=2)
+        rb = [r * h // DHASH_ROWS for r in range(DHASH_ROWS + 1)]
+        cb = [c * w // DHASH_COLS for c in range(DHASH_COLS + 1)]
+        grid = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
+        for r in range(DHASH_ROWS):
+            for cc in range(DHASH_COLS):
+                blk = plane[rb[r] : rb[r + 1], cb[cc] : cb[cc + 1]]
+                grid[r, cc] = int(blk.sum()) // blk.size
+        bits = grid[:, :-1] < grid[:, 1:]
+        val = 0
+        for k, bit in enumerate(bits.ravel()):
+            if bit:
+                val |= 1 << k
+        if val >= 1 << 63:
+            val -= 1 << 64
+        return val
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids: list = []
+            fidx: list = []
+            hs: list = []
+            for doc_id, p in zip(pdf["_id"], pdf["_payload"]):
+                try:
+                    if p is None:
+                        raise CodecError("null payload")
+                    _sw, _sh, frames = decode_gif_frames(bytes(p), every)
+                    vals = [
+                        (j * every, one_hash(img))
+                        for j, (_l, _t, _h, _w, img) in enumerate(frames)
+                    ]
+                except (CodecError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    vals = [(0, None)]
+                for fi, v in vals:
+                    ids.append(doc_id)
+                    fidx.append(fi)
+                    hs.append(v)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fidx, "dhash": hs}
+            ).astype({"doc_id": "int64", "frame_idx": "int32", "dhash": "Int64"})
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_payload")
+    )
+    return src.mapInPandas(run, "doc_id long, frame_idx int, dhash long")
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_total_hamming: int = 8,
+    every: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Clip-level near-duplicate pairs over multi-frame containers:
+    clip distance = SUM over aligned frame indices of the per-frame
+    dHash hamming distance. Candidates come from a band join keyed on
+    (frame_idx, band, band_value) — two clips surface when ANY aligned
+    frame shares an 8-bit band.
+
+    No false negatives for ``max_total_hamming <= 8`` with 4+ frames:
+    a total of <= 8 over >= 4 frames puts SOME frame at hamming <= 2,
+    within that frame's pigeonhole guarantee (<= 7). Clips must share
+    the frame grid (same sampled indices) to compare — the planted
+    fixture guarantees it; production callers align via ``every``.
+
+    Returns (doc_i, doc_j, total_hamming), doc_i < doc_j. The frame
+    table shuffles only (ids, 8-byte hashes); payloads never move.
+    """
+    from pyspark.sql import Window
+
+    base = video_frame_dhash(df, id_col, payload_col, every).persist()
+    band_keys = F.array(
+        *[
+            F.shiftrightunsigned("dhash", b * 8).bitwiseAND(F.lit(255))
+            for b in range(8)
+        ]
+    )
+    bands = base.select(
+        "doc_id", "frame_idx", F.posexplode(band_keys).alias("band", "bkey")
+    )
+    if max_bucket is not None:
+        bands = bands.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("frame_idx", "band", "bkey")
+            ),
+        ).filter(F.col("bucket_n") <= max_bucket)
+    cands = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            ["frame_idx", "band", "bkey"],
+        )
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_i"),
+            F.col("r.doc_id").alias("doc_j"),
+        )
+        .distinct()
+    )
+    hi = base.select(
+        F.col("doc_id").alias("doc_i"),
+        "frame_idx",
+        F.col("dhash").alias("dh_i"),
+    )
+    hj = base.select(
+        F.col("doc_id").alias("doc_j"),
+        "frame_idx",
+        F.col("dhash").alias("dh_j"),
+    )
+    out = (
+        cands.join(hi, "doc_i")
+        .join(hj, ["doc_j", "frame_idx"])
+        .groupBy("doc_i", "doc_j")
+        .agg(
+            F.sum(F.bit_count(F.expr("dh_i ^ dh_j")))
+            .cast("int")
+            .alias("total_hamming")
+        )
+        .filter(F.col("total_hamming") <= max_total_hamming)
+    )
+    out._wps_cached = [base]
+    return out

@@ -577,3 +577,127 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in getattr(pairs, "_wps_cached", []):
         c.unpersist()
     return out.orderBy("doc_i", "doc_j")
+
+
+# ---------------------------------------------------------------------------
+# mm_video_neardup — clip-level near-dup over real animated-GIF decode
+# ---------------------------------------------------------------------------
+# Fixture: each even doc plants TWO real 4-frame GIF89a containers
+# (16x18 frames, 256-gray global palette, genuine LZW streams): frame f
+# reads the doc's 288 mod-128 codepoints ROTATED by 53*f (frames differ,
+# SQL can enumerate them), and the twin under clip_id + 1_000_000
+# perturbs ONLY frame 2 ((+3 mod 128) at i % 97 == 0) — so twins differ
+# in one frame and the clip distance stays <= 6. The decoder expands
+# palette indices to RGB, the hash sums channels (luma = 3*px), so the
+# oracle's grid is (3*sum(px)) // 4. Banding is per aligned frame
+# index; a total <= 8 over 4 frames puts some frame at hamming <= 2,
+# inside that frame's 8-band pigeonhole guarantee -> no false
+# negatives at the default threshold.
+
+_VIDEO_ORACLE = """
+WITH clips AS (
+  SELECT doc_id AS clip_id, 0 AS pert, text FROM documents
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 1, text FROM documents WHERE doc_id % 2 = 0
+), px AS (
+  SELECT clip_id, f.f AS f, CAST(t.i AS BIGINT) AS i,
+         (ord(substr(rpad(text, 288, text),
+                     CAST((t.i + 53 * f.f) % 288 + 1 AS INT), 1)) % 128
+          + CASE WHEN pert = 1 AND f.f = 2 AND t.i % 97 = 0
+                 THEN 3 ELSE 0 END) % 128 AS b
+  FROM clips CROSS JOIN range(0, 4) AS f(f) CROSS JOIN range(0, 288) AS t(i)
+), grid AS (
+  SELECT clip_id, f, (i // 18) // 2 AS r, (i % 18) // 2 AS c,
+         CAST((3 * sum(b)) // 4 AS BIGINT) AS g
+  FROM px GROUP BY 1, 2, 3, 4
+), bits AS (
+  SELECT a.clip_id, a.f, a.r * 8 + a.c AS k,
+         CASE WHEN a.g < b.g THEN '1' ELSE '0' END AS bit
+  FROM grid a JOIN grid b ON a.clip_id = b.clip_id AND a.f = b.f
+                         AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < 8
+), fh AS (
+  SELECT clip_id, f, string_agg(bit, '' ORDER BY k) AS bs
+  FROM bits GROUP BY clip_id, f
+), bands AS (
+  SELECT clip_id, f, t.b AS band,
+         substr(bs, CAST(t.b * 8 + 1 AS INT), 8) AS bkey
+  FROM fh CROSS JOIN range(0, 8) AS t(b)
+), cand AS (
+  SELECT DISTINCT l.clip_id AS doc_i, r2.clip_id AS doc_j
+  FROM bands l JOIN bands r2
+    ON l.f = r2.f AND l.band = r2.band AND l.bkey = r2.bkey
+  WHERE l.clip_id < r2.clip_id
+), dist AS (
+  SELECT c.doc_i, c.doc_j,
+    CAST(sum(len(list_filter(range(1, 65),
+         k -> substr(hi.bs, CAST(k AS INT), 1)
+              <> substr(hj.bs, CAST(k AS INT), 1)))) AS INT) AS total_hamming
+  FROM cand c
+  JOIN fh hi ON hi.clip_id = c.doc_i
+  JOIN fh hj ON hj.clip_id = c.doc_j AND hj.f = hi.f
+  GROUP BY c.doc_i, c.doc_j
+)
+SELECT doc_i, doc_j, total_hamming FROM dist WHERE total_hamming <= 8
+ORDER BY doc_i, doc_j
+"""
+
+
+@register("mm_video_neardup", oracle=_VIDEO_ORACLE)
+def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/X2 bridge: clip-level video near-dup over REAL animated-GIF
+    decode (operators/multimodal.py:video_frame_dhash /
+    video_neardup_pairs) — per-frame dHash (genuine LZW frame streams
+    through functions/codecs.py:decode_gif_frames), frame-aligned
+    8x8-bit banding, clip distance = sum of aligned per-frame hamming.
+    The oracle enumerates the palette-index pixels, replays the
+    channel-sum grid integer math, and the same frame-aligned banding
+    over bit strings."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.functions.codecs import encode_gif
+    from whisper_pandas_spark.operators.multimodal import video_neardup_pairs
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        idx = np.arange(288, dtype=np.int64)
+        pert = np.where(idx % 97 == 0, 3, 0)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, blobs = [], []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                s = (text * (288 // max(len(text), 1) + 1))[:288]
+                codes = np.array([ord(ch) % 128 for ch in s], dtype=np.int64)
+                base_frames = [
+                    codes[(idx + 53 * f) % 288].reshape(16, 18).astype(np.uint8)
+                    for f in range(4)
+                ]
+                twin_frames = [fr.copy() for fr in base_frames]
+                twin_frames[2] = (
+                    (codes[(idx + 53 * 2) % 288] + pert) % 128
+                ).reshape(16, 18).astype(np.uint8)
+                ids.append(d)
+                blobs.append(encode_gif(base_frames, palette))
+                ids.append(d + 1000000)
+                blobs.append(encode_gif(twin_frames, palette))
+            yield pd.DataFrame({"clip_id": ids, "payload": blobs})
+
+    clips = docs.mapInPandas(gen, "clip_id long, payload binary")
+    pairs = video_neardup_pairs(clips, "clip_id", max_total_hamming=8)
+    out = pairs.select("doc_i", "doc_j", "total_hamming").orderBy(
+        "doc_i", "doc_j"
+    )
+    out = out.localCheckpoint(eager=True)
+    for c in getattr(pairs, "_wps_cached", []):
+        c.unpersist()
+    return out.orderBy("doc_i", "doc_j")
