@@ -410,3 +410,75 @@ def test_video_identical_clips_distance_zero(spark):
     )
     rows = video_neardup_pairs(df, "doc_id").collect()
     assert len(rows) == 1 and rows[0]["total_hamming"] == 0
+
+
+# ---------------------------------------------------------------------------
+# duplicate_span_removal (Lee et al. ExactSubstr, word-token form)
+# ---------------------------------------------------------------------------
+
+from whisper_pandas_spark.operators.dedup import duplicate_span_removal  # noqa: E402
+
+
+def _spans(spark, texts, window=3):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: r
+        for r in duplicate_span_removal(df, "doc_id", "text", window).collect()
+    }
+
+
+def test_spans_no_duplicates_round_trip(spark):
+    texts = ["a b c d e", "f g h i j", "k l"]  # last is below the window
+    out = _spans(spark, texts, window=3)
+    for i, t in enumerate(texts):
+        assert out[i]["text_dedup"] == t and out[i]["n_removed"] == 0
+
+
+def test_spans_cross_doc_duplicate_keeps_first(spark):
+    texts = [
+        "x y z SHARED SPAN OF TOKENS q r",
+        "a b SHARED SPAN OF TOKENS c d",
+    ]
+    out = _spans(spark, texts, window=4)
+    assert out[0]["n_removed"] == 0  # winner occurrence keeps everything
+    assert "SHARED SPAN OF TOKENS" not in out[1]["text_dedup"]
+    assert out[1]["text_dedup"].startswith("a b")
+    # tokens outside every duplicated window survive
+    assert out[1]["text_dedup"].endswith("c d")
+
+
+def test_spans_within_doc_duplicate(spark):
+    out = _spans(spark, ["p q r s HH II JJ mm HH II JJ tt"], window=3)
+    t = out[0]["text_dedup"]
+    assert t.count("HH II JJ") == 1 and out[0]["n_removed"] == 3
+
+
+def test_spans_overlapping_windows_merge(spark):
+    # a 5-token duplicated run with window 3 -> overlapping windows
+    # cover the whole run in the losing doc
+    texts = ["A B C D E x", "y A B C D E z"]
+    out = _spans(spark, texts, window=3)
+    assert out[0]["n_removed"] == 0
+    assert out[1]["text_dedup"] == "y z" and out[1]["n_removed"] == 5
+
+
+def test_spans_partitioning_independent(spark):
+    texts = [f"u{i} v{i} COMMON RUN HERE w{i}" for i in range(20)]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    a = sorted(map(tuple, duplicate_span_removal(df, "doc_id", "text", 3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            duplicate_span_removal(
+                df.repartition(7), "doc_id", "text", 3
+            ).collect(),
+        )
+    )
+    assert a == b
+    byid = {t[0]: t for t in a}
+    assert byid[0][2] == 0  # doc 0 is the winner
+    assert all(byid[i][2] == 3 for i in range(1, 20))

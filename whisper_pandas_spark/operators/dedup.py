@@ -1051,3 +1051,105 @@ def paragraph_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
         F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
     )
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Corpus-global duplicated-SPAN removal — the word-token
+    simplification of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", ExactSubstr): any ``window``-token
+    sequence that occurs more than once in the corpus is removed from
+    every occurrence EXCEPT its first (minimal (doc_id, position)),
+    overlapping duplicated windows merging naturally through position-
+    set union. Complements :func:`paragraph_dedup` (structural blocks)
+    with content-defined spans that cross paragraph boundaries.
+
+    Returns (doc_id, n_tokens, n_removed, text_dedup) — one row per
+    input document, ``text_dedup`` the surviving tokens joined by a
+    single space in original order.
+
+    Scale shape: window hashes are md5 of the joined token slice, built
+    from each document's token ARRAY with codegen HOFs (sequence →
+    transform → posexplode — no Python); the global frequency/winner
+    election groups by the 16-byte hash with partial aggregation
+    (min-struct); removed positions come from exploding non-winner
+    occurrences' [q, q+W) ranges (bounded blow-up: W rows per
+    occurrence); survivors are a left-anti join of the token stream and
+    reassembly is the one sort_array-over-structs groupBy. Shuffled
+    bytes: window hashes + (doc, pos) ids — never text except the
+    final kept-token reassembly.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ", -1).alias("ws"),
+    )
+    n = F.size("ws")
+    qs = F.when(
+        n >= window, F.sequence(F.lit(0), n - F.lit(window))
+    ).otherwise(F.array().cast("array<int>"))
+    winds = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                qs,
+                lambda q: F.struct(
+                    q.alias("q"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("ws"), q + F.lit(1), F.lit(window)),
+                            " ",
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.q", "w.h")
+    freq = winds.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "q")).alias("win"),
+    )
+    losers = (
+        winds.join(freq.filter(F.col("n_occ") > 1), "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("win.doc_id"))
+                & (F.col("q") == F.col("win.q"))
+            )
+        )
+        .select("doc_id", "q")
+    )
+    removed = losers.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("q"), F.col("q") + F.lit(window - 1))
+        ).alias("p"),
+    ).distinct()
+    toks = docs.select(
+        "doc_id", F.posexplode(F.col("ws")).alias("p", "tok")
+    )
+    kept = toks.join(removed, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = docs.select("doc_id", n.alias("n_tokens"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )

@@ -701,3 +701,100 @@ def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in getattr(pairs, "_wps_cached", []):
         c.unpersist()
     return out.orderBy("doc_i", "doc_j")
+
+
+# ---------------------------------------------------------------------------
+# dedup_duplicate_spans — Lee et al. ExactSubstr (word-token form)
+# ---------------------------------------------------------------------------
+# The corpus' random-word texts never repeat an 8-gram naturally, so
+# the fixture splices in duplicated spans: every doc gains its
+# group-of-10 buddy's first 12 tokens (duplicated across the group AND
+# against the buddy's own text start) and a globally shared 12-token
+# boilerplate sentence. Winner occurrences (min doc_id, pos) keep
+# their tokens; every other occurrence's covered positions are cut.
+
+_SPAN_ORACLE = """
+WITH fix AS (
+  SELECT d.doc_id,
+         d.text || ' ' ||
+         array_to_string(list_slice(string_split(b.text, ' '), 1, 12), ' ')
+         || ' the quick brown fox jumps over the lazy dog again and again'
+           AS text
+  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 10
+), arrs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM fix
+), toks AS (
+  SELECT doc_id, CAST(t.i AS INT) AS p, ws[CAST(t.i + 1 AS INT)] AS tok
+  FROM arrs CROSS JOIN range(0, 1024) AS t(i) WHERE t.i < len(ws)
+), winds AS (
+  SELECT doc_id, CAST(t.q AS INT) AS q,
+         md5(array_to_string(
+           list_slice(ws, CAST(t.q + 1 AS INT), CAST(t.q + 8 AS INT)), ' '))
+           AS h
+  FROM arrs CROSS JOIN range(0, 1024) AS t(q) WHERE t.q + 8 <= len(ws)
+), marked AS (
+  SELECT doc_id, q,
+         count(*) OVER (PARTITION BY h) AS n_occ,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, q) AS rn
+  FROM winds
+), rem AS (
+  SELECT DISTINCT doc_id, CAST(q + t.k AS INT) AS p
+  FROM marked CROSS JOIN range(0, 8) AS t(k)
+  WHERE n_occ > 1 AND rn > 1
+), kept AS (
+  SELECT t.doc_id, t.p, t.tok FROM toks t
+  ANTI JOIN rem r ON t.doc_id = r.doc_id AND t.p = r.p
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS text_dedup
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens FROM arrs
+)
+SELECT tot.doc_id, tot.n_tokens,
+       CAST(tot.n_tokens - coalesce(agg.n_kept, 0) AS INT) AS n_removed,
+       coalesce(agg.text_dedup, '') AS text_dedup
+FROM tot LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("dedup_duplicate_spans", oracle=_SPAN_ORACLE)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 extension: corpus-global duplicated-span removal — the
+    word-token ExactSubstr recipe (Lee et al. 2022;
+    operators/dedup.py:duplicate_span_removal). Window hashes built
+    with codegen HOFs from each doc's token array; the only heavy
+    exchange groups 16-byte hashes with partial-agg min-struct winner
+    election; survivors reassemble via sort_array-over-structs. The
+    oracle elects winners with a window row_number (independent
+    idiom)."""
+    from whisper_pandas_spark.operators.dedup import duplicate_span_removal
+
+    docs = _table(spark, sf_dir, "documents")
+    buddy = docs.select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    fix = (
+        docs.join(
+            buddy,
+            (F.col("doc_id") - F.col("doc_id") % 10) == F.col("bid"),
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.array_join(
+                    F.slice(F.split(F.col("btext"), " ", -1), 1, 12), " "
+                ),
+                F.lit(
+                    " the quick brown fox jumps over the lazy dog"
+                    " again and again"
+                ),
+            ).alias("text"),
+        )
+    )
+    return duplicate_span_removal(fix, "doc_id", "text", window=8).orderBy(
+        "doc_id"
+    )
