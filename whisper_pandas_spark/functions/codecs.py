@@ -390,10 +390,16 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
     clear = 1 << min_code_size
     eoi = clear + 1
 
-    def reset():
-        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1, eoi + 1
-
-    table, width, next_code = reset()
+    # The root table never changes, so a clear code only needs to drop
+    # the LEARNED entries — an O(1) dict swap instead of rebuilding 2^n
+    # byte objects. This matters because real-world (and this repo's
+    # test) encoders may emit clear-per-symbol streams: the old
+    # rebuild-on-clear made decode O(pixels * palette) — measured 51 ms
+    # per 4-frame 16x18 clip, 44 us/pixel — vs O(pixels) now.
+    base = {i: bytes([i]) for i in range(clear)}
+    extra: dict[int, bytes] = {}
+    width = min_code_size + 1
+    next_code = eoi + 1
     out = bytearray()
     acc = 0
     nbits = 0
@@ -406,17 +412,21 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
             acc >>= width
             nbits -= width
             if code == clear:
-                table, width, next_code = reset()
+                extra = {}
+                width = min_code_size + 1
+                next_code = eoi + 1
                 prev = None
                 continue
             if code == eoi:
                 return out
-            if prev is None:
-                entry = table.get(code)
+            if code < clear:
+                entry = base[code]
+            elif prev is None:
+                entry = extra.get(code)
                 if entry is None:
                     raise CodecError("LZW code before dictionary entry")
-            elif code in table:
-                entry = table[code]
+            elif code in extra:
+                entry = extra[code]
             elif code == next_code:  # KwKwK case
                 entry = prev + prev[:1]
             else:
@@ -425,7 +435,7 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
             if len(out) > max_pixels:
                 raise CodecError("LZW output exceeds declared geometry")
             if prev is not None and next_code < 4096:
-                table[next_code] = prev + entry[:1]
+                extra[next_code] = prev + entry[:1]
                 next_code += 1
                 if next_code == (1 << width) and width < 12:
                     width += 1
