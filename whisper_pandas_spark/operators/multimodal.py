@@ -748,6 +748,46 @@ DHASH_ROWS = 8   # dHash grid: 8 row-comparisons ...
 DHASH_COLS = 9   # ... over 9 columns -> 8x8 = 64 bits
 
 
+
+def _dhash_grid(plane, h: int, w: int):
+    """Integer block-average of *plane* to the DHASH_ROWS x DHASH_COLS
+    grid (sum // count per cell). Fully vectorized when the grid divides
+    the image evenly (one reshape-sum, no per-cell Python); boundary
+    arithmetic fallback otherwise — identical values either way."""
+    import numpy as np
+
+    if h % DHASH_ROWS == 0 and w % DHASH_COLS == 0:
+        bh = h // DHASH_ROWS
+        bw = w // DHASH_COLS
+        return (
+            plane.reshape(DHASH_ROWS, bh, DHASH_COLS, bw).sum(axis=(1, 3))
+            // (bh * bw)
+        )
+    rb = [r * h // DHASH_ROWS for r in range(DHASH_ROWS + 1)]
+    cb = [c * w // DHASH_COLS for c in range(DHASH_COLS + 1)]
+    grid = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
+    for r in range(DHASH_ROWS):
+        for cc in range(DHASH_COLS):
+            blk = plane[rb[r] : rb[r + 1], cb[cc] : cb[cc + 1]]
+            grid[r, cc] = int(blk.sum()) // blk.size
+    return grid
+
+
+def _dhash_bits_value(grid) -> int:
+    """Pack the 8x8 left-vs-right comparison bits of a 9-column grid
+    into a signed 64-bit int (bit k = r*8 + c)."""
+    bits = (grid[:, :-1] < grid[:, 1:]).ravel()
+    # 64 iterations — negligible next to the decode; clearer than the
+    # packbits byte-order dance
+    val = 0
+    for k, bit in enumerate(bits):
+        if bit:
+            val |= 1 << k
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
 def image_dhash(
     df: DataFrame,
     id_col: str,
@@ -798,21 +838,7 @@ def image_dhash(
             # the arithmetic exact where averaging would need floats)
             else img.astype(np.int64).sum(axis=2)
         )
-        rb = [r * h // DHASH_ROWS for r in range(DHASH_ROWS + 1)]
-        cb = [c_ * w // DHASH_COLS for c_ in range(DHASH_COLS + 1)]
-        grid = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
-        for r in range(DHASH_ROWS):
-            for cc in range(DHASH_COLS):
-                blk = plane[rb[r] : rb[r + 1], cb[cc] : cb[cc + 1]]
-                grid[r, cc] = int(blk.sum()) // blk.size
-        bits = grid[:, :-1] < grid[:, 1:]
-        val = 0
-        for k, bit in enumerate(bits.ravel()):
-            if bit:
-                val |= 1 << k
-        if val >= 1 << 63:
-            val -= 1 << 64
-        return val
+        return _dhash_bits_value(_dhash_grid(plane, h, w))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -1076,22 +1102,7 @@ def video_frame_dhash(
         h, w = img.shape[:2]
         if h < DHASH_ROWS or w < DHASH_COLS:
             raise CodecError(f"frame {h}x{w} smaller than dHash grid")
-        plane = img.astype(np.int64).sum(axis=2)
-        rb = [r * h // DHASH_ROWS for r in range(DHASH_ROWS + 1)]
-        cb = [c * w // DHASH_COLS for c in range(DHASH_COLS + 1)]
-        grid = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
-        for r in range(DHASH_ROWS):
-            for cc in range(DHASH_COLS):
-                blk = plane[rb[r] : rb[r + 1], cb[cc] : cb[cc + 1]]
-                grid[r, cc] = int(blk.sum()) // blk.size
-        bits = grid[:, :-1] < grid[:, 1:]
-        val = 0
-        for k, bit in enumerate(bits.ravel()):
-            if bit:
-                val |= 1 << k
-        if val >= 1 << 63:
-            val -= 1 << 64
-        return val
+        return _dhash_bits_value(_dhash_grid(img.astype(np.int64).sum(axis=2), h, w))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
