@@ -471,9 +471,11 @@ def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Fixture: each even doc plants TWO real RIFF-PCM WAV clips of 1056
 # int16 samples — base v(i) = ((d*7919 + i^2 + 1)*(d + i*31 + 7) mod
-# 65536) - 32768 (the multiplicative doc-sample interaction makes frame
-# energies doc-specific — a pure offset formula collapses every doc to
-# the same fingerprint) and a twin under clip_id + 1_000_000 whose
+# 65536) - 32768 with d = clip's doc_id mod 1e5 (the multiplicative
+# doc-sample interaction makes frame energies doc-specific — a pure
+# offset formula collapses every doc to the same fingerprint; the mod
+# keeps the int64 product in headroom at any doc_id scale) and a twin
+# under clip_id + 1_000_000 whose
 # samples at i % 509 == 0 (frames 0, 15, 31 -> fingerprint bits
 # {0, 14, 15, 30, 31}) add 20000 before the mod. Band 2 (bits 16..23)
 # is untouched by construction, so every planted pair surfaces through
