@@ -800,3 +800,85 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_removal(fix, "doc_id", "text", window=8).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_phash_canonical — the deduplicated image set itself
+# ---------------------------------------------------------------------------
+# Same fixture as mm_phash_neardup; pairs chain into components
+# (min-label propagation) and each cluster keeps its min-id member —
+# the operator an image-dedup pipeline actually calls. The oracle runs
+# an INDEPENDENT algorithm over the same pair set: DuckDB recursive
+# transitive closure.
+
+_PHASH_PAIRS_CTE = _PHASH_ORACLE.rsplit("SELECT doc_i", 1)[0].strip().rstrip(
+    ")"
+) + """),
+ph_pairs AS (
+  SELECT doc_i, doc_j FROM ham WHERE hamming <= 6
+)"""
+
+_PHASH_CANON_ORACLE = f"""
+WITH RECURSIVE {_PHASH_PAIRS_CTE.lstrip().removeprefix("WITH ")},
+edges AS (
+  SELECT doc_i AS a, doc_j AS b FROM ph_pairs
+  UNION
+  SELECT doc_j AS a, doc_i AS b FROM ph_pairs
+), reach AS (
+  SELECT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(comp) AS comp FROM reach GROUP BY node
+), allimgs AS (
+  SELECT doc_id AS img_id FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 2 = 0
+)
+SELECT img_id FROM allimgs
+WHERE img_id NOT IN (SELECT node FROM comp WHERE node <> comp)
+ORDER BY img_id
+"""
+
+
+@register("mm_phash_canonical", oracle=_PHASH_CANON_ORACLE)
+def mm_phash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated IMAGE corpus: dHash near-dup pairs chained into
+    components (operators/components.py min-label propagation), each
+    cluster keeping its min-id member, untouched images passing through
+    — one left-anti join against the tiny drop list. The oracle is an
+    independent recursive-transitive-closure replay over the same pair
+    set (the sim/text dedup families' pattern, now for images)."""
+    from whisper_pandas_spark.operators.components import canonical_filter
+    from whisper_pandas_spark.operators.multimodal import phash_neardup_pairs
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    base_px = F.expr(
+        "array_join(transform(split(rpad(text, 288, text), ''),"
+        " c -> char(ascii(c) % 128)), '')"
+    )
+    pert_px = F.expr(
+        "array_join(transform(split(rpad(text, 288, text), ''),"
+        " (c, i) -> char((ascii(c) % 128"
+        "   + IF(i % 97 = 0, 3, 0)) % 128)), '')"
+    )
+    header = F.lit("P5\n18 16\n255\n")
+    imgs = (
+        docs.select(
+            F.col("doc_id").alias("img_id"),
+            F.encode(F.concat(header, base_px), "utf-8").alias("payload"),
+        )
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("img_id"),
+            F.encode(F.concat(header, pert_px), "utf-8").alias("payload"),
+        )
+    )
+    pairs = phash_neardup_pairs(imgs, "img_id", max_hamming=6)
+    pairs_ck = pairs.localCheckpoint(eager=True)
+    for c in getattr(pairs, "_wps_cached", []):
+        c.unpersist()
+    kept = canonical_filter(
+        imgs.select("img_id"), pairs_ck, id_col="img_id"
+    )
+    return kept.orderBy("img_id")
