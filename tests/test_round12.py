@@ -482,3 +482,49 @@ def test_spans_partitioning_independent(spark):
     byid = {t[0]: t for t in a}
     assert byid[0][2] == 0  # doc 0 is the winner
     assert all(byid[i][2] == 3 for i in range(1, 20))
+
+
+# ---------------------------------------------------------------------------
+# semantic_contamination
+# ---------------------------------------------------------------------------
+
+from whisper_pandas_spark.operators.decontam import semantic_contamination  # noqa: E402
+
+
+def test_semantic_contamination_flags(spark):
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    corpus = spark.createDataFrame(
+        [
+            (0, vec(1, 0, 0, 0)),       # exact held-out member
+            (1, vec(0.99, 0.14, 0, 0)), # near-paraphrase of held-out
+            (2, vec(0, 1, 0, 0)),       # orthogonal
+            (3, vec(-1, 0, 0, 0)),      # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    held = corpus.filter(F.col("vec_id") == 0)
+    out = {
+        r["vec_id"]: r
+        for r in semantic_contamination(
+            corpus, held, "vec_id", "embedding", 0.95
+        ).collect()
+    }
+    assert out[0]["contaminated"] == 1 and abs(out[0]["max_cos"] - 1) < 1e-9
+    assert out[1]["contaminated"] == 1  # cos ~ 0.990
+    assert out[2]["contaminated"] == 0 and abs(out[2]["max_cos"]) < 1e-9
+    assert out[3]["contaminated"] == 0 and out[3]["max_cos"] < 0
+    # every corpus row gets a verdict
+    assert sorted(out) == [0, 1, 2, 3]
+
+
+def test_semantic_contamination_broadcasts_heldout(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    held = corpus.filter(F.col("vec_id") < 2)
+    df = semantic_contamination(corpus, held)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

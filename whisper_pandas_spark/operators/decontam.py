@@ -122,3 +122,53 @@ def bloom_contamination(
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_flagged")
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-level decontamination — the SEMANTIC member of the
+    family (exact n-gram overlap: :func:`ngram_contamination`;
+    fixed-size probabilistic: :func:`bloom_contamination`): flag every
+    corpus vector whose maximum cosine against ANY held-out vector
+    reaches *threshold*. Catches paraphrased/translated benchmark
+    leakage that no exact-shingle pass can see (public recipe: e.g.
+    the Llama/GPT-4 report-style embedding decontamination).
+
+    Returns (id, max_cos DOUBLE, contaminated INT) for EVERY corpus
+    row — max_cos is the evidence, so thresholds can be re-cut without
+    recomputing.
+
+    Shape at 100 TB: the held-out side is a benchmark suite — tiny by
+    definition — so it BROADCASTS and the corpus side streams
+    scan-shaped through one crossJoin + max aggregation (map-side
+    partial: each task folds its broadcast copy locally; no corpus
+    shuffle at all until the per-id max combine, which carries one
+    double per row). Cosines use the engine's order-pinned fold
+    (operators/similarity.py:cosine) so a SQL engine replaying the same
+    element order reproduces them bit-for-bit.
+    """
+    from whisper_pandas_spark.operators.similarity import cosine
+
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+    )
+    h = heldout.select(F.col(vec_col).alias("_hv"))
+    scored = c.crossJoin(F.broadcast(h)).select(
+        "_cid", cosine(F.col("_cv"), F.col("_hv")).alias("_cos")
+    )
+    return (
+        scored.groupBy("_cid")
+        .agg(F.max("_cos").alias("max_cos"))
+        .select(
+            F.col("_cid").alias(id_col),
+            "max_cos",
+            (F.col("max_cos") >= F.lit(threshold))
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

@@ -882,3 +882,48 @@ def mm_phash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         imgs.select("img_id"), pairs_ck, id_col="img_id"
     )
     return kept.orderBy("img_id")
+
+
+# ---------------------------------------------------------------------------
+# decontam_semantic_flags — the semantic member of the decontam family
+# ---------------------------------------------------------------------------
+
+
+def _semantic_decontam_oracle() -> str:
+    from whisper_pandas_spark.functions.duck import duck_cos
+
+    cos = duck_cos("c.embedding", "h.hv")
+    return f"""
+WITH h AS (
+  SELECT embedding AS hv FROM embeddings WHERE vec_id % 29 = 0
+), s AS (
+  SELECT c.vec_id, max({cos}) AS mc
+  FROM embeddings c CROSS JOIN h GROUP BY c.vec_id
+)
+SELECT vec_id, round(mc + 1e-9, 6) AS max_cos,
+       CAST(CASE WHEN mc >= 0.95 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM s ORDER BY vec_id
+"""
+
+
+@register("decontam_semantic_flags", oracle=_semantic_decontam_oracle())
+def decontam_semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/decontam bridge: embedding-level (semantic) decontamination —
+    max cosine of every corpus vector against a broadcast held-out set
+    (vec_id % 29 == 0 stands in for the benchmark suite; its members
+    flag themselves at cosine 1, paraphrase-near vectors flag below).
+    Completes the decontam family: exact n-gram
+    (decontam_ngram_overlap), fixed-size Bloom (decontam_bloom_flags),
+    semantic (this). Order-pinned cosine fold -> bit-identical doubles
+    on both engines; threshold applied to the RAW max, rounding only
+    for display."""
+    from whisper_pandas_spark.operators.decontam import semantic_contamination
+
+    emb = _table(spark, sf_dir, "embeddings")
+    held = emb.filter(F.col("vec_id") % 29 == 0)
+    out = semantic_contamination(emb, held, "vec_id", "embedding", 0.95)
+    return out.select(
+        "vec_id",
+        F.round(F.col("max_cos") + F.lit(1e-9), 6).alias("max_cos"),
+        "contaminated",
+    ).orderBy("vec_id")
