@@ -130,6 +130,7 @@ def semantic_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    arrow: bool = False,
 ) -> DataFrame:
     """Embedding-level decontamination — the SEMANTIC member of the
     family (exact n-gram overlap: :func:`ngram_contamination`;
@@ -148,10 +149,54 @@ def semantic_contamination(
     scan-shaped through one crossJoin + max aggregation (map-side
     partial: each task folds its broadcast copy locally; no corpus
     shuffle at all until the per-id max combine, which carries one
-    double per row). Cosines use the engine's order-pinned fold
-    (operators/similarity.py:cosine) so a SQL engine replaying the same
-    element order reproduces them bit-for-bit.
+    double per row).
+
+    Two equivalent engines for the cosine:
+
+    - ``arrow=False`` (default): the engine's order-pinned expression
+      fold (operators/similarity.py:cosine) — a SQL engine replaying
+      the same element order reproduces every double bit-for-bit (what
+      the registry oracle checks).
+    - ``arrow=True``: one numpy matmul per Arrow batch against the
+      collected held-out matrix (tiny by definition — it rides to every
+      task in the closure, the broadcast's moral twin) — the production
+      path: measured 168x over the expression fold at sf1 (177 -> 1.05 s,
+      PERF_sf1.md),
+      same verdicts, doubles equal to float tolerance rather than
+      bit-identical (BLAS summation order).
     """
+    if arrow:
+        from typing import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        hm = np.array(
+            [list(r[0]) for r in heldout.select(vec_col).collect()],
+            dtype=np.float64,
+        )
+        hn = hm / np.linalg.norm(hm, axis=1, keepdims=True)
+
+        def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cm = np.array([list(v) for v in pdf["_cv"]], dtype=np.float64)
+                cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+                mx = (cn @ hn.T).max(axis=1)
+                yield pd.DataFrame({"_cid": pdf["_cid"], "max_cos": mx})
+
+        scored = corpus.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
+        ).mapInPandas(score, "_cid long, max_cos double")
+        return scored.select(
+            F.col("_cid").alias(id_col),
+            "max_cos",
+            (F.col("max_cos") >= F.lit(threshold))
+            .cast("int")
+            .alias("contaminated"),
+        )
+
     from whisper_pandas_spark.operators.similarity import cosine
 
     c = corpus.select(
