@@ -559,3 +559,53 @@ def test_round12_plan_shapes(spark):
     assert "partial_min" in plan_para or "partial" in plan_para
     assert "BatchEvalPython" not in plan_para
     assert "Window" not in plan_para
+
+
+def test_round12_perceptual_pair_plans(spark):
+    """Audio/video near-dup pair plans (pre-checkpoint), same pins as
+    the phash audit: one Arrow pass family (never row-at-a-time
+    Python), cached fingerprint base consumed by both join sides, band
+    equi-join with bit_count verification, no cartesian product."""
+    import numpy as np
+
+    from whisper_pandas_spark.functions.codecs import encode_gif, encode_wav
+    from whisper_pandas_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        video_neardup_pairs,
+    )
+
+    clips = spark.createDataFrame(
+        [
+            (i, encode_wav(
+                np.random.default_rng(i).integers(
+                    -20000, 20000, 1056, dtype=np.int64
+                ).astype(np.int16), 8000))
+            for i in range(3)
+        ],
+        "doc_id long, payload binary",
+    )
+    pa = audio_neardup_pairs(clips, "doc_id")
+    plan = formatted_plan(pa)
+    assert "MapInPandas" in plan and "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "bit_count" in plan
+    for c in getattr(pa, "_wps_cached", []):
+        c.unpersist()
+
+    gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    vids = spark.createDataFrame(
+        [
+            (i, encode_gif(
+                [np.random.default_rng(10 * i + f).integers(
+                    0, 200, (16, 18), dtype=np.uint8) for f in range(4)],
+                gray))
+            for i in range(3)
+        ],
+        "doc_id long, payload binary",
+    )
+    pv = video_neardup_pairs(vids, "doc_id")
+    plan_v = formatted_plan(pv)
+    assert "MapInPandas" in plan_v and "InMemoryTableScan" in plan_v
+    assert "BatchEvalPython" not in plan_v and "CartesianProduct" not in plan_v
+    for c in getattr(pv, "_wps_cached", []):
+        c.unpersist()

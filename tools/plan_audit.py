@@ -169,12 +169,15 @@ AUDITED = [
     # round-11 window-frame fix: the gap-fill plan is pinned so the
     # reversed-order running frames stay visible in the audit
     "resample_gapfill",
-    # round-12 entries (mm_phash_neardup explains the post-checkpoint
-    # pair table — the banded-join shape itself is pinned by
-    # tests/test_plans.py's phash audit instead)
+    # round-12 entries (mm_phash/audio/video_neardup explain the
+    # post-checkpoint pair tables — the banded-join shapes are pinned by
+    # tests/test_plans.py's perceptual-hash audits instead)
     "dedup_paragraph_exact",
     "text_url_domain_key",
     "graphite_group_by_tags",
+    "dedup_duplicate_spans",
+    "sample_domain_quota",
+    "decontam_semantic_flags",
 ]
 
 
