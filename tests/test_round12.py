@@ -528,3 +528,64 @@ def test_semantic_contamination_broadcasts_heldout(spark):
     df = semantic_contamination(corpus, held)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+# ---------------------------------------------------------------------------
+# stream_phash_dedup (streaming perceptual registry)
+# ---------------------------------------------------------------------------
+
+from whisper_pandas_spark.operators.merge import current_version_path  # noqa: E402
+from whisper_pandas_spark.streaming.phash import stream_phash_dedup  # noqa: E402
+
+
+def test_stream_phash_registry(spark, tmp_path):
+    d = str(tmp_path)
+    base = _rng_img(900, 16, 18)
+    twin = base.copy()
+    twin[3:5, 3:5] = 0
+    other = _rng_img(901, 16, 18)
+    b1 = spark.createDataFrame(
+        [(10, _pgm(base)), (11, _pgm(base))],  # exact dup within batch
+        "img_id long, payload binary",
+    )
+    b2 = spark.createDataFrame(
+        [(20, _pgm(twin)), (21, _pgm(other))],
+        "img_id long, payload binary",
+    )
+    b1.coalesce(1).write.parquet(f"{d}/changes/f1")
+    b2.coalesce(1).write.parquet(f"{d}/changes/f2")
+
+    def run(ckpt):
+        sdf = (
+            spark.readStream.schema("img_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/changes/*")
+        )
+        q = stream_phash_dedup(sdf, f"{d}/state", checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    run(f"{d}/c1")
+    s1 = sorted(
+        (r["img_id"], r["dhash"])
+        for r in spark.read.parquet(current_version_path(f"{d}/state")).collect()
+    )
+    ids = [i for i, _ in s1]
+    assert 10 in ids          # batch-1 exact-dup keeps min id
+    assert 11 not in ids
+    assert 20 not in ids      # twin within hamming of registry -> rejected
+    assert 21 in ids          # distinct image registers
+    # full reprocess: idempotent — state content unchanged
+    run(f"{d}/c2")
+    s2 = sorted(
+        (r["img_id"], r["dhash"])
+        for r in spark.read.parquet(current_version_path(f"{d}/state")).collect()
+    )
+    assert s1 == s2
+
+
+def test_stream_phash_rejects_bad_hamming(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stream_phash_dedup(None, "/tmp/x", max_hamming=8)

@@ -927,3 +927,119 @@ def decontam_semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_cos") + F.lit(1e-9), 6).alias("max_cos"),
         "contaminated",
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# stream_phash_dedup — streaming perceptual registry (idempotent)
+# ---------------------------------------------------------------------------
+# Batch 1 streams the base PGM images, batch 2 their perturbed twins;
+# the registry accepts batch-1 uniques (exact-dhash min-id within the
+# batch) and rejects every twin (hamming <= 6 of a registered
+# fingerprint — banding is complete at <= 7). The whole stream is then
+# deliberately REPROCESSED with a fresh checkpoint: every fingerprint
+# is already registered, so the state is unchanged — the idempotent
+# merge law, no marker machinery (the perceptual sibling of
+# stream_bloom_replay). The oracle replays the two-batch construction
+# over bit strings.
+
+_STREAM_PHASH_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id AS img_id, 0 AS pert, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS img_id, 1 AS pert, text
+  FROM documents WHERE doc_id % 2 = 0
+), px AS (
+  SELECT img_id, CAST(t.i AS BIGINT) AS i,
+         (ord(substr(rpad(text, 288, text), CAST(t.i + 1 AS INT), 1)) % 128
+          + CASE WHEN pert = 1 AND t.i % 97 = 0 THEN 3 ELSE 0 END) % 128 AS b
+  FROM imgs CROSS JOIN range(0, 288) AS t(i)
+), grid AS (
+  SELECT img_id, (i // 18) // 2 AS r, (i % 18) // 2 AS c,
+         CAST(sum(b) // 4 AS BIGINT) AS g
+  FROM px GROUP BY 1, 2, 3
+), bits AS (
+  SELECT a.img_id, a.r * 8 + a.c AS k,
+         CASE WHEN a.g < b.g THEN '1' ELSE '0' END AS bit
+  FROM grid a JOIN grid b ON a.img_id = b.img_id AND a.r = b.r
+                         AND b.c = a.c + 1
+  WHERE a.c < 8
+), hstr AS (
+  SELECT img_id, string_agg(bit, '' ORDER BY k) AS bs FROM bits GROUP BY img_id
+), s1 AS (
+  SELECT min(img_id) AS img_id, bs FROM hstr WHERE img_id < 1000000 GROUP BY bs
+), b2 AS (
+  SELECT min(img_id) AS img_id, bs FROM hstr WHERE img_id >= 1000000 GROUP BY bs
+), rej AS (
+  SELECT DISTINCT b2.img_id
+  FROM b2 CROSS JOIN s1
+  WHERE len(list_filter(range(1, 65),
+      k -> substr(b2.bs, CAST(k AS INT), 1)
+           <> substr(s1.bs, CAST(k AS INT), 1))) <= 6
+), acc2 AS (
+  SELECT img_id, bs FROM b2 WHERE img_id NOT IN (SELECT img_id FROM rej)
+), fin AS (
+  SELECT img_id, bs FROM s1 UNION ALL SELECT img_id, bs FROM acc2
+)
+SELECT img_id, bs AS dhash_bits FROM fin ORDER BY img_id
+"""
+
+
+@register("stream_phash_dedup", oracle=_STREAM_PHASH_ORACLE)
+def stream_phash_dedup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+/X2: streaming perceptual-image dedup
+    (streaming/phash.py:stream_phash_dedup) — a growing dHash registry
+    maintained by foreachBatch: exact within-batch min-id, banded
+    hamming reject against the registry, append-only versioned state.
+    The stream is deliberately reprocessed into the same state
+    (idempotent merge law — the perceptual sibling of
+    stream_bloom_replay's structural contrast to additive CMS).
+    dhash is reported LSB-first as a 64-char bit string so both engines
+    compare exact fingerprints without signed-shift concerns."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.phash import stream_phash_dedup
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    base_px = F.expr(
+        "array_join(transform(split(rpad(text, 288, text), ''),"
+        " c -> char(ascii(c) % 128)), '')"
+    )
+    pert_px = F.expr(
+        "array_join(transform(split(rpad(text, 288, text), ''),"
+        " (c, i) -> char((ascii(c) % 128"
+        "   + IF(i % 97 = 0, 3, 0)) % 128)), '')"
+    )
+    header = F.lit("P5\n18 16\n255\n")
+    d = tempfile.mkdtemp(prefix="wps_phashstream_")
+    docs.select(
+        F.col("doc_id").alias("img_id"),
+        F.encode(F.concat(header, base_px), "utf-8").alias("payload"),
+    ).coalesce(1).write.parquet(f"{d}/changes/f1")
+    docs.select(
+        (F.col("doc_id") + 1000000).alias("img_id"),
+        F.encode(F.concat(header, pert_px), "utf-8").alias("payload"),
+    ).coalesce(1).write.parquet(f"{d}/changes/f2")
+
+    def run_pass(ckpt: str) -> None:
+        sdf = (
+            spark.readStream.schema("img_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/changes/*")
+        )
+        q = stream_phash_dedup(
+            sdf, f"{d}/state", max_hamming=6, checkpoint_dir=ckpt
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_pass(f"{d}/ckpt1")
+    # full reprocess, fresh checkpoint: every fingerprint re-arrives and
+    # is rejected by the registry — state provably unchanged (the hash
+    # gate below would catch any drift)
+    run_pass(f"{d}/ckpt2")
+    state = spark.read.parquet(current_version_path(f"{d}/state"))
+    return state.select(
+        "img_id",
+        F.reverse(F.lpad(F.bin("dhash"), 64, "0")).alias("dhash_bits"),
+    ).orderBy("img_id")
