@@ -447,7 +447,18 @@ def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE concat('HTTPS://EXAMPLE.IO?q=', doc_id % 40) END"
         ),
     )
-    keyed = url_key_df(urls, "url")
+    # Materialize the (doc_id, reg_domain) keying ONCE before the quota
+    # window: WindowGroupLimit plans a map-side partial sort BEFORE the
+    # exchange, and fusing the full keying expression tree into that
+    # sort's generated method blows janino's 64KB limit (codegen falls
+    # back to interpreted — correct but the slow path, and the fixture
+    # URL CASE would re-evaluate per comparison). The checkpoint cuts
+    # the lineage so both consumers (quota + totals) read evaluated
+    # columns; at 100 TB the equivalent is writing the keyed projection
+    # once, exactly what a CCNet-style pipeline does anyway.
+    keyed = url_key_df(urls, "url").select(
+        "doc_id", "reg_domain"
+    ).localCheckpoint(eager=True)
     kept = per_group_quota(keyed, "reg_domain", "doc_id", 5)
     totals = keyed.groupBy("reg_domain").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
