@@ -609,3 +609,19 @@ def test_round12_perceptual_pair_plans(spark):
     assert "BatchEvalPython" not in plan_v and "CartesianProduct" not in plan_v
     for c in getattr(pv, "_wps_cached", []):
         c.unpersist()
+
+
+def test_domain_quota_window_reads_materialized_keys(spark):
+    """Regression guard (round 12): WindowGroupLimit's map-side partial
+    sort must NOT fuse the full URL-keying expression tree — that
+    generated method exceeded janino's 64KB limit and dropped the stage
+    to interpreted eval. The quota window's input must be the
+    materialized (doc_id, reg_domain) checkpoint, i.e. a plain
+    ExistingRDD/LocalTableScan-style source, not the expression
+    subtree."""
+    plan = formatted_plan(
+        QUERIES["sample_domain_quota"](spark, "/root/testdata/sf0.001")
+    )
+    assert "WindowGroupLimit" in plan
+    assert "regexp_extract" not in plan  # keying evaluated before checkpoint
+    assert "Scan ExistingRDD" in plan
