@@ -1,18 +1,32 @@
-"""Registry entries: round 12 (VERDICT r11 "Next round" tasks #4-#7).
+"""Registry entries: round 12 (VERDICT r11 tasks #4-#7 + extensions).
 
-- mm_phash_neardup       image near-duplicate pairs by 64-bit dHash over
-                         DECODED pixels (planted 18x16 PGM twins), banded
-                         like dedup_simhash_pairs
-- dedup_paragraph_exact  Dolma-style corpus-wide duplicate-paragraph drop
-                         with positional reassembly
-- text_url_domain_key    URL normalization + registered-domain keying
-- graphite_group_by_tags groupByTags over the explicit TagDB (tag pivot ->
-                         cross-series aggregation, a distinct plan shape
-                         from seriesByTag's broadcast semi-join)
+- mm_phash_neardup        image near-dup pairs by 64-bit dHash over
+                          DECODED pixels (planted 18x16 PGM twins),
+                          banded like dedup_simhash_pairs
+- mm_phash_canonical      the deduplicated image set (pairs -> min-label
+                          components -> per-cluster min-id keep)
+- mm_audio_neardup        acoustic frame-energy fingerprint near-dup
+                          over real RIFF-PCM WAV decode
+- mm_video_neardup        clip-level near-dup over real animated-GIF
+                          decode (per-frame dHash, frame-aligned bands)
+- stream_phash_dedup      STREAMING dHash registry (foreachBatch,
+                          idempotent state, full-reprocess-proof)
+- dedup_paragraph_exact   Dolma-style corpus-wide duplicate-paragraph
+                          drop with positional reassembly
+- dedup_duplicate_spans   Lee et al. ExactSubstr global duplicated-span
+                          removal (word-token form)
+- text_url_domain_key     URL normalization + registered-domain keying
+- sample_domain_quota     the URL key feeding per-domain source
+                          balancing (WindowGroupLimit)
+- decontam_semantic_flags embedding-level decontamination vs a
+                          broadcast held-out set
+- graphite_group_by_tags / graphite_alias_by_tags
+                          tag aggregation/rename over the explicit
+                          TagDB (distinct plan shapes from seriesByTag)
 
 No reference-repo parity: whisper_pandas (reference, 299-line .wsp
-decoder) has no image/text/URL surface; these back SURVEY.md §2.10/§2.11
-extension rows.
+decoder) has no image/audio/video/text/URL surface; these back
+SURVEY.md §2.10/§2.11 extension rows Y114-Y124.
 """
 
 from __future__ import annotations
