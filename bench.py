@@ -91,6 +91,10 @@ HEADLINE3 = [
     # r12 compare via per-query bests — BENCH_NOTES — not the raw sum)
     "mm_phash_neardup",
     "dedup_paragraph_exact",
+    # round 12b additions: trained-tokenizer encode (driver-local scored
+    # training + Arrow greedy encode) and the window-pass fingerprinter
+    "text_wordpiece_ids",
+    "text_winnow_fingerprints",
 ]
 
 

@@ -1,0 +1,576 @@
+"""Round-12b operators: C4 line filtering, HTML extraction, winnowing
+fingerprints, HyperLogLog sketches, int8 k-means, ORC ingest — golden
+and property tests (brute-force Python replications on small inputs,
+plus the algebraic laws: winnowing's shared-substring guarantee, HLL's
+idempotent max-merge, Lloyd's assignment optimality)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# C4 line filter
+# ---------------------------------------------------------------------------
+
+
+def _c4_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_c4_keeps_good_lines_drops_bad(spark):
+    from whisper_pandas_spark.operators.cleaning import c4_line_filter
+
+    text = "\n".join(
+        [
+            "this is a perfectly fine sentence with many words.",  # keep
+            "too short.",  # < 5 words
+            "no terminal punctuation here at all",  # no punct
+            "this page requires javascript to be enabled please.",  # bad substr
+            "please read our privacy policy before continuing today.",  # bad
+            "another fine sentence that ends with a question mark?",  # keep
+            'a quoted ending also counts as terminal punctuation."',  # keep
+            "semicolons are not terminal punctuation at all;",  # bad punct
+        ]
+    )
+    out = c4_line_filter(_c4_df(spark, [(1, text)]), "doc_id", "text").collect()[0]
+    assert out["n_lines"] == 8
+    assert out["n_kept"] == 3
+    assert out["doc_kept"] is True
+    assert out["clean_text"].count("\n") == 2
+    assert "javascript" not in out["clean_text"]
+
+
+def test_c4_document_level_drops(spark):
+    from whisper_pandas_spark.operators.cleaning import c4_line_filter
+
+    good = "a good long sentence with enough words here."
+    cases = [
+        # lorem ipsum anywhere drops the doc
+        (1, "\n".join([good] * 5 + ["lorem ipsum dolor sit amet."])),
+        # curly brace anywhere drops the doc
+        (2, "\n".join([good] * 5 + ["function f() { return 1; }"])),
+        # fewer than 3 surviving lines drops the doc
+        (3, "\n".join([good] * 2)),
+        # control: 3 good lines, no poison -> kept
+        (4, "\n".join([good] * 3)),
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in c4_line_filter(
+            _c4_df(spark, cases), "doc_id", "text"
+        ).collect()
+    }
+    assert [rows[i]["doc_kept"] for i in (1, 2, 3, 4)] == [
+        False,
+        False,
+        False,
+        True,
+    ]
+    assert rows[3]["n_kept"] == 2  # rules still counted on dropped docs
+    assert rows[4]["clean_text"] == "\n".join([good] * 3)
+    assert rows[1]["clean_text"] == ""  # dropped docs yield empty, not null
+
+
+def test_c4_matches_bruteforce_python(spark):
+    """Property: the Spark rules equal a direct Python reimplementation
+    on generated multi-line docs."""
+    from whisper_pandas_spark.operators.cleaning import (
+        DOC_BAD_SUBSTRINGS,
+        LINE_BAD_SUBSTRINGS,
+        c4_line_filter,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    docs = []
+    for d in range(40):
+        lines = []
+        for _ in range(rng.randint(1, 10)):
+            n = rng.randint(1, 9)
+            line = " ".join(rng.choice(words) for _ in range(n))
+            line += rng.choice([".", "!", "?", "", ";", '"'])
+            if rng.random() < 0.1:
+                line += " javascript"
+            if rng.random() < 0.05:
+                line += " lorem ipsum"
+            lines.append(line)
+        docs.append((d, "\n".join(lines)))
+
+    def brute(text: str):
+        lines = text.split("\n")
+        kept = [
+            l
+            for l in lines
+            if re.search(r'[.!?"]$', l.strip())
+            and len(re.split(" +", l.strip())) >= 5
+            and not any(s in l.lower() for s in LINE_BAD_SUBSTRINGS)
+        ]
+        doc_kept = len(kept) >= 3 and not any(
+            s in text.lower() for s in DOC_BAD_SUBSTRINGS
+        )
+        return len(lines), len(kept), doc_kept, "\n".join(kept) if doc_kept else ""
+
+    got = {
+        r["doc_id"]: r
+        for r in c4_line_filter(_c4_df(spark, docs), "doc_id", "text").collect()
+    }
+    for d, text in docs:
+        nl, nk, dk, clean = brute(text)
+        r = got[d]
+        assert (r["n_lines"], r["n_kept"], r["doc_kept"], r["clean_text"]) == (
+            nl,
+            nk,
+            dk,
+            clean,
+        ), f"doc {d}: {text!r}"
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction
+# ---------------------------------------------------------------------------
+
+
+def _strip(spark, html: str) -> str:
+    from whisper_pandas_spark.operators.cleaning import html_extract
+
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return html_extract(df, "doc_id", "html").collect()[0]["clean_text"]
+
+
+def test_html_strip_blocks_and_tags(spark):
+    html = (
+        "<html><head><script>var x = '<p>not text</p>';</script>"
+        "<style>p { color: red }</style></head>"
+        "<body><!-- comment --><h1>Title</h1>"
+        "<p>Hello <b>world</b>, this is <a href='x'>a link</a>.</p>"
+        "<div>second block</div></body></html>"
+    )
+    clean = _strip(spark, html)
+    assert clean == "Title\nHello world, this is a link.\nsecond block"
+
+
+def test_html_strip_multiline_script_and_case(spark):
+    html = "<SCRIPT>\nline1\nline2\n</SCRIPT><P>kept text here.</P>"
+    assert _strip(spark, html) == "kept text here."
+
+
+def test_html_entity_decode_order(spark):
+    # &amp;lt; must decode to the LITERAL "&lt;", not "<" (amp last)
+    assert _strip(spark, "<p>a &amp;lt; b &lt; c &quot;q&#39;&nbsp;d</p>") == (
+        "a &lt; b < c \"q' d"
+    )
+
+
+def test_html_whitespace_collapse(spark):
+    assert (
+        _strip(spark, "<p>a   b</p><p></p><p>  c\t d  </p>") == "a b\nc d"
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+
+def _winnow_brute(tokens: list[str], k: int, w: int) -> set[tuple[int, int]]:
+    """Direct paper algorithm: hash k-grams, per window pick the
+    rightmost minimum, dedupe selections."""
+    if len(tokens) < k:
+        return set()
+    hs = []
+    for i in range(len(tokens) - k + 1):
+        gram = " ".join(tokens[i : i + k])
+        h = int(hashlib.md5(f"win:{gram}".encode()).hexdigest()[:15], 16)
+        hs.append(h)
+    sel = set()
+    n_starts = max(len(hs) - w, 0) + 1
+    for s in range(n_starts):
+        win = hs[s : s + w]
+        m = min(win)
+        # rightmost occurrence
+        j = len(win) - 1 - win[::-1].index(m)
+        sel.add((s + j, m))
+    return sel
+
+
+def _winnow_spark(spark, docs, k=4, w=5):
+    from whisper_pandas_spark.operators.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    out = winnow_fingerprints(df, "doc_id", "toks", k=k, w=w).collect()
+    res: dict[int, set] = {}
+    for r in out:
+        res.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    return res
+
+
+def test_winnow_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (d, [rng.choice(vocab) for _ in range(rng.randint(0, 40))])
+        for d in range(30)
+    ]
+    got = _winnow_spark(spark, docs)
+    for d, toks in docs:
+        assert got.get(d, set()) == _winnow_brute(toks, 4, 5), (d, toks)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The paper's guarantee: any shared token run of length >= w+k-1
+    yields at least one shared fingerprint."""
+    import random
+
+    rng = random.Random(13)
+    shared = [f"s{i}" for i in range(8)]  # w+k-1 = 8 tokens
+    a = [f"a{i}" for i in range(20)] + shared + [f"a{i}" for i in range(20, 35)]
+    b = [f"b{i}" for i in range(9)] + shared + [f"b{i}" for i in range(9, 30)]
+    got = _winnow_spark(spark, [(1, a), (2, b)])
+    fps1 = {fp for _, fp in got[1]}
+    fps2 = {fp for _, fp in got[2]}
+    assert fps1 & fps2, "shared run must produce a shared fingerprint"
+    # and two token streams with disjoint vocabularies share nothing
+    got2 = _winnow_spark(
+        spark,
+        [(3, [f"x{i}" for i in range(30)]), (4, [f"y{i}" for i in range(30)])],
+    )
+    assert not ({fp for _, fp in got2[3]} & {fp for _, fp in got2[4]})
+
+
+def test_winnow_short_docs(spark):
+    # < k tokens: no rows; k..k+w-2 tokens: single short window
+    got = _winnow_spark(
+        spark, [(1, ["a", "b", "c"]), (2, ["a", "b", "c", "d", "e"])]
+    )
+    assert 1 not in got
+    assert len(got[2]) == 1  # 2 grams < w -> one window, one selection
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _hll_df(spark, vals, grp="g"):
+    return spark.createDataFrame(
+        [(grp, str(v)) for v in vals], "grp string, val string"
+    )
+
+
+def test_hll_estimate_within_bound(spark):
+    from whisper_pandas_spark.operators.hll import (
+        hll_error_bound,
+        hll_estimate,
+        hll_rollup,
+        hll_shard_sketches,
+    )
+
+    n = 3000
+    sk = hll_rollup(
+        hll_shard_sketches(_hll_df(spark, range(n)), ("grp",), "val"), ("grp",)
+    )
+    est = hll_estimate(sk, ("grp",)).collect()[0]["est"]
+    # 5 sigma of the asymptotic bound (1.04/sqrt(64) ~ 13%)
+    assert abs(est - n) / n < 5 * hll_error_bound(64)
+
+
+def test_hll_small_range_linear_counting(spark):
+    from whisper_pandas_spark.operators.hll import (
+        hll_estimate,
+        hll_rollup,
+        hll_shard_sketches,
+    )
+
+    n = 12
+    sk = hll_rollup(
+        hll_shard_sketches(_hll_df(spark, range(n)), ("grp",), "val"), ("grp",)
+    )
+    row = hll_estimate(sk, ("grp",)).collect()[0]
+    assert row["n_zero_regs"] > 0
+    # linear counting: m * ln(m / V) — recompute exactly
+    expect = 64.0 * math.log(64.0 / row["n_zero_regs"])
+    assert abs(row["est"] - round(expect, 6)) < 1e-9
+
+
+def test_hll_merge_idempotent_and_monotone(spark):
+    from whisper_pandas_spark.operators.hll import (
+        hll_estimate,
+        hll_rollup,
+        hll_shard_sketches,
+    )
+
+    a = hll_shard_sketches(_hll_df(spark, range(500)), ("grp",), "val")
+    # merging a sketch with itself changes nothing (max idempotence)
+    once = hll_rollup(a, ("grp",)).orderBy("bucket").collect()
+    twice = hll_rollup(a.unionByName(a), ("grp",)).orderBy("bucket").collect()
+    assert once == twice
+    # merged shards == direct build over the union
+    b = hll_shard_sketches(
+        _hll_df(spark, range(300, 800)), ("grp",), "val"
+    )
+    merged = hll_rollup(a.unionByName(b), ("grp",))
+    direct = hll_shard_sketches(
+        _hll_df(spark, range(800)), ("grp",), "val"
+    )
+    assert (
+        hll_estimate(merged, ("grp",)).collect()
+        == hll_estimate(hll_rollup(direct, ("grp",)), ("grp",)).collect()
+    )
+
+
+def test_hll_rho_distribution_sanity(spark):
+    # rho >= 1 everywhere; registers bounded by payload bits + 1
+    from whisper_pandas_spark.operators.hll import hll_shard_sketches
+
+    rows = hll_shard_sketches(
+        _hll_df(spark, range(2000)), ("grp",), "val"
+    ).collect()
+    assert all(1 <= r["reg"] <= 55 for r in rows)
+    assert all(0 <= r["bucket"] < 64 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# int8 k-means
+# ---------------------------------------------------------------------------
+
+
+def _km_fixture(spark, k=3, per=20, dim=8, sep=60, interleave=False):
+    """k well-separated blobs; ``interleave=True`` numbers ids
+    blob-round-robin so the first-k-ids init spans every blob (the
+    deterministic init is documented as seed-quality-sensitive — a
+    production caller feeds pre-spread ids or more iterations)."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for c in range(k):
+        # blobs separated by DIRECTION, not magnitude: per-vector
+        # symmetric quantization divides by max|v|, so code-space
+        # distance sees the direction of a vector only
+        base = [sep if d % k == c else 0 for d in range(dim)]
+        base = [b + rng.randint(-2, 2) for b in base]
+        for i in range(per):
+            vec = [b + rng.uniform(-3, 3) for b in base]
+            vid = c + k * i if interleave else c * per + i
+            rows.append((vid, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _kmeans_brute(codes: dict[int, list[int]], k: int, iters: int):
+    """Direct reimplementation of operators/kmeans.py:kmeans_int8 —
+    init at the k smallest ids, assign (tie -> lowest cid), floored
+    integer means, empty clusters keep previous centroids."""
+    ids = sorted(codes)
+    cents = [list(codes[i]) for i in ids[:k]]
+    dim = len(cents[0])
+
+    def assign():
+        out = {}
+        for vid, q in codes.items():
+            dists = [
+                (sum((a - b) ** 2 for a, b in zip(q, c)), j)
+                for j, c in enumerate(cents)
+            ]
+            d, j = min(dists)
+            out[vid] = (j, d)
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        members: dict[int, list] = {}
+        for vid, (j, _) in a.items():
+            members.setdefault(j, []).append(codes[vid])
+        for j, vs in members.items():
+            cents[j] = [
+                math.floor(sum(v[d] for v in vs) / len(vs))
+                for d in range(dim)
+            ]
+    return assign()
+
+
+def test_kmeans_matches_bruteforce(spark):
+    """The distributed loop equals a direct Python replication of the
+    same algorithm (same init, tie rule, floored means) — assignment
+    AND exact integer distance, per vector."""
+    from whisper_pandas_spark.operators.kmeans import int8_codes, kmeans_int8
+
+    df = _km_fixture(spark)
+    codes = {
+        r["vec_id"]: list(r["q"])
+        for r in int8_codes(df, "vec_id", "embedding").collect()
+    }
+    for iters in (0, 1, 2):
+        want = _kmeans_brute(codes, 3, iters)
+        got = {
+            r["vec_id"]: (r["cluster"], r["dist"])
+            for r in kmeans_int8(
+                df, "vec_id", "embedding", k=3, iters=iters
+            ).collect()
+        }
+        assert got == want, f"iters={iters}"
+
+
+def test_kmeans_separated_clusters_recovered(spark):
+    from whisper_pandas_spark.operators.kmeans import kmeans_int8, kmeans_summary
+
+    df = _km_fixture(spark, k=3, per=20, interleave=True)
+    assigned = kmeans_int8(df, "vec_id", "embedding", k=3, iters=3)
+    # well-separated blobs: each input blob lands in ONE cluster
+    rows = assigned.collect()
+    blob = {r["vec_id"]: r["vec_id"] % 3 for r in rows}
+    mapping: dict[int, set] = {}
+    for r in rows:
+        mapping.setdefault(blob[r["vec_id"]], set()).add(r["cluster"])
+    assert all(len(cs) == 1 for cs in mapping.values())
+    sizes = {
+        r["cluster"]: r["size"]
+        for r in kmeans_summary(assigned, "vec_id").collect()
+    }
+    assert sorted(sizes.values()) == [20, 20, 20]
+
+
+def test_kmeans_validates_args(spark):
+    from whisper_pandas_spark.operators.kmeans import kmeans_int8
+
+    df = _km_fixture(spark, k=1, per=3)
+    with pytest.raises(ValueError):
+        kmeans_int8(df, "vec_id", "embedding", k=0)
+    with pytest.raises(ValueError):
+        kmeans_int8(df, "vec_id", "embedding", k=99)  # more k than vectors
+
+
+# ---------------------------------------------------------------------------
+# ORC ingest
+# ---------------------------------------------------------------------------
+
+
+def test_orc_roundtrip_lossless(spark, tmp_path):
+    from whisper_pandas_spark.sources.ingest import read_orc, write_orc
+
+    rows = [
+        (1, "plain", 1.5),
+        (2, 'uni ✓ "quoted"\nnewline', -0.0),
+        (3, None, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, x double")
+    write_orc(df, str(tmp_path / "orc"))
+    back = read_orc(spark, str(tmp_path / "orc"), "id long, s string, x double")
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    assert [r["s"] for r in got] == ["plain", 'uni ✓ "quoted"\nnewline', None]
+    assert math.isnan(got[2]["x"]) and got[1]["x"] == -0.0
+
+# ---------------------------------------------------------------------------
+# WordPiece
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_greedy_encode_golden():
+    from whisper_pandas_spark.operators.wordpiece import greedy_encode
+
+    vocab = {"un", "##aff", "##able", "##a", "##f", "##b", "##l", "##e",
+             "u", "##n", "hug", "##s"}
+    assert greedy_encode("unaffable", vocab) == ["un", "##aff", "##able"]
+    assert greedy_encode("hugs", vocab) == ["hug", "##s"]
+    # longest-match-FIRST, not optimal: "##aff" wins over "##a" at pos 2
+    assert greedy_encode("unaff", vocab) == ["un", "##aff"]
+    # over-long word -> UNK
+    assert greedy_encode("x" * 25, vocab) is None
+    # no matching piece -> UNK
+    assert greedy_encode("zzz", vocab) is None
+
+
+def test_wordpiece_training_prefers_likelihood_over_frequency(spark):
+    """The WordPiece objective: pair (a,b) with high count but very
+    frequent parts loses to a rarer pair with exclusive parts —
+    the case that distinguishes it from raw-frequency BPE."""
+    from whisper_pandas_spark.operators.wordpiece import wordpiece_train_local, word_syms
+
+    # "ab" x10, "azb" x2, "qz" x4:
+    #   units a:12  ##b:12  ##z:6  q:4
+    #   pair (a,##b) count 10 -> score 10/144 = 0.069  (BPE's pick)
+    #   pair (q,##z) count 4  -> score 4/24  = 0.167   (WordPiece's pick)
+    rows = (
+        [(word_syms("ab"), 10)]
+        + [(word_syms("azb"), 2)]  # pads unit counts for a / ##b
+        + [(word_syms("qz"), 4)]
+    )
+    pieces = wordpiece_train_local(rows, num_merges=1)
+    assert "qz" in pieces and "ab" not in pieces
+
+
+def test_wordpiece_train_matches_hand_computation():
+    from whisper_pandas_spark.operators.wordpiece import (
+        wordpiece_train_local,
+        word_syms,
+    )
+
+    # corpus: "low" x5, "lower" x2 — trace the scored merges by hand
+    rows = [(word_syms("low"), 5), (word_syms("lower"), 2)]
+    # units: l:7 ##o:7 ##w:7 ##e:2 ##r:2
+    # pairs: (l,##o):7 s=7/49=.1428  (##o,##w):7 s=7/49
+    #        (##w,##e):2 s=2/14=.1428... (##e,##r):2 s=2/4=0.5  <- best
+    pieces = wordpiece_train_local(rows, num_merges=1)
+    assert "##er" in pieces
+    pieces2 = wordpiece_train_local(rows, num_merges=2)
+    # after ##er: units l:7 ##o:7 ##w:7 ##er:2; every pair scores
+    # exactly 1/7 (7/49 and 2/14 are the same double) -> the tie breaks
+    # (a, b) ascending, and '##o' < '##w' < 'l' in code-point order,
+    # so the second merge is ('##o','##w') -> '##ow'
+    assert "##ow" in pieces2
+
+
+def test_wordpiece_encode_ids_reassembly(spark):
+    from whisper_pandas_spark.operators.wordpiece import (
+        wordpiece_encode_ids,
+        wordpiece_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "lower low"), (3, None)],
+        "doc_id long, text string",
+    )
+    pieces = wordpiece_train(df.filter("text is not null"), "text", 2)
+    out = {
+        r["doc_id"]: r
+        for r in wordpiece_encode_ids(df, "doc_id", "text", pieces).collect()
+    }
+    assert out[1]["n_pretokens"] == 3 and out[2]["n_pretokens"] == 2
+    assert out[3]["n_pretokens"] == 0 and out[3]["ids_csv"] == ""
+    assert out[1]["n_unk"] == 0 and out[2]["n_unk"] == 0
+    # positional reassembly: the doc sequence is exactly the per-word
+    # greedy encodes concatenated in document order
+    from whisper_pandas_spark.operators.wordpiece import greedy_encode
+
+    ids = {p: i for i, p in enumerate(sorted(set(pieces)))}
+
+    def enc(word: str) -> str:
+        return ",".join(str(ids[t]) for t in greedy_encode(word, set(pieces)))
+
+    assert out[1]["ids_csv"] == ",".join([enc("low"), enc("low"), enc("lower")])
+    assert out[2]["ids_csv"] == ",".join([enc("lower"), enc("low")])
+    assert out[1]["n_tokens"] == len(out[1]["ids_csv"].split(","))
+
+
+def test_wordpiece_unk_clamp(spark):
+    from whisper_pandas_spark.operators.wordpiece import (
+        UNK_ID,
+        wordpiece_encode_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "short " + "x" * 30)], "doc_id long, text string"
+    )
+    out = wordpiece_encode_ids(
+        df, "doc_id", "text", ["s", "##h", "##o", "##r", "##t", "x", "##x"]
+    ).collect()[0]
+    assert out["n_unk"] == 1
+    assert str(UNK_ID) in out["ids_csv"].split(",")

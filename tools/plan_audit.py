@@ -178,6 +178,17 @@ AUDITED = [
     "dedup_duplicate_spans",
     "sample_domain_quota",
     "decontam_semantic_flags",
+    # round-12b entries (stream_hll_replay's plan is the per-batch
+    # hll_shard_sketches + rollup shapes below; emb_kmeans_int8 and
+    # text_wordpiece_ids run driver loops, so the audited plan is their
+    # final assign/encode stage)
+    "text_c4_line_filter",
+    "text_html_strip",
+    "text_winnow_fingerprints",
+    "sketch_hll_rollup",
+    "emb_kmeans_int8",
+    "text_wordpiece_ids",
+    "ingest_orc_roundtrip",
 ]
 
 

@@ -32,10 +32,11 @@ and the caller picks the compute budget explicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from whisper_pandas_spark.operators.embeddings import _quantize, _vabs_max
 from whisper_pandas_spark.operators.similarity import ivf_assign
 
 
@@ -118,3 +119,122 @@ def kmeans_cosine(
             cent = cent.localCheckpoint(eager=True)
 
     return cent
+
+
+# ---------------------------------------------------------------------------
+# int8-code k-means (exact integer arithmetic)
+# ---------------------------------------------------------------------------
+# The auditable sibling of kmeans_cosine: clustering the int8 CODES
+# (operators/embeddings.py quantization) makes every distance an exact
+# BIGINT sum of squares and every centroid update an exact floored
+# integer mean — assignments and centroids are bit-reproducible across
+# engines/partitionings/retries, so the DuckDB oracle can replay the
+# FULL iteration history value-exactly (emb_kmeans_int8).
+#
+# Semantics note: per-vector symmetric quantization divides each vector
+# by its own max|v|, so code-space L2 sees DIRECTION, not magnitude —
+# this is spherical (cosine-like) k-means, which is what embedding
+# pipelines want. Callers needing magnitude-aware clustering should
+# quantize against a global scale (tests/test_round12b.py pins this).
+#
+# Scale shape (same as kmeans_cosine): ASSIGN is map-side (literal
+# centroids, codegen zip_with folds, zero shuffle); UPDATE is one
+# (cluster, dim) partial-agg exchange + a k x dim bounded collect per
+# iteration (the BPE-merge-table collect pattern). Empty clusters keep
+# their previous centroid.
+
+def int8_codes(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, q) — the raw int8 code vectors (array<bigint>), same
+    arithmetic as operators/embeddings.quantize_int8."""
+    v = F.col(vec_col)
+    return df.select(F.col(id_col), _quantize(v, _vabs_max(v)).alias("q"))
+
+
+def _sq_dist(q: Column, centroid: list[int]) -> Column:
+    """Exact BIGINT squared L2 distance code-vector -> literal centroid."""
+    c = F.array(*[F.lit(int(x)).cast("long") for x in centroid])
+    return F.aggregate(
+        F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(codes: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(id, cluster, dist) — argmin over literal centroids, ties to the
+    lowest cluster id (struct min compares dist first, then cid)."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("q"), c).alias("dist"),
+                    F.lit(j).alias("cid"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+    return codes.select(
+        *codes.columns,
+        best.getField("cid").alias("cluster"),
+        best.getField("dist").alias("dist"),
+    )
+
+
+def kmeans_int8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's iterations over int8 codes; returns the final assignment
+    ``(id, cluster, dist)`` (dist = exact integer squared L2 in code
+    space).
+
+    Init: the codes of the k smallest ids (deterministic, replayable —
+    k-means++ would drag float randomness into the parity contract).
+    Each iteration: map-side assign -> one partial-agg exchange ->
+    k x dim bounded collect -> floored integer mean per component.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1, iters >= 0; got k={k} iters={iters}")
+    codes = int8_codes(df, id_col, vec_col)
+    init_rows = codes.orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} but only {len(init_rows)} vectors")
+    centroids = [list(r["q"]) for r in init_rows]
+    dim = len(centroids[0])
+
+    for _ in range(iters):
+        assigned = _assign(codes, centroids)
+        comp = (
+            assigned.select("cluster", F.posexplode("q").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            # |s| <= rows * 127: exact in double, floor matches DuckDB //
+            .select(
+                "cluster",
+                "dim",
+                F.floor(F.col("s").cast("double") / F.col("n"))
+                .cast("long")
+                .alias("comp"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep previous
+        for r in comp:
+            new[r["cluster"]][r["dim"]] = r["comp"]
+        centroids = new
+
+    return _assign(codes, centroids).select(id_col, "cluster", "dist")
+
+
+def kmeans_summary(assigned: DataFrame, id_col: str) -> DataFrame:
+    """Per-cluster audit row: size, exact id checksum, exact total
+    inertia (all BIGINT — hash-gateable)."""
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("size"),
+        F.sum(id_col).alias("id_sum"),
+        F.sum("dist").alias("inertia"),
+    )

@@ -1,0 +1,813 @@
+"""Registry entries: round 12b (post-VERDICT-r11 extension wave).
+
+- text_c4_line_filter      C4 (Raffel et al. 2020 §2.2) line/document
+                           cleaning rules over synthesized multi-line docs
+- text_html_strip          HTML boilerplate extraction (regex chain:
+                           script/style/comment blocks, tags, entities,
+                           whitespace) over synthesized HTML containers
+- text_winnow_fingerprints winnowing / MOSS positioned local fingerprints
+                           (Schleimer et al. 2003)
+- sketch_hll_rollup        HyperLogLog distinct sketches — the idempotent
+                           MAX merge law; both estimate regimes exercised
+- stream_hll_replay        streaming HLL maintenance, full-reprocess-proof
+                           (the distinct-count sibling of stream_bloom_replay)
+- emb_kmeans_int8          distributed Lloyd's k-means over int8 codes —
+                           exact integer distances/updates, bit-replayable
+- ingest_orc_roundtrip     documents -> ORC sink -> explicit-schema scan
+
+No reference-repo parity: whisper_pandas (reference, 299-line .wsp
+decoder) has no text/vector/sketch surface; these back SURVEY.md §2
+extension rows Y125-Y131.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.registry import _table, register
+
+# ---------------------------------------------------------------------------
+# text_c4_line_filter
+# ---------------------------------------------------------------------------
+# Fixture geometry: documents.text is single-line word soup, so both
+# engines synthesize the SAME multi-line document deterministically:
+# 12-word chunks become lines; per line i (di = doc_id + i):
+#   di % 7 == 3  -> line truncated to 3 words (fails the min-word rule)
+#   di % 11 == 7 -> " javascript required" appended (fails the bad-
+#                   substring rule even when punctuated)
+#   di % 5       -> terminal suffix: . ! ? (kept) / none / ; (dropped)
+# plus planted document-level poison lines:
+#   doc_id % 37 == 5 -> "lorem ipsum dolor sit amet."
+#   doc_id % 41 == 9 -> "function f() { return 1; }"
+# The operator (operators/cleaning.py:c4_line_filter) then applies the
+# C4 rules; the oracle rebuilds the identical lines and replays the
+# rules with DuckDB list/regex functions.
+
+_C4_MIN_WORDS = 5
+_C4_MIN_KEPT = 3
+
+
+def _c4_lines_spark() -> str:
+    """SQL expr building the synthesized line array from (doc_id, text)."""
+    chunk = "array_join(slice(ws, i * 12 + 1, 12), ' ')"
+    short = "array_join(slice(ws, i * 12 + 1, 3), ' ')"
+    body = (
+        f"concat(IF((doc_id + i) % 7 = 3, {short}, {chunk}),"
+        " IF((doc_id + i) % 11 = 7, ' javascript required', ''))"
+    )
+    line = (
+        f"concat({body}, element_at(array('.', '!', '?', '', ';'),"
+        " cast((doc_id + i) % 5 as int) + 1))"
+    )
+    base = (
+        f"transform(sequence(0, cast((size(ws) + 11) div 12 as int) - 1),"
+        f" i -> {line})"
+    )
+    empty = "slice(array(''), 1, 0)"  # typed empty array<string>
+    return (
+        f"concat({base},"
+        f" IF(doc_id % 37 = 5, array('lorem ipsum dolor sit amet.'), {empty}),"
+        f" IF(doc_id % 41 = 9, array('function f() "
+        + "{ return 1; }"
+        + f"'), {empty}))"
+    )
+
+
+_C4_ORACLE = f"""
+WITH ws0 AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws FROM documents
+), lined AS (
+  SELECT doc_id,
+    list_concat(
+      list_transform(range(0, (len(ws) + 11) // 12), i ->
+        array_to_string(
+          list_slice(ws, CAST(i * 12 + 1 AS INT),
+                     CAST(i * 12 + CASE WHEN (doc_id + i) % 7 = 3
+                                        THEN 3 ELSE 12 END AS INT)), ' ')
+        || CASE WHEN (doc_id + i) % 11 = 7 THEN ' javascript required'
+                ELSE '' END
+        || (['.', '!', '?', '', ';'])[CAST((doc_id + i) % 5 AS INT) + 1]),
+      list_concat(
+        CASE WHEN doc_id % 37 = 5
+             THEN ['lorem ipsum dolor sit amet.'] ELSE [] END,
+        CASE WHEN doc_id % 41 = 9
+             THEN ['function f() {{ return 1; }}'] ELSE [] END)
+    ) AS lines
+  FROM ws0
+), filt AS (
+  SELECT doc_id, lines,
+    list_filter(lines, l ->
+      regexp_matches(trim(l), '[.!?"]$')
+      AND len(regexp_split_to_array(trim(l), ' +')) >= {_C4_MIN_WORDS}
+      AND NOT (contains(lower(l), 'javascript')
+               OR contains(lower(l), 'privacy policy')
+               OR contains(lower(l), 'terms of use')
+               OR contains(lower(l), 'cookie policy')
+               OR contains(lower(l), 'uses cookies'))) AS kept
+  FROM lined
+), verdict AS (
+  SELECT doc_id,
+    CAST(len(lines) AS INT) AS n_lines,
+    CAST(len(kept) AS INT) AS n_kept,
+    (len(kept) >= {_C4_MIN_KEPT}
+     AND NOT (contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+              OR contains(array_to_string(lines, chr(10)), '{{'))) AS doc_kept,
+    kept
+  FROM filt
+)
+SELECT doc_id, n_lines, n_kept, doc_kept,
+  md5(CASE WHEN doc_kept THEN array_to_string(kept, chr(10)) ELSE '' END)
+    AS clean_md5
+FROM verdict ORDER BY doc_id
+"""
+
+
+@register("text_c4_line_filter", oracle=_C4_ORACLE)
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: the C4 cleaning rules (terminal punctuation, min words,
+    javascript/policy lines, lorem-ipsum / curly-brace documents,
+    min surviving lines) as one zero-shuffle codegen projection
+    (operators/cleaning.py:c4_line_filter). The fixture synthesizes
+    identical multi-line documents on both engines (see module
+    comment); the oracle replays every rule over DuckDB list lambdas."""
+    from whisper_pandas_spark.operators.cleaning import c4_line_filter
+
+    docs = _table(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id", F.split(F.trim("text"), " +").alias("ws")
+    ).select("doc_id", F.expr(_c4_lines_spark()).alias("line_arr"))
+    lined = lined.select(
+        "doc_id", F.array_join("line_arr", "\n").alias("lined")
+    )
+    out = c4_line_filter(
+        lined, "doc_id", "lined",
+        min_words=_C4_MIN_WORDS, min_kept_lines=_C4_MIN_KEPT,
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "doc_kept",
+        F.md5(F.encode("clean_text", "utf-8")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_html_strip
+# ---------------------------------------------------------------------------
+# Fixture: each document is wrapped into a deterministic HTML container
+# (comment, head/title, script, style, h1, entity-bearing paragraph,
+# footer div with &quot;/&#39;/&nbsp;) — built with IDENTICAL string
+# concatenation on both engines. The operator strips it
+# (operators/cleaning.py:html_extract); the oracle replays the exact
+# regex chain with RE2 flags.
+
+
+def _html_fixture_spark() -> F.Column:
+    return F.concat(
+        F.lit("<html><!-- doc "), F.col("doc_id").cast("string"),
+        F.lit(" --><head><title>"), F.col("lang"),
+        F.lit('</title><script type="text/javascript">var s = "'),
+        F.col("source"),
+        F.lit('";</script><style>p { color: red; }</style></head><body><h1>'),
+        F.upper("lang"), F.lit(" &amp; "), F.col("source"),
+        F.lit("</h1><p>"),
+        F.regexp_replace("text", "table", "&lt;tbl&gt;"),
+        F.lit('</p><div class="foot">&quot;fin&#39;&nbsp;'),
+        F.col("doc_id").cast("string"),
+        F.lit("&quot;</div></body></html>"),
+    )
+
+
+def _html_fixture_duck() -> str:
+    return (
+        "'<html><!-- doc ' || CAST(doc_id AS VARCHAR) || ' --><head><title>'"
+        " || lang ||"
+        " '</title><script type=\"text/javascript\">var s = \"' || source ||"
+        " '\";</script><style>p { color: red; }</style></head><body><h1>'"
+        " || upper(lang) || ' &amp; ' || source || '</h1><p>'"
+        " || replace(text, 'table', '&lt;tbl&gt;')"
+        " || '</p><div class=\"foot\">&quot;fin&#39;&nbsp;'"
+        " || CAST(doc_id AS VARCHAR) || '&quot;</div></body></html>'"
+    )
+
+
+def _html_strip_duck(html_sql: str) -> str:
+    from whisper_pandas_spark.operators.cleaning import (
+        HTML_ENTITIES,
+        HTML_STRIP_STEPS,
+    )
+
+    out = html_sql
+    for pattern, repl, dotall in HTML_STRIP_STEPS:
+        flags = "gis" if dotall else "gi"
+        p = pattern.replace("'", "''")
+        r = repl.replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{p}', '{r}', '{flags}')"
+    for entity, char in HTML_ENTITIES:
+        c = char.replace("'", "''")
+        out = f"replace({out}, '{entity}', '{c}')"
+    out = f"regexp_replace({out}, '[ \t]+', ' ', 'g')"
+    out = (
+        f"regexp_replace({out}, ' *' || chr(10) || '[ ' || chr(10) || ']*',"
+        " chr(10), 'g')"
+    )
+    return f"trim({out}, ' ' || chr(10))"
+
+
+_HTML_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, {_html_fixture_duck()} AS html FROM documents
+), c AS (
+  SELECT doc_id, {_html_strip_duck('html')} AS clean FROM h
+)
+SELECT doc_id, md5(clean) AS clean_md5,
+  CAST(len(string_split(clean, chr(10))) AS INT) AS n_lines,
+  CAST(length(clean) AS INT) AS n_chars
+FROM c ORDER BY doc_id
+"""
+
+
+@register("text_html_strip", oracle=_HTML_ORACLE)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: HTML boilerplate extraction — ordered non-greedy regex chain
+    (script/style/comment blocks first, block tags to newlines, generic
+    tag strip, entity decode with &amp; LAST, whitespace collapse), all
+    inside one zero-shuffle codegen projection
+    (operators/cleaning.py:html_extract). The fixture wraps every
+    document into an identical HTML container on both engines; the
+    oracle replays the exact chain under RE2."""
+    from whisper_pandas_spark.operators.cleaning import html_extract
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", _html_fixture_spark().alias("html")
+    )
+    out = html_extract(docs, "doc_id", "html")
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("clean_text", "utf-8")).alias("clean_md5"),
+        "n_lines",
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_winnow_fingerprints
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 4
+_WINNOW_W = 5
+
+
+def _winnow_oracle() -> str:
+    from whisper_pandas_spark.operators.winnow import winnow_duck_hash
+
+    k, w = _WINNOW_K, _WINNOW_W
+    gram = f"array_to_string(list_slice(t, CAST(s + 1 AS INT), CAST(s + {k} AS INT)), ' ')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(regexp_replace(lower(text),
+      '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(range(0, len(t) - {k} + 1),
+      s -> {winnow_duck_hash(gram)}) AS gh
+  FROM toks WHERE len(t) >= {k}
+), starts AS (
+  SELECT doc_id, gh, len(gh) AS ng,
+    unnest(range(0, greatest(len(gh) - {w}, 0) + 1)) AS s
+  FROM g
+), sel AS (
+  SELECT doc_id,
+    list_slice(gh, CAST(s + 1 AS INT),
+               CAST(least(s + {w}, ng) AS INT)) AS win, s
+  FROM starts
+), mins AS (
+  SELECT doc_id, s, win,
+    list_reduce(win, (a, b) -> least(a, b)) AS fp
+  FROM sel
+)
+SELECT DISTINCT doc_id,
+  CAST(s + len(win) - list_position(list_reverse(win), fp) AS BIGINT) AS pos,
+  fp
+FROM mins ORDER BY doc_id, pos
+"""
+
+
+@register("text_winnow_fingerprints", oracle=_winnow_oracle())
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X2 bridge: winnowing (MOSS) positioned local fingerprints —
+    k-gram hash array as a zero-shuffle codegen projection, then ONE
+    doc-partitioned window pass selecting each w-window's rightmost
+    minimum via min(struct(hash, -pos)) over a forward frame
+    (operators/winnow.py). Guarantees a shared fingerprint for any
+    shared substring of >= w + k - 1 tokens. The oracle replays hash,
+    windows, and the rightmost-tie rule with DuckDB list lambdas
+    (list_reverse + list_position — an independent idiom from the
+    struct-min)."""
+    from whisper_pandas_spark.functions.text import tokenize
+    from whisper_pandas_spark.operators.winnow import winnow_fingerprints
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    return winnow_fingerprints(
+        docs, "doc_id", "toks", k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll_rollup
+# ---------------------------------------------------------------------------
+# Two scopes through ONE sketch pass so both estimate regimes are
+# value-gated: 'prio:*' groups count ~1300 distinct customers (raw
+# harmonic-mean regime) and 'status:*' groups count 5 distinct
+# priorities (small-range linear-counting regime, V > 0).
+
+_HLL_M = 64
+
+
+def _hll_oracle() -> str:
+    from whisper_pandas_spark.operators.hll import hll_alpha, hll_duck_hash
+
+    m = _HLL_M
+    amm = repr(hll_alpha(m) * m * m)
+    mask = (1 << 55) - 1
+    return f"""
+WITH items AS (
+  SELECT 'prio:' || o_orderpriority AS grp, CAST(o_custkey AS VARCHAR) AS val
+  FROM orders
+  UNION ALL
+  SELECT 'status:' || o_orderstatus AS grp, o_orderpriority AS val
+  FROM orders
+), hashed AS (
+  SELECT grp, {hll_duck_hash('val')} AS h FROM items
+), rho AS (
+  SELECT grp, h % {m} AS bucket,
+    coalesce(list_filter(range(1, 55),
+      r -> (((h // {m}) >> CAST(r - 1 AS INT)) & 1) = 1)[1], 55) AS rho
+  FROM hashed
+), regs AS (
+  SELECT grp, bucket, max(rho) AS reg FROM rho GROUP BY grp, bucket
+), lattice AS (
+  SELECT g.grp, t.j AS bucket
+  FROM (SELECT DISTINCT grp FROM items) g CROSS JOIN range(0, {m}) t(j)
+), dense AS (
+  SELECT l.grp, array_agg(coalesce(r.reg, 0) ORDER BY l.bucket) AS regs
+  FROM lattice l LEFT JOIN regs r
+    ON r.grp = l.grp AND r.bucket = l.bucket
+  GROUP BY l.grp
+), est0 AS (
+  SELECT grp,
+    CAST(len(list_filter(regs, r -> r = 0)) AS INT) AS n_zero_regs,
+    list_reduce(list_prepend(0::BIGINT, regs),
+      (a, r) -> (a * 31 + r) & {mask}) AS reg_checksum,
+    {amm} / list_reduce(
+      list_prepend(0.0::DOUBLE,
+        list_transform(regs, r -> 1.0 / CAST(1::BIGINT << r AS DOUBLE))),
+      (a, x) -> a + x) AS raw,
+    len(list_filter(regs, r -> r = 0)) AS v
+  FROM dense
+), est AS (
+  SELECT grp, n_zero_regs, reg_checksum,
+    round(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+               THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+               ELSE raw END, 6) AS est
+  FROM est0
+), exact AS (
+  SELECT grp, count(DISTINCT val) AS n_exact FROM items GROUP BY grp
+)
+SELECT e.grp, e.n_zero_regs, e.reg_checksum, e.est, x.n_exact
+FROM est e JOIN exact x ON e.grp = x.grp
+ORDER BY e.grp
+"""
+
+
+def _hll_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _table(spark, sf_dir, "orders")
+    return orders.select(
+        F.concat(F.lit("prio:"), "o_orderpriority").alias("grp"),
+        F.col("o_custkey").cast("string").alias("val"),
+    ).unionByName(
+        orders.select(
+            F.concat(F.lit("status:"), "o_orderstatus").alias("grp"),
+            F.col("o_orderpriority").alias("val"),
+        )
+    )
+
+
+@register("sketch_hll_rollup", oracle=_hll_oracle())
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family +: HyperLogLog (Flajolet et al. 2007) — the
+    idempotent element-wise-MAX merge law, completing the repo's merge-
+    law matrix (operators/hll.py). The md5 hash family is cross-engine,
+    so registers AND the floating estimates replay bit-for-bit: the
+    harmonic sum folds registers in bucket order with exact power-of-two
+    terms, and the small-range linear-counting branch is exercised by
+    the low-cardinality 'status:*' scopes. Scale: one (grp, bucket)
+    partial-agg exchange bounded by groups x m rows; estimates touch
+    only m-element arrays."""
+    from whisper_pandas_spark.operators.hll import (
+        hll_estimate,
+        hll_rollup,
+        hll_shard_sketches,
+    )
+
+    items = _hll_items(spark, sf_dir)
+    sk = hll_rollup(
+        hll_shard_sketches(items, ("grp",), "val", m=_HLL_M), ("grp",)
+    )
+    est = hll_estimate(sk, ("grp",), m=_HLL_M)
+    exact = items.groupBy("grp").agg(
+        F.countDistinct("val").alias("n_exact")
+    )
+    return est.join(exact, "grp").orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# stream_hll_replay
+# ---------------------------------------------------------------------------
+
+
+@register("stream_hll_replay", oracle=None)  # oracle set below (shares batch)
+def stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+: streaming HLL maintenance (streaming/sketches.py:
+    stream_hll_update) replayed end-to-end — per-batch sketches MAX-
+    merged into versioned register state, then the WHOLE stream
+    deliberately reprocessed by a second checkpoint-less pass: the
+    idempotent merge law means the double-processed state still equals
+    the direct batch build, which is exactly what the shared batch
+    oracle hash-gates (the distinct-count sibling of
+    stream_bloom_replay; contrast stream_cms_replay, whose additive
+    merge requires exactly-once markers)."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.hll import hll_estimate
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.sketches import stream_hll_update
+
+    items = _hll_items(spark, sf_dir).withColumn(
+        "row_id", F.monotonically_increasing_id()
+    )
+    d = tempfile.mkdtemp(prefix="wps_hllstream_")
+    items.filter(F.col("row_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{d}/changes/f1"
+    )
+    items.filter(F.col("row_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{d}/changes/f2"
+    )
+
+    def run_pass(ckpt: str) -> None:
+        sdf = (
+            spark.readStream.schema("grp string, val string, row_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/changes/*")
+        )
+        q = stream_hll_update(
+            sdf, f"{d}/state", ("grp",), "val", m=_HLL_M, checkpoint_dir=ckpt
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_pass(f"{d}/ckpt1")
+    # full reprocess with a FRESH checkpoint: harmless by idempotence
+    run_pass(f"{d}/ckpt2")
+    state = spark.read.parquet(current_version_path(f"{d}/state"))
+    est = hll_estimate(state, ("grp",), m=_HLL_M)
+    exact = _hll_items(spark, sf_dir).groupBy("grp").agg(
+        F.countDistinct("val").alias("n_exact")
+    )
+    return est.join(exact, "grp").orderBy("grp")
+
+
+from whisper_pandas_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["stream_hll_replay"] = _hll_oracle()
+
+
+# ---------------------------------------------------------------------------
+# emb_kmeans_int8
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _km_dist(vq: str, cq: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(range(1, {_KM_DIM} + 1),"
+        f" i -> ({vq}[CAST(i AS INT)] - {cq}[CAST(i AS INT)])"
+        f" * ({vq}[CAST(i AS INT)] - {cq}[CAST(i AS INT)]))),"
+        " (a, x) -> a + x)"
+    )
+
+
+def _kmeans_oracle() -> str:
+    """CTE chain replaying the exact iteration history: codes -> c0 ->
+    (assign -> floored-integer-mean update) x iters -> final assign ->
+    per-cluster audit. Generated programmatically so the Spark loop and
+    the SQL replay can never drift in iteration count."""
+    from whisper_pandas_spark.queries_embeddings import (
+        _duck_codes,
+        _duck_scale,
+    )
+
+    k, dim = _KM_K, _KM_DIM
+    ctes = [
+        f"""codes AS (
+  SELECT vec_id, {_duck_codes("embedding", _duck_scale("embedding"))} AS q
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q
+  FROM codes ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, cid AS cluster, dist FROM (
+    SELECT v.vec_id, c.cid, {_km_dist("v.q", "c.q")} AS dist,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_km_dist("v.q", "c.q")}, c.cid) AS rn
+    FROM codes v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""u{it} AS (
+  SELECT a.cluster AS cid, CAST(t.d AS INT) AS dim,
+    CAST(floor(CAST(CAST(sum(v.q[CAST(t.d + 1 AS INT)]) AS BIGINT) AS DOUBLE)
+               / count(*)) AS BIGINT) AS comp
+  FROM a{it} a JOIN codes v USING (vec_id)
+  CROSS JOIN range(0, {dim}) t(d)
+  GROUP BY a.cluster, t.d
+)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT p.cid, array_agg(coalesce(u.comp, p.q[pd.d + 1]) ORDER BY pd.d) AS q
+  FROM {prev} p CROSS JOIN range(0, {dim}) pd(d)
+  LEFT JOIN u{it} u ON u.cid = p.cid AND u.dim = pd.d
+  GROUP BY p.cid
+)"""
+        )
+        prev = f"c{it}"
+    final = _KM_ITERS + 1
+    ctes.append(
+        f"""a{final} AS (
+  SELECT vec_id, cid AS cluster, dist FROM (
+    SELECT v.vec_id, c.cid, {_km_dist("v.q", "c.q")} AS dist,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_km_dist("v.q", "c.q")}, c.cid) AS rn
+    FROM codes v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT cluster, CAST(count(*) AS BIGINT) AS size,
+  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+  CAST(sum(dist) AS BIGINT) AS inertia
+FROM a{final} GROUP BY cluster ORDER BY cluster
+"""
+    )
+
+
+@register("emb_kmeans_int8", oracle=_kmeans_oracle())
+def emb_kmeans_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: distributed Lloyd's k-means over int8 codes with EXACT
+    integer distances and floored-integer-mean updates
+    (operators/kmeans.py) — the auditable clustering front-end for
+    SemDeDup cells / domain mixtures / IVF training. Assign is map-side
+    (literal centroids, codegen zip_with folds); update is one
+    (cluster, dim) partial-agg exchange + a k x dim bounded collect per
+    iteration. The oracle replays the FULL iteration history in SQL
+    (generated CTE chain — same iteration count by construction)."""
+    from whisper_pandas_spark.operators.kmeans import (
+        kmeans_int8,
+        kmeans_summary,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    assigned = kmeans_int8(emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS)
+    return kmeans_summary(assigned, "vec_id").orderBy("cluster")
+
+
+# ---------------------------------------------------------------------------
+# text_wordpiece_ids
+# ---------------------------------------------------------------------------
+# Training replay reuses the round-11 serialized-symbols trick (symbols
+# never contain a space, so one merge is ONE string replace of
+# ' a  b ' with ' ab ' — see queries_round11._bpe_bytes_stages), with
+# the WordPiece differences: initial units are first-char + ##-chars,
+# the argmax joins per-unit totals to score n_ab / (n_a * n_b)
+# (exact-integer operands -> bit-identical IEEE division), and the
+# merged piece is a || substr(b, 3). Encoding unrolls MAX_WORD_CHARS
+# greedy longest-match stages (each consumes >= 1 char; every char
+# position of a corpus word generates its unit, so no UNK except the
+# over-long-word clamp).
+
+_WP_MERGES = 10
+_WP_MIN_FREQ = 2
+
+
+def _wp_oracle() -> str:
+    from whisper_pandas_spark.operators.wordpiece import MAX_WORD_CHARS, UNK_ID
+
+    maxc = MAX_WORD_CHARS
+    stages = []
+    vocab_union = ["SELECT u AS piece FROM units_0"]
+    for k in range(1, _WP_MERGES + 1):
+        p = k - 1
+        stages.append(f"""toks_{p} AS MATERIALIZED (
+  SELECT word, freq, string_split(substr(s, 2, length(s) - 2), '  ') AS t
+  FROM syms_{p}
+),
+units_{p} AS MATERIALIZED (
+  SELECT u, sum(freq) AS n FROM (
+    SELECT freq, unnest(t) AS u FROM toks_{p}
+  ) GROUP BY u
+),
+pairs_{k} AS MATERIALIZED (
+  SELECT a, b, sum(freq) AS n FROM (
+    SELECT t[i] AS a, t[i+1] AS b, freq
+    FROM (SELECT freq, t, unnest(range(1, len(t))) AS i FROM toks_{p})
+  ) GROUP BY a, b
+),
+m_{k} AS MATERIALIZED (
+  SELECT p.a, p.b, p.a || substr(p.b, 3) AS ab
+  FROM pairs_{k} p
+  JOIN units_{p} ua ON ua.u = p.a
+  JOIN units_{p} ub ON ub.u = p.b
+  WHERE p.n >= {_WP_MIN_FREQ}
+  ORDER BY CAST(p.n AS DOUBLE) / CAST(ua.n * ub.n AS DOUBLE) DESC, p.a, p.b
+  LIMIT 1
+),
+syms_{k} AS MATERIALIZED (
+  SELECT word, freq,
+    CASE WHEN m.a IS NULL THEN s
+         ELSE replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                         ' ' || m.ab || ' ') END AS s
+  FROM syms_{p} LEFT JOIN m_{k} m ON TRUE
+)""")
+        vocab_union.append(f"SELECT ab AS piece FROM m_{k}")
+
+    enc_stages = []
+    prev = "e_0"
+    for i in range(1, maxc + 1):
+        enc_stages.append(f"""b_{i} AS MATERIALIZED (
+  SELECT word, rem, first, ids, unk, best, best_id FROM (
+    SELECT e.word, e.rem, e.first, e.ids, e.unk,
+      v.piece AS best, v.id AS best_id,
+      row_number() OVER (PARTITION BY e.word
+        ORDER BY (CASE WHEN e.first THEN length(v.piece)
+                       ELSE length(v.piece) - 2 END) DESC) AS rn
+    FROM {prev} e JOIN vocab_ids v
+      ON (CASE WHEN e.first
+               THEN NOT starts_with(v.piece, '##')
+                    AND starts_with(e.rem, v.piece)
+               ELSE starts_with(v.piece, '##')
+                    AND starts_with(e.rem, substr(v.piece, 3)) END)
+    WHERE e.rem <> ''
+  ) WHERE rn = 1
+),
+e_{i} AS MATERIALIZED (
+  SELECT word,
+    substr(rem, (CASE WHEN first THEN length(best)
+                      ELSE length(best) - 2 END) + 1) AS rem,
+    false AS first, list_append(ids, best_id) AS ids, unk
+  FROM b_{i}
+  UNION ALL
+  SELECT word, rem, first, ids, unk FROM {prev} WHERE rem = ''
+)""")
+        prev = f"e_{i}"
+
+    train_sql = ",\n".join(stages)
+    enc_sql = ",\n".join(enc_stages)
+    vocab_sql = " UNION ALL ".join(vocab_union)
+    return f"""
+WITH pt AS MATERIALIZED (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS INT)] AS word FROM (
+    SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+      '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+    FROM documents
+  ), unnest(range(1, len(ws) + 1)) AS t(i)
+  WHERE ws[CAST(i AS INT)] <> ''
+),
+wvocab AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM pt GROUP BY word
+),
+syms_0 AS MATERIALIZED (
+  SELECT word, freq,
+    ' ' || substr(word, 1, 1) ||
+    CASE WHEN length(word) > 1
+         THEN '  ' || array_to_string(
+                list_transform(range(2, length(word) + 1),
+                  i -> '##' || substr(word, CAST(i AS INT), 1)), '  ')
+         ELSE '' END || ' ' AS s
+  FROM wvocab
+),
+{train_sql},
+vocab AS MATERIALIZED (
+  SELECT DISTINCT piece FROM ({vocab_sql})
+),
+vocab_ids AS MATERIALIZED (
+  SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS id FROM vocab
+),
+e_0 AS MATERIALIZED (
+  SELECT word,
+    CASE WHEN length(word) > {maxc} THEN '' ELSE word END AS rem,
+    true AS first,
+    CASE WHEN length(word) > {maxc}
+         THEN [CAST({UNK_ID} AS BIGINT)] ELSE []::BIGINT[] END AS ids,
+    length(word) > {maxc} AS unk
+  FROM (SELECT DISTINCT word FROM pt)
+),
+{enc_sql},
+enc AS MATERIALIZED (
+  SELECT word, array_to_string(ids, ',') AS wid,
+    CAST(len(ids) AS BIGINT) AS nt,
+    CASE WHEN unk THEN 1 ELSE 0 END AS unkn
+  FROM {prev}
+),
+agg AS (
+  SELECT p.doc_id, count(*) AS n_pretokens, sum(e.nt) AS n_tokens,
+    sum(e.unkn) AS n_unk,
+    string_agg(e.wid, ',' ORDER BY p.pos) AS ids_csv
+  FROM pt p JOIN enc e USING (word) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(n_pretokens, 0) AS BIGINT) AS n_pretokens,
+  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(n_unk, 0) AS BIGINT) AS n_unk,
+  coalesce(ids_csv, '') AS ids_csv
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("text_wordpiece_ids", oracle=_wp_oracle())
+def text_wordpiece_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: WordPiece (BERT) — likelihood-scored merge training
+    (score = n_ab / (n_a * n_b), the objective BPE's raw-frequency rule
+    does NOT share) and greedy longest-match-first encode-to-ids
+    (operators/wordpiece.py). Training is the blessed histogram-collect
+    + driver-local loop; encode runs once per UNIQUE pre-token (Arrow
+    pass) and reassembles per-document id sequences with the
+    sort_array-over-structs pattern — two exchanges, independent of
+    vocab size. The oracle replays training (serialized-symbol merge
+    stages with the scored argmax), id assignment, AND the full greedy
+    encode loop (one longest-match stage per consumed char), so whole
+    id sequences hash-match."""
+    from whisper_pandas_spark.operators.wordpiece import (
+        wordpiece_encode_ids,
+        wordpiece_train,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    pieces = wordpiece_train(docs, "text", _WP_MERGES, _WP_MIN_FREQ)
+    return wordpiece_encode_ids(docs, "doc_id", "text", pieces).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ingest_orc_roundtrip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ingest_orc_roundtrip",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id
+""",
+)
+def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+: documents -> ORC sink -> explicit-schema vectorized scan
+    (sources/ingest.py:read_orc/write_orc) — the Hive-ecosystem
+    interchange twin of the parquet path. Losslessness IS the
+    assertion: the oracle reads the original parquet, so any ORC
+    encode/decode drift (unicode, nulls, type mapping) hash-fails."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from whisper_pandas_spark.sources.ingest import read_orc, write_orc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = Path(tempfile.gettempdir()) / f"wps_orc_{tag}"
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_orc(docs, str(out))
+    back = read_orc(
+        spark,
+        str(out),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.orderBy("doc_id")

@@ -105,6 +105,26 @@ def write_csv(
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read ORC with an explicit DDL *schema* (column-pruned, predicate
+    pushdown, vectorized — Spark's native reader; ORC is self-describing
+    so there is no malformed-record mode: corruption fails the footer
+    read, it cannot silently null a column the way text formats can).
+
+    The explicit schema is still REQUIRED (same contract as
+    read_jsonl/read_csv): at 100 TB a silently widened column in one
+    shard must be a job failure at plan time, not a runtime surprise.
+    """
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Export as ORC (zlib default) — the Hive-ecosystem interchange
+    twin of the parquet sink; column-pruned and predicate-pushed on
+    re-read, so it is a first-class engine sink, not just an export."""
+    df.write.mode(mode).orc(path)
+
+
 def write_sharded(
     df: DataFrame,
     path: str,

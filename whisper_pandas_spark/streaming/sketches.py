@@ -358,6 +358,61 @@ def stream_cms_update(
     )
 
 
+def stream_hll_update(
+    sdf: DataFrame,
+    base: str,
+    keys: tuple[str, ...],
+    value_col: str,
+    m: int = 64,
+    seed: int = 0,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming twin for the HyperLogLog sketches (operators/hll.py):
+    each micro-batch is sketched on its own and element-wise-MAX-merged
+    (hll_rollup) into the versioned register state — live distinct
+    counts per group over an unbounded stream in O(groups x m) state.
+
+    Like Bloom/KMV — and unlike the additive CMS — the merge is
+    IDEMPOTENT (max-merging registers that are already absorbed changes
+    nothing), so a replayed batch or a full reprocess cannot corrupt
+    the state: no `_LAST_BATCH` marker machinery, asserted end-to-end
+    by the `stream_hll_replay` entry's deliberate double-pass.
+    """
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.hll import (
+        hll_rollup,
+        hll_shard_sketches,
+    )
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        write_version,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_sketch = hll_shard_sketches(
+            batch_df, keys, value_col, m=m, seed=seed
+        )
+        cur = current_version_path(base)
+        if cur is None:
+            new_state = hll_rollup(batch_sketch, keys)
+            next_version = 0
+        else:
+            prior = batch_df.sparkSession.read.parquet(cur).select(
+                *keys, "bucket", "reg"
+            )
+            new_state = hll_rollup(prior.unionByName(batch_sketch), keys)
+            next_version = int(Path(cur).name[1:]) + 1
+        write_version(base, new_state, next_version)
+
+    writer = sdf.writeStream.foreachBatch(apply).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_bloom_update(
     sdf: DataFrame,
     base: str,
