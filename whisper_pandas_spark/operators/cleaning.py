@@ -10,15 +10,23 @@ CCNet/RefinedWeb-style pipelines, here as a deterministic regex chain).
 
 Scale design
 ------------
-Both operators are single-projection, ZERO-shuffle column expressions:
-per-document work built from codegen string/array built-ins
-(`split`, `filter`, `regexp_replace`, `array_join`) that run inside
-WholeStageCodegen on the executors. No Python UDFs, no explode — a
-document never leaves its partition, so the operators scale exactly as
-the scan does (100 TB = more partitions, same plan). Filter decisions
-ride WITH the row (`doc_kept` boolean) so callers can push the
-resulting predicate into downstream scans rather than materializing an
-intermediate corpus.
+Both operators are single-projection, ZERO-shuffle column expressions.
+No Python UDFs, no explode — a document never leaves its partition, so
+the operators scale exactly as the scan does (100 TB = more partitions,
+same plan). Filter decisions ride WITH the row (`doc_kept` boolean) so
+callers can push the resulting predicate into downstream scans rather
+than materializing an intermediate corpus.
+
+Execution tiers, stated honestly: the HTML chain is regexp_replace
+built-ins — true WholeStageCodegen. The C4 line rules use a
+higher-order `filter()` lambda, which Spark evaluates as
+CodegenFallback (interpreted per line) — the DELIBERATE trade: the
+alternative codegen formulation (explode lines -> codegen filter ->
+groupBy reassembly) buys back interpreter CPU by adding a corpus-wide
+exchange, and at 100 TB network+spill dwarfs a ~60 us/doc interpreter
+cost (sf1 stress: linear, scan-bound). Callers who only need the
+verdict (not `clean_text`) get the cheaper pure-count path
+automatically via column pruning.
 
 C4 rules implemented (the published subset that is deterministic and
 locale-free; citations are to the C4 paper's §2.2 rule list):

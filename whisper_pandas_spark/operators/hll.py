@@ -28,8 +28,11 @@ bit-deterministic and DuckDB-replayable:
 
 - 60-bit hash ``h`` = first 15 md5 hex chars of ``"hll<seed>:<value>"``;
 - bucket = ``h % m`` (m a power of two), payload ``w = h // m``;
-- rho(w)  = 1 + index of the lowest set bit of w (integer scan over a
-  constant range — no float log2), ``PAYLOAD_BITS + 1`` when w = 0;
+- rho(w)  = 1 + index of the lowest set bit of w, computed closed-form
+  as ``bit_count((w & -w) - 1) + 1`` (``w & -w`` isolates the lowest
+  set bit; minus one yields the below-mask; popcount counts it — pure
+  integer ops, no float log2, no per-row scan), ``PAYLOAD_BITS + 1``
+  when w = 0;
 - register_j = max rho over the bucket's values (comparison-only —
   order-free, partial-aggregatable map-side);
 - harmonic sum folds the m registers IN BUCKET ORDER with
@@ -111,8 +114,7 @@ def hll_shard_sketches(
     """
     pb = _payload_bits(m)
     rho = F.expr(
-        f"coalesce(filter(sequence(1, {pb}),"
-        f" r -> ((w div shiftleft(1L, r - 1)) % 2) = 1)[0], {pb + 1})"
+        f"IF(w = 0, {pb + 1}, bit_count((w & -w) - 1) + 1)"
     )
     return (
         df.select(*keys, _hll_hash(value_col, seed).alias("h"))

@@ -32,7 +32,7 @@ and the caller picks the compute budget explicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -137,11 +137,12 @@ def kmeans_cosine(
 # pipelines want. Callers needing magnitude-aware clustering should
 # quantize against a global scale (tests/test_round12b.py pins this).
 #
-# Scale shape (same as kmeans_cosine): ASSIGN is map-side (literal
-# centroids, codegen zip_with folds, zero shuffle); UPDATE is one
-# (cluster, dim) partial-agg exchange + a k x dim bounded collect per
-# iteration (the BPE-merge-table collect pattern). Empty clusters keep
-# their previous centroid.
+# Scale shape (same as kmeans_cosine): ASSIGN is map-side (centroid
+# matrix in the Arrow closure, vectorized numpy int64 distances, zero
+# shuffle — see _assign for why not zip_with expressions); UPDATE is
+# one (cluster, dim) partial-agg exchange + a k x dim bounded collect
+# per iteration (the BPE-merge-table collect pattern). Empty clusters
+# keep their previous centroid.
 
 def int8_codes(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, q) — the raw int8 code vectors (array<bigint>), same
@@ -150,35 +151,48 @@ def int8_codes(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return df.select(F.col(id_col), _quantize(v, _vabs_max(v)).alias("q"))
 
 
-def _sq_dist(q: Column, centroid: list[int]) -> Column:
-    """Exact BIGINT squared L2 distance code-vector -> literal centroid."""
-    c = F.array(*[F.lit(int(x)).cast("long") for x in centroid])
-    return F.aggregate(
-        F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def _assign(codes: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """(id, cluster, dist) — argmin over literal centroids, ties to the
-    lowest cluster id (struct min compares dist first, then cid)."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(F.col("q"), c).alias("dist"),
-                    F.lit(j).alias("cid"),
-                )
-                for j, c in enumerate(centroids)
-            ]
-        )
+    """(id, cluster, dist) — argmin over broadcast centroids, ties to
+    the lowest cluster id.
+
+    Arrow (mapInPandas) with vectorized exact-int64 numpy distances,
+    NOT a zip_with/aggregate expression: Spark's higher-order array
+    lambdas are CodegenFallback (interpreted per element — the MinHash
+    lesson, operators/dedup.py:minhash_signature_arrow), and the k x
+    dim x rows interpreter cost measured SUPER-linear at the sf1
+    stress. numpy int64 subtraction/square/sum is exact for int8-range
+    codes, so bit-parity with the SQL replay is preserved; np.argmin
+    returns the FIRST minimum = lowest cluster id, the documented tie
+    rule. Map-side only — the centroid matrix rides the closure, zero
+    shuffle, and the per-batch cost is one (batch x k x dim) einsum-
+    free broadcasted op."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.int64)  # k x dim
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.asarray(list(pdf["q"]), dtype=np.int64)  # n x dim
+            d = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            cl = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf.iloc[:, 0],
+                    "q": pdf["q"],
+                    "cluster": cl.astype("int32"),
+                    "dist": d[np.arange(len(cl)), cl],
+                }
+            )
+
+    id_name = codes.columns[0]
+    out = codes.mapInPandas(
+        assign_batches,
+        f"{id_name} long, q array<bigint>, cluster int, dist long",
     )
-    return codes.select(
-        *codes.columns,
-        best.getField("cid").alias("cluster"),
-        best.getField("dist").alias("dist"),
-    )
+    return out
 
 
 def kmeans_int8(
@@ -199,7 +213,19 @@ def kmeans_int8(
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1, iters >= 0; got k={k} iters={iters}")
-    codes = int8_codes(df, id_col, vec_col)
+    from whisper_pandas_spark.operators.dedup import _spread
+
+    # a small single-file fixture arrives as ONE partition, which would
+    # run every Arrow assign pass on one worker (_spread docstring);
+    # at real scale the scan already arrives wide and this is a no-op.
+    # localCheckpoint materializes the quantization ONCE: the iteration
+    # runs 2-3 jobs over `codes` per Lloyd step, and _quantize's
+    # higher-order lambdas are CodegenFallback (interpreted) — without
+    # the checkpoint every job re-interprets the full quantization
+    # lineage (measured 2x total at the sf1 stress).
+    codes = _spread(int8_codes(df, id_col, vec_col)).localCheckpoint(
+        eager=True
+    )
     init_rows = codes.orderBy(id_col).limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"k={k} but only {len(init_rows)} vectors")

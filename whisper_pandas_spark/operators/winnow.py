@@ -16,27 +16,33 @@ ties by RIGHTMOST position; record each selected (hash, position) once.
 
 Scale design
 ------------
-- k-gram hashing is a zero-shuffle projection: the token array and the
-  k-gram hash array are built per-row with codegen higher-order
-  functions (`transform` over a `sequence`), reusing the repo's
-  cross-engine md5→BIGINT hash family so DuckDB can replay the exact
-  fingerprints.
-- Window minima use ONE window pass partitioned by document: after the
-  per-document explode, `min(struct(hash, -pos))` over
-  ``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`` selects the
-  rightmost-minimal k-gram of each window (struct ordering compares
-  hash first, then -pos, so the larger position wins ties) — the
-  standard winnowing recurrence as a single Catalyst window operator,
-  partition-local per document (one hash exchange on doc id, then
-  linear).
-- The distinct over selected (doc, pos) is a map-side partial
-  aggregate on the SAME doc partitioning — AQE coalesces it into the
-  window stage's exchange.
+Everything after the token explode is ONE exchange on doc id followed
+by partition-local window passes — and none of it uses higher-order
+array lambdas, which are CodegenFallback (interpreted per element; the
+round-8 MinHash lesson, operators/dedup.py:_spread docstring):
+
+- k-grams materialize as ``concat_ws(tok, lead(tok,1), ...,
+  lead(tok,k-1))`` over the (doc, pos) window — the k-1 leads and the
+  md5→BIGINT hash (the repo's cross-engine family) run post-shuffle on
+  every core, fully inside codegen expressions, instead of a
+  per-document `transform(sequence...)` lambda on the scan's (possibly
+  single-file) partitioning.
+- The winnowing recurrence is `min(struct(hash, -pos))` over ``ROWS
+  BETWEEN CURRENT ROW AND w-1 FOLLOWING`` on the SAME window spec
+  (struct ordering compares hash first, then -pos, so the larger
+  position wins ties) — no second exchange.
+- Full windows only (starts 0 .. ng-w, via a partition-wide count on
+  the same spec); a document with fewer than w k-grams has exactly one
+  short window at start 0.
+- The distinct over selected (doc, pos, fp) keeps the doc-id hash
+  partitioning (doc id is among the grouping keys), so it is
+  partition-local — plan-audited: exchanges = window shuffle + final
+  sort, nothing else.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: cross-engine hash: first 15 md5 hex chars of "win:<gram>" as BIGINT
@@ -44,11 +50,12 @@ from pyspark.sql import functions as F
 HASH_PREFIX = "win"
 
 
-def _gram_hash(gram_sql: str) -> str:
-    return (
-        f"cast(conv(substring(md5(concat('{HASH_PREFIX}:', {gram_sql})),"
-        " 1, 15), 16, 10) as bigint)"
-    )
+def _gram_hash_col(gram: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{HASH_PREFIX}:"), gram)), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
 
 
 def winnow_duck_hash(gram_sql: str) -> str:
@@ -77,38 +84,30 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
-    # per-row k-gram hash array: positions 0 .. n-k. The transform is
-    # guarded with IF rather than relying on the row filter: Spark's
-    # sequence() DESCENDS when stop < start (sequence(0,-1) = [0,-1]),
-    # and common-subexpression elimination can evaluate the projection
-    # while the short-doc filter is still being applied.
-    grams = df.filter(F.size(F.col(tokens_col)) >= k).select(
-        F.col(id_col),
-        F.expr(
-            f"IF(size({tokens_col}) >= {k},"
-            f" transform(sequence(0, size({tokens_col}) - {k}),"
-            f" s -> {_gram_hash(f'array_join(slice({tokens_col}, s + 1, {k}), chr(32))')}),"
-            " slice(array(0L), 1, 0))"
-        ).alias("gh"),
+    toks = df.filter(F.size(F.col(tokens_col)) >= k).select(
+        F.col(id_col), F.posexplode(tokens_col).alias("pos", "tok")
     )
-
-    pos = grams.select(
-        F.col(id_col),
-        F.size("gh").alias("ng"),
-        F.posexplode("gh").alias("pos", "h"),
+    spec = Window.partitionBy(id_col).orderBy("pos")
+    # k-gram at pos p exists iff all k-1 leads are non-null (p <= n-k);
+    # concat_ws with the single-space joiner matches array_join(' ')
+    parts = [F.col("tok")] + [F.lead("tok", i).over(spec) for i in range(1, k)]
+    complete = parts[-1].isNotNull()
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.when(complete, _gram_hash_col(F.concat_ws(" ", *parts))).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
     )
     # rightmost-min of each w-window: struct(h, -pos) min over the
-    # FORWARD frame starting at every window start. Only FULL windows
-    # are winnowing windows (starts 0 .. ng-w); a document with fewer
-    # than w k-grams has exactly one (short) window at start 0.
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    sel = pos.select(
+    # FORWARD frame starting at every window start; ng (gram count per
+    # doc) rides the same partitioning as a full-frame count.
+    win = spec.rowsBetween(Window.currentRow, w - 1)
+    full = Window.partitionBy(id_col)
+    sel = grams.select(
         F.col(id_col),
-        F.col("ng"),
+        F.count(F.lit(1)).over(full).alias("ng"),
         F.col("pos").alias("start"),
         F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win).alias("m"),
     ).filter(F.col("start") <= F.greatest(F.col("ng") - w, F.lit(0)))

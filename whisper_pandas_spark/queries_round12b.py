@@ -13,11 +13,13 @@
                            (the distinct-count sibling of stream_bloom_replay)
 - emb_kmeans_int8          distributed Lloyd's k-means over int8 codes —
                            exact integer distances/updates, bit-replayable
+- text_wordpiece_ids       WordPiece (BERT): likelihood-scored training +
+                           greedy longest-match encode-to-ids
 - ingest_orc_roundtrip     documents -> ORC sink -> explicit-schema scan
 
 No reference-repo parity: whisper_pandas (reference, 299-line .wsp
 decoder) has no text/vector/sketch surface; these back SURVEY.md §2
-extension rows Y125-Y131.
+extension rows Y125-Y132.
 """
 
 from __future__ import annotations
@@ -127,8 +129,9 @@ FROM verdict ORDER BY doc_id
 def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4+: the C4 cleaning rules (terminal punctuation, min words,
     javascript/policy lines, lorem-ipsum / curly-brace documents,
-    min surviving lines) as one zero-shuffle codegen projection
-    (operators/cleaning.py:c4_line_filter). The fixture synthesizes
+    min surviving lines) as one zero-shuffle projection (higher-order
+    filter, CodegenFallback-interpreted — the deliberate trade vs a
+    corpus-wide explode/regroup exchange; see operators/cleaning.py). The fixture synthesizes
     identical multi-line documents on both engines (see module
     comment); the oracle replays every rule over DuckDB list lambdas."""
     from whisper_pandas_spark.operators.cleaning import c4_line_filter
@@ -344,8 +347,8 @@ WITH items AS (
   SELECT grp, {hll_duck_hash('val')} AS h FROM items
 ), rho AS (
   SELECT grp, h % {m} AS bucket,
-    coalesce(list_filter(range(1, 55),
-      r -> (((h // {m}) >> CAST(r - 1 AS INT)) & 1) = 1)[1], 55) AS rho
+    CASE WHEN h // {m} = 0 THEN 55
+         ELSE bit_count(((h // {m}) & -(h // {m})) - 1) + 1 END AS rho
   FROM hashed
 ), regs AS (
   SELECT grp, bucket, max(rho) AS reg FROM rho GROUP BY grp, bucket
@@ -582,10 +585,11 @@ def emb_kmeans_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3+: distributed Lloyd's k-means over int8 codes with EXACT
     integer distances and floored-integer-mean updates
     (operators/kmeans.py) — the auditable clustering front-end for
-    SemDeDup cells / domain mixtures / IVF training. Assign is map-side
-    (literal centroids, codegen zip_with folds); update is one
-    (cluster, dim) partial-agg exchange + a k x dim bounded collect per
-    iteration. The oracle replays the FULL iteration history in SQL
+    SemDeDup cells / domain mixtures / IVF training. Assign is a
+    map-side Arrow pass (centroid matrix in the closure, vectorized
+    exact-int64 numpy distances; zero shuffle); codes materialize once
+    per run; update is one (cluster, dim) partial-agg exchange + a
+    k x dim bounded collect per iteration. The oracle replays the FULL iteration history in SQL
     (generated CTE chain — same iteration count by construction)."""
     from whisper_pandas_spark.operators.kmeans import (
         kmeans_int8,
