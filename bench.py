@@ -95,6 +95,8 @@ HEADLINE3 = [
     # training + Arrow greedy encode) and the window-pass fingerprinter
     "text_wordpiece_ids",
     "text_winnow_fingerprints",
+    # the integrated web-crawl chain (strip -> C4 -> dedup -> quota)
+    "pipeline_web_end_to_end",
 ]
 
 

@@ -574,3 +574,103 @@ def test_wordpiece_unk_clamp(spark):
     ).collect()[0]
     assert out["n_unk"] == 1
     assert str(UNK_ID) in out["ids_csv"].split(",")
+
+
+# ---------------------------------------------------------------------------
+# web pipeline + random projection
+# ---------------------------------------------------------------------------
+
+
+def test_web_pipeline_funnel_monotone(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["pipeline_web_end_to_end"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "funnel must be non-empty"
+    for r in rows:
+        assert r["n_raw"] >= r["n_c4"] >= r["n_dedup"] >= r["n_kept"]
+        assert r["n_kept"] <= 15  # the per-domain quota
+    # the constant-body duplicate plants (doc_id % 53 == 11) collapse
+    # corpus-wide: across all domains at most ONE such doc survives dedup
+    total_dedup = sum(r["n_dedup"] for r in rows)
+    total_c4 = sum(r["n_c4"] for r in rows)
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id").collect()
+    ]
+    n_dup_docs = len([i for i in ids if i % 53 == 11])
+    assert n_dup_docs >= 2  # fixture sanity: the plant exists
+    assert total_c4 - total_dedup >= n_dup_docs - 1
+
+
+def test_rp_sign_matrix_deterministic_and_balanced():
+    from whisper_pandas_spark.operators.randproj import rp_sign, rp_sign_matrix
+
+    m = rp_sign_matrix(64, 16)
+    assert m == rp_sign_matrix(64, 16)
+    assert all(v in (-1, 1) for row in m for v in row)
+    # md5 uniformity: the +-1 split is near-balanced
+    flat = [v for row in m for v in row]
+    assert 0.35 < flat.count(1) / len(flat) < 0.65
+    assert rp_sign(3, 7) == m[3][7]
+
+
+def test_rp_projection_matches_numpy(spark):
+    import numpy as np
+
+    from whisper_pandas_spark.operators.kmeans import int8_codes
+    from whisper_pandas_spark.operators.randproj import (
+        rp_project_int8,
+        rp_sign_matrix,
+    )
+
+    df = _km_fixture(spark, k=2, per=10, dim=8)
+    codes = {
+        r["vec_id"]: np.array(r["q"], dtype=np.int64)
+        for r in int8_codes(df, "vec_id", "embedding").collect()
+    }
+    smat = np.asarray(rp_sign_matrix(8, 4), dtype=np.int64)
+    got = {
+        r["vec_id"]: list(r["p"])
+        for r in rp_project_int8(df, "vec_id", "embedding", 8, 4).collect()
+    }
+    for vid, q in codes.items():
+        assert got[vid] == list(q @ smat)
+
+
+def test_rp_preserves_planted_neighbors(spark):
+    """JL property on a planted structure: a vector's near-identical
+    twin ranks first in projected space too."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        twin = [x + rng.uniform(-0.01, 0.01) for x in base]
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x) for x in twin]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from whisper_pandas_spark.operators.randproj import rp_project_int8
+
+    proj = {
+        r["vec_id"]: r["p"]
+        for r in rp_project_int8(df, "vec_id", "embedding", 64, 16).collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    hits = 0
+    for i in range(40):
+        q = proj[2 * i]
+        best = max(
+            (v for v in proj if v != 2 * i),
+            key=lambda v: (dot(q, proj[v]), -v),
+        )
+        hits += best == 2 * i + 1
+    assert hits >= 36  # twins dominate in projected space

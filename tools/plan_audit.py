@@ -189,6 +189,8 @@ AUDITED = [
     "emb_kmeans_int8",
     "text_wordpiece_ids",
     "ingest_orc_roundtrip",
+    "pipeline_web_end_to_end",
+    "emb_rp_topk",
 ]
 
 

@@ -815,3 +815,354 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     return back.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# pipeline_web_end_to_end
+# ---------------------------------------------------------------------------
+# The INTEGRATED web-crawl pipeline — what a CommonCrawl-style build
+# actually chains, composed from operators whose own entries are
+# independently bit-exact: HTML wrap fixture -> html_extract (Y126) ->
+# c4_line_filter (Y125) -> exact dedup on the cleaned text -> URL
+# registered-domain keying (Y116) -> per-domain quota (Y120), with a
+# per-domain funnel (raw / post-C4 / post-dedup / post-quota) as the
+# checked value. The fixture reuses the C4 entry's synthesized line
+# array INSIDE an HTML container, plants constant-body duplicate docs
+# (doc_id % 53 == 11) so the dedup stage has real work, and keeps the
+# C4 poison plants so document drops flow through the whole chain.
+
+_WEB_QUOTA = 15
+_WEB_DUP_LINE = "the corpus pipeline keeps this sentence exactly the same here."
+
+
+def _web_oracle() -> str:
+    from whisper_pandas_spark.queries_round12b import (  # self, for clarity
+        _C4_MIN_KEPT,
+        _C4_MIN_WORDS,
+    )
+
+    html = (
+        "'<html><!-- doc ' || CAST(doc_id AS VARCHAR) || ' --><head><title>'"
+        " || lang ||"
+        " '</title><script type=\"text/javascript\">var s = \"' || source ||"
+        " '\";</script><style>p { color: red; }</style></head><body>'"
+        " || array_to_string(list_transform(lines,"
+        " l -> '<p>' || l || '</p>'), '')"
+        " || '</body></html>'"
+    )
+    return f"""
+WITH ws0 AS (
+  SELECT doc_id, lang, source,
+         regexp_split_to_array(trim(text), ' +') AS ws
+  FROM documents
+), lined AS (
+  SELECT doc_id, lang, source,
+    CASE WHEN doc_id % 53 = 11
+         THEN ['{_WEB_DUP_LINE}', '{_WEB_DUP_LINE}', '{_WEB_DUP_LINE}']
+         ELSE list_concat(
+      list_transform(range(0, (len(ws) + 11) // 12), i ->
+        array_to_string(
+          list_slice(ws, CAST(i * 12 + 1 AS INT),
+                     CAST(i * 12 + CASE WHEN (doc_id + i) % 7 = 3
+                                        THEN 3 ELSE 12 END AS INT)), ' ')
+        || CASE WHEN (doc_id + i) % 11 = 7 THEN ' javascript required'
+                ELSE '' END
+        || (['.', '!', '?', '', ';'])[CAST((doc_id + i) % 5 AS INT) + 1]),
+      list_concat(
+        CASE WHEN doc_id % 37 = 5
+             THEN ['lorem ipsum dolor sit amet.'] ELSE [] END,
+        CASE WHEN doc_id % 41 = 9
+             THEN ['function f() {{ return 1; }}'] ELSE [] END)
+    ) END AS lines
+  FROM ws0
+), stripped AS (
+  SELECT doc_id, lang, source,
+         source || '.com' AS reg_domain,
+         {_html_strip_duck(html)} AS clean1
+  FROM lined
+), c4 AS (
+  SELECT doc_id, reg_domain, clean1,
+    list_filter(string_split(clean1, chr(10)), l ->
+      regexp_matches(trim(l), '[.!?"]$')
+      AND len(regexp_split_to_array(trim(l), ' +')) >= {_C4_MIN_WORDS}
+      AND NOT (contains(lower(l), 'javascript')
+               OR contains(lower(l), 'privacy policy')
+               OR contains(lower(l), 'terms of use')
+               OR contains(lower(l), 'cookie policy')
+               OR contains(lower(l), 'uses cookies'))) AS kept
+  FROM stripped
+), verdict AS (
+  SELECT doc_id, reg_domain,
+    (len(kept) >= {_C4_MIN_KEPT}
+     AND NOT (contains(lower(clean1), 'lorem ipsum')
+              OR contains(clean1, '{{'))) AS c4_kept,
+    array_to_string(kept, chr(10)) AS clean2
+  FROM c4
+), d1 AS (
+  SELECT doc_id, reg_domain, clean2 FROM verdict WHERE c4_kept
+), d2 AS (
+  SELECT doc_id, reg_domain, clean2 FROM d1
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(clean2))
+), d3 AS (
+  SELECT doc_id, reg_domain, clean2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY reg_domain
+                                 ORDER BY doc_id) AS rn
+    FROM d2
+  ) WHERE rn <= {_WEB_QUOTA}
+), raw_agg AS (
+  SELECT reg_domain, count(*) AS n_raw FROM verdict GROUP BY reg_domain
+), c4_agg AS (
+  SELECT reg_domain, count(*) AS n_c4 FROM d1 GROUP BY reg_domain
+), dd_agg AS (
+  SELECT reg_domain, count(*) AS n_dedup FROM d2 GROUP BY reg_domain
+), q_agg AS (
+  SELECT reg_domain, count(*) AS n_kept,
+         CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+         CAST(sum(length(clean2)) AS BIGINT) AS kept_chars
+  FROM d3 GROUP BY reg_domain
+)
+SELECT r.reg_domain, r.n_raw,
+  CAST(coalesce(c.n_c4, 0) AS BIGINT) AS n_c4,
+  CAST(coalesce(d.n_dedup, 0) AS BIGINT) AS n_dedup,
+  CAST(coalesce(q.n_kept, 0) AS BIGINT) AS n_kept,
+  coalesce(q.sum_kept_ids, 0) AS sum_kept_ids,
+  coalesce(q.kept_chars, 0) AS kept_chars
+FROM raw_agg r
+LEFT JOIN c4_agg c USING (reg_domain)
+LEFT JOIN dd_agg d USING (reg_domain)
+LEFT JOIN q_agg q USING (reg_domain)
+ORDER BY r.reg_domain
+"""
+
+
+@register("pipeline_web_end_to_end", oracle=None)
+def pipeline_web_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTEGRATED web-crawl pipeline over `documents` — the stages a
+    CommonCrawl-style build chains, end to end:
+
+      1. HTML boilerplate extraction (operators/cleaning.py:html_extract
+         — codegen regex chain, rides the scan);
+      2. C4 line/document cleaning (c4_line_filter — zero-shuffle
+         projection, verdict rides the row);
+      3. exact dedup of the CLEANED text — min-doc_id keeper per md5,
+         the window shuffles digests, never documents;
+      4. URL registered-domain keying (operators/urlkey.py — codegen
+         strings) + per-domain quota (per_group_quota ->
+         WindowGroupLimit: a hot crawl domain moves ~quota rows per
+         input partition, never its bulk).
+
+    Output: the per-domain FUNNEL (raw / post-C4 / post-dedup /
+    post-quota + kept id-sum and byte totals) — each stage reuses an
+    operator whose own entry is independently bit-exact; this entry
+    proves the composition stays exact. Shuffle budget at 100 TB:
+    strip+clean ride the scan, dedup and quota are one hash exchange
+    each, the funnel aggregation reuses the quota partitioning."""
+    from pyspark.sql import Window
+
+    from whisper_pandas_spark.operators.cleaning import (
+        c4_line_filter,
+        html_extract,
+    )
+    from whisper_pandas_spark.operators.sampling import per_group_quota
+    from whisper_pandas_spark.operators.urlkey import url_key_df
+
+    docs = _table(spark, sf_dir, "documents")
+    dup = F.array(*[F.lit(_WEB_DUP_LINE)] * 3)
+    lined = docs.select(
+        "doc_id", "lang", "source", F.split(F.trim("text"), " +").alias("ws")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 53 == 11, dup)
+        .otherwise(F.expr(_c4_lines_spark()))
+        .alias("lines"),
+    )
+    html = lined.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("<html><!-- doc "), F.col("doc_id").cast("string"),
+            F.lit(" --><head><title>"), F.col("lang"),
+            F.lit('</title><script type="text/javascript">var s = "'),
+            F.col("source"),
+            F.lit('";</script><style>p { color: red; }</style></head><body>'),
+            F.expr("array_join(transform(lines, l -> concat('<p>', l, '</p>')), '')"),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    stripped = html_extract(html, "doc_id", "html").join(
+        html.select("doc_id", "source"), "doc_id"
+    )
+    urls = stripped.withColumn(
+        "url",
+        F.concat(F.lit("https://www."), F.col("source"),
+                 F.lit(".com/doc/"), F.col("doc_id").cast("string")),
+    )
+    keyed = url_key_df(urls, "url").select(
+        "doc_id", "reg_domain", F.col("clean_text").alias("clean1")
+    )
+    c4 = c4_line_filter(keyed, "doc_id", "clean1").join(
+        keyed.select("doc_id", "reg_domain"), "doc_id"
+    )
+    base = c4.select(
+        "doc_id", "reg_domain", F.col("doc_kept").alias("c4_kept"),
+        F.col("clean_text").alias("clean2"),
+    )
+    d1 = base.filter("c4_kept").select("doc_id", "reg_domain", "clean2")
+    w = Window.partitionBy(F.md5(F.encode("clean2", "utf-8")))
+    d2 = (
+        d1.withColumn("__keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    d3 = per_group_quota(d2, "reg_domain", "doc_id", _WEB_QUOTA)
+
+    raw_agg = base.groupBy("reg_domain").agg(F.count(F.lit(1)).alias("n_raw"))
+    c4_agg = d1.groupBy("reg_domain").agg(F.count(F.lit(1)).alias("n_c4"))
+    dd_agg = d2.groupBy("reg_domain").agg(F.count(F.lit(1)).alias("n_dedup"))
+    q_agg = d3.groupBy("reg_domain").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+        F.sum(F.length("clean2")).alias("kept_chars"),
+    )
+    out = (
+        raw_agg.join(c4_agg, "reg_domain", "left")
+        .join(dd_agg, "reg_domain", "left")
+        .join(q_agg, "reg_domain", "left")
+        .select(
+            "reg_domain",
+            "n_raw",
+            F.coalesce("n_c4", F.lit(0)).cast("bigint").alias("n_c4"),
+            F.coalesce("n_dedup", F.lit(0)).cast("bigint").alias("n_dedup"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("sum_kept_ids", F.lit(0)).cast("bigint").alias("sum_kept_ids"),
+            F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("reg_domain")
+    )
+    return out
+
+
+_ORACLES["pipeline_web_end_to_end"] = _web_oracle()
+
+
+# ---------------------------------------------------------------------------
+# emb_rp_topk
+# ---------------------------------------------------------------------------
+# JL random projection: 64-dim int8 codes -> 16-dim exact-integer
+# projected vectors (md5 +-1 signs), brute top-k in PROJECTED space,
+# with per-pair membership in the FULL-dimensional integer-dot top-k
+# joined alongside (the in-query recall audit). Everything is exact
+# BIGINT arithmetic, so the oracle replays projection, both rankings,
+# and the flag bit-for-bit.
+
+_RP_K = 10
+_RP_NQ = 5
+_RP_IN_DIM = 64
+
+
+def _rp_oracle() -> str:
+    from whisper_pandas_spark.operators.randproj import RP_OUT_DIM, rp_duck_sign
+    from whisper_pandas_spark.queries_embeddings import _duck_codes, _duck_scale
+
+    dot_p = (
+        "CAST(list_reduce(list_prepend(0::BIGINT,"
+        " list_transform(range(1, {n} + 1),"
+        " i -> a.p[CAST(i AS INT)] * b.p[CAST(i AS INT)])),"
+        " (acc, x) -> acc + x) AS BIGINT)"
+    ).format(n=RP_OUT_DIM)
+    dot_q = (
+        "CAST(list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(range(1, {_RP_IN_DIM} + 1),"
+        " i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])),"
+        " (acc, x) -> acc + x) AS BIGINT)"
+    )
+    return f"""
+WITH codes AS (
+  SELECT vec_id, {_duck_codes("embedding", _duck_scale("embedding"))} AS q
+  FROM embeddings
+), proj AS (
+  SELECT vec_id, t.j,
+    CAST(list_reduce(list_prepend(0::BIGINT,
+      list_transform(range(1, {_RP_IN_DIM} + 1),
+        d -> q[CAST(d AS INT)] * {rp_duck_sign("d - 1", "t.j")})),
+      (acc, x) -> acc + x) AS BIGINT) AS pv
+  FROM codes CROSS JOIN range(0, {RP_OUT_DIM}) t(j)
+), parr AS (
+  SELECT vec_id, array_agg(pv ORDER BY j) AS p FROM proj GROUP BY vec_id
+), fullrank AS (
+  SELECT a.vec_id AS query_id, b.vec_id, {dot_q} AS dot_q,
+    row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY {dot_q} DESC, b.vec_id) AS frnk
+  FROM codes a JOIN codes b ON a.vec_id < {_RP_NQ} AND a.vec_id != b.vec_id
+), projrank AS (
+  SELECT a.vec_id AS query_id, b.vec_id, {dot_p} AS dot_p,
+    row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY {dot_p} DESC, b.vec_id) AS rnk
+  FROM parr a JOIN parr b ON a.vec_id < {_RP_NQ} AND a.vec_id != b.vec_id
+)
+SELECT p.query_id, p.vec_id, p.dot_p, p.rnk,
+  coalesce(f.frnk <= {_RP_K}, false) AS in_full_topk
+FROM projrank p
+LEFT JOIN fullrank f ON f.query_id = p.query_id AND f.vec_id = p.vec_id
+WHERE p.rnk <= {_RP_K}
+ORDER BY p.query_id, p.rnk
+"""
+
+
+@register("emb_rp_topk", oracle=_rp_oracle())
+def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: Johnson-Lindenstrauss random projection ANN
+    (operators/randproj.py) — 64-dim int8 codes projected to 16 dims by
+    the md5 +-1 sign matrix (one map-side Arrow int64 matmul, zero
+    shuffle), brute top-{_RP_K} by exact integer dot in PROJECTED space
+    (4x cheaper per pair), with membership in the full-dimensional
+    integer-dot top-{_RP_K} joined alongside as the in-query recall
+    audit. All arithmetic is exact BIGINT, so projection, both
+    rankings, and the recall flag replay bit-for-bit in SQL."""
+    from pyspark.sql import Window
+
+    from whisper_pandas_spark.operators.kmeans import int8_codes
+    from whisper_pandas_spark.operators.randproj import (
+        RP_OUT_DIM,
+        rp_project_int8,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    codes = int8_codes(emb, "vec_id", "embedding").localCheckpoint(eager=True)
+    proj = rp_project_int8(
+        emb, "vec_id", "embedding", _RP_IN_DIM, RP_OUT_DIM
+    ).localCheckpoint(eager=True)
+
+    def topk(df: DataFrame, vcol: str, n: int, out_dot: str, out_rnk: str):
+        q = df.filter(F.col("vec_id") < _RP_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col(vcol).alias("qv")
+        )
+        dot = F.expr(
+            f"aggregate(zip_with(qv, {vcol}, (x, y) -> x * y), 0L,"
+            " (acc, v) -> acc + v)"
+        )
+        scored = (
+            df.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", dot.alias(out_dot))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(out_dot).desc(), F.col("vec_id")
+        )
+        return scored.withColumn(out_rnk, F.row_number().over(w))
+
+    pr = topk(proj, "p", RP_OUT_DIM, "dot_p", "rnk").filter(
+        F.col("rnk") <= _RP_K
+    )
+    fr = topk(codes, "q", _RP_IN_DIM, "dot_q", "frnk").filter(
+        F.col("frnk") <= _RP_K
+    ).select("query_id", "vec_id", F.lit(True).alias("__in"))
+    return (
+        pr.join(fr, ["query_id", "vec_id"], "left")
+        .select(
+            "query_id", "vec_id", "dot_p", "rnk",
+            F.coalesce("__in", F.lit(False)).alias("in_full_topk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
