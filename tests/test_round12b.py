@@ -674,3 +674,114 @@ def test_rp_preserves_planted_neighbors(spark):
         )
         hits += best == 2 * i + 1
     assert hits >= 36  # twins dominate in projected space
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney trigram LM
+# ---------------------------------------------------------------------------
+
+
+def _kn_brute(corpus: dict[int, str], d=0.75):
+    """Direct python interpolated-KN trigram model + per-doc logprob."""
+    import collections
+    import math as m
+    import re as _re
+
+    def toks(t):
+        return ["<s>", "<s>"] + [
+            x for x in _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ")
+            if x
+        ] + ["</s>"]
+
+    tris = collections.Counter()
+    streams = {}
+    for did, t in corpus.items():
+        seq = toks(t)
+        streams[did] = [tuple(seq[i : i + 3]) for i in range(len(seq) - 2)]
+        tris.update(streams[did])
+    c12 = collections.Counter()
+    n1p_12dot = collections.Counter()
+    n1p_dot23 = collections.Counter()
+    n1p_dot2dot = collections.Counter()
+    n1p_2dot = collections.defaultdict(set)
+    for (w1, w2, w3), c in tris.items():
+        c12[(w1, w2)] += c
+        n1p_12dot[(w1, w2)] += 1
+        n1p_dot23[(w2, w3)] += 1
+        n1p_dot2dot[w2] += 1
+        n1p_2dot[w2].add(w3)
+    cont = collections.Counter()
+    for (w2, w3) in n1p_dot23:
+        cont[w3] += 1
+    nt = len(n1p_dot23)
+
+    def p(w1, w2, w3):
+        pc = cont[w3] / nt
+        p2 = max(n1p_dot23[(w2, w3)] - d, 0) / n1p_dot2dot[w2] + (
+            (d * len(n1p_2dot[w2])) / n1p_dot2dot[w2]
+        ) * pc
+        return max(tris[(w1, w2, w3)] - d, 0) / c12[(w1, w2)] + (
+            (d * n1p_12dot[(w1, w2)]) / c12[(w1, w2)]
+        ) * p2
+
+    return {
+        did: (len(st), round(sum(m.log(p(*g)) for g in st), 6))
+        for did, st in streams.items()
+    }, p, n1p_2dot
+
+
+def test_kn_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(17)
+    words = "the cat sat on a mat dog ran big red".split()
+    corpus = {
+        i: " ".join(rng.choice(words) for _ in range(rng.randint(0, 25)))
+        for i in range(30)
+    }
+    from whisper_pandas_spark.operators.knlm import kn_trigram_score
+
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["logprob"])
+        for r in kn_trigram_score(df, "doc_id", "text").collect()
+    }
+    want, _, _ = _kn_brute(corpus)
+    assert got == want
+
+
+def test_kn_distribution_sums_to_one():
+    """Interpolated KN is a proper distribution: for any seen context,
+    P(w3|w1,w2) over the full event space sums to 1 (the continuation
+    interpolation guarantees it)."""
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on a mat",
+        3: "a cat ran",
+    }
+    _, p, n1p_2dot = _kn_brute(corpus)
+    vocab = set(w for ws in n1p_2dot.values() for w in ws) | {
+        "</s>", "the", "cat", "dog", "sat", "on", "a", "mat", "ran"
+    }
+    for ctx in [("the", "cat"), ("<s>", "<s>"), ("on", "the"), ("a", "cat")]:
+        total = sum(p(ctx[0], ctx[1], w) for w in vocab)
+        assert abs(total - 1.0) < 1e-9, (ctx, total)
+
+
+def test_kn_plausible_beats_gibberish(spark):
+    """The quality-signal property: a document written in the corpus
+    language scores higher (per trigram) than a shuffled-gibberish one."""
+    base = "the cat sat on the mat and the dog ran to the cat"
+    corpus = [(i, base) for i in range(10)]
+    corpus.append((100, "the cat sat on the mat"))
+    corpus.append((101, "mat the on cat sat the"))
+    from whisper_pandas_spark.operators.knlm import kn_trigram_score
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["logprob"] / r["n_trigrams"]
+        for r in kn_trigram_score(df, "doc_id", "text").collect()
+    }
+    assert got[100] > got[101]

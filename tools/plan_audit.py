@@ -191,6 +191,7 @@ AUDITED = [
     "ingest_orc_roundtrip",
     "pipeline_web_end_to_end",
     "emb_rp_topk",
+    "text_kn_trigram_score",
 ]
 
 

@@ -1166,3 +1166,90 @@ def emb_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_kn_trigram_score
+# ---------------------------------------------------------------------------
+
+
+def _kn_oracle() -> str:
+    from whisper_pandas_spark.operators.knlm import BOS, EOS, KN_DISCOUNT
+
+    d = repr(KN_DISCOUNT)
+    return f"""
+WITH seqs AS (
+  SELECT doc_id,
+    list_concat(list_concat(['{BOS}', '{BOS}'],
+      list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+        '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')),
+      ['{EOS}']) AS seq
+  FROM documents
+), tri AS (
+  SELECT doc_id, CAST(i + 2 AS BIGINT) AS pos,
+    seq[CAST(i AS INT)] AS w1,
+    seq[CAST(i + 1 AS INT)] AS w2,
+    seq[CAST(i + 2 AS INT)] AS w3
+  FROM seqs, unnest(range(1, len(seq) - 1)) AS t(i)
+), c123 AS (
+  SELECT w1, w2, w3, count(*) AS c123 FROM tri GROUP BY w1, w2, w3
+), ctx12 AS (
+  SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+         count(*) AS n1p_12dot
+  FROM c123 GROUP BY w1, w2
+), n1p23 AS (
+  SELECT w2, w3, count(*) AS n1p_dot23 FROM c123 GROUP BY w2, w3
+), mid AS (
+  SELECT w2, count(*) AS n1p_dot2dot,
+         count(DISTINCT w3) AS n1p_2dot
+  FROM c123 GROUP BY w2
+), cont AS (
+  SELECT w3, count(*) AS n1p_dotw3 FROM n1p23 GROUP BY w3
+), nt AS (
+  SELECT count(*) AS n_bigram_types FROM n1p23
+), scored AS (
+  SELECT t.doc_id, t.pos,
+    ln(
+      greatest(CAST(c.c123 AS DOUBLE) - {d}, 0.0) / CAST(x.c12 AS DOUBLE)
+      + (({d} * CAST(x.n1p_12dot AS DOUBLE)) / CAST(x.c12 AS DOUBLE))
+        * (
+          greatest(CAST(b.n1p_dot23 AS DOUBLE) - {d}, 0.0)
+            / CAST(m.n1p_dot2dot AS DOUBLE)
+          + (({d} * CAST(m.n1p_2dot AS DOUBLE))
+             / CAST(m.n1p_dot2dot AS DOUBLE))
+            * (CAST(u.n1p_dotw3 AS DOUBLE) / CAST(nt.n_bigram_types AS DOUBLE))
+        )
+    ) AS lp
+  FROM tri t
+  JOIN c123 c USING (w1, w2, w3)
+  JOIN ctx12 x USING (w1, w2)
+  JOIN n1p23 b USING (w2, w3)
+  JOIN mid m USING (w2)
+  JOIN cont u USING (w3)
+  CROSS JOIN nt
+)
+SELECT doc_id, count(*) AS n_trigrams,
+  round(list_reduce(list_prepend(0.0::DOUBLE, array_agg(lp ORDER BY pos)),
+        (a, x) -> a + x), 6) AS logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("text_kn_trigram_score", oracle=_kn_oracle())
+def text_kn_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: interpolated Kneser-Ney trigram LM (operators/knlm.py) —
+    the corpus trains the model and scores every document in one plan,
+    the CCNet-class perplexity quality signal with the real smoothing
+    machinery (absolute discounting, CONTINUATION counts for the lower
+    orders, two-level interpolation). All six count tables are
+    vocab-bounded grouped aggregates of the padded trigram stream
+    (winnowing's posexplode+lead idiom, codegen); scoring joins the
+    stream back on its keys; the per-doc reduction is an order-pinned
+    ln-probability fold (bit-parity doubles). The oracle replays
+    counts, the exact arithmetic tree, and the ordered fold."""
+    from whisper_pandas_spark.operators.knlm import kn_trigram_score
+
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return kn_trigram_score(docs, "doc_id", "text").orderBy("doc_id")
