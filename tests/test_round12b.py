@@ -785,3 +785,178 @@ def test_kn_plausible_beats_gibberish(spark):
         for r in kn_trigram_score(df, "doc_id", "text").collect()
     }
     assert got[100] > got[101]
+
+
+# ---------------------------------------------------------------------------
+# span corruption
+# ---------------------------------------------------------------------------
+
+
+def _span_brute(doc_id: int, text: str, block=20, span_len=3):
+    toks = [
+        x
+        for x in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+        if x
+    ]
+    m = []
+    for i, _ in enumerate(toks):
+        b = i // block
+        full = b * block + block <= len(toks)
+        off = (
+            int(
+                hashlib.md5(f"span:{doc_id}:{b}".encode()).hexdigest()[:15],
+                16,
+            )
+            % (block - span_len + 1)
+        )
+        m.append(b + 1 if full and off <= i % block < off + span_len else 0)
+    inp, tgt = [], []
+    for i, (x, k) in enumerate(zip(toks, m)):
+        off = (
+            int(
+                hashlib.md5(
+                    f"span:{doc_id}:{i // block}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            % (block - span_len + 1)
+        )
+        if k == 0:
+            inp.append(x)
+        elif i % block == off:
+            inp.append(f"<X_{k}>")
+            tgt.append(f"<X_{k}> {x}")
+        else:
+            tgt.append(x)
+    target = " ".join(tgt) + (" " if tgt else "") + "<eos>"
+    return len(toks), sum(1 for k in m if k), " ".join(inp), target
+
+
+def test_span_corrupt_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(23)
+    words = "aa bb cc dd ee ff gg hh".split()
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 70))))
+        for i in range(25)
+    ]
+    from whisper_pandas_spark.operators.spancorrupt import span_corrupt
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in span_corrupt(df, "doc_id", "text").collect()
+    }
+    for did, text in docs:
+        n, nm, inp, tgt = _span_brute(did, text)
+        r = got[did]
+        assert (r["n_tokens"], r["n_masked"], r["input_text"], r["target_text"]) == (
+            n,
+            nm,
+            inp,
+            tgt,
+        ), (did, text)
+
+
+def test_span_corrupt_rate_and_roundtrip(spark):
+    from whisper_pandas_spark.operators.spancorrupt import span_corrupt
+
+    text = " ".join(f"w{i}" for i in range(400))  # 20 full blocks
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    r = span_corrupt(df, "doc_id", "text").collect()[0]
+    # exactly span_len per full block: 15% corruption by construction
+    assert r["n_masked"] == 20 * 3 and r["n_spans"] == 20
+    # reconstruction: input's kept tokens + target's masked tokens,
+    # re-interleaved by sentinel id, equal the original sequence
+    inp = r["input_text"].split(" ")
+    tgt = r["target_text"].split(" ")
+    assert tgt[-1] == "<eos>"
+    spans: dict[str, list] = {}
+    cur = None
+    for x in tgt[:-1]:
+        if x.startswith("<X_"):
+            cur = x
+            spans[cur] = []
+        else:
+            spans[cur].append(x)
+    rebuilt = []
+    for x in inp:
+        rebuilt.extend(spans[x] if x.startswith("<X_") else [x])
+    assert rebuilt == text.split(" ")
+
+
+def test_span_corrupt_partial_block_unmasked(spark):
+    from whisper_pandas_spark.operators.spancorrupt import span_corrupt
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(19)))],  # < one block
+        "doc_id long, text string",
+    )
+    r = span_corrupt(df, "doc_id", "text").collect()[0]
+    assert r["n_masked"] == 0 and r["input_text"].split(" ") == [
+        f"w{i}" for i in range(19)
+    ]
+    assert r["target_text"] == "<eos>"
+
+
+# ---------------------------------------------------------------------------
+# PCA top component
+# ---------------------------------------------------------------------------
+
+
+def test_pca_recovers_planted_direction(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    direction = rng.normal(size=16)
+    direction /= np.linalg.norm(direction)
+    rows = []
+    for i in range(300):
+        scale = rng.normal() * 10.0  # dominant variance along `direction`
+        noise = rng.normal(size=16) * 0.3
+        rows.append((i, [float(x) for x in scale * direction + noise]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from whisper_pandas_spark.operators.pca import pca_top_component
+
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in pca_top_component(df, "vec_id", "embedding", 16).collect()
+    }
+    # per-vector quantization is magnitude-blind (spherical — the
+    # documented int8 semantics), so the projection must separate the
+    # planted direction by SIGN: vectors pointing along +direction land
+    # on one side, -direction on the other (margin skips near-zero
+    # scales where the noise dominates the direction)
+    scales = {}
+    for i, vec in rows:
+        scales[i] = float(np.dot(np.asarray(vec), direction))
+    pos = [out[i] for i in out if scales[i] > 2.0]
+    neg = [out[i] for i in out if scales[i] < -2.0]
+    assert len(pos) > 50 and len(neg) > 50  # fixture sanity
+    side = 1.0 if sum(pos) > 0 else -1.0
+    assert all(side * p > 0 for p in pos)
+    assert all(side * q < 0 for q in neg)
+
+
+def test_pca_power_iteration_matches_numpy():
+    import numpy as np
+
+    from whisper_pandas_spark.operators.pca import power_iterate
+
+    # power iteration converges at rate (lambda2/lambda1)^iters, so the
+    # test plants a WIDE eigengap: one dominant direction + weak noise
+    rng = np.random.default_rng(4)
+    u = rng.normal(size=8)
+    u /= np.linalg.norm(u)
+    x = (
+        np.outer(rng.normal(size=200) * 40.0, u)
+        + rng.normal(size=(200, 8)) * 2.0
+    )
+    c = np.rint(x.T @ x).astype(np.int64)
+    v, norm = power_iterate([list(map(int, row)) for row in c], iters=30)
+    evals, evecs = np.linalg.eigh(c.astype(float))
+    top = evecs[:, -1]
+    cos = abs(float(np.dot(v, top)))
+    assert cos > 0.999
+    assert abs(norm - evals[-1]) / evals[-1] < 1e-6

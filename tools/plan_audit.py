@@ -192,6 +192,8 @@ AUDITED = [
     "pipeline_web_end_to_end",
     "emb_rp_topk",
     "text_kn_trigram_score",
+    "text_span_corruption",
+    "emb_pca_top_component",
 ]
 
 

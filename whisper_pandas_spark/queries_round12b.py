@@ -1253,3 +1253,167 @@ def text_kn_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     return kn_trigram_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_span_corruption
+# ---------------------------------------------------------------------------
+
+
+def _span_oracle() -> str:
+    from whisper_pandas_spark.operators.spancorrupt import (
+        BLOCK,
+        EOS_TOKEN,
+        SPAN_LEN,
+    )
+
+    b, sl = BLOCK, SPAN_LEN
+    off = (
+        f"(('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':'"
+        f" || CAST(i // {b} AS VARCHAR)), 1, 15))::BIGINT % {b - sl + 1})"
+    )
+    mask = (
+        f"CASE WHEN ((i // {b}) * {b} + {b} <= len(t))"
+        f" AND (i % {b}) >= {off} AND (i % {b}) < {off} + {sl}"
+        f" THEN (i // {b}) + 1 ELSE 0 END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS t
+  FROM documents
+), marked AS (
+  SELECT doc_id, t, CAST(len(t) AS INT) AS n_tokens,
+    list_transform(range(0, len(t)), i -> {mask}) AS m,
+    list_transform(range(0, len(t)), i -> {off}) AS offs
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+  CAST(len(list_filter(m, v -> v <> 0)) AS INT) AS n_masked,
+  CAST(len(list_distinct(list_filter(m, v -> v <> 0))) AS INT) AS n_spans,
+  coalesce(array_to_string(list_filter(
+    list_transform(range(0, len(t)), i ->
+      CASE WHEN m[CAST(i + 1 AS INT)] = 0 THEN t[CAST(i + 1 AS INT)]
+           WHEN i % {b} = offs[CAST(i + 1 AS INT)]
+             THEN '<X_' || m[CAST(i + 1 AS INT)] || '>'
+           ELSE '' END), x -> x <> ''), ' '), '') AS input_text,
+  coalesce(array_to_string(list_filter(
+    list_transform(range(0, len(t)), i ->
+      CASE WHEN m[CAST(i + 1 AS INT)] = 0 THEN ''
+           WHEN i % {b} = offs[CAST(i + 1 AS INT)]
+             THEN '<X_' || m[CAST(i + 1 AS INT)] || '> '
+                  || t[CAST(i + 1 AS INT)]
+           ELSE t[CAST(i + 1 AS INT)] END), x -> x <> ''), ' '), '')
+  || CASE WHEN len(list_filter(m, v -> v <> 0)) > 0 THEN ' ' ELSE '' END
+  || '{EOS_TOKEN}' AS target_text
+FROM marked ORDER BY doc_id
+"""
+
+
+@register("text_span_corruption", oracle=_span_oracle())
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: T5-style span corruption (operators/spancorrupt.py) — the
+    seq2seq pre-training data-prep step: block-randomized masked spans
+    (md5-driven placement — no RNG state, resume-safe, engine-
+    replayable; same 15% corruption rate as T5's iid sampling),
+    sentinel-tokened (input, target) pair per document. One
+    zero-shuffle projection; the oracle replays block arithmetic, md5
+    offsets, and both output sequences verbatim."""
+    from whisper_pandas_spark.operators.spancorrupt import span_corrupt
+
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return span_corrupt(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# emb_pca_top_component
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    from whisper_pandas_spark.operators.pca import PCA_ITERS
+    from whisper_pandas_spark.queries_embeddings import _duck_codes, _duck_scale
+
+    n = _PCA_DIM
+    fold = "list_reduce(list_prepend(0.0::DOUBLE, {arr}), (x, y) -> x + y)"
+    stages = []
+    prev = "v_0"
+    for k in range(1, PCA_ITERS + 1):
+        wagg = fold.format(
+            arr="array_agg(CAST(c.c AS DOUBLE) * v.val ORDER BY c.b)"
+        )
+        nagg = fold.format(arr="array_agg(wv * wv ORDER BY dim)")
+        stages.append(f"""w_{k} AS MATERIALIZED (
+  SELECT c.a AS dim, {wagg} AS wv
+  FROM cmat c JOIN {prev} v ON v.dim = c.b
+  GROUP BY c.a
+),
+n_{k} AS MATERIALIZED (
+  SELECT sqrt({nagg}) AS nv FROM w_{k}
+),
+v_{k} AS MATERIALIZED (
+  SELECT dim, wv / nv AS val FROM w_{k} CROSS JOIN n_{k}
+)""")
+        prev = f"v_{k}"
+    stage_sql = ",\n".join(stages)
+    pfold = fold.format(
+        arr=f"list_transform(range(1, {n} + 1),"
+        " i -> CAST(qc[CAST(i AS INT)] AS DOUBLE) * va.v[CAST(i AS INT)])"
+    )
+    return f"""
+WITH codes AS MATERIALIZED (
+  SELECT vec_id, {_duck_codes("embedding", _duck_scale("embedding"))} AS q
+  FROM embeddings
+), mu AS MATERIALIZED (
+  SELECT CAST(t.d AS INT) AS d,
+    CAST(floor(CAST(CAST(sum(q[CAST(t.d + 1 AS INT)]) AS BIGINT) AS DOUBLE)
+               / count(*)) AS BIGINT) AS mu
+  FROM codes CROSS JOIN range(0, {n}) t(d) GROUP BY t.d
+), mua AS (
+  SELECT array_agg(mu ORDER BY d) AS m FROM mu
+), qcs AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(range(1, {n} + 1),
+      i -> q[CAST(i AS INT)] - m[CAST(i AS INT)]) AS qc
+  FROM codes CROSS JOIN mua
+), cmat AS MATERIALIZED (
+  SELECT CAST(a.d AS INT) AS a, CAST(b.d AS INT) AS b,
+    CAST(sum(qc[CAST(a.d + 1 AS INT)] * qc[CAST(b.d + 1 AS INT)]) AS BIGINT)
+      AS c
+  FROM qcs CROSS JOIN range(0, {n}) a(d) CROSS JOIN range(0, {n}) b(d)
+  GROUP BY 1, 2
+), v_0 AS (
+  SELECT CAST(d AS INT) AS dim, 0.125::DOUBLE AS val FROM range(0, {n}) t(d)
+),
+{stage_sql},
+va AS (
+  SELECT array_agg(val ORDER BY dim) AS v FROM v_{PCA_ITERS}
+)
+SELECT q.vec_id, round({pfold}, 6) AS proj,
+  round((SELECT nv FROM n_{PCA_ITERS}), 6) AS eig
+FROM qcs q CROSS JOIN va
+ORDER BY q.vec_id
+"""
+
+
+@register("emb_pca_top_component", oracle=_pca_oracle())
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: corpus top principal component by power iteration
+    (operators/pca.py) — the all-but-the-top / whitening primitive:
+    centered int8 codes (exact BIGINT), exact int64 Gram matrix via
+    per-batch Arrow matmuls + one bounded exchange, driver-side
+    left-to-right-fold power iteration from v0 = 1/8, and a map-side
+    dimension-sequential Arrow projection pass — every double matches
+    the SQL replay bit-for-bit (the oracle unrolls all iterations as
+    materialized CTE stages with ORDER BY folds)."""
+    from whisper_pandas_spark.operators.pca import pca_top_component
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, "vec_id", "embedding", _PCA_DIM).orderBy(
+        "vec_id"
+    )
