@@ -960,3 +960,37 @@ def test_pca_power_iteration_matches_numpy():
     cos = abs(float(np.dot(v, top)))
     assert cos > 0.999
     assert abs(norm - evals[-1]) / evals[-1] < 1e-6
+
+
+def test_abtt_removes_top_component(spark):
+    """After ABTT correction, the corpus top direction carries ~zero
+    energy: every corrected vector's projection onto v is ~0."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    direction = rng.normal(size=16)
+    direction /= np.linalg.norm(direction)
+    rows = []
+    for i in range(120):
+        scale = rng.normal() * 10.0
+        noise = rng.normal(size=16) * 0.5
+        rows.append((i, [float(x) for x in scale * direction + noise]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from whisper_pandas_spark.operators.pca import (
+        _centered_codes,
+        abtt_correct,
+        gram_matrix,
+        power_iterate,
+    )
+
+    qc, _ = _centered_codes(df, "vec_id", "embedding", 16)
+    v, _ = power_iterate(gram_matrix(qc, 16))
+    corrected = {
+        r["vec_id"]: np.asarray(r["a"])
+        for r in abtt_correct(df, "vec_id", "embedding", 16).collect()
+    }
+    vv = np.asarray(v)
+    # raw centered codes project to O(100) along v; corrected to ~1e-10
+    for a in corrected.values():
+        assert abs(float(a @ vv)) < 1e-6

@@ -194,6 +194,7 @@ AUDITED = [
     "text_kn_trigram_score",
     "text_span_corruption",
     "emb_pca_top_component",
+    "emb_abtt_topk",
 ]
 
 

@@ -35,7 +35,10 @@ Scale shape:
   magnitude below corpus scale);
 - scoring joins the stream back to the count tables on their keys —
   plain hash joins whose build sides are the vocab-bounded tables;
-- per-document reduction is one groupBy(doc) sum of ln p.
+- per-document reduction is one groupBy(doc) ORDER-PINNED ln-p fold;
+- the stream and the c123 root table materialize once
+  (localCheckpoint) — seven consumers otherwise re-derive the corpus
+  lineage.
 
 Determinism: all counts are exact BIGINTs; each probability is a fixed
 left-to-right arithmetic tree over exact operands (bit-identical IEEE
@@ -85,10 +88,21 @@ def kn_trigram_score(
     (<s> <s> </s> is not formed — a token-less doc yields exactly one
     trigram (<s>, <s>, </s>)), so every input row has an output row.
     """
-    tri = trigram_stream(df, id_col, text_col)
+    # eager localCheckpoint: the stream feeds SEVEN consumers (six count
+    # tables + the scoring join) — without it each one re-derives the
+    # tokenize/window lineage, i.e. seven corpus scans (the
+    # pipeline_corpus_end_to_end lesson; checkpoint blocks GC-release
+    # with the frame, unlike persist)
+    tri = trigram_stream(df, id_col, text_col).localCheckpoint(eager=True)
     grams = tri.select("w1", "w2", "w3")
 
-    c123 = grams.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    # c123 is the vocab-bounded root of every other count table —
+    # materialize it once instead of re-aggregating the stream 5x
+    c123 = (
+        grams.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .localCheckpoint(eager=True)
+    )
     ctx12 = c123.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12"),
         F.count(F.lit(1)).alias("n1p_12dot"),  # distinct w3 per (w1,w2)

@@ -159,3 +159,43 @@ def pca_top_component(
         F.round("proj", 6).alias("proj"),
         F.lit(eig).alias("eig"),
     )
+
+
+def abtt_correct(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    iters: int = PCA_ITERS,
+) -> DataFrame:
+    """All-but-the-top correction (Mu & Viswanath 2018, D=1): remove
+    the corpus top component from every centered code vector —
+    ``a = qc - proj * v`` element-wise. Returns (id, a array<double>).
+
+    Same pinned arithmetic as :func:`pca_top_component` (the projection
+    fold is dimension-sequential; each corrected element is one
+    multiply + subtract on identical operands), so the corrected
+    vectors — and anything downstream, e.g. similarity rankings —
+    replay bit-for-bit in SQL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qc, _ = _centered_codes(df, id_col, vec_col, dim)
+    qc = qc.localCheckpoint(eager=True)
+    c = gram_matrix(qc, dim)
+    v, _ = power_iterate(c, iters)
+    varr = np.asarray(v, dtype=np.float64)
+
+    def correct(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.asarray(list(pdf["qc"]), dtype=np.int64)
+            acc = np.zeros(len(q), dtype=np.float64)
+            for d in range(dim):
+                acc = acc + q[:, d] * v[d]
+            a = q.astype(np.float64) - acc[:, None] * varr[None, :]
+            yield pd.DataFrame({"vec_id": pdf.iloc[:, 0], "a": list(a)})
+
+    return qc.mapInPandas(correct, f"{id_col} long, a array<double>")

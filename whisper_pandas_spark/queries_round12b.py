@@ -16,10 +16,21 @@
 - text_wordpiece_ids       WordPiece (BERT): likelihood-scored training +
                            greedy longest-match encode-to-ids
 - ingest_orc_roundtrip     documents -> ORC sink -> explicit-schema scan
+- pipeline_web_end_to_end  the integrated CommonCrawl-style chain: HTML
+                           strip -> C4 -> exact dedup -> domain quota,
+                           per-domain funnel value-checked
+- emb_rp_topk              Johnson-Lindenstrauss +-1 random projection
+                           ANN with an in-query full-dim recall audit
+- text_kn_trigram_score    interpolated Kneser-Ney trigram LM trained on
+                           the corpus, scoring every document
+- text_span_corruption     T5 span corruption: deterministic md5-block
+                           masking, sentinel (input, target) pairs
+- emb_pca_top_component    corpus top principal component by power
+                           iteration (exact int64 Gram, bit-replayable)
 
 No reference-repo parity: whisper_pandas (reference, 299-line .wsp
 decoder) has no text/vector/sketch surface; these back SURVEY.md §2
-extension rows Y125-Y132.
+extension rows Y125-Y137.
 """
 
 from __future__ import annotations
@@ -1005,10 +1016,13 @@ def pipeline_web_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     c4 = c4_line_filter(keyed, "doc_id", "clean1").join(
         keyed.select("doc_id", "reg_domain"), "doc_id"
     )
+    # eager localCheckpoint: the funnel reads base/d1/d2 from FOUR
+    # aggregation consumers — without it each one re-runs the whole
+    # strip+C4 chain (the pipeline_corpus_end_to_end lesson)
     base = c4.select(
         "doc_id", "reg_domain", F.col("doc_kept").alias("c4_kept"),
         F.col("clean_text").alias("clean2"),
-    )
+    ).localCheckpoint(eager=True)
     d1 = base.filter("c4_kept").select("doc_id", "reg_domain", "clean2")
     w = Window.partitionBy(F.md5(F.encode("clean2", "utf-8")))
     d2 = (
@@ -1335,7 +1349,11 @@ def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_DIM = 64
 
 
-def _pca_oracle() -> str:
+def _pca_stages() -> str:
+    """Shared WITH-prefix: codes -> centered codes -> exact int64 Gram ->
+    unrolled power iteration -> the top-component array `va` (and the
+    final norm `n_<iters>`). Reused by _pca_oracle and _abtt_oracle —
+    same generator, so the two entries can never drift."""
     from whisper_pandas_spark.operators.pca import PCA_ITERS
     from whisper_pandas_spark.queries_embeddings import _duck_codes, _duck_scale
 
@@ -1361,12 +1379,7 @@ v_{k} AS MATERIALIZED (
 )""")
         prev = f"v_{k}"
     stage_sql = ",\n".join(stages)
-    pfold = fold.format(
-        arr=f"list_transform(range(1, {n} + 1),"
-        " i -> CAST(qc[CAST(i AS INT)] AS DOUBLE) * va.v[CAST(i AS INT)])"
-    )
-    return f"""
-WITH codes AS MATERIALIZED (
+    return f"""codes AS MATERIALIZED (
   SELECT vec_id, {_duck_codes("embedding", _duck_scale("embedding"))} AS q
   FROM embeddings
 ), mu AS MATERIALIZED (
@@ -1394,7 +1407,27 @@ WITH codes AS MATERIALIZED (
 va AS (
   SELECT array_agg(val ORDER BY dim) AS v FROM v_{PCA_ITERS}
 )
-SELECT q.vec_id, round({pfold}, 6) AS proj,
+"""
+
+
+def _pca_fold(arr: str) -> str:
+    return f"list_reduce(list_prepend(0.0::DOUBLE, {arr}), (x, y) -> x + y)"
+
+
+def _pca_proj_sql() -> str:
+    n = _PCA_DIM
+    return _pca_fold(
+        f"list_transform(range(1, {n} + 1),"
+        " i -> CAST(qc[CAST(i AS INT)] AS DOUBLE) * va.v[CAST(i AS INT)])"
+    )
+
+
+def _pca_oracle() -> str:
+    from whisper_pandas_spark.operators.pca import PCA_ITERS
+
+    return f"""
+WITH {_pca_stages()}
+SELECT q.vec_id, round({_pca_proj_sql()}, 6) AS proj,
   round((SELECT nv FROM n_{PCA_ITERS}), 6) AS eig
 FROM qcs q CROSS JOIN va
 ORDER BY q.vec_id
@@ -1416,4 +1449,88 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     return pca_top_component(emb, "vec_id", "embedding", _PCA_DIM).orderBy(
         "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_abtt_topk
+# ---------------------------------------------------------------------------
+
+_ABTT_K = 10
+_ABTT_NQ = 5
+
+
+def _abtt_oracle() -> str:
+    n = _PCA_DIM
+    proj = _pca_proj_sql()
+    dot = _pca_fold(
+        f"list_transform(range(1, {n} + 1),"
+        " i -> qq.a[CAST(i AS INT)] * dd.a[CAST(i AS INT)])"
+    )
+    return f"""
+WITH {_pca_stages()},
+pr AS MATERIALIZED (
+  SELECT q.vec_id, q.qc, {proj} AS proj FROM qcs q CROSS JOIN va
+),
+qa AS MATERIALIZED (
+  SELECT p.vec_id,
+    list_transform(range(1, {n} + 1),
+      i -> CAST(p.qc[CAST(i AS INT)] AS DOUBLE)
+           - p.proj * va.v[CAST(i AS INT)]) AS a
+  FROM pr p CROSS JOIN va
+),
+scored AS (
+  SELECT qq.vec_id AS query_id, dd.vec_id, {dot} AS rawdot
+  FROM qa qq JOIN qa dd
+    ON qq.vec_id < {_ABTT_NQ} AND qq.vec_id != dd.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, rawdot,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY rawdot DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, round(rawdot, 6) AS dot, rnk
+FROM ranked WHERE rnk <= {_ABTT_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("emb_abtt_topk", oracle=_abtt_oracle())
+def emb_abtt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: all-but-the-top corrected similarity (Mu & Viswanath 2018)
+    — the standard embedding post-processing: remove the corpus top
+    component (operators/pca.py:abtt_correct, pinned arithmetic over
+    centered int8 codes) and rank by dot product in the CORRECTED
+    space. Completes the PCA story: emb_pca_top_component finds the
+    common direction, this entry searches without it. Every double
+    (projection, correction, pairwise dots, ranking) replays
+    bit-for-bit via the shared _pca_stages oracle prefix."""
+    from pyspark.sql import Window
+
+    from whisper_pandas_spark.operators.pca import abtt_correct
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qa = abtt_correct(emb, "vec_id", "embedding", _PCA_DIM).localCheckpoint(
+        eager=True
+    )
+    q = qa.filter(F.col("vec_id") < _ABTT_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("a").alias("qv")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, a, (x, y) -> x * y),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    scored = qa.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id", dot.alias("rawdot"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rawdot").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ABTT_K)
+        .select(
+            "query_id", "vec_id", F.round("rawdot", 6).alias("dot"), "rnk"
+        )
+        .orderBy("query_id", "rnk")
     )
