@@ -625,3 +625,71 @@ def test_domain_quota_window_reads_materialized_keys(spark):
     assert "WindowGroupLimit" in plan
     assert "regexp_extract" not in plan  # keying evaluated before checkpoint
     assert "Scan ExistingRDD" in plan
+
+
+def test_round12b_plan_shapes(spark):
+    """Round-12b scale pins.
+
+    - c4/html/span: ZERO exchanges before the final sort — the cleaning
+      work rides the scan (one Exchange total, from orderBy).
+    - winnowing: exactly TWO exchanges (the doc-id window shuffle + the
+      final sort); the distinct must stay partition-local (doc id is
+      among its grouping keys), and there must be no Python in the plan.
+    - HLL rollup: the raw-data exchange is a partial aggregation
+      (map-side MAX combine) and the closed-form rho keeps bit_count in
+      the plan (no per-row sequence/filter scan).
+    - KN trigram: the count tables and scoring join read the
+      MATERIALIZED stream/c123 roots — exchange count stays bounded
+      (the 20-exchange re-derivation shape is banned).
+    - web pipeline: same materialized-base bound, and the per-domain
+      quota must compile to WindowGroupLimit.
+    """
+    import re
+
+    sf = "/root/testdata/sf0.001"
+
+    def exchanges(plan: str) -> int:
+        return len(
+            [ln for ln in plan.splitlines()
+             if re.match(r"\(\d+\) Exchange$", ln.strip())]
+        )
+
+    for name in ("text_c4_line_filter", "text_html_strip",
+                 "text_span_corruption"):
+        plan = formatted_plan(QUERIES[name](spark, sf))
+        assert exchanges(plan) <= 1, (name, plan)
+        assert "BatchEvalPython" not in plan, name
+
+    plan = formatted_plan(QUERIES["text_winnow_fingerprints"](spark, sf))
+    assert exchanges(plan) == 2, plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan  # lead()-window grams, not Arrow
+
+    plan = formatted_plan(QUERIES["sketch_hll_rollup"](spark, sf))
+    assert "partial_max" in plan or "partial" in plan
+    assert "bit_count" in plan
+    assert "sequence(" not in plan  # the interpreted rho scan is banned
+
+    plan = formatted_plan(QUERIES["text_kn_trigram_score"](spark, sf))
+    assert exchanges(plan) <= 12, exchanges(plan)
+    assert plan.count("Scan ExistingRDD") >= 2  # materialized tri + c123
+
+    plan = formatted_plan(QUERIES["pipeline_web_end_to_end"](spark, sf))
+    assert exchanges(plan) <= 9, exchanges(plan)
+    assert "WindowGroupLimit" in plan
+
+
+def test_round12b_arrow_stages_are_mapinpandas(spark):
+    """kmeans/RP/PCA/ABTT assign/project passes must be Arrow
+    (MapInPandas), never row-at-a-time Python (BatchEvalPython), and
+    the literal-centroid HOF fold shape is banned (zip_with in the
+    assign plan was the sf1 super-linear interpreter path)."""
+    sf = "/root/testdata/sf0.001"
+    for name in ("emb_kmeans_int8", "emb_rp_topk", "emb_pca_top_component",
+                 "emb_abtt_topk"):
+        plan = formatted_plan(QUERIES[name](spark, sf))
+        assert "BatchEvalPython" not in plan, name
+    # the final assign stage of kmeans is an Arrow pass
+    plan = formatted_plan(QUERIES["emb_kmeans_int8"](spark, sf))
+    assert "MapInPandas" in plan
+    assert "zip_with" not in plan
