@@ -994,3 +994,45 @@ def test_abtt_removes_top_component(spark):
     # raw centered codes project to O(100) along v; corrected to ~1e-10
     for a in corrected.values():
         assert abs(float(a @ vv)) < 1e-6
+
+
+def test_winnow_overlap_pairs_guarantee_and_stopfp(spark):
+    from whisper_pandas_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    # 10 planted pairs: docs 2i / 2i+1 share an 8-token run (>= w+k-1)
+    # on top of otherwise-disjoint vocabularies
+    docs = []
+    for i in range(10):
+        shared = [f"s{i}q{j}" for j in range(8)]
+        docs.append((2 * i, [f"a{i}w{j}" for j in range(20)] + shared))
+        docs.append((2 * i + 1, shared + [f"b{i}w{j}" for j in range(20)]))
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    fps = winnow_fingerprints(df, "doc_id", "toks")
+    got = {
+        (r["doc_i"], r["doc_j"]): r["n_shared"]
+        for r in winnow_overlap_pairs(fps, "doc_id", min_shared=1).collect()
+    }
+    for i in range(10):
+        assert got.get((2 * i, 2 * i + 1), 0) >= 1, i
+    # disjoint-vocabulary docs never pair
+    assert all(j == i + 1 and i % 2 == 0 for i, j in got)
+
+    # stop-fingerprint guard: IDENTICAL docs select identical
+    # fingerprint sets, so every fp has document frequency 12 — a
+    # max_fp_docs below that drops everything (boilerplate), above it
+    # all C(12,2) pairs surface
+    boiler = [f"g{j}" for j in range(30)]
+    docs2 = [(d, boiler) for d in range(12)]
+    df2 = spark.createDataFrame(docs2, "doc_id long, toks array<string>")
+    fps2 = winnow_fingerprints(df2, "doc_id", "toks")
+    guarded = winnow_overlap_pairs(
+        fps2, "doc_id", min_shared=1, max_fp_docs=11
+    ).collect()
+    assert guarded == []
+    open_pairs = winnow_overlap_pairs(
+        fps2, "doc_id", min_shared=1, max_fp_docs=12
+    ).collect()
+    assert len(open_pairs) == 66  # C(12, 2)

@@ -195,6 +195,7 @@ AUDITED = [
     "text_span_corruption",
     "emb_pca_top_component",
     "emb_abtt_topk",
+    "dedup_winnow_pairs",
 ]
 
 

@@ -120,3 +120,48 @@ def winnow_fingerprints(
         .distinct()
         .orderBy(id_col, "pos")
     )
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    max_fp_docs: int = 64,
+) -> DataFrame:
+    """MOSS-style overlap candidates from a winnowing fingerprint table
+    (:func:`winnow_fingerprints` output): pairs of documents sharing at
+    least ``min_shared`` distinct fingerprints, with the shared count —
+    the actual plagiarism/near-verbatim-reuse readout the fingerprints
+    exist for (paper §1: rank document pairs by matching fingerprints).
+
+    Scale design:
+
+    - the self-join runs on the fingerprint VALUE (an equi-join, never
+      all-pairs) over per-doc DISTINCT fingerprints;
+    - ``max_fp_docs`` is the stop-fingerprint guard (the text-retrieval
+      stopword analogue, and the same skew knob as the LSH/phash
+      max_bucket caps): a fingerprint appearing in more than this many
+      documents is boilerplate shared by everyone — it would emit
+      O(docs^2) candidate rows for one hash value and rank nothing
+      useful. Dropping them bounds any value's join fan-out at
+      max_fp_docs^2 and is the documented recall trade;
+    - the pair count is a partial aggregation on (doc_i, doc_j).
+    """
+    distinct_fps = fps.select(id_col, "fp").distinct()
+    small = (
+        distinct_fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= max_fp_docs)
+        .select("fp")
+    )
+    kept = distinct_fps.join(small, "fp")
+    a = kept.select(F.col("fp"), F.col(id_col).alias("doc_i"))
+    b = kept.select(F.col("fp"), F.col(id_col).alias("doc_j"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_i") < F.col("doc_j"))
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_i", "doc_j")
+    )

@@ -271,17 +271,19 @@ _WINNOW_K = 4
 _WINNOW_W = 5
 
 
-def _winnow_oracle() -> str:
+def _winnow_sel_sql(source_sql: str) -> str:
+    """CTE chain selecting winnowing fingerprints from a
+    ``(doc_id, text)`` source expression — shared by the fingerprint
+    entry and the overlap-pairs entry (one generator, no drift)."""
     from whisper_pandas_spark.operators.winnow import winnow_duck_hash
 
     k, w = _WINNOW_K, _WINNOW_W
     gram = f"array_to_string(list_slice(t, CAST(s + 1 AS INT), CAST(s + {k} AS INT)), ' ')"
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id,
     regexp_split_to_array(trim(regexp_replace(lower(text),
       '[^a-z0-9]+', ' ', 'g')), ' ') AS t
-  FROM documents
+  FROM ({source_sql})
 ), g AS (
   SELECT doc_id,
     list_transform(range(0, len(t) - {k} + 1),
@@ -300,11 +302,18 @@ WITH toks AS (
   SELECT doc_id, s, win,
     list_reduce(win, (a, b) -> least(a, b)) AS fp
   FROM sel
-)
-SELECT DISTINCT doc_id,
-  CAST(s + len(win) - list_position(list_reverse(win), fp) AS BIGINT) AS pos,
-  fp
-FROM mins ORDER BY doc_id, pos
+), selected AS (
+  SELECT DISTINCT doc_id,
+    CAST(s + len(win) - list_position(list_reverse(win), fp) AS BIGINT) AS pos,
+    fp
+  FROM mins
+)"""
+
+
+def _winnow_oracle() -> str:
+    return f"""
+WITH {_winnow_sel_sql("SELECT doc_id, text FROM documents")}
+SELECT doc_id, pos, fp FROM selected ORDER BY doc_id, pos
 """
 
 
@@ -1533,4 +1542,82 @@ def emb_abtt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id", F.round("rawdot", 6).alias("dot"), "rnk"
         )
         .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnow_pairs
+# ---------------------------------------------------------------------------
+# Fixture: every document gets a planted 10-token snippet appended;
+# docs 2i and 2i+1 share snippet p<i> (tokens p<i>x0..p<i>x9 — pairwise
+# distinct across pairs), so each adjacent pair shares a >= w+k-1-token
+# run and the winnowing guarantee forces at least one shared
+# fingerprint. The overlap readout joins fingerprints (equi-join on the
+# hash value, stop-fingerprint guard) and counts shared selections.
+
+_WINNOW_MIN_SHARED = 1
+_WINNOW_MAX_FP_DOCS = 64
+
+_WINNOW_PAIR_SOURCE = """
+  SELECT doc_id,
+    text || ' ' || array_to_string(list_transform(range(0, 10),
+      j -> 'p' || CAST(doc_id // 2 AS VARCHAR) || 'x'
+           || CAST(j AS VARCHAR)), ' ') AS text
+  FROM documents
+"""
+
+
+def _winnow_pairs_oracle() -> str:
+    return f"""
+WITH {_winnow_sel_sql(_WINNOW_PAIR_SOURCE)},
+dfps AS (
+  SELECT DISTINCT doc_id, fp FROM selected
+), keepfp AS (
+  SELECT fp FROM dfps GROUP BY fp
+  HAVING count(*) <= {_WINNOW_MAX_FP_DOCS}
+), kept AS (
+  SELECT d.doc_id, d.fp FROM dfps d JOIN keepfp USING (fp)
+)
+SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+ORDER BY doc_i, doc_j
+"""
+
+
+@register("dedup_winnow_pairs", oracle=_winnow_pairs_oracle())
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+: the MOSS overlap readout (operators/winnow.py:
+    winnow_overlap_pairs) — document pairs ranked by shared winnowing
+    fingerprints: an equi-join on the fingerprint VALUE (never
+    all-pairs) over per-doc distinct selections, with the
+    stop-fingerprint guard (max_fp_docs — the stopword/skew analogue of
+    the LSH max_bucket caps) bounding any hash value's fan-out. The
+    planted snippet pairs exercise the paper's guarantee end to end:
+    every >= w+k-1-token shared run surfaces as a pair."""
+    from whisper_pandas_spark.functions.text import tokenize
+    from whisper_pandas_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' ', array_join(transform(sequence(0, 9),"
+            " j -> concat('p', cast(doc_id div 2 as string), 'x',"
+            " cast(j as string))), ' '))"
+        ).alias("text"),
+    )
+    toked = docs.select("doc_id", tokenize("text").alias("toks"))
+    fps = winnow_fingerprints(
+        toked, "doc_id", "toks", k=_WINNOW_K, w=_WINNOW_W
+    )
+    return winnow_overlap_pairs(
+        fps,
+        "doc_id",
+        min_shared=_WINNOW_MIN_SHARED,
+        max_fp_docs=_WINNOW_MAX_FP_DOCS,
     )
