@@ -1,8 +1,13 @@
 """Round-12b operators: C4 line filtering, HTML extraction, winnowing
-fingerprints, HyperLogLog sketches, int8 k-means, ORC ingest — golden
-and property tests (brute-force Python replications on small inputs,
-plus the algebraic laws: winnowing's shared-substring guarantee, HLL's
-idempotent max-merge, Lloyd's assignment optimality)."""
+fingerprints (+ MOSS overlap pairs), HyperLogLog sketches, int8
+k-means, WordPiece, ORC/XML ingest, the integrated web pipeline,
+JL random projection, Kneser-Ney trigram LM, T5 span corruption, and
+power-iteration PCA / all-but-the-top — golden and property tests
+(brute-force Python replications on small inputs, plus the algebraic
+laws: winnowing's shared-substring guarantee and stop-fingerprint
+bound, HLL's idempotent max-merge, Lloyd's equivalence at every
+iteration count, KN's proper-distribution law, span corruption's
+reconstruction round trip, ABTT's residual orthogonality)."""
 
 from __future__ import annotations
 
@@ -1036,3 +1041,15 @@ def test_winnow_overlap_pairs_guarantee_and_stopfp(spark):
         fps2, "doc_id", min_shared=1, max_fp_docs=12
     ).collect()
     assert len(open_pairs) == 66  # C(12, 2)
+
+
+def test_xml_roundtrip_and_special_chars(spark, tmp_path):
+    from whisper_pandas_spark.sources.ingest import read_xml, write_xml
+
+    rows = [(1, "a&b <tag> \"q\" 'x'", 5), (2, None, -1)]
+    df = spark.createDataFrame(rows, "id long, s string, n long")
+    write_xml(df, str(tmp_path / "x"))
+    back = read_xml(spark, str(tmp_path / "x"), "id long, s string, n long")
+    got = sorted(back.collect(), key=lambda r: r["id"])
+    assert got[0]["s"] == "a&b <tag> \"q\" 'x'"
+    assert got[1]["s"] is None and got[1]["n"] == -1

@@ -196,6 +196,7 @@ AUDITED = [
     "emb_pca_top_component",
     "emb_abtt_topk",
     "dedup_winnow_pairs",
+    "ingest_xml_roundtrip",
 ]
 
 

@@ -1621,3 +1621,41 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=_WINNOW_MIN_SHARED,
         max_fp_docs=_WINNOW_MAX_FP_DOCS,
     )
+
+
+# ---------------------------------------------------------------------------
+# ingest_xml_roundtrip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ingest_xml_roundtrip",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id
+""",
+)
+def ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+: documents -> XML sink -> explicit-schema tolerant scan
+    (sources/ingest.py:read_xml/write_xml, Spark 4's built-in XML
+    source) — the enterprise-interchange sibling of the
+    JSONL/CSV/ORC round trips. Losslessness IS the assertion: the
+    oracle reads the original parquet, so any entity-escaping or
+    whitespace drift in the XML encode/decode chain hash-fails."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from whisper_pandas_spark.sources.ingest import read_xml, write_xml
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = Path(tempfile.gettempdir()) / f"wps_xml_{tag}"
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_xml(docs, str(out))
+    back = read_xml(
+        spark,
+        str(out),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.orderBy("doc_id")

@@ -125,6 +125,44 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    row_tag: str = "row",
+    on_error: str = "skip",
+) -> DataFrame:
+    """Read XML (Spark 4 built-in source) with an explicit DDL *schema*
+    — the enterprise-interchange twin of the JSONL path, same tolerant
+    corrupt-record contract (skip/keep/fail)."""
+    mode = {"skip": "DROPMALFORMED", "keep": "PERMISSIVE", "fail": "FAILFAST"}[
+        _validated(on_error)
+    ]
+    reader = (
+        spark.read.schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", mode)
+    )
+    if on_error == "keep":
+        reader = reader.option("columnNameOfCorruptRecord", _CORRUPT)
+    return reader.format("xml").load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """Export as XML (entity-escaped by the source — `&`, `<`, `>`
+    round-trip losslessly; verified by the ingest_xml_roundtrip
+    oracle)."""
+    (
+        df.write.mode(mode)
+        .option("rootTag", "rows")
+        .option("rowTag", row_tag)
+        .format("xml")
+        .save(path)
+    )
+
+
 def write_sharded(
     df: DataFrame,
     path: str,
