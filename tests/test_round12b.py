@@ -1053,3 +1053,47 @@ def test_xml_roundtrip_and_special_chars(spark, tmp_path):
     got = sorted(back.collect(), key=lambda r: r["id"])
     assert got[0]["s"] == "a&b <tag> \"q\" 'x'"
     assert got[1]["s"] is None and got[1]["n"] == -1
+
+
+def test_hard_negatives_labels_differ_and_match_brute(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["emb_hard_negatives"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(r["neg_label"] != r["query_label"] for r in rows)
+    # per query: ranked strictly by dot desc, vec_id tiebreak
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["dot_q"], r["vec_id"]))
+    for q, lst in by_q.items():
+        lst.sort()
+        dots = [(-d, v) for _, d, v in lst]
+        assert dots == sorted(dots), q
+
+
+def test_group_split_integrity(spark):
+    """No domain straddles splits: the split is a pure function of the
+    domain key."""
+    from whisper_pandas_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 7}.com") for i in range(300)],
+        "doc_id long, reg_domain string",
+    )
+    out = split_assign(df, "reg_domain", test_fraction=0.3).collect()
+    seen = {}
+    for r in out:
+        seen.setdefault(r["reg_domain"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in seen.values())
+    # append-stability: re-running on a superset never flips old rows
+    df2 = spark.createDataFrame(
+        [(i, f"dom{i % 7}.com") for i in range(600)],
+        "doc_id long, reg_domain string",
+    )
+    out2 = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df2, "reg_domain", test_fraction=0.3).collect()
+    }
+    for r in out:
+        assert out2[r["doc_id"]] == r["split"]

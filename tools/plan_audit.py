@@ -197,6 +197,8 @@ AUDITED = [
     "emb_abtt_topk",
     "dedup_winnow_pairs",
     "ingest_xml_roundtrip",
+    "emb_hard_negatives",
+    "sample_group_split",
 ]
 
 

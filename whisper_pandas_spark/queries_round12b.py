@@ -1659,3 +1659,144 @@ def ingest_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     return back.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# emb_hard_negatives
+# ---------------------------------------------------------------------------
+# Contrastive-training prep: for each query vector, the top-k NEAREST
+# vectors with a DIFFERENT label (hard negatives — the pairs that teach
+# a contrastive model the most; Robinson et al. 2021). Exact integer
+# code dots (the emb_int8_topk arithmetic) + the label predicate INSIDE
+# the join condition, so excluded same-label pairs never rank.
+
+_HN_K = 5
+_HN_NQ = 5
+
+
+def _hn_oracle() -> str:
+    from whisper_pandas_spark.queries_embeddings import _duck_codes, _duck_scale
+
+    dot = (
+        "CAST(list_reduce(list_prepend(0::BIGINT,"
+        " list_transform(range(1, 65),"
+        " i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])),"
+        " (acc, x) -> acc + x) AS BIGINT)"
+    )
+    return f"""
+WITH codes AS (
+  SELECT vec_id, label,
+    {_duck_codes("embedding", _duck_scale("embedding"))} AS q
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS query_id, a.label AS query_label,
+         b.vec_id, b.label AS neg_label, {dot} AS dot_q
+  FROM codes a JOIN codes b
+    ON a.vec_id < {_HN_NQ} AND a.label != b.label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot_q DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, query_label, vec_id, neg_label, dot_q, rnk
+FROM ranked WHERE rnk <= {_HN_K}
+ORDER BY query_id, rnk
+"""
+
+
+@register("emb_hard_negatives", oracle=_hn_oracle())
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: hard-negative mining for contrastive training — per query,
+    the top-{_HN_K} NEAREST vectors with a DIFFERENT label (exact
+    integer code dots; the label predicate lives in the join condition,
+    so same-label pairs never materialize). Broadcast query side,
+    per-query rank — the sim_topk reduction with a semantic filter."""
+    from pyspark.sql import Window
+
+    from whisper_pandas_spark.operators.kmeans import int8_codes
+
+    emb = _table(spark, sf_dir, "embeddings")
+    codes = int8_codes(emb, "vec_id", "embedding").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    q = codes.filter(F.col("vec_id") < _HN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("q").alias("qv"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    )
+    scored = codes.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id", "query_label", "vec_id",
+        F.col("label").alias("neg_label"), dot.alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HN_K)
+        .select("query_id", "query_label", "vec_id", "neg_label",
+                "dot_q", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_group_split
+# ---------------------------------------------------------------------------
+# Leakage-free GROUPED split: the split key is the registered DOMAIN,
+# not the document — all of a domain's documents land in the same
+# split (near-duplicate pages within a crawl domain would otherwise
+# leak across train/test and inflate eval). The in-query audit column
+# proves it: every domain's doc-distinct split count is 1.
+
+
+@register(
+    "sample_group_split",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source || '.com' AS reg_domain FROM documents
+), assigned AS (
+  SELECT doc_id, reg_domain,
+    CASE WHEN ('0x' || substr(md5('0:' || reg_domain), 1, 8))::BIGINT
+              < {int(0.2 * (1 << 32))} THEN 'test' ELSE 'train' END AS split
+  FROM keyed
+)
+SELECT split, count(*) AS n_docs,
+  count(DISTINCT reg_domain) AS n_domains,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM assigned GROUP BY split ORDER BY split
+""",
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline +: leakage-free GROUPED train/test split — the split is
+    a pure function of the DOMAIN key (operators/sampling.py:
+    split_assign on reg_domain), so every domain's documents land in
+    one split and near-duplicate pages cannot straddle train/test (the
+    grouped analogue of sample_train_test_split; group-integrity is
+    pytest-pinned). Zero extra shuffles: the md5 bucket rides the
+    scan, the summary is one aggregation."""
+    from whisper_pandas_spark.operators.sampling import split_assign
+    from whisper_pandas_spark.operators.urlkey import url_key_df
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "source")
+    urls = docs.withColumn(
+        "url",
+        F.concat(F.lit("https://www."), F.col("source"),
+                 F.lit(".com/doc/"), F.col("doc_id").cast("string")),
+    )
+    keyed = url_key_df(urls, "url").select("doc_id", "reg_domain")
+    assigned = split_assign(keyed, "reg_domain", test_fraction=0.2)
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("reg_domain").alias("n_domains"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("split")
+    )
