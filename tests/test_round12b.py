@@ -1097,3 +1097,31 @@ def test_group_split_integrity(spark):
     }
     for r in out:
         assert out2[r["doc_id"]] == r["split"]
+
+
+def test_fim_roundtrip_and_rate(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["text_fim_transform"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_applied = sum(1 for r in rows if r["fim_applied"])
+    assert 0.35 < n_applied / len(rows) < 0.65  # ~50% md5 gate
+    pre, suf, mid = "<fim_pre>", "<fim_suf>", "<fim_mid>"
+    for r in rows:
+        if not r["fim_applied"]:
+            assert pre not in r["fim_text"]
+            continue
+        # counts sum to the doc and the PSM segments reconstruct it
+        body = r["fim_text"]
+        assert body.startswith(pre + " ")
+        p, rest = body[len(pre) + 1 :].split(f" {suf} ", 1)
+        s, m = rest.split(f" {mid} ", 1)
+        toks = (
+            (p.split(" ") if p else [])
+            + (m.split(" ") if m else [])
+            + (s.split(" ") if s else [])
+        )
+        assert len([x for x in p.split(" ") if x]) == r["n_prefix"]
+        assert len([x for x in m.split(" ") if x]) == r["n_middle"]
+        assert len([x for x in s.split(" ") if x]) == r["n_suffix"]

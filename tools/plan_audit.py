@@ -199,6 +199,7 @@ AUDITED = [
     "ingest_xml_roundtrip",
     "emb_hard_negatives",
     "sample_group_split",
+    "text_fim_transform",
 ]
 
 

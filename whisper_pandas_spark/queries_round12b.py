@@ -1800,3 +1800,118 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_fim_transform
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle (Bavarian et al. 2022 "Efficient Training of
+# Language Models to Fill in the Middle"): reorder each document into
+# PSM form — <PRE> prefix <SUF> suffix <MID> middle — at a 50% apply
+# rate, so the model learns infilling without losing left-to-right
+# ability. Deterministic variant: the apply gate and both cut points
+# are md5 functions of doc_id (no RNG state, resume-safe — the span-
+# corruption convention). Cut points: c1 = h1 % (n+1),
+# c2 = c1 + h2 % (n - c1 + 1) over the token sequence.
+
+_FIM_PRE, _FIM_SUF, _FIM_MID = "<fim_pre>", "<fim_suf>", "<fim_mid>"
+
+
+def _fim_h(tag: str, doc_sql: str, spark: bool) -> str:
+    if spark:
+        return (
+            f"cast(conv(substring(md5(concat('{tag}:',"
+            f" cast({doc_sql} as string))), 1, 15), 16, 10) as bigint)"
+        )
+    return (
+        f"('0x' || substr(md5('{tag}:' || CAST({doc_sql} AS VARCHAR)),"
+        " 1, 15))::BIGINT"
+    )
+
+
+def _fim_oracle() -> str:
+    h0 = _fim_h("fim0", "doc_id", False)
+    h1 = _fim_h("fim1", "doc_id", False)
+    h2 = _fim_h("fim2", "doc_id", False)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS t
+  FROM documents
+), cuts AS (
+  SELECT doc_id, t, len(t) AS n,
+    ({h0} % 2 = 0) AS fim_applied,
+    CAST({h1} % (len(t) + 1) AS BIGINT) AS c1
+  FROM toks
+), cuts2 AS (
+  SELECT *, c1 + CAST({h2} % (n - c1 + 1) AS BIGINT) AS c2 FROM cuts
+)
+SELECT doc_id, fim_applied,
+  CAST(CASE WHEN fim_applied THEN c1 ELSE n END AS INT) AS n_prefix,
+  CAST(CASE WHEN fim_applied THEN c2 - c1 ELSE 0 END AS INT) AS n_middle,
+  CAST(CASE WHEN fim_applied THEN n - c2 ELSE 0 END AS INT) AS n_suffix,
+  CASE WHEN fim_applied THEN
+    '{_FIM_PRE} '
+    || coalesce(array_to_string(t[1:CAST(c1 AS INT)], ' '), '')
+    || ' {_FIM_SUF} '
+    || coalesce(array_to_string(
+         t[CAST(c2 + 1 AS INT):CAST(n AS INT)], ' '), '')
+    || ' {_FIM_MID} '
+    || coalesce(array_to_string(
+         t[CAST(c1 + 1 AS INT):CAST(c2 AS INT)], ' '), '')
+  ELSE coalesce(array_to_string(t, ' '), '') END AS fim_text
+FROM cuts2 ORDER BY doc_id
+"""
+
+
+@register("text_fim_transform", oracle=_fim_oracle())
+def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: fill-in-the-middle data prep (Bavarian et al. 2022) — PSM
+    reordering (<PRE> prefix <SUF> suffix <MID> middle) at a 50% apply
+    rate with md5-driven cut points (no RNG state, resume-safe; the
+    span-corruption determinism convention). One zero-shuffle
+    projection; the oracle replays gates, cut arithmetic, and the
+    reordered text verbatim."""
+    from whisper_pandas_spark.functions.text import tokenize
+
+    h0 = _fim_h("fim0", "doc_id", True)
+    h1 = _fim_h("fim1", "doc_id", True)
+    h2 = _fim_h("fim2", "doc_id", True)
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("t0")
+    ).select(
+        "doc_id", F.expr("filter(t0, x -> x != '')").alias("t")
+    ).select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n"),
+        F.expr(f"({h0} % 2) = 0").alias("fim_applied"),
+        F.expr(f"{h1} % (size(t) + 1)").alias("c1"),
+    ).select(
+        "*",
+        F.expr(f"c1 + ({h2} % (n - c1 + 1))").alias("c2"),
+    )
+    join_slice = (
+        "array_join(slice(t, {start}, {length}), ' ')"
+    )
+    pre = join_slice.format(start="1", length="cast(c1 as int)")
+    mid = join_slice.format(
+        start="cast(c1 + 1 as int)", length="cast(c2 - c1 as int)"
+    )
+    suf = join_slice.format(
+        start="cast(c2 + 1 as int)", length="cast(n - c2 as int)"
+    )
+    return docs.select(
+        "doc_id",
+        "fim_applied",
+        F.expr("cast(IF(fim_applied, c1, n) as int)").alias("n_prefix"),
+        F.expr("cast(IF(fim_applied, c2 - c1, 0) as int)").alias("n_middle"),
+        F.expr("cast(IF(fim_applied, n - c2, 0) as int)").alias("n_suffix"),
+        F.expr(
+            f"IF(fim_applied,"
+            f" concat('{_FIM_PRE} ', {pre}, ' {_FIM_SUF} ', {suf},"
+            f" ' {_FIM_MID} ', {mid}),"
+            " array_join(t, ' '))"
+        ).alias("fim_text"),
+    ).orderBy("doc_id")
