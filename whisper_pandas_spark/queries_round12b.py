@@ -27,10 +27,22 @@
                            masking, sentinel (input, target) pairs
 - emb_pca_top_component    corpus top principal component by power
                            iteration (exact int64 Gram, bit-replayable)
+- emb_abtt_topk            all-but-the-top corrected similarity (shared
+                           _pca_stages oracle prefix)
+- dedup_winnow_pairs       MOSS overlap readout: pairs ranked by shared
+                           winnowing fingerprints, stop-fp guard
+- ingest_xml_roundtrip     Spark 4 built-in XML source behind the
+                           tolerant-ingest contract
+- emb_hard_negatives       contrastive hard negatives: top-k nearest
+                           DIFFERENT-label vectors per query
+- sample_group_split       leakage-free split keyed on the registered
+                           domain (group integrity pinned)
+- text_fim_transform       fill-in-the-middle PSM reordering, 50%
+                           md5-gated, deterministic cut points
 
 No reference-repo parity: whisper_pandas (reference, 299-line .wsp
 decoder) has no text/vector/sketch surface; these back SURVEY.md §2
-extension rows Y125-Y137.
+extension rows Y125-Y143.
 """
 
 from __future__ import annotations
