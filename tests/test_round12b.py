@@ -1125,3 +1125,57 @@ def test_fim_roundtrip_and_rate(spark):
         assert len([x for x in p.split(" ") if x]) == r["n_prefix"]
         assert len([x for x in m.split(" ") if x]) == r["n_middle"]
         assert len([x for x in s.split(" ") if x]) == r["n_suffix"]
+
+
+def test_stream_kn_counts_exactly_once(spark, tmp_path):
+    """The additive law: a deliberate same-checkpoint reprocess is
+    short-circuited by the batch markers — counts never double."""
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.sketches import stream_kn_counts_update
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    d = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{d}/changes/f1")
+
+    def run():
+        sdf = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/changes/*")
+        )
+        q = stream_kn_counts_update(
+            sdf, f"{d}/state", "doc_id", "text", checkpoint_dir=f"{d}/ckpt"
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    first = {
+        (r["w1"], r["w2"], r["w3"]): r["c123"]
+        for r in spark.read.parquet(current_version_path(f"{d}/state")).collect()
+    }
+    assert first[("<s>", "<s>", "a")] == 2  # both docs start with 'a'
+    assert first[("a", "b", "c")] == 2  # twice in doc 1
+
+    # a WIPED checkpoint at the same path re-delivers batch 0, but the
+    # marker is scoped to the checkpoint PATH and stores the last merged
+    # batch id — the re-delivery is short-circuited, counts never double
+    import shutil
+
+    shutil.rmtree(f"{d}/ckpt")
+    run()
+    second = {
+        (r["w1"], r["w2"], r["w3"]): r["c123"]
+        for r in spark.read.parquet(current_version_path(f"{d}/state")).collect()
+    }
+    assert second == first
+
+    # and a plain restart on the intact checkpoint is a no-op too
+    run()
+    third = {
+        (r["w1"], r["w2"], r["w3"]): r["c123"]
+        for r in spark.read.parquet(current_version_path(f"{d}/state")).collect()
+    }
+    assert third == first

@@ -103,6 +103,22 @@ def kn_trigram_score(
         .agg(F.count(F.lit(1)).alias("c123"))
         .localCheckpoint(eager=True)
     )
+    return kn_score_from_counts(tri, c123, id_col, discount)
+
+
+def kn_score_from_counts(
+    tri: DataFrame,
+    c123: DataFrame,
+    id_col: str,
+    discount: float = KN_DISCOUNT,
+) -> DataFrame:
+    """Score a trigram stream against an EXTERNAL trigram count table
+    (same readout as :func:`kn_trigram_score`, which passes its own
+    corpus counts). The count table is the root state a streaming
+    maintainer keeps (streaming/sketches.py:stream_kn_counts_update —
+    additive merge, exactly-once), so live-maintained statistics score
+    exactly like a batch rebuild when the counts agree."""
+    d = float(discount)
     ctx12 = c123.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12"),
         F.count(F.lit(1)).alias("n1p_12dot"),  # distinct w3 per (w1,w2)
@@ -126,7 +142,6 @@ def kn_trigram_score(
         F.count(F.lit(1)).alias("n_bigram_types")
     )
 
-    d = float(discount)
     scored = (
         tri.join(c123, ["w1", "w2", "w3"])
         .join(ctx12, ["w1", "w2"])

@@ -39,10 +39,12 @@
                            domain (group integrity pinned)
 - text_fim_transform       fill-in-the-middle PSM reordering, 50%
                            md5-gated, deterministic cut points
+- stream_kn_replay         streaming KN trigram-count maintenance
+                           (additive, exactly-once), scored live
 
 No reference-repo parity: whisper_pandas (reference, 299-line .wsp
 decoder) has no text/vector/sketch surface; these back SURVEY.md §2
-extension rows Y125-Y143.
+extension rows Y125-Y144.
 """
 
 from __future__ import annotations
@@ -1927,3 +1929,57 @@ def text_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             " array_join(t, ' '))"
         ).alias("fim_text"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# stream_kn_replay
+# ---------------------------------------------------------------------------
+
+
+@register("stream_kn_replay", oracle=None)  # shares the batch KN oracle below
+def stream_kn_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+: streaming LM-statistics maintenance (streaming/sketches.py:
+    stream_kn_counts_update) replayed end-to-end — the corpus streams
+    through foreachBatch as two document files, each batch's trigram
+    counts elementwise-SUM-merged into the versioned (w1,w2,w3,c123)
+    state (ADDITIVE law -> exactly-once via checkpoint-scoped batch
+    markers, the CMS contrast to the idempotent Bloom/HLL maintainers),
+    then the WHOLE corpus is scored against the final state
+    (operators/knlm.py:kn_score_from_counts). Exactly-once merging
+    makes stream state == batch counts bit-for-bit, so this shares
+    `text_kn_trigram_score`'s oracle — one hash gate proving batch
+    counting, additive merges, version flips, AND the scoring readout
+    over live-maintained statistics."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.knlm import (
+        kn_score_from_counts,
+        trigram_stream,
+    )
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.sketches import stream_kn_counts_update
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="wps_knstream_")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{d}/changes/f1"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{d}/changes/f2"
+    )
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/changes/*")
+    )
+    q = stream_kn_counts_update(
+        sdf, f"{d}/state", "doc_id", "text", checkpoint_dir=f"{d}/ckpt"
+    )
+    q.processAllAvailable()
+    q.stop()
+    c123 = spark.read.parquet(current_version_path(f"{d}/state"))
+    tri = trigram_stream(docs, "doc_id", "text").localCheckpoint(eager=True)
+    return kn_score_from_counts(tri, c123, "doc_id").orderBy("doc_id")
+
+
+_ORACLES["stream_kn_replay"] = _kn_oracle()

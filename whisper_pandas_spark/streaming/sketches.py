@@ -471,3 +471,86 @@ def stream_bloom_update(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_kn_counts_update(
+    sdf: DataFrame,
+    base: str,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming maintenance of the Kneser-Ney trigram COUNT TABLE
+    (operators/knlm.py): each micro-batch of documents contributes its
+    trigram counts, merged into the versioned (w1, w2, w3, c123) state
+    by elementwise SUM — live LM statistics over an unbounded corpus,
+    scoreable at any time via kn_score_from_counts.
+
+    Like the CMS/histogram family — and unlike Bloom/KMV/HLL — the
+    merge is ADDITIVE, so a replayed batch would double-count and
+    ``checkpoint_dir`` is REQUIRED (the `_LAST_BATCH` marker
+    short-circuit, the standard exactly-once foreachBatch recipe).
+    State is the Zipf-bounded trigram-type table — orders of magnitude
+    below corpus scale and exactly the c123 root the batch scorer
+    derives everything from, so stream-maintained counts score
+    BIT-IDENTICALLY to a batch rebuild (asserted by the
+    `stream_kn_replay` entry's shared oracle).
+    """
+    from pathlib import Path
+
+    from whisper_pandas_spark.operators.knlm import trigram_stream
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        write_version,
+    )
+
+    if not checkpoint_dir:
+        raise ValueError(
+            "checkpoint_dir is required: the trigram-count merge is "
+            "additive, so a replayed batch would double-count — batch-id "
+            "dedup needs durable batch numbering"
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = current_version_path(base)
+        next_version = 0
+        if cur is not None:
+            marker = Path(cur) / "_LAST_BATCH"
+            if marker.exists():
+                sid, _, last = marker.read_text().rpartition(":")
+                if sid == checkpoint_dir and int(last) >= batch_id:
+                    return  # replay of an already-merged batch
+            next_version = int(Path(cur).name[1:]) + 1
+        from pyspark.sql import functions as F
+
+        batch_counts = (
+            trigram_stream(batch_df, id_col, text_col)
+            .groupBy("w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).alias("c123"))
+        )
+        if cur is None:
+            new_state = batch_counts
+        else:
+            prior = batch_df.sparkSession.read.parquet(cur).select(
+                "w1", "w2", "w3", "c123"
+            )
+            new_state = (
+                prior.unionByName(batch_counts)
+                .groupBy("w1", "w2", "w3")
+                .agg(F.sum("c123").alias("c123"))
+            )
+        write_version(
+            base,
+            new_state,
+            next_version,
+            extra_files={"_LAST_BATCH": f"{checkpoint_dir}:{batch_id}"},
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
