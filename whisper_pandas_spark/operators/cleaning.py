@@ -18,15 +18,18 @@ callers can push the resulting predicate into downstream scans rather
 than materializing an intermediate corpus.
 
 Execution tiers, stated honestly: the HTML chain is regexp_replace
-built-ins — true WholeStageCodegen. The C4 line rules use a
-higher-order `filter()` lambda, which Spark evaluates as
-CodegenFallback (interpreted per line) — the DELIBERATE trade: the
-alternative codegen formulation (explode lines -> codegen filter ->
-groupBy reassembly) buys back interpreter CPU by adding a corpus-wide
-exchange, and at 100 TB network+spill dwarfs a ~60 us/doc interpreter
-cost (sf1 stress: linear, scan-bound). Callers who only need the
-verdict (not `clean_text`) get the cheaper pure-count path
-automatically via column pruning.
+built-ins — true WholeStageCodegen. The C4 line rules run as an ARROW
+batch pass (mapInPandas, round 13): the previous higher-order
+`filter()` lambda was CodegenFallback — interpreted per LINE, ~60
+us/doc, the single largest per-row CPU tax in the engine at the sf1
+stress (12.6 s). The Arrow form keeps the same zero-shuffle shape (a
+document never leaves its partition; Arrow serialization is a
+bandwidth cost, ~GB/s, not a per-element interpreter cost) and drops
+the per-line work to C-speed numpy/str operations — the
+`semantic_contamination` Arrow-pass precedent. The SQL-expression
+twin is kept as `_c4_line_filter_expr` and pinned bit-equal in
+pytest, so the rule semantics stay engine-replayable and the DuckDB
+oracle is unchanged.
 
 C4 rules implemented (the published subset that is deterministic and
 locale-free; citations are to the C4 paper's §2.2 rule list):
@@ -79,6 +82,58 @@ def _line_keep_predicate(line: str, min_words: int) -> str:
     )
 
 
+def _c4_line_filter_expr(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The SQL-expression form of the C4 rules (higher-order `filter()`
+    lambda — CodegenFallback, interpreted per line). Kept as the
+    engine-replayable semantic twin of :func:`c4_line_filter`; pytest
+    pins both forms bit-equal. Do not use in hot paths — ~60 us/doc
+    interpreter cost at the sf1 stress."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.expr(
+        f"filter(split({text_col}, '\\n'),"
+        f" l -> {_line_keep_predicate('trim(l)', min_words)})"
+    )
+    doc_bad = " OR ".join(
+        f"contains(lower({text_col}), '{s}')" for s in DOC_BAD_SUBSTRINGS
+    )
+    doc_kept = (F.size(kept) >= min_kept_lines) & ~F.expr(doc_bad)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        doc_kept.alias("doc_kept"),
+        F.when(doc_kept, F.array_join(kept, "\n"))
+        .otherwise(F.lit(""))
+        .alias("clean_text"),
+    )
+
+
+def _c4_keep_line(t: str, min_words: int) -> bool:
+    """Python twin of ``_line_keep_predicate`` over the TRIMMED line.
+
+    Chunk counting matches SQL ``size(split(t, ' +'))`` for every
+    decision: non-empty space-run-separated chunks are counted the same
+    way, and the one representational difference (SQL counts '' as one
+    empty chunk, Python as zero) cannot flip the verdict because ''
+    already fails the terminal-punctuation rule. The end-anchor check
+    is `str.endswith`, which agrees with DuckDB's RE2 `$`
+    (end-of-text); Java's `$` would also match before a trailing
+    ``\\r`` — the Python form is the oracle-consistent one.
+    """
+    if not t.endswith(('.', '!', '?', '"')):
+        return False
+    if sum(1 for c in t.split(" ") if c) < min_words:
+        return False
+    lt = t.lower()
+    return not any(s in lt for s in LINE_BAD_SUBSTRINGS)
+
+
 def c4_line_filter(
     df: DataFrame,
     id_col: str,
@@ -98,26 +153,50 @@ def c4_line_filter(
       (empty string when the document is dropped, so the column is
       never null and downstream md5/token passes need no guards)
 
-    One projection, zero shuffles (plan-audited); the split array and
-    its filtered twin never leave the row.
+    Arrow batch pass (round 13 — replaces the interpreted higher-order
+    `filter()` lambda, the engine's largest per-row CPU tax): one
+    mapInPandas stage, zero shuffles, a document never leaves its
+    partition. Per-line work is plain C-speed str operations; semantics
+    are pinned bit-equal to :func:`_c4_line_filter_expr` in pytest and
+    the DuckDB oracle replays the same rules unchanged.
     """
-    lines = F.split(F.col(text_col), "\n")
-    kept = F.expr(
-        f"filter(split({text_col}, '\\n'),"
-        f" l -> {_line_keep_predicate('trim(l)', min_words)})"
-    )
-    doc_bad = " OR ".join(
-        f"contains(lower({text_col}), '{s}')" for s in DOC_BAD_SUBSTRINGS
-    )
-    doc_kept = (F.size(kept) >= min_kept_lines) & ~F.expr(doc_bad)
-    return df.select(
-        F.col(id_col),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
-        doc_kept.alias("doc_kept"),
-        F.when(doc_kept, F.array_join(kept, "\n"))
-        .otherwise(F.lit(""))
-        .alias("clean_text"),
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    mw, mk = int(min_words), int(min_kept_lines)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_lines, n_kept, doc_kept, clean = [], [], [], []
+            for text in pdf.iloc[:, 1]:
+                if text is None:
+                    text = ""  # null-tolerant (SQL twin yields SQL NULLs)
+                lines = text.split("\n")
+                kept = [l for l in lines if _c4_keep_line(l.strip(" "), mw)]
+                lt = text.lower()
+                ok = len(kept) >= mk and not any(
+                    s in lt for s in DOC_BAD_SUBSTRINGS
+                )
+                n_lines.append(len(lines))
+                n_kept.append(len(kept))
+                doc_kept.append(ok)
+                clean.append("\n".join(kept) if ok else "")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf.iloc[:, 0],
+                    "n_lines": n_lines,
+                    "n_kept": n_kept,
+                    "doc_kept": doc_kept,
+                    "clean_text": clean,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run,
+        f"{id_col} {id_type}, n_lines int, n_kept int,"
+        " doc_kept boolean, clean_text string",
     )
 
 

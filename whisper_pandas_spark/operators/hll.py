@@ -111,13 +111,22 @@ def hll_shard_sketches(
     one value appear (sparse representation; absent bucket = register
     0), exactly like the Bloom sketches' sparse set-bit rows. The max
     combines map-side, so the exchange carries <= groups x m rows.
+
+    NULL contract (round-13 ADVICE fix): NULL values are NOT sketched —
+    distinct-count semantics follow SQL ``COUNT(DISTINCT v)``, which
+    ignores NULLs. (Without the filter, Spark's ``concat_ws`` would
+    silently skip the NULL and hash the bare prefix — counting every
+    NULL as one phantom element — while the DuckDB twin's ``||``
+    propagates NULL; the explicit filter makes both engines drop the
+    row.)
     """
     pb = _payload_bits(m)
     rho = F.expr(
         f"IF(w = 0, {pb + 1}, bit_count((w & -w) - 1) + 1)"
     )
     return (
-        df.select(*keys, _hll_hash(value_col, seed).alias("h"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, _hll_hash(value_col, seed).alias("h"))
         # h is a 60-bit non-negative BIGINT: use INTEGER div/mod (a
         # float `/` would round above 2^53 and corrupt the payload)
         .selectExpr(*keys, f"h % {m} AS bucket", f"h div {m} AS w")

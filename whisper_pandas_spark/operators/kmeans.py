@@ -170,6 +170,11 @@ def _assign(codes: DataFrame, centroids: list[list[int]]) -> DataFrame:
     import pandas as pd
 
     cmat = np.asarray(centroids, dtype=np.int64)  # k x dim
+    # PySpark 4 assigns Arrow batch columns to the declared schema BY
+    # NAME — the output dict must use the caller's actual id column
+    # (round-13 ADVICE fix: a hardcoded name raises KeyError for any
+    # id_col other than that literal)
+    id_name = codes.columns[0]
 
     def assign_batches(batches):
         for pdf in batches:
@@ -180,14 +185,13 @@ def _assign(codes: DataFrame, centroids: list[list[int]]) -> DataFrame:
             cl = d.argmin(axis=1)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf.iloc[:, 0],
+                    id_name: pdf.iloc[:, 0],
                     "q": pdf["q"],
                     "cluster": cl.astype("int32"),
                     "dist": d[np.arange(len(cl)), cl],
                 }
             )
 
-    id_name = codes.columns[0]
     out = codes.mapInPandas(
         assign_batches,
         f"{id_name} long, q array<bigint>, cluster int, dist long",

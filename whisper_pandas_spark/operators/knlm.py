@@ -117,7 +117,21 @@ def kn_score_from_counts(
     corpus counts). The count table is the root state a streaming
     maintainer keeps (streaming/sketches.py:stream_kn_counts_update —
     additive merge, exactly-once), so live-maintained statistics score
-    exactly like a batch rebuild when the counts agree."""
+    exactly like a batch rebuild when the counts agree.
+
+    PRECONDITION (round-13 ADVICE): *c123* must COVER *tri* — every
+    scored trigram must appear in the count table. The scoring join is
+    an INNER join, so an uncovered trigram is silently dropped:
+    ``n_trigrams`` undercounts and ``logprob`` is inflated (it sums
+    fewer terms). That is the correct contract for the shipped callers
+    (``kn_trigram_score`` derives counts from the same stream;
+    ``stream_kn_replay`` scores only after the maintainer has absorbed
+    the batch), but a caller scoring a NEWER batch against LAGGING
+    streamed counts must either wait for the maintainer to catch up or
+    pre-filter the stream to covered trigrams. Use
+    :func:`assert_counts_cover` to verify coverage when in doubt (it
+    costs one anti-join aggregate, so it is opt-in rather than inlined
+    here)."""
     d = float(discount)
     ctx12 = c123.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12"),
@@ -184,3 +198,28 @@ def kn_score_from_counts(
             ).alias("logprob"),
         )
     )
+
+
+def assert_counts_cover(tri: DataFrame, c123: DataFrame) -> None:
+    """Raise ``ValueError`` if the trigram stream *tri* contains any
+    trigram absent from the count table *c123* (the
+    :func:`kn_score_from_counts` coverage precondition).
+
+    One left-anti join + count — a bounded driver read (a scalar), run
+    opt-in by callers whose counts come from an external/streaming
+    source that might lag the scored batch.
+    """
+    missing = (
+        tri.select("w1", "w2", "w3")
+        .distinct()
+        .join(c123.select("w1", "w2", "w3"), ["w1", "w2", "w3"], "left_anti")
+        .count()
+    )
+    if missing:
+        raise ValueError(
+            f"kn_score_from_counts coverage violated: {missing} trigram "
+            "type(s) in the scored stream are absent from the count table "
+            "— scores would silently drop them (inflated logprob). Wait "
+            "for the count maintainer to absorb the batch or pre-filter "
+            "the stream."
+        )

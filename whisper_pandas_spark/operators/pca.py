@@ -118,6 +118,15 @@ def power_iterate(
         for a in range(dim):
             acc = acc + w[a] * w[a]
         norm = math.sqrt(acc)
+        if norm == 0.0:
+            # degenerate corpus: all centered codes are zero, so C = 0
+            # and the iteration has no direction to converge to — fail
+            # loudly instead of a bare ZeroDivisionError (round-13
+            # ADVICE fix)
+            raise ValueError(
+                "power iteration collapsed: Gram matrix is zero "
+                "(all centered vectors identical — no principal direction)"
+            )
         v = [x / norm for x in w]
     return v, norm
 
@@ -151,7 +160,9 @@ def pca_top_component(
             acc = np.zeros(len(q), dtype=np.float64)
             for d in range(dim):
                 acc = acc + q[:, d] * v[d]
-            yield pd.DataFrame({"vec_id": pdf.iloc[:, 0], "proj": acc})
+            # schema binds by NAME in PySpark 4 — label with the
+            # caller's id column (round-13 ADVICE fix)
+            yield pd.DataFrame({id_col: pdf.iloc[:, 0], "proj": acc})
 
     out = qc.mapInPandas(project, f"{id_col} long, proj double")
     return out.select(
@@ -196,6 +207,6 @@ def abtt_correct(
             for d in range(dim):
                 acc = acc + q[:, d] * v[d]
             a = q.astype(np.float64) - acc[:, None] * varr[None, :]
-            yield pd.DataFrame({"vec_id": pdf.iloc[:, 0], "a": list(a)})
+            yield pd.DataFrame({id_col: pdf.iloc[:, 0], "a": list(a)})
 
     return qc.mapInPandas(correct, f"{id_col} long, a array<double>")

@@ -82,8 +82,10 @@ def rp_project_int8(
                 continue
             q = np.asarray(list(pdf["q"]), dtype=np.int64)
             p = q @ smat  # exact: |q| <= 127, in_dim <= 2^45 headroom
+            # schema binds by NAME in PySpark 4 — label with the
+            # caller's id column (round-13 ADVICE fix)
             yield pd.DataFrame(
-                {"vec_id": pdf.iloc[:, 0], "p": list(p)}
+                {id_col: pdf.iloc[:, 0], "p": list(p)}
             )
 
     codes = int8_codes(df, id_col, vec_col)

@@ -24,33 +24,56 @@ Output convention (T5): the input keeps unmasked tokens with one
 the doc); the target is the concatenation of ``<X_k>`` + the masked
 tokens, ending with ``<EOS>``.
 
-Scale shape: ONE zero-shuffle projection — block arithmetic, md5
-offsets, and both output sequences are array expressions over the
-token array; a document never leaves its partition. (The higher-order
-transforms are CodegenFallback-interpreted — same documented trade as
-the C4 rules: constant per-token work beats a corpus-wide exchange.)
+Scale shape: ONE zero-shuffle ARROW pass (mapInPandas, round 13 — the
+previous form was a chain of higher-order transform/filter lambdas,
+CodegenFallback-interpreted per TOKEN, the second-largest per-row CPU
+tax at the sf1 stress: 17.7 s). The Arrow pass keeps the same shape (a
+document never leaves its partition) with the per-token work reduced
+to C-speed list slicing: every full block masks exactly one CONTIGUOUS
+span, so both output sequences assemble block-by-block (slice, extend,
+one sentinel append) and each output string is a single ``' '.join``;
+only the ~n/block md5 offsets per document run as Python calls.
+Semantics are unchanged — the DuckDB oracle
+replays the identical block arithmetic, md5 offsets, and sequence
+construction (queries_round12b._span_oracle), and pytest pins the
+Arrow output against a brute-force Python twin.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+import hashlib
+import re
 
-from whisper_pandas_spark.functions.text import tokenize
+from pyspark.sql import DataFrame
 
 BLOCK = 20
 SPAN_LEN = 3
 EOS_TOKEN = "<eos>"
 
+#: the tokenizer twin of functions/text.tokenize: lower, collapse
+#: non-alphanumeric runs to single spaces, split (ASCII-equivalent to
+#: the Java/DuckDB regex forms; fixtures are ASCII)
+_NON_ALNUM = re.compile("[^a-z0-9]+")
+
 
 def _offset_sql(doc_sql: str, block_sql: str, block: int, span_len: int) -> str:
-    """md5-driven span offset within a block: hash % (block - span_len + 1)."""
+    """md5-driven span offset within a block: hash % (block - span_len + 1).
+
+    (Spark-SQL form, kept as executable documentation of the offset
+    law; the Arrow pass and the DuckDB oracle both replay it.)"""
     space = block - span_len + 1
     return (
         f"(cast(conv(substring(md5(concat('span:', cast({doc_sql} as string),"
         f" ':', cast({block_sql} as string))), 1, 15), 16, 10) as bigint)"
         f" % {space})"
     )
+
+
+def _offset(doc_id, blk: int, space: int) -> int:
+    """Python twin of :func:`_offset_sql` — int of the first 15 md5 hex
+    chars of 'span:<doc>:<blk>' (60 bits, non-negative) mod *space*."""
+    h = hashlib.md5(f"span:{doc_id}:{blk}".encode()).hexdigest()
+    return int(h[:15], 16) % space
 
 
 def span_corrupt(
@@ -68,48 +91,67 @@ def span_corrupt(
     """
     if not (0 < span_len < block):
         raise ValueError(f"need 0 < span_len < block, got {span_len}/{block}")
-    toks = tokenize(F.col(text_col))
-    off = _offset_sql(id_col, "(i div %d)" % block, block, span_len)
-    # classify each position: mask iff inside its block's span AND the
-    # block is full; sentinel position = the span's first token
-    masked = (
-        f"transform(t, (x, i) -> CASE"
-        f" WHEN (i div {block}) * {block} + {block} <= size(t)"
-        f"  AND i % {block} >= {off} AND i % {block} < {off} + {span_len}"
-        f" THEN (i div {block}) + 1 ELSE 0 END)"
-    )
-    out = df.select(
-        F.col(id_col),
-        toks.alias("t"),
-    ).select(
-        F.col(id_col),
-        F.expr("filter(t, x -> x != '')").alias("t"),
-    ).select(
-        F.col(id_col),
-        F.size("t").alias("n_tokens"),
-        F.col("t"),
-        F.expr(masked).alias("m"),
-    )
-    # the sentinel emits at the span's FIRST masked position: i%block == off
-    input_text = F.expr(
-        f"array_join(filter(transform(t, (x, i) ->"
-        f" CASE WHEN m[i] = 0 THEN x"
-        f"      WHEN i % {block} = {off} THEN concat('<X_', m[i], '>')"
-        f"      ELSE '' END), x -> x != ''), ' ')"
-    )
-    target_text = F.expr(
-        f"concat(array_join(filter(transform(t, (x, i) ->"
-        f" CASE WHEN m[i] = 0 THEN ''"
-        f"      WHEN i % {block} = {off} THEN"
-        f"        concat('<X_', m[i], '> ', x)"
-        f"      ELSE x END), x -> x != ''), ' '),"
-        f" IF(size(filter(m, v -> v != 0)) > 0, ' ', ''), '{EOS_TOKEN}')"
-    )
-    return out.select(
-        F.col(id_col),
-        "n_tokens",
-        F.expr("size(filter(m, v -> v != 0))").alias("n_masked"),
-        F.expr("size(array_distinct(filter(m, v -> v != 0)))").alias("n_spans"),
-        input_text.alias("input_text"),
-        target_text.alias("target_text"),
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    space = block - span_len + 1
+
+    def one(doc_id, text: str):
+        toks = _NON_ALNUM.sub(" ", text.lower()).strip(" ").split(" ")
+        if toks == [""]:
+            toks = []
+        n = len(toks)
+        nfull = n // block
+        if nfull == 0:
+            # no full block -> nothing masked
+            return n, 0, 0, " ".join(toks), EOS_TOKEN
+        # every FULL block masks exactly one contiguous span, so both
+        # sequences assemble block-by-block with C-speed list slicing —
+        # the only per-block Python work is the md5 offset
+        inp: list[str] = []
+        tgt: list[str] = []
+        prev = 0
+        for b in range(nfull):
+            s = b * block + _offset(doc_id, b, space)
+            sent = f"<X_{b + 1}>"
+            inp.extend(toks[prev:s])
+            inp.append(sent)
+            tgt.append(sent)
+            tgt.extend(toks[s : s + span_len])
+            prev = s + span_len
+        inp.extend(toks[prev:])
+        return (
+            n,
+            nfull * span_len,
+            nfull,
+            " ".join(inp),
+            " ".join(tgt) + " " + EOS_TOKEN,
+        )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = {
+                "n_tokens": [],
+                "n_masked": [],
+                "n_spans": [],
+                "input_text": [],
+                "target_text": [],
+            }
+            for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                nt, nm, ns, it, tt = one(doc_id, text or "")
+                cols["n_tokens"].append(nt)
+                cols["n_masked"].append(nm)
+                cols["n_spans"].append(ns)
+                cols["input_text"].append(it)
+                cols["target_text"].append(tt)
+            yield pd.DataFrame({id_col: pdf.iloc[:, 0], **cols})
+
+    from pyspark.sql import functions as F
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run,
+        f"{id_col} {id_type}, n_tokens int, n_masked int, n_spans int,"
+        " input_text string, target_text string",
     )
