@@ -693,3 +693,53 @@ def test_round12b_arrow_stages_are_mapinpandas(spark):
     plan = formatted_plan(QUERIES["emb_kmeans_int8"](spark, sf))
     assert "MapInPandas" in plan
     assert "zip_with" not in plan
+
+
+def test_round13_guard_law_plan_pins(spark):
+    """Round-13 structural pins (VERDICT r12 #7): the r12b composites'
+    guard laws must be visible in the PLAN, not just measured.
+
+    - pipeline_web_end_to_end / emb_rp_topk / dedup_winnow_pairs: no
+      cartesian product anywhere — the banding (winnowing fingerprint
+      equi-join) and the max_fp_docs fan-out guard keep joins keyed.
+      emb_rp_topk's scoring join is a BroadcastNestedLoopJoin BY
+      DESIGN (corpus x small broadcast query set — the brute-force ANN
+      idiom; the build side being a broadcast IS the guard), so the
+      nested-loop ban applies to the others only.
+    - dedup_winnow_pairs additionally may not put Python in the plan
+      (the fingerprint build is the lead()-window codegen idiom).
+    - the round-13 entries: byte-span dedup is pure codegen (no Python
+      at all); the compression-ratio pass is exactly ONE Arrow stage
+      and zero exchanges before the final sort; the multimodal
+      curation chain is keyed end to end (no cartesian).
+    """
+    import re
+
+    def exchanges(plan: str) -> int:
+        return len(
+            [ln for ln in plan.splitlines()
+             if re.match(r"\(\d+\) Exchange$", ln.strip())]
+        )
+
+    for name in ("pipeline_web_end_to_end", "emb_rp_topk",
+                 "dedup_winnow_pairs", "pipeline_multimodal_curation",
+                 "dedup_duplicate_spans_bytes", "text_compression_ratio"):
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        if name != "emb_rp_topk":
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+    plan = formatted_plan(QUERIES["dedup_winnow_pairs"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    plan = formatted_plan(QUERIES["dedup_duplicate_spans_bytes"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    plan = formatted_plan(QUERIES["text_compression_ratio"](spark, SF))
+    arrow_stages = [
+        ln for ln in plan.splitlines()
+        if re.match(r"\(\d+\) MapInPandas$", ln.strip())
+    ]
+    assert len(arrow_stages) == 1
+    assert exchanges(plan) <= 1  # only the final orderBy
+    assert "BatchEvalPython" not in plan

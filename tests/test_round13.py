@@ -190,3 +190,172 @@ def test_c4_arrow_nondefault_thresholds(spark):
         a = c4_line_filter(df, "doc_id", "text", mw, mk).collect()[0]
         b = _c4_line_filter_expr(df, "doc_id", "text", mw, mk).collect()[0]
         assert tuple(a) == tuple(b), (mw, mk)
+
+
+# ---------------------------------------------------------------------------
+# text_compression_ratio (round-13 missing-#1): zlib quality gate.
+# ---------------------------------------------------------------------------
+
+
+def test_compression_ratio_property(spark):
+    """Repeated text compresses far below 1; iid printable noise stays
+    near 1 (and above the hi threshold); values equal the direct
+    zlib computation with the shared rounding formula."""
+    import math
+    import random
+    import zlib
+
+    from whisper_pandas_spark.operators.compratio import (
+        RATIO_HI,
+        RATIO_LO,
+        compression_ratio,
+    )
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randrange(0x21, 0x7F)) for _ in range(2000))
+    rep = "all work and no play makes jack a dull boy. " * 50
+    normal = " ".join(
+        f"word{i} item{(i * i) % 1009} x{(i * 7919) % 4096:x}"
+        for i in range(120)
+    )
+    df = spark.createDataFrame(
+        [(1, rep), (2, noise), (3, normal), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in compression_ratio(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["too_repetitive"] and not rows[1]["too_random"]
+    assert rows[1]["ratio"] < RATIO_LO < 0.5
+    assert rows[2]["too_random"] and not rows[2]["too_repetitive"]
+    assert rows[2]["ratio"] > RATIO_HI
+    assert not rows[3]["too_repetitive"] and not rows[3]["too_random"]
+    assert rows[4]["ratio"] is None and rows[4]["raw_len"] == 0
+    assert not rows[4]["too_repetitive"] and not rows[4]["too_random"]
+    for doc_id, text in ((1, rep), (2, noise), (3, normal)):
+        b = text.encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        assert rows[doc_id]["raw_len"] == len(b)
+        assert rows[doc_id]["comp_len"] == c
+        assert rows[doc_id]["ratio"] == math.floor(
+            c / len(b) * 1000000 + 0.5
+        ) / 1000000
+
+
+def test_compression_ratio_nondefault_thresholds(spark):
+    from whisper_pandas_spark.operators.compratio import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "abc " * 100)], "doc_id long, text string"
+    )
+    r = compression_ratio(df, "doc_id", "text", lo=0.0, hi=0.01).collect()[0]
+    assert not r["too_repetitive"] and r["too_random"]
+
+
+# ---------------------------------------------------------------------------
+# dedup_duplicate_spans_bytes (round-13 missing-#3): byte-level
+# ExactSubstr.
+# ---------------------------------------------------------------------------
+
+
+def test_byte_spans_roundtrip_when_unique(spark):
+    """A corpus with no repeated window-length byte run round-trips to
+    its own hex image with nothing removed."""
+    from whisper_pandas_spark.operators.dedup import (
+        duplicate_span_removal_bytes,
+    )
+
+    docs = [(i, f"unique document number {i} with words {i * 7} {i * 13}")
+            for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           duplicate_span_removal_bytes(df, "doc_id", "text", 24).collect()}
+    for i, text in docs:
+        b = text.encode("utf-8")
+        assert out[i]["n_bytes"] == len(b)
+        assert out[i]["n_removed"] == 0
+        assert out[i]["text_dedup_hex"] == b.hex().upper()
+
+
+def test_byte_spans_cut_second_occurrence(spark):
+    from whisper_pandas_spark.operators.dedup import (
+        duplicate_span_removal_bytes,
+    )
+
+    shared = "this exact sentence is duplicated across both documents"
+    df = spark.createDataFrame(
+        [(1, f"first doc says {shared} and more"),
+         (2, f"second doc also says {shared} differently")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           duplicate_span_removal_bytes(df, "doc_id", "text", 24).collect()}
+    assert out[1]["n_removed"] == 0  # first occurrence keeps its bytes
+    assert out[2]["n_removed"] >= len(shared.encode()) - 23
+    kept2 = bytes.fromhex(out[2]["text_dedup_hex"])
+    assert shared.encode() not in kept2
+
+
+def test_byte_spans_catch_cross_tokenization_dup(spark):
+    """The documented gap the byte form closes: a duplicated run INSIDE
+    single long tokens (or shorter in words than the word window) is
+    invisible to the word-token form but cut by the byte form."""
+    from whisper_pandas_spark.operators.dedup import (
+        duplicate_span_removal,
+        duplicate_span_removal_bytes,
+    )
+
+    run = "sharedlongrunofbytesinsideoneword0123456789"
+    df = spark.createDataFrame(
+        [(1, f"alpha {run} beta"), (2, f"gamma {run} delta epsilon")],
+        "doc_id long, text string",
+    )
+    word = {r["doc_id"]: r["n_removed"]
+            for r in duplicate_span_removal(df, "doc_id", "text", 8).collect()}
+    assert word == {1: 0, 2: 0}  # 3-5 words: no 8-token window exists
+    byte = {r["doc_id"]: r["n_removed"]
+            for r in duplicate_span_removal_bytes(
+                df, "doc_id", "text", 24).collect()}
+    assert byte[1] == 0 and byte[2] >= len(run) - 23
+
+
+def test_byte_spans_window_validation(spark):
+    from whisper_pandas_spark.operators.dedup import (
+        duplicate_span_removal_bytes,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        duplicate_span_removal_bytes(df, "doc_id", "text", 1)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_multimodal_curation (round-13 missing-#2): both faces gate.
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_curation_funnel(spark):
+    from whisper_pandas_spark.registry import QUERIES
+
+    rows = QUERIES["pipeline_multimodal_curation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_id = {r["pair_id"]: r for r in rows}
+    b_pairs = [r for r in rows if r["pair_id"] >= 1_000_000]
+    a_pairs = [r for r in rows if r["pair_id"] < 1_000_000]
+    assert b_pairs and a_pairs
+    # every B image is a near-dup of its lower-id base twin -> never
+    # canonical -> no B pair survives
+    assert all(not r["img_kept"] for r in b_pairs)
+    assert all(not r["kept"] for r in b_pairs)
+    # caption face: B loses exactly in the % 3 == 0 stratum
+    for r in b_pairs:
+        src = r["pair_id"] - 1_000_000
+        assert r["cap_kept"] == (src % 3 != 0), r
+    # kept is the conjunction of the two faces, and some A pairs survive
+    assert all(r["kept"] == (r["img_kept"] and r["cap_kept"]) for r in rows)
+    assert any(r["kept"] for r in a_pairs)
+    # A captions are first occurrences -> cap face always survives
+    assert all(r["cap_kept"] for r in a_pairs)
+    assert len(by_id) == len(rows)  # pair ids unique

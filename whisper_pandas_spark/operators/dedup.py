@@ -1153,3 +1153,116 @@ def duplicate_span_removal(
         .alias("n_removed"),
         F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
     )
+
+
+def duplicate_span_removal_bytes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 24,
+) -> DataFrame:
+    """Corpus-global duplicated-span removal over the RAW UTF-8 BYTE
+    stream — the byte-level form of Lee et al. 2022's ExactSubstr (the
+    paper operates on bytes, not tokens): any ``window``-byte sequence
+    occurring more than once in the corpus is cut from every occurrence
+    except its first (minimal (doc_id, position)); overlapping
+    duplicated windows merge through position-set union.
+
+    Why a second form next to :func:`duplicate_span_removal` (the
+    word-token simplification): byte windows catch CROSS-TOKENIZATION
+    duplicates the word form misses — a duplicated run inside a single
+    long token, spanning punctuation the tokenizer splits differently,
+    or shorter (in words) than the word window while long in bytes.
+    pytest pins such a case.
+
+    SQL-safety: bytes are processed as their HEX image (2 chars/byte —
+    ``hex(encode(text))``; uppercase on both engines), so every
+    operation is plain string arithmetic any engine replays; the output
+    is ``text_dedup_hex`` — the surviving byte stream as hex. It stays
+    hex because byte-level cuts can split multi-byte UTF-8 sequences
+    (inherent to the byte formulation; Lee et al. cut raw bytes too),
+    so decoding back to a string is the caller's lossy choice.
+
+    Scale shape (mirrors the word form, but with NO higher-order
+    lambdas in the window build): window starts come from
+    ``explode(sequence(...))`` and each hash is a codegen
+    ``md5(substring(hx, 2q+1, 2W))`` projection — the explode is
+    pipelined, so the doc's hex string is never materialized per
+    window. The election groups 16-byte hashes with partial-agg
+    min-struct; removed positions explode losers' [q, q+W) ranges;
+    survivors anti-join and reassemble with the one
+    sort_array-over-structs groupBy. Shuffled bytes: hashes + (doc,
+    pos) ids — document bytes move only at the kept-byte reassembly.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.hex(F.encode(F.col(text_col), "utf-8")).alias("hx"),
+    ).select("doc_id", "hx", F.expr("length(hx) div 2").alias("nb"))
+    # sequence(0, n) DESCENDS for n < 0 (the documented Spark trap) —
+    # filter short docs before building starts
+    winds = (
+        docs.filter(F.col("nb") >= window)
+        .select(
+            "doc_id",
+            "hx",
+            F.explode(
+                F.sequence(F.lit(0), F.col("nb") - F.lit(window))
+            ).alias("q"),
+        )
+        .select(
+            "doc_id",
+            "q",
+            F.expr(f"md5(substring(hx, q * 2 + 1, {2 * window}))").alias("h"),
+        )
+    )
+    freq = winds.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "q")).alias("win"),
+    )
+    losers = (
+        winds.join(freq.filter(F.col("n_occ") > 1), "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("win.doc_id"))
+                & (F.col("q") == F.col("win.q"))
+            )
+        )
+        .select("doc_id", "q")
+    )
+    removed = losers.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("q"), F.col("q") + F.lit(window - 1))
+        ).alias("p"),
+    ).distinct()
+    cells = (
+        docs.filter(F.col("nb") >= 1)
+        .select(
+            "doc_id",
+            "hx",
+            F.explode(F.sequence(F.lit(0), F.col("nb") - F.lit(1))).alias("p"),
+        )
+        .select("doc_id", "p", F.expr("substring(hx, p * 2 + 1, 2)").alias("b"))
+    )
+    kept = cells.join(removed, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "b"))),
+                lambda s: s["b"],
+            ),
+            "",
+        ).alias("text_dedup_hex"),
+    )
+    totals = docs.select("doc_id", F.col("nb").alias("n_bytes"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        (F.col("n_bytes") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_dedup_hex"), F.lit("")).alias("text_dedup_hex"),
+    )

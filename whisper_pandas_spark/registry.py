@@ -183,4 +183,7 @@ from whisper_pandas_spark import queries_round11  # noqa: E402,F401
 from whisper_pandas_spark import queries_round12  # noqa: E402,F401
 from whisper_pandas_spark import queries_round12b  # noqa: E402,F401
 
+# Round 13: same direct-registration pattern.
+from whisper_pandas_spark import queries_round13  # noqa: E402,F401
+
 _reorder()
