@@ -54,8 +54,13 @@ def _compratio_fixture(docs: DataFrame) -> DataFrame:
     40-md5 noise hex materializes into its OWN column first (the
     word_shingles PERF CONTRACT — an inline reference inside the
     per-char lambda would re-evaluate the whole concat per element),
-    guarded by the same IF as its consumer (the CSE-before-filter
-    trap)."""
+    guarded by the same condition as its consumer (the
+    CSE-before-filter trap). The consumer tests ``nh != ''`` instead
+    of repeating the ``% 43`` predicate so that ``nh`` is referenced
+    TWICE — CollapseProject inlines a once-referenced alias into the
+    lambda body, which re-ran the inner 40-md5 transform per character
+    (measured 4.7 s of pure fixture at sf0.1; double-reference keeps
+    the barrier and the fixture drops to scan cost)."""
     noise_hex = (
         f"IF(doc_id % 43 = 11,"
         f" array_join(transform(sequence(0, {_COMPRATIO_NOISE_MD5S - 1}),"
@@ -70,7 +75,7 @@ def _compratio_fixture(docs: DataFrame) -> DataFrame:
     case = (
         "CASE WHEN doc_id % 31 = 7 THEN"
         " repeat('the same boilerplate sentence repeats endlessly here. ', 40)"
-        f" WHEN doc_id % 43 = 11 THEN {printable}"
+        f" WHEN nh != '' THEN {printable}"
         " ELSE text END"
     )
     return docs.select(
