@@ -1183,22 +1183,33 @@ def duplicate_span_removal_bytes(
     (inherent to the byte formulation; Lee et al. cut raw bytes too),
     so decoding back to a string is the caller's lossy choice.
 
-    Scale shape (mirrors the word form, but with NO higher-order
-    lambdas in the window build): window starts come from
-    ``explode(sequence(...))`` and each hash is a codegen
-    ``md5(substring(hx, 2q+1, 2W))`` projection — the explode is
-    pipelined, so the doc's hex string is never materialized per
-    window. The election groups 16-byte hashes with partial-agg
-    min-struct; removed positions explode losers' [q, q+W) ranges;
-    survivors anti-join and reassemble with the one
-    sort_array-over-structs groupBy. Shuffled bytes: hashes + (doc,
-    pos) ids — document bytes move only at the kept-byte reassembly.
+    Scale shape (mirrors the word form's election, but with NO
+    higher-order lambdas in the window build and NO per-byte rows at
+    all): window starts come from ``explode(sequence(...))`` and each
+    hash is a codegen ``md5(substring(hx, 2q+1, 2W))`` projection —
+    the explode is pipelined, so the doc's hex string is never
+    materialized per window. The election groups 16-byte hashes with
+    partial-agg min-struct. Reassembly is INTERVAL arithmetic instead
+    of the word form's token-stream anti-join: loser windows [q, q+W)
+    merge per document with one gaps-and-islands window pass (rows =
+    losers only, not bytes), and the surviving text is the
+    concatenation of the complement ranges' substrings — one small
+    join back to the doc row, one HOF over the (few) merged intervals.
+    Shuffled bytes: hashes + (doc, pos) ids + merged interval structs;
+    document bytes never shuffle (the final projection reads hx from
+    the scan side of the doc join).
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.hex(F.encode(F.col(text_col), "utf-8")).alias("hx"),
+    # _spread: a single-file fixture arrives as ONE scan partition, which
+    # would run the 35M-window/corpus md5 build single-core (and TWICE —
+    # the winds subtree feeds both the election and the probe side);
+    # at real scale the scan arrives wide and this is a no-op
+    docs = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.hex(F.encode(F.col(text_col), "utf-8")).alias("hx"),
+        )
     ).select("doc_id", "hx", F.expr("length(hx) div 2").alias("nb"))
     # sequence(0, n) DESCENDS for n < 0 (the documented Spark trap) —
     # filter short docs before building starts
@@ -1214,7 +1225,12 @@ def duplicate_span_removal_bytes(
         .select(
             "doc_id",
             "q",
-            F.expr(f"md5(substring(hx, q * 2 + 1, {2 * window}))").alias("h"),
+            # unhex packs the election key to 16 BYTES — the h shuffle
+            # (group + probe) is the operator's dominant traffic and
+            # halves vs the 32-char hex form (measured at sf1)
+            F.expr(
+                f"unhex(md5(substring(hx, q * 2 + 1, {2 * window})))"
+            ).alias("h"),
         )
     )
     freq = winds.groupBy("h").agg(
@@ -1231,38 +1247,51 @@ def duplicate_span_removal_bytes(
         )
         .select("doc_id", "q")
     )
-    removed = losers.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("q"), F.col("q") + F.lit(window - 1))
-        ).alias("p"),
-    ).distinct()
-    cells = (
-        docs.filter(F.col("nb") >= 1)
-        .select(
-            "doc_id",
-            "hx",
-            F.explode(F.sequence(F.lit(0), F.col("nb") - F.lit(1))).alias("p"),
-        )
-        .select("doc_id", "p", F.expr("substring(hx, p * 2 + 1, 2)").alias("b"))
+    # gaps-and-islands merge of the loser windows [q, q+W): overlapping
+    # OR touching intervals coalesce (touching merges avoid zero-length
+    # complement slices); rows here are LOSERS, not bytes
+    w_doc = Window.partitionBy("doc_id").orderBy("q")
+    prev_max = F.max(F.col("q") + F.lit(window)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
     )
-    kept = cells.join(removed, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "b"))),
-                lambda s: s["b"],
-            ),
-            "",
-        ).alias("text_dedup_hex"),
-    )
-    totals = docs.select("doc_id", F.col("nb").alias("n_bytes"))
-    return totals.join(rebuilt, "doc_id", "left").select(
+    islands = losers.select(
         "doc_id",
-        F.col("n_bytes").cast("int").alias("n_bytes"),
-        (F.col("n_bytes") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("int")
-        .alias("n_removed"),
-        F.coalesce(F.col("text_dedup_hex"), F.lit("")).alias("text_dedup_hex"),
+        "q",
+        (F.col("q") + F.lit(window)).alias("e"),
+        F.when(prev_max.isNull() | (F.col("q") > prev_max), 1)
+        .otherwise(0)
+        .alias("brk"),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("doc_id", "island").agg(
+        F.min("q").alias("s"), F.max("e").alias("e")
+    )
+    ranges = merged.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s")).alias("n_rem"),
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("rem"),
+    )
+    # surviving text = concatenation of the complement ranges' slices:
+    # piece i spans [end of interval i-1, start of interval i), the
+    # final piece runs to nb. The HOF iterates size(rem)+1 elements —
+    # a handful per document, never per byte.
+    piece = (
+        "substring(hx,"
+        " IF(i = 0, 0, rem[i - 1].e) * 2 + 1,"
+        " (IF(i = size(rem), nb, rem[i].s)"
+        "  - IF(i = 0, 0, rem[i - 1].e)) * 2)"
+    )
+    kept_hex = F.expr(
+        f"array_join(transform(sequence(0, size(rem)), i -> {piece}), '')"
+    )
+    joined = docs.join(ranges, "doc_id", "left").withColumn(
+        "rem",
+        F.coalesce(F.col("rem"), F.expr("array()").cast(ranges.schema["rem"].dataType.simpleString())),
+    )
+    return joined.select(
+        "doc_id",
+        F.col("nb").cast("int").alias("n_bytes"),
+        F.coalesce(F.col("n_rem"), F.lit(0)).cast("int").alias("n_removed"),
+        kept_hex.alias("text_dedup_hex"),
     )
