@@ -359,3 +359,41 @@ def test_multimodal_curation_funnel(spark):
     # A captions are first occurrences -> cap face always survives
     assert all(r["cap_kept"] for r in a_pairs)
     assert len(by_id) == len(rows)  # pair ids unique
+
+
+# ---------------------------------------------------------------------------
+# Round-13 lang-ID hot-path rewrite: Arrow classification must equal the
+# all-SQL fused formulation bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def test_langid_arrow_matches_sql(spark):
+    from whisper_pandas_spark.operators.langid import (
+        _train_and_classify_sql,
+        train_and_classify,
+    )
+
+    rows = []
+    for i in range(60):
+        lang = ["en", "de", "fr"][i % 3]
+        base = {
+            "en": "the quick brown fox jumps over the lazy dog and then",
+            "de": "der schnelle braune fuchs springt ueber den faulen hund",
+            "fr": "le rapide renard brun saute par dessus le chien paresseux",
+        }[lang]
+        rows.append((i, lang, f"{base} variant {i} token{i * 7}"))
+    rows.append((60, "en", ""))  # gram-less doc: drops on both paths
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = {
+        r["doc_id"]: (r["pred_lang"], r["lang_dist"])
+        for r in train_and_classify(df, "doc_id", "lang", "text", k=25).collect()
+    }
+    b = {
+        r["doc_id"]: (r["pred_lang"], r["lang_dist"])
+        for r in _train_and_classify_sql(
+            df, "doc_id", "lang", "text", k=25
+        ).collect()
+    }
+    assert a == b
+    assert 60 not in a  # the empty doc produced no grams
+    assert len(a) == 60
