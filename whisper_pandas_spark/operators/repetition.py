@@ -92,6 +92,13 @@ def repetition_profile(
     runs) — the same normalization the other text_* operators use, with
     the same DuckDB spelling.
     """
+    from whisper_pandas_spark.operators.dedup import _spread
+
+    # _spread: the single-file fixture arrives as ONE scan partition,
+    # which would run BOTH branches' heavy map work — the interpreted
+    # shingle-stat HOFs and the gram explode — on one core (measured
+    # 2.4x at sf0.1); no-op on a wide scan
+    df = _spread(df.select(F.col(id_col), F.col(text_col)))
     text = F.col(text_col)
     toks = tokenize(text_col)
 
