@@ -654,11 +654,16 @@ def fuzzy_pairs_passjoin(
     norm = F.substring(
         F.concat_ws(" ", tokenize(F.col(text_col))), 1, prefix_len
     )
-    base0 = df.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("doc_id"),
-        norm.alias("norm"),
-        F.length(norm).alias("ln"),
+    # _spread: the ~400-keys-per-doc probe generation runs map-side off
+    # this frame — a single-file fixture scan would generate all ~3M
+    # keys on one core; no-op on a wide scan
+    base0 = _spread(
+        df.select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("doc_id"),
+            norm.alias("norm"),
+            F.length(norm).alias("ln"),
+        )
     )
     # segmentation needs at least one char; ln == 0 docs still
     # participate through the short-string branch and the verify side
