@@ -435,18 +435,29 @@ def test_round7c_tpch_plan_shapes(spark):
 
 
 def test_round9_plan_shapes(spark):
-    """Round-9 scale pins: the trained lang-ID classification must join
-    its (L x K, kilobyte-sized) profile table by BROADCAST — the corpus
-    must never shuffle on ngram against a hash-partitioned profile — and
-    the cross-series percentile's two window passes must share a single
-    timestamp exchange."""
+    """Round-9 scale pins, updated round 13: the trained lang-ID's
+    original law was "the corpus must never shuffle on ngram against a
+    hash-partitioned profile" (profiles join by broadcast). The Arrow
+    rewrite satisfies it by construction — the collected L x K profile
+    rides the mapInPandas closure, so classification has NO join and NO
+    corpus-side gram exchange at all; the pin now asserts that stronger
+    shape. The cross-series percentile's two window passes must still
+    share a single timestamp exchange."""
     import re
 
     from whisper_pandas_spark.registry import QUERIES
 
     sf = "/root/testdata/sf0.001"
     plan_ct = formatted_plan(QUERIES["text_lang_id_trained"](spark, sf))
-    assert "BroadcastHashJoin" in plan_ct or "BroadcastNestedLoopJoin" in plan_ct
+    ct_lines = [
+        ln for ln in plan_ct.splitlines()
+        if re.match(r"\(\d+\) MapInPandas$", ln.strip())
+    ]
+    assert len(ct_lines) == 1  # one Arrow classify stage
+    # no gram-keyed corpus shuffle: only the _spread repartition and the
+    # final presentation sort may exchange
+    n_ct_ex = len(re.findall(r"\(\d+\) Exchange", plan_ct))
+    assert n_ct_ex <= 2, plan_ct
     # no row-at-a-time Python anywhere in the classification pipeline
     assert "BatchEvalPython" not in plan_ct
 
