@@ -397,3 +397,89 @@ def test_langid_arrow_matches_sql(spark):
     assert a == b
     assert 60 not in a  # the empty doc produced no grams
     assert len(a) == 60
+
+
+# ---------------------------------------------------------------------------
+# Randomized brute-force twin for the byte-level ExactSubstr: winner
+# election, interval merge, and complement reassembly re-derived
+# directly in Python over random corpora with PLANTED byte-level
+# duplicates.
+# ---------------------------------------------------------------------------
+
+
+def _byte_spans_brute(texts: dict[int, str], window: int):
+    """Direct Python replication of duplicate_span_removal_bytes."""
+    occ: dict[bytes, list[tuple[int, int]]] = {}
+    bs = {i: t.encode("utf-8") for i, t in texts.items()}
+    for i in sorted(bs):
+        b = bs[i]
+        for q in range(len(b) - window + 1):
+            occ.setdefault(b[q : q + window], []).append((i, q))
+    removed: dict[int, set[int]] = {i: set() for i in bs}
+    for positions in occ.values():
+        if len(positions) <= 1:
+            continue
+        winner = min(positions)
+        for i, q in positions:
+            if (i, q) != winner:
+                removed[i].update(range(q, q + window))
+    out = {}
+    for i, b in bs.items():
+        kept = bytes(c for p, c in enumerate(b) if p not in removed[i])
+        out[i] = (len(b), len(removed[i]), kept.hex().upper())
+    return out
+
+
+def test_byte_spans_matches_bruteforce_random(spark):
+    import random
+
+    from whisper_pandas_spark.operators.dedup import (
+        duplicate_span_removal_bytes,
+    )
+
+    rng = random.Random(131)
+    words = [f"w{j}" for j in range(50)]
+    planted = [
+        "this planted sentence repeats across several documents verbatim",
+        "another shared run of bytes that is long enough to window",
+    ]
+    texts = {}
+    for i in range(30):
+        parts = [words[rng.randrange(50)] for _ in range(rng.randrange(3, 12))]
+        if i % 4 == 1:
+            parts.insert(rng.randrange(len(parts)), planted[0])
+        if i % 5 == 2:
+            parts.append(planted[1])
+        texts[i] = " ".join(parts)
+    texts[30] = ""  # empty doc
+    texts[31] = "tiny"  # shorter than the window
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    for window in (16, 24, 40):
+        got = {
+            r["doc_id"]: (r["n_bytes"], r["n_removed"], r["text_dedup_hex"])
+            for r in duplicate_span_removal_bytes(
+                df, "doc_id", "text", window
+            ).collect()
+        }
+        assert got == _byte_spans_brute(texts, window), window
+
+
+def test_byte_spans_overlapping_windows_merge(spark):
+    """Overlapping loser windows must merge through interval union —
+    a doc that is one long repeat of another loses its whole run, not
+    window-aligned fragments."""
+    from whisper_pandas_spark.operators.dedup import (
+        duplicate_span_removal_bytes,
+    )
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789" * 3  # 108 bytes
+    df = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           duplicate_span_removal_bytes(df, "doc_id", "text", 24).collect()}
+    # doc 1: within-doc repeats also elect winners; doc 2 loses everything
+    assert out[2]["n_removed"] == len(base)
+    assert out[2]["text_dedup_hex"] == ""
