@@ -236,17 +236,14 @@ def label_propagation(
         # window-max + filter + min, one exchange cheaper.
         pick = cnt.groupBy("node").agg(
             F.min_by("label", F.struct(-F.col("c"), F.col("label"))).alias(
-                "new_label"
+                "label"
             )
         )
-        labels = (
-            labels.join(pick, "node", "left")
-            .select(
-                "node",
-                F.coalesce("new_label", "label").alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        # pick covers EVERY node by construction: nodes derive from the
+        # edge endpoints, so each has >= 1 neighbor and therefore >= 1
+        # cnt row — the old labels-left-join-coalesce was a per-round
+        # no-op (one join + exchange per iteration saved, round 13)
+        labels = pick.localCheckpoint(eager=True)
     return labels
 
 
