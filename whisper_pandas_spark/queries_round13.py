@@ -97,11 +97,16 @@ _COMPRATIO_FIXTURE_DUCK = f"""
 """
 
 
-def _compratio_oracle() -> str:
+def _compratio_oracle() -> str | None:
     """Build the VALUES-pinned oracle: per-doc zlib lengths computed
     driver-side (single pass, same pinned level the executors use) over
     the sweep's own parquet — SF-aware via ORACLE_SF_DIR so the
-    sf0.001/sf0.1 re-check geometries stay valid."""
+    sf0.001/sf0.1 re-check geometries stay valid.
+
+    Runs at registry IMPORT time (decorator argument), so it must not
+    crash a session that lacks the fixture: if the parquet is
+    unreadable the entry degrades to the rows-only tier (oracle=None)
+    instead of breaking every registry import."""
     import duckdb
 
     from whisper_pandas_spark.operators.compratio import (
@@ -111,16 +116,20 @@ def _compratio_oracle() -> str:
     )
 
     sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    rows = (
-        duckdb.connect()
-        .execute(
-            f"""
-            SELECT doc_id, {_COMPRATIO_FIXTURE_DUCK} AS t
-            FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id
-            """
+    try:
+        rows = (
+            duckdb.connect()
+            .execute(
+                f"""
+                SELECT doc_id, {_COMPRATIO_FIXTURE_DUCK} AS t
+                FROM read_parquet('{sf_dir}/documents.parquet')
+                ORDER BY doc_id
+                """
+            )
+            .fetchall()
         )
-        .fetchall()
-    )
+    except Exception:
+        return None  # fixture absent: rows-only tier, import survives
     vals = ",".join(f"({i},{zlib_len(t)})" for i, t in rows)
     return f"""
 WITH comp(doc_id, comp_len) AS (VALUES {vals}),
