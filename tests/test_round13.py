@@ -483,3 +483,41 @@ def test_byte_spans_overlapping_windows_merge(spark):
     # doc 1: within-doc repeats also elect winners; doc 2 loses everything
     assert out[2]["n_removed"] == len(base)
     assert out[2]["text_dedup_hex"] == ""
+
+
+# ---------------------------------------------------------------------------
+# Span corruption at NON-DEFAULT block/span parameters — the Arrow
+# rewrite's block-slicing must track the brute force for every geometry,
+# not just T5's (20, 3).
+# ---------------------------------------------------------------------------
+
+
+def test_span_corrupt_nondefault_params_match_bruteforce(spark):
+    import random
+
+    from tests.test_round12b import _span_brute
+    from whisper_pandas_spark.operators.spancorrupt import span_corrupt
+
+    rng = random.Random(41)
+    words = "aa bb cc dd ee".split()
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 45))))
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for block, span in ((8, 2), (5, 4), (12, 1)):
+        got = {
+            r["doc_id"]: r
+            for r in span_corrupt(
+                df, "doc_id", "text", block=block, span_len=span
+            ).collect()
+        }
+        for did, text in docs:
+            n, nm, inp, tgt = _span_brute(did, text, block, span)
+            r = got[did]
+            assert (
+                r["n_tokens"],
+                r["n_masked"],
+                r["input_text"],
+                r["target_text"],
+            ) == (n, nm, inp, tgt), (block, span, did)
