@@ -200,6 +200,10 @@ AUDITED = [
     "emb_hard_negatives",
     "sample_group_split",
     "text_fim_transform",
+    # round-13 entries
+    "text_compression_ratio",
+    "dedup_duplicate_spans_bytes",
+    "pipeline_multimodal_curation",
 ]
 
 
