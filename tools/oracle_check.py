@@ -35,6 +35,13 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", SHUFFLE)
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # a full-registry sweep accumulates localCheckpoint blocks
+        # across entries; the 1g JVM default OOMs around entry ~37 at
+        # sf0.1 (round-13 finding) — size for the largest sweep scale
+        .config(
+            "spark.driver.memory",
+            os.environ.get("ORACLE_DRIVER_MEM", "12g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
