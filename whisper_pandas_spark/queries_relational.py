@@ -179,13 +179,21 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The HLL estimate is algorithm-specific, so no SQL engine can reproduce
     the raw number — but its ACCURACY BOUND is checkable with an exact
     hash: the engine emits ``|approx - exact| / exact <= 0.05`` computed
-    engine-side (HLL++ rsd default is 5%), and the oracle emits the same
-    deterministic TRUE rows. A broken sketch flips the boolean."""
+    engine-side, and the oracle emits the same deterministic TRUE rows.
+    A broken sketch flips the boolean.
+
+    rsd is pinned at 0.02 (not the 0.05 default) so the asserted 5%
+    bound sits at 2.5 relative standard deviations: rsd is a ONE-sigma
+    figure, and the default sketch legitimately landed at 6.7% error on
+    the sf0.1 fixture (round-13 finding at the first full sf0.1 sweep)
+    — an in-spec estimate that still flipped the hard bound. The
+    estimate is deterministic per dataset, so the tighter sketch keeps
+    the check exact at every fixture scale."""
     return (
         _table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
         .select(
