@@ -31,10 +31,15 @@ def _spark_rollup(spark: SparkSession, sf_dir: str, method: str, xff: float = 0.
         ts_col="ts",
         value_col="value",
     )
+    # + 1e-9 before rounding (the decontam bias, both engines): an avg
+    # whose double sits last-ulp from a .5e-6 boundary rounds DIFFERENTLY
+    # per summation order — the first full sf0.1 sweep (round 13) caught
+    # exactly one such group in 3600; the bias pushes the common
+    # exact-half case off the boundary consistently
     return out.select(
         "event_type",
         F.unix_timestamp("bucket").alias("bucket_epoch"),
-        F.round("value", 6).alias("value"),
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
         "n_points",
     ).orderBy("event_type", "bucket_epoch")
 
@@ -54,7 +59,8 @@ def _oracle_rollup(method: str, xff: float = 0.0) -> str:
     }
     sql = (
         f"SELECT event_type, {bucket} AS bucket_epoch,"
-        f" round({exprs[method]}, 6) AS value, count(value) AS n_points\n"
+        f" round({exprs[method]} + 1e-9, 6) AS value,"
+        " count(value) AS n_points\n"
         "FROM events\nGROUP BY event_type, bucket_epoch"
     )
     if xff > 0.0:

@@ -1262,7 +1262,7 @@ _SD_HALF = _SD_P // 2
 WITH series AS (
   SELECT event_type,
          (CAST(floor(epoch(ts)) AS BIGINT) // {_SD_RES}) AS t,
-         round(avg(value), 6) AS value
+         round(avg(value) + 1e-9, 6) AS value
   FROM events GROUP BY event_type, t
 ), dec0 AS (
   SELECT event_type, t, t % {_SD_P} AS phase, value,
@@ -1319,7 +1319,13 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = rollup(
         ev, _SD_RES, "average", keys=("event_type",), ts_col="ts",
         value_col="value",
-    ).select("event_type", "bucket", F.round("value", 6).alias("value"))
+    ).select(
+        "event_type",
+        "bucket",
+        # + 1e-9 boundary bias on the base series, matching the oracle
+        # (round 13; the output trend/seasonal/residual already bias)
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
+    )
     out = seasonal_decompose(
         series, ("event_type",), "bucket", "value", _SD_P, _SD_RES
     )
@@ -1350,7 +1356,7 @@ def _holt_oracle() -> str:
 WITH series AS (
   SELECT event_type,
          (CAST(floor(epoch(ts)) AS BIGINT) // {_SD_RES}) AS t,
-         round(avg(value), 6) AS value
+         round(avg(value) + 1e-9, 6) AS value
   FROM events GROUP BY event_type, t
 ), packed AS (
   SELECT event_type, list(value ORDER BY t) AS xs
@@ -1395,7 +1401,13 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = rollup(
         ev, _SD_RES, "average", keys=("event_type",), ts_col="ts",
         value_col="value",
-    ).select("event_type", "bucket", F.round("value", 6).alias("value"))
+    ).select(
+        "event_type",
+        "bucket",
+        # + 1e-9 boundary bias on the base series, matching the oracle
+        # (round 13; the output trend/seasonal/residual already bias)
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
+    )
     return holt_forecast(
         series, ("event_type",), "bucket", "value", _HW_A, _HW_B, _HW_H
     ).orderBy("event_type", "h")
@@ -1550,7 +1562,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH series AS (
   SELECT event_type,
          (CAST(floor(epoch(ts)) AS BIGINT) // {_SD_RES}) AS t,
-         round(avg(value), 6) AS value
+         round(avg(value) + 1e-9, 6) AS value
   FROM events GROUP BY event_type, t
 )
 SELECT a.event_type AS metric_a, b.event_type AS metric_b,
@@ -1572,7 +1584,13 @@ def ts_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = rollup(
         ev, _SD_RES, "average", keys=("event_type",), ts_col="ts",
         value_col="value",
-    ).select("event_type", "bucket", F.round("value", 6).alias("value"))
+    ).select(
+        "event_type",
+        "bucket",
+        # + 1e-9 boundary bias on the base series, matching the oracle
+        # (round 13; the output trend/seasonal/residual already bias)
+        F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
+    )
     return metric_correlation(
         series, "event_type", "bucket", "value"
     ).orderBy("metric_a", "metric_b")

@@ -32,7 +32,7 @@ _RES = 3600  # same 1-hour tumbling window as the batch rollup family
 # inlined because importing queries_rollup here would be circular (registry
 # imports this module, and queries_rollup imports registry). Parity of the
 # two strings is asserted in tests/test_streaming.py.
-_ORACLE = f"""SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // {_RES}) * {_RES} AS bucket_epoch, round(avg(value), 6) AS value, count(value) AS n_points
+_ORACLE = f"""SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // {_RES}) * {_RES} AS bucket_epoch, round(avg(value) + 1e-9, 6) AS value, count(value) AS n_points
 FROM events
 GROUP BY event_type, bucket_epoch
 ORDER BY event_type, bucket_epoch"""
@@ -71,7 +71,8 @@ def stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.unix_timestamp("bucket").alias("bucket_epoch"),
-            F.round("value", 6).alias("value"),
+            # + 1e-9 boundary bias, matching _spark_rollup (round 13)
+            F.round(F.col("value") + F.lit(1e-9), 6).alias("value"),
             "n_points",
         )
         .orderBy("event_type", "bucket_epoch")
