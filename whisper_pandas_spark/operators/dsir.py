@@ -1,0 +1,140 @@
+"""DSIR-style importance weights: hashed-unigram log-likelihood ratio
+of a target subcorpus vs the raw corpus, scored per document.
+
+Extension beyond the reference (whisper_pandas.py, a 299-line .wsp
+decoder, has no text surface): Data Selection with Importance
+Resampling (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", NeurIPS) is the published recipe for skewing a
+raw web corpus toward a target domain — fit two bag-of-hashed-ngrams
+models (target / raw), score every raw document by the summed
+log-ratio, resample proportionally. This operator computes the scoring
+half with unigrams: the feature hash, the two smoothed count models,
+and the per-document log-ratio sum.
+
+score(d) = sum_{tok in d} [ ln((ct_t[b(tok)]+1)/(T+B))
+                          - ln((ct_r[b(tok)]+1)/(R+B)) ]
+
+where b() is a B-bucket md5 feature hash, ct_t/ct_r are per-bucket
+token counts over the target/raw corpora, and T/R their totals
+(add-one smoothing over B buckets).
+
+Cross-engine determinism
+------------------------
+Counts, buckets, and totals are exact integers on both engines (md5
+hash family, functions/text.py). The two ln() calls per bucket are the
+only transcendentals; the per-document combination is a LEFT FOLD over
+(bucket, n_in_doc * lw[bucket]) in sorted bucket order — never an
+engine-ordered SUM — so the only cross-engine slack is a possible
+last-ulp difference in libm-vs-JVM ln on identical rational operands,
+absorbed by the +1e-9 biased round-6 (the established exp/ln-oracle
+budget, queries_round6 weighted-sample precedent).
+
+Scale design
+------------
+The token stream explodes ONCE and feeds both models via conditional
+aggregation (one (bucket) partial-agg exchange, B=256 rows out); the
+weight table + the two scalar totals broadcast; the per-(doc, bucket)
+count is the second keyed exchange, followed by the per-doc fold. At
+100 TB the plan is: scan -> narrow explode -> two bounded hash
+exchanges -> broadcast joins — no payload wider than (hash, count)
+ever shuffles, and the model side is CONSTANT size regardless of
+corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.functions.text import hash64, tokenize
+
+N_BUCKETS = 256
+_SEED = "dsir"
+
+
+def dsir_bucket(tok: Column) -> Column:
+    """md5 feature hash of a token into 0..N_BUCKETS-1 (exact integers
+    on both engines; DuckDB twin:
+    ``('0x' || substr(md5('dsir:' || tok), 1, 15))::BIGINT % 256``)."""
+    return hash64(F.concat(F.lit(f"{_SEED}:"), tok)) % N_BUCKETS
+
+
+def dsir_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+) -> DataFrame:
+    """(id, n_tokens, dsir_logratio) for every document in *docs*.
+
+    *target_pred* marks the target subcorpus (evaluated per document,
+    e.g. ``F.col('lang') == 'en'``); the raw model is the whole input.
+    Documents with zero alphanumeric tokens score 0.0 with n_tokens 0.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            target_pred.cast("int").alias("is_t"),
+            tokenize(text_col).alias("t"),
+        )
+        .select("doc", "is_t", F.explode("t").alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc", "is_t", dsir_bucket(F.col("tok")).alias("b"))
+    )
+    # one pass, both models: per-bucket target/raw counts
+    model = toks.groupBy("b").agg(
+        F.sum("is_t").cast("bigint").alias("ct_t"),
+        F.count(F.lit(1)).cast("bigint").alias("ct_r"),
+    )
+    totals = model.agg(
+        F.sum("ct_t").alias("tt"), F.sum("ct_r").alias("tr")
+    )
+    lw = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct_t") + 1).cast("double"))
+                - F.log((F.col("tt") + F.lit(N_BUCKETS)).cast("double"))
+                - F.log((F.col("ct_r") + 1).cast("double"))
+                + F.log((F.col("tr") + F.lit(N_BUCKETS)).cast("double"))
+            ).alias("lw"),
+        )
+    )
+    per_db = toks.groupBy("doc", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    scored = (
+        per_db.join(F.broadcast(lw), "b")
+        .groupBy("doc")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "b",
+                            (F.col("n").cast("double") * F.col("lw")).alias(
+                                "term"
+                            ),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("score"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc"))
+    return (
+        ids.join(scored, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("score"), F.lit(0.0)) + F.lit(1e-9), 6
+            ).alias("dsir_logratio"),
+        )
+    )

@@ -346,3 +346,68 @@ def quality_temperature_sample(
         rhs = rhs * qm
     rhs = rhs * F.expr(f"CAST({BUCKET_SPACE} AS DECIMAL(38,0))")
     return df.filter(lhs < rhs)
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_target: int,
+    seed: int = 0,
+) -> DataFrame:
+    """UniMax/mT5-style LANGUAGE (group) temperature rebalancing with
+    tau = 2: derive per-group acceptance rates from the observed group
+    sizes so the kept corpus approaches ``n_target`` rows distributed
+    as c_g^(1/2) / sum_g c_g^(1/2) — the square-root temperature that
+    mT5 (Xue et al. 2021) and UniMax (Chung et al. 2023) use to damp
+    head-language dominance — then gate each row with the deterministic
+    md5 draw (same key-hash contract as every sampler in this module).
+
+    rate_g = min(1, n_target * p_g / c_g),  p_g = sqrt(c_g)/sum sqrt
+
+    Cross-engine determinism: c_g are exact integers; sqrt is IEEE
+    correctly-rounded on both engines; the sum of the (few) group
+    sqrts is a LEFT FOLD in group-name order (never an engine-ordered
+    SUM over doubles); the remaining ops are one exactly-rounded
+    divide/multiply chain and an exact integer-vs-double compare
+    ``u < rate * 2^32`` — so the kept SET replays bit-for-bit in
+    DuckDB with no rounding tolerance at all.
+
+    Scale: one partial-agg exchange over ``group`` (rows out = number
+    of groups), a driver-free fold on that tiny frame, one broadcast
+    join of the rate table back onto the scan, and a codegen md5
+    filter — the bulk never shuffles. Tail groups with
+    c_g <= n_target * p_g pass whole (rate 1), matching UniMax's
+    epoch-cap semantics.
+    """
+    if n_target < 0:
+        raise ValueError("n_target must be >= 0")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    tot = counts.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(group_col, F.sqrt("__c").alias("s")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("__s")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.col("__c"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(n_target))
+            * (F.sqrt("__c") / F.col("__s"))
+            / F.col("__c").cast("double"),
+        ).alias("__rate"),
+    )
+    u = hash_bucket(F.col(key_col), seed).cast("double")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("sample_rate", F.round(F.col("__rate") + F.lit(1e-9), 6))
+        .withColumn("kept", u < F.col("__rate") * F.lit(float(BUCKET_SPACE)))
+        .drop("__c", "__rate")
+    )

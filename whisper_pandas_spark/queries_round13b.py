@@ -1,0 +1,450 @@
+"""Registry entries: round 13b (post-sweep extension wave).
+
+- text_token_entropy       per-doc Shannon entropy / TTR / Simpson with
+                           the pinned-log2 bit-identity contract
+- text_dsir_weights        DSIR hashed-unigram importance log-ratios
+                           (Xie et al. 2023) target=en vs raw
+- sample_temperature_lang  UniMax/mT5 sqrt-temperature language
+                           rebalancing, exact integer-vs-double gate
+- stream_bottomk_replay    streaming per-group bottom-k uniform sample
+                           maintenance — idempotent set-merge law,
+                           double-pass replay proof
+- dedup_semdedup           SemDeDup (Abbas et al. 2023): exact-integer
+                           cosine dedup inside int8-kmeans cells; the
+                           oracle replays clustering AND the pairwise
+                           gate value-exactly
+
+No reference-repo parity: whisper_pandas (reference, 299-line .wsp
+decoder) has no text/embedding surface; these back SURVEY.md §2
+extension rows Y148-Y152. (A PII-redaction
+entry already exists from round 5: text_pii_redact, operators/redact.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.registry import _table, register
+
+# ---------------------------------------------------------------------------
+# text_token_entropy
+# ---------------------------------------------------------------------------
+
+
+def _entropy_oracle() -> str:
+    from whisper_pandas_spark.operators.lexical import log2_values_sql
+
+    toks = (
+        "regexp_split_to_array(trim(regexp_replace(lower(text),"
+        "'[^a-z0-9]+', ' ', 'g')), ' ')"
+    )
+    return f"""
+WITH l2(i, l2) AS (VALUES {log2_values_sql()}),
+toks AS (
+  SELECT doc_id, unnest(list_filter({toks}, x -> x != '')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, tok, CAST(count(*) AS INT) AS c
+  FROM toks GROUP BY doc_id, tok
+), t AS (
+  SELECT c.doc_id, c.tok, c.c, CAST(c.c AS DOUBLE) * l2.l2 AS term
+  FROM c JOIN l2 ON l2.i = c.c
+), a AS (
+  SELECT doc_id,
+    CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_types,
+    CAST(sum(CAST(c AS BIGINT) * c) AS BIGINT) AS c2,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY tok)),
+                (x, y) -> x + y) AS tsum
+  FROM t GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_tokens, a.n_types,
+  round(l2n.l2 - a.tsum / CAST(a.n_tokens AS DOUBLE) + 1e-9, 6) AS entropy,
+  round(CAST(a.n_types AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) + 1e-9, 6)
+    AS ttr,
+  round(CAST(a.c2 AS DOUBLE)
+        / (CAST(a.n_tokens AS DOUBLE) * CAST(a.n_tokens AS DOUBLE))
+        + 1e-9, 6) AS simpson
+FROM a JOIN l2 l2n ON l2n.i = a.n_tokens
+ORDER BY doc_id
+"""
+
+
+@register("text_token_entropy", oracle=_entropy_oracle())
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: per-document lexical-diversity profile
+    (operators/lexical.py) — Shannon entropy (bits/token), type/token
+    ratio, Simpson repetition index. The pinned-log2 contract makes
+    every pre-rounding double BIT-IDENTICAL cross-engine (both engines
+    read the same repr'd log2 literals; per-doc sums are sorted-order
+    left folds, never engine-ordered SUMs). Plan: one narrow explode,
+    two keyed partial-agg exchanges, one constant-size broadcast."""
+    from whisper_pandas_spark.operators.lexical import token_entropy
+
+    docs = _table(spark, sf_dir, "documents")
+    return token_entropy(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_dsir_weights
+# ---------------------------------------------------------------------------
+
+
+def _dsir_oracle() -> str:
+    toks = (
+        "regexp_split_to_array(trim(regexp_replace(lower(text),"
+        "'[^a-z0-9]+', ' ', 'g')), ' ')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         ('0x' || substr(md5('dsir:' || tok), 1, 15))::BIGINT % 256 AS b
+  FROM (
+    SELECT doc_id, lang, unnest(list_filter({toks}, x -> x != '')) AS tok
+    FROM documents
+  )
+), model AS (
+  SELECT b, CAST(sum(is_t) AS BIGINT) AS ct_t,
+         CAST(count(*) AS BIGINT) AS ct_r
+  FROM toks GROUP BY b
+), tot AS (
+  SELECT CAST(sum(ct_t) AS BIGINT) AS tt, CAST(sum(ct_r) AS BIGINT) AS tr
+  FROM model
+), lw AS (
+  SELECT b, ln(CAST(ct_t + 1 AS DOUBLE)) - ln(CAST(tt + 256 AS DOUBLE))
+          - ln(CAST(ct_r + 1 AS DOUBLE)) + ln(CAST(tr + 256 AS DOUBLE)) AS lw
+  FROM model, tot
+), per AS (
+  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY doc_id, b
+), sc AS (
+  SELECT per.doc_id,
+    CAST(sum(n) AS BIGINT) AS n_tokens,
+    list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE),
+                   list(CAST(n AS DOUBLE) * lw.lw ORDER BY per.b)),
+      (x, y) -> x + y) AS score
+  FROM per JOIN lw USING (b) GROUP BY per.doc_id
+)
+SELECT d.doc_id,
+  coalesce(sc.n_tokens, 0) AS n_tokens,
+  round(coalesce(sc.score, 0.0) + 1e-9, 6) AS dsir_logratio
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("text_dsir_weights", oracle=_dsir_oracle())
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: DSIR importance weights (operators/dsir.py; Xie et al.
+    2023) — hashed-unigram (B=256) log-likelihood ratio of the target
+    subcorpus (lang='en') vs the raw corpus, summed per document via a
+    sorted-bucket left fold. Counts/buckets are exact integers; the
+    ln() calls are the only transcendentals (the established biased-
+    round-6 budget). Plan: one explode feeding BOTH models through
+    conditional aggregation, constant-size weight broadcast, one
+    (doc, bucket) exchange."""
+    from whisper_pandas_spark.operators.dsir import dsir_weights
+
+    docs = _table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# sample_temperature_lang
+# ---------------------------------------------------------------------------
+
+_TEMP_N_TARGET = 300
+_TEMP_SEED = 7
+
+
+def _temp_oracle() -> str:
+    return f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang
+), s AS (
+  SELECT list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+                 list(sqrt(CAST(c AS DOUBLE)) ORDER BY lang)),
+    (x, y) -> x + y) AS s
+  FROM c
+), r AS (
+  SELECT lang,
+    least(1.0, {float(_TEMP_N_TARGET)} * (sqrt(CAST(c AS DOUBLE)) / s.s)
+               / CAST(c AS DOUBLE)) AS rate
+  FROM c, s
+)
+SELECT d.doc_id, d.lang,
+  round(r.rate + 1e-9, 6) AS sample_rate,
+  (CAST(('0x' || substr(md5('{_TEMP_SEED}:' || CAST(d.doc_id AS VARCHAR)),
+                        1, 8))::BIGINT AS DOUBLE)
+   < r.rate * 4294967296.0) AS kept
+FROM documents d JOIN r USING (lang)
+ORDER BY doc_id
+"""
+
+
+@register("sample_temperature_lang", oracle=_temp_oracle())
+def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling+: UniMax/mT5 sqrt-temperature language rebalancing
+    (operators/sampling.py:temperature_rebalance) — per-language keep
+    rates from observed counts at tau=2, gated per doc by the
+    deterministic md5 draw. The kept SET replays bit-for-bit (sqrt is
+    IEEE-exact, the rate-table sum is a name-ordered fold, the gate is
+    an exact integer-vs-double compare); only the REPORTED rate is
+    rounded. Plan: one group-count exchange (rows out = #languages),
+    broadcast rate join, codegen filter — the bulk never shuffles."""
+    from whisper_pandas_spark.operators.sampling import temperature_rebalance
+
+    docs = _table(spark, sf_dir, "documents")
+    out = temperature_rebalance(
+        docs, "lang", "doc_id", n_target=_TEMP_N_TARGET, seed=_TEMP_SEED
+    )
+    return out.select("doc_id", "lang", "sample_rate", "kept").orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_bottomk_replay
+# ---------------------------------------------------------------------------
+
+_BK_K = 16
+
+
+def _bottomk_oracle() -> str:
+    return f"""
+WITH h AS (
+  SELECT lang AS grp, doc_id,
+    ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+), r AS (
+  SELECT grp, doc_id, h,
+    row_number() OVER (PARTITION BY grp ORDER BY h, doc_id) AS rn
+  FROM h
+)
+SELECT grp, doc_id, h FROM r WHERE rn <= {_BK_K}
+ORDER BY grp, h, doc_id
+"""
+
+
+@register("stream_bottomk_replay", oracle=_bottomk_oracle())
+def stream_bottomk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+: streaming per-group bottom-k uniform-sample maintenance
+    (streaming/sketches.py:stream_bottomk_update) replayed end-to-end —
+    per-batch hashing, bottom-k set-merge into versioned state, then
+    the WHOLE stream deliberately reprocessed through a second
+    checkpoint-less pass: bottom-k over a union is idempotent
+    (bk(S∪S)=bk(S)), so the double-processed state still equals the
+    direct batch bottom-k the oracle computes — the sampling face of
+    the HLL/Bloom/KMV idempotent-merge family, vs the marker-protected
+    additive CMS/KN. State is O(groups x k); the per-batch window runs
+    over (prior ∪ batch), never the stream's history."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.sketches import stream_bottomk_update
+
+    items = (
+        _table(spark, sf_dir, "documents")
+        .select(F.col("lang").alias("grp"), "doc_id")
+        .withColumn("row_id", F.monotonically_increasing_id())
+    )
+    d = tempfile.mkdtemp(prefix="wps_bkstream_")
+    items.filter(F.col("row_id") % 2 == 0).drop("row_id").coalesce(
+        1
+    ).write.parquet(f"{d}/changes/f1")
+    items.filter(F.col("row_id") % 2 == 1).drop("row_id").coalesce(
+        1
+    ).write.parquet(f"{d}/changes/f2")
+
+    def run_pass(ckpt: str) -> None:
+        sdf = (
+            spark.readStream.schema("grp string, doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/changes/*")
+        )
+        q = stream_bottomk_update(
+            sdf, f"{d}/state", ("grp",), "doc_id", k=_BK_K, checkpoint_dir=ckpt
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_pass(f"{d}/ckpt1")
+    # full reprocess with a FRESH checkpoint: harmless by idempotence
+    run_pass(f"{d}/ckpt2")
+    state = spark.read.parquet(current_version_path(f"{d}/state"))
+    return state.select("grp", "doc_id", "h").orderBy("grp", "h", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup_semdedup
+# ---------------------------------------------------------------------------
+# Fixture: the full `embeddings` table (500 rows at sf0.01 / 2000 at
+# sf0.1 — small enough that the oracle's in-cell pair join is cheap),
+# plus two planted near-dup strata — % 8 == 0 re-enters VERBATIM as
+# vec_id + 1e6 (code-space cosine exactly 1), % 8 == 4 re-enters as
+# vec_id + 2e6 with dim0 shifted by +0.25 (a real perturbation:
+# different codes, cosine ~0.98-0.99). All fixture arithmetic is
+# float->double widening plus one exactly-representable +0.25 — no
+# engine-dependent float path.
+
+_SD_K = 32
+_SD_ITERS = 2
+_SD_DIM = 64
+
+
+def _sd_dist(vq: str, cq: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(range(1, {_SD_DIM} + 1),"
+        f" i -> ({vq}[CAST(i AS INT)] - {cq}[CAST(i AS INT)])"
+        f" * ({vq}[CAST(i AS INT)] - {cq}[CAST(i AS INT)]))),"
+        " (a, x) -> a + x)"
+    )
+
+
+def _semdedup_oracle() -> str:
+    from whisper_pandas_spark.operators.semdedup import THETA_DEN, THETA_NUM
+    from whisper_pandas_spark.queries_embeddings import (
+        _duck_codes,
+        _duck_isum,
+        _duck_scale,
+    )
+
+    k, dim = _SD_K, _SD_DIM
+    dbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    ctes = [
+        f"""fix AS (
+  SELECT vec_id, {dbl} AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, {dbl} FROM embeddings WHERE vec_id % 8 = 0
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_concat([CAST(embedding[1] AS DOUBLE) + 0.25],
+                     list_transform(embedding[2:], x -> CAST(x AS DOUBLE)))
+  FROM embeddings WHERE vec_id % 8 = 4
+)""",
+        f"""codes AS (
+  SELECT vec_id, {_duck_codes("e", _duck_scale("e"))} AS q FROM fix
+)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, q
+  FROM codes ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    prev = "c0"
+    for it in range(1, _SD_ITERS + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT v.vec_id, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_sd_dist("v.q", "c.q")}, c.cid) AS rn
+    FROM codes v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""u{it} AS (
+  SELECT a.cluster AS cid, CAST(t.d AS INT) AS dim,
+    CAST(floor(CAST(CAST(sum(v.q[CAST(t.d + 1 AS INT)]) AS BIGINT) AS DOUBLE)
+               / count(*)) AS BIGINT) AS comp
+  FROM a{it} a JOIN codes v USING (vec_id)
+  CROSS JOIN range(0, {dim}) t(d)
+  GROUP BY a.cluster, t.d
+)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT p.cid, array_agg(coalesce(u.comp, p.q[pd.d + 1]) ORDER BY pd.d) AS q
+  FROM {prev} p CROSS JOIN range(0, {dim}) pd(d)
+  LEFT JOIN u{it} u ON u.cid = p.cid AND u.dim = pd.d
+  GROUP BY p.cid
+)"""
+        )
+        prev = f"c{it}"
+    final = _SD_ITERS + 1
+    dot = (
+        f"list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(range(1, {dim} + 1),"
+        f" i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])),"
+        " (x, y) -> x + y)"
+    )
+    ctes.append(
+        f"""a{final} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT v.vec_id, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id
+                         ORDER BY {_sd_dist("v.q", "c.q")}, c.cid) AS rn
+    FROM codes v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""cc AS (
+  SELECT a.vec_id, a.cluster, v.q,
+         {_duck_isum("list_transform(v.q, x -> x * x)")} AS nn
+  FROM a{final} a JOIN codes v USING (vec_id)
+)"""
+    )
+    ctes.append(
+        f"""pr AS (
+  SELECT b.vec_id AS vid, {dot} AS dot, a.nn AS na, b.nn AS nb
+  FROM cc a JOIN cc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)"""
+    )
+    ctes.append(
+        f"""drops AS (
+  SELECT DISTINCT vid FROM pr
+  WHERE dot > 0 AND dot * dot * {THETA_DEN} >= {THETA_NUM} * na * nb
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT c.vec_id, c.cluster,
+  (c.vec_id NOT IN (SELECT vid FROM drops)) AS kept
+FROM cc c ORDER BY vec_id
+"""
+    )
+
+
+def _sd_fixture(emb: DataFrame) -> DataFrame:
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", dbl.alias("e"))
+    dup_a = emb.filter(F.col("vec_id") % 8 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), dbl.alias("e")
+    )
+    dup_b = emb.filter(F.col("vec_id") % 8 == 4).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") + 0.25),
+            F.slice(dbl, 2, _SD_DIM - 1),
+        ).alias("e"),
+    )
+    return base.unionByName(dup_a).unionByName(dup_b)
+
+
+@register("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 composition: SemDeDup (operators/semdedup.py; Abbas et
+    al. 2023) — semantic near-dup removal inside exact-integer
+    int8-kmeans cells, min-id canonical, with the cosine gate in PURE
+    BIGINT arithmetic (theta^2 = 9409/10000) so the dropped set is
+    bit-reproducible with no float tolerance. The oracle replays the
+    full clustering iteration history AND the in-cell pairwise gate
+    value-exactly. Plan: audited kmeans stages + ONE cluster-keyed
+    shuffle of (id, int8 codes) into a vectorized int64 Gram pass per
+    cell — the cell quadratic is bounded by corpus/k (raise k at
+    scale, per the paper), everything across cells is parallel."""
+    from whisper_pandas_spark.operators.semdedup import semdedup
+
+    emb = _table(spark, sf_dir, "embeddings")
+    fix = _sd_fixture(emb)
+    return semdedup(
+        fix, "vec_id", "e", k=_SD_K, iters=_SD_ITERS
+    ).orderBy("vec_id")

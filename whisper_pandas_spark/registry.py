@@ -185,5 +185,6 @@ from whisper_pandas_spark import queries_round12b  # noqa: E402,F401
 
 # Round 13: same direct-registration pattern.
 from whisper_pandas_spark import queries_round13  # noqa: E402,F401
+from whisper_pandas_spark import queries_round13b  # noqa: E402,F401
 
 _reorder()

@@ -554,3 +554,76 @@ def stream_kn_counts_update(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_bottomk_update(
+    sdf: DataFrame,
+    base: str,
+    keys: tuple[str, ...],
+    id_col: str,
+    k: int,
+    seed: int = 0,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming per-group UNIFORM SAMPLE maintenance: bottom-k by the
+    deterministic md5 key hash (operators/sampling.py:hash_bucket) —
+    the streaming face of content-keyed sampling. The state per group
+    is the k rows with the smallest hash values; because the hash is a
+    pure function of the row's key, bottom-k over a union is
+    associative, commutative AND idempotent:
+
+        bk(S ∪ T) = bk(bk(S) ∪ T),   bk(S ∪ S) = bk(S)
+
+    so — like Bloom/KMV/HLL and unlike the additive CMS/KN counters —
+    a replayed batch or a full checkpoint-less reprocess cannot corrupt
+    the state (no `_LAST_BATCH` marker machinery; asserted end-to-end
+    by `stream_bottomk_replay`'s deliberate double pass). The sample is
+    simultaneously a KMV distinct-count sketch (k-th minimum value),
+    which is why the merged state doubles as the uniform eval-holdout
+    maintainer a 100 TB streaming ingest needs: O(groups x k) state,
+    one window over (prior ∪ batch) — never over the stream's bulk.
+    """
+    from pathlib import Path
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.merge import (
+        current_version_path,
+        write_version,
+    )
+    from whisper_pandas_spark.operators.sampling import hash_bucket
+
+    key_cols = [*keys, id_col]
+
+    def bottom_k(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy("h", id_col)
+        return (
+            df.dropDuplicates(key_cols)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hashed = batch_df.select(*key_cols).withColumn(
+            "h", hash_bucket(F.col(id_col).cast("string"), seed)
+        )
+        cur = current_version_path(base)
+        if cur is None:
+            new_state = bottom_k(hashed)
+            next_version = 0
+        else:
+            prior = batch_df.sparkSession.read.parquet(cur).select(
+                *key_cols, "h"
+            )
+            new_state = bottom_k(prior.unionByName(hashed))
+            next_version = int(Path(cur).name[1:]) + 1
+        write_version(base, new_state, next_version)
+
+    writer = sdf.writeStream.foreachBatch(apply).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
