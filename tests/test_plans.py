@@ -754,3 +754,47 @@ def test_round13_guard_law_plan_pins(spark):
     assert len(arrow_stages) == 1
     assert exchanges(plan) <= 1  # only the final orderBy
     assert "BatchEvalPython" not in plan
+
+
+def test_round13b_plan_shapes(spark):
+    """Round-13b structural pins.
+
+    - text_token_entropy: both log2-lookup joins BROADCAST (the pinned
+      table must never shuffle the corpus side); no cartesian; no
+      Python anywhere (the per-doc fold is an expression, not a UDF).
+    - text_dsir_weights / sample_temperature_lang: the only
+      nested-loop join is the SCALAR broadcast (1-row totals frame) —
+      the scalar-subquery idiom; the bulk join onto the corpus is a
+      BroadcastHashJoin; no cartesian.
+    - dedup_semdedup: exactly ONE grouped-Arrow cell stage
+      (FlatMapGroupsInPandas) and ONE map-side Arrow assign
+      (MapInPandas) in the returned plan; no cartesian — the cell
+      quadratic lives INSIDE applyInPandas, never as a join.
+    """
+    import re
+
+    def nodes(plan: str, name: str) -> int:
+        return len(
+            [ln for ln in plan.splitlines()
+             if re.match(rf"\(\d+\) {name}($| )", ln.strip())]
+        )
+
+    plan = formatted_plan(QUERIES["text_token_entropy"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert nodes(plan, "BroadcastExchange") == 2  # the two log2 lookups
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    for name in ("text_dsir_weights", "sample_temperature_lang"):
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert nodes(plan, "BroadcastNestedLoopJoin") == 1, name  # scalar
+        assert "BroadcastHashJoin" in plan, name  # the bulk-side join
+        assert "BatchEvalPython" not in plan, name
+
+    plan = formatted_plan(QUERIES["dedup_semdedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert nodes(plan, "MapInPandas") == 1
+    assert "BatchEvalPython" not in plan

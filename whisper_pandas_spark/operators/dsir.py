@@ -31,14 +31,16 @@ budget, queries_round6 weighted-sample precedent).
 
 Scale design
 ------------
-The token stream explodes ONCE and feeds both models via conditional
-aggregation (one (bucket) partial-agg exchange, B=256 rows out); the
-weight table + the two scalar totals broadcast; the per-(doc, bucket)
-count is the second keyed exchange, followed by the per-doc fold. At
-100 TB the plan is: scan -> narrow explode -> two bounded hash
-exchanges -> broadcast joins — no payload wider than (hash, count)
-ever shuffles, and the model side is CONSTANT size regardless of
-corpus scale.
+The corpus explodes ONCE: the token stream reduces immediately to
+per-(doc, bucket) counts (partial-agg exchange #1, ~buckets-per-doc
+rows out), and BOTH models derive from that materialized reduced
+frame via conditional aggregation (exchange #2, B=256 rows out); the
+weight table + the two scalar totals broadcast; the per-doc fold is
+exchange #3 over the reduced frame. At 100 TB the plan is: scan ->
+narrow explode -> one corpus-sized partial-agg exchange -> two
+bounded exchanges -> broadcast joins — no payload wider than
+(hash, count) ever shuffles, the model side is CONSTANT size
+regardless of corpus scale, and the corpus is scanned exactly once.
 """
 
 from __future__ import annotations
@@ -81,10 +83,24 @@ def dsir_weights(
         .filter(F.col("tok") != "")
         .select("doc", "is_t", dsir_bucket(F.col("tok")).alias("b"))
     )
-    # one pass, both models: per-bucket target/raw counts
-    model = toks.groupBy("b").agg(
-        F.sum("is_t").cast("bigint").alias("ct_t"),
-        F.count(F.lit(1)).cast("bigint").alias("ct_r"),
+    # ONE corpus pass: reduce the token stream to per-(doc, bucket)
+    # counts first (is_t is constant per doc, so carrying it in the key
+    # adds no rows), then derive BOTH models from that already-reduced
+    # frame — without this, the model/totals/scoring branches would
+    # each re-run the corpus explode (3 scans at 100 TB). The eager
+    # localCheckpoint materializes the reduced frame once for its two
+    # consumers (the engine's standard shared-lineage move; a real
+    # cluster run would persist to shuffle-tier storage the same way).
+    per_db = (
+        toks.groupBy("doc", "is_t", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    model = per_db.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("ct_t"),
+        F.sum("n").cast("bigint").alias("ct_r"),
     )
     totals = model.agg(
         F.sum("ct_t").alias("tt"), F.sum("ct_r").alias("tr")
@@ -100,9 +116,6 @@ def dsir_weights(
                 + F.log((F.col("tr") + F.lit(N_BUCKETS)).cast("double"))
             ).alias("lw"),
         )
-    )
-    per_db = toks.groupBy("doc", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
     )
     scored = (
         per_db.join(F.broadcast(lw), "b")

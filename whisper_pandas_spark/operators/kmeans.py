@@ -205,6 +205,7 @@ def kmeans_int8(
     vec_col: str,
     k: int = 8,
     iters: int = 2,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Lloyd's iterations over int8 codes; returns the final assignment
     ``(id, cluster, dist)`` (dist = exact integer squared L2 in code
@@ -214,6 +215,11 @@ def kmeans_int8(
     k-means++ would drag float randomness into the parity contract).
     Each iteration: map-side assign -> one partial-agg exchange ->
     k x dim bounded collect -> floored integer mean per component.
+
+    ``codes_df``: optionally a pre-materialized ``(id, q)`` code frame
+    (int8_codes output, already spread/checkpointed) — callers that
+    also need the codes downstream (SemDeDup's pairwise stage) pass it
+    to avoid quantizing the corpus twice.
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1, iters >= 0; got k={k} iters={iters}")
@@ -227,8 +233,12 @@ def kmeans_int8(
     # higher-order lambdas are CodegenFallback (interpreted) — without
     # the checkpoint every job re-interprets the full quantization
     # lineage (measured 2x total at the sf1 stress).
-    codes = _spread(int8_codes(df, id_col, vec_col)).localCheckpoint(
-        eager=True
+    codes = (
+        codes_df
+        if codes_df is not None
+        else _spread(int8_codes(df, id_col, vec_col)).localCheckpoint(
+            eager=True
+        )
     )
     init_rows = codes.orderBy(id_col).limit(k).collect()
     if len(init_rows) < k:

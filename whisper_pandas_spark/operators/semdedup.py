@@ -72,8 +72,16 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
-    assigned = kmeans_int8(df, id_col, vec_col, k=k, iters=iters)
-    codes = int8_codes(df, id_col, vec_col)
+    from whisper_pandas_spark.operators.dedup import _spread
+
+    # quantize the corpus ONCE: the materialized code frame feeds both
+    # the k-means iterations and the pairwise cell stage
+    codes = _spread(int8_codes(df, id_col, vec_col)).localCheckpoint(
+        eager=True
+    )
+    assigned = kmeans_int8(
+        df, id_col, vec_col, k=k, iters=iters, codes_df=codes
+    )
     cells = assigned.select(id_col, "cluster").join(codes, id_col)
 
     id_name = id_col
