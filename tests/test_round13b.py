@@ -410,3 +410,47 @@ def test_semdedup_accepts_any_id_col(spark):
     out = semdedup(df, "item_id", "e", k=2, iters=1)
     assert out.columns == ["item_id", "cluster", "kept"]
     assert out.count() == 11
+
+
+# ---------------------------------------------------------------------------
+# text_dsir_resample — selection semantics
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_resample_prefers_high_ratio_docs(spark):
+    """The resample must SKEW toward high-log-ratio documents: the mean
+    score of the selected set exceeds the corpus mean. (The synthetic
+    corpus shares its vocabulary across languages, so the target/raw
+    separation is real but small — the correct assertion is selection
+    skew, not absolute sign.)"""
+    from pyspark.sql import functions as F2
+
+    from whisper_pandas_spark.operators.dsir import dsir_weights
+    from whisper_pandas_spark.registry import QUERIES
+
+    rows = QUERIES["text_dsir_resample"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 100
+    assert len({r["doc_id"] for r in rows}) == 100  # without replacement
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    all_scores = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_weights(
+            docs, "doc_id", "text", F2.col("lang") == "en"
+        ).collect()
+    }
+    mean_all = sum(all_scores.values()) / len(all_scores)
+    mean_sel = sum(r["dsir_logratio"] for r in rows) / len(rows)
+    assert mean_sel > mean_all + 0.05
+
+
+def test_dsir_resample_plan_is_topk(spark):
+    from whisper_pandas_spark.plans.inspect import formatted_plan
+    from whisper_pandas_spark.registry import QUERIES
+
+    plan = formatted_plan(
+        QUERIES["text_dsir_resample"](spark, "/root/testdata/sf0.001")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

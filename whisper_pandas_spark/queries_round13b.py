@@ -448,3 +448,55 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
         fix, "vec_id", "e", k=_SD_K, iters=_SD_ITERS
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# text_dsir_resample — the selection half of the DSIR recipe
+# ---------------------------------------------------------------------------
+
+_DSIR_RS_K = 100
+_DSIR_RS_SEED = 11
+
+
+def _dsir_resample_oracle() -> str:
+    base = _dsir_oracle().rsplit("ORDER BY d.doc_id", 1)[0]
+    return f"""
+WITH scored AS ({base}),
+keyed AS (
+  SELECT doc_id, dsir_logratio,
+         exp(ln((('0x' || substr(md5('{_DSIR_RS_SEED}:'
+                    || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                 / 4294967296.0)
+             / exp(dsir_logratio)) AS rk
+  FROM scored
+)
+SELECT doc_id, dsir_logratio, round(rk, 12) AS rank_key
+FROM keyed ORDER BY rk DESC, doc_id LIMIT {_DSIR_RS_K}
+"""
+
+
+@register("text_dsir_resample", oracle=_dsir_resample_oracle())
+def text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: the SELECTION half of DSIR (Xie et al. 2023 §3: importance
+    RESAMPLING) — Efraimidis-Spirakis weighted sample-without-
+    replacement (operators/sampling.py:weighted_sample_k) over
+    w = exp(dsir_logratio), so inclusion probability tracks the
+    importance ratio at every prefix. The weight exponentiates the
+    ROUNDED score column — both engines raise e to identical operands
+    (the cross-engine exp/ln budget is the established
+    sample_weighted_topk precedent). Top-k compiles to
+    TakeOrderedAndProject: per-partition heads, no global sort — the
+    100 TB shape."""
+    from whisper_pandas_spark.operators.dsir import dsir_weights
+    from whisper_pandas_spark.operators.sampling import weighted_sample_k
+
+    docs = _table(spark, sf_dir, "documents")
+    scored = dsir_weights(docs, "doc_id", "text", F.col("lang") == "en")
+    sel = weighted_sample_k(
+        scored.withColumn("w", F.exp("dsir_logratio")),
+        "doc_id",
+        "w",
+        k=_DSIR_RS_K,
+        seed=_DSIR_RS_SEED,
+    )
+    return sel.select("doc_id", "dsir_logratio", "rank_key")
