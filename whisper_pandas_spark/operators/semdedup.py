@@ -9,6 +9,21 @@ cosine similarity to an earlier-kept member exceeds a threshold — is
 THE way web-scale pipelines remove paraphrase/boilerplate duplicates
 that exact and MinHash dedup cannot see.
 
+Relation to ``dedup_semantic`` (round 6, operators/dedup.py:
+semantic_dedup): that entry is the FLOAT-cosine formulation — cells
+from kmeans_cosine, within-cell pair JOIN with a rounded-cosine
+threshold, connected-component closure, min-id-per-component keep.
+This one is the exact-arithmetic execution-strategy sibling the
+round-6 form cannot be: int8 codes make the gate PURE BIGINT (no
+rounding tolerance for the oracle to absorb), the cell quadratic runs
+as ONE vectorized numpy Gram inside applyInPandas instead of an
+expression-evaluated pair join (the kmeans-assign Arrow precedent:
+per-pair HOF dot products are interpreted per element and measured
+super-linear), and the keep rule is the paper's own
+smaller-id-neighbor form rather than component closure. Both stay
+registered deliberately: same published recipe, two different
+similarity-arithmetic/plan trade-offs, each value-gated end to end.
+
 Exactness contract
 ------------------
 Clustering is the exact-integer int8 k-means (operators/kmeans.py:

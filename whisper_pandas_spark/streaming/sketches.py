@@ -577,11 +577,16 @@ def stream_bottomk_update(
     so — like Bloom/KMV/HLL and unlike the additive CMS/KN counters —
     a replayed batch or a full checkpoint-less reprocess cannot corrupt
     the state (no `_LAST_BATCH` marker machinery; asserted end-to-end
-    by `stream_bottomk_replay`'s deliberate double pass). The sample is
-    simultaneously a KMV distinct-count sketch (k-th minimum value),
-    which is why the merged state doubles as the uniform eval-holdout
-    maintainer a 100 TB streaming ingest needs: O(groups x k) state,
-    one window over (prior ∪ batch) — never over the stream's bulk.
+    by `stream_bottomk_replay`'s deliberate double pass).
+
+    Relation to :func:`stream_kmv_update` above: KMV keeps only the k
+    minimum HASHES per group, packed as a sketch array — an estimator
+    (distinct counts / set ops), not a sample. This maintainer keeps
+    the k minimum-hash ROWS (group, id, h): the same merge law carrying
+    an actual uniform sample — the content-keyed eval-holdout /
+    inspection sample a 100 TB streaming ingest needs, which no
+    estimator state can reconstruct. O(groups x k) state, one window
+    over (prior ∪ batch) — never over the stream's bulk.
     """
     from pathlib import Path
 
