@@ -97,6 +97,10 @@ HEADLINE3 = [
     "text_winnow_fingerprints",
     # the integrated web-crawl chain (strip -> C4 -> dedup -> quota)
     "pipeline_web_end_to_end",
+    # round 13b additions: exact-integer SemDeDup (Arrow Gram cells) and
+    # the single-pass DSIR scorer
+    "dedup_semdedup",
+    "text_dsir_weights",
 ]
 
 
