@@ -454,3 +454,113 @@ def test_dsir_resample_plan_is_topk(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SPARKY = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_token = st.text(alphabet="abcxyz0", min_size=1, max_size=3)
+
+
+@_SPARKY
+@given(docs=st.lists(st.lists(_token, min_size=1, max_size=12),
+                     min_size=1, max_size=6))
+def test_entropy_property_matches_counter(spark, docs):
+    import collections
+
+    from whisper_pandas_spark.operators.lexical import token_entropy
+
+    texts = [" ".join(toks) for toks in docs]
+    out = {
+        r["doc_id"]: r
+        for r in token_entropy(_docs(spark, texts), "doc_id", "text").collect()
+    }
+    for i, toks in enumerate(docs):
+        c = collections.Counter(toks)
+        n = sum(c.values())
+        h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        assert out[i]["n_tokens"] == n
+        assert out[i]["n_types"] == len(c)
+        assert out[i]["entropy"] == pytest.approx(h, abs=2e-6)
+        assert out[i]["ttr"] == pytest.approx(len(c) / n, abs=2e-6)
+        assert out[i]["simpson"] == pytest.approx(
+            sum(v * v for v in c.values()) / n**2, abs=2e-6
+        )
+
+
+@_SPARKY
+@given(
+    sizes=st.dictionaries(
+        st.sampled_from(["de", "en", "es", "fr", "zh"]),
+        st.integers(min_value=1, max_value=12),
+        min_size=2,
+        max_size=5,
+    ),
+    n_target=st.integers(min_value=0, max_value=30),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_temperature_property_matches_python(spark, sizes, n_target, seed):
+    from whisper_pandas_spark.operators.sampling import temperature_rebalance
+
+    rows, i = [], 0
+    for lang in sorted(sizes):
+        for _ in range(sizes[lang]):
+            rows.append((i, lang))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_rebalance(
+        df, "lang", "doc_id", n_target=n_target, seed=seed
+    ).collect()
+    assert len(out) == len(rows)
+    s = 0.0
+    for lang in sorted(sizes):  # the operator's fold order
+        s += math.sqrt(float(sizes[lang]))
+    for r in out:
+        c = float(sizes[r["lang"]])
+        rate = min(1.0, float(n_target) * (math.sqrt(c) / s) / c)
+        assert r["sample_rate"] == round(rate + 1e-9, 6)
+        assert r["kept"] == (
+            float(_py_u(r["doc_id"], seed)) < rate * float(1 << 32)
+        )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.lists(st.integers(min_value=-127, max_value=127),
+               min_size=8, max_size=8),
+    b=st.lists(st.integers(min_value=-127, max_value=127),
+               min_size=8, max_size=8),
+)
+def test_semdedup_gate_matches_exact_rational(a, b):
+    """The numpy int64 gate used inside the cell pass must agree with
+    exact-rational cosine^2 >= 9409/10000 on every input (overflow /
+    sign-handling detector; pure python, no Spark)."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from whisper_pandas_spark.operators.semdedup import THETA_DEN, THETA_NUM
+
+    qa = np.asarray(a, dtype=np.int64)
+    qb = np.asarray(b, dtype=np.int64)
+    dot = int(qa @ qb)
+    na = int(qa @ qa)
+    nb = int(qb @ qb)
+    got = dot > 0 and dot * dot * THETA_DEN >= THETA_NUM * na * nb
+    if na == 0 or nb == 0:
+        assert got is False  # zero vector: dot = 0 fails dot > 0
+        return
+    want = dot > 0 and Fraction(dot * dot, na * nb) >= Fraction(
+        THETA_NUM, THETA_DEN
+    )
+    assert got == want
