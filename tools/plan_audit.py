@@ -204,6 +204,12 @@ AUDITED = [
     "text_compression_ratio",
     "dedup_duplicate_spans_bytes",
     "pipeline_multimodal_curation",
+    # round-13b entries
+    "dedup_semdedup",
+    "text_dsir_weights",
+    "text_dsir_resample",
+    "text_token_entropy",
+    "sample_temperature_lang",
 ]
 
 
