@@ -32,3 +32,16 @@ def has_broadcast_join(df: DataFrame) -> bool:
     """True if the physical plan contains a BroadcastHashJoin /
     BroadcastNestedLoopJoin — i.e. the small side skipped the shuffle."""
     return "Broadcast" in formatted_plan(df)
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Filters applied at DIRECTORY level before any file I/O
+    (``PartitionFilters: [...]`` on a FileSourceScan over a
+    Hive-partitioned layout) — the cheapest pruning tier there is."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out

@@ -282,3 +282,86 @@ def whisper_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("timestamp").cast("long").alias("epoch"),
         "value",
     ).orderBy("metric", "archive", "epoch")
+
+
+# ---------------------------------------------------------------------------
+# Y154: Hive-partitioned layout with proven directory-level pruning
+# ---------------------------------------------------------------------------
+# The third member of the layout-pruning family: zorder = row-group
+# min/max skipping, bloom = file-level membership skipping, and this one
+# is the cheapest tier of all — DIRECTORY pruning, where the filter
+# eliminates partitions before a single byte of parquet is opened. At
+# 100 TB a date-partitioned event log is the default layout; a query
+# that loses its PartitionFilters silently degrades to a full scan, so
+# (zorder-entry doctrine) the entry RAISES when the filter fails to
+# reach the scan rather than returning slow-but-correct rows.
+
+_PART_DIR: dict[str, str] = {}
+_PART_DAY_OFFSET = 3  # min event date + 3 — present at every SF (30-day span)
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as ts_date=YYYY-MM-DD/ Hive partitions, once
+    per process per sf_dir."""
+    if sf_dir not in _PART_DIR:
+        d = tempfile.mkdtemp(prefix="wps_hivepart_")
+        (
+            _table(spark, sf_dir, "events")
+            .withColumn("ts_date", F.to_date("ts"))
+            .write.partitionBy("ts_date")
+            .mode("overwrite")
+            .parquet(d)
+        )
+        _PART_DIR[sf_dir] = d
+    return _PART_DIR[sf_dir]
+
+
+@register(
+    "layout_partition_prune",
+    oracle=f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE CAST(ts AS DATE) =
+      (SELECT min(CAST(ts AS DATE)) + {_PART_DAY_OFFSET} FROM events)
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y154: Hive partition pruning proven end-to-end — events
+    materialized as ts_date= directory partitions, then a one-day
+    filter aggregated per event_type. The oracle runs the same
+    predicate on the PLAIN table (the layout must be semantically
+    invisible — the layout-family doctrine). Before returning, the
+    entry inspects the physical plan and RAISES unless the date
+    equality landed in the scan's PartitionFilters (directory-level
+    pruning, zero I/O on the other 29 days) — a layout regression
+    turns the driver row red instead of just slow. value summed in
+    integer cents."""
+    from whisper_pandas_spark.plans.inspect import partition_filters
+
+    d = _partitioned_events(spark, sf_dir)
+    day = (
+        _table(spark, sf_dir, "events")
+        .agg(
+            F.date_add(F.min(F.to_date("ts")), _PART_DAY_OFFSET).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    q = spark.read.parquet(d).filter(F.col("ts_date") == F.lit(day))
+    pf = " ".join(partition_filters(q))
+    if "ts_date" not in pf or str(day) not in pf:
+        raise RuntimeError(
+            f"partition pruning lost: PartitionFilters=[{pf}] lacks the"
+            f" ts_date = {day} directory predicate"
+        )
+    return (
+        q.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

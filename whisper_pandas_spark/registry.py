@@ -59,6 +59,7 @@ def reset_result_caches() -> None:
         qm._ROUNDTRIP_DIR.clear()
         qm._BUCKETED_DONE.clear()
         qm._ZORDER_DIR.clear()
+        qm._PART_DIR.clear()
     q7 = mods.get("whisper_pandas_spark.queries_round7")
     if q7 is not None:
         q7._BLOOM_DIR.clear()
