@@ -589,3 +589,46 @@ def test_partition_prune_plan_and_guard(spark):
     assert "ts_date" in pf and "2024-01-04" in pf
     # an unfiltered read has no partition filter — the guard would raise
     assert partition_filters(spark.read.parquet(d)) == []
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curation_end_to_end — funnel semantics
+# ---------------------------------------------------------------------------
+
+
+def test_curation_funnel_stage_populations(spark):
+    """Every planted failure population must fail at ITS stage: spam
+    docs at the entropy gate, buddy-dup docs at dedup (the buddy with
+    the smaller id stays canonical), email docs counted as PII but not
+    gated; kept implies all upstream gates."""
+    from whisper_pandas_spark.registry import QUERIES
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["pipeline_curation_end_to_end"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) == 500
+    spam = [r for i, r in rows.items() if i % 31 == 7 and i % 20 != 1]
+    assert spam and all(not r["entropy_ok"] for r in spam)
+    dups = [
+        r
+        for i, r in rows.items()
+        if i % 20 == 1 and i > 0 and rows[i - 1]["entropy_ok"]
+    ]
+    # a dup whose buddy survived the entropy gate must lose dedup
+    assert dups and all(
+        r["entropy_ok"] and not r["is_canonical"] for r in dups
+    )
+    pii = [r for i, r in rows.items() if i % 5 == 2 and i % 20 != 1]
+    assert pii and all(r["pii_found"] for r in pii)
+    # redaction happens BEFORE the entropy gate: an appended email must
+    # not fail a doc (emails redact to one token)
+    assert sum(1 for r in pii if r["entropy_ok"]) > len(pii) * 0.8
+    for r in rows.values():
+        if r["kept"]:
+            assert r["entropy_ok"] and r["is_canonical"]
+            assert r["sample_rate"] > 0.0
+        if not (r["entropy_ok"] and r["is_canonical"]):
+            assert r["sample_rate"] == 0.0 and not r["kept"]

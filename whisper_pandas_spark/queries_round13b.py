@@ -22,7 +22,7 @@ entry already exists from round 5: text_pii_redact, operators/redact.py.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from whisper_pandas_spark.registry import _table, register
@@ -500,3 +500,212 @@ def text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_DSIR_RS_SEED,
     )
     return sel.select("doc_id", "dsir_logratio", "rank_key")
+
+
+# ---------------------------------------------------------------------------
+# pipeline_curation_end_to_end — the round-13b gates composed
+# ---------------------------------------------------------------------------
+# The Dolma/RefinedWeb-style curation funnel built from this round's
+# operators plus the round-5 scrubber: PII redaction -> lexical-entropy
+# quality gate -> exact min-id dedup on the CLEAN text -> UniMax
+# temperature rebalancing over the survivors. The fixture plants one
+# failure population per stage so every gate does real work: % 31 == 7
+# docs become single-token spam (entropy 0 -> entropy gate), % 20 == 1
+# docs take their buddy's text (-> dedup loser), % 5 == 2 docs get an
+# email appended (-> PII counter; redaction must make dup pairs
+# IDENTICAL again, which is why the dup branch copies the buddy's
+# PLANTED text, email and all). The per-doc funnel (pii_found,
+# entropy_ok, is_canonical, sample_rate, kept) is the checked value.
+
+_CUR_N_TARGET = 150
+_CUR_SEED = 13
+_CUR_MIN_TOKENS = 10
+_CUR_MIN_H = 1.5
+
+
+def _cur_fixture_sql(cast_str: str) -> str:
+    """The planted-corpus expression, shared verbatim by both engines
+    modulo the string-cast keyword (Spark STRING / DuckDB VARCHAR)."""
+
+    def email(idc: str) -> str:
+        return (
+            f" || ' contact user' || CAST({idc} AS {cast_str})"
+            f" || '@mail-' || CAST({idc} % 7 AS {cast_str})"
+            f" || '.example.com now'"
+        )
+
+    ta = "CASE WHEN doc_id % 31 = 7 THEN repeat('spam ', 40) ELSE text END"
+    tb = (
+        "CASE WHEN bid IS NULL THEN NULL"
+        " WHEN bid % 31 = 7 THEN repeat('spam ', 40) ELSE btext END"
+    )
+    return f"""
+  CASE WHEN doc_id % 20 = 1 AND bid IS NOT NULL THEN
+    CASE WHEN bid % 5 = 2 THEN ({tb}){email("bid")} ELSE ({tb}) END
+  WHEN doc_id % 5 = 2 THEN ({ta}){email("doc_id")}
+  ELSE ({ta}) END
+"""
+
+
+def _curation_oracle() -> str:
+    from whisper_pandas_spark.operators.lexical import log2_values_sql
+    from whisper_pandas_spark.operators.redact import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    toks = (
+        "regexp_split_to_array(trim(regexp_replace(lower(clean),"
+        "'[^a-z0-9]+', ' ', 'g')), ' ')"
+    )
+    return f"""
+WITH l2(i, l2) AS (VALUES {log2_values_sql()}),
+b0 AS (
+  SELECT d.doc_id, d.lang, d.text, b.doc_id AS bid, b.text AS btext
+  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 1
+), fix AS (
+  SELECT doc_id, lang, ({_cur_fixture_sql("VARCHAR")}) AS t FROM b0
+), red AS (
+  SELECT doc_id, lang,
+    regexp_replace(regexp_replace(regexp_replace(t,
+      '{EMAIL_RE}', '<EMAIL>', 'g'),
+      '{IPV4_RE}', '<IP>', 'g'),
+      '{PHONE_RE}', '<PHONE>', 'g') AS clean,
+    (len(regexp_extract_all(t, '{EMAIL_RE}'))
+     + len(regexp_extract_all(t, '{IPV4_RE}'))
+     + len(regexp_extract_all(t, '{PHONE_RE}')) > 0) AS pii_found
+  FROM fix
+), etoks AS (
+  SELECT doc_id, unnest(list_filter({toks}, x -> x != '')) AS tok FROM red
+), ec AS (
+  SELECT doc_id, tok, CAST(count(*) AS INT) AS c
+  FROM etoks GROUP BY doc_id, tok
+), et AS (
+  SELECT ec.doc_id, ec.tok, ec.c, CAST(ec.c AS DOUBLE) * l2.l2 AS term
+  FROM ec JOIN l2 ON l2.i = ec.c
+), ea AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY tok)),
+                (x, y) -> x + y) AS tsum
+  FROM et GROUP BY doc_id
+), ent AS (
+  SELECT ea.doc_id, ea.n_tokens,
+    round(l2n.l2 - ea.tsum / CAST(ea.n_tokens AS DOUBLE) + 1e-9, 6)
+      AS entropy
+  FROM ea JOIN l2 l2n ON l2n.i = ea.n_tokens
+), gate AS (
+  SELECT r.doc_id, r.lang, r.clean, r.pii_found,
+    coalesce(e.entropy >= {_CUR_MIN_H}
+             AND e.n_tokens >= {_CUR_MIN_TOKENS}, FALSE) AS entropy_ok
+  FROM red r LEFT JOIN ent e USING (doc_id)
+), ded AS (
+  SELECT doc_id, (rn = 1) AS is_canonical FROM (
+    SELECT doc_id,
+      row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+    FROM gate WHERE entropy_ok
+  )
+), g2 AS (
+  SELECT g.doc_id, g.lang, g.pii_found, g.entropy_ok,
+    coalesce(d2.is_canonical, FALSE) AS is_canonical
+  FROM gate g LEFT JOIN ded d2 USING (doc_id)
+), c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS c FROM g2
+  WHERE entropy_ok AND is_canonical GROUP BY lang
+), s AS (
+  SELECT list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+                 list(sqrt(CAST(c AS DOUBLE)) ORDER BY lang)),
+    (x, y) -> x + y) AS s
+  FROM c
+), r AS (
+  SELECT lang,
+    least(1.0, {float(_CUR_N_TARGET)} * (sqrt(CAST(c AS DOUBLE)) / s.s)
+               / CAST(c AS DOUBLE)) AS rate
+  FROM c, s
+)
+SELECT g.doc_id, g.lang, g.pii_found, g.entropy_ok, g.is_canonical,
+  CASE WHEN g.entropy_ok AND g.is_canonical
+       THEN round(r.rate + 1e-9, 6) ELSE 0.0 END AS sample_rate,
+  coalesce(g.entropy_ok AND g.is_canonical AND
+    CAST(('0x' || substr(md5('{_CUR_SEED}:' || CAST(g.doc_id AS VARCHAR)),
+                         1, 8))::BIGINT AS DOUBLE)
+      < r.rate * 4294967296.0, FALSE) AS kept
+FROM g2 g LEFT JOIN r USING (lang)
+ORDER BY g.doc_id
+"""
+
+
+@register("pipeline_curation_end_to_end", oracle=_curation_oracle())
+def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition of the round-13b gates: PII scrub
+    (operators/redact.py, codegen regex) -> lexical-entropy quality
+    gate (operators/lexical.py, pinned-log2 contract) -> exact min-id
+    dedup on the CLEAN text (dup pairs become identical again only
+    after redaction — order matters and the fixture proves it) ->
+    UniMax temperature rebalance over the survivors
+    (operators/sampling.py). Per-doc funnel is the checked value.
+    Shuffle budget: one buddy equi-join (fixture), the entropy
+    exchanges, ONE md5-keyed dedup window, one #langs-row count
+    exchange + broadcast rate join — document text never shuffles
+    after the dedup key is hashed."""
+    from whisper_pandas_spark.operators.lexical import token_entropy
+    from whisper_pandas_spark.operators.redact import pii_redact
+    from whisper_pandas_spark.operators.sampling import temperature_rebalance
+
+    docs = _table(spark, sf_dir, "documents")
+    buddy = docs.select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    b0 = docs.join(buddy, F.col("bid") == F.col("doc_id") - 1, "left")
+    fix = b0.select(
+        "doc_id", "lang", F.expr(_cur_fixture_sql("STRING")).alias("text")
+    )
+    red = pii_redact(fix, "doc_id", "text").join(
+        fix.select("doc_id", "lang"), "doc_id"
+    )
+    red = red.withColumn(
+        "pii_found",
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")) > 0,
+    )
+    ent = token_entropy(red, "doc_id", "clean_text").select(
+        "doc_id", "n_tokens", "entropy"
+    )
+    gate = red.select("doc_id", "lang", "clean_text", "pii_found").join(
+        ent, "doc_id", "left"
+    )
+    gate = gate.withColumn(
+        "entropy_ok",
+        F.coalesce(
+            (F.col("entropy") >= _CUR_MIN_H)
+            & (F.col("n_tokens") >= _CUR_MIN_TOKENS),
+            F.lit(False),
+        ),
+    )
+    w = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+    ded = (
+        gate.filter("entropy_ok")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", (F.col("rn") == 1).alias("is_canonical"))
+    )
+    g2 = gate.join(ded, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "pii_found",
+        "entropy_ok",
+        F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+    )
+    surv = g2.filter("entropy_ok AND is_canonical").select("doc_id", "lang")
+    tr = temperature_rebalance(
+        surv, "lang", "doc_id", n_target=_CUR_N_TARGET, seed=_CUR_SEED
+    ).select("doc_id", "sample_rate", F.col("kept").alias("skept"))
+    out = g2.join(tr, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "pii_found",
+        "entropy_ok",
+        "is_canonical",
+        F.coalesce("sample_rate", F.lit(0.0)).alias("sample_rate"),
+        F.coalesce("skept", F.lit(False)).alias("kept"),
+    )
+    return out.orderBy("doc_id")
