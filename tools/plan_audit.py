@@ -210,6 +210,8 @@ AUDITED = [
     "text_dsir_resample",
     "text_token_entropy",
     "sample_temperature_lang",
+    "layout_partition_prune",
+    "pipeline_curation_end_to_end",
 ]
 
 
