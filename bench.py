@@ -97,10 +97,11 @@ HEADLINE3 = [
     "text_winnow_fingerprints",
     # the integrated web-crawl chain (strip -> C4 -> dedup -> quota)
     "pipeline_web_end_to_end",
-    # round 13b additions: exact-integer SemDeDup (Arrow Gram cells) and
-    # the single-pass DSIR scorer
+    # round 13b additions: exact-integer SemDeDup (Arrow Gram cells),
+    # the single-pass DSIR scorer, and the four-stage curation funnel
     "dedup_semdedup",
     "text_dsir_weights",
+    "pipeline_curation_end_to_end",
 ]
 
 
