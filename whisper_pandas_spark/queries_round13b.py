@@ -661,12 +661,22 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix = b0.select(
         "doc_id", "lang", F.expr(_cur_fixture_sql("STRING")).alias("text")
     )
-    red = pii_redact(fix, "doc_id", "text").join(
-        fix.select("doc_id", "lang"), "doc_id"
-    )
-    red = red.withColumn(
-        "pii_found",
-        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")) > 0,
+    # Stage-boundary materialization (eager localCheckpoint = the
+    # engine's stand-in for the stage-output persists a production
+    # pipeline would write): red feeds BOTH the entropy branch and the
+    # funnel frame, gate feeds dedup + the output frame, g2 feeds the
+    # survivor counts + the output join — without the checkpoints each
+    # consumer re-evaluates its whole upstream subtree and the plan
+    # multiplies to 64 parquet scans of the fixture (measured); with
+    # them the corpus is scanned once per stage.
+    red = (
+        pii_redact(fix, "doc_id", "text")
+        .join(fix.select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "pii_found",
+            (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")) > 0,
+        )
+        .localCheckpoint(eager=True)
     )
     ent = token_entropy(red, "doc_id", "clean_text").select(
         "doc_id", "n_tokens", "entropy"
@@ -681,19 +691,23 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") >= _CUR_MIN_TOKENS),
             F.lit(False),
         ),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
     ded = (
         gate.filter("entropy_ok")
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", (F.col("rn") == 1).alias("is_canonical"))
     )
-    g2 = gate.join(ded, "doc_id", "left").select(
-        "doc_id",
-        "lang",
-        "pii_found",
-        "entropy_ok",
-        F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+    g2 = (
+        gate.join(ded, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "pii_found",
+            "entropy_ok",
+            F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+        )
+        .localCheckpoint(eager=True)
     )
     surv = g2.filter("entropy_ok AND is_canonical").select("doc_id", "lang")
     tr = temperature_rebalance(
