@@ -632,3 +632,98 @@ def test_curation_funnel_stage_populations(spark):
             assert r["sample_rate"] > 0.0
         if not (r["entropy_ok"] and r["is_canonical"]):
             assert r["sample_rate"] == 0.0 and not r["kept"]
+
+
+# ---------------------------------------------------------------------------
+# sources/warc.py
+# ---------------------------------------------------------------------------
+
+
+def test_warc_roundtrip_plain_and_gzip(spark, tmp_path):
+    import glob
+    import gzip as _gz
+
+    from whisper_pandas_spark.sources.warc import read_warc, write_warc
+
+    df = spark.createDataFrame(
+        [(i, f"document body {i} with unicode é中") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for comp in ("none", "gzip"):
+        d = str(tmp_path / comp)
+        write_warc(df, d, "doc_id", "text", num_files=3, compression=comp)
+        rows = {
+            int(r["record_id"].removeprefix("doc-")): r
+            for r in read_warc(spark, d).collect()
+        }
+        assert len(rows) == 20
+        for i in range(20):
+            r = rows[i]
+            assert r["warc_type"] == "response"
+            assert r["http_status"] == 200
+            assert r["body"] == f"document body {i} with unicode é中"
+            assert r["target_uri"] == f"http://corpus.example/doc/{i}"
+    # CC convention: gzip files are CONCATENATED members, one per record
+    gz = sorted(glob.glob(str(tmp_path / "gzip" / "*.warc.gz")))
+    assert len(gz) == 3
+    blob = open(gz[0], "rb").read()
+    assert blob.count(b"\x1f\x8b\x08") >= 2  # multiple members
+    assert _gz.decompress(blob).startswith(b"WARC/1.0\r\n")
+
+
+def test_warc_offsets_and_determinism(spark, tmp_path):
+    from whisper_pandas_spark.sources.warc import read_warc, write_warc
+
+    df = spark.createDataFrame(
+        [(i, "x" * (i + 1)) for i in range(9)], "doc_id long, text string"
+    )
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc(df, d1, "doc_id", "text", num_files=2)
+    write_warc(df.repartition(5), d2, "doc_id", "text", num_files=2)
+    b1 = sorted(
+        (p.name, p.read_bytes()) for p in (tmp_path / "a").iterdir()
+    )
+    b2 = sorted(
+        (p.name, p.read_bytes()) for p in (tmp_path / "b").iterdir()
+    )
+    assert b1 == b2  # byte-stable under any input partitioning
+    per_file = {}
+    for r in read_warc(spark, d1).collect():
+        per_file.setdefault(r["warc_file"], []).append(r["record_offset"])
+    assert len(per_file) == 2
+    for offs in per_file.values():
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_warc_malformed_raises(spark, tmp_path):
+    from whisper_pandas_spark.sources.warc import read_warc
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "x.warc").write_bytes(b"NOT-A-WARC\r\n\r\npayload\r\n\r\n")
+    with pytest.raises(Exception, match="WARC"):
+        read_warc(spark, str(bad)).collect()
+
+
+def test_warc_mixed_record_types(spark, tmp_path):
+    from whisper_pandas_spark.sources.warc import (
+        _build_record,
+        read_warc,
+    )
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    blob = _build_record(
+        "warcinfo", "info-1", None, "2024-01-01T00:00:00Z",
+        b"software: wps\r\n", http=False,
+    ) + _build_record(
+        "response", "doc-7", "http://corpus.example/doc/7",
+        "2024-01-01T00:00:00Z", "seven".encode(), http=True,
+    )
+    (d / "m.warc").write_bytes(blob)
+    rows = sorted(
+        read_warc(spark, str(d)).collect(), key=lambda r: r["record_offset"]
+    )
+    assert [r["warc_type"] for r in rows] == ["warcinfo", "response"]
+    assert rows[0]["body"] is None and rows[0]["http_status"] is None
+    assert rows[1]["body"] == "seven" and rows[1]["http_status"] == 200

@@ -723,3 +723,60 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("skept", F.lit(False)).alias("kept"),
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ingest_warc_roundtrip — the CommonCrawl container
+# ---------------------------------------------------------------------------
+
+# HTTP envelope constant: everything except the Content-Length digits
+# and the body itself (kept in ONE place so the oracle replays the
+# WARC Content-Length arithmetic exactly).
+_WARC_HTTP_CONST = len(
+    "HTTP/1.1 200 OK\r\n"
+    "Content-Type: text/plain; charset=utf-8\r\n"
+    "Content-Length: \r\n\r\n"
+)
+
+_WARC_ORACLE = f"""
+SELECT doc_id,
+  'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+  'response' AS warc_type,
+  CAST(200 AS INT) AS http_status,
+  CAST({_WARC_HTTP_CONST}
+       + length(CAST(octet_length(encode(text)) AS VARCHAR))
+       + octet_length(encode(text)) AS BIGINT) AS content_length,
+  text AS body
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("ingest_warc_roundtrip", oracle=_WARC_ORACLE)
+def ingest_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+: WARC/1.0 container round trip (sources/warc.py) — the
+    CommonCrawl format itself: documents written as one-gzip-member-
+    per-record `.warc.gz` shards (the CC layout), then re-opened
+    through the binaryFile -> Arrow record parser. One task per WARC
+    file both ways — the published parallel unit at crawl scale (a
+    crawl is ~100k independent files; in-file offsets aren't seekable
+    without a scan). The oracle replays the HTTP-envelope
+    Content-Length arithmetic byte-exactly, so the value hash proves
+    the container headers, not just the payload text."""
+    import tempfile
+
+    from whisper_pandas_spark.sources.warc import read_warc, write_warc
+
+    docs = _table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="wps_warc_")
+    write_warc(docs, d, "doc_id", "text", num_files=4, compression="gzip")
+    rec = read_warc(spark, d).filter(F.col("warc_type") == "response")
+    return rec.select(
+        F.regexp_replace("record_id", "^doc-", "")
+        .cast("bigint")
+        .alias("doc_id"),
+        "target_uri",
+        "warc_type",
+        "http_status",
+        "content_length",
+        F.col("body"),
+    ).orderBy("doc_id")
