@@ -727,3 +727,25 @@ def test_warc_mixed_record_types(spark, tmp_path):
     assert [r["warc_type"] for r in rows] == ["warcinfo", "response"]
     assert rows[0]["body"] is None and rows[0]["http_status"] is None
     assert rows[1]["body"] == "seven" and rows[1]["http_status"] == 200
+
+
+def test_warc_wet_conversion_records(spark, tmp_path):
+    """WET layout: `conversion` records carry the extracted text as the
+    raw payload (no HTTP envelope) — body must surface directly."""
+    from whisper_pandas_spark.sources.warc import _build_record, read_warc
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    blob = b""
+    for i in range(3):
+        rec = _build_record(
+            "conversion", f"wet-{i}", f"http://corpus.example/doc/{i}",
+            "2024-01-01T00:00:00Z", f"extracted text {i}".encode(),
+            http=False,
+        )
+        blob += rec
+    (d / "x.warc").write_bytes(blob)
+    rows = sorted(read_warc(spark, str(d)).collect(), key=lambda r: r["record_offset"])
+    assert [r["body"] for r in rows] == [f"extracted text {i}" for i in range(3)]
+    assert all(r["http_status"] is None for r in rows)
+    assert all(r["warc_type"] == "conversion" for r in rows)

@@ -205,6 +205,11 @@ def _parse_warc_bytes(name: str, blob: bytes):
             status_line = http_head.split("\r\n", 1)[0].split(" ")
             status = int(status_line[1]) if len(status_line) > 1 else None
             body = payload[split + 4 :].decode("utf-8", "replace")
+        elif rtype in ("conversion", "resource"):
+            # WET files (CommonCrawl's extracted-text sibling) are
+            # `conversion` records whose payload IS the text — no HTTP
+            # envelope; `resource` records are direct payloads too.
+            body = payload.decode("utf-8", "replace")
         rid = fields.get("warc-record-id", "").strip("<>")
         if rid.startswith("urn:uuid:"):
             rid = rid[len("urn:uuid:") :]
