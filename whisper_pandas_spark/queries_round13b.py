@@ -13,11 +13,23 @@
                            cosine dedup inside int8-kmeans cells; the
                            oracle replays clustering AND the pairwise
                            gate value-exactly
+- text_dsir_resample       the selection half of DSIR: Efraimidis-
+                           Spirakis resampling over exp(logratio)
+- pipeline_curation_end_to_end  PII -> entropy gate -> exact dedup ->
+                           temperature rebalance, one planted failure
+                           population per stage, whole chain in one
+                           oracle
+- ingest_warc_roundtrip    the CommonCrawl WARC container (sources/
+                           warc.py), per-record gzip members, one task
+                           per file both ways
 
 No reference-repo parity: whisper_pandas (reference, 299-line .wsp
 decoder) has no text/embedding surface; these back SURVEY.md §2
-extension rows Y148-Y152. (A PII-redaction
-entry already exists from round 5: text_pii_redact, operators/redact.py.)
+extension rows Y148-Y153 and Y155-Y156 (Y154, the partition-prune
+layout entry, lives in queries_materialize.py with its family). A
+PII-redaction entry already exists from round 5: text_pii_redact,
+operators/redact.py — checked BEFORE building; see the registry-
+saturation note in .claude/skills/verify/SKILL.md.
 """
 
 from __future__ import annotations
