@@ -749,3 +749,26 @@ def test_warc_wet_conversion_records(spark, tmp_path):
     assert [r["body"] for r in rows] == [f"extracted text {i}" for i in range(3)]
     assert all(r["http_status"] is None for r in rows)
     assert all(r["warc_type"] == "conversion" for r in rows)
+
+
+def test_entropy_over_domain_doc_surfaces_null(spark):
+    """A document past LOG2_MAX tokens must KEEP its row: entropy NULL
+    (both lookups left-join, fold propagates NULL), log2-free columns
+    still exact — never a silent drop."""
+    from whisper_pandas_spark.operators.lexical import LOG2_MAX, token_entropy
+
+    big = " ".join(f"w{i}" for i in range(LOG2_MAX + 88))
+    out = {
+        r["doc_id"]: r
+        for r in token_entropy(
+            _docs(spark, ["a a b", big]), "doc_id", "text"
+        ).collect()
+    }
+    assert len(out) == 2
+    r = out[1]
+    assert r["n_tokens"] == LOG2_MAX + 88
+    assert r["n_types"] == LOG2_MAX + 88
+    assert r["entropy"] is None
+    assert r["ttr"] == 1.0
+    assert r["simpson"] == pytest.approx(1 / (LOG2_MAX + 88), abs=1e-6)
+    assert out[0]["entropy"] is not None  # in-domain doc unaffected

@@ -54,9 +54,12 @@ from whisper_pandas_spark.functions.text import tokenize
 
 # Pinned log2 domain. Documents in the fixture family top out at ~100
 # tokens; 512 leaves 5x headroom and keeps the broadcast/VALUES table
-# trivial. Docs longer than LOG2_MAX would drop out of the inner join
-# on BOTH engines identically — token_entropy guards with an explicit
-# cap assertion instead so the failure is loud.
+# trivial. Docs beyond the domain are NEVER silently dropped: the
+# lookups are LEFT joins, so an out-of-range count propagates NULL
+# through the fold and the row surfaces with entropy NULL (identically
+# on both engines) while the log2-free columns (n_tokens, n_types,
+# ttr, simpson) stay fully computed — pinned by pytest with a
+# 600-token document.
 LOG2_MAX = 512
 
 
@@ -80,7 +83,10 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     All three rounded to 6 with the +1e-9 half-ulp bias (the
     rollup-family precedent); everything upstream of the rounding is
-    bit-identical cross-engine per the module contract.
+    bit-identical cross-engine per the module contract. Documents
+    whose token counts exceed LOG2_MAX keep their row — entropy comes
+    back NULL (left-join + NULL-propagating fold, same on both
+    engines); ttr/simpson need no log2 and stay exact.
     """
     spark = SparkSession.getActiveSession() or df.sparkSession
     lut = F.broadcast(
@@ -95,7 +101,7 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     counts = toks.groupBy("doc", "tok").agg(
         F.count(F.lit(1)).cast("int").alias("c")
     )
-    terms = counts.join(lut, counts["c"] == lut["i"]).select(
+    terms = counts.join(lut, counts["c"] == lut["i"], "left").select(
         "doc",
         "tok",
         "c",
@@ -112,7 +118,7 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("tsum"),
     )
     n_dbl = F.col("n_tokens").cast("double")
-    out = agg.join(lut, agg["n_tokens"] == lut["i"]).select(
+    out = agg.join(lut, agg["n_tokens"] == lut["i"], "left").select(
         F.col("doc").alias(id_col),
         "n_tokens",
         "n_types",

@@ -61,7 +61,7 @@ toks AS (
   FROM toks GROUP BY doc_id, tok
 ), t AS (
   SELECT c.doc_id, c.tok, c.c, CAST(c.c AS DOUBLE) * l2.l2 AS term
-  FROM c JOIN l2 ON l2.i = c.c
+  FROM c LEFT JOIN l2 ON l2.i = c.c
 ), a AS (
   SELECT doc_id,
     CAST(sum(c) AS BIGINT) AS n_tokens,
@@ -78,7 +78,7 @@ SELECT a.doc_id, a.n_tokens, a.n_types,
   round(CAST(a.c2 AS DOUBLE)
         / (CAST(a.n_tokens AS DOUBLE) * CAST(a.n_tokens AS DOUBLE))
         + 1e-9, 6) AS simpson
-FROM a JOIN l2 l2n ON l2n.i = a.n_tokens
+FROM a LEFT JOIN l2 l2n ON l2n.i = a.n_tokens
 ORDER BY doc_id
 """
 
