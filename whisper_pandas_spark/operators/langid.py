@@ -247,7 +247,7 @@ def train_and_classify(
             if ids_out:
                 yield pd.DataFrame(
                     {
-                        "doc_id": ids_out,
+                        id_col: ids_out,
                         "pred_lang": preds,
                         "lang_dist": dists,
                     }
@@ -255,7 +255,7 @@ def train_and_classify(
 
     docs = spread.select(F.col(id_col), F.col(text_col))
     return docs.mapInPandas(
-        classify, f"doc_id {id_type}, pred_lang string, lang_dist long"
+        classify, f"`{id_col}` {id_type}, pred_lang string, lang_dist long"
     )
 
 

@@ -193,9 +193,14 @@ WITH fix AS (
          CAST(octet_length(encode(text)) AS INT) AS nb
   FROM fix
 ), winds AS (
-  SELECT doc_id, CAST(t.q AS INT) AS q,
-         md5(substr(hx, CAST(t.q * 2 + 1 AS INT), {2 * _BSPAN_W})) AS h
-  FROM meta CROSS JOIN range(0, 2048) AS t(q) WHERE t.q + {_BSPAN_W} <= nb
+  -- window starts derived per-document from nb (no fixed byte-length cap;
+  -- scalar range() accepts column bounds where the table function cannot)
+  SELECT doc_id, CAST(q AS INT) AS q,
+         md5(substr(hx, CAST(q * 2 + 1 AS INT), {2 * _BSPAN_W})) AS h
+  FROM (
+    SELECT doc_id, hx, unnest(range(0, nb - {_BSPAN_W} + 1)) AS q
+    FROM meta WHERE nb >= {_BSPAN_W}
+  )
 ), marked AS (
   SELECT doc_id, q,
          count(*) OVER (PARTITION BY h) AS n_occ,
@@ -206,9 +211,9 @@ WITH fix AS (
   FROM marked CROSS JOIN range(0, {_BSPAN_W}) AS t(k)
   WHERE n_occ > 1 AND rn > 1
 ), cells AS (
-  SELECT doc_id, CAST(t.i AS INT) AS p,
-         substr(hx, CAST(t.i * 2 + 1 AS INT), 2) AS b
-  FROM meta CROSS JOIN range(0, 2048) AS t(i) WHERE t.i < nb
+  SELECT doc_id, CAST(i AS INT) AS p,
+         substr(hx, CAST(i * 2 + 1 AS INT), 2) AS b
+  FROM (SELECT doc_id, hx, unnest(range(0, nb)) AS i FROM meta)
 ), kept AS (
   SELECT c.doc_id, c.p, c.b FROM cells c
   ANTI JOIN rem r ON c.doc_id = r.doc_id AND c.p = r.p

@@ -595,7 +595,7 @@ b0 AS (
   FROM etoks GROUP BY doc_id, tok
 ), et AS (
   SELECT ec.doc_id, ec.tok, ec.c, CAST(ec.c AS DOUBLE) * l2.l2 AS term
-  FROM ec JOIN l2 ON l2.i = ec.c
+  FROM ec LEFT JOIN l2 ON l2.i = ec.c
 ), ea AS (
   SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
     list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY tok)),
@@ -605,7 +605,7 @@ b0 AS (
   SELECT ea.doc_id, ea.n_tokens,
     round(l2n.l2 - ea.tsum / CAST(ea.n_tokens AS DOUBLE) + 1e-9, 6)
       AS entropy
-  FROM ea JOIN l2 l2n ON l2n.i = ea.n_tokens
+  FROM ea LEFT JOIN l2 l2n ON l2n.i = ea.n_tokens
 ), gate AS (
   SELECT r.doc_id, r.lang, r.clean, r.pii_found,
     coalesce(e.entropy >= {_CUR_MIN_H}

@@ -118,6 +118,16 @@ def write_warc(
     and write in id order within a shard (stable bytes under any input
     partitioning). gzip mode emits one member per record (the
     CommonCrawl layout).
+
+    Deployment note: shard files are written with plain ``open()`` inside
+    Spark tasks, so this sink is **local-mode only** — on a multi-node
+    cluster each shard would land on its executor's local disk and a
+    subsequent ``read_warc`` from the driver's path would miss them. The
+    cluster path is the same record-builder routed through the Hadoop
+    FileSystem API (``spark._jvm.org.apache.hadoop.fs``) or a
+    ``foreachPartition`` writer targeting shared storage (S3/HDFS), as the
+    parquet sinks in ``sources/materialize.py`` already do; the bytes
+    produced per record are identical either way.
     """
     if compression not in ("none", "gzip"):
         raise ValueError(f"compression must be none|gzip, got {compression!r}")
@@ -201,10 +211,23 @@ def _parse_warc_bytes(name: str, blob: bytes):
         body = None
         if rtype == "response" and payload[:5] == b"HTTP/":
             split = payload.find(b"\r\n\r\n")
-            http_head = payload[: max(split, 0)].decode("utf-8", "replace")
-            status_line = http_head.split("\r\n", 1)[0].split(" ")
-            status = int(status_line[1]) if len(status_line) > 1 else None
-            body = payload[split + 4 :].decode("utf-8", "replace")
+            if split < 0:
+                # No CRLFCRLF separator: the whole payload is HTTP headers
+                # with no body. Parse the status line but leave body NULL
+                # rather than slicing payload[3:] into a mangled body.
+                http_head = payload.decode("utf-8", "replace")
+                status_line = http_head.split("\r\n", 1)[0].split(" ")
+                status = (
+                    int(status_line[1]) if len(status_line) > 1 else None
+                )
+                body = None
+            else:
+                http_head = payload[:split].decode("utf-8", "replace")
+                status_line = http_head.split("\r\n", 1)[0].split(" ")
+                status = (
+                    int(status_line[1]) if len(status_line) > 1 else None
+                )
+                body = payload[split + 4 :].decode("utf-8", "replace")
         elif rtype in ("conversion", "resource"):
             # WET files (CommonCrawl's extracted-text sibling) are
             # `conversion` records whose payload IS the text — no HTTP
