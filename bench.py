@@ -131,7 +131,7 @@ def _whisper_fixture() -> str:
     return str(path)
 
 
-def _bench_whisper_scan(spark) -> list[float]:
+def _bench_whisper_scan(spark, reps: int, spin: list[float] | None) -> list[float]:
     """Full decode of the reference-geometry file + a per-archive aggregate
     (forces both timestamp and value columns through Arrow)."""
     from whisper_pandas_spark.sources.whisper import register_whisper
@@ -156,11 +156,13 @@ def _bench_whisper_scan(spark) -> list[float]:
     # plan sizes on the repeated-read rate; the one-time Python
     # DataSource spin-up is not the engine's scan cost)
     times = []
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
+    for _ in range(reps):
         t0 = time.perf_counter()
         df = spark.read.format("whisper").load(path)
         df.groupBy("archive").count().collect()
         times.append(time.perf_counter() - t0)
+        if spin is not None:
+            spin.append(_rep_spin())
     return times
 
 
@@ -173,13 +175,21 @@ def _spin_probe(iters: int = 20_000_000) -> float:
     window with no code change. Emitting the probe in the artifact
     makes normalization mechanical — divide totals by (spin_s /
     reference_spin_s) instead of reconstructing host state from prose.
-    ~1.6 s on this host quiet, ~2.5 s under co-tenant load."""
+    ~0.67-0.80 s on this host quiet, >1.0 s under co-tenant load."""
     t0 = time.perf_counter()
     x = 0
     for i in range(iters):
         x += i
     assert x >= 0
     return round(time.perf_counter() - t0, 3)
+
+
+def _rep_spin() -> float:
+    """Quarter-length spin probe (5M iters, ~0.17 s quiet) used as the
+    per-rep host-speed stamp in throttled-capture mode — cheap enough to
+    bracket every rep of every query without distorting the session.
+    Compare against QUIET_SPIN/4."""
+    return _spin_probe(5_000_000)
 
 
 def main() -> None:
@@ -210,7 +220,28 @@ def main() -> None:
     # Host-speed calibration (see _spin_probe): once before the session
     # starts (the quiet-window number) and once after the last timed
     # query (did the host stay quiet THROUGH the run?).
+    #
+    # Round 14 (VERDICT r13 #1): the artifact must be SELF-DEFENDING —
+    # two rounds running the committed BENCH was captured in a host-steal
+    # window while the true numbers lived only in BENCH_NOTES prose. The
+    # gate is mechanical: a capture is "quiet" iff the load at session
+    # start is <= quiet_load AND the spin probe is <= QUIET_SPIN at BOTH
+    # start and end of the timed session. The start-side spin gate
+    # loop-retries (bounded, same 60 s cadence as the load gate) before
+    # any Spark work is spent; if the start never quiets, or the host
+    # degrades mid-session, the artifact switches to best-of-5 PRIMARY
+    # values with a quarter-length spin probe stamped after every rep —
+    # so a mechanical reader sees either `capture: "quiet"` or per-rep
+    # evidence of which reps were throttled.
+    quiet_spin = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_SPIN", "0.80"))
+    spin_waits = int(os.environ.get("SPARK_GRAFT_BENCH_SPIN_WAITS", "4"))
     spin_s = _spin_probe()
+    spin_waited = 0
+    while spin_s > quiet_spin and spin_waited < spin_waits:
+        time.sleep(sleep_s)
+        spin_s = _spin_probe()
+        spin_waited += 1
+    start_quiet = load_at_start <= quiet_load and spin_s <= quiet_spin
 
     spark = get_spark(app_name="whisper_pandas_spark_bench")
 
@@ -231,21 +262,84 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    base_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    full_reps = int(os.environ.get("SPARK_GRAFT_BENCH_FULL_REPS", "5"))
+    # Throttled start → go straight to the best-of-5 protocol with
+    # per-rep spin stamps; quiet start → the cheap 3-rep protocol
+    # (topped up to 5 afterwards ONLY if the end probe shows the host
+    # degraded mid-session).
+    reps = base_reps if start_quiet else max(base_reps, full_reps)
+    with_spin = not start_quiet
     timings: dict[str, float] = {}
     # Per-query rep statistics ride along in the artifact so a noisy run
     # is SELF-diagnosing: a query whose max is 2-3x its best was hit by
     # co-tenant load mid-rep (the documented failure mode in
     # BENCH_NOTES.md), not regressed — the spread says so without a
-    # manual re-run.
-    stats: dict[str, dict[str, float]] = {}
+    # manual re-run. In throttled-capture mode each query also carries
+    # its per-rep quarter-spin series (quiet ~0.17 s; compare vs
+    # quiet_spin/4) so a reader can see WHICH reps were stolen.
+    stats: dict[str, dict[str, object]] = {}
+    all_times: dict[str, list[float]] = {}
+    spin_series: dict[str, list[float]] = {}
 
-    def record(
-        name: str, times: list[float], target: dict[str, float] | None = None
-    ) -> None:
-        ts = sorted(times)
-        (timings if target is None else target)[name] = round(ts[0], 4)
-        stats[name] = {
+    names2 = [n for n in HEADLINE2 if n in QUERIES]
+    names3 = [n for n in HEADLINE3 if n in QUERIES]
+    timings2: dict[str, float] = {}
+    timings3: dict[str, float] = {}
+    all_names = names + names2 + names3
+
+    def timed_pass(rep_count: int, record_spin: bool) -> None:
+        ws = all_times.setdefault("whisper_scan_83mb", [])
+        sp = spin_series.setdefault("whisper_scan_83mb", [])
+        ws.extend(
+            _bench_whisper_scan(spark, rep_count, sp if record_spin else None)
+        )
+        for name in all_names:
+            fn = QUERIES[name]
+            # Ask the JVM to collect BEFORE the timed reps so one query's
+            # garbage doesn't bill the next query's first run (single
+            # shared heap on local[32]; cross-query GC debt was the
+            # dominant run-to-run noise source, not CPU).
+            spark._jvm.System.gc()
+            # best of N: damp JIT-warmup and co-tenant noise — the
+            # steady-state number is what a capacity plan would use.
+            times = all_times.setdefault(name, [])
+            for _ in range(rep_count):
+                # drop shared result materializations (e.g. the MinHash
+                # pair checkpoint) so every timed run pays the FULL
+                # pipeline
+                reset_result_caches()
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                # Force FULL materialization of every output column:
+                # count() would let Catalyst prune unreferenced
+                # projections (and whole Window operators) before the
+                # count aggregate, timing little more than a scan for
+                # projection-only queries. The noop sink evaluates the
+                # complete plan with no driver transfer.
+                df.write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+                if record_spin:
+                    spin_series.setdefault(name, []).append(_rep_spin())
+
+    timed_pass(reps, with_spin)
+    spin_s_end = _spin_probe()
+
+    # Host degraded mid-session after a quiet start: top up every query
+    # to best-of-5 with per-rep spin stamps, then re-probe. The artifact
+    # then carries BOTH the degraded-window reps and the top-up reps —
+    # best-of-5 across all of them is the primary value.
+    if start_quiet and spin_s_end > quiet_spin and full_reps > reps:
+        with_spin = True
+        timed_pass(full_reps - reps, True)
+        spin_s_end = _spin_probe()
+
+    capture_quiet = start_quiet and spin_s_end <= quiet_spin
+
+    def record(name: str, target: dict[str, float]) -> None:
+        ts = sorted(all_times[name])
+        target[name] = round(ts[0], 4)
+        st: dict[str, object] = {
             "best": round(ts[0], 4),
             # true median: average the two middle elements for even N
             "median": round(
@@ -253,45 +347,19 @@ def main() -> None:
             ),
             "max": round(ts[-1], 4),
         }
+        if spin_series.get(name):
+            st["spin"] = [round(s, 3) for s in spin_series[name]]
+        stats[name] = st
 
-    names2 = [n for n in HEADLINE2 if n in QUERIES]
-    timings2: dict[str, float] = {}
-    names3 = [n for n in HEADLINE3 if n in QUERIES]
-    timings3: dict[str, float] = {}
-
-    record("whisper_scan_83mb", _bench_whisper_scan(spark))
-    for name in names + names2 + names3:
-        fn = QUERIES[name]
-        # Ask the JVM to collect BEFORE the timed reps so one query's
-        # garbage doesn't bill the next query's first run (single shared
-        # heap on local[32]; cross-query GC debt was the dominant
-        # run-to-run noise source, not CPU).
-        spark._jvm.System.gc()
-        # best of N: damp JIT-warmup and co-tenant noise — the
-        # steady-state number is what a capacity plan would use.
-        times = []
-        for _ in range(reps):
-            # drop shared result materializations (e.g. the MinHash pair
-            # checkpoint) so every timed run pays the FULL pipeline
-            reset_result_caches()
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            # Force FULL materialization of every output column: count()
-            # would let Catalyst prune unreferenced projections (and whole
-            # Window operators) before the count aggregate, timing little
-            # more than a scan for projection-only queries. The noop sink
-            # evaluates the complete plan with no driver transfer.
-            df.write.format("noop").mode("overwrite").save()
-            times.append(time.perf_counter() - t0)
+    record("whisper_scan_83mb", timings)
+    for name in all_names:
         record(
             name,
-            times,
             timings2
             if name in names2
-            else (timings3 if name in names3 else None),
+            else (timings3 if name in names3 else timings),
         )
-
-    spin_s_end = _spin_probe()
+    reps = max(len(v) for v in all_times.values())
     total = round(sum(timings.values()), 4)
     total_ext = round(total + sum(timings2.values()), 4)
     total_r9p = round(total_ext + sum(timings3.values()), 4)
@@ -314,9 +382,16 @@ def main() -> None:
                 "queries3": timings3,
                 "value_r9plus": total_r9p,
                 "reps": reps,
+                # "quiet": load <= quiet_load at session start AND spin
+                # probe <= quiet_spin at BOTH start and end — the values
+                # are trustworthy as-is. "best_of_5": the host never
+                # quieted (or degraded mid-run); values are best-of-5
+                # with per-rep spin stamps in bench_detail.query_stats.
+                "capture": "quiet" if capture_quiet else "best_of_5",
                 "load_at_start": load_at_start,
                 "load_initial": load_initial,
                 "quiet_waits": waited,
+                "spin_waits": spin_waited,
                 "spin_s": spin_s,
                 "spin_s_end": spin_s_end,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
