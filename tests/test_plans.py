@@ -798,3 +798,37 @@ def test_round13b_plan_shapes(spark):
     assert nodes(plan, "FlatMapGroupsInPandas") == 1
     assert nodes(plan, "MapInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_round14_plan_shapes(spark):
+    """Round-14 structural pins (CommonCrawl companions).
+
+    - ingest_cdx_index / ingest_wat_metadata: exactly ONE Arrow stage
+      (the WARC byte parse, MapInPandas) over the binaryFile scan; the
+      index/metadata derivation itself is pure codegen (no
+      BatchEvalPython); the only exchange is the CDX sort contract.
+    - warc_selective_fetch: the fetch is ONE grouped-Arrow stage
+      (FlatMapGroupsInPandas) whose input is the INDEX rows — the
+      shuffle moves (file, offset, length) triples, never payloads;
+      no cartesian.
+    """
+    import re
+
+    def nodes(plan: str, name: str) -> int:
+        return len(
+            [ln for ln in plan.splitlines()
+             if re.match(rf"\(\d+\) {name}($| )", ln.strip())]
+        )
+
+    for name in ("ingest_cdx_index", "ingest_wat_metadata"):
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert nodes(plan, "MapInPandas") == 1, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+    plan = formatted_plan(QUERIES["warc_selective_fetch"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert nodes(plan, "FlatMapGroupsInPandas") == 1
+    assert nodes(plan, "MapInPandas") == 1  # the CDX build feeding it
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,209 @@
+"""Round 14: CDX index, WAT metadata, selective range fetch."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, n=30):
+    return spark.createDataFrame(
+        [(i, f"body {i} with unicode é中 " + "x" * (i % 7)) for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_rec_const_pins_build_record():
+    """The oracle's record-length arithmetic must match the writer's
+    actual bytes for any id/body, or every round-14 oracle drifts."""
+    from whisper_pandas_spark.queries_round14 import _REC_CONST, _WARC_DATE
+    from whisper_pandas_spark.sources.warc import _build_record
+
+    for i, body in [(0, b""), (7, b"xyz"), (12345, "é中".encode())]:
+        cl = len(
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/plain; charset=utf-8\r\n"
+            + f"Content-Length: {len(body)}".encode()
+            + b"\r\n\r\n"
+            + body
+        )
+        rec = _build_record(
+            "response",
+            f"doc-{i}",
+            f"http://corpus.example/doc/{i}",
+            _WARC_DATE,
+            body,
+            http=True,
+        )
+        assert len(rec) == _REC_CONST + 2 * len(str(i)) + len(str(cl)) + cl
+
+
+def test_cdx_ranges_are_seekable_plain(spark, tmp_path):
+    """Plain .warc: every CDX (offset, length) slice must re-parse
+    standalone to exactly its record."""
+    from whisper_pandas_spark.sources.cdx import build_cdx
+    from whisper_pandas_spark.sources.warc import (
+        _parse_warc_bytes,
+        read_warc,
+        write_warc,
+    )
+
+    d = str(tmp_path / "w")
+    write_warc(_docs(spark), d, "doc_id", "text", num_files=3)
+    cdx = build_cdx(read_warc(spark, d)).collect()
+    assert len(cdx) == 30
+    blobs = {p.name: p.read_bytes() for p in (tmp_path / "w").iterdir()}
+    for r in cdx:
+        chunk = blobs[r["warc_file"]][
+            r["record_offset"] : r["record_offset"] + r["record_length"]
+        ]
+        recs = list(_parse_warc_bytes(r["warc_file"], chunk))
+        assert len(recs) == 1
+        doc_id = int(r["url"].rsplit("/", 1)[-1])
+        assert recs[0][4] == f"doc-{doc_id}"
+        assert r["surt_key"] == f"example,corpus)/doc/{doc_id}"
+        assert r["mime"] == "text/plain; charset=utf-8"
+        assert r["http_status"] == 200
+
+
+def test_cdx_ranges_are_gzip_members(spark, tmp_path):
+    """.warc.gz: CDX offsets must be COMPRESSED member ranges — each
+    slice gunzips standalone (what an HTTP range GET of CommonCrawl
+    returns)."""
+    from whisper_pandas_spark.sources.cdx import build_cdx
+    from whisper_pandas_spark.sources.warc import read_warc, write_warc
+
+    d = str(tmp_path / "w")
+    write_warc(
+        _docs(spark), d, "doc_id", "text", num_files=2, compression="gzip"
+    )
+    blobs = {p.name: p.read_bytes() for p in (tmp_path / "w").iterdir()}
+    cdx = build_cdx(read_warc(spark, d)).collect()
+    assert len(cdx) == 30
+    for r in cdx:
+        chunk = blobs[r["warc_file"]][
+            r["record_offset"] : r["record_offset"] + r["record_length"]
+        ]
+        member = gzip.decompress(chunk)  # standalone member
+        doc_id = int(r["url"].rsplit("/", 1)[-1])
+        assert f"doc-{doc_id}".encode() in member
+        assert member.startswith(b"WARC/1.0\r\n")
+    # ranges tile each file exactly: sorted (offset, length) chains to EOF
+    per_file: dict[str, list] = {}
+    for r in cdx:
+        per_file.setdefault(r["warc_file"], []).append(
+            (r["record_offset"], r["record_length"])
+        )
+    for fname, ranges in per_file.items():
+        ranges.sort()
+        pos = 0
+        for off, ln in ranges:
+            assert off == pos
+            pos += ln
+        assert pos == len(blobs[fname])
+
+
+def test_fetch_ranges_gzip_and_prefix(spark, tmp_path):
+    """Selective fetch over the CC gzip layout: URL-prefix hits only,
+    bodies intact, offsets preserved."""
+    from whisper_pandas_spark.sources.cdx import build_cdx, fetch_ranges
+    from whisper_pandas_spark.sources.warc import read_warc, write_warc
+
+    d = str(tmp_path / "w")
+    write_warc(
+        _docs(spark), d, "doc_id", "text", num_files=2, compression="gzip"
+    )
+    cdx = build_cdx(read_warc(spark, d))
+    hits = cdx.filter(F.col("url").like("http://corpus.example/doc/1%"))
+    got = {
+        int(r["record_id"].removeprefix("doc-")): r
+        for r in fetch_ranges(spark, d, hits).collect()
+    }
+    want = {1} | set(range(10, 20))
+    assert set(got) == want
+    for i in want:
+        assert got[i]["body"] == f"body {i} with unicode é中 " + "x" * (i % 7)
+        assert got[i]["http_status"] == 200
+    # fetched offsets must equal the index's offsets (rebased correctly)
+    idx = {
+        int(r["url"].rsplit("/", 1)[-1]): r["record_offset"]
+        for r in hits.collect()
+    }
+    for i in want:
+        assert got[i]["record_offset"] == idx[i]
+
+
+def test_wat_json_parses_and_matches(spark, tmp_path):
+    from whisper_pandas_spark.sources.cdx import extract_wat
+    from whisper_pandas_spark.sources.warc import read_warc, write_warc
+
+    d = str(tmp_path / "w")
+    write_warc(_docs(spark, 5), d, "doc_id", "text", num_files=2)
+    rec = read_warc(spark, d).filter(F.col("warc_type") == "response")
+    for r in extract_wat(rec).collect():
+        w = json.loads(r["wat"])  # valid JSON
+        env = w["Envelope"]
+        doc_id = int(r["url"].rsplit("/", 1)[-1])
+        hm = env["WARC-Header-Metadata"]
+        assert hm["WARC-Type"] == "response"
+        assert hm["WARC-Record-ID"] == f"<urn:uuid:doc-{doc_id}>"
+        assert hm["WARC-Target-URI"] == r["url"]
+        pm = env["Payload-Metadata"]
+        assert pm["HTTP-Response-Metadata"]["Response-Message"]["Status"] == "200"
+        body = f"body {doc_id} with unicode é中 " + "x" * (doc_id % 7)
+        assert int(pm["HTTP-Response-Metadata"]["Entity-Length"]) == len(
+            body.encode()
+        )
+        assert w["Container"]["Filename"].startswith("warc-")
+
+
+def test_response_without_crlfcrlf_yields_null_body(spark, tmp_path):
+    """ADVICE r13: a response payload with no CRLFCRLF separator must
+    parse as headers-only (NULL body), never a mangled slice."""
+    from whisper_pandas_spark.sources.warc import _parse_warc_bytes
+
+    payload = b"HTTP/1.1 204 No Content\r\nX-Weird: yes"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:doc-1>\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(payload)}".encode()
+        + b"\r\n\r\n"
+        + payload
+        + b"\r\n\r\n"
+    )
+    rows = list(_parse_warc_bytes("x.warc", rec))
+    assert len(rows) == 1
+    (_f, _o, _ln, _t, _id, _uri, _dt, _ct, _hct, _cl, status, body) = rows[0]
+    assert status == 204
+    assert body is None
+
+
+def test_multi_record_gzip_member_shares_range(tmp_path):
+    """A member holding 2 records maps both to the member's compressed
+    range (that IS what a range GET returns)."""
+    from whisper_pandas_spark.sources.warc import (
+        _build_record,
+        _parse_warc_bytes,
+    )
+
+    r1 = _build_record(
+        "response", "doc-1", "http://x.example/1",
+        "2024-01-01T00:00:00Z", b"one", http=True,
+    )
+    r2 = _build_record(
+        "response", "doc-2", "http://x.example/2",
+        "2024-01-01T00:00:00Z", b"two", http=True,
+    )
+    m1 = gzip.compress(r1 + r2)
+    m2 = gzip.compress(r1)
+    rows = list(_parse_warc_bytes("x.warc.gz", m1 + m2))
+    assert [(r[1], r[2]) for r in rows] == [
+        (0, len(m1)),
+        (0, len(m1)),
+        (len(m1), len(m2)),
+    ]

@@ -1,0 +1,254 @@
+"""Registry entries: round 14 — CommonCrawl companion surfaces
+(VERDICT r13 "Next round" #3).
+
+- ingest_cdx_index      CDX(J)-style URL index built FROM the WARC
+                        bytes (sources/cdx.py): SURT key + fetch range
+                        per record; the oracle replays the writer's
+                        record-length/offset arithmetic via a window
+                        cumsum, so the value hash proves the engine's
+                        byte-scan offsets, not just the payloads
+- warc_selective_fetch  answer a URL-prefix query from the CDX alone,
+                        then seek+read ONLY the indexed ranges; the
+                        entry RAISES unless the fetched bytes are a
+                        strict minority of the archive (the
+                        layout_partition_prune doctrine applied to
+                        crawl storage)
+- ingest_wat_metadata   WAT-style per-record metadata JSON (fixed key
+                        order, one codegen concat); the oracle rebuilds
+                        the SAME JSON from arithmetic, so every header
+                        field the parser extracted is hash-checked
+
+No reference-repo parity: whisper_pandas (reference, 299-line .wsp
+decoder) has no container surface; these back SURVEY.md §2 rows
+Y157-Y159 next to S9's WARC roundtrip (queries_round13b.py). Registry
+checked before building: warc/cdx/wat appear only in the round-13
+roundtrip entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.queries_round13b import _WARC_HTTP_CONST
+from whisper_pandas_spark.registry import _table, register
+
+# ---------------------------------------------------------------------------
+# Shared offset arithmetic
+# ---------------------------------------------------------------------------
+
+#: write_warc's default WARC-Date (pinned; part of the record bytes).
+_WARC_DATE = "2024-01-01T00:00:00Z"
+
+#: Byte length of one written `response` record MINUS the variable
+#: parts: record bytes = _REC_CONST + 2*len(str(id)) (record-id + URI)
+#: + len(str(content_length)) + content_length. The +4+4 are the
+#: header-block terminator and the record separator (both CRLFCRLF).
+#: tests/test_round14.py pins this identity against _build_record.
+_REC_CONST = (
+    len(
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:uuid:doc->\r\n"
+        "WARC-Target-URI: http://corpus.example/doc/\r\n"
+        f"WARC-Date: {_WARC_DATE}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        "Content-Length: "
+    )
+    + 4
+    + 4
+)
+
+# The writer shards by doc_id % n_files with n_files sized to ~4k
+# records per shard (the same rule ingest_warc_roundtrip uses); the
+# oracle recomputes n_files from the corpus count, then replays each
+# record's byte length and its offset (cumsum of earlier records in
+# the same shard, id order — exactly the writer's emit order).
+_RANGE_CTES = f"""
+WITH nf AS (
+  SELECT greatest(4, CAST(ceil(count(*) / 4000.0) AS BIGINT)) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, text, doc_id % (SELECT n FROM nf) AS shard,
+         octet_length(encode(text)) AS bo,
+         {_WARC_HTTP_CONST}
+           + length(CAST(octet_length(encode(text)) AS VARCHAR))
+           + octet_length(encode(text)) AS cl
+  FROM documents
+), r AS (
+  SELECT doc_id, text, shard, bo, cl,
+         {_REC_CONST} + 2 * length(CAST(doc_id AS VARCHAR))
+           + length(CAST(cl AS VARCHAR)) + cl AS rlen
+  FROM c
+), o AS (
+  SELECT doc_id, text, shard, bo, cl,
+         CAST(rlen AS BIGINT) AS rlen,
+         CAST(coalesce(sum(rlen) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS off
+  FROM r
+)
+"""
+
+
+def _warc_tree(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Write the documents table as an UNCOMPRESSED sharded WARC tree
+    (offset arithmetic is SQL-replayable only without gzip framing;
+    the gzip path is pinned by pytest instead) and return
+    (dir, n_files). Cached per (process, sf_dir) — all three round-14
+    entries read the same tree; reset_result_caches drops it so bench
+    timings always pay the write."""
+    from whisper_pandas_spark.sources.warc import write_warc
+
+    key = sf_dir
+    if key in _WARC_TREE:
+        return _WARC_TREE[key]
+    import tempfile
+
+    docs = _table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="wps_cdx_")
+    n_files = max(4, (docs.count() + 3999) // 4000)
+    write_warc(
+        docs, d, "doc_id", "text", num_files=n_files, compression="none"
+    )
+    _WARC_TREE[key] = (d, n_files)
+    return d, n_files
+
+
+_WARC_TREE: dict[str, tuple[str, int]] = {}
+
+
+# ---------------------------------------------------------------------------
+# ingest_cdx_index
+# ---------------------------------------------------------------------------
+
+_CDX_ORACLE = f"""
+{_RANGE_CTES}
+SELECT 'example,corpus)/doc/' || CAST(doc_id AS VARCHAR) AS surt_key,
+       'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       'text/plain; charset=utf-8' AS mime,
+       CAST(200 AS INT) AS http_status,
+       md5(text) AS digest,
+       printf('warc-%05d.warc', shard) AS warc_file,
+       off AS record_offset,
+       rlen AS record_length
+FROM o ORDER BY surt_key
+"""
+
+
+@register("ingest_cdx_index", oracle=_CDX_ORACLE)
+def ingest_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+/Y157: CDX URL index over a WARC tree (sources/cdx.py) — the
+    CommonCrawl index sibling. The engine side is the real thing: the
+    fetch ranges come from read_warc's byte scan of the container (one
+    task per file, narrow map, no shuffle), NOT from re-running the
+    writer's arithmetic — the oracle replays that arithmetic
+    independently (window cumsum per shard), so a hash match proves
+    the scanner's offsets byte-exactly. SURT keys follow the public
+    host-reversal convention."""
+    from whisper_pandas_spark.sources.cdx import build_cdx
+    from whisper_pandas_spark.sources.warc import read_warc
+
+    d, _n = _warc_tree(spark, sf_dir)
+    return build_cdx(read_warc(spark, d)).orderBy("surt_key")
+
+
+# ---------------------------------------------------------------------------
+# warc_selective_fetch
+# ---------------------------------------------------------------------------
+
+_FETCH_ORACLE = f"""
+{_RANGE_CTES}
+SELECT doc_id,
+       'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       off AS record_offset,
+       rlen AS record_length,
+       CAST(200 AS INT) AS http_status,
+       text AS body
+FROM o WHERE CAST(doc_id AS VARCHAR) LIKE '1%' ORDER BY doc_id
+"""
+
+
+@register("warc_selective_fetch", oracle=_FETCH_ORACLE)
+def warc_selective_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+/Y158: selective re-crawl — answer a URL-prefix query from
+    the CDX index alone, then seek+read ONLY the indexed byte ranges
+    (sources/cdx.py fetch_ranges: hits shuffle as index rows, one task
+    per touched file, untouched files never open). The pruning claim
+    is ASSERTED in-query: the entry raises unless the fetched ranges
+    sum to a strict minority of the archive bytes — the
+    layout_partition_prune doctrine applied to crawl storage. The
+    oracle replays both the selection and the offset arithmetic."""
+    import os
+
+    from whisper_pandas_spark.sources.cdx import build_cdx, fetch_ranges
+    from whisper_pandas_spark.sources.warc import read_warc
+
+    d, _n = _warc_tree(spark, sf_dir)
+    cdx = build_cdx(read_warc(spark, d))
+    hits = cdx.filter(F.col("url").like("http://corpus.example/doc/1%"))
+    fetched_bytes = hits.agg(F.sum("record_length")).first()[0]
+    total_bytes = sum(
+        os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+    )
+    if not fetched_bytes or fetched_bytes * 2 >= total_bytes:
+        raise AssertionError(
+            f"selective fetch must read a strict minority of the archive "
+            f"({fetched_bytes} of {total_bytes} bytes indexed)"
+        )
+    rec = fetch_ranges(spark, d, hits)
+    return rec.select(
+        F.regexp_replace("record_id", "^doc-", "")
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        "record_offset",
+        "record_length",
+        "http_status",
+        "body",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ingest_wat_metadata
+# ---------------------------------------------------------------------------
+
+_WAT_ORACLE = f"""
+{_RANGE_CTES}
+SELECT 'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       '{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Type":"response"'
+       || ',"WARC-Record-ID":"<urn:uuid:doc-' || CAST(doc_id AS VARCHAR)
+       || '>","WARC-Target-URI":"http://corpus.example/doc/'
+       || CAST(doc_id AS VARCHAR)
+       || '","WARC-Date":"{_WARC_DATE}","Content-Length":"'
+       || CAST(cl AS VARCHAR)
+       || '"}},"Payload-Metadata":{{"Actual-Content-Type":'
+       || '"application/http; msgtype=response",'
+       || '"HTTP-Response-Metadata":{{"Response-Message":{{"Status":"200"}}'
+       || ',"Headers":{{"Content-Type":"text/plain; charset=utf-8"}}'
+       || ',"Entity-Length":"' || CAST(bo AS VARCHAR)
+       || '"}}}}}},"Container":{{"Filename":"'
+       || printf('warc-%05d.warc', shard)
+       || '","Offset":"' || CAST(off AS VARCHAR)
+       || '","Length":"' || CAST(rlen AS VARCHAR)
+       || '"}}}}' AS wat
+FROM o ORDER BY url
+"""
+
+
+@register("ingest_wat_metadata", oracle=_WAT_ORACLE)
+def ingest_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+/Y159: WAT metadata extraction (sources/cdx.py extract_wat)
+    — the CommonCrawl metadata sibling: one fixed-key-order JSON per
+    record, built by a single codegen concat over the parsed envelope
+    columns (WARC headers, HTTP status/Content-Type, entity length,
+    container range). The oracle rebuilds the identical JSON from the
+    record arithmetic, so every field the byte parser extracted is
+    value-checked, not just present."""
+    from whisper_pandas_spark.sources.cdx import extract_wat
+    from whisper_pandas_spark.sources.warc import read_warc
+
+    d, _n = _warc_tree(spark, sf_dir)
+    rec = read_warc(spark, d).filter(F.col("warc_type") == "response")
+    return extract_wat(rec).orderBy("url")

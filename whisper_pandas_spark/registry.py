@@ -70,6 +70,13 @@ def reset_result_caches() -> None:
         for d in qs._ND_REPLAY_DIR.values():
             shutil.rmtree(d, ignore_errors=True)
         qs._ND_REPLAY_DIR.clear()
+    q14 = mods.get("whisper_pandas_spark.queries_round14")
+    if q14 is not None:
+        import shutil
+
+        for d, _n in q14._WARC_TREE.values():
+            shutil.rmtree(d, ignore_errors=True)
+        q14._WARC_TREE.clear()
 
 
 # Record-derived ordering (used by _reorder below, and by
@@ -187,5 +194,8 @@ from whisper_pandas_spark import queries_round12b  # noqa: E402,F401
 # Round 13: same direct-registration pattern.
 from whisper_pandas_spark import queries_round13  # noqa: E402,F401
 from whisper_pandas_spark import queries_round13b  # noqa: E402,F401
+
+# Round 14: same direct-registration pattern.
+from whisper_pandas_spark import queries_round14  # noqa: E402,F401
 
 _reorder()

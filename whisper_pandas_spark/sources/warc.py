@@ -53,10 +53,22 @@ WARC_VERSION = "WARC/1.0"
 _CRLF = "\r\n"
 
 #: Output schema of read_warc (one row per WARC record).
+#:
+#: ``record_offset`` / ``record_length`` are the CDX-style fetch range:
+#: for ``.warc.gz`` files the COMPRESSED byte offset and length of the
+#: gzip member holding the record (CommonCrawl's one-member-per-record
+#: layout makes this a single-record range; a multi-record member maps
+#: all its records to the member's range — exactly what an HTTP range
+#: GET of that member would return), for plain ``.warc`` files the
+#: uncompressed record span including the trailing CRLFCRLF separator.
+#: ``http_content_type`` is the Content-Type of the HTTP payload (the
+#: CDX "mime" field), vs ``content_type`` which is the WARC envelope's.
 WARC_SCHEMA = (
-    "warc_file string, record_offset long, warc_type string, "
+    "warc_file string, record_offset long, record_length long, "
+    "warc_type string, "
     "record_id string, target_uri string, warc_date string, "
-    "content_type string, content_length long, http_status int, "
+    "content_type string, http_content_type string, "
+    "content_length long, http_status int, "
     "body string"
 )
 
@@ -175,11 +187,47 @@ def write_warc(
     shards.rdd.mapPartitions(write_shard).count()
 
 
+def _gzip_members(blob: bytes):
+    """Yield ``(compressed_offset, compressed_length, decompressed)``
+    per gzip member of a concatenated-member stream (the CommonCrawl
+    one-record-per-member layout). memoryview slicing keeps the walk
+    O(total) instead of O(n_members x tail)."""
+    import zlib
+
+    view = memoryview(blob)
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        d = zlib.decompressobj(31)  # 31 = gzip wrapper
+        data = d.decompress(view[pos:])
+        data += d.flush()
+        end = n - len(d.unused_data)
+        if end <= pos:  # trailing garbage that is not a member
+            break
+        yield pos, end - pos, data
+        pos = end
+
+
 def _parse_warc_bytes(name: str, blob: bytes):
-    """Yield WARC_SCHEMA tuples from one (possibly multi-member-gzip)
-    WARC file."""
+    """Yield WARC_SCHEMA tuples from one WARC file.
+
+    ``.warc.gz`` files are walked gzip-member-by-member so each record
+    carries its member's COMPRESSED (offset, length) — the CDX fetch
+    range an HTTP range GET would use; plain ``.warc`` files carry the
+    record's uncompressed span (including the trailing CRLFCRLF)."""
     if name.endswith(".gz") or blob[:2] == b"\x1f\x8b":
-        blob = gzip.decompress(blob)  # handles concatenated members
+        for moff, mlen, data in _gzip_members(blob):
+            for rec in _parse_record_stream(name, data):
+                # override the in-member span with the member's
+                # compressed range (all records of a multi-record
+                # member share it: that IS what a range GET returns)
+                yield (rec[0], moff, mlen) + rec[3:]
+    else:
+        yield from _parse_record_stream(name, blob)
+
+
+def _parse_record_stream(name: str, blob: bytes):
+    """Yield WARC_SCHEMA tuples from an UNCOMPRESSED record stream."""
     pos = 0
     n = len(blob)
     while pos < n:
@@ -206,9 +254,13 @@ def _parse_warc_bytes(name: str, blob: bytes):
         body_start = hdr_end + 4
         payload = blob[body_start : body_start + clen]
         pos = body_start + clen
+        # record span includes the trailing CRLFCRLF separator (clamped
+        # at EOF for truncated tails) — the fetch range for plain .warc
+        rec_len = min(pos + 4, n) - offset
         rtype = fields.get("warc-type", "")
         status = None
         body = None
+        http_ctype = None
         if rtype == "response" and payload[:5] == b"HTTP/":
             split = payload.find(b"\r\n\r\n")
             if split < 0:
@@ -216,18 +268,17 @@ def _parse_warc_bytes(name: str, blob: bytes):
                 # with no body. Parse the status line but leave body NULL
                 # rather than slicing payload[3:] into a mangled body.
                 http_head = payload.decode("utf-8", "replace")
-                status_line = http_head.split("\r\n", 1)[0].split(" ")
-                status = (
-                    int(status_line[1]) if len(status_line) > 1 else None
-                )
                 body = None
             else:
                 http_head = payload[:split].decode("utf-8", "replace")
-                status_line = http_head.split("\r\n", 1)[0].split(" ")
-                status = (
-                    int(status_line[1]) if len(status_line) > 1 else None
-                )
                 body = payload[split + 4 :].decode("utf-8", "replace")
+            status_line = http_head.split("\r\n", 1)[0].split(" ")
+            status = int(status_line[1]) if len(status_line) > 1 else None
+            for hln in http_head.split("\r\n")[1:]:
+                hk, _, hv = hln.partition(":")
+                if hk.strip().lower() == "content-type":
+                    http_ctype = hv.strip()
+                    break
         elif rtype in ("conversion", "resource"):
             # WET files (CommonCrawl's extracted-text sibling) are
             # `conversion` records whose payload IS the text — no HTTP
@@ -239,11 +290,13 @@ def _parse_warc_bytes(name: str, blob: bytes):
         yield (
             name.rsplit("/", 1)[-1],
             offset,
+            rec_len,
             rtype,
             rid,
             fields.get("warc-target-uri"),
             fields.get("warc-date"),
             fields.get("content-type"),
+            http_ctype,
             clen,
             status,
             body,
@@ -269,11 +322,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     columns=[
                         "warc_file",
                         "record_offset",
+                        "record_length",
                         "warc_type",
                         "record_id",
                         "target_uri",
                         "warc_date",
                         "content_type",
+                        "http_content_type",
                         "content_length",
                         "http_status",
                         "body",
