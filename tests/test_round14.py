@@ -207,3 +207,89 @@ def test_multi_record_gzip_member_shares_range(tmp_path):
         (0, len(m1)),
         (len(m1), len(m2)),
     ]
+
+
+def test_doremi_weights_properties(spark):
+    """Hard domains gain, easy domains lose, fractions stay normalized,
+    and the trajectory is partitioning-invariant."""
+    from whisper_pandas_spark.operators.doremi import (
+        LOSS_SCALE,
+        doremi_weights,
+    )
+
+    rows = []
+    for i in range(300):
+        dom = ["easy", "mid", "hard"][i % 3]
+        # mid must sit ABOVE the corpus mean or its excess is 0 and it
+        # ties easy (excess = max(0, domain mean - overall mean))
+        il = {"easy": 0, "mid": (7 * LOSS_SCALE) // 10, "hard": LOSS_SCALE}[
+            dom
+        ]
+        rows.append((dom, il))
+    losses = spark.createDataFrame(rows, "domain string, il long")
+    hist = doremi_weights(losses, "domain", "il", iters=6).toPandas()
+    assert len(hist) == 7 * 3
+    f = hist[hist["iter"] == 6].set_index("domain")
+    assert f.loc["hard", "weight"] > f.loc["mid", "weight"] > f.loc[
+        "easy", "weight"
+    ]
+    assert f.loc["hard", "weight"] > 0.5  # eta=1 on max excess bites
+    for t in range(7):
+        assert abs(hist[hist["iter"] == t]["weight"].sum() - 1.0) < 1e-4
+    # iter 0 is uniform
+    assert set(hist[hist["iter"] == 0]["w"]) == {1_000_000_000}
+    # exact-integer trajectory is independent of input partitioning
+    hist2 = doremi_weights(
+        losses.repartition(7), "domain", "il", iters=6
+    ).toPandas()
+    a = hist.sort_values(["iter", "domain"]).reset_index(drop=True)
+    b = hist2.sort_values(["iter", "domain"]).reset_index(drop=True)
+    assert (a["w"] == b["w"]).all()
+
+
+def test_doremi_guards(spark):
+    import pytest as _pytest
+
+    from whisper_pandas_spark.operators.doremi import doremi_weights
+
+    losses = spark.createDataFrame([("a", 1)], "domain string, il long")
+    with _pytest.raises(ValueError):
+        doremi_weights(losses, "domain", "il", iters=0)
+    with _pytest.raises(ValueError):
+        doremi_weights(losses, "domain", "il", iters=9)
+    with _pytest.raises(ValueError):
+        doremi_weights(
+            losses.filter("il > 1"), "domain", "il", iters=2
+        )
+
+
+def test_doremi_replay_sql_matches_python(spark):
+    """The DuckDB replay and the Python loop agree on the exact BIGINT
+    trajectory for a synthetic loss table."""
+    import duckdb
+
+    from whisper_pandas_spark.operators.doremi import (
+        doremi_replay_sql,
+        doremi_weights,
+    )
+
+    rows = [(f"d{i % 4}", (i * 37) % 1_000_001) for i in range(200)]
+    losses = spark.createDataFrame(rows, "domain string, il long")
+    hist = (
+        doremi_weights(losses, "domain", "il", iters=5)
+        .toPandas()
+        .sort_values(["iter", "domain"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE loss_t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{d}', {il})" for d, il in rows)
+        + ") t(domain, il)"
+    )
+    chain = doremi_replay_sql("loss_t", "domain", "il", iters=5)
+    got = con.execute(
+        f"WITH {chain} SELECT iter, domain, CAST(w AS BIGINT) AS w "
+        "FROM hist ORDER BY iter, domain"
+    ).fetchdf()
+    assert (hist["w"].to_numpy() == got["w"].to_numpy()).all()

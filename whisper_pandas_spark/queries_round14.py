@@ -252,3 +252,103 @@ def ingest_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, _n = _warc_tree(spark, sf_dir)
     rec = read_warc(spark, d).filter(F.col("warc_type") == "response")
     return extract_wat(rec).orderBy("url")
+
+
+# ---------------------------------------------------------------------------
+# sample_doremi_weights
+# ---------------------------------------------------------------------------
+
+_DOREMI_ITERS = 8
+_DOREMI_CLF_ITERS = 6
+
+# The quality classifier's feature/label recipe (queries_round6
+# text_quality_classifier) with the domain column carried through —
+# DoReMi's "loss" here is the squared error of the in-engine softsign
+# classifier, the exactly-replayable loss the engine already trains
+# (VERDICT r13 #4 names the classifier loss as the intended source).
+_DOREMI_FEATS_CTE = """feats AS (
+  SELECT doc_id, source,
+         n_chars / 400.0 AS x0,
+         (length(text) - length(replace(text, ' ', ''))) / length(text) AS x1,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+)"""
+
+
+def _doremi_oracle() -> str:
+    from whisper_pandas_spark.operators.classifier import training_replay_sql
+    from whisper_pandas_spark.operators.doremi import (
+        LOSS_SCALE,
+        doremi_replay_sql,
+    )
+
+    chain = training_replay_sql(
+        _DOREMI_FEATS_CTE, ["x0", "x1"], "y", _DOREMI_CLF_ITERS, 1.0
+    )
+    m = "w.w0 * f.x0 + w.w1 * f.x1 + w.wb"
+    p = f"(0.5 * (1.0 + ({m}) / (1.0 + abs({m}))))"
+    loss_cte = f"""loss_ AS MATERIALIZED (
+  SELECT f.source AS domain,
+    CAST(round(({p} - f.y) * ({p} - f.y) * {LOSS_SCALE}.0, 0) AS BIGINT)
+      AS il
+  FROM feats f CROSS JOIN w{_DOREMI_CLF_ITERS}_ w
+)"""
+    dchain = doremi_replay_sql("loss_", "domain", "il", _DOREMI_ITERS)
+    return f"""{chain},
+{loss_cte},
+{dchain}
+SELECT h.iter, h.domain AS source, CAST(h.w AS BIGINT) AS w,
+  round(CAST(h.w AS DOUBLE)
+        / CAST(sum(h.w) OVER (PARTITION BY h.iter) AS DOUBLE) + 1e-9, 6)
+    AS weight
+FROM hist h ORDER BY h.iter, h.domain
+"""
+
+
+@register("sample_doremi_weights", oracle=_doremi_oracle())
+def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+/Y160: DoReMi-style domain mixture weights (operators/
+    doremi.py) — mirror-descent (multiplicative-weights form) over
+    per-domain excess loss of the in-engine softsign classifier, with
+    the paper's uniform-smoothing step each iteration. Every stage is
+    exactly replayable: classifier training folds through DECIMAL
+    (Y56), per-doc loss integerizes once, and the whole T-step weight
+    recursion runs in BIGINT — the oracle replays training AND the
+    full weight-iteration history in one unrolled CTE chain (the
+    k-means/classifier recipe). Feeds mixture_sample /
+    sample_temperature_lang as the learned-weights sibling of DSIR."""
+    from whisper_pandas_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+    from whisper_pandas_spark.operators.doremi import (
+        LOSS_SCALE,
+        doremi_weights,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / F.lit(400.0)).alias("x0"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, ' ', '')")))
+            / F.length("text")
+        ).alias("x1"),
+        F.when(F.col("lang") == "en", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    w = logreg_train(feats, ["x0", "x1"], "y", iters=_DOREMI_CLF_ITERS, lr=1.0)
+    scored = logreg_score(feats, w, ["x0", "x1"])
+    err = F.col("prob") - F.col("y")
+    losses = scored.select(
+        "source",
+        F.round(err * err * F.lit(float(LOSS_SCALE)), 0)
+        .cast("bigint")
+        .alias("il"),
+    )
+    hist = doremi_weights(losses, "source", "il", iters=_DOREMI_ITERS)
+    return hist.select(
+        "iter", F.col("domain").alias("source"), "w", "weight"
+    ).orderBy("iter", "source")
