@@ -293,3 +293,81 @@ def test_doremi_replay_sql_matches_python(spark):
         "FROM hist ORDER BY iter, domain"
     ).fetchdf()
     assert (hist["w"].to_numpy() == got["w"].to_numpy()).all()
+
+
+def test_encoding_fix_planted_mojibake_property(spark):
+    """Property test (hypothesis): for arbitrary unicode documents,
+    repair is the exact inverse of 1 or 2 planted cp1252 mis-decodes,
+    and a no-op on the clean text. One Spark pass over the whole
+    example batch (per-example Spark jobs would be pathological)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from whisper_pandas_spark.operators.encoding import (
+        corrupt_encoding,
+        fix_encoding,
+    )
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=24,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(batch=texts)
+    def check(batch):
+        from pyspark.sql import functions as FF
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "i long, s string"
+        )
+        out = df.select(
+            "i",
+            "s",
+            fix_encoding(corrupt_encoding(FF.col("s")), passes=1).alias("r1"),
+            fix_encoding(
+                corrupt_encoding(corrupt_encoding(FF.col("s"))), passes=2
+            ).alias("r2"),
+        ).collect()
+        for r in out:
+            assert r["r1"] == r["s"], repr(r["s"])
+            assert r["r2"] == r["s"], repr(r["s"])
+
+    check()
+
+
+def test_encoding_fix_leaves_real_text_alone(spark):
+    """The guards must protect legitimate accented/CJK text (single
+    latin-1 accents are never valid UTF-8 sequences) while repairing
+    the classic mojibake shapes."""
+    from pyspark.sql import functions as FF
+
+    from whisper_pandas_spark.operators.encoding import fix_encoding
+
+    cases = [
+        # (input, expected)
+        ("plain ascii", "plain ascii"),
+        ("café pâte déjà vu", "café pâte déjà vu"),  # real accents
+        ("中文文档 étude", "中文文档 étude"),  # CJK + accents
+        ("price 5€ — ok", "price 5€ — ok"),  # real cp1252-ish glyphs
+        ("cafÃ©", "café"),  # classic UTF-8-as-latin1
+        ("donâ€™t â€” dash", "don’t — dash"),  # cp1252-in-UTF-8
+        ("SÃ£o Paulo", "São Paulo"),
+        ("Ã©Ã¨Ã«", "éèë"),
+    ]
+    df = spark.createDataFrame(cases, "s string, want string")
+    out = df.select(
+        "s", "want", fix_encoding(FF.col("s"), passes=2).alias("got")
+    ).collect()
+    for r in out:
+        assert r["got"] == r["want"], (r["s"], r["got"], r["want"])

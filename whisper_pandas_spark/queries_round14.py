@@ -352,3 +352,47 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "iter", F.col("domain").alias("source"), "w", "weight"
     ).orderBy("iter", "source")
+
+
+# ---------------------------------------------------------------------------
+# text_encoding_fix
+# ---------------------------------------------------------------------------
+
+_ENCFIX_ORACLE = """
+SELECT doc_id, CAST(doc_id % 3 AS INT) AS pop, text AS fixed
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("text_encoding_fix", oracle=_ENCFIX_ORACLE)
+def text_encoding_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+/Y161: ftfy-class mojibake repair (operators/encoding.py) —
+    the standard web-corpus cleaning stage ahead of the C4/HTML chain.
+    Three planted populations (the pipeline-funnel doctrine): pop 0
+    stays clean, pop 1 is cp1252-mis-decoded ONCE in-query, pop 2
+    TWICE (double-encoded UTF-8); the bounded 2-pass repair must
+    return every population to the original bytes while leaving clean
+    text untouched (the is_valid_utf8 + 8-bit + lead-byte guards
+    protect real accented text — "café" is never valid UTF-8 as
+    latin-1). The whole corrupt+repair chain is ONE codegen projection
+    (translate / encode / decode / rlike / CASE — no Python, no
+    shuffle), so the oracle is simply the original text: a hash match
+    proves exact byte recovery on every document."""
+    from whisper_pandas_spark.operators.encoding import (
+        corrupt_encoding,
+        fix_encoding,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    pop = (F.col("doc_id") % 3).cast("int")
+    once = corrupt_encoding(F.col("text"))
+    mangled = (
+        F.when(pop == 1, once)
+        .when(pop == 2, corrupt_encoding(once))
+        .otherwise(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        pop.alias("pop"),
+        fix_encoding(mangled, passes=2).alias("fixed"),
+    ).orderBy("doc_id")
