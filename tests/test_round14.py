@@ -371,3 +371,25 @@ def test_encoding_fix_leaves_real_text_alone(spark):
     ).collect()
     for r in out:
         assert r["got"] == r["want"], (r["s"], r["got"], r["want"])
+
+
+def test_ann_recall_audit_invariants(spark, sf_dir):
+    """Four methods, exact-integer hit/candidate counts, recall within
+    bounds, and the high-recall families (bucketed LSH-multi, IVF-SQ8)
+    actually deliver on the fixture."""
+    from whisper_pandas_spark.queries_round14 import emb_ann_recall_audit
+
+    rows = {r["method"]: r for r in emb_ann_recall_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh_multi", "ivf_sq8", "ivf_pq", "jl_rp"}
+    for m, r in rows.items():
+        assert r["n_queries"] == 5 and r["k"] == 10
+        assert 0 <= r["hits"] <= 50, m
+        assert 0.0 <= r["recall_at_k"] <= 1.0, m
+        assert r["cand_total"] > 0, m
+        assert abs(r["avg_candidates"] - r["cand_total"] / 5.0) < 1e-5, m
+    # the candidate-bounded exact-scoring families must stay high-recall
+    assert rows["ivf_sq8"]["recall_at_k"] >= 0.8
+    assert rows["lsh_multi"]["recall_at_k"] >= 0.8
+    # JL scores every non-self pair by construction
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert rows["jl_rp"]["cand_total"] == 5 * (n - 1)

@@ -396,3 +396,419 @@ def text_encoding_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
         pop.alias("pop"),
         fix_encoding(mangled, passes=2).alias("fixed"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# emb_ann_recall_audit
+# ---------------------------------------------------------------------------
+
+_ANN_NQ = 5  # queries = vec_id < 5 (every ANN entry's fixture)
+
+
+def _ann_audit_oracle() -> str:
+    """One comparable table for all four ANN paths: each method's
+    top-k (its OWN family entry's exact ranking semantics) scored
+    against the float-cosine brute-force truth, plus its candidate
+    volume. Sub-chains are the per-family oracle builders' fragments;
+    multiply-referenced CTEs are MATERIALIZED (DuckDB inlines CTEs by
+    default — the doremi lesson)."""
+    from whisper_pandas_spark.functions.duck import duck_cos
+    from whisper_pandas_spark.operators.randproj import (
+        RP_OUT_DIM,
+        rp_duck_sign,
+    )
+    from whisper_pandas_spark.queries_embeddings import (
+        IVF_K_CENTROIDS,
+        IVF_NPROBE,
+        _duck_codes,
+        _duck_isum,
+        _duck_scale,
+    )
+    from whisper_pandas_spark.queries_round6 import (
+        _PQ_NPROBE,
+        _pq_chain,
+    )
+    from whisper_pandas_spark.queries_similarity import (
+        DIM,
+        K,
+        KM_ITERS,
+        KM_K,
+        N_PLANES_MULTI,
+        N_TABLES,
+        _duck_bucket,
+        _hyperplane,
+        _kmeans_iter_sql,
+    )
+
+    conds = []
+    for t in range(N_TABLES):
+        planes = [_hyperplane(t, p, DIM) for p in range(N_PLANES_MULTI)]
+        conds.append(
+            f"{_duck_bucket('c.embedding', planes)} = "
+            f"{_duck_bucket('q.embedding', planes)}"
+        )
+    any_table = " OR ".join(conds)
+    ivf_iters = ",\n".join(
+        _kmeans_iter_sql(f"cent{i}" if i else "cent0", i + 1)
+        for i in range(KM_ITERS)
+    )
+    dot2 = _duck_isum(
+        "list_transform(range(1, len(doc_q)+1), i -> qry_q[i] * doc_q[i])"
+    )
+    dot_p = (
+        "CAST(list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(range(1, {RP_OUT_DIM} + 1),"
+        " i -> a.p[CAST(i AS INT)] * b.p[CAST(i AS INT)])),"
+        " (acc, x) -> acc + x) AS BIGINT)"
+    )
+
+    def summary(method: str, top: str, cand_total: str) -> str:
+        hits = (
+            f"(SELECT CAST(count(*) AS BIGINT) FROM {top} t "
+            f"JOIN truth u ON t.query_id = u.query_id "
+            f"AND t.vec_id = u.vec_id)"
+        )
+        return f"""SELECT '{method}' AS method,
+  CAST({_ANN_NQ} AS BIGINT) AS n_queries, CAST({K} AS INT) AS k,
+  {hits} AS hits,
+  round({hits} / {float(K * _ANN_NQ)} + 1e-9, 6) AS recall_at_k,
+  {cand_total} AS cand_total,
+  round({cand_total} / {float(_ANN_NQ)} + 1e-9, 6) AS avg_candidates"""
+
+    return f"""
+WITH {_pq_chain()},
+q5 AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_ANN_NQ}
+),
+truth AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY round({duck_cos("c.embedding", "q.embedding")}, 6) DESC,
+                 c.vec_id) AS rnk
+    FROM embeddings c CROSS JOIN q5 q WHERE c.vec_id != q.vec_id
+  ) WHERE rnk <= {K}
+),
+nvec AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+cand1 AS MATERIALIZED (
+  SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qvec,
+                  c.vec_id, c.embedding AS cvec
+  FROM embeddings c JOIN q5 q ON ({any_table})
+  WHERE c.vec_id != q.vec_id
+),
+top1 AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY round({duck_cos("qvec", "cvec")}, 6) DESC, vec_id) AS rnk
+    FROM cand1
+  ) WHERE rnk <= {K}
+),
+sqcent AS MATERIALIZED (
+  SELECT vec_id AS cid, embedding AS centroid FROM embeddings
+  WHERE vec_id < {IVF_K_CENTROIDS}
+),
+cells2 AS MATERIALIZED (
+  SELECT vec_id AS doc_id, cid AS cell,
+         {_duck_scale("v")} AS doc_scale,
+         {_duck_codes("v", _duck_scale("v"))} AS doc_q
+  FROM (
+    SELECT e.vec_id, e.embedding AS v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {duck_cos("e.embedding", "c.centroid")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN sqcent c
+  ) WHERE rn = 1
+),
+probes2 AS MATERIALIZED (
+  SELECT vec_id AS qry_id, cid AS cell,
+         {_duck_scale("v")} AS qry_scale,
+         {_duck_codes("v", _duck_scale("v"))} AS qry_q
+  FROM (
+    SELECT e.vec_id, e.embedding AS v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {duck_cos("e.embedding", "c.centroid")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN sqcent c WHERE e.vec_id < {_ANN_NQ}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand2 AS MATERIALIZED (
+  SELECT p.qry_id AS query_id, s.doc_id AS vec_id,
+         {dot2} AS dot_q, p.qry_scale, s.doc_scale
+  FROM cells2 s JOIN probes2 p USING (cell)
+  WHERE s.doc_id != p.qry_id
+),
+top2 AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY round(dot_q::DOUBLE * qry_scale * doc_scale / 16129.0, 6)
+                 DESC, vec_id) AS rnk
+    FROM cand2
+  ) WHERE rnk <= {K}
+),
+init AS (
+  SELECT vec_id, embedding, md5('0:' || vec_id) AS h
+  FROM embeddings ORDER BY h LIMIT {KM_K}
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY h) - 1 AS cid,
+         embedding::DOUBLE[] AS centroid
+  FROM init
+),
+{ivf_iters},
+cellsv AS MATERIALIZED (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {duck_cos("e.embedding", "c.centroid")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent{KM_ITERS} c
+  ) WHERE rn = 1
+),
+probes3 AS MATERIALIZED (
+  SELECT query_id, cid AS cell FROM (
+    SELECT e.vec_id AS query_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {duck_cos("e.embedding", "c.centroid")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent{KM_ITERS} c
+    WHERE e.vec_id < {_ANN_NQ}
+  ) WHERE rn <= {_PQ_NPROBE}
+),
+cand3 AS MATERIALIZED (
+  SELECT p.query_id, v.vec_id
+  FROM cellsv v JOIN probes3 p USING (cell)
+  WHERE v.vec_id != p.query_id
+),
+scored3 AS MATERIALIZED (
+  SELECT p.query_id, c.vec_id, CAST(sum(t.d) AS DOUBLE) AS adc_dist
+  FROM codes c
+  JOIN cellsv v ON v.vec_id = c.vec_id
+  JOIN probes3 p ON p.cell = v.cell
+  JOIN dtable t ON t.query_id = p.query_id AND t.sub = c.sub
+               AND t.code = c.code
+  WHERE c.vec_id != p.query_id
+  GROUP BY p.query_id, c.vec_id
+),
+top3 AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY adc_dist, vec_id) AS rnk
+    FROM scored3
+  ) WHERE rnk <= {K}
+),
+codes4 AS MATERIALIZED (
+  SELECT vec_id, {_duck_codes("embedding", _duck_scale("embedding"))} AS q
+  FROM embeddings
+),
+proj4 AS MATERIALIZED (
+  SELECT vec_id, t.j,
+    CAST(list_reduce(list_prepend(0::BIGINT,
+      list_transform(range(1, {DIM} + 1),
+        d -> q[CAST(d AS INT)] * {rp_duck_sign("d - 1", "t.j")})),
+      (acc, x) -> acc + x) AS BIGINT) AS pv
+  FROM codes4 CROSS JOIN range(0, {RP_OUT_DIM}) t(j)
+),
+parr4 AS MATERIALIZED (
+  SELECT vec_id, array_agg(pv ORDER BY j) AS p FROM proj4 GROUP BY vec_id
+),
+top4 AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id,
+      row_number() OVER (PARTITION BY a.vec_id
+        ORDER BY {dot_p} DESC, b.vec_id) AS rnk
+    FROM parr4 a JOIN parr4 b
+      ON a.vec_id < {_ANN_NQ} AND a.vec_id != b.vec_id
+  ) WHERE rnk <= {K}
+)
+{summary("ivf_pq", "top3", "(SELECT CAST(count(*) AS BIGINT) FROM cand3)")}
+UNION ALL
+{summary("ivf_sq8", "top2", "(SELECT CAST(count(*) AS BIGINT) FROM cand2)")}
+UNION ALL
+{summary("jl_rp", "top4",
+         f"(SELECT CAST({_ANN_NQ} * (n - 1) AS BIGINT) FROM nvec)")}
+UNION ALL
+{summary("lsh_multi", "top1",
+         "(SELECT CAST(count(*) AS BIGINT) FROM cand1)")}
+ORDER BY method
+"""
+
+
+@register("emb_ann_recall_audit", oracle=_ann_audit_oracle())
+def emb_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+/Y162: the ANN recall/cost audit (VERDICT r13 #8) — one
+    fixture, four ANN paths (LSH-multi, IVF-SQ8, IVF-PQ, JL random
+    projection), each scored against the float-cosine brute-force
+    truth IN-QUERY: recall@k plus candidate volume as columns, turning
+    the per-family recall assertions into one comparable,
+    driver-checked table. Every method's top-k uses its own family
+    entry's exact ranking semantics (round-6 cosine / rescored int8
+    dot / ADC / projected integer dot), candidate sets come from the
+    SAME operators the serving paths use (ivf_assign, lsh_bucket), and
+    hits/candidate totals are exact BIGINTs — the oracle replays all
+    four pipelines plus the truth ranking. jl_rp's candidate count is
+    N-1 by design: JL trades PER-CANDIDATE cost (16-dim integer dot),
+    not candidate volume."""
+    from whisper_pandas_spark.operators.embeddings import (
+        int8_topk_ivf,
+        pq_topk_ivf,
+        pq_train,
+    )
+    from whisper_pandas_spark.operators.kmeans import (
+        int8_codes,
+        kmeans_cosine,
+    )
+    from whisper_pandas_spark.operators.randproj import (
+        RP_OUT_DIM,
+        rp_project_int8,
+    )
+    from whisper_pandas_spark.operators.similarity import (
+        _hyperplane,
+        cosine_topk,
+        cosine_topk_lsh_multi,
+        ivf_assign,
+        lsh_bucket,
+    )
+    from whisper_pandas_spark.queries_embeddings import (
+        IVF_K_CENTROIDS,
+        IVF_NPROBE,
+    )
+    from whisper_pandas_spark.queries_round6 import (
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_NPROBE,
+    )
+    from whisper_pandas_spark.queries_similarity import (
+        DIM,
+        K,
+        KM_ITERS,
+        KM_K,
+        N_PLANES_MULTI,
+        N_TABLES,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_NQ)
+    truth = (
+        cosine_topk(emb, q, K)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)  # 50 rows, read by all 4 hit joins
+    )
+
+    # 1) LSH-multi: union-of-tables bucket candidates, cosine rerank
+    top1 = cosine_topk_lsh_multi(
+        emb, q, K, DIM, N_TABLES, N_PLANES_MULTI
+    ).select("query_id", "vec_id")
+
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        tbs = []
+        for t in range(N_TABLES):
+            planes = [_hyperplane(t, p, DIM) for p in range(N_PLANES_MULTI)]
+            tbs.append(
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(F.col("embedding"), planes).alias("b"),
+                )
+            )
+        return df.select(
+            F.col("vec_id").alias(out_id),
+            F.explode(F.array(*tbs)).alias("tb"),
+        )
+
+    cand1 = (
+        bucketed(emb, "vec_id")
+        .join(F.broadcast(bucketed(q, "query_id")), "tb")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+
+    # 2) IVF-SQ8: first-16 fixed centroids, nprobe=4 (the family entry)
+    cent2 = emb.filter(F.col("vec_id") < IVF_K_CENTROIDS)
+    top2 = int8_topk_ivf(emb, q, K, cent2, IVF_NPROBE).select(
+        "query_id", "vec_id"
+    )
+
+    def ivf_cand(cent: DataFrame, nprobe: int) -> DataFrame:
+        cells = ivf_assign(emb, cent, 1).select("vec_id", "cell")
+        probes = ivf_assign(q, cent, nprobe).select(
+            F.col("vec_id").alias("query_id"), "cell"
+        )
+        return (
+            cells.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+
+    cand2 = ivf_cand(cent2, IVF_NPROBE)
+
+    # 3) IVF-PQ: both codebooks trained in-engine (the family entry)
+    cb = pq_train(emb, DIM, _PQ_M, _PQ_K, iters=_PQ_ITERS, seed=0)
+    cent3 = kmeans_cosine(emb, KM_K, KM_ITERS, seed=0).select(
+        F.col("cid").alias("vec_id"), F.col("embedding")
+    )
+    top3 = pq_topk_ivf(
+        emb, q, cb, cent3, K, DIM, _PQ_M, nprobe=_PQ_NPROBE
+    ).select("query_id", "vec_id")
+    cand3 = ivf_cand(cent3, _PQ_NPROBE)
+
+    # 4) JL random projection: top-k by projected integer dot
+    proj = rp_project_int8(
+        emb, "vec_id", "embedding", DIM, RP_OUT_DIM
+    ).localCheckpoint(eager=True)  # Arrow matmul runs once for both sides
+    pq_ = proj.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qv")
+    )
+    dotp = F.expr(
+        "aggregate(zip_with(qv, p, (x, y) -> x * y), 0L,"
+        " (acc, v) -> acc + v)"
+    )
+    from whisper_pandas_spark.operators.similarity import two_stage_topk
+
+    scored4 = (
+        proj.join(F.broadcast(pq_), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dotp.alias("dot_p"))
+    )
+    top4 = two_stage_topk(scored4, K, score_col="dot_p").select(
+        "query_id", "vec_id"
+    )
+    # JL scores every non-self pair (its lever is per-candidate cost)
+    cand4_count = emb.agg(
+        (F.lit(_ANN_NQ) * (F.count(F.lit(1)) - 1))
+        .cast("bigint")
+        .alias("ct")
+    )
+
+    def row(name: str, top: DataFrame, cand_count: DataFrame) -> DataFrame:
+        hits = top.join(truth, ["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits")
+        )
+        return hits.crossJoin(cand_count).select(
+            F.lit(name).alias("method"),
+            F.lit(_ANN_NQ).cast("bigint").alias("n_queries"),
+            F.lit(K).cast("int").alias("k"),
+            F.col("hits"),
+            F.round(
+                F.col("hits").cast("double") / F.lit(float(K * _ANN_NQ))
+                + F.lit(1e-9),
+                6,
+            ).alias("recall_at_k"),
+            F.col("ct").alias("cand_total"),
+            F.round(
+                F.col("ct").cast("double") / F.lit(float(_ANN_NQ))
+                + F.lit(1e-9),
+                6,
+            ).alias("avg_candidates"),
+        )
+
+    def pairs_count(cand_pairs: DataFrame) -> DataFrame:
+        return cand_pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("ct")
+        )
+
+    return (
+        row("ivf_pq", top3, pairs_count(cand3))
+        .unionAll(row("ivf_sq8", top2, pairs_count(cand2)))
+        .unionAll(row("jl_rp", top4, cand4_count))
+        .unionAll(row("lsh_multi", top1, pairs_count(cand1)))
+        .orderBy("method")
+    )
