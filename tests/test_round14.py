@@ -393,3 +393,76 @@ def test_ann_recall_audit_invariants(spark, sf_dir):
     # JL scores every non-self pair by construction
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert rows["jl_rp"]["cand_total"] == 5 * (n - 1)
+
+
+def test_stream_curation_state_and_merge_law(spark, tmp_path):
+    """Cross-batch dedup resolves to the GLOBAL min doc_id regardless
+    of arrival order, and a full reprocess (fresh checkpoint) leaves
+    both state tables byte-identical (idempotent merges)."""
+    from whisper_pandas_spark.operators.merge import current_version_path
+    from whisper_pandas_spark.streaming.curation import (
+        curation_read_off,
+        stream_curation,
+    )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the wide green field towards the distant river bank"
+    )
+    rows = [
+        # batch f0 carries the HIGHER id of a dup pair; f1 the lower:
+        # the registry must settle on the global min (7), not first-seen
+        (9, "en", base_text),
+        (8, "en", base_text + " unique tail eight"),
+        (1, "de", "zz"),  # fails the entropy/token gate
+        (7, "en", base_text),
+        (5, "fr", base_text + " une variante unique ici"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    d = str(tmp_path)
+    df.filter("doc_id >= 8").coalesce(1).write.parquet(f"{d}/changes/f0")
+    df.filter("doc_id < 8").coalesce(1).write.parquet(f"{d}/changes/f1")
+
+    def run(ckpt):
+        sdf = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/changes/*")
+        )
+        q = stream_curation(
+            sdf, f"{d}/state", min_entropy=1.5, min_tokens=10,
+            checkpoint_dir=ckpt,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(f"{d}/ck1")
+    reg1 = sorted(
+        map(tuple, spark.read.parquet(
+            current_version_path(f"{d}/state/registry")).collect())
+    )
+    docs1 = sorted(
+        map(tuple, spark.read.parquet(
+            current_version_path(f"{d}/state/docs")).collect())
+    )
+    run(f"{d}/ck2")  # full reprocess
+    reg2 = sorted(
+        map(tuple, spark.read.parquet(
+            current_version_path(f"{d}/state/registry")).collect())
+    )
+    docs2 = sorted(
+        map(tuple, spark.read.parquet(
+            current_version_path(f"{d}/state/docs")).collect())
+    )
+    assert reg1 == reg2 and docs1 == docs2  # idempotent merge laws
+    out = {
+        r["doc_id"]: r
+        for r in curation_read_off(
+            spark, f"{d}/state", n_target=3, seed=1
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[7]["is_canonical"] is True  # global min wins
+    assert out[9]["is_canonical"] is False  # earlier-arriving dup loses
+    assert out[1]["entropy_ok"] is False and out[1]["is_canonical"] is False
+    assert out[8]["is_canonical"] and out[5]["is_canonical"]

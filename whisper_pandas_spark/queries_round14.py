@@ -812,3 +812,95 @@ def emb_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("lsh_multi", top1, pairs_count(cand1)))
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_curation_replay
+# ---------------------------------------------------------------------------
+
+
+def _stream_curation_oracle() -> str:
+    # the batch funnel's oracle verbatim: the streaming composition is
+    # required to reach the identical final state (global min-id
+    # canonicality via the idempotent registry min-merge)
+    from whisper_pandas_spark.queries_round13b import _curation_oracle
+
+    return _curation_oracle()
+
+
+@register("stream_curation_replay", oracle=_stream_curation_oracle())
+def stream_curation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+/Y163: the STREAMING curation funnel (streaming/
+    curation.py) — pipeline_curation_end_to_end's gates composed as a
+    foreachBatch maintainer: stateless PII + pinned-log2 entropy gates
+    per micro-batch, an idempotent per-doc flags upsert, and a
+    (clean_md5 -> min doc_id) dedup registry whose min-merge is
+    idempotent/commutative/associative — so the whole stream is
+    REPROCESSED with a fresh checkpoint into provably unchanged state
+    (the stream_bottomk/phash replay doctrine), and canonicality
+    read-off equals the batch funnel's global min-id semantics. The
+    oracle is the batch entry's oracle VERBATIM: one SQL text checks
+    both faces. Text never enters state; the registry shuffles
+    hashes+ids only."""
+    import tempfile
+
+    from whisper_pandas_spark.queries_round13b import (
+        _CUR_MIN_H,
+        _CUR_MIN_TOKENS,
+        _CUR_N_TARGET,
+        _CUR_SEED,
+        _cur_fixture_sql,
+    )
+    from whisper_pandas_spark.streaming.curation import (
+        curation_read_off,
+        stream_curation,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    buddy = docs.select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    fix = (
+        docs.join(buddy, F.col("bid") == F.col("doc_id") - 1, "left")
+        .select(
+            "doc_id", "lang", F.expr(_cur_fixture_sql("STRING")).alias("text")
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = fix.count()
+    d = tempfile.mkdtemp(prefix="wps_streamcur_")
+    # 4 micro-batches by doc_id range (any split works — the registry
+    # min-merge is order-independent; ranges keep batches balanced)
+    step = max(1, (n + 3) // 4)
+    for i in range(4):
+        fix.filter(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            if i < 3
+            else (F.col("doc_id") >= i * step)
+        ).coalesce(1).write.parquet(f"{d}/changes/f{i}")
+
+    def run_pass(ckpt: str) -> None:
+        sdf = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/changes/*")
+        )
+        q = stream_curation(
+            sdf,
+            f"{d}/state",
+            min_entropy=_CUR_MIN_H,
+            min_tokens=_CUR_MIN_TOKENS,
+            checkpoint_dir=ckpt,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_pass(f"{d}/ckpt1")
+    # full reprocess, fresh checkpoint: every doc re-derives the same
+    # flags row (anti-join upsert) and every registry key min-merges
+    # with itself — state provably unchanged (the hash gate catches
+    # any drift)
+    run_pass(f"{d}/ckpt2")
+    return curation_read_off(
+        spark, f"{d}/state", n_target=_CUR_N_TARGET, seed=_CUR_SEED
+    ).orderBy("doc_id")
