@@ -375,7 +375,9 @@ def pipeline_multimodal_curation(
         )
     )
     pairs = phash_neardup_pairs(imgs, "img_id", max_hamming=6)
-    pairs_ck = pairs.localCheckpoint(eager=True)
+    from whisper_pandas_spark.stage import stage_materialize
+
+    pairs_ck = stage_materialize(pairs)
     for c in getattr(pairs, "_wps_cached", []):
         c.unpersist()
     kept_imgs = canonical_filter(

@@ -529,124 +529,17 @@ def text_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PLANTED text, email and all). The per-doc funnel (pii_found,
 # entropy_ok, is_canonical, sample_rate, kept) is the checked value.
 
-_CUR_N_TARGET = 150
-_CUR_SEED = 13
-_CUR_MIN_TOKENS = 10
-_CUR_MIN_H = 1.5
-
-
-def _cur_fixture_sql(cast_str: str) -> str:
-    """The planted-corpus expression, shared verbatim by both engines
-    modulo the string-cast keyword (Spark STRING / DuckDB VARCHAR)."""
-
-    def email(idc: str) -> str:
-        return (
-            f" || ' contact user' || CAST({idc} AS {cast_str})"
-            f" || '@mail-' || CAST({idc} % 7 AS {cast_str})"
-            f" || '.example.com now'"
-        )
-
-    ta = "CASE WHEN doc_id % 31 = 7 THEN repeat('spam ', 40) ELSE text END"
-    tb = (
-        "CASE WHEN bid IS NULL THEN NULL"
-        " WHEN bid % 31 = 7 THEN repeat('spam ', 40) ELSE btext END"
-    )
-    return f"""
-  CASE WHEN doc_id % 20 = 1 AND bid IS NOT NULL THEN
-    CASE WHEN bid % 5 = 2 THEN ({tb}){email("bid")} ELSE ({tb}) END
-  WHEN doc_id % 5 = 2 THEN ({ta}){email("doc_id")}
-  ELSE ({ta}) END
-"""
-
-
-def _curation_oracle() -> str:
-    from whisper_pandas_spark.operators.lexical import log2_values_sql
-    from whisper_pandas_spark.operators.redact import (
-        EMAIL_RE,
-        IPV4_RE,
-        PHONE_RE,
-    )
-
-    toks = (
-        "regexp_split_to_array(trim(regexp_replace(lower(clean),"
-        "'[^a-z0-9]+', ' ', 'g')), ' ')"
-    )
-    return f"""
-WITH l2(i, l2) AS (VALUES {log2_values_sql()}),
-b0 AS (
-  SELECT d.doc_id, d.lang, d.text, b.doc_id AS bid, b.text AS btext
-  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 1
-), fix AS (
-  SELECT doc_id, lang, ({_cur_fixture_sql("VARCHAR")}) AS t FROM b0
-), red AS (
-  SELECT doc_id, lang,
-    regexp_replace(regexp_replace(regexp_replace(t,
-      '{EMAIL_RE}', '<EMAIL>', 'g'),
-      '{IPV4_RE}', '<IP>', 'g'),
-      '{PHONE_RE}', '<PHONE>', 'g') AS clean,
-    (len(regexp_extract_all(t, '{EMAIL_RE}'))
-     + len(regexp_extract_all(t, '{IPV4_RE}'))
-     + len(regexp_extract_all(t, '{PHONE_RE}')) > 0) AS pii_found
-  FROM fix
-), etoks AS (
-  SELECT doc_id, unnest(list_filter({toks}, x -> x != '')) AS tok FROM red
-), ec AS (
-  SELECT doc_id, tok, CAST(count(*) AS INT) AS c
-  FROM etoks GROUP BY doc_id, tok
-), et AS (
-  SELECT ec.doc_id, ec.tok, ec.c, CAST(ec.c AS DOUBLE) * l2.l2 AS term
-  FROM ec LEFT JOIN l2 ON l2.i = ec.c
-), ea AS (
-  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY tok)),
-                (x, y) -> x + y) AS tsum
-  FROM et GROUP BY doc_id
-), ent AS (
-  SELECT ea.doc_id, ea.n_tokens,
-    round(l2n.l2 - ea.tsum / CAST(ea.n_tokens AS DOUBLE) + 1e-9, 6)
-      AS entropy
-  FROM ea LEFT JOIN l2 l2n ON l2n.i = ea.n_tokens
-), gate AS (
-  SELECT r.doc_id, r.lang, r.clean, r.pii_found,
-    coalesce(e.entropy >= {_CUR_MIN_H}
-             AND e.n_tokens >= {_CUR_MIN_TOKENS}, FALSE) AS entropy_ok
-  FROM red r LEFT JOIN ent e USING (doc_id)
-), ded AS (
-  SELECT doc_id, (rn = 1) AS is_canonical FROM (
-    SELECT doc_id,
-      row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
-    FROM gate WHERE entropy_ok
-  )
-), g2 AS (
-  SELECT g.doc_id, g.lang, g.pii_found, g.entropy_ok,
-    coalesce(d2.is_canonical, FALSE) AS is_canonical
-  FROM gate g LEFT JOIN ded d2 USING (doc_id)
-), c AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS c FROM g2
-  WHERE entropy_ok AND is_canonical GROUP BY lang
-), s AS (
-  SELECT list_reduce(
-    list_prepend(CAST(0.0 AS DOUBLE),
-                 list(sqrt(CAST(c AS DOUBLE)) ORDER BY lang)),
-    (x, y) -> x + y) AS s
-  FROM c
-), r AS (
-  SELECT lang,
-    least(1.0, {float(_CUR_N_TARGET)} * (sqrt(CAST(c AS DOUBLE)) / s.s)
-               / CAST(c AS DOUBLE)) AS rate
-  FROM c, s
+# The planted corpus, thresholds, and the full-chain oracle live in
+# curation_fixture.py (leaf module) so the round-14 streaming face can
+# share them verbatim without a registry import cycle.
+from whisper_pandas_spark.curation_fixture import (  # noqa: E402
+    _CUR_MIN_H,
+    _CUR_MIN_TOKENS,
+    _CUR_N_TARGET,
+    _CUR_SEED,
+    _cur_fixture_sql,
+    _curation_oracle,
 )
-SELECT g.doc_id, g.lang, g.pii_found, g.entropy_ok, g.is_canonical,
-  CASE WHEN g.entropy_ok AND g.is_canonical
-       THEN round(r.rate + 1e-9, 6) ELSE 0.0 END AS sample_rate,
-  coalesce(g.entropy_ok AND g.is_canonical AND
-    CAST(('0x' || substr(md5('{_CUR_SEED}:' || CAST(g.doc_id AS VARCHAR)),
-                         1, 8))::BIGINT AS DOUBLE)
-      < r.rate * 4294967296.0, FALSE) AS kept
-FROM g2 g LEFT JOIN r USING (lang)
-ORDER BY g.doc_id
-"""
-
 
 @register("pipeline_curation_end_to_end", oracle=_curation_oracle())
 def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,6 +557,7 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whisper_pandas_spark.operators.lexical import token_entropy
     from whisper_pandas_spark.operators.redact import pii_redact
     from whisper_pandas_spark.operators.sampling import temperature_rebalance
+    from whisper_pandas_spark.stage import stage_materialize
 
     docs = _table(spark, sf_dir, "documents")
     buddy = docs.select(
@@ -673,14 +567,17 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix = b0.select(
         "doc_id", "lang", F.expr(_cur_fixture_sql("STRING")).alias("text")
     )
-    # Stage-boundary materialization (eager localCheckpoint = the
-    # engine's stand-in for the stage-output persists a production
-    # pipeline would write): red feeds BOTH the entropy branch and the
-    # funnel frame, gate feeds dedup + the output frame, g2 feeds the
-    # survivor counts + the output join — without the checkpoints each
-    # consumer re-evaluates its whole upstream subtree and the plan
-    # multiplies to 64 parquet scans of the fixture (measured); with
-    # them the corpus is scanned once per stage.
+    # Stage-boundary materialization (stage.py:stage_materialize —
+    # reliable checkpoint when the context has a checkpoint dir, the
+    # cluster deployment mode; eager localCheckpoint otherwise): red
+    # feeds BOTH the entropy branch and the funnel frame, gate feeds
+    # dedup + the output frame, g2 feeds the survivor counts + the
+    # output join — without the barriers each consumer re-evaluates
+    # its whole upstream subtree and the plan multiplies to 64 parquet
+    # scans of the fixture (measured); with them the corpus is scanned
+    # once per stage. SCALE.md "Funnel stage boundaries" has the
+    # 100 TB story; test_round14 pins bit-equality under a fresh
+    # default-config session with a reliable checkpoint dir.
     red = (
         pii_redact(fix, "doc_id", "text")
         .join(fix.select("doc_id", "lang"), "doc_id")
@@ -688,8 +585,8 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pii_found",
             (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")) > 0,
         )
-        .localCheckpoint(eager=True)
     )
+    red = stage_materialize(red)
     ent = token_entropy(red, "doc_id", "clean_text").select(
         "doc_id", "n_tokens", "entropy"
     )
@@ -703,7 +600,8 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") >= _CUR_MIN_TOKENS),
             F.lit(False),
         ),
-    ).localCheckpoint(eager=True)
+    )
+    gate = stage_materialize(gate)
     w = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
     ded = (
         gate.filter("entropy_ok")
@@ -719,8 +617,8 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_ok",
             F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
         )
-        .localCheckpoint(eager=True)
     )
+    g2 = stage_materialize(g2)
     surv = g2.filter("entropy_ok AND is_canonical").select("doc_id", "lang")
     tr = temperature_rebalance(
         surv, "lang", "doc_id", n_target=_CUR_N_TARGET, seed=_CUR_SEED
@@ -744,10 +642,8 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HTTP envelope constant: everything except the Content-Length digits
 # and the body itself (kept in ONE place so the oracle replays the
 # WARC Content-Length arithmetic exactly).
-_WARC_HTTP_CONST = len(
-    "HTTP/1.1 200 OK\r\n"
-    "Content-Type: text/plain; charset=utf-8\r\n"
-    "Content-Length: \r\n\r\n"
+from whisper_pandas_spark.sources.warc import (  # noqa: E402
+    HTTP_ENVELOPE_CONST as _WARC_HTTP_CONST,
 )
 
 _WARC_ORACLE = f"""

@@ -30,8 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from whisper_pandas_spark.queries_round13b import _WARC_HTTP_CONST
 from whisper_pandas_spark.registry import _table, register
+from whisper_pandas_spark.sources.warc import (
+    HTTP_ENVELOPE_CONST as _WARC_HTTP_CONST,
+)
 
 # ---------------------------------------------------------------------------
 # Shared offset arithmetic
@@ -823,7 +825,7 @@ def _stream_curation_oracle() -> str:
     # the batch funnel's oracle verbatim: the streaming composition is
     # required to reach the identical final state (global min-id
     # canonicality via the idempotent registry min-merge)
-    from whisper_pandas_spark.queries_round13b import _curation_oracle
+    from whisper_pandas_spark.curation_fixture import _curation_oracle
 
     return _curation_oracle()
 
@@ -844,7 +846,7 @@ def stream_curation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes+ids only."""
     import tempfile
 
-    from whisper_pandas_spark.queries_round13b import (
+    from whisper_pandas_spark.curation_fixture import (
         _CUR_MIN_H,
         _CUR_MIN_TOKENS,
         _CUR_N_TARGET,

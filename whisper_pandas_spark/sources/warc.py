@@ -50,6 +50,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 WARC_VERSION = "WARC/1.0"
+
+#: Byte length of the writer's HTTP envelope MINUS the Content-Length
+#: digits and the body: everything the oracle's Content-Length
+#: arithmetic needs in ONE place (round-13b/14 offset oracles).
+HTTP_ENVELOPE_CONST = len(
+    "HTTP/1.1 200 OK\r\n"
+    "Content-Type: text/plain; charset=utf-8\r\n"
+    "Content-Length: \r\n\r\n"
+)
 _CRLF = "\r\n"
 
 #: Output schema of read_warc (one row per WARC record).
