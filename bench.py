@@ -102,6 +102,13 @@ HEADLINE3 = [
     "dedup_semdedup",
     "text_dsir_weights",
     "pipeline_curation_end_to_end",
+    # round 14 additions: the CommonCrawl index build (WARC write +
+    # byte-scan + codegen index), the DoReMi weight recursion (classifier
+    # training passes dominate), and the mojibake repair (pure codegen
+    # scan — the scan-cost floor for a cleaning stage)
+    "ingest_cdx_index",
+    "sample_doremi_weights",
+    "text_encoding_fix",
 ]
 
 
