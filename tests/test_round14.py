@@ -530,3 +530,94 @@ spark.stop()
         out.stdout[-2000:],
         out.stderr[-2000:],
     )
+
+
+def test_zipnum_members_and_selection(spark, tmp_path):
+    """zipnum members tile the shard, every member gunzips standalone,
+    and cluster.idx interval selection equals the rank-arithmetic
+    block set for MANY prefixes (the oracle's first-principles
+    formula)."""
+    import gzip as _gz
+
+    from whisper_pandas_spark.sources.cdx import (
+        write_zipnum,
+        zipnum_fetch,
+        zipnum_select,
+    )
+
+    rows = [
+        (f"com,example)/p/{i:04d}", f"http://example.com/p/{i:04d}",
+         "warc-00000.warc", i * 100, 100)
+        for i in range(137)
+    ]
+    cdx = spark.createDataFrame(
+        rows,
+        "surt_key string, url string, warc_file string, "
+        "record_offset long, record_length long",
+    )
+    gz = str(tmp_path / "cdx-00000.gz")
+    idx = write_zipnum(cdx.repartition(5), gz, block_lines=20)
+    assert len(idx) == 7  # ceil(137/20)
+    blob = open(gz, "rb").read()
+    pos = 0
+    total_lines = 0
+    for first, off, ln, n in idx:
+        assert off == pos  # members tile the file exactly
+        member = _gz.decompress(blob[off : off + ln])
+        lines = member.decode().splitlines()
+        assert lines[0].startswith(first)
+        total_lines += len(lines)
+        assert len(lines) == n
+        pos += ln
+    assert pos == len(blob) and total_lines == 137
+
+    keys = sorted(r[0] for r in rows)
+    for prefix in ("com,example)/p/00", "com,example)/p/01",
+                   "com,example)/p/0001", "com,example)/p/013",
+                   "com,example)/p/"):
+        match_ranks = [i + 1 for i, k in enumerate(keys)
+                       if k.startswith(prefix)]
+        sel = zipnum_select(idx, prefix)
+        core = set(
+            range((match_ranks[0] - 1) // 20, (match_ranks[-1] - 1) // 20 + 1)
+        )
+        got = {idx.index(m) for m in sel}
+        # interval selection = match blocks + at most ONE leading
+        # boundary block (the member that might hide a key == prefix)
+        assert core <= got <= core | {min(core) - 1}, prefix
+        fetched = zipnum_fetch(spark, gz, sel).collect()
+        got_keys = sorted(
+            r["surt_key"] for r in fetched if r["surt_key"].startswith(prefix)
+        )
+        assert got_keys == [k for k in keys if k.startswith(prefix)]
+
+
+def test_doremi_mixture_follows_weights(spark, sf_dir):
+    """Rates derive from the exact final weights; kept is the md5 gate;
+    every rate is in (0, 1]."""
+    from whisper_pandas_spark.queries_round14 import (
+        _DOREMI_ITERS,
+        sample_doremi_mixture,
+        sample_doremi_weights,
+    )
+
+    out = sample_doremi_mixture(spark, sf_dir).toPandas()
+    w = sample_doremi_weights(spark, sf_dir).toPandas()
+    fin = w[w["iter"] == _DOREMI_ITERS].set_index("source")["w"]
+    per = out.drop_duplicates("source").set_index("source")
+    assert (per["w"].sort_index() == fin.sort_index()).all()
+    assert ((out["sample_rate"] > 0) & (out["sample_rate"] <= 1.0001)).all()
+    assert out["kept"].any() and not out["kept"].all()
+
+
+def test_web_mojibake_equals_plain_funnel(spark, sf_dir):
+    """Corrupt -> repair composed ahead of the strip stage must leave
+    the entire downstream funnel bit-identical."""
+    from whisper_pandas_spark.queries_round12b import (
+        pipeline_web_end_to_end,
+        pipeline_web_mojibake,
+    )
+
+    a = pipeline_web_end_to_end(spark, sf_dir).collect()
+    b = pipeline_web_mojibake(spark, sf_dir).collect()
+    assert a == b

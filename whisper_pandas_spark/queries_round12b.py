@@ -969,8 +969,12 @@ ORDER BY r.reg_domain
 """
 
 
-@register("pipeline_web_end_to_end", oracle=None)
-def pipeline_web_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _web_funnel(spark: SparkSession, sf_dir: str, mangler=None) -> DataFrame:
+    """Shared body of the web-funnel entries; *mangler* (Column ->
+    Column), when given, is applied to the raw HTML column BEFORE the
+    strip stage — the round-14 mojibake composition hooks in exactly
+    where encoding damage lives in a real crawl (between fetch and
+    extraction)."""
     """The INTEGRATED web-crawl pipeline over `documents` — the stages a
     CommonCrawl-style build chains, end to end:
 
@@ -1025,6 +1029,10 @@ def pipeline_web_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</body></html>"),
         ).alias("html"),
     )
+    if mangler is not None:
+        html = html.select(
+            "doc_id", "source", mangler(F.col("html")).alias("html")
+        )
     stripped = html_extract(html, "doc_id", "html").join(
         html.select("doc_id", "source"), "doc_id"
     )
@@ -1081,7 +1089,48 @@ def pipeline_web_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("pipeline_web_end_to_end", oracle=None)
+def pipeline_web_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _web_funnel — the plain composition (docstring retained
+    there); this wrapper is the registered face."""
+    return _web_funnel(spark, sf_dir)
+
+
+@register("pipeline_web_mojibake", oracle=None)
+def pipeline_web_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+/Y161b (round 14): the encoding-fix stage composed INTO the
+    web-crawl chain, at the stage where mojibake actually lives —
+    between fetch and HTML extraction. The raw HTML is cp1252-
+    mis-decoded in-query (doc_id % 3 == 1 once, % 3 == 2 twice — the
+    text_encoding_fix populations) and repaired by the bounded 2-pass
+    fix (operators/encoding.py) BEFORE html_extract; because the
+    repair is byte-exact and a no-op on the clean population, the
+    whole downstream funnel (strip -> C4 -> dedup -> domain quota)
+    must land on the identical per-domain table — this entry shares
+    pipeline_web_end_to_end's oracle VERBATIM, so the hash gate proves
+    the composed stage changes NOTHING but survives real corruption.
+    The added stage is pure codegen riding the scan (zero shuffle
+    delta)."""
+    from whisper_pandas_spark.operators.encoding import (
+        corrupt_encoding,
+        fix_encoding,
+    )
+
+    def mangler(html_col):
+        pop = F.col("doc_id") % 3
+        once = corrupt_encoding(html_col)
+        mangled = (
+            F.when(pop == 1, once)
+            .when(pop == 2, corrupt_encoding(once))
+            .otherwise(html_col)
+        )
+        return fix_encoding(mangled, passes=2)
+
+    return _web_funnel(spark, sf_dir, mangler=mangler)
+
+
 _ORACLES["pipeline_web_end_to_end"] = _web_oracle()
+_ORACLES["pipeline_web_mojibake"] = _web_oracle()
 
 
 # ---------------------------------------------------------------------------

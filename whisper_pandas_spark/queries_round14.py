@@ -307,26 +307,17 @@ FROM hist h ORDER BY h.iter, h.domain
 """
 
 
-@register("sample_doremi_weights", oracle=_doremi_oracle())
-def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4+/Y160: DoReMi-style domain mixture weights (operators/
-    doremi.py) — mirror-descent (multiplicative-weights form) over
-    per-domain excess loss of the in-engine softsign classifier, with
-    the paper's uniform-smoothing step each iteration. Every stage is
-    exactly replayable: classifier training folds through DECIMAL
-    (Y56), per-doc loss integerizes once, and the whole T-step weight
-    recursion runs in BIGINT — the oracle replays training AND the
-    full weight-iteration history in one unrolled CTE chain (the
-    k-means/classifier recipe). Feeds mixture_sample /
-    sample_temperature_lang as the learned-weights sibling of DSIR."""
+def _doremi_losses(spark: SparkSession, sf_dir: str):
+    """(docs, losses) — the shared classifier-loss stage: train the
+    softsign quality classifier (DECIMAL folds), score the corpus, and
+    integerize the per-doc squared error once. Used by BOTH DoReMi
+    entries so the weight and mixture faces derive from the identical
+    trajectory."""
     from whisper_pandas_spark.operators.classifier import (
         logreg_score,
         logreg_train,
     )
-    from whisper_pandas_spark.operators.doremi import (
-        LOSS_SCALE,
-        doremi_weights,
-    )
+    from whisper_pandas_spark.operators.doremi import LOSS_SCALE
 
     docs = _table(spark, sf_dir, "documents")
     feats = docs.select(
@@ -350,6 +341,24 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("il"),
     )
+    return docs, losses
+
+
+@register("sample_doremi_weights", oracle=_doremi_oracle())
+def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+/Y160: DoReMi-style domain mixture weights (operators/
+    doremi.py) — mirror-descent (multiplicative-weights form) over
+    per-domain excess loss of the in-engine softsign classifier, with
+    the paper's uniform-smoothing step each iteration. Every stage is
+    exactly replayable: classifier training folds through DECIMAL
+    (Y56), per-doc loss integerizes once, and the whole T-step weight
+    recursion runs in BIGINT — the oracle replays training AND the
+    full weight-iteration history in one unrolled CTE chain (the
+    k-means/classifier recipe). Feeds mixture_sample /
+    sample_temperature_lang as the learned-weights sibling of DSIR."""
+    from whisper_pandas_spark.operators.doremi import doremi_weights
+
+    _docs, losses = _doremi_losses(spark, sf_dir)
     hist = doremi_weights(losses, "source", "il", iters=_DOREMI_ITERS)
     return hist.select(
         "iter", F.col("domain").alias("source"), "w", "weight"
@@ -906,3 +915,215 @@ def stream_curation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_read_off(
         spark, f"{d}/state", n_target=_CUR_N_TARGET, seed=_CUR_SEED
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# sample_doremi_mixture
+# ---------------------------------------------------------------------------
+
+_DRM_N_TARGET = 200
+_DRM_SEED = 14
+
+
+def _doremi_mixture_oracle() -> str:
+    from whisper_pandas_spark.operators.classifier import training_replay_sql
+    from whisper_pandas_spark.operators.doremi import (
+        LOSS_SCALE,
+        doremi_replay_sql,
+    )
+
+    chain = training_replay_sql(
+        _DOREMI_FEATS_CTE, ["x0", "x1"], "y", _DOREMI_CLF_ITERS, 1.0
+    )
+    m = "w.w0 * f.x0 + w.w1 * f.x1 + w.wb"
+    p = f"(0.5 * (1.0 + ({m}) / (1.0 + abs({m}))))"
+    loss_cte = f"""loss_ AS MATERIALIZED (
+  SELECT f.source AS domain,
+    CAST(round(({p} - f.y) * ({p} - f.y) * {LOSS_SCALE}.0, 0) AS BIGINT)
+      AS il
+  FROM feats f CROSS JOIN w{_DOREMI_CLF_ITERS}_ w
+)"""
+    dchain = doremi_replay_sql("loss_", "domain", "il", _DOREMI_ITERS)
+    return f"""{chain},
+{loss_cte},
+{dchain},
+fin_ AS MATERIALIZED (
+  SELECT domain, CAST(w AS BIGINT) AS w FROM hist WHERE iter = {_DOREMI_ITERS}
+),
+stot_ AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM fin_),
+rts_ AS MATERIALIZED (
+  SELECT f.domain, f.w,
+    least(1.0, CAST({_DRM_N_TARGET} * f.w AS DOUBLE)
+               / CAST((SELECT s FROM stot_) * d.n AS DOUBLE)) AS rate
+  FROM fin_ f JOIN d0_ d USING (domain)
+)
+SELECT d.doc_id, d.source, r.w,
+  round(r.rate + 1e-9, 6) AS sample_rate,
+  CAST(('0x' || substr(md5('{_DRM_SEED}:' || CAST(d.doc_id AS VARCHAR)),
+                       1, 8))::BIGINT AS DOUBLE)
+    < r.rate * 4294967296.0 AS kept
+FROM documents d JOIN rts_ r ON r.domain = d.source
+ORDER BY d.doc_id
+"""
+
+
+@register("sample_doremi_mixture", oracle=_doremi_mixture_oracle())
+def sample_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+/Y160b: the EXECUTION half of DoReMi — the learned domain
+    weights (sample_doremi_weights' exact BIGINT trajectory, shared
+    loss stage) turned into per-domain acceptance rates
+    rate_d = min(1, N_target * w_d / (S * n_d)) and applied with the
+    module-standard deterministic md5 gate. The rate is ONE correctly-
+    rounded divide of two exact BIGINT products (num = N_target * w_d,
+    den = S * n_d; both bounded far under 2^63 at any corpus this
+    engine targets — S <= K * W_SCALE * 2^T), so the kept SET replays
+    bit-for-bit. Plan: the weight recursion's bounded driver work +
+    one broadcast rate join + a codegen md5 filter — the bulk never
+    shuffles (the temperature_rebalance shape, with learned weights
+    in place of sqrt-temperature ones)."""
+    from whisper_pandas_spark.operators.doremi import doremi_weights
+    from whisper_pandas_spark.operators.sampling import (
+        BUCKET_SPACE,
+        hash_bucket,
+    )
+
+    docs, losses = _doremi_losses(spark, sf_dir)
+    hist = doremi_weights(losses, "source", "il", iters=_DOREMI_ITERS)
+    fin = hist.filter(F.col("iter") == _DOREMI_ITERS).select(
+        F.col("domain").alias("source"), "w"
+    )
+    counts = losses.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    stot = fin.agg(F.sum("w").alias("s"))
+    rates = (
+        fin.join(counts, "source")
+        .crossJoin(F.broadcast(stot))
+        .select(
+            "source",
+            "w",
+            F.least(
+                F.lit(1.0),
+                (F.lit(_DRM_N_TARGET) * F.col("w")).cast("double")
+                / (F.col("s") * F.col("n")).cast("double"),
+            ).alias("rate"),
+        )
+    )
+    u = hash_bucket(F.col("doc_id"), _DRM_SEED).cast("double")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            F.round(F.col("rate") + F.lit(1e-9), 6).alias("sample_rate"),
+            (u < F.col("rate") * F.lit(float(BUCKET_SPACE))).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cdx_zipnum_lookup
+# ---------------------------------------------------------------------------
+
+_ZN_PREFIX = "example,corpus)/doc/1"
+
+# The oracle replays the cluster.idx INTERVAL selection from pure rank
+# math: with the index sorted by SURT key and cut into B-line members,
+# member m's first key is the key at rank m*B+1; a prefix query selects
+# members whose [first_key, next_first_key) interval intersects
+# [prefix, prefix + U+FFFF] — which is the match-containing blocks PLUS
+# possibly ONE leading boundary block (the lookup cannot know whether a
+# key equal to the prefix hides inside the preceding member without
+# reading it; pywb pays the same block). A hash match therefore proves
+# the engine's secondary-index mechanics, boundary behavior included.
+_ZIPNUM_ORACLE = f"""
+{_RANGE_CTES},
+k AS MATERIALIZED (
+  SELECT 'example,corpus)/doc/' || CAST(doc_id AS VARCHAR) AS surt_key,
+         'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         printf('warc-%05d.warc', shard) AS warc_file,
+         off AS record_offset, rlen AS record_length
+  FROM o
+),
+rk AS MATERIALIZED (
+  SELECT k.*, row_number() OVER (ORDER BY surt_key) AS r FROM k
+),
+bb AS (
+  SELECT greatest(16, CAST(ceil(count(*) / 8.0) AS BIGINT)) AS b,
+         CAST(ceil(count(*) / CAST(greatest(16,
+           CAST(ceil(count(*) / 8.0) AS BIGINT)) AS DOUBLE)) AS BIGINT)
+           AS nblocks
+  FROM k
+),
+firsts AS MATERIALIZED (
+  SELECT (r - 1) // (SELECT b FROM bb) AS m, surt_key AS fk
+  FROM rk WHERE (r - 1) % (SELECT b FROM bb) = 0
+),
+selm AS MATERIALIZED (
+  SELECT m FROM (
+    SELECT m, fk, lead(fk) OVER (ORDER BY m) AS nfk FROM firsts
+  ) WHERE fk <= '{_ZN_PREFIX}' || chr(65535)
+    AND (nfk IS NULL OR nfk > '{_ZN_PREFIX}')
+),
+mt AS MATERIALIZED (
+  SELECT * FROM rk WHERE surt_key LIKE '{_ZN_PREFIX}%'
+)
+SELECT surt_key, url, warc_file, record_offset, record_length,
+       (SELECT CAST(count(*) AS BIGINT) FROM selm) AS blocks_read,
+       (SELECT nblocks FROM bb) AS n_blocks
+FROM mt ORDER BY surt_key
+"""
+
+
+@register("cdx_zipnum_lookup", oracle=_ZIPNUM_ORACLE)
+def cdx_zipnum_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+/Y164: the CommonCrawl ZIPNUM secondary index — the sorted
+    CDX cut into gzip members of B lines with a cluster.idx row per
+    member (first key + byte range); a prefix query selects members
+    from the TINY secondary index alone (driver interval arithmetic —
+    the index of the index), range-reads + gunzips ONLY those members,
+    and never scans the rest of the CDX, let alone payload shards: the
+    third pruning tier of the crawl stack (cluster.idx -> CDX members
+    -> WARC ranges). blocks_read / n_blocks ride the output and the
+    entry RAISES unless the selection is a proper subset; the oracle
+    replays the block arithmetic from pure rank math, so a hash match
+    proves the cluster.idx interval selection mechanics exactly."""
+    import tempfile
+
+    from whisper_pandas_spark.sources.cdx import (
+        build_cdx,
+        write_zipnum,
+        zipnum_fetch,
+        zipnum_select,
+    )
+    from whisper_pandas_spark.sources.warc import read_warc
+
+    d, _n = _warc_tree(spark, sf_dir)
+    cdx = build_cdx(read_warc(spark, d))
+    n = cdx.count()
+    block_lines = max(16, -(-n // 8))
+    zdir = tempfile.mkdtemp(prefix="wps_zipnum_")
+    gz = f"{zdir}/cdx-00000.gz"
+    idx = write_zipnum(cdx, gz, block_lines)
+    sel = zipnum_select(idx, _ZN_PREFIX)
+    if not sel or len(sel) >= len(idx):
+        raise AssertionError(
+            f"zipnum lookup must read a proper subset of members "
+            f"({len(sel)} of {len(idx)} selected)"
+        )
+    parsed = zipnum_fetch(spark, gz, sel)
+    return (
+        parsed.filter(F.col("surt_key").startswith(_ZN_PREFIX))
+        .select(
+            "surt_key",
+            "url",
+            "warc_file",
+            "record_offset",
+            "record_length",
+            F.lit(len(sel)).cast("bigint").alias("blocks_read"),
+            F.lit(len(idx)).cast("bigint").alias("n_blocks"),
+        )
+        .orderBy("surt_key")
+    )

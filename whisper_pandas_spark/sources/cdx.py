@@ -159,3 +159,131 @@ def fetch_ranges(
         .groupBy("warc_file")
         .applyInPandas(fetch, WARC_SCHEMA)
     )
+
+
+# -- zipnum (cluster.idx) secondary index ------------------------------------
+#
+# CommonCrawl's CDX is served as "zipnum" shards: the sorted index is
+# cut into gzip members of N lines each, concatenated into ~300 shard
+# files, with a small secondary index (cluster.idx) holding one row per
+# member (first SURT key + byte range). A prefix query binary-searches
+# cluster.idx, range-reads ONLY the members whose key interval
+# intersects the prefix, and never touches the rest of the index — the
+# same prune-at-a-higher-tier move as Hive partitions over parquet.
+
+#: one CDX line: space-separated key + fetch-range fields.
+ZIPNUM_LINE_SCHEMA = (
+    "surt_key string, url string, warc_file string, "
+    "record_offset long, record_length long"
+)
+
+
+def write_zipnum(cdx: DataFrame, gz_path: str, block_lines: int):
+    """Write *cdx* as ONE zipnum shard (concatenated gzip members of
+    ``block_lines`` sorted lines) and return the cluster.idx rows
+    ``[(first_key, offset, length, n_lines), ...]`` in key order.
+
+    Single task — the shard IS the CommonCrawl parallel unit (a crawl
+    ships ~300 of them); sorting uses repartition(1) +
+    sortWithinPartitions so the member layout is deterministic under
+    any input partitioning. Same local-mode ``open()`` caveat as
+    write_warc."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    rows = (
+        cdx.select(
+            "surt_key", "url", "warc_file", "record_offset", "record_length"
+        )
+        .repartition(1)
+        .sortWithinPartitions("surt_key")
+    )
+
+    def write_part(batches):
+        buf: list[str] = []
+        first: str | None = None
+        idx: list[tuple[str, int, int, int]] = []
+        with open(gz_path, "wb") as f:
+
+            def flush():
+                nonlocal buf, first
+                if not buf:
+                    return
+                off = f.tell()
+                g = _gzip.compress("".join(buf).encode("utf-8"), mtime=0)
+                f.write(g)
+                idx.append((first, off, len(g), len(buf)))
+                buf, first = [], None
+
+            for pdf in batches:
+                for t in pdf.itertuples(index=False):
+                    if first is None:
+                        first = t.surt_key
+                    buf.append(
+                        f"{t.surt_key} {t.url} {t.warc_file} "
+                        f"{t.record_offset} {t.record_length}\n"
+                    )
+                    if len(buf) == block_lines:
+                        flush()
+            flush()
+        yield pd.DataFrame(
+            idx, columns=["first_key", "offset", "length", "n_lines"]
+        )
+
+    out = rows.mapInPandas(
+        write_part, "first_key string, offset long, length long, n_lines long"
+    )
+    return [tuple(r) for r in out.collect()]  # n/B rows — bounded
+
+
+def zipnum_select(idx_rows, prefix: str):
+    """cluster.idx member selection for a key-prefix query: members
+    whose key interval [first_key, next_first_key) intersects
+    [prefix, prefix + U+FFFF]. Pure driver arithmetic over the tiny
+    secondary index — the payload index is never scanned."""
+    hi = prefix + "￿"
+    sel = []
+    for i, m in enumerate(idx_rows):
+        first = m[0]
+        nxt = idx_rows[i + 1][0] if i + 1 < len(idx_rows) else None
+        if first <= hi and (nxt is None or nxt > prefix):
+            sel.append(m)
+    return sel
+
+
+def zipnum_fetch(spark, gz_path: str, members) -> DataFrame:
+    """Range-read ONLY the selected zipnum members (seek + read +
+    gunzip + line parse in one executor pass) and return the parsed
+    CDX rows. Bytes outside the selected members are never read."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    ranges = spark.createDataFrame(
+        [(int(m[1]), int(m[2])) for m in members], "offset long, length long"
+    )
+
+    def fetch(batches):
+        out = []
+        with open(gz_path, "rb") as f:
+            for pdf in batches:
+                for off, ln in zip(pdf["offset"], pdf["length"]):
+                    f.seek(int(off))
+                    text = _gzip.decompress(f.read(int(ln))).decode("utf-8")
+                    for line in text.splitlines():
+                        k, u, wf, ro, rl = line.split(" ")
+                        out.append((k, u, wf, int(ro), int(rl)))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "surt_key",
+                    "url",
+                    "warc_file",
+                    "record_offset",
+                    "record_length",
+                ],
+            )
+
+    return ranges.mapInPandas(fetch, ZIPNUM_LINE_SCHEMA)
