@@ -621,3 +621,62 @@ def test_web_mojibake_equals_plain_funnel(spark, sf_dir):
     a = pipeline_web_end_to_end(spark, sf_dir).collect()
     b = pipeline_web_mojibake(spark, sf_dir).collect()
     assert a == b
+
+
+def test_wet_rec_const_and_gzip_roundtrip(spark, tmp_path):
+    """The WET record-length identity pins _build_record's conversion
+    shape, and the gzip WET layout (one member per record) round-trips
+    with text intact and no HTTP fields."""
+    from whisper_pandas_spark.queries_round14 import (
+        _WARC_DATE,
+        _WET_REC_CONST,
+    )
+    from whisper_pandas_spark.sources.warc import (
+        _build_record,
+        read_warc,
+        write_warc,
+    )
+
+    for i, body in [(0, b""), (42, "texte é中".encode())]:
+        rec = _build_record(
+            "conversion",
+            f"doc-{i}",
+            f"http://corpus.example/doc/{i}",
+            _WARC_DATE,
+            body,
+            http=False,
+            ctype="text/plain",
+        )
+        assert len(rec) == (
+            _WET_REC_CONST + 2 * len(str(i)) + len(str(len(body))) + len(body)
+        )
+
+    d = str(tmp_path / "wet")
+    write_warc(
+        _docs(spark), d, "doc_id", "text", num_files=2,
+        compression="gzip", record_type="conversion",
+    )
+    rows = {
+        int(r["record_id"].removeprefix("doc-")): r
+        for r in read_warc(spark, d).collect()
+    }
+    assert len(rows) == 30
+    for i in range(30):
+        r = rows[i]
+        assert r["warc_type"] == "conversion"
+        assert r["content_type"] == "text/plain"
+        assert r["http_status"] is None
+        assert r["http_content_type"] is None
+        assert r["body"] == f"body {i} with unicode é中 " + "x" * (i % 7)
+
+
+def test_write_warc_rejects_bad_record_type(spark, tmp_path):
+    import pytest as _pytest
+
+    from whisper_pandas_spark.sources.warc import write_warc
+
+    with _pytest.raises(ValueError):
+        write_warc(
+            _docs(spark, 3), str(tmp_path / "x"), "doc_id", "text",
+            record_type="metadata",
+        )

@@ -1127,3 +1127,100 @@ def cdx_zipnum_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("surt_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# ingest_wet_roundtrip
+# ---------------------------------------------------------------------------
+
+#: Conversion-record byte constant (the WET twin of _REC_CONST):
+#: no HTTP envelope, Content-Type: text/plain, payload = the text
+#: bytes directly. tests/test_round14.py pins the identity.
+_WET_REC_CONST = (
+    len(
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Record-ID: <urn:uuid:doc->\r\n"
+        "WARC-Target-URI: http://corpus.example/doc/\r\n"
+        f"WARC-Date: {_WARC_DATE}\r\n"
+        "Content-Type: text/plain\r\n"
+        "Content-Length: "
+    )
+    + 4
+    + 4
+)
+
+_WET_ORACLE = f"""
+WITH nf AS (
+  SELECT greatest(4, CAST(ceil(count(*) / 4000.0) AS BIGINT)) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, text, doc_id % (SELECT n FROM nf) AS shard,
+         octet_length(encode(text)) AS bo
+  FROM documents
+), r AS (
+  SELECT doc_id, text, shard, bo,
+         {_WET_REC_CONST} + 2 * length(CAST(doc_id AS VARCHAR))
+           + length(CAST(bo AS VARCHAR)) + bo AS rlen
+  FROM c
+), o AS (
+  SELECT doc_id, text, shard, bo, CAST(rlen AS BIGINT) AS rlen,
+         CAST(coalesce(sum(rlen) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS off
+  FROM r
+)
+SELECT doc_id,
+       'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       'conversion' AS warc_type,
+       'text/plain' AS content_type,
+       CAST(bo AS BIGINT) AS content_length,
+       off AS record_offset,
+       rlen AS record_length,
+       text AS body
+FROM o ORDER BY doc_id
+"""
+
+
+@register("ingest_wet_roundtrip", oracle=_WET_ORACLE)
+def ingest_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+/Y165: the WET container (CommonCrawl's extracted-text
+    sibling) — ``conversion`` records whose payload IS the text, no
+    HTTP envelope, typed text/plain: written with the same one-task-
+    per-file sharder as WARC (sources/warc.py record_type=
+    'conversion') and re-opened through the same byte parser (which
+    already read WET; now the engine produces it too, closing the
+    WARC/WAT/WET/CDX quartet). The oracle replays the conversion-
+    record Content-Length AND the record offset/length arithmetic via
+    per-shard window cumsums — container bytes proven, not just
+    payloads."""
+    import tempfile
+
+    from whisper_pandas_spark.sources.warc import read_warc, write_warc
+
+    docs = _table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="wps_wet_")
+    n_files = max(4, (docs.count() + 3999) // 4000)
+    write_warc(
+        docs,
+        d,
+        "doc_id",
+        "text",
+        num_files=n_files,
+        compression="none",
+        record_type="conversion",
+    )
+    rec = read_warc(spark, d).filter(F.col("warc_type") == "conversion")
+    return rec.select(
+        F.regexp_replace("record_id", "^doc-", "")
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        "warc_type",
+        "content_type",
+        "content_length",
+        "record_offset",
+        "record_length",
+        F.col("body"),
+    ).orderBy("doc_id")

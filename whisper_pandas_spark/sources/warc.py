@@ -89,9 +89,12 @@ def _build_record(
     date: str,
     body: bytes,
     http: bool,
+    ctype: str | None = None,
 ) -> bytes:
     """One spec-shaped WARC record (bytes, including the trailing
-    CRLF CRLF separator)."""
+    CRLF CRLF separator). Non-HTTP records default to warcinfo's
+    ``application/warc-fields``; WET ``conversion`` records pass
+    ``ctype="text/plain"`` (the CommonCrawl WET convention)."""
     if http:
         payload = (
             b"HTTP/1.1 200 OK\r\n"
@@ -103,7 +106,7 @@ def _build_record(
         ctype = "application/http; msgtype=response"
     else:
         payload = body
-        ctype = "application/warc-fields"
+        ctype = ctype or "application/warc-fields"
     headers = [
         WARC_VERSION,
         f"WARC-Type: {rec_type}",
@@ -130,8 +133,10 @@ def write_warc(
     num_files: int = 4,
     compression: str = "none",
     date: str = "2024-01-01T00:00:00Z",
+    record_type: str = "response",
 ) -> None:
-    """Write (id, text) rows as `num_files` WARC files under *out_dir*
+    """Write (id, text) rows as `num_files` WARC (or, with
+    ``record_type="conversion"``, WET) files under *out_dir*
     (`warc-00000.warc[.gz]` ...), one ``response`` record per row with
     `WARC-Record-ID = urn:uuid:doc-<id>` and
     `WARC-Target-URI = http://corpus.example/doc/<id>` — deterministic,
@@ -152,6 +157,10 @@ def write_warc(
     """
     if compression not in ("none", "gzip"):
         raise ValueError(f"compression must be none|gzip, got {compression!r}")
+    if record_type not in ("response", "conversion"):
+        raise ValueError(
+            f"record_type must be response|conversion, got {record_type!r}"
+        )
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -173,12 +182,15 @@ def write_warc(
         for r in rows:
             buf = bufs.setdefault(int(r["shard"]), io.BytesIO())
             rec = _build_record(
-                "response",
+                record_type,
                 f"doc-{r['id']}",
                 f"http://corpus.example/doc/{r['id']}",
                 date,
                 r["text"].encode("utf-8"),
-                http=True,
+                http=record_type == "response",
+                # WET layout: conversion records carry the extracted
+                # text directly (no HTTP envelope), typed text/plain
+                ctype="text/plain" if record_type == "conversion" else None,
             )
             if compression == "gzip":
                 g = io.BytesIO()
