@@ -832,3 +832,41 @@ def test_round14_plan_shapes(spark):
     assert nodes(plan, "FlatMapGroupsInPandas") == 1
     assert nodes(plan, "MapInPandas") == 1  # the CDX build feeding it
     assert "BatchEvalPython" not in plan
+
+
+def test_round14b_plan_shapes(spark):
+    """Second-wave round-14 pins.
+
+    - ingest_wet_roundtrip: same shape contract as the WARC roundtrip —
+      ONE Arrow parse stage, no Python elsewhere, no cartesian.
+    - sample_doremi_mixture: the bulk join onto documents is a
+      BroadcastHashJoin of the K-row rate table (the
+      temperature_rebalance shape); no cartesian beyond the 1-row
+      scalar broadcasts; the md5 gate is codegen (no BatchEvalPython).
+    - pipeline_web_mojibake: the corrupt+repair stage must ride the
+      scan — plan shape identical in kind to the plain funnel (no new
+      Arrow stage, no new exchange from the encoding stage).
+    """
+    import re
+
+    def nodes(plan: str, name: str) -> int:
+        return len(
+            [ln for ln in plan.splitlines()
+             if re.match(rf"\(\d+\) {name}($| )", ln.strip())]
+        )
+
+    plan = formatted_plan(QUERIES["ingest_wet_roundtrip"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert nodes(plan, "MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+    plan = formatted_plan(QUERIES["sample_doremi_mixture"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    plain = formatted_plan(QUERIES["pipeline_web_end_to_end"](spark, SF))
+    moji = formatted_plan(QUERIES["pipeline_web_mojibake"](spark, SF))
+    for name in ("MapInPandas", "FlatMapGroupsInPandas", "Exchange"):
+        assert nodes(moji, name) == nodes(plain, name), name
+    assert "BatchEvalPython" not in moji
