@@ -1224,3 +1224,103 @@ def ingest_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_length",
         F.col("body"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# pipeline_crawl_consistency
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+{_RANGE_CTES}
+SELECT doc_id,
+       'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       cl AS content_length,
+       CAST(bo AS BIGINT) AS wet_length,
+       TRUE AS body_match,
+       TRUE AS digest_match,
+       TRUE AS wat_len_ok,
+       TRUE AS entity_ok
+FROM o ORDER BY doc_id
+"""
+
+
+@register("pipeline_crawl_consistency", oracle=_CC_ORACLE)
+def pipeline_crawl_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+/Y166: the crawl-stack consistency audit — build all four
+    CommonCrawl artifacts from the same corpus (WARC via the shared
+    tree, WET written fresh, CDX + WAT derived from the WARC bytes)
+    and verify them against EACH OTHER, not against the source:
+    WARC body == WET body (two independent write->parse paths), CDX
+    digest == md5 of the WET text, WAT's Content-Length field (pulled
+    back out of the JSON with a codegen get_json_object) == the parsed
+    WARC header, WAT's Entity-Length == the WET payload bytes. The
+    oracle replays the expected numbers from arithmetic and pins every
+    flag TRUE — a hash match proves the four production paths agree
+    byte-for-byte on every document. All joins are on the unique URL;
+    checks are pure codegen."""
+    import tempfile
+
+    from whisper_pandas_spark.sources.cdx import build_cdx, extract_wat
+    from whisper_pandas_spark.sources.warc import read_warc, write_warc
+
+    d_warc, _n = _warc_tree(spark, sf_dir)
+    docs = _table(spark, sf_dir, "documents")
+    d_wet = tempfile.mkdtemp(prefix="wps_wetc_")
+    n_files = max(4, (docs.count() + 3999) // 4000)
+    write_warc(
+        docs, d_wet, "doc_id", "text",
+        num_files=n_files, compression="none", record_type="conversion",
+    )
+    r = (
+        read_warc(spark, d_warc)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("content_length").alias("r_cl"),
+            F.col("body").alias("r_body"),
+        )
+    )
+    w = (
+        read_warc(spark, d_wet)
+        .filter(F.col("warc_type") == "conversion")
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("content_length").alias("w_cl"),
+            F.col("body").alias("w_body"),
+        )
+    )
+    cdx = build_cdx(read_warc(spark, d_warc)).select("url", "digest")
+    wat = extract_wat(
+        read_warc(spark, d_warc).filter(F.col("warc_type") == "response")
+    )
+    wat_cl = F.get_json_object(
+        "wat", "$['Envelope']['WARC-Header-Metadata']['Content-Length']"
+    ).cast("bigint")
+    wat_el = F.get_json_object(
+        "wat",
+        "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']"
+        "['Entity-Length']",
+    ).cast("bigint")
+    watp = wat.select("url", wat_cl.alias("wat_cl"), wat_el.alias("wat_el"))
+    out = (
+        r.join(w, "url")
+        .join(cdx, "url")
+        .join(watp, "url")
+        .select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "url",
+            F.col("r_cl").alias("content_length"),
+            F.col("w_cl").alias("wet_length"),
+            (F.col("r_body") == F.col("w_body")).alias("body_match"),
+            (F.col("digest") == F.md5(F.col("w_body").cast("binary"))).alias(
+                "digest_match"
+            ),
+            (F.col("wat_cl") == F.col("r_cl")).alias("wat_len_ok"),
+            (
+                F.col("wat_el") == F.octet_length(F.col("w_body"))
+            ).alias("entity_ok"),
+        )
+    )
+    return out.orderBy("doc_id")
