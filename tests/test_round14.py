@@ -680,3 +680,65 @@ def test_write_warc_rejects_bad_record_type(spark, tmp_path):
             _docs(spark, 3), str(tmp_path / "x"), "doc_id", "text",
             record_type="metadata",
         )
+
+
+def test_whisper_stream_rides_through_empty_tree(spark, tmp_path):
+    """Flake root-cause fix (found by the round-14 full-suite run): a
+    LIVE tree can be momentarily EMPTY between two triggers (rmtree ->
+    rewrite rotation). latestOffset already reported {} for that state
+    but partitions() raised FileNotFoundError and killed the query.
+    The stream must ride through the empty window as a no-data
+    micro-batch and pick files up when they reappear."""
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from whisper_pandas_spark.sources.whisper import register_whisper
+    from whisper_pandas_spark.sources.whisper_write import write_whisper
+
+    register_whisper(spark)
+    d = tmp_path / "tree"
+    base = 1_599_999_960
+
+    def batch(metric, lo, hi):
+        return spark.createDataFrame(
+            [(metric, base + 10 * i, float(i)) for i in range(lo, hi)],
+            ["metric", "epoch", "value"],
+        ).select(
+            "metric", FF.timestamp_seconds("epoch").alias("timestamp"),
+            "value",
+        )
+
+    write_whisper(batch("srv.cpu", 0, 10), str(d), archives="10:100", merge=True)
+    sdf = (
+        spark.readStream.format("whisper")
+        .option("base_dir", str(d))
+        .option("on_error", "skip")
+        .load(str(d))
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("wsp_empty_window")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("wsp_empty_window").count() == 10
+        # the WHOLE tree vanishes (rotation window) — triggers must not
+        # kill the query while it is empty
+        shutil.rmtree(d)
+        d.mkdir()
+        q.processAllAvailable()
+        assert q.isActive
+        # files reappear -> new points flow
+        write_whisper(
+            batch("srv.disk", 0, 5), str(d), archives="10:100", merge=True
+        )
+        q.processAllAvailable()
+        assert q.isActive
+        metrics = {
+            r["metric"] for r in spark.table("wsp_empty_window").collect()
+        }
+        assert metrics == {"srv.cpu", "srv.disk"}
+    finally:
+        q.stop()

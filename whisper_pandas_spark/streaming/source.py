@@ -168,7 +168,18 @@ class WhisperStreamReader(DataSourceStreamReader):
         planner = WhisperScanReader(self.options)
         planner._archive_eq = {0}
         parts = []
-        for p in planner.partitions():
+        try:
+            planned = planner.partitions()
+        except FileNotFoundError:
+            # A LIVE tree can be momentarily empty (rotation, rebuild:
+            # rmtree-then-rewrite between two triggers). The batch scan
+            # keeps raising — an empty path there is a typo — but a
+            # stream must ride through it as a no-data micro-batch and
+            # pick the files up when they reappear (latestOffset already
+            # reports {} for the same state; raising here killed the
+            # query in exactly that window).
+            planned = []
+        for p in planned:
             if not p.path:
                 continue
             # each file's micro-batch window is planned from ITS OWN
