@@ -870,3 +870,35 @@ def test_round14b_plan_shapes(spark):
     for name in ("MapInPandas", "FlatMapGroupsInPandas", "Exchange"):
         assert nodes(moji, name) == nodes(plain, name), name
     assert "BatchEvalPython" not in moji
+
+
+def test_round14c_plan_shapes(spark):
+    """Third-wave round-14 pins (linkage / CCNet / DPP).
+
+    - er_record_linkage / er_golden_record: the whole ER family is
+      JVM codegen — blocking is two equi-joins unioned (an OR-join
+      would plan BroadcastNestedLoop and die at scale), scoring is
+      levenshtein/CASE built-ins; zero Python stages.
+    - text_ccnet_buckets: the bucketing adds NO Python to the KN plan
+      (rank-thirds is a window + CASE); no cartesian.
+    - layout_dynamic_prune: the fact scan must carry a dynamicpruning
+      PartitionFilter fed by a BroadcastHashJoin dim — runtime
+      directory pruning, the property the entry itself re-asserts.
+    """
+    for name in ("er_record_linkage", "er_golden_record"):
+        plan = formatted_plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+    plan = formatted_plan(QUERIES["text_ccnet_buckets"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+    plan = formatted_plan(QUERIES["layout_dynamic_prune"](spark, SF))
+    assert "dynamicpruning" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

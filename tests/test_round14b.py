@@ -1,0 +1,204 @@
+"""Round 14b: record linkage, survivorship, CCNet buckets, DPP."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.operators import linkage as L
+
+SF = "/root/testdata/sf0.001"
+
+
+def _records(spark, sf=SF):
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    return L.er_records(cust)
+
+
+# ---------------------------------------------------------------------------
+# er_records synthesis
+# ---------------------------------------------------------------------------
+
+
+def test_er_records_shape_and_determinism(spark):
+    recs = _records(spark)
+    n_clean = recs.filter(F.col("src") == "clean").count()
+    n_dirty = recs.filter(F.col("src") == "dirty").count()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert n_clean == n_cust
+    # every DIRTY_MOD-th customer gets exactly one twin
+    assert n_dirty == (n_cust + L.DIRTY_MOD - 1) // L.DIRTY_MOD
+    # phones are 9 digits, cities from the pinned vocabulary
+    bad = recs.filter(
+        (F.length("phone") != 9) | (~F.col("city").isin(*L.CITIES))
+    ).count()
+    assert bad == 0
+    # rerun is bit-identical (pure hash arithmetic, no randomness)
+    a = sorted(map(tuple, recs.collect()))
+    b = sorted(map(tuple, _records(spark).collect()))
+    assert a == b
+
+
+def test_er_corruption_edits_are_small(spark):
+    """Each dirty twin differs from its clean source by exactly the
+    planted edit model: phone lev 1, name lev 1, bal within 99 cents."""
+    recs = _records(spark)
+    clean = recs.filter(F.col("src") == "clean").alias("c")
+    dirty = recs.filter(F.col("src") == "dirty").alias("d")
+    j = clean.join(
+        dirty,
+        F.col("c.rec_id") == F.col("d.rec_id") - L.DIRTY_OFFSET,
+    ).select(
+        F.levenshtein("c.phone", "d.phone").alias("lp"),
+        F.levenshtein("c.name", "d.name").alias("ln"),
+        F.abs(F.col("c.bal_cents") - F.col("d.bal_cents")).alias("db"),
+        (F.col("c.city") == F.col("d.city")).alias("same_city"),
+    )
+    rows = j.collect()
+    assert rows
+    assert all(r["lp"] == 1 for r in rows)
+    assert all(r["ln"] == 1 for r in rows)
+    assert all(r["db"] <= 99 for r in rows)
+    # city swap hits roughly 1 in 5 (h2 div 81 % 5 == 0)
+    swapped = sum(not r["same_city"] for r in rows)
+    assert 0 < swapped < len(rows)
+
+
+# ---------------------------------------------------------------------------
+# linkage quality
+# ---------------------------------------------------------------------------
+
+
+def test_er_linkage_precision_and_recall(spark):
+    recs = _records(spark)
+    scored = L.er_score_pairs(L.er_candidates(recs)).collect()
+    n_dirty = sum(1 for _ in range(0, 150, L.DIRTY_MOD))
+    matches = [r for r in scored if r["cls"] == "match"]
+    # zero false positives on the fixture: every 'match' is planted
+    assert all(r["is_true"] == 1 for r in matches)
+    # blocking recall: both passes miss only when the bumped digit is
+    # in the prefix AND the city was swapped (~9% of planted pairs)
+    assert len(matches) >= int(0.80 * n_dirty)
+    # a true pair that became a candidate always classifies 'match'
+    # (its floor score is 40 > MATCH_T even with the city swapped)
+    true_cands = [r for r in scored if r["is_true"] == 1]
+    assert all(r["cls"] == "match" for r in true_cands)
+    assert all(r["score"] >= L.MATCH_T for r in true_cands)
+
+
+def test_er_candidates_plan_has_no_cartesian(spark):
+    """Both blocking passes must stay equi-joins — an OR-condition
+    join would fall back to BroadcastNestedLoop and die at scale."""
+    from whisper_pandas_spark.plans.inspect import formatted_plan
+
+    recs = _records(spark)
+    plan = formatted_plan(L.er_score_pairs(L.er_candidates(recs)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# survivorship
+# ---------------------------------------------------------------------------
+
+
+def test_er_golden_records_rules(spark):
+    recs = _records(spark)
+    scored = L.er_score_pairs(L.er_candidates(recs))
+    golden = {r["entity_id"]: r for r in
+              L.er_golden_records(recs, scored).collect()}
+    by_id = {r["rec_id"]: r for r in recs.collect()}
+    n_match_dirty = (
+        scored.filter(F.col("cls") == "match")
+        .select("d_id").distinct().count()
+    )
+    # every record lands in exactly one entity
+    assert sum(g["n_members"] for g in golden.values()) == len(by_id)
+    # matched entities: golden name is the longest member name
+    # (the clean one — the dirty twin lost a char), balance is the max
+    for eid, g in golden.items():
+        if g["n_members"] == 2:
+            c, d = by_id[eid], by_id[eid + L.DIRTY_OFFSET]
+            assert g["golden_name"] == c["name"]
+            assert g["golden_bal_cents"] == max(
+                c["bal_cents"], d["bal_cents"]
+            )
+    assert sum(1 for g in golden.values() if g["n_members"] == 2) == (
+        n_match_dirty
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_partition_docs(spark):
+    from whisper_pandas_spark.queries_round14b import text_ccnet_buckets
+
+    out = text_ccnet_buckets(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in docs.filter(F.col("text").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {}
+    for r in out:
+        got.setdefault(r["lang"], {})[r["bucket"]] = r["n_docs"]
+    assert set(got) == set(per_lang)
+    for lang, buckets in got.items():
+        n = per_lang[lang]
+        # buckets cover every doc exactly once
+        assert sum(buckets.values()) == n
+        # integer thirds: head = floor(n/3), head+middle = floor(2n/3)
+        assert buckets.get("head", 0) == n // 3
+        assert buckets.get("head", 0) + buckets.get("middle", 0) == (
+            2 * n // 3
+        )
+
+
+def test_ccnet_single_doc_lang_goes_tail(spark):
+    """n=1: rank 1, 3*1 > 2*1 -> 'tail' (no percent_rank 0/0 edge)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("xx", 1, 5, -3.0)], "lang string, doc_id int, n int, lp double"
+    )
+    w = Window.partitionBy("lang")
+    r = df.select(
+        F.row_number()
+        .over(w.orderBy(F.col("lp").desc(), "doc_id"))
+        .alias("r"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).collect()[0]
+    assert (
+        3 * r["r"] > 2 * r["n"]
+    )  # the entry's CASE sends this to 'tail'
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+def test_dpp_entry_asserts_runtime_pruning(spark):
+    from whisper_pandas_spark.queries_round14b import layout_dynamic_prune
+
+    # normal config: entry runs and the fact scan is DPP-filtered
+    out = layout_dynamic_prune(spark, SF)
+    assert out.count() > 0
+    days = [r["ts_date"] for r in out.select("ts_date").distinct().collect()]
+    assert all(d.day % 7 == 3 for d in days)
+
+    # with the optimization off, the entry must RAISE, not silently
+    # full-scan — a layout regression turns the driver row red
+    key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    spark.conf.set(key, "false")
+    try:
+        with pytest.raises(RuntimeError, match="dynamic partition"):
+            layout_dynamic_prune(spark, SF)
+    finally:
+        spark.conf.set(key, "true")

@@ -1,0 +1,344 @@
+"""Registry entries: round 14, second wave.
+
+- er_record_linkage   Fellegi-Sunter record linkage
+                      (operators/linkage.py): planted dirty source,
+                      two-pass blocking, integer log-odds scoring,
+                      two-threshold classification; the oracle replays
+                      synthesis + corruption + blocking + scoring
+- er_golden_record    survivorship over the 'match' pairs: best-match
+                      entity resolution (deterministic argmax) +
+                      pinned golden-attribute rules
+- text_ccnet_buckets  CCNet-style per-language head/middle/tail split
+                      on the KN-LM typicality signal (Wenzek et al.
+                      2020) — integer rank-thirds cutoffs, so no
+                      percent_rank single-row edge and no float exp
+- layout_dynamic_prune  runtime Dynamic Partition Pruning pin: a dim
+                      built from a SECOND scan filters the
+                      Hive-partitioned fact at execution time; the
+                      entry RAISES unless `dynamicpruning` landed in
+                      the fact scan's PartitionFilters — the fourth
+                      pruning tier next to z-order/Bloom/static-Hive
+
+No reference-repo parity: whisper_pandas (299-line .wsp decoder) has
+none of these surfaces; the rows back SURVEY.md §2.11. Registry checked
+before building: no ER/linkage family exists; CCNet appears only as the
+per-domain key + the raw KN signal; pruning pins cover z-order, Bloom
+and static Hive but not DPP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whisper_pandas_spark.operators import linkage as L
+from whisper_pandas_spark.registry import _table, register
+
+# ---------------------------------------------------------------------------
+# er_record_linkage / er_golden_record — shared oracle CTEs
+# ---------------------------------------------------------------------------
+
+
+def _cities_sql() -> str:
+    return "list_value(" + ", ".join(f"'{c}'" for c in L.CITIES) + ")"
+
+
+def _er_cte() -> str:
+    """CTEs replaying synthesis -> corruption -> blocking -> scoring.
+
+    Every derived byte re-derives from md5 hex exactly as the engine
+    does (the span-corruption idiom); all arithmetic is BIGINT, all
+    comparisons integer/string — nothing to drift."""
+    return f"""
+WITH hashed AS (
+  SELECT c_custkey AS key, c_nationkey AS nation, c_name AS name,
+    ('0x' || substr(md5('er:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+      AS h,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+    c_mktsegment AS seg
+  FROM customer
+), base AS (
+  SELECT key, nation, name,
+    lpad(CAST(h % 1000000000 AS VARCHAR), 9, '0') AS phone,
+    CAST(h % 24 AS INT) AS city_idx, bal_cents, seg
+  FROM hashed
+), clean AS (
+  SELECT key AS rec_id, 'clean' AS src, nation, name, phone,
+    ({_cities_sql()})[city_idx + 1] AS city, bal_cents, seg
+  FROM base
+), dirty0 AS (
+  SELECT *,
+    ('0x' || substr(md5('erc:' || CAST(key AS VARCHAR)), 1, 15))::BIGINT
+      AS h2
+  FROM base WHERE key % {L.DIRTY_MOD} = 0
+), dirty1 AS (
+  SELECT *, CAST(h2 % 9 + 1 AS INT) AS p,
+    CAST((h2 // 9) % 9 + 10 AS INT) AS q
+  FROM dirty0
+), dirty AS (
+  SELECT key + {L.DIRTY_OFFSET} AS rec_id, 'dirty' AS src, nation,
+    substr(name, 1, q - 1) || substr(name, q + 1, 18) AS name,
+    substr(phone, 1, p - 1)
+      || CAST((CAST(substr(phone, p, 1) AS INT) + 1) % 10 AS VARCHAR)
+      || substr(phone, p + 1, 9) AS phone,
+    ({_cities_sql()})[
+      (CASE WHEN (h2 // 81) % 5 = 0 THEN (city_idx + 1) % 24
+            ELSE city_idx END) + 1] AS city,
+    bal_cents + ((h2 // 405) % 199 - 99) AS bal_cents, seg
+  FROM dirty1
+), cands AS (
+  SELECT DISTINCT c.rec_id AS c_id, d.rec_id AS d_id,
+    c.name AS c_name, d.name AS d_name, c.phone AS c_phone,
+    d.phone AS d_phone, c.city AS c_city, d.city AS d_city,
+    c.bal_cents AS c_bal, d.bal_cents AS d_bal,
+    c.seg AS c_seg, d.seg AS d_seg
+  FROM clean c JOIN dirty d ON c.nation = d.nation
+   AND (substr(c.phone, 1, 4) = substr(d.phone, 1, 4)
+        OR (c.city = d.city AND substr(c.phone, 7, 3) = substr(d.phone, 7, 3)))
+), scored AS (
+  SELECT c_id, d_id,
+    CAST(
+      (CASE WHEN c_phone = d_phone THEN {L.W_PHONE_EXACT}
+            WHEN levenshtein(c_phone, d_phone) <= 1 THEN {L.W_PHONE_CLOSE}
+            ELSE {L.W_PHONE_DIFF} END)
+      + (CASE WHEN levenshtein(c_name, d_name) <= 2 THEN {L.W_NAME_CLOSE}
+              ELSE {L.W_NAME_DIFF} END)
+      + (CASE WHEN c_city = d_city THEN {L.W_CITY_EQ} ELSE {L.W_CITY_NE} END)
+      + (CASE WHEN abs(c_bal - d_bal) <= 100 THEN {L.W_BAL_CLOSE}
+              ELSE {L.W_BAL_FAR} END)
+      + (CASE WHEN c_seg = d_seg THEN {L.W_SEG_EQ} ELSE {L.W_SEG_NE} END)
+    AS INT) AS score
+  FROM cands
+), classed AS (
+  SELECT c_id, d_id, score,
+    CASE WHEN score >= {L.MATCH_T} THEN 'match'
+         WHEN score >= {L.POSSIBLE_T} THEN 'possible'
+         ELSE 'nonmatch' END AS cls,
+    CAST(d_id - {L.DIRTY_OFFSET} = c_id AS INT) AS is_true
+  FROM scored
+)
+"""
+
+
+_ER_ORACLE = (
+    _er_cte()
+    + """
+SELECT c_id, d_id, score, cls, is_true FROM classed
+ORDER BY c_id, d_id
+"""
+)
+
+
+@register("er_record_linkage", oracle=_ER_ORACLE)
+def er_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y167: Fellegi-Sunter record linkage (operators/linkage.py) —
+    two blocked equi-join passes generate candidates (never a
+    cartesian), integer log-odds field weights score them (levenshtein
+    / equality / cents-distance, all JVM codegen), the FS two-threshold
+    rule classifies, and the planted ground truth rides along as
+    is_true so blocking recall and match precision stay inside the
+    hash-checked result. The oracle replays synthesis, corruption,
+    blocking and scoring byte-for-byte from the same md5 arithmetic."""
+    cust = _table(spark, sf_dir, "customer")
+    recs = L.er_records(cust)
+    scored = L.er_score_pairs(L.er_candidates(recs))
+    return scored.orderBy("c_id", "d_id")
+
+
+_GOLDEN_ORACLE = (
+    _er_cte()
+    + f"""
+, best AS (
+  SELECT d_id, c_id AS entity_id FROM (
+    SELECT d_id, c_id, row_number() OVER (
+        PARTITION BY d_id ORDER BY score DESC, c_id) AS rn
+    FROM classed WHERE cls = 'match')
+  WHERE rn = 1
+), records AS (
+  SELECT rec_id, src, name, bal_cents FROM clean
+  UNION ALL
+  SELECT rec_id, src, name, bal_cents FROM dirty
+), members AS (
+  SELECT CASE WHEN r.src = 'clean' THEN r.rec_id
+              ELSE coalesce(b.entity_id, r.rec_id) END AS entity_id,
+         r.name, r.bal_cents
+  FROM records r LEFT JOIN best b ON r.rec_id = b.d_id
+), ranked AS (
+  SELECT entity_id,
+    row_number() OVER (PARTITION BY entity_id
+                       ORDER BY length(name) DESC, name) AS rn,
+    CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members,
+    max(bal_cents) OVER (PARTITION BY entity_id) AS golden_bal_cents,
+    name AS golden_name
+  FROM members
+)
+SELECT entity_id, n_members, golden_name, golden_bal_cents
+FROM ranked WHERE rn = 1 ORDER BY entity_id
+"""
+)
+
+
+@register("er_golden_record", oracle=_GOLDEN_ORACLE)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y168: survivorship over the linkage 'match' class
+    (operators/linkage.py:er_golden_records) — every dirty record joins
+    its best match (max score, min master tiebreak: a deterministic
+    argmax via one row_number window), unmatched records stand alone,
+    and golden attributes follow pinned rules (longest-then-min name,
+    max balance). One window shuffle on entity_id resolves the whole
+    corpus; payloads never fan out."""
+    cust = _table(spark, sf_dir, "customer")
+    recs = L.er_records(cust)
+    scored = L.er_score_pairs(L.er_candidates(recs))
+    return L.er_golden_records(recs, scored).orderBy("entity_id")
+
+
+# ---------------------------------------------------------------------------
+# text_ccnet_buckets
+# ---------------------------------------------------------------------------
+
+
+def _ccnet_oracle() -> str:
+    from whisper_pandas_spark.queries_round12b import _kn_oracle
+
+    return f"""
+WITH kn AS ({_kn_oracle()}
+), j AS (
+  SELECT k.doc_id, d.lang, k.n_trigrams,
+    k.logprob / CAST(k.n_trigrams AS DOUBLE) AS ratio
+  FROM kn k JOIN documents d USING (doc_id)
+), rnk AS (
+  SELECT lang, n_trigrams,
+    row_number() OVER (PARTITION BY lang ORDER BY ratio DESC, doc_id) AS r,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM j
+)
+SELECT lang,
+  CASE WHEN 3 * r <= n THEN 'head'
+       WHEN 3 * r <= 2 * n THEN 'middle'
+       ELSE 'tail' END AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_trigrams) AS BIGINT) AS trigrams_total
+FROM rnk GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+@register("text_ccnet_buckets", oracle=_ccnet_oracle())
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y169: the CCNet bucketing stage (Wenzek et al. 2020) — per
+    LANGUAGE, rank documents by the KN-LM per-trigram log-probability
+    (the corpus-typicality signal text_kn_trigram_score already
+    hash-proves) and split into head/middle/tail thirds. Cutoffs are
+    integer rank-thirds (3r<=n / 3r<=2n), so there is no percent_rank
+    single-row edge case and no float exp — the perplexity ORDER is
+    what CCNet buckets on, and logprob/n is monotonic in it. One
+    window shuffle on lang after the LM scoring plan; the output is
+    the per-(lang, bucket) census a mixture stage consumes. CCNet
+    trains one LM per language; the corpus LM here is that recipe's
+    single-model configuration — swapping in per-lang counts changes
+    only the grouping key of the count tables, not this stage."""
+    from pyspark.sql import Window
+
+    from whisper_pandas_spark.operators.knlm import kn_trigram_score
+
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    kn = kn_trigram_score(docs, "doc_id", "text")
+    j = kn.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "n_trigrams",
+        "doc_id",
+        (F.col("logprob") / F.col("n_trigrams").cast("double")).alias(
+            "ratio"
+        ),
+    )
+    w = Window.partitionBy("lang")
+    rnk = j.select(
+        "lang",
+        "n_trigrams",
+        F.row_number()
+        .over(w.orderBy(F.col("ratio").desc(), F.col("doc_id")))
+        .alias("r"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return (
+        rnk.select(
+            "lang",
+            F.when(3 * F.col("r") <= F.col("n"), "head")
+            .when(3 * F.col("r") <= 2 * F.col("n"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_trigrams",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_trigrams").cast("bigint").alias("trigrams_total"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout_dynamic_prune
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_dynamic_prune",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+  WHERE day(CAST(ts AS DATE)) % 7 = 3
+)
+SELECT CAST(e.ts AS DATE) AS ts_date, e.event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e JOIN days ON CAST(e.ts AS DATE) = days.d
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def layout_dynamic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y170: runtime Dynamic Partition Pruning — the fourth pruning
+    tier (after z-order row-groups, Bloom files, static Hive
+    directories). The date dim comes from a SECOND scan with a
+    computed predicate (day-of-month mod 7), so NO static rule can
+    prune the Hive-partitioned fact: only Catalyst's DPP can, by
+    reusing the broadcast of the dim as a directory filter at run
+    time. The entry RAISES unless `dynamicpruning` landed in the fact
+    scan's PartitionFilters — at 100 TB this is the difference between
+    touching ~4 of 30 day-directories and scanning the whole fact.
+    The oracle replays the join on the PLAIN table (layout doctrine:
+    the layout must be semantically invisible)."""
+    from whisper_pandas_spark.plans.inspect import partition_filters
+    from whisper_pandas_spark.queries_materialize import (
+        _partitioned_events,
+    )
+
+    d = _partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(d)
+    dim = (
+        _table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .filter(F.dayofmonth("d") % 7 == 3)
+    )
+    q = (
+        fact.join(dim, fact["ts_date"] == dim["d"])
+        .groupBy("ts_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("ts_date", "event_type")
+    )
+    pf = " ".join(partition_filters(q))
+    if "dynamicpruning" not in pf:
+        raise RuntimeError(
+            "dynamic partition pruning lost: PartitionFilters="
+            f"[{pf}] has no dynamicpruning subquery on ts_date"
+        )
+    return q

@@ -197,5 +197,6 @@ from whisper_pandas_spark import queries_round13b  # noqa: E402,F401
 
 # Round 14: same direct-registration pattern.
 from whisper_pandas_spark import queries_round14  # noqa: E402,F401
+from whisper_pandas_spark import queries_round14b  # noqa: E402,F401
 
 _reorder()
