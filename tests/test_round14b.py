@@ -202,3 +202,117 @@ def test_dpp_entry_asserts_runtime_pruning(spark):
             layout_dynamic_prune(spark, SF)
     finally:
         spark.conf.set(key, "true")
+
+
+# ---------------------------------------------------------------------------
+# streaming linkage
+# ---------------------------------------------------------------------------
+
+
+def test_stream_linkage_commutes_with_batching(spark, tmp_path):
+    """The per-batch union over ANY partition of the dirty stream must
+    equal the batch operator's pair set (the commutation law the
+    replay entry leans on)."""
+    recs = _records(spark).localCheckpoint(eager=True)
+    batch = sorted(
+        map(tuple, L.er_score_pairs(L.er_candidates(recs)).collect())
+    )
+    clean = recs.filter(F.col("src") == "clean")
+    dirty = recs.filter(F.col("src") == "dirty")
+    # an adversarial 3-way split by modulus (interleaved, not ranges)
+    parts = [dirty.filter(F.col("rec_id") % 3 == i) for i in range(3)]
+    union = []
+    for p in parts:
+        union.extend(
+            map(
+                tuple,
+                L.er_score_pairs(
+                    L.er_candidates(clean.unionByName(p))
+                ).collect(),
+            )
+        )
+    assert sorted(union) == batch
+
+
+def test_stream_linkage_upsert_is_idempotent(spark, tmp_path):
+    """Re-delivering the SAME dirty batch must leave the pairs state
+    bit-unchanged (left_anti upsert)."""
+    from whisper_pandas_spark.streaming.linkage import (
+        linkage_read_off,
+        stream_linkage,
+    )
+
+    recs = _records(spark).localCheckpoint(eager=True)
+    clean = recs.filter(F.col("src") == "clean")
+    dirty = recs.filter(F.col("src") == "dirty")
+    d = str(tmp_path)
+    dirty.coalesce(1).write.parquet(f"{d}/changes/f0")
+    schema = (
+        "rec_id long, src string, nation int, name string, phone string,"
+        " city string, bal_cents bigint, seg string"
+    )
+
+    def run(ckpt):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/changes/*")
+        )
+        q = stream_linkage(sdf, clean, f"{d}/state", checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    run(f"{d}/ck1")
+    s1 = sorted(map(tuple, linkage_read_off(spark, f"{d}/state").collect()))
+    run(f"{d}/ck2")  # fresh checkpoint: full re-delivery
+    s2 = sorted(map(tuple, linkage_read_off(spark, f"{d}/state").collect()))
+    assert s1 == s2 and s1
+
+
+# ---------------------------------------------------------------------------
+# null-aware anti join
+# ---------------------------------------------------------------------------
+
+
+def test_notin_null_semantics(spark):
+    """One NULL in the subquery empties a NOT IN — the three-valued
+    trap a plain LeftAnti would get wrong."""
+    spark.createDataFrame([(1,), (2,)], "k long").createOrReplaceTempView(
+        "naaj_l"
+    )
+    spark.createDataFrame(
+        [(1,), (None,)], "k long"
+    ).createOrReplaceTempView("naaj_r")
+    out = spark.sql(
+        "SELECT k FROM naaj_l WHERE k NOT IN (SELECT k FROM naaj_r)"
+    ).collect()
+    assert out == []
+
+
+def test_notin_entry_matches_left_anti_on_nonnull_data(spark):
+    """On the (non-null-key) fixture the NAAJ result must equal the
+    plain anti-join reference — NAAJ changes the plan, not the answer
+    here."""
+    from whisper_pandas_spark.queries_round14b import join_notin_nullaware
+
+    out = {r["o_orderpriority"]: (r["n"], r["price_cents"])
+           for r in join_notin_nullaware(spark, SF).collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet").filter(
+        F.col("c_acctbal") > 5000.0
+    )
+    ref = {
+        r["o_orderpriority"]: (r["n"], r["price_cents"])
+        for r in orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .collect()
+    }
+    assert out == ref

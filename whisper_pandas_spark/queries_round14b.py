@@ -342,3 +342,125 @@ def layout_dynamic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"[{pf}] has no dynamicpruning subquery on ts_date"
         )
     return q
+
+
+# ---------------------------------------------------------------------------
+# stream_er_linkage_replay
+# ---------------------------------------------------------------------------
+
+
+@register("stream_er_linkage_replay", oracle=_ER_ORACLE)
+def stream_er_linkage_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+/Y171: STREAMING record linkage (streaming/linkage.py) —
+    dirty records arrive in 4 micro-batches and link against the
+    static clean master through the SAME er_candidates/er_score_pairs
+    code paths; the pairs state upserts idempotently on (c_id, d_id).
+    Because blocking + scoring are pure per-pair functions, per-batch
+    linkage commutes with any batching of the dirty stream — so the
+    oracle is the batch entry's oracle VERBATIM, and a full reprocess
+    with a fresh checkpoint (run here) provably lands in unchanged
+    state. The master never enters state; pairs carry ids + score
+    only."""
+    import tempfile
+
+    from whisper_pandas_spark.streaming.linkage import (
+        linkage_read_off,
+        stream_linkage,
+    )
+
+    cust = _table(spark, sf_dir, "customer")
+    recs = L.er_records(cust).localCheckpoint(eager=True)
+    clean = recs.filter(F.col("src") == "clean")
+    dirty = recs.filter(F.col("src") == "dirty")
+    d = tempfile.mkdtemp(prefix="wps_streamer_")
+    n_hi = dirty.agg(F.max("rec_id")).collect()[0][0] - L.DIRTY_OFFSET
+    step = max(1, (int(n_hi) + 4) // 4)
+    for i in range(4):
+        lo = L.DIRTY_OFFSET + i * step
+        cond = F.col("rec_id") >= lo
+        if i < 3:
+            cond = cond & (F.col("rec_id") < lo + step)
+        dirty.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/changes/f{i}"
+        )
+
+    schema = (
+        "rec_id long, src string, nation int, name string, phone string,"
+        " city string, bal_cents bigint, seg string"
+    )
+
+    def run_pass(ckpt: str) -> None:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/changes/*")
+        )
+        q = stream_linkage(sdf, clean, f"{d}/state", checkpoint_dir=ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    run_pass(f"{d}/ckpt1")
+    # full reprocess, fresh checkpoint: every pair re-derives and
+    # anti-joins away — state provably unchanged under the hash gate
+    run_pass(f"{d}/ckpt2")
+    return linkage_read_off(spark, f"{d}/state")
+
+
+# ---------------------------------------------------------------------------
+# join_notin_nullaware
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_notin_nullaware",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS price_cents
+FROM orders
+WHERE o_custkey NOT IN
+  (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def join_notin_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y172: NOT IN as a NULL-AWARE anti join — the one anti-join
+    physical family the registry lacked (join_anti and the TPC-H
+    shapes all use left_anti / NOT EXISTS, which is a plain LeftAnti).
+    NOT IN over a nullable key has three-valued semantics (one NULL in
+    the subquery empties the result), so Catalyst cannot use a plain
+    hash anti join; naively it plans a BroadcastNestedLoopJoin with a
+    disjunctive condition — a scale killer. Spark's NAAJ optimization
+    keeps it hash-based: the broadcast HashedRelation is built
+    null-aware (`HashedRelationBroadcastMode(..,true)` in the plan —
+    asserted here; the entry RAISES on regression to the
+    nested-loop fallback). The oracle runs the same ANSI NOT IN."""
+    from whisper_pandas_spark.plans.inspect import formatted_plan
+
+    _table(spark, sf_dir, "orders").createOrReplaceTempView("naaj_orders")
+    _table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "naaj_customer"
+    )
+    q = spark.sql(
+        """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS price_cents
+FROM naaj_orders
+WHERE o_custkey NOT IN
+  (SELECT c_custkey FROM naaj_customer WHERE c_acctbal > 5000.0)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+    )
+    plan = formatted_plan(q)
+    if "BroadcastNestedLoop" in plan:
+        raise RuntimeError(
+            "NOT IN regressed to BroadcastNestedLoopJoin — the"
+            " null-aware anti join optimization is off"
+        )
+    if "HashedRelationBroadcastMode(List(input[0, bigint, true]),true)" not in plan:
+        raise RuntimeError(
+            "NOT IN lost the null-aware HashedRelation build:"
+            " the broadcast mode flag is not set"
+        )
+    return q
