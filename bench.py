@@ -109,6 +109,12 @@ HEADLINE3 = [
     "ingest_cdx_index",
     "sample_doremi_weights",
     "text_encoding_fix",
+    # round 14c additions: the record-linkage family representative
+    # (blocked equi-joins + codegen FS scoring) and the CCNet bucketing
+    # stage riding the KN-LM plan (stanza-3 totals before/after compare
+    # via per-query bests — BENCH_NOTES)
+    "er_record_linkage",
+    "text_ccnet_buckets",
 ]
 
 

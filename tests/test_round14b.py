@@ -316,3 +316,81 @@ def test_notin_entry_matches_left_anti_on_nonnull_data(spark):
         .collect()
     }
     assert out == ref
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def test_attr_credit_conserves_exactly(spark):
+    from whisper_pandas_spark.queries_round14b import (
+        _ATTR_PPM,
+        attr_multitouch_linear,
+    )
+
+    out = attr_multitouch_linear(spark, SF).collect()
+    n_purchases = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    # exact conservation: every conversion's ppm sums to exactly 10^6
+    assert sum(r["credit_ppm"] for r in out) == _ATTR_PPM * n_purchases
+    assert sum(1 for r in out if r["touch_type"] == "(none)") <= 1
+
+
+def test_attr_remainder_goes_to_earliest_touch(spark):
+    """Hand-built: one purchase, three touches -> 333334/333333/333333
+    with the extra ppm on the EARLIEST touch."""
+    from pyspark.sql import Window
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "view"),
+        (2, "2024-01-01 01:00:00", 7, "click"),
+        (3, "2024-01-01 02:00:00", 7, "view"),
+        (4, "2024-01-01 03:00:00", 7, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("t_id"), "user_id",
+        F.col("ts").alias("t_ts"),
+    )
+    w = Window.partitionBy("p_id")
+    got = {
+        r["t_id"]: r["ppm"]
+        for r in conv.join(touch, "user_id")
+        .filter(F.col("t_ts") < F.col("p_ts"))
+        .select(
+            "t_id",
+            F.row_number()
+            .over(w.orderBy("t_ts", "t_id"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+        .select(
+            "t_id",
+            (
+                F.expr("1000000 div n")
+                + F.when(F.col("rn") == 1, F.expr("1000000 % n"))
+                .otherwise(F.lit(0))
+            ).alias("ppm"),
+        )
+        .collect()
+    }
+    assert got == {1: 333334, 2: 333333, 3: 333333}
+
+
+def test_attr_plan_is_equi_join(spark):
+    from whisper_pandas_spark.plans.inspect import formatted_plan
+    from whisper_pandas_spark.queries_round14b import attr_multitouch_linear
+
+    plan = formatted_plan(attr_multitouch_linear(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

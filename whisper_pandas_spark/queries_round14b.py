@@ -464,3 +464,131 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
             " the broadcast mode flag is not set"
         )
     return q
+
+
+# ---------------------------------------------------------------------------
+# attr_multitouch_linear
+# ---------------------------------------------------------------------------
+
+#: Attribution lookback window (days before the conversion).
+_ATTR_LOOKBACK_DAYS = 3
+#: Credit per conversion, in parts-per-million (exact integer split).
+_ATTR_PPM = 1_000_000
+
+_ATTR_ORACLE = f"""
+WITH conv AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+    CAST(round(value * 100) AS BIGINT) AS val_cents
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+), pairs AS (
+  SELECT c.p_id, c.val_cents, t.t_id, t.touch_type,
+    row_number() OVER (PARTITION BY c.p_id ORDER BY t.t_ts, t.t_id) AS rn,
+    count(*) OVER (PARTITION BY c.p_id) AS n
+  FROM conv c JOIN touch t ON c.user_id = t.user_id
+    AND t.t_ts < c.p_ts
+    AND t.t_ts >= c.p_ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+), credited AS (
+  SELECT touch_type, p_id, val_cents,
+    {_ATTR_PPM} // n
+      + CASE WHEN rn = 1 THEN {_ATTR_PPM} % n ELSE 0 END AS ppm
+  FROM pairs
+), direct AS (
+  SELECT '(none)' AS touch_type, p_id, val_cents,
+    {_ATTR_PPM} AS ppm
+  FROM conv WHERE p_id NOT IN (SELECT p_id FROM pairs)
+), unioned AS (
+  SELECT * FROM credited UNION ALL SELECT * FROM direct
+)
+SELECT touch_type,
+  CAST(count(*) AS BIGINT) AS n_credits,
+  CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions,
+  CAST(sum(ppm) AS BIGINT) AS credit_ppm,
+  CAST(sum(ppm * val_cents) AS BIGINT) AS rev_credit
+FROM unioned GROUP BY touch_type ORDER BY touch_type
+"""
+
+
+@register("attr_multitouch_linear", oracle=_ATTR_ORACLE)
+def attr_multitouch_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y173: multi-touch attribution — the marketing-analytics family
+    the registry lacked (funnel/path entries count SEQUENCES; nothing
+    distributed conversion CREDIT). Linear model with an exact integer
+    split: each purchase's 10^6 ppm divide evenly over its lookback
+    touches (floor), remainder to the EARLIEST touch (ts, event_id
+    total order) — so credit conserves exactly: sum(ppm) = 10^6 x
+    conversions, a property the hash gate re-proves every run.
+    Untouched conversions credit a '(none)' direct bucket (never
+    silently dropped). Revenue weighting is ppm x value_cents — all
+    BIGINT. Plan: ONE user-keyed interval join (per-user blocks are
+    human-bounded, the as-of doctrine) + one per-conversion window +
+    one map-side-combined agg; at 100 TB shuffle keys are (user_id)
+    then (p_id) — ids and cents only, never props payloads."""
+    ev = _table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("val_cents"),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    from pyspark.sql import Window
+
+    pairs = conv.join(touch, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts")
+            - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")
+        )
+    )
+    w = Window.partitionBy("p_id")
+    credited = pairs.select(
+        "touch_type",
+        "p_id",
+        "val_cents",
+        F.row_number()
+        .over(w.orderBy(F.col("t_ts"), F.col("t_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).select(
+        "touch_type",
+        "p_id",
+        "val_cents",
+        (
+            F.expr(f"{_ATTR_PPM} div n")
+            + F.when(
+                F.col("rn") == 1, F.expr(f"{_ATTR_PPM} % n")
+            ).otherwise(F.lit(0))
+        ).alias("ppm"),
+    )
+    direct = conv.join(
+        pairs.select("p_id").distinct(), "p_id", "left_anti"
+    ).select(
+        F.lit("(none)").alias("touch_type"),
+        "p_id",
+        "val_cents",
+        F.lit(_ATTR_PPM).cast("bigint").alias("ppm"),
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.countDistinct("p_id").cast("bigint").alias("n_conversions"),
+            F.sum("ppm").cast("bigint").alias("credit_ppm"),
+            F.sum(F.col("ppm") * F.col("val_cents"))
+            .cast("bigint")
+            .alias("rev_credit"),
+        )
+        .orderBy("touch_type")
+    )
