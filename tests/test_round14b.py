@@ -394,3 +394,45 @@ def test_attr_plan_is_equi_join(spark):
     plan = formatted_plan(attr_multitouch_linear(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# FD profiling
+# ---------------------------------------------------------------------------
+
+
+def test_fd_check_verdicts(spark):
+    """nation->region must HOLD; the other two candidates must be
+    violated on any TPC-H-shaped fixture."""
+    from whisper_pandas_spark.queries_round14b import profile_fd_check
+
+    out = {r["fd"]: r for r in profile_fd_check(spark, SF).collect()}
+    assert out["nation.n_nationkey->n_regionkey"]["holds"]
+    assert out["nation.n_nationkey->n_regionkey"]["n_violating_keys"] == 0
+    assert not out["lineitem.l_partkey->l_suppkey"]["holds"]
+    assert out["lineitem.l_partkey->l_suppkey"]["max_distinct_rhs"] >= 2
+    assert not out["orders.o_custkey->o_orderpriority"]["holds"]
+
+
+# ---------------------------------------------------------------------------
+# hierarchical reconciliation
+# ---------------------------------------------------------------------------
+
+
+def test_reconcile_conserves_exactly(spark):
+    """Hamilton apportionment: sum(reconciled) == fc_total EXACTLY,
+    and every nation is within 1 cent of its real-valued quota."""
+    from whisper_pandas_spark.queries_round14b import ts_reconcile_topdown
+
+    rows = ts_reconcile_topdown(spark, SF).collect()
+    fc = rows[0]["fc_total_cents"]
+    assert all(r["fc_total_cents"] == fc for r in rows)
+    assert sum(r["reconciled_cents"] for r in rows) == fc
+    hist_total = sum(r["hist_cents"] for r in rows)
+    for r in rows:
+        exact = fc * r["hist_cents"] / hist_total
+        assert abs(r["reconciled_cents"] - exact) < 1.0
+        assert r["reconciled_cents"] in (
+            r["floor_cents"],
+            r["floor_cents"] + 1,
+        )

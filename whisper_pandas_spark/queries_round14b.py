@@ -592,3 +592,235 @@ def attr_multitouch_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# profile_fd_check
+# ---------------------------------------------------------------------------
+
+_FD_ORACLE = """
+WITH fd AS (
+  SELECT 'nation.n_nationkey->n_regionkey' AS fd,
+    CAST(n_nationkey AS BIGINT) AS lhs,
+    CAST(n_regionkey AS BIGINT) AS rhs FROM nation
+  UNION ALL
+  SELECT 'orders.o_custkey->o_orderpriority',
+    CAST(o_custkey AS BIGINT),
+    CAST(length(o_orderpriority) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_partkey->l_suppkey',
+    CAST(l_partkey AS BIGINT), CAST(l_suppkey AS BIGINT)
+  FROM lineitem
+), per_key AS (
+  SELECT fd, lhs, count(DISTINCT rhs) AS nd FROM fd GROUP BY fd, lhs
+)
+SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating_keys,
+  CAST(max(nd) AS BIGINT) AS max_distinct_rhs,
+  (max(nd) = 1) AS holds
+FROM per_key GROUP BY fd ORDER BY fd
+"""
+
+
+@register("profile_fd_check", oracle=_FD_ORACLE)
+def profile_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y174: functional-dependency profiling (the Deequ/Metanome
+    op the profiling family lacked — [[benford/histogram/equidepth]]
+    describe DISTRIBUTIONS; nothing checked DEPENDENCIES): for each
+    candidate FD lhs->rhs, one groupBy(lhs) countDistinct(rhs) reports
+    keys, violating keys, max fan-out and a holds verdict. Three
+    candidates exercise both outcomes: nation->region HOLDS by
+    construction; customer->priority and part->supplier are violated
+    (many orders per customer, 4 suppliers per part in TPC-H). The
+    rhs for the priority FD is integerized (length) so all three
+    stack in one typed frame. Scale: each FD is a map-side-combined
+    two-level aggregate over (fd, lhs) — the same shape at any size;
+    no row ever carries more than the two profiled columns."""
+    nation = _table(spark, sf_dir, "nation").select(
+        F.lit("nation.n_nationkey->n_regionkey").alias("fd"),
+        F.col("n_nationkey").cast("long").alias("lhs"),
+        F.col("n_regionkey").cast("long").alias("rhs"),
+    )
+    orders = _table(spark, sf_dir, "orders").select(
+        F.lit("orders.o_custkey->o_orderpriority").alias("fd"),
+        F.col("o_custkey").cast("long").alias("lhs"),
+        F.length("o_orderpriority").cast("long").alias("rhs"),
+    )
+    lineitem = _table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_partkey->l_suppkey").alias("fd"),
+        F.col("l_partkey").cast("long").alias("lhs"),
+        F.col("l_suppkey").cast("long").alias("rhs"),
+    )
+    per_key = (
+        nation.unionByName(orders)
+        .unionByName(lineitem)
+        .groupBy("fd", "lhs")
+        .agg(F.countDistinct("rhs").alias("nd"))
+    )
+    return (
+        per_key.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_keys"),
+            F.max("nd").cast("bigint").alias("max_distinct_rhs"),
+            (F.max("nd") == 1).alias("holds"),
+        )
+        .orderBy("fd")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_reconcile_topdown
+# ---------------------------------------------------------------------------
+
+_REC_A = 0.5  # Holt level weight (expression-identical replay, no
+_REC_B = 0.25  # binary-fraction requirement — the round-6 fold doctrine)
+
+
+def _reconcile_oracle() -> str:
+    a = f"CAST({_REC_A} AS DOUBLE)"
+    b = f"CAST({_REC_B} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    new_l = f"{a} * cur[1] + ({one} - {a}) * (acc[1] + acc[2])"
+    return f"""
+WITH tot AS (
+  SELECT date_trunc('month', o_orderdate) AS t,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY t
+), packed AS (
+  SELECT list(CAST(cents AS DOUBLE) ORDER BY t) AS xs FROM tot
+), fc AS (
+  SELECT CAST(round(s[1] + s[2]) AS BIGINT) AS fc_total_cents FROM (
+    SELECT list_reduce(
+      list_prepend(
+        [xs[1]::DOUBLE, xs[2]::DOUBLE - xs[1]::DOUBLE],
+        list_transform(xs[2:], x -> [x::DOUBLE, CAST(0.0 AS DOUBLE)])),
+      (acc, cur) -> [{new_l},
+                     {b} * ({new_l} - acc[1]) + ({one} - {b}) * acc[2]]
+    ) AS s FROM packed)
+), hist AS (
+  SELECT c.c_nationkey AS nation,
+    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS hist_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+), quota AS (
+  SELECT h.nation, h.hist_cents, f.fc_total_cents,
+    CAST(CAST(f.fc_total_cents AS HUGEINT) * h.hist_cents
+         // (SELECT sum(hist_cents) FROM hist) AS BIGINT) AS floor_cents,
+    CAST(CAST(f.fc_total_cents AS HUGEINT) * h.hist_cents
+         % (SELECT sum(hist_cents) FROM hist) AS BIGINT) AS rem
+  FROM hist h CROSS JOIN fc f
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, nation) AS rn,
+    (SELECT max(fc_total_cents) FROM quota)
+      - (SELECT sum(floor_cents) FROM quota) AS leftover
+  FROM quota
+)
+SELECT nation, hist_cents, floor_cents,
+  CAST(floor_cents + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+    AS reconciled_cents,
+  fc_total_cents
+FROM ranked ORDER BY nation
+"""
+
+
+@register("ts_reconcile_topdown", oracle=_reconcile_oracle())
+def ts_reconcile_topdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y175: hierarchical forecast reconciliation (Hyndman's top-down
+    with historical proportions) — the coherence stage the forecasting
+    family lacked (holt/holt-winters/seasonal forecast SERIES; nothing
+    made a hierarchy's forecasts ADD UP). The total monthly-revenue
+    series forecasts one step ahead through the existing Holt fold
+    (operators/forecast.py, expression-identical oracle replay); the
+    per-nation split then uses HAMILTON APPORTIONMENT in exact integer
+    arithmetic — floor(fc x hist_i / hist_total) via DECIMAL(38)
+    products (HUGEINT in the oracle; parity probed), remainder cents
+    to the largest fractional parts ((rem, nation) total order) — so
+    sum(reconciled) == fc_total EXACTLY, a conservation law the hash
+    gate re-proves every run (the attribution-ppm doctrine; float
+    proportions could never promise it). Plan: two aggregates (month,
+    nation), a 1-row forecast broadcast, and a 25-row quota frame —
+    nothing corpus-sized past the first aggregate at any scale.
+    Positive-revenue domain documented: div truncation == floor."""
+    from whisper_pandas_spark.operators.forecast import holt_forecast
+
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    tot = (
+        orders.groupBy("t")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .select("t", F.col("cents").cast("double").alias("v"), F.lit(1).alias("g"))
+    )
+    fc = (
+        holt_forecast(tot, ("g",), "t", "v", _REC_A, _REC_B, 1)
+        .select(
+            F.round(F.col("level") + F.col("slope"))
+            .cast("bigint")
+            .alias("fc_total_cents")
+        )
+    )
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    hist = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy("nation")
+        .agg(F.sum("cents").cast("bigint").alias("hist_cents"))
+    )
+    hist_tot = hist.agg(
+        F.sum("hist_cents").cast("bigint").alias("hist_total")
+    )
+    quota = (
+        hist.crossJoin(F.broadcast(fc))
+        .crossJoin(F.broadcast(hist_tot))
+        .select(
+            "nation",
+            "hist_cents",
+            "fc_total_cents",
+            F.expr(
+                "CAST(CAST(fc_total_cents AS DECIMAL(38,0))"
+                " * CAST(hist_cents AS DECIMAL(38,0))"
+                " div CAST(hist_total AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("floor_cents"),
+            F.expr(
+                "CAST(CAST(fc_total_cents AS DECIMAL(38,0))"
+                " * CAST(hist_cents AS DECIMAL(38,0))"
+                " % CAST(hist_total AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("rem"),
+        )
+    )
+    leftover = quota.agg(
+        (F.max("fc_total_cents") - F.sum("floor_cents"))
+        .cast("bigint")
+        .alias("leftover")
+    )
+    from pyspark.sql import Window
+
+    ranked = quota.crossJoin(F.broadcast(leftover)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.col("rem").desc(), F.col("nation")
+            )
+        ),
+    )
+    return ranked.select(
+        "nation",
+        "hist_cents",
+        "floor_cents",
+        (
+            F.col("floor_cents")
+            + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("reconciled_cents"),
+        "fc_total_cents",
+    ).orderBy("nation")
