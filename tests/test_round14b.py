@@ -436,3 +436,59 @@ def test_reconcile_conserves_exactly(spark):
             r["floor_cents"],
             r["floor_cents"] + 1,
         )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt evaluation
+# ---------------------------------------------------------------------------
+
+
+def test_robots_protocol_traps(spark):
+    """Every planted RFC 9309 trap resolves correctly: specific-agent
+    rules never leak into '*', Allow overrides the shorter Disallow,
+    exact-length ties go to Allow, empty Disallow restricts nothing,
+    Disallow-everything respects its carve-out."""
+    from whisper_pandas_spark.queries_round14b import crawl_robots_filter
+
+    out = crawl_robots_filter(spark, SF).collect()
+    by_id = {r["id"]: r for r in out}
+    docs_n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(out) == docs_n
+
+    for r in out:
+        k = r["id"] % 20
+        fam = r["id"] % 5
+        if k % 4 == 0:
+            if fam == 0:  # /private/file -> blocked by D:/private/
+                assert r["allowed"] == 0 and r["rule"] == "D:/private/"
+            elif fam == 1:  # Allow /private/pub/ overrides (longer)
+                assert r["allowed"] == 1 and r["rule"] == "A:/private/pub/"
+            elif fam == 3:  # exact tie D:/blog/post vs A:/blog/post
+                assert r["allowed"] == 1 and r["rule"] == "A:/blog/post"
+            else:
+                assert r["allowed"] == 1
+        elif k % 4 == 1:
+            if fam == 2:  # lowercase 'disallow: /tmp' still binds
+                assert r["allowed"] == 0 and r["rule"] == "D:/tmp"
+            else:
+                assert r["allowed"] == 1
+        elif k % 4 == 2:
+            if fam == 3:  # Allow /blog carve-out beats D:/
+                assert r["allowed"] == 1 and r["rule"] == "A:/blog"
+            else:
+                assert r["allowed"] == 0 and r["rule"] == "D:/"
+        else:  # empty Disallow: everything allowed, no rule matched
+            assert r["allowed"] == 1 and r["rule"] is None
+        # specialbot's 'Disallow: /blog' must never be the matched rule
+        assert r["rule"] != "D:/blog"
+
+
+def test_robots_plan_is_broadcast_no_python(spark):
+    from whisper_pandas_spark.plans.inspect import formatted_plan
+    from whisper_pandas_spark.queries_round14b import crawl_robots_filter
+
+    plan = formatted_plan(crawl_robots_filter(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan

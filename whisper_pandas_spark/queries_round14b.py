@@ -824,3 +824,155 @@ def ts_reconcile_topdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reconciled_cents"),
         "fc_total_cents",
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# crawl_robots_filter
+# ---------------------------------------------------------------------------
+
+_ROBOTS_ORACLE = """
+WITH urls AS (
+  SELECT doc_id,
+    'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS domain,
+    '/' || CASE doc_id % 5
+      WHEN 0 THEN 'private/file' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN 'private/pub/p' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'tmp/t' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'blog/post' || CAST(doc_id AS VARCHAR)
+      ELSE 'index.html' END AS path
+  FROM documents
+), doms AS (
+  SELECT DISTINCT doc_id % 20 AS k,
+    'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS domain
+  FROM documents
+), robots AS (
+  SELECT domain,
+    '# synthetic robots for site' || CAST(k AS VARCHAR) || chr(10)
+    || 'User-agent: specialbot' || chr(10)
+    || 'Disallow: /blog' || chr(10) || chr(10)
+    || 'User-agent: *' || chr(10)
+    || CASE k % 4
+      WHEN 0 THEN 'Disallow: /private/' || chr(10)
+        || 'Allow: /private/pub/' || chr(10)
+        || 'Disallow: /blog/post' || chr(10)
+        || 'Allow: /blog/post' || chr(10)
+      WHEN 1 THEN 'disallow: /tmp' || chr(10)
+      WHEN 2 THEN 'Disallow: /' || chr(10) || 'Allow: /blog' || chr(10)
+      ELSE 'Disallow:' || chr(10) END AS rtext
+  FROM doms
+), lines0 AS (
+  SELECT domain, string_split(rtext, chr(10)) AS ls FROM robots
+), lines_ AS (
+  SELECT domain, CAST(i AS INT) AS pos,
+    trim(string_split(ls[CAST(i AS INT)], '#')[1]) AS line
+  FROM lines0, unnest(range(1, len(ls) + 1)) AS t(i)
+), tagged AS (
+  SELECT domain, pos, line,
+    last_value(CASE WHEN lower(line) LIKE 'user-agent:%'
+                    THEN trim(substr(line, 12)) END IGNORE NULLS)
+      OVER (PARTITION BY domain ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
+  FROM lines_
+), rules AS (
+  SELECT domain, ua,
+    CASE WHEN lower(line) LIKE 'allow:%' THEN trim(substr(line, 7))
+         ELSE trim(substr(line, 10)) END AS prefix,
+    CASE WHEN lower(line) LIKE 'allow:%' THEN 1 ELSE 0 END AS is_allow
+  FROM tagged
+  WHERE (lower(line) LIKE 'allow:%' OR lower(line) LIKE 'disallow:%')
+    AND ua IS NOT NULL
+), star_rules AS (
+  SELECT * FROM rules WHERE ua = '*' AND prefix <> ''
+), joined AS (
+  SELECT u.doc_id AS id, u.domain, u.path, r.prefix, r.is_allow
+  FROM urls u LEFT JOIN star_rules r
+    ON u.domain = r.domain AND starts_with(u.path, r.prefix)
+), picked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY id
+      ORDER BY length(prefix) DESC, is_allow DESC, prefix) AS rn
+  FROM joined
+)
+SELECT id, domain, path,
+  CAST(CASE WHEN prefix IS NULL THEN 1 ELSE is_allow END AS INT)
+    AS allowed,
+  CASE WHEN prefix IS NOT NULL THEN
+    (CASE WHEN is_allow = 1 THEN 'A:' ELSE 'D:' END) || prefix END AS rule
+FROM picked WHERE rn = 1 ORDER BY id
+"""
+
+
+@register("crawl_robots_filter", oracle=_ROBOTS_ORACLE)
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y176: robots.txt evaluation (RFC 9309 — operators/robots.py),
+    the crawl-politeness stage the WARC/WET/WAT/CDX/ZIPNUM stack
+    lacked: a selective re-crawl evaluates every candidate URL against
+    its domain's robots BEFORE touching payload shards. The in-query
+    corpus plants every protocol trap: a specific-agent group whose
+    rules must NOT leak into '*' (group tracking is load-bearing),
+    comment lines, a lowercase directive, an EMPTY Disallow (no
+    restriction per RFC), an Allow overriding a longer Disallow
+    (/private/pub/ inside /private/), an exact length TIE where Allow
+    must win (/blog/post), and a Disallow-everything domain with one
+    carve-out. Parse is split/trim/CASE codegen with a running
+    last-non-null window for group membership; evaluation is one
+    broadcast domain equi-join + startswith and one per-URL
+    longest-match window. The oracle replays parse AND evaluation from
+    the same synthesized bytes."""
+    from whisper_pandas_spark.operators.robots import (
+        evaluate_urls,
+        parse_robots,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    nl = "\n"
+    urls = docs.select(
+        "doc_id",
+        F.expr(
+            "'site' || CAST(doc_id % 20 AS STRING) || '.example'"
+        ).alias("domain"),
+        F.expr(
+            "'/' || CASE doc_id % 5 "
+            "WHEN 0 THEN 'private/file' || CAST(doc_id AS STRING) "
+            "WHEN 1 THEN 'private/pub/p' || CAST(doc_id AS STRING) "
+            "WHEN 2 THEN 'tmp/t' || CAST(doc_id AS STRING) "
+            "WHEN 3 THEN 'blog/post' || CAST(doc_id AS STRING) "
+            "ELSE 'index.html' END"
+        ).alias("path"),
+    )
+    doms = docs.select(
+        (F.col("doc_id") % 20).alias("k"),
+        F.expr(
+            "'site' || CAST(doc_id % 20 AS STRING) || '.example'"
+        ).alias("domain"),
+    ).distinct()
+    robots = doms.select(
+        "domain",
+        F.concat(
+            F.lit("# synthetic robots for site"),
+            F.col("k").cast("string"),
+            F.lit(nl),
+            F.lit("User-agent: specialbot" + nl),
+            F.lit("Disallow: /blog" + nl + nl),
+            F.lit("User-agent: *" + nl),
+            F.when(
+                F.col("k") % 4 == 0,
+                F.lit(
+                    "Disallow: /private/" + nl
+                    + "Allow: /private/pub/" + nl
+                    + "Disallow: /blog/post" + nl
+                    + "Allow: /blog/post" + nl
+                ),
+            )
+            .when(F.col("k") % 4 == 1, F.lit("disallow: /tmp" + nl))
+            .when(
+                F.col("k") % 4 == 2,
+                F.lit("Disallow: /" + nl + "Allow: /blog" + nl),
+            )
+            .otherwise(F.lit("Disallow:" + nl)),
+        ).alias("rtext"),
+    )
+    rules = parse_robots(robots, "domain", "rtext")
+    return evaluate_urls(
+        urls, rules, "doc_id", "domain", "path"
+    ).orderBy("id")
