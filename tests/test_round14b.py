@@ -492,3 +492,40 @@ def test_robots_plan_is_broadcast_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# sitemap delta
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_delta_roundtrip_and_classes(spark):
+    """The re-parsed sitemap covers every URL exactly once, and the
+    planted lastmod/crawl-date arithmetic exercises all three
+    verdicts; 'new' is exactly the never-crawled third."""
+    from whisper_pandas_spark.queries_round14b import crawl_sitemap_delta
+
+    out = crawl_sitemap_delta(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert len(out) == len(ids)
+    assert len({r["url"] for r in out}) == len(out)
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r["verdict"], []).append(r)
+    assert set(by_v) == {"new", "changed", "fresh"}
+    assert len(by_v["new"]) == sum(1 for i in ids if i % 3 == 0)
+    for r in by_v["changed"]:
+        assert r["lastmod"] > r["last_crawl"]
+    for r in by_v["fresh"]:
+        assert r["lastmod"] <= r["last_crawl"]
+
+
+def test_sitemap_plan_no_python_no_cartesian(spark):
+    from whisper_pandas_spark.plans.inspect import formatted_plan
+    from whisper_pandas_spark.queries_round14b import crawl_sitemap_delta
+
+    plan = formatted_plan(crawl_sitemap_delta(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan

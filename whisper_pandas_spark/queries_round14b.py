@@ -976,3 +976,159 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate_urls(
         urls, rules, "doc_id", "domain", "path"
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# crawl_sitemap_delta
+# ---------------------------------------------------------------------------
+
+_SITEMAP_ORACLE = """
+WITH urls AS (
+  SELECT doc_id,
+    'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS domain,
+    'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/'
+      || CASE doc_id % 5
+        WHEN 0 THEN 'private/file' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN 'private/pub/p' || CAST(doc_id AS VARCHAR)
+        WHEN 2 THEN 'tmp/t' || CAST(doc_id AS VARCHAR)
+        WHEN 3 THEN 'blog/post' || CAST(doc_id AS VARCHAR)
+        ELSE 'page' || CAST(doc_id AS VARCHAR) || '.html' END AS url,
+    '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      AS lastmod
+  FROM documents
+), blocks AS (
+  SELECT doc_id, domain,
+    '<url><loc>' || url || '</loc><lastmod>' || lastmod
+      || '</lastmod></url>' AS block
+  FROM urls
+), sitemaps AS (
+  SELECT domain,
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    || string_agg(block, '' ORDER BY doc_id) || '</urlset>' AS xml
+  FROM blocks GROUP BY domain
+), parsed0 AS (
+  SELECT domain,
+    unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS u
+  FROM sitemaps
+), parsed AS (
+  SELECT domain,
+    regexp_extract(u, '<loc>(.*?)</loc>', 1) AS url,
+    regexp_extract(u, '<lastmod>(.*?)</lastmod>', 1) AS lastmod
+  FROM parsed0
+), state AS (
+  SELECT url,
+    '2024-01-' || lpad(CAST((doc_id * 7) % 28 + 1 AS VARCHAR), 2, '0')
+      AS last_crawl
+  FROM urls WHERE doc_id % 3 <> 0
+)
+SELECT p.url, p.domain, p.lastmod, s.last_crawl,
+  CASE WHEN s.last_crawl IS NULL THEN 'new'
+       WHEN p.lastmod > s.last_crawl THEN 'changed'
+       ELSE 'fresh' END AS verdict
+FROM parsed p LEFT JOIN state s ON p.url = s.url
+ORDER BY p.url
+"""
+
+
+@register("crawl_sitemap_delta", oracle=_SITEMAP_ORACLE)
+def crawl_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y177: sitemap-driven incremental re-crawl planning (the
+    sitemaps.org protocol next to [[Y176]]'s robots): per-domain
+    sitemap XML is BUILT from the corpus (deterministic string_agg in
+    doc order) and then RE-PARSED by the real extraction path —
+    non-greedy regexp block split (Java regex and RE2 agree,
+    parity-probed) + per-block loc/lastmod extraction — so the hash
+    proves the parser, not just the plan; parsed URLs left-join the
+    prior-crawl state and classify new / changed / fresh (lastmod
+    vs last-crawl as ISO dates, compared lexicographically — no
+    timestamp-parse drift). This is the CDX-first doctrine applied
+    forward in time: the fetch list is decided from index-sized
+    tables alone, payload shards untouched. Scale: sitemap build and
+    parse shuffle once on domain (XML stays domain-sized, the
+    protocol's own 50k-URL/file cap); the state join is URL-keyed."""
+    docs = _table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.expr(
+            "'site' || CAST(doc_id % 20 AS STRING) || '.example'"
+        ).alias("domain"),
+        F.expr(
+            "'https://site' || CAST(doc_id % 20 AS STRING) || '.example/'"
+            " || CASE doc_id % 5 "
+            "WHEN 0 THEN 'private/file' || CAST(doc_id AS STRING) "
+            "WHEN 1 THEN 'private/pub/p' || CAST(doc_id AS STRING) "
+            "WHEN 2 THEN 'tmp/t' || CAST(doc_id AS STRING) "
+            "WHEN 3 THEN 'blog/post' || CAST(doc_id AS STRING) "
+            "ELSE 'page' || CAST(doc_id AS STRING) || '.html' END"
+        ).alias("url"),
+        F.expr(
+            "'2024-01-' || lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0')"
+        ).alias("lastmod"),
+    )
+    blocks = urls.select(
+        "doc_id",
+        "domain",
+        F.concat(
+            F.lit("<url><loc>"),
+            F.col("url"),
+            F.lit("</loc><lastmod>"),
+            F.col("lastmod"),
+            F.lit("</lastmod></url>"),
+        ).alias("block"),
+    )
+    sitemaps = (
+        blocks.groupBy("domain")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "block"))
+            ).alias("bs")
+        )
+        .select(
+            "domain",
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<urlset xmlns='
+                    '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.concat_ws(
+                    "", F.transform(F.col("bs"), lambda b: b["block"])
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    parsed = sitemaps.select(
+        "domain",
+        F.explode(
+            F.expr("regexp_extract_all(xml, '<url>(.*?)</url>', 1)")
+        ).alias("u"),
+    ).select(
+        "domain",
+        F.regexp_extract("u", "<loc>(.*?)</loc>", 1).alias("url"),
+        F.regexp_extract("u", "<lastmod>(.*?)</lastmod>", 1).alias(
+            "lastmod"
+        ),
+    )
+    state = urls.filter(F.col("doc_id") % 3 != 0).select(
+        "url",
+        F.expr(
+            "'2024-01-' || lpad(CAST((doc_id * 7) % 28 + 1 AS STRING),"
+            " 2, '0')"
+        ).alias("last_crawl"),
+    )
+    return (
+        parsed.join(state, "url", "left")
+        .select(
+            "url",
+            "domain",
+            "lastmod",
+            "last_crawl",
+            F.when(F.col("last_crawl").isNull(), "new")
+            .when(F.col("lastmod") > F.col("last_crawl"), "changed")
+            .otherwise("fresh")
+            .alias("verdict"),
+        )
+        .orderBy("url")
+    )
