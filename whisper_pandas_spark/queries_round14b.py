@@ -1132,3 +1132,94 @@ def crawl_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_matryoshka_topk
+# ---------------------------------------------------------------------------
+
+#: Matryoshka prefix dimensionality (of the fixture's 64).
+_MRL_DIM = 16
+_MRL_K = 10
+
+
+def _mrl_oracle() -> str:
+    from whisper_pandas_spark.functions.duck import duck_cos
+
+    pd, k = _MRL_DIM, _MRL_K
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 5
+), c AS (
+  SELECT vec_id, embedding AS cv FROM embeddings
+), pranked AS (
+  SELECT query_id, vec_id, cos_sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM (
+    SELECT q.query_id, c.vec_id,
+      round({duck_cos("qv[1:" + str(pd) + "]", "cv[1:" + str(pd) + "]")},
+            6) AS cos_sim
+    FROM c CROSS JOIN q WHERE c.vec_id != q.query_id)
+), franked AS (
+  SELECT query_id, vec_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM (
+    SELECT q.query_id, c.vec_id,
+      round({duck_cos("qv", "cv")}, 6) AS cos_sim
+    FROM c CROSS JOIN q WHERE c.vec_id != q.query_id)
+), ftop AS (
+  SELECT query_id, vec_id FROM franked WHERE rnk <= {k}
+)
+SELECT p.query_id, p.vec_id, p.cos_sim, p.rnk,
+  CAST(f.vec_id IS NOT NULL AS INT) AS in_full
+FROM pranked p LEFT JOIN ftop f
+  ON p.query_id = f.query_id AND p.vec_id = f.vec_id
+WHERE p.rnk <= {k}
+ORDER BY p.query_id, p.rnk
+"""
+
+
+@register("emb_matryoshka_topk", oracle=_mrl_oracle())
+def emb_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y178: Matryoshka prefix-dimension retrieval (Kusupati et al.
+    2022) — MRL embeddings let the first M dims serve as a cheaper
+    standalone representation: top-{_MRL_K} over the {_MRL_DIM}-dim
+    PREFIX (a zero-cost F.slice — no projection matrix, unlike the
+    JL/PCA rows) with the full-dim truth ranking computed in the SAME
+    plan and per-row membership (`in_full`) riding the hash-checked
+    output — the recall audit IS the result, the emb_ann_recall_audit
+    doctrine. On the near-random fixture the prefix ranking degrades
+    exactly as MRL predicts for non-MRL-trained vectors: the entry is
+    the serving-path plumbing (slice -> same cosine_topk machinery ->
+    membership join), which is what transfers to real MRL checkpoints.
+    Scale: prefix scoring reads 4x less data per pair; both rankings
+    broadcast the 5-query side, corpus stays map-side."""
+    from whisper_pandas_spark.operators.similarity import cosine_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    pref = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+    )
+    q_pref = pref.filter(F.col("vec_id") < 5)
+    q_full = emb.filter(F.col("vec_id") < 5)
+    ptop = cosine_topk(pref, q_pref, _MRL_K)
+    ftop = cosine_topk(emb, q_full, _MRL_K).select(
+        F.col("query_id").alias("fq"), F.col("vec_id").alias("fv")
+    )
+    return (
+        ptop.join(
+            ftop,
+            (F.col("query_id") == F.col("fq"))
+            & (F.col("vec_id") == F.col("fv")),
+            "left",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "cos_sim",
+            "rnk",
+            F.col("fv").isNotNull().cast("int").alias("in_full"),
+        )
+        .orderBy("query_id", "rnk")
+    )
