@@ -561,3 +561,43 @@ def test_matryoshka_shape_and_flag(spark):
         # fixture: the prefix finds SOME of the full top-k, not all)
         flags = sum(r["in_full"] for r in rows)
         assert 0 <= flags <= _MRL_K
+
+
+# ---------------------------------------------------------------------------
+# streaming attribution
+# ---------------------------------------------------------------------------
+
+
+def test_stream_attr_commutes_with_batching(spark):
+    """Crediting a partition of the conversions batch-by-batch must
+    union to the batch operator's credited rows (adversarial
+    interleaved 3-way split)."""
+    from whisper_pandas_spark.streaming.attribution import _credit_batch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("val_cents"),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    whole = sorted(map(tuple, _credit_batch(conv, touch, 3, 10**6).collect()))
+    parts = []
+    for i in range(3):
+        parts.extend(
+            map(
+                tuple,
+                _credit_batch(
+                    conv.filter(F.col("p_id") % 3 == i), touch, 3, 10**6
+                ).collect(),
+            )
+        )
+    assert sorted(parts) == whole and whole

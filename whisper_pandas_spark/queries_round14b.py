@@ -1223,3 +1223,80 @@ def emb_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_attr_replay
+# ---------------------------------------------------------------------------
+
+
+@register("stream_attr_replay", oracle=_ATTR_ORACLE)
+def stream_attr_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+/Y179: STREAMING attribution (streaming/attribution.py) —
+    purchases arrive in 4 micro-batches and credit against the static
+    touch store through the batch entry's arithmetic verbatim; the
+    credits state upserts idempotently on p_id. Credit is a pure
+    per-conversion function, so batching commutes and the batch
+    entry's oracle checks the streaming face VERBATIM; the second
+    pass (fresh checkpoint, full re-delivery) proves unchanged state.
+    Credit conservation (sum ppm = 10^6 x conversions) survives the
+    stream by construction — each conversion's split lands atomically
+    in one batch."""
+    import tempfile
+
+    from whisper_pandas_spark.streaming.attribution import (
+        attribution_read_off,
+        stream_attribution,
+    )
+
+    ev = _table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("val_cents"),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    ).localCheckpoint(eager=True)
+    d = tempfile.mkdtemp(prefix="wps_streamattr_")
+    bounds = conv.agg(
+        F.min("p_id").alias("lo"), F.max("p_id").alias("hi")
+    ).collect()[0]
+    step = max(1, (int(bounds["hi"]) - int(bounds["lo"])) // 4 + 1)
+    for i in range(4):
+        lo = int(bounds["lo"]) + i * step
+        cond = F.col("p_id") >= lo
+        if i < 3:
+            cond = cond & (F.col("p_id") < lo + step)
+        conv.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/changes/f{i}"
+        )
+
+    schema = "p_id long, user_id long, p_ts timestamp, val_cents bigint"
+
+    def run_pass(ckpt: str) -> None:
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/changes/*")
+        )
+        q = stream_attribution(
+            sdf,
+            touch,
+            f"{d}/state",
+            _ATTR_LOOKBACK_DAYS,
+            _ATTR_PPM,
+            checkpoint_dir=ckpt,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_pass(f"{d}/ckpt1")
+    run_pass(f"{d}/ckpt2")
+    return attribution_read_off(spark, f"{d}/state")
