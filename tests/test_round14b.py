@@ -601,3 +601,33 @@ def test_stream_attr_commutes_with_batching(spark):
             )
         )
     assert sorted(parts) == whole and whole
+
+
+# ---------------------------------------------------------------------------
+# SFT masking
+# ---------------------------------------------------------------------------
+
+
+def test_sft_spans_identity_and_coverage(spark):
+    """Every span's substring equals its assistant content (span_ok
+    pinned 1), spans never overlap, and the mask never touches a
+    template marker."""
+    from whisper_pandas_spark.queries_round14b import text_sft_masking
+
+    out = text_sft_masking(spark, SF).collect()
+    docs_n = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .count()
+    )
+    assert len(out) == 2 * docs_n
+    assert all(r["span_ok"] == 1 for r in out)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rows in by_doc.items():
+        t1, t2 = sorted(rows, key=lambda r: r["turn"])
+        assert t1["mask_end"] <= t2["mask_start"]  # disjoint, ordered
+        assert t2["mask_end"] < t2["total_chars"]  # trailing im_end
+        assert t1["total_chars"] == t2["total_chars"]
+        assert t1["rendered_md5"] == t2["rendered_md5"]

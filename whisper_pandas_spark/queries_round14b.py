@@ -1300,3 +1300,163 @@ def stream_attr_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_pass(f"{d}/ckpt1")
     run_pass(f"{d}/ckpt2")
     return attribution_read_off(spark, f"{d}/state")
+
+
+# ---------------------------------------------------------------------------
+# text_sft_masking
+# ---------------------------------------------------------------------------
+
+_SFT_SYS = "You are a helpful assistant."
+_SFT_U2 = "Quote the opening."
+_SFT_A2P = "It opens: "
+_IMS = "<|im_start|>"
+_IME = "<|im_end|>"
+
+
+def _sft_oracle() -> str:
+    ims, ime = _IMS, _IME
+    # fixed template piece lengths (chars)
+    return f"""
+WITH conv AS (
+  SELECT doc_id,
+    '{_SFT_SYS}' AS sys,
+    'Describe document ' || CAST(doc_id AS VARCHAR) || ' in ' || lang
+      || '.' AS u1,
+    text AS a1,
+    '{_SFT_U2}' AS u2,
+    '{_SFT_A2P}' || substr(text, 1, 40) AS a2
+  FROM documents WHERE text IS NOT NULL
+), rendered AS (
+  SELECT doc_id, a1, a2,
+    '{ims}system' || chr(10) || sys || '{ime}' || chr(10)
+    || '{ims}user' || chr(10) || u1 || '{ime}' || chr(10)
+    || '{ims}assistant' || chr(10) || a1 || '{ime}' || chr(10)
+    || '{ims}user' || chr(10) || u2 || '{ime}' || chr(10)
+    || '{ims}assistant' || chr(10) || a2 || '{ime}' || chr(10) AS r,
+    length('{ims}system' || chr(10) || sys || '{ime}' || chr(10)
+      || '{ims}user' || chr(10) || u1 || '{ime}' || chr(10)
+      || '{ims}assistant' || chr(10)) AS s1,
+    length(a1) AS l1,
+    length('{ims}system' || chr(10) || sys || '{ime}' || chr(10)
+      || '{ims}user' || chr(10) || u1 || '{ime}' || chr(10)
+      || '{ims}assistant' || chr(10) || a1 || '{ime}' || chr(10)
+      || '{ims}user' || chr(10) || u2 || '{ime}' || chr(10)
+      || '{ims}assistant' || chr(10)) AS s2,
+    length(a2) AS l2
+  FROM conv
+), spans AS (
+  SELECT doc_id, 1 AS turn, s1 AS mask_start, s1 + l1 AS mask_end,
+    length(r) AS total_chars, md5(r) AS rendered_md5,
+    CAST(substr(r, s1 + 1, l1) = a1 AS INT) AS span_ok
+  FROM rendered
+  UNION ALL
+  SELECT doc_id, 2, s2, s2 + l2, length(r), md5(r),
+    CAST(substr(r, s2 + 1, l2) = a2 AS INT)
+  FROM rendered
+)
+SELECT doc_id, turn, CAST(mask_start AS BIGINT) AS mask_start,
+  CAST(mask_end AS BIGINT) AS mask_end,
+  CAST(total_chars AS BIGINT) AS total_chars, rendered_md5, span_ok
+FROM spans ORDER BY doc_id, turn
+"""
+
+
+@register("text_sft_masking", oracle=_sft_oracle())
+def text_sft_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y180: SFT chat-template rendering + loss-mask spans — the
+    training-data-prep step AFTER curation that nothing in the
+    registry covered: each document becomes a pinned-template 5-turn
+    conversation (system/user/assistant/user/assistant, ChatML-style
+    markers), and the entry emits the per-assistant-turn CHARACTER
+    span [mask_start, mask_end) where loss applies — assistant
+    content only, the standard SFT masking contract. Offsets are
+    computed by LENGTH ARITHMETIC over the same concat pieces (the
+    WARC offset doctrine — never by searching the rendered string),
+    and an in-result identity proof rides every row:
+    substr(rendered, start+1, len) == content, pinned TRUE by the
+    oracle; rendered_md5 proves the full rendering without hauling
+    it. Pure codegen concat/length/md5 — a free rider on the corpus
+    scan at any scale."""
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    nl = "\n"
+    conv = docs.select(
+        "doc_id",
+        F.lit(_SFT_SYS).alias("sys"),
+        F.concat(
+            F.lit("Describe document "),
+            F.col("doc_id").cast("string"),
+            F.lit(" in "),
+            F.col("lang"),
+            F.lit("."),
+        ).alias("u1"),
+        F.col("text").alias("a1"),
+        F.lit(_SFT_U2).alias("u2"),
+        F.concat(
+            F.lit(_SFT_A2P), F.substring("text", 1, 40)
+        ).alias("a2"),
+    )
+
+    def seg(role, body):
+        return F.concat(
+            F.lit(_IMS + role + nl), body, F.lit(_IME + nl)
+        )
+
+    pre1 = F.concat(
+        seg("system", F.col("sys")),
+        seg("user", F.col("u1")),
+        F.lit(_IMS + "assistant" + nl),
+    )
+    mid = F.concat(
+        F.col("a1"),
+        F.lit(_IME + nl),
+        seg("user", F.col("u2")),
+        F.lit(_IMS + "assistant" + nl),
+    )
+    r = F.concat(pre1, mid, F.col("a2"), F.lit(_IME + nl))
+    rendered = conv.select(
+        "doc_id",
+        "a1",
+        "a2",
+        r.alias("r"),
+        F.length(pre1).alias("s1"),
+        F.length("a1").alias("l1"),
+        (F.length(pre1) + F.length(mid)).alias("s2"),
+        F.length("a2").alias("l2"),
+    )
+    spans = rendered.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("turn"),
+                    F.col("s1").alias("ms"),
+                    (F.col("s1") + F.col("l1")).alias("me"),
+                    F.col("a1").alias("content"),
+                    F.col("l1").alias("ln"),
+                ),
+                F.struct(
+                    F.lit(2).alias("turn"),
+                    F.col("s2").alias("ms"),
+                    (F.col("s2") + F.col("l2")).alias("me"),
+                    F.col("a2").alias("content"),
+                    F.col("l2").alias("ln"),
+                ),
+            )
+        ).alias("sp"),
+        "r",
+    ).select(
+        "doc_id",
+        F.col("sp.turn").alias("turn"),
+        F.col("sp.ms").cast("bigint").alias("mask_start"),
+        F.col("sp.me").cast("bigint").alias("mask_end"),
+        F.length("r").cast("bigint").alias("total_chars"),
+        F.md5(F.col("r")).alias("rendered_md5"),
+        (
+            F.expr("substr(r, sp.ms + 1, sp.ln)") == F.col("sp.content")
+        )
+        .cast("int")
+        .alias("span_ok"),
+    )
+    return spans.orderBy("doc_id", "turn")
