@@ -631,3 +631,37 @@ def test_sft_spans_identity_and_coverage(spark):
         assert t2["mask_end"] < t2["total_chars"]  # trailing im_end
         assert t1["total_chars"] == t2["total_chars"]
         assert t1["rendered_md5"] == t2["rendered_md5"]
+
+
+# ---------------------------------------------------------------------------
+# packed SFT spans
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sft_conservation_and_y180_consistency(spark):
+    """Fragment lengths per (doc, turn) sum to the Y180 span length;
+    fragments stay inside [0, B); and every span offset agrees with
+    text_sft_masking's length arithmetic modulo the doc's stream
+    start."""
+    from whisper_pandas_spark.queries_round14b import (
+        _PSFT_B,
+        pack_sft_spans,
+        text_sft_masking,
+    )
+
+    frags = pack_sft_spans(spark, SF).collect()
+    spans = {
+        (r["doc_id"], r["turn"]): r["mask_end"] - r["mask_start"]
+        for r in text_sft_masking(spark, SF).collect()
+    }
+    got = {}
+    for r in frags:
+        assert 0 <= r["frag_start"] < r["frag_end"] <= _PSFT_B
+        got[(r["doc_id"], r["turn"])] = got.get(
+            (r["doc_id"], r["turn"]), 0
+        ) + (r["frag_end"] - r["frag_start"])
+    for key, ln in got.items():
+        assert ln == spans[key], key
+    # every nonempty Y180 span appears
+    nonempty = {k for k, v in spans.items() if v > 0}
+    assert set(got) == nonempty

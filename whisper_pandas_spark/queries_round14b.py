@@ -1460,3 +1460,174 @@ def text_sft_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("span_ok"),
     )
     return spans.orderBy("doc_id", "turn")
+
+
+# ---------------------------------------------------------------------------
+# pack_sft_spans
+# ---------------------------------------------------------------------------
+
+#: Packed sequence length (chars of rendered conversation stream).
+_PSFT_B = 2048
+_PSFT_SHARDS = 2
+
+# Template piece lengths — ONE Python source feeds both engines, so
+# the offset arithmetic cannot drift from the Y180 template.
+_L_SYS_HDR = len(_IMS + "system\n")
+_L_USER_HDR = len(_IMS + "user\n")
+_L_ASST_HDR = len(_IMS + "assistant\n")
+_L_END = len(_IME + "\n")
+_L_SYS = len(_SFT_SYS)
+_L_U1_CONST = len("Describe document ") + len(" in ") + len(".")
+_L_U2 = len(_SFT_U2)
+_L_A2P = len(_SFT_A2P)
+
+
+def _psft_oracle() -> str:
+    from whisper_pandas_spark.operators.sampling import duck_hash_bucket
+
+    B, S = _PSFT_B, _PSFT_SHARDS
+    s1 = (
+        f"{_L_SYS_HDR + _L_SYS + _L_END + _L_USER_HDR + _L_U1_CONST}"
+        f" + length(CAST(doc_id AS VARCHAR)) + length(lang)"
+        f" + {_L_END + _L_ASST_HDR}"
+    )
+    return f"""
+WITH lens AS (
+  SELECT doc_id, lang,
+    ({duck_hash_bucket("doc_id")} % {S}) AS shard,
+    {s1} AS s1,
+    length(text) AS l1,
+    ({s1}) + length(text)
+      + {_L_END + _L_USER_HDR + _L_U2 + _L_END + _L_ASST_HDR} AS s2,
+    {_L_A2P} + least(length(text), 40) AS l2
+  FROM documents WHERE text IS NOT NULL
+), docs_g AS (
+  SELECT *, s2 + l2 + {_L_END} AS total,
+    CAST(coalesce(sum(s2 + l2 + {_L_END}) OVER (
+      PARTITION BY lang, shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS g0
+  FROM lens
+), spans AS (
+  SELECT doc_id, lang, shard, 1 AS turn, g0 + s1 AS gs,
+    g0 + s1 + l1 AS ge FROM docs_g WHERE l1 > 0
+  UNION ALL
+  SELECT doc_id, lang, shard, 2, g0 + s2, g0 + s2 + l2 FROM docs_g
+), frags AS (
+  SELECT lang, shard, CAST(sq AS BIGINT) AS seq_id, doc_id, turn,
+    CAST(greatest(gs, sq * {B}) - sq * {B} AS BIGINT) AS frag_start,
+    CAST(least(ge, (sq + 1) * {B}) - sq * {B} AS BIGINT) AS frag_end
+  FROM spans, unnest(range(gs // {B}, (ge - 1) // {B} + 1)) AS t(sq)
+)
+SELECT lang, CAST(shard AS INT) AS shard, seq_id, doc_id, turn,
+  frag_start, frag_end
+FROM frags
+ORDER BY lang, shard, seq_id, doc_id, turn, frag_start
+"""
+
+
+@register("pack_sft_spans", oracle=_psft_oracle())
+def pack_sft_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y181: PACKED-SFT loss-mask clipping — the composition of
+    [[Y180]]'s spans with the packing stage: rendered conversations
+    concatenate per (lang, shard) stream (the pack_sequences window
+    cumsum), the stream chops into fixed {_PSFT_B}-char sequences,
+    and every assistant span CLIPS against sequence boundaries into
+    1+ (seq_id, frag_start, frag_end) fragments — the arithmetic real
+    packed SFT training needs (masks must never bleed across packed
+    sequence boundaries). All offsets derive from ONE Python constant
+    table + length(text)/length(lang) — pure integer interval
+    arithmetic, no rendered strings ever built, no search (the WARC
+    offset doctrine at its purest). Empty assistant spans (l=0) carry
+    no loss and are excluded, which also keeps the sequence() bounds
+    ascending. Conservation (fragment lengths sum to span length) is
+    pytest-pinned. Scale: one window cumsum per (lang, shard) + a
+    bounded explode (span_len/{_PSFT_B} + 1 fragments)."""
+    from whisper_pandas_spark.operators.sampling import hash_bucket
+
+    B, S = _PSFT_B, _PSFT_SHARDS
+    docs = _table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    s1 = (
+        F.lit(_L_SYS_HDR + _L_SYS + _L_END + _L_USER_HDR + _L_U1_CONST)
+        + F.length(F.col("doc_id").cast("string"))
+        + F.length("lang")
+        + F.lit(_L_END + _L_ASST_HDR)
+    )
+    lens = docs.select(
+        "doc_id",
+        "lang",
+        (hash_bucket(F.col("doc_id")) % S).alias("shard"),
+        s1.alias("s1"),
+        F.length("text").alias("l1"),
+        (
+            s1
+            + F.length("text")
+            + F.lit(_L_END + _L_USER_HDR + _L_U2 + _L_END + _L_ASST_HDR)
+        ).alias("s2"),
+        (F.lit(_L_A2P) + F.least(F.length("text"), F.lit(40))).alias(
+            "l2"
+        ),
+    ).withColumn("total", F.col("s2") + F.col("l2") + F.lit(_L_END))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    docs_g = lens.withColumn(
+        "g0", F.coalesce(F.sum("total").over(w), F.lit(0))
+    )
+    span1 = docs_g.filter(F.col("l1") > 0).select(
+        "doc_id",
+        "lang",
+        "shard",
+        F.lit(1).alias("turn"),
+        (F.col("g0") + F.col("s1")).alias("gs"),
+        (F.col("g0") + F.col("s1") + F.col("l1")).alias("ge"),
+    )
+    span2 = docs_g.select(
+        "doc_id",
+        "lang",
+        "shard",
+        F.lit(2).alias("turn"),
+        (F.col("g0") + F.col("s2")).alias("gs"),
+        (F.col("g0") + F.col("s2") + F.col("l2")).alias("ge"),
+    )
+    spans = span1.unionByName(span2)
+    frags = spans.select(
+        "lang",
+        F.col("shard").cast("int").alias("shard"),
+        F.explode(
+            F.sequence(
+                F.expr(f"gs div {B}"), F.expr(f"(ge - 1) div {B}")
+            )
+        ).alias("seq_id"),
+        "doc_id",
+        "turn",
+        "gs",
+        "ge",
+    ).select(
+        "lang",
+        "shard",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "doc_id",
+        "turn",
+        (
+            F.greatest(F.col("gs"), F.col("seq_id") * B)
+            - F.col("seq_id") * B
+        )
+        .cast("bigint")
+        .alias("frag_start"),
+        (
+            F.least(F.col("ge"), (F.col("seq_id") + 1) * B)
+            - F.col("seq_id") * B
+        )
+        .cast("bigint")
+        .alias("frag_end"),
+    )
+    return frags.orderBy(
+        "lang", "shard", "seq_id", "doc_id", "turn", "frag_start"
+    )
