@@ -665,3 +665,33 @@ def test_pack_sft_conservation_and_y180_consistency(spark):
     # every nonempty Y180 span appears
     nonempty = {k for k, v in spans.items() if v > 0}
     assert set(got) == nonempty
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment report
+# ---------------------------------------------------------------------------
+
+
+def test_ab_report_invariants(spark):
+    """Assignment partitions the users exactly; the scaled chi-square
+    matches the Python integer identity; a healthy 50/50 md5 split
+    never trips the SRM guardrail on the fixture."""
+    from whisper_pandas_spark.queries_round14b import (
+        _AB_SCALE,
+        ab_experiment_report,
+    )
+
+    rows = {r["variant"]: r for r in ab_experiment_report(spark, SF).collect()}
+    assert set(rows) == {"control", "treatment"}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    nc = rows["control"]["n_users"]
+    assert nc + rows["treatment"]["n_users"] == n_users
+    chi2 = (2 * nc - n_users) ** 2 * _AB_SCALE // n_users
+    for r in rows.values():
+        assert r["srm_chi2_x1e6"] == chi2
+        assert r["conv_ppm"] == (
+            r["n_converted"] * _AB_SCALE // r["n_users"]
+        )
+        assert 0 <= r["conv_ppm"] <= _AB_SCALE
+    assert rows["control"]["srm_flag"] == 0  # healthy md5 split

@@ -1631,3 +1631,132 @@ def pack_sft_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frags.orderBy(
         "lang", "shard", "seq_id", "doc_id", "turn", "frag_start"
     )
+
+
+# ---------------------------------------------------------------------------
+# ab_experiment_report
+# ---------------------------------------------------------------------------
+
+_AB_SEED = 42
+#: chi-square scale (statistic reported as floor(chi2 * 1e6)).
+_AB_SCALE = 1_000_000
+#: 3.841 * 1e6 — the 95% critical value for 1 df, in scaled units.
+_AB_CRIT = 3_841_000
+
+
+def _ab_oracle() -> str:
+    from whisper_pandas_spark.operators.sampling import duck_hash_bucket
+
+    return f"""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), assigned AS (
+  SELECT user_id,
+    CASE WHEN ({duck_hash_bucket("user_id", _AB_SEED)}) % 2 = 0
+         THEN 'control' ELSE 'treatment' END AS variant
+  FROM users
+), conv AS (
+  SELECT user_id,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), per_user AS (
+  SELECT a.variant, a.user_id,
+    CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS converted,
+    coalesce(c.rev_cents, 0) AS rev_cents
+  FROM assigned a LEFT JOIN conv c ON a.user_id = c.user_id
+), per_variant AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(converted) AS BIGINT) AS n_converted,
+    CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+  FROM per_user GROUP BY variant
+), tot AS (
+  SELECT CAST(sum(n_users) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN variant = 'control' THEN n_users ELSE 0 END)
+         AS BIGINT) AS nc
+  FROM per_variant
+)
+SELECT v.variant, v.n_users, v.n_converted,
+  CAST(v.n_converted * {_AB_SCALE} // v.n_users AS BIGINT) AS conv_ppm,
+  v.revenue_cents,
+  CAST((2 * t.nc - t.n) * (2 * t.nc - t.n) * {_AB_SCALE} // t.n
+       AS BIGINT) AS srm_chi2_x1e6,
+  CAST((2 * t.nc - t.n) * (2 * t.nc - t.n) * {_AB_SCALE} // t.n
+       >= {_AB_CRIT} AS INT) AS srm_flag
+FROM per_variant v CROSS JOIN tot t
+ORDER BY v.variant
+"""
+
+
+@register("ab_experiment_report", oracle=_ab_oracle())
+def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y182: experimentation analytics — the A/B family the registry
+    lacked (hash splits existed for train/test, but nothing computed
+    an EXPERIMENT READOUT): deterministic 50/50 user assignment via
+    the engine-portable md5 bucket, per-variant conversion and
+    revenue (exact cents), conversion rate in exact ppm (floor div),
+    and the sample-ratio-mismatch guardrail as an EXACT-INTEGER
+    chi-square — for two buckets chi2 = (2*n_c - N)^2 / N, reported
+    as floor(chi2 * 10^6) with the 1-df 95% critical value pinned as
+    a literal, so the srm_flag verdict is pure BIGINT arithmetic the
+    oracle replays (no float distribution code anywhere). Plan: one
+    distinct, one purchase aggregate, a broadcast-sized variant
+    census; nothing corpus-sized past the first aggregates."""
+    from whisper_pandas_spark.operators.sampling import hash_bucket
+
+    ev = _table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    assigned = users.select(
+        "user_id",
+        F.when(hash_bucket(F.col("user_id"), _AB_SEED) % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("variant"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    per_user = assigned.join(conv, "user_id", "left").select(
+        "variant",
+        F.when(F.col("rev_cents").isNull(), 0).otherwise(1).alias(
+            "converted"
+        ),
+        F.coalesce(F.col("rev_cents"), F.lit(0)).alias("rev_cents"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+    )
+    tot = per_variant.agg(
+        F.sum("n_users").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("variant") == "control", F.col("n_users")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("nc"),
+    )
+    chi2 = F.expr(
+        f"(2 * nc - n) * (2 * nc - n) * {_AB_SCALE} div n"
+    ).cast("bigint")
+    return (
+        per_variant.crossJoin(F.broadcast(tot))
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.expr(f"n_converted * {_AB_SCALE} div n_users")
+            .cast("bigint")
+            .alias("conv_ppm"),
+            "revenue_cents",
+            chi2.alias("srm_chi2_x1e6"),
+            (chi2 >= _AB_CRIT).cast("int").alias("srm_flag"),
+        )
+        .orderBy("variant")
+    )
