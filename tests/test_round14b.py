@@ -695,3 +695,31 @@ def test_ab_report_invariants(spark):
         )
         assert 0 <= r["conv_ppm"] <= _AB_SCALE
     assert rows["control"]["srm_flag"] == 0  # healthy md5 split
+
+
+# ---------------------------------------------------------------------------
+# politeness schedule
+# ---------------------------------------------------------------------------
+
+
+def test_politeness_delays_and_slots(spark):
+    """The specialbot poison delay (99 s) never binds; declared-delay
+    domains use k%7+1, the rest the default; slots are dense per
+    domain and fetch_at_s = slot * delay_s exactly."""
+    from whisper_pandas_spark.queries_round14b import (
+        _POL_DEFAULT_S,
+        crawl_politeness_schedule,
+    )
+
+    out = crawl_politeness_schedule(spark, SF).collect()
+    assert out
+    by_dom = {}
+    for r in out:
+        k = int(r["domain"].replace("site", "").split(".")[0])
+        expected = (k % 7 + 1) if k % 3 == 0 else _POL_DEFAULT_S
+        assert r["delay_s"] == expected, (r["domain"], r["delay_s"])
+        assert r["delay_s"] != 99
+        assert r["fetch_at_s"] == r["slot"] * r["delay_s"]
+        by_dom.setdefault(r["domain"], []).append(r["slot"])
+    for dom, slots in by_dom.items():
+        assert sorted(slots) == list(range(len(slots)))  # dense slots

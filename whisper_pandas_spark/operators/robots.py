@@ -141,3 +141,86 @@ def evaluate_urls(
             ).alias("rule"),
         )
     )
+
+
+def parse_crawl_delay(
+    robots: DataFrame, domain_col: str, text_col: str, default_s: int
+) -> DataFrame:
+    """Per-domain ``Crawl-delay`` (seconds) for the ``*`` group —
+    the de-facto extension directive Heritrix/Nutch honor. Returns
+    ``(domain, delay_s)`` with *default_s* where absent/invalid;
+    multiple declarations take the MAX (the conservative read)."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "domain",
+        "pos",
+        F.trim(F.element_at(F.split(F.col("raw"), "#"), 1)).alias("line"),
+    )
+    ua_val = F.when(
+        F.lower(F.col("line")).startswith("user-agent:"),
+        F.trim(F.expr("substr(line, 12)")),
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = lines.select(
+        "domain",
+        "line",
+        F.last(ua_val, ignorenulls=True).over(w).alias("ua"),
+    )
+    declared = (
+        tagged.filter(
+            F.lower(F.col("line")).startswith("crawl-delay:")
+            & (F.col("ua") == "*")
+        )
+        .select(
+            "domain",
+            F.expr("try_cast(trim(substr(line, 13)) AS BIGINT)").alias(
+                "d"
+            ),
+        )
+        .filter(F.col("d").isNotNull() & (F.col("d") >= 0))
+        .groupBy("domain")
+        .agg(F.max("d").alias("delay_s"))
+    )
+    doms = robots.select(F.col(domain_col).alias("domain")).distinct()
+    return doms.join(declared, "domain", "left").select(
+        "domain",
+        F.coalesce(F.col("delay_s"), F.lit(default_s))
+        .cast("bigint")
+        .alias("delay_s"),
+    )
+
+
+def politeness_schedule(
+    allowed_urls: DataFrame,
+    delays: DataFrame,
+    id_col: str,
+    domain_col: str,
+) -> DataFrame:
+    """Fetch plan per allowed URL: ``(id, domain, slot, fetch_at_s,
+    delay_s)`` — one fetch per delay window per domain, slots in a
+    deterministic (id) order, ``fetch_at_s = slot * delay_s`` seconds
+    after the domain's crawl start. One window per domain; the
+    per-domain makespan is (n-1)*delay by construction."""
+    w = Window.partitionBy(domain_col).orderBy(id_col)
+    return (
+        allowed_urls.join(F.broadcast(delays), domain_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(domain_col).alias("domain"),
+            (F.row_number().over(w) - 1).cast("bigint").alias("slot"),
+            "delay_s",
+        )
+        .select(
+            "id",
+            "domain",
+            "slot",
+            (F.col("slot") * F.col("delay_s")).alias("fetch_at_s"),
+            "delay_s",
+        )
+    )

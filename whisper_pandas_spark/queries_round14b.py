@@ -1760,3 +1760,187 @@ def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl_politeness_schedule
+# ---------------------------------------------------------------------------
+
+_POL_DEFAULT_S = 5
+
+_POL_ORACLE = f"""
+WITH urls AS (
+  SELECT doc_id,
+    'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS domain,
+    '/' || CASE doc_id % 5
+      WHEN 0 THEN 'private/file' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN 'private/pub/p' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'tmp/t' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'blog/post' || CAST(doc_id AS VARCHAR)
+      ELSE 'index.html' END AS path
+  FROM documents
+), doms AS (
+  SELECT DISTINCT doc_id % 20 AS k,
+    'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS domain
+  FROM documents
+), robots AS (
+  SELECT domain,
+    '# synthetic robots for site' || CAST(k AS VARCHAR) || chr(10)
+    || 'User-agent: specialbot' || chr(10)
+    || 'Disallow: /blog' || chr(10)
+    || 'Crawl-delay: 99' || chr(10) || chr(10)
+    || 'User-agent: *' || chr(10)
+    || CASE k % 4
+      WHEN 0 THEN 'Disallow: /private/' || chr(10)
+        || 'Allow: /private/pub/' || chr(10)
+      WHEN 1 THEN 'disallow: /tmp' || chr(10)
+      WHEN 2 THEN 'Disallow: /' || chr(10) || 'Allow: /blog' || chr(10)
+      ELSE 'Disallow:' || chr(10) END
+    || CASE k % 3
+      WHEN 0 THEN 'Crawl-delay: ' || CAST(k % 7 + 1 AS VARCHAR) || chr(10)
+      ELSE '' END AS rtext
+  FROM doms
+), lines0 AS (
+  SELECT domain, string_split(rtext, chr(10)) AS ls FROM robots
+), lines_ AS (
+  SELECT domain, CAST(i AS INT) AS pos,
+    trim(string_split(ls[CAST(i AS INT)], '#')[1]) AS line
+  FROM lines0, unnest(range(1, len(ls) + 1)) AS t(i)
+), tagged AS (
+  SELECT domain, pos, line,
+    last_value(CASE WHEN lower(line) LIKE 'user-agent:%'
+                    THEN trim(substr(line, 12)) END IGNORE NULLS)
+      OVER (PARTITION BY domain ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
+  FROM lines_
+), star_rules AS (
+  SELECT domain,
+    CASE WHEN lower(line) LIKE 'allow:%' THEN trim(substr(line, 7))
+         ELSE trim(substr(line, 10)) END AS prefix,
+    CASE WHEN lower(line) LIKE 'allow:%' THEN 1 ELSE 0 END AS is_allow
+  FROM tagged
+  WHERE (lower(line) LIKE 'allow:%' OR lower(line) LIKE 'disallow:%')
+    AND ua = '*'
+    AND (CASE WHEN lower(line) LIKE 'allow:%' THEN trim(substr(line, 7))
+              ELSE trim(substr(line, 10)) END) <> ''
+), joined AS (
+  SELECT u.doc_id AS id, u.domain, r.prefix, r.is_allow
+  FROM urls u LEFT JOIN star_rules r
+    ON u.domain = r.domain AND starts_with(u.path, r.prefix)
+), picked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY id
+      ORDER BY length(prefix) DESC, is_allow DESC, prefix) AS rn
+  FROM joined
+), allowed AS (
+  SELECT id, domain FROM picked
+  WHERE rn = 1 AND (prefix IS NULL OR is_allow = 1)
+), declared AS (
+  SELECT domain, max(try_cast(trim(substr(line, 13)) AS BIGINT)) AS d
+  FROM tagged
+  WHERE lower(line) LIKE 'crawl-delay:%' AND ua = '*'
+    AND try_cast(trim(substr(line, 13)) AS BIGINT) >= 0
+  GROUP BY domain
+), delays AS (
+  SELECT m.domain,
+    CAST(coalesce(d.d, {_POL_DEFAULT_S}) AS BIGINT) AS delay_s
+  FROM (SELECT domain FROM doms) m LEFT JOIN declared d USING (domain)
+), sched AS (
+  SELECT a.id, a.domain,
+    CAST(row_number() OVER (PARTITION BY a.domain ORDER BY a.id) - 1
+         AS BIGINT) AS slot,
+    dl.delay_s
+  FROM allowed a JOIN delays dl USING (domain)
+)
+SELECT id, domain, slot, slot * delay_s AS fetch_at_s, delay_s
+FROM sched ORDER BY id
+"""
+
+
+@register("crawl_politeness_schedule", oracle=_POL_ORACLE)
+def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y183: crawl politeness planning — [[Y176]]'s robots evaluation
+    composed with the de-facto Crawl-delay directive (Heritrix/Nutch
+    semantics) into a per-domain fetch schedule: ONLY robots-allowed
+    URLs get slots, one fetch per delay window per domain
+    (fetch_at_s = slot x delay_s, makespan (n-1)·delay by
+    construction). The fixture plants a POISON Crawl-delay: 99 inside
+    the specialbot group — if group tracking leaked, every domain
+    would schedule at 99 s; the '*' group declares its own delay for
+    a third of the domains (k%7+1 s), the rest fall back to the
+    {_POL_DEFAULT_S} s default; try_cast guards invalid values. The
+    whole chain — parse, evaluation, delay extraction, slotting — is
+    codegen + two windows; the oracle replays it end-to-end. Scale:
+    the schedule is ONE window per domain over the allowed frontier;
+    at web scale the frontier shards by domain hash exactly like the
+    blocking families."""
+    from whisper_pandas_spark.operators.robots import (
+        evaluate_urls,
+        parse_crawl_delay,
+        parse_robots,
+        politeness_schedule,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    nl = "\n"
+    urls = docs.select(
+        "doc_id",
+        F.expr(
+            "'site' || CAST(doc_id % 20 AS STRING) || '.example'"
+        ).alias("domain"),
+        F.expr(
+            "'/' || CASE doc_id % 5 "
+            "WHEN 0 THEN 'private/file' || CAST(doc_id AS STRING) "
+            "WHEN 1 THEN 'private/pub/p' || CAST(doc_id AS STRING) "
+            "WHEN 2 THEN 'tmp/t' || CAST(doc_id AS STRING) "
+            "WHEN 3 THEN 'blog/post' || CAST(doc_id AS STRING) "
+            "ELSE 'index.html' END"
+        ).alias("path"),
+    )
+    doms = docs.select(
+        (F.col("doc_id") % 20).alias("k"),
+        F.expr(
+            "'site' || CAST(doc_id % 20 AS STRING) || '.example'"
+        ).alias("domain"),
+    ).distinct()
+    robots = doms.select(
+        "domain",
+        F.concat(
+            F.lit("# synthetic robots for site"),
+            F.col("k").cast("string"),
+            F.lit(nl),
+            F.lit("User-agent: specialbot" + nl),
+            F.lit("Disallow: /blog" + nl),
+            F.lit("Crawl-delay: 99" + nl + nl),
+            F.lit("User-agent: *" + nl),
+            F.when(
+                F.col("k") % 4 == 0,
+                F.lit(
+                    "Disallow: /private/" + nl + "Allow: /private/pub/" + nl
+                ),
+            )
+            .when(F.col("k") % 4 == 1, F.lit("disallow: /tmp" + nl))
+            .when(
+                F.col("k") % 4 == 2,
+                F.lit("Disallow: /" + nl + "Allow: /blog" + nl),
+            )
+            .otherwise(F.lit("Disallow:" + nl)),
+            F.when(
+                F.col("k") % 3 == 0,
+                F.concat(
+                    F.lit("Crawl-delay: "),
+                    (F.col("k") % 7 + 1).cast("string"),
+                    F.lit(nl),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("rtext"),
+    )
+    rules = parse_robots(robots, "domain", "rtext")
+    verdicts = evaluate_urls(urls, rules, "doc_id", "domain", "path")
+    allowed = verdicts.filter(F.col("allowed") == 1).select(
+        F.col("id").alias("doc_id"), "domain"
+    )
+    delays = parse_crawl_delay(robots, "domain", "rtext", _POL_DEFAULT_S)
+    return politeness_schedule(allowed, delays, "doc_id", "domain").orderBy(
+        "id"
+    )
