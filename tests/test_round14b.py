@@ -723,3 +723,36 @@ def test_politeness_delays_and_slots(spark):
         by_dom.setdefault(r["domain"], []).append(r["slot"])
     for dom, slots in by_dom.items():
         assert sorted(slots) == list(range(len(slots)))  # dense slots
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors
+# ---------------------------------------------------------------------------
+
+
+def test_dv_no_rewrite_and_exact_survivors(spark, tmp_path):
+    """Deletes never touch base bytes; the read path removes exactly
+    the recorded positions; re-recording a wave is idempotent."""
+    from whisper_pandas_spark.operators.deletevec import (
+        add_deletes,
+        base_file_state,
+        read_with_dv,
+        write_base,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "dvtab")
+    write_base(docs, "doc_id", d, 3)
+    st0 = base_file_state(d)
+    data = spark.read.parquet(f"{d}/data")
+    n_all = data.count()
+    wave = data.filter(F.col("doc_id") % 5 == 0).select("file_id", "pos")
+    n_del = wave.count()
+    add_deletes(spark, d, wave, 0)
+    assert base_file_state(d) == st0  # no rewrite
+    survivors = read_with_dv(spark, d)
+    assert survivors.count() == n_all - n_del
+    assert survivors.filter(F.col("doc_id") % 5 == 0).count() == 0
+    # idempotent re-record
+    add_deletes(spark, d, wave, 0)
+    assert read_with_dv(spark, d).count() == n_all - n_del

@@ -1944,3 +1944,76 @@ def crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return politeness_schedule(allowed, delays, "doc_id", "domain").orderBy(
         "id"
     )
+
+
+# ---------------------------------------------------------------------------
+# merge_deletion_vectors
+# ---------------------------------------------------------------------------
+
+_DV_DIR: dict[str, str] = {}
+_DV_FILES = 4
+
+
+@register(
+    "merge_deletion_vectors",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM documents
+WHERE NOT (doc_id % 7 = 3 OR doc_id % 11 = 5)
+GROUP BY lang ORDER BY lang
+""",
+)
+def merge_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y184: merge-on-read deletion vectors (operators/deletevec.py)
+    — the OTHER lakehouse delete paradigm next to the CoW merge
+    family: two delete waves record (file_id, pos) coordinates in
+    small DV tables and the read path anti-joins them out; base data
+    files are NEVER rewritten, and the entry RAISES unless every base
+    parquet byte-size is identical after both waves (the no-rewrite
+    property IS the point of MoR — a silent rewrite turns the driver
+    row red). The oracle is the plain predicate on the source table:
+    the layout-family doctrine, deletes must be semantically
+    invisible to the survivors. DV state is deterministic
+    (id-derived positions, overwrite-idempotent versions), so
+    repeated runs land in identical state."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.deletevec import (
+        add_deletes,
+        base_file_state,
+        read_with_dv,
+        write_base,
+    )
+
+    key = sf_dir
+    if key not in _DV_DIR:
+        d = tempfile.mkdtemp(prefix="wps_dv_")
+        docs = _table(spark, sf_dir, "documents")
+        write_base(docs, "doc_id", d, _DV_FILES)
+        _DV_DIR[key] = d
+    d = _DV_DIR[key]
+    before = base_file_state(d)
+
+    data = spark.read.parquet(f"{d}/data")
+    wave1 = data.filter(F.col("doc_id") % 7 == 3).select("file_id", "pos")
+    wave2 = data.filter(F.col("doc_id") % 11 == 5).select("file_id", "pos")
+    add_deletes(spark, d, wave1, 0)
+    add_deletes(spark, d, wave2, 1)
+
+    after = base_file_state(d)
+    if before != after:
+        raise RuntimeError(
+            "deletion-vector contract broken: base data files changed"
+            " on delete (merge-on-read must defer rewrites to"
+            " compaction)"
+        )
+    return (
+        read_with_dv(spark, d)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )

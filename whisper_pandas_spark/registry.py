@@ -77,6 +77,13 @@ def reset_result_caches() -> None:
         for d, _n in q14._WARC_TREE.values():
             shutil.rmtree(d, ignore_errors=True)
         q14._WARC_TREE.clear()
+    q14b = mods.get("whisper_pandas_spark.queries_round14b")
+    if q14b is not None:
+        import shutil
+
+        for d in q14b._DV_DIR.values():
+            shutil.rmtree(d, ignore_errors=True)
+        q14b._DV_DIR.clear()
 
 
 # Record-derived ordering (used by _reorder below, and by
