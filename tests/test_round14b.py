@@ -756,3 +756,40 @@ def test_dv_no_rewrite_and_exact_survivors(spark, tmp_path):
     # idempotent re-record
     add_deletes(spark, d, wave, 0)
     assert read_with_dv(spark, d).count() == n_all - n_del
+
+
+def test_dv_compaction_lifecycle(spark, tmp_path):
+    """Compaction folds DVs in: survivors unchanged, only
+    delete-carrying files rewritten, DV state cleared, second
+    compaction a no-op."""
+    from whisper_pandas_spark.operators.deletevec import (
+        add_deletes,
+        base_file_state,
+        compact_dv,
+        read_with_dv,
+        write_base,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d = str(tmp_path / "dvc")
+    write_base(docs, "doc_id", d, 4)
+    data = spark.read.parquet(f"{d}/data")
+    wave = data.filter(
+        (F.col("doc_id") % 9 == 1) & (F.col("doc_id") % 4 == 0)
+    ).select("file_id", "pos")
+    add_deletes(spark, d, wave, 0)
+    survivors_before = sorted(
+        r["doc_id"] for r in read_with_dv(spark, d).select("doc_id").collect()
+    )
+    st_before = base_file_state(d)
+    counts = compact_dv(spark, d)
+    assert counts == {"rewritten": 1, "untouched": 3}
+    st_after = base_file_state(d)
+    for f, sz in st_after.items():
+        if not f.startswith("file_id=0/"):
+            assert st_before.get(f) == sz, f
+    survivors_after = sorted(
+        r["doc_id"] for r in read_with_dv(spark, d).select("doc_id").collect()
+    )
+    assert survivors_after == survivors_before
+    assert compact_dv(spark, d) == {"rewritten": 0, "untouched": 4}

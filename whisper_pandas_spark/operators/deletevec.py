@@ -67,3 +67,44 @@ def read_with_dv(spark: SparkSession, base: str) -> DataFrame:
         return data
     dv = spark.read.parquet(*[f"{base}/dv/{v}" for v in versions]).distinct()
     return data.join(dv, ["file_id", "pos"], "left_anti")
+
+
+def compact_dv(spark: SparkSession, base: str) -> dict[str, int]:
+    """Fold every recorded DV into the base: rewrite ONLY the files
+    that carry deletes (file-granular, the CoW partitioned-manifest
+    bound), leave untouched files byte-identical, then clear the DV
+    state. Returns {"rewritten": n, "untouched": m} so callers can
+    assert the rewrite bound."""
+    import shutil
+
+    dv_root = Path(base) / "dv"
+    versions = (
+        sorted(p.name for p in dv_root.iterdir()) if dv_root.exists() else []
+    )
+    if not versions:
+        return {"rewritten": 0, "untouched": len(base_file_state(base))}
+    dv = spark.read.parquet(
+        *[f"{base}/dv/{v}" for v in versions]
+    ).distinct()
+    touched = [
+        int(r["file_id"])
+        for r in dv.select("file_id").distinct().collect()
+    ]  # bounded: one row per base file
+    data_root = Path(base) / "data"
+    all_files = sorted(
+        int(p.name.split("=")[1]) for p in data_root.glob("file_id=*")
+    )
+    for fid in touched:
+        part = spark.read.parquet(f"{base}/data/file_id={fid}")
+        dv_f = dv.filter(F.col("file_id") == fid).select("pos")
+        kept = part.join(dv_f, "pos", "left_anti")
+        tmp = f"{base}/compact_tmp/file_id={fid}"
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(data_root / f"file_id={fid}")
+        shutil.move(tmp, data_root / f"file_id={fid}")
+    shutil.rmtree(dv_root)
+    shutil.rmtree(Path(base) / "compact_tmp", ignore_errors=True)
+    return {
+        "rewritten": len(touched),
+        "untouched": len(all_files) - len(touched),
+    }

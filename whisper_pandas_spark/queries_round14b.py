@@ -2017,3 +2017,86 @@ def merge_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# merge_dv_compaction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_dv_compaction",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+  CAST(2 AS BIGINT) AS files_rewritten,
+  CAST(2 AS BIGINT) AS files_untouched
+FROM documents
+WHERE NOT (doc_id % 7 = 3 AND doc_id % 4 IN (0, 2))
+GROUP BY lang ORDER BY lang
+""",
+)
+def merge_dv_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y185: DV compaction — the deferred half of the merge-on-read
+    lifecycle ([[Y184]] defers rewrites; this entry performs them):
+    fold the recorded deletion vectors into the base by rewriting
+    ONLY the files that carry deletes (file-granular — the CoW
+    partitioned-manifest rewrite bound), leave the rest byte-
+    identical, and clear the DV state. The delete wave targets half
+    the files (doc_id%4 in (0,2)), so the entry RAISES unless exactly
+    2 of 4 files were rewritten AND the 2 untouched files' bytes are
+    identical — both halves of the compaction contract driver-checked.
+    Survivors after compaction must equal the DV read before it (the
+    oracle's plain predicate). Idempotent: a re-run finds no deleted
+    rows to re-record and rewrites nothing."""
+    import tempfile
+
+    from whisper_pandas_spark.operators.deletevec import (
+        add_deletes,
+        base_file_state,
+        compact_dv,
+        read_with_dv,
+        write_base,
+    )
+
+    d = tempfile.mkdtemp(prefix="wps_dvc_")
+    docs = _table(spark, sf_dir, "documents")
+    write_base(docs, "doc_id", d, _DV_FILES)
+    data = spark.read.parquet(f"{d}/data")
+    wave = data.filter(
+        (F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 4).isin(0, 2)
+    ).select("file_id", "pos")
+    add_deletes(spark, d, wave, 0)
+    before = base_file_state(d)
+    counts = compact_dv(spark, d)
+    after = base_file_state(d)
+    if counts != {"rewritten": 2, "untouched": 2}:
+        raise RuntimeError(
+            f"compaction rewrite bound broken: {counts} (expected"
+            " exactly the 2 delete-carrying files rewritten)"
+        )
+    for f, sz in after.items():
+        if f.startswith(("file_id=1/", "file_id=3/")) and before.get(f) != sz:
+            raise RuntimeError(
+                f"untouched file changed during compaction: {f}"
+            )
+    return (
+        read_with_dv(spark, d)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "chars_total",
+            F.lit(counts["rewritten"]).cast("bigint").alias(
+                "files_rewritten"
+            ),
+            F.lit(counts["untouched"]).cast("bigint").alias(
+                "files_untouched"
+            ),
+        )
+        .orderBy("lang")
+    )
