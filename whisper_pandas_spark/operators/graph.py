@@ -190,14 +190,17 @@ def label_propagation(
     run (and therefore a SQL replay of it) bit-reproducible, where the
     textbook random tie-break is not. Isolated nodes keep their label.
 
-    Scale shape: per round, one join of the undirected edge list with
-    the label table (both keyed on node — bucket both on node id and
-    the rounds run exchange-free), one (node, label) partial-agg count,
-    and ONE per-node aggregate for the pick: ``min_by(label,
-    struct(-c, label))`` expresses "max count, ties to smallest label"
-    as a single partial-aggregable min — no window pass, one fewer
-    exchange and one fewer stage per round than the window-max
-    formulation. Labels checkpoint per round
+    Scale shape: the symmetrized edge list is hash-partitioned on the
+    neighbor key ONCE (repartition(b) + persist — the cached plan keeps
+    that HashPartitioning), so every round's edge-label join reuses it
+    and only the node-sized label table moves; the pick is the two-level
+    codegen aggregate — (node, label) partial count, then ``min_by(label,
+    struct(-c, label))`` — both whole-stage-codegen HashAggregates with
+    map-side partial aggregation. (``mode(label, deterministic=true)``
+    would fuse them into one exchange, but it is a TypedImperativeAggregate
+    whose ObjectHashAggregate falls back to sort-based aggregation past
+    128 groups per partition — measured 4-10x slower and wildly unstable
+    on a 200k-node graph, round 14.) Labels checkpoint per round
     (localCheckpoint — `checkpoint()` on a real cluster) so plan depth
     is constant in `iters`, the same discipline as pagerank/kmeans
     above. Synchronous LPA on bipartite-ish structures can oscillate —
@@ -215,25 +218,39 @@ def label_propagation(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    both = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint(eager=True)
-    nodes = both.select(F.col("a").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
-        eager=True
+    shp = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    for _ in range(iters):
-        cnt = (
-            both.join(
+    # persist (not localCheckpoint): rounds 2..n re-read the cache, and
+    # the 2|E| blocks are freed before returning instead of leaking in
+    # the block manager until the ContextCleaner runs (bfs_distances
+    # discipline); round 1 materializes it lazily inside its own job.
+    both = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .repartition(shp, "b")
+        .persist()
+    )
+    labels: DataFrame | None = None
+    for i in range(iters):
+        if labels is None:
+            # first round: every neighbor's label IS its node id, so the
+            # join against the identity label table is the identity —
+            # skip both the initial label-table build (a distinct +
+            # checkpoint) and the first join outright.
+            nbr = both.select("a", F.col("b").alias("label"))
+        else:
+            nbr = both.join(
                 labels.select(F.col("node").alias("b"), "label"), "b"
-            )
-            .groupBy(F.col("a").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
+            ).select("a", "label")
+        # argmax-count / min-label-on-tie: (node, label) partial count
+        # (duplicate neighbor labels combine map-side), then min_by over
+        # the reduced count table — minimizing (-c, label) maximizes c
+        # with ties to the smallest label. Both stages are codegen
+        # HashAggregates; the second exchange moves only the count table.
+        cnt = nbr.groupBy(F.col("a").alias("node"), "label").agg(
+            F.count(F.lit(1)).alias("c")
         )
-        # argmax-count / min-label-on-tie as one mergeable aggregate:
-        # minimizing (-c, label) maximizes c, then takes the smallest
-        # label among the tied counts — identical pick to the former
-        # window-max + filter + min, one exchange cheaper.
         pick = cnt.groupBy("node").agg(
             F.min_by("label", F.struct(-F.col("c"), F.col("label"))).alias(
                 "label"
@@ -241,9 +258,14 @@ def label_propagation(
         )
         # pick covers EVERY node by construction: nodes derive from the
         # edge endpoints, so each has >= 1 neighbor and therefore >= 1
-        # cnt row — the old labels-left-join-coalesce was a per-round
-        # no-op (one join + exchange per iteration saved, round 13)
+        # neighbor-label row — no per-round left-join-coalesce needed.
         labels = pick.localCheckpoint(eager=True)
+    if labels is None:  # iters == 0: every node keeps its own label
+        nodes = both.select(F.col("a").alias("node")).distinct()
+        return nodes.select("node", F.col("node").alias("label"))
+    # the final labels are checkpoint-materialized (lineage cut), so the
+    # edge cache can be released before the caller ever runs an action
+    both.unpersist()
     return labels
 
 
@@ -273,13 +295,18 @@ def bfs_distances(
     identical relaxation and hash-match bit-for-bit.
 
     Scale: per round ONE shuffle — the neighbor expansion keyed on the
-    join key — plus a node-keyed min-aggregate that partial-aggregates
-    map-side (hot hubs combine before the exchange). The distance table
-    is node-sized; the edge list is scanned once per round and never
-    re-keyed, so bucketing edges by ``src`` makes the frontier join
-    exchange-free on a real cluster. Rounds end in an eager
-    ``localCheckpoint`` (``checkpoint()`` on a cluster) so the plan
-    stays constant in ``max_hops`` instead of compounding.
+    join key (node-sized frontier broadcast when stats allow, verified
+    in the sf plans) — plus a node-keyed min-aggregate that partial-
+    aggregates map-side (hot hubs combine before the exchange). The
+    distance table is node-sized; the edge list is scanned once per
+    round and never re-keyed, so bucketing edges by ``src`` makes the
+    frontier join exchange-free on a real cluster. ONLY the frontier
+    checkpoints per round (eager ``localCheckpoint``; ``checkpoint()``
+    on a cluster): the hop levels are disjoint by construction, so the
+    final distance table is assembled as one union of the checkpointed
+    frontiers instead of re-materializing a growing copy of the whole
+    table every round (round 14 — halves the checkpoint jobs, and the
+    anti-join reads the same checkpointed blocks).
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
@@ -291,12 +318,13 @@ def bfs_distances(
         .distinct()
         .persist()
     )
-    dist = sources.select(
+    frontier = sources.select(
         F.col(node).cast("long").alias("node")
     ).distinct().withColumn("dist", F.lit(0).cast("int"))
     if checkpoint:
-        dist = dist.localCheckpoint(eager=True)
-    frontier = dist
+        frontier = frontier.localCheckpoint(eager=True)
+    frontiers = [frontier]
+    seen = frontier.select("node")
     for _ in range(max_hops):
         reached = (
             e.join(
@@ -305,15 +333,15 @@ def bfs_distances(
             .groupBy(F.col("dst").alias("node"))
             .agg((F.min("dist") + F.lit(1)).cast("int").alias("dist"))
         )
-        frontier = reached.join(
-            dist.select("node"), "node", "left_anti"
-        )
+        frontier = reached.join(seen, "node", "left_anti")
         if checkpoint:
             frontier = frontier.localCheckpoint(eager=True)
-        dist = dist.unionByName(frontier)
-        if checkpoint:
-            dist = dist.localCheckpoint(eager=True)
+        frontiers.append(frontier)
+        seen = seen.unionByName(frontier.select("node"))
     e.unpersist()
+    dist = frontiers[0]
+    for f in frontiers[1:]:
+        dist = dist.unionByName(f)
     return dist
 
 

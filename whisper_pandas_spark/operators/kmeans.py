@@ -206,10 +206,14 @@ def kmeans_int8(
     k: int = 8,
     iters: int = 2,
     codes_df: DataFrame | None = None,
+    keep_codes: bool = False,
 ) -> DataFrame:
     """Lloyd's iterations over int8 codes; returns the final assignment
     ``(id, cluster, dist)`` (dist = exact integer squared L2 in code
-    space).
+    space) — plus the ``q`` code column when ``keep_codes`` is set
+    (callers that need codes alongside the assignment, e.g. SemDeDup's
+    pairwise stage, read them straight off the final assign pass
+    instead of paying a join back to the code table).
 
     Init: the codes of the k smallest ids (deterministic, replayable —
     k-means++ would drag float randomness into the parity contract).
@@ -267,7 +271,10 @@ def kmeans_int8(
             new[r["cluster"]][r["dim"]] = r["comp"]
         centroids = new
 
-    return _assign(codes, centroids).select(id_col, "cluster", "dist")
+    final = _assign(codes, centroids)
+    if keep_codes:
+        return final.select(id_col, "q", "cluster", "dist")
+    return final.select(id_col, "cluster", "dist")
 
 
 def kmeans_summary(assigned: DataFrame, id_col: str) -> DataFrame:

@@ -94,10 +94,16 @@ def semdedup(
     codes = _spread(int8_codes(df, id_col, vec_col)).localCheckpoint(
         eager=True
     )
+    # keep_codes: the final assign pass already reads every code, so
+    # the q column rides along for free — the former
+    # assigned-join-codes (a full id-keyed shuffle of BOTH sides) is
+    # gone and the only exchange left before the cell stage is the
+    # cluster-keyed one applyInPandas needs anyway (round 14).
     assigned = kmeans_int8(
-        df, id_col, vec_col, k=k, iters=iters, codes_df=codes
+        df, id_col, vec_col, k=k, iters=iters, codes_df=codes,
+        keep_codes=True,
     )
-    cells = assigned.select(id_col, "cluster").join(codes, id_col)
+    cells = assigned.select(id_col, "cluster", "q")
 
     id_name = id_col
 

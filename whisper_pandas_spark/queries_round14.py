@@ -318,10 +318,10 @@ def _doremi_losses(spark: SparkSession, sf_dir: str):
         logreg_train,
     )
     from whisper_pandas_spark.operators.doremi import LOSS_SCALE
+    from whisper_pandas_spark.stage import stage_materialize
 
     docs = _table(spark, sf_dir, "documents")
     feats = docs.select(
-        "doc_id",
         "source",
         (F.col("n_chars") / F.lit(400.0)).alias("x0"),
         (
@@ -332,6 +332,12 @@ def _doremi_losses(spark: SparkSession, sf_dir: str):
         .otherwise(F.lit(0.0))
         .alias("y"),
     )
+    # The trainer scans its input once per iteration (6x), plus a count
+    # and the loss pass — materialize the NARROW numeric frame once so
+    # the string-heavy projection (length/replace over full text) runs
+    # one scan, not eight (guide §1.2: don't recompute what a pass can
+    # compute once; doc_id/text dropped — project before materializing).
+    feats = stage_materialize(feats)
     w = logreg_train(feats, ["x0", "x1"], "y", iters=_DOREMI_CLF_ITERS, lr=1.0)
     scored = logreg_score(feats, w, ["x0", "x1"])
     err = F.col("prob") - F.col("y")
