@@ -156,9 +156,16 @@ def kn_score_from_counts(
         F.count(F.lit(1)).alias("n_bigram_types")
     )
 
-    scored = (
-        tri.join(c123, ["w1", "w2", "w3"])
-        .join(ctx12, ["w1", "w2"])
+    # P(w3|w1,w2) is a function of the trigram TYPE alone, so the whole
+    # probability assembles on the VOCAB-bounded c123 table — the five
+    # count-table joins run type-sized, and the corpus-sized stream
+    # pays exactly ONE join against the finished (type -> ln p) table
+    # (round 14, guide §2.3/§2.4: join the big side once, on the
+    # smallest possible build table; arithmetic unchanged expression-
+    # for-expression, so every lp bit matches the former five-join
+    # formulation).
+    typ = (
+        c123.join(ctx12, ["w1", "w2"])
         .join(n1p_dot23, ["w2", "w3"])
         .join(mid, ["w2"])
         .join(cont, ["w3"])
@@ -183,12 +190,14 @@ def kn_score_from_counts(
         / F.col("c12").cast("double")
         * p2
     )
+    typ_lp = typ.select("w1", "w2", "w3", F.log(p3).alias("lp"))
+    scored = tri.join(typ_lp, ["w1", "w2", "w3"])
     # per-doc reduction: ORDER-PINNED fold over (pos, ln p) — a plain
     # sum() of doubles is partial-agg-order-dependent and would flip
     # last-ulp bits between engines/partitionings (the repo-wide
     # bit-parity rule; decontam_semantic precedent)
     return (
-        scored.select(F.col(id_col), F.col("pos"), F.log(p3).alias("lp"))
+        scored.select(F.col(id_col), F.col("pos"), F.col("lp"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),

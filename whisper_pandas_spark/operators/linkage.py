@@ -177,9 +177,11 @@ def er_records(customer: DataFrame) -> DataFrame:
 
 
 def er_candidates(records: DataFrame) -> DataFrame:
-    """Blocked clean x dirty candidate pairs, both passes unioned and
-    de-duplicated: ``(c_id, d_id)`` plus the linkage fields of each
-    side. Equi-joins only — block keys bound the fan-out."""
+    """Blocked clean x dirty candidate pairs, both passes unioned:
+    ``(c_id, d_id)`` plus the linkage fields of each side (pairs hit
+    by both blocks appear twice — er_score_pairs dedups after scoring,
+    on narrow columns). Equi-joins only — block keys bound the
+    fan-out."""
     clean = records.filter(F.col("src") == "clean").select(
         F.col("rec_id").alias("c_id"),
         F.col("nation").alias("c_nation"),
@@ -215,8 +217,14 @@ def er_candidates(records: DataFrame) -> DataFrame:
             == F.substring(F.col("d_phone"), 7, 3)
         ),
     )
+    # NOTE: a pair matching BOTH block passes appears twice here; the
+    # dedup happens AFTER scoring (er_score_pairs) where the exchange
+    # carries five narrow columns instead of both sides' full linkage
+    # fields (guide §2.3: shuffle fewer bytes — round 14). Scoring is
+    # deterministic in the pair fields, so the duplicate rows collapse
+    # to identical scored rows and the result set is unchanged.
     cols = pass_a.columns
-    return pass_a.select(*cols).unionByName(pass_b.select(*cols)).distinct()
+    return pass_a.select(*cols).unionByName(pass_b.select(*cols))
 
 
 def er_score_pairs(cands: DataFrame) -> DataFrame:
@@ -251,7 +259,7 @@ def er_score_pairs(cands: DataFrame) -> DataFrame:
         (F.col("d_id") - DIRTY_OFFSET == F.col("c_id"))
         .cast("int")
         .alias("is_true"),
-    )
+    ).distinct()
 
 
 def er_golden_records(records: DataFrame, scored: DataFrame) -> DataFrame:

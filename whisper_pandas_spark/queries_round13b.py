@@ -590,9 +590,13 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = token_entropy(red, "doc_id", "clean_text").select(
         "doc_id", "n_tokens", "entropy"
     )
-    gate = red.select("doc_id", "lang", "clean_text", "pii_found").join(
-        ent, "doc_id", "left"
-    )
+    # clean_text is only ever consumed as its md5 past this point (the
+    # dedup key) — hash it HERE so the gate checkpoint and the dedup
+    # window exchange carry a 32-char digest instead of full document
+    # text (guide §2.3: shuffle keys, not payloads; round 14).
+    gate = red.select(
+        "doc_id", "lang", F.md5("clean_text").alias("tkey"), "pii_found"
+    ).join(ent, "doc_id", "left")
     gate = gate.withColumn(
         "entropy_ok",
         F.coalesce(
@@ -602,9 +606,10 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     gate = stage_materialize(gate)
-    w = Window.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+    w = Window.partitionBy("tkey").orderBy("doc_id")
     ded = (
         gate.filter("entropy_ok")
+        .select("doc_id", "tkey")
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", (F.col("rn") == 1).alias("is_canonical"))
     )
