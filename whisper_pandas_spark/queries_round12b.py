@@ -1001,7 +1001,6 @@ def _web_funnel(spark: SparkSession, sf_dir: str, mangler=None) -> DataFrame:
         c4_line_filter,
         html_extract,
     )
-    from whisper_pandas_spark.operators.sampling import per_group_quota
     from whisper_pandas_spark.operators.urlkey import url_key_df
 
     docs = _table(spark, sf_dir, "documents")
@@ -1054,35 +1053,62 @@ def _web_funnel(spark: SparkSession, sf_dir: str, mangler=None) -> DataFrame:
         "doc_id", "reg_domain", F.col("doc_kept").alias("c4_kept"),
         F.col("clean_text").alias("clean2"),
     ).localCheckpoint(eager=True)
-    d1 = base.filter("c4_kept").select("doc_id", "reg_domain", "clean2")
+    # One fused pass instead of four aggregation consumers + three
+    # left joins (round 14, guide §2.4): every stage verdict becomes a
+    # per-row FLAG computed by the same two windows the staged form
+    # already paid —
+    #   canonical: min kept doc_id per content digest (min over a CASE
+    #     ignores the non-kept rows, so the dedup group is identical to
+    #     the old filter-then-window on d1);
+    #   kept: running count of canonical rows per domain in doc_id
+    #     order == per_group_quota's row_number among canonicals;
+    # then ONE groupBy(reg_domain) with conditional aggregates reuses
+    # the domain window's partitioning (no extra exchange). The funnel
+    # checkpoint is scanned once, not four times, and the three
+    # count-table joins vanish. Flag semantics are pinned bit-exact by
+    # the shared oracle (pipeline_web_end_to_end AND pipeline_web_
+    # mojibake hash-match it).
     w = Window.partitionBy(F.md5(F.encode("clean2", "utf-8")))
-    d2 = (
-        d1.withColumn("__keep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("__keep"))
-        .drop("__keep")
+    wq = (
+        Window.partitionBy("reg_domain")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d3 = per_group_quota(d2, "reg_domain", "doc_id", _WEB_QUOTA)
-
-    raw_agg = base.groupBy("reg_domain").agg(F.count(F.lit(1)).alias("n_raw"))
-    c4_agg = d1.groupBy("reg_domain").agg(F.count(F.lit(1)).alias("n_c4"))
-    dd_agg = d2.groupBy("reg_domain").agg(F.count(F.lit(1)).alias("n_dedup"))
-    q_agg = d3.groupBy("reg_domain").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("doc_id").alias("sum_kept_ids"),
-        F.sum(F.length("clean2")).alias("kept_chars"),
+    kept_doc = F.when(F.col("c4_kept"), F.col("doc_id"))
+    flagged = base.withColumn(
+        "canonical",
+        F.col("c4_kept") & (F.col("doc_id") == F.min(kept_doc).over(w)),
+    ).withColumn(
+        "kept",
+        F.col("canonical")
+        & (
+            F.count(F.when(F.col("canonical"), F.lit(1))).over(wq)
+            <= _WEB_QUOTA
+        ),
     )
     out = (
-        raw_agg.join(c4_agg, "reg_domain", "left")
-        .join(dd_agg, "reg_domain", "left")
-        .join(q_agg, "reg_domain", "left")
-        .select(
-            "reg_domain",
-            "n_raw",
-            F.coalesce("n_c4", F.lit(0)).cast("bigint").alias("n_c4"),
-            F.coalesce("n_dedup", F.lit(0)).cast("bigint").alias("n_dedup"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("sum_kept_ids", F.lit(0)).cast("bigint").alias("sum_kept_ids"),
-            F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+        flagged.groupBy("reg_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count(F.when(F.col("c4_kept"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_c4"),
+            F.count(F.when(F.col("canonical"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_dedup"),
+            F.count(F.when(F.col("kept"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("doc_id"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("sum_kept_ids"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.length("clean2"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
         )
         .orderBy("reg_domain")
     )
