@@ -210,14 +210,9 @@ def label_propagation(
     Returns (node, label) — nodes sharing a label after `iters` rounds
     are one community.
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    und = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).where(F.col("u") != F.col("v"))
     shp = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -225,10 +220,20 @@ def label_propagation(
     # the 2|E| blocks are freed before returning instead of leaking in
     # the block manager until the ContextCleaner runs (bfs_distances
     # discipline); round 1 materializes it lazily inside its own job.
+    # ONE edge-sized exchange: the raw directed union repartitions on
+    # the join key b, and the dedup runs ON that layout —
+    # HashPartitioning(b) satisfies ClusteredDistribution(a, b) (b is a
+    # subset of the grouping keys), so dropDuplicates adds no second
+    # exchange where the former distinct-then-repartition paid two
+    # (round 14, guide §2.4: two operations keyed compatibly share one
+    # exchange). The symmetrized-set result is identical: dup (u,v)
+    # pairs from multiple co-occurrences collapse after the union
+    # instead of before it.
     both = (
         und.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .repartition(shp, "b")
+        .dropDuplicates(["a", "b"])
         .persist()
     )
     labels: DataFrame | None = None
