@@ -671,10 +671,14 @@ def test_round12b_plan_shapes(spark):
         assert exchanges(plan) <= 1, (name, plan)
         assert "BatchEvalPython" not in plan, name
 
+    # round-14: winnowing is per-document local, so the query path is
+    # the Arrow deque pass — no corpus (doc, pos) window exchange; the
+    # only exchanges are the _spread repartition and the final sort
     plan = formatted_plan(QUERIES["text_winnow_fingerprints"](spark, sf))
-    assert exchanges(plan) == 2, plan
+    assert exchanges(plan) <= 2, plan
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" not in plan  # lead()-window grams, not Arrow
+    assert "MapInPandas" in plan  # the Arrow winnow pass
+    assert "Window" not in plan  # the corpus-wide window form is gone
 
     plan = formatted_plan(QUERIES["sketch_hll_rollup"](spark, sf))
     assert "partial_max" in plan or "partial" in plan
@@ -685,9 +689,15 @@ def test_round12b_plan_shapes(spark):
     assert exchanges(plan) <= 12, exchanges(plan)
     assert plan.count("Scan ExistingRDD") >= 2  # materialized tri + c123
 
+    # round-14 fused funnel: the quota stage's row_number is consumed as
+    # a per-row FLAG inside one conditional aggregate (no rank filter,
+    # so no WindowGroupLimit can apply), the three stage-count left
+    # joins are gone, and the checkpoint is scanned once — pin the
+    # fused shape instead of the old staged one
     plan = formatted_plan(QUERIES["pipeline_web_end_to_end"](spark, sf))
-    assert exchanges(plan) <= 9, exchanges(plan)
-    assert "WindowGroupLimit" in plan
+    assert exchanges(plan) <= 6, exchanges(plan)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") >= 2  # dedup keeper + quota rank windows
 
 
 def test_round12b_arrow_stages_are_mapinpandas(spark):

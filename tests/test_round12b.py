@@ -230,6 +230,40 @@ def test_winnow_matches_bruteforce(spark):
         assert got.get(d, set()) == _winnow_brute(toks, 4, 5), (d, toks)
 
 
+def test_winnow_arrow_matches_window_form(spark):
+    """The round-14 Arrow query path (monotonic-deque rightmost-min,
+    memoized md5) returns EXACTLY the window form's rows — same
+    adversarial fixture as the bruteforce pin, plus tie-heavy repeats,
+    short docs, and an empty-token doc."""
+    import random
+
+    from whisper_pandas_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_fingerprints_arrow,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> many hash ties
+    docs = [
+        (d, [rng.choice(vocab) for _ in range(rng.randint(0, 40))])
+        for d in range(40)
+    ] + [(100, []), (101, ["a"] * 25), (102, ["a", "b", "c", "d", "e"])]
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    for k, w in ((4, 5), (1, 1), (2, 7)):
+        a = sorted(
+            map(tuple, winnow_fingerprints(df, "doc_id", "toks", k=k, w=w).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                winnow_fingerprints_arrow(
+                    df, "doc_id", "toks", k=k, w=w
+                ).collect(),
+            )
+        )
+        assert a == b, (k, w)
+
+
 def test_winnow_shared_substring_guarantee(spark):
     """The paper's guarantee: any shared token run of length >= w+k-1
     yields at least one shared fingerprint."""

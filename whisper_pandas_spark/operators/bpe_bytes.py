@@ -167,16 +167,17 @@ def bpe_bytes_counts(
     """
     import pandas as pd
 
-    words = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))
-            ).alias("word"),
-        )
+    # explode_outer: a pre-token-less document (NULL/empty text) keeps
+    # ONE carrier row with a NULL word, so the zero-count backfill
+    # happens inside the per-doc aggregate and the corpus-sized
+    # distinct-ids left join (a third scan + join) disappears
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))
+        ).alias("word"),
     )
-    uniq = words.select("word").distinct()
+    uniq = words.where(F.col("word").isNotNull()).select("word").distinct()
 
     def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -193,22 +194,16 @@ def bpe_bytes_counts(
             )
 
     lengths = uniq.mapInPandas(enc, "word string, nb long, nt long")
-    per_doc = (
-        words.join(lengths, "word")
+    # left join: only the carrier rows miss; count("word")/coalesced
+    # sums turn them into the old backfill zeros
+    return (
+        words.join(lengths, "word", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_pretokens"),
-            F.sum("nb").alias("n_bytes"),
-            F.sum("nt").alias("n_tokens"),
+            F.count("word").cast("bigint").alias("n_pretokens"),
+            F.coalesce(F.sum("nb"), F.lit(0)).cast("bigint").alias("n_bytes"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias("n_tokens"),
         )
-    )
-    all_docs = df.select(F.col(id_col).alias("doc_id")).distinct()
-    return all_docs.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        *[
-            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
-            for c in ("n_pretokens", "n_bytes", "n_tokens")
-        ],
     )
 
 
@@ -247,16 +242,15 @@ def bpe_bytes_encode_ids(
     import pandas as pd
 
     vocab = bpe_bytes_vocab(merges)
-    words = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(
-                F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))
-            ).alias("pos", "word"),
-        )
+    # posexplode_outer carrier rows replace the distinct-ids backfill
+    # join, exactly as in bpe_bytes_counts above
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))
+        ).alias("pos", "word"),
     )
-    uniq = words.select("word").distinct()
+    uniq = words.where(F.col("word").isNotNull()).select("word").distinct()
 
     def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -270,25 +264,28 @@ def bpe_bytes_encode_ids(
 
     encoded = uniq.mapInPandas(enc, "word string, wid string")
     assembled = (
-        words.join(encoded, "word")
+        words.join(encoded, "word", "left")
         .groupBy("doc_id")
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "wid"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("word").isNotNull(),
+                                F.struct("pos", "wid"),
+                            )
+                        )
+                    ),
                     lambda s: s["wid"],
                 ),
                 ",",
             ).alias("ids_csv")
         )
     )
-    all_docs = df.select(F.col(id_col).alias("doc_id")).distinct()
-    out = all_docs.join(assembled, "doc_id", "left").select(
-        "doc_id", F.coalesce(F.col("ids_csv"), F.lit("")).alias("ids_csv")
-    )
     n_tokens = F.when(F.col("ids_csv") == "", F.lit(0)).otherwise(
         F.size(F.split(F.col("ids_csv"), ","))
     )
-    return out.select(
+    return assembled.select(
         "doc_id", n_tokens.cast("bigint").alias("n_tokens"), "ids_csv"
     )

@@ -357,13 +357,22 @@ def simhash_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_hashes_arrow(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, hh) — distinct 32-bit shingle hashes per doc, Arrow path.
+    """(doc_id, hh[, carry...]) — distinct 32-bit shingle hashes per doc,
+    Arrow path.
 
     Same tokenize/md5 family as functions.text (and the same values as the
     expression pipeline); exists because interpreted shingle generation
     alone costs ~13 s at sf0.1 while this pass is sub-second.
+
+    ``carry_cols`` ride through the Arrow batch unchanged (values copied
+    row-for-row), so a caller that needs e.g. a blocking key alongside the
+    hashes does not pay a corpus-sized self-join to re-attach it.
     """
     import re
     from typing import Iterator
@@ -373,13 +382,18 @@ def shingle_hashes_arrow(
 
     n = shingle_n
 
+    carry = tuple(carry_cols)
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         non_alnum = re.compile(r"[^a-z0-9]+")
         for pdf in batches:
             ids, hhs = [], []
-            for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+            extras: list[list] = [[] for _ in carry]
+            for doc_id, text, *rest in zip(
+                pdf["_id"], pdf["_text"], *(pdf[c] for c in carry)
+            ):
                 if text is None:
                     continue  # expr path drops NULL-text docs
                 toks = non_alnum.sub(" ", str(text).lower()).strip().split(" ")
@@ -402,11 +416,24 @@ def shingle_hashes_arrow(
                 )
                 ids.append(doc_id)
                 hhs.append(hh.tolist())
+                for lst, v in zip(extras, rest):
+                    lst.append(v)
             if ids:
-                yield pd.DataFrame({"doc_id": ids, "hh": hhs})
+                out = {"doc_id": ids, "hh": hhs}
+                out.update(dict(zip(carry, extras)))
+                yield pd.DataFrame(out)
 
-    src = _spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
-    return src.mapInPandas(compute, "doc_id long, hh array<long>")
+    src = _spread(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+            *(F.col(c) for c in carry),
+        )
+    )
+    schema = "doc_id long, hh array<long>" + "".join(
+        f", `{c}` {df.schema[c].dataType.simpleString()}" for c in carry
+    )
+    return src.mapInPandas(compute, schema)
 
 
 def ngram_jaccard_pairs(
@@ -437,12 +464,14 @@ def ngram_jaccard_pairs(
     computed jaccard becomes a LOWER BOUND — recall loss only, never
     false positives. Default None keeps exact semantics.
     """
-    blocks = df.select(
-        F.col(id_col).alias("doc_id"), F.col(block_col).alias("block")
-    )
+    # block rides the Arrow batch itself (carry_cols) — re-attaching it
+    # via a corpus-sized doc_id self-join was a full second scan + join
+    # at 100 TB for a column the shingler already had in hand
     hashed = (
-        shingle_hashes_arrow(df, id_col, text_col, shingle_n)
-        .join(blocks, "doc_id")
+        shingle_hashes_arrow(
+            df, id_col, text_col, shingle_n, carry_cols=(block_col,)
+        )
+        .withColumnRenamed(block_col, "block")
         .persist()
     )
     sizes = hashed.select("doc_id", F.size("hh").alias("n"))
@@ -656,7 +685,14 @@ def fuzzy_pairs_passjoin(
     )
     # _spread: the ~400-keys-per-doc probe generation runs map-side off
     # this frame — a single-file fixture scan would generate all ~3M
-    # keys on one core; no-op on a wide scan
+    # keys on one core; no-op on a wide scan.
+    # localCheckpoint: base0 feeds SIX consumers (segs, cands, shorts,
+    # near, both verify sides) — without it each re-runs the scan +
+    # tokenize + prefix projection (6 corpus scans at 100 TB). The frame
+    # is narrow by construction (block, id, ≤prefix_len-char norm, len),
+    # and the blocks are GC-released with the DataFrame (the engine's
+    # standard shared-lineage move; a cluster run would persist the
+    # normalized prefix table the same way).
     base0 = _spread(
         df.select(
             F.col(block_col).alias("block"),
@@ -664,7 +700,7 @@ def fuzzy_pairs_passjoin(
             norm.alias("norm"),
             F.length(norm).alias("ln"),
         )
-    )
+    ).localCheckpoint(eager=True)
     # segmentation needs at least one char; ln == 0 docs still
     # participate through the short-string branch and the verify side
     base = base0.where(F.col("ln") > 0)
@@ -755,7 +791,6 @@ def fuzzy_pairs_passjoin(
             F.least("doc_a", "doc_id").alias("doc_i"),
             F.greatest("doc_a", "doc_id").alias("doc_j"),
         )
-        .distinct()
     )
     # Short-string branch: the lemma needs k+1 NON-EMPTY segments, so a
     # doc with ln < k+1 could only match via a zero-length segment the
@@ -778,8 +813,10 @@ def fuzzy_pairs_passjoin(
             F.least("doc_a", "doc_b").alias("doc_i"),
             F.greatest("doc_a", "doc_b").alias("doc_j"),
         )
-        .distinct()
     )
+    # ONE distinct over the union — map-side partial agg dedups segment
+    # collisions before the exchange, so the per-branch distincts only
+    # added a second (doc_i, doc_j) exchange for the same bytes
     pairs = pairs.unionByName(short_pairs).distinct()
     a = base0.select(
         F.col("doc_id").alias("doc_i"),

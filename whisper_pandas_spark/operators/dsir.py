@@ -73,14 +73,18 @@ def dsir_weights(
     e.g. ``F.col('lang') == 'en'``); the raw model is the whole input.
     Documents with zero alphanumeric tokens score 0.0 with n_tokens 0.
     """
+    # explode_outer over the pre-filtered token array: a token-less
+    # document keeps exactly ONE (doc, is_t, NULL-bucket) carrier row, so
+    # the zero-score backfill happens inside the aggregate itself and the
+    # final corpus-sized left join against the id list (one full-table
+    # exchange + sort-merge on each side) disappears from the plan.
     toks = (
         docs.select(
             F.col(id_col).alias("doc"),
             target_pred.cast("int").alias("is_t"),
-            tokenize(text_col).alias("t"),
+            F.filter(tokenize(text_col), lambda x: x != "").alias("t"),
         )
-        .select("doc", "is_t", F.explode("t").alias("tok"))
-        .filter(F.col("tok") != "")
+        .select("doc", "is_t", F.explode_outer("t").alias("tok"))
         .select("doc", "is_t", dsir_bucket(F.col("tok")).alias("b"))
     )
     # ONE corpus pass: reduce the token stream to per-(doc, bucket)
@@ -91,12 +95,15 @@ def dsir_weights(
     # localCheckpoint materializes the reduced frame once for its two
     # consumers (the engine's standard shared-lineage move; a real
     # cluster run would persist to shuffle-tier storage the same way).
+    # count("b") skips NULLs, so the carrier row of a token-less doc
+    # lands as (doc, is_t, NULL, n=0) — invisible to the model sums and
+    # a 0.0 contribution to the score fold below
     per_db = (
         toks.groupBy("doc", "is_t", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(F.count("b").cast("bigint").alias("n"))
         .localCheckpoint(eager=True)
     )
-    model = per_db.groupBy("b").agg(
+    model = per_db.where(F.col("b").isNotNull()).groupBy("b").agg(
         F.sum(F.when(F.col("is_t") == 1, F.col("n")).otherwise(0))
         .cast("bigint")
         .alias("ct_t"),
@@ -117,8 +124,14 @@ def dsir_weights(
             ).alias("lw"),
         )
     )
+    # left join: every non-NULL bucket in per_db is in the model by
+    # construction, so lw only comes back NULL on the token-less carrier
+    # rows — their term coalesces to 0.0 and the fold yields exactly the
+    # 0.0 the old ids-left-join backfill produced (0.0 + 0.0 == 0.0; a
+    # doc has either all-non-NULL buckets or the single carrier row, so
+    # no real fold sequence changes)
     scored = (
-        per_db.join(F.broadcast(lw), "b")
+        per_db.join(F.broadcast(lw), "b", "left")
         .groupBy("doc")
         .agg(
             F.sum("n").cast("bigint").alias("n_tokens"),
@@ -127,9 +140,10 @@ def dsir_weights(
                     F.collect_list(
                         F.struct(
                             "b",
-                            (F.col("n").cast("double") * F.col("lw")).alias(
-                                "term"
-                            ),
+                            F.coalesce(
+                                F.col("n").cast("double") * F.col("lw"),
+                                F.lit(0.0),
+                            ).alias("term"),
                         )
                     )
                 ),
@@ -138,16 +152,8 @@ def dsir_weights(
             ).alias("score"),
         )
     )
-    ids = docs.select(F.col(id_col).alias("doc"))
-    return (
-        ids.join(scored, "doc", "left")
-        .select(
-            F.col("doc").alias(id_col),
-            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
-                "n_tokens"
-            ),
-            F.round(
-                F.coalesce(F.col("score"), F.lit(0.0)) + F.lit(1e-9), 6
-            ).alias("dsir_logratio"),
-        )
+    return scored.select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        F.round(F.col("score") + F.lit(1e-9), 6).alias("dsir_logratio"),
     )

@@ -122,6 +122,102 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_arrow(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Arrow twin of :func:`winnow_fingerprints` — same rows, zero
+    corpus shuffle.
+
+    Winnowing is a purely per-document algorithm, so the expression
+    form's (doc, pos) exchange + three window passes over every token
+    of the corpus buy nothing a partition-local pass doesn't: this
+    variant runs the paper's sliding-window rightmost-min directly (a
+    monotonic deque, O(grams) per doc) inside one mapInPandas stage.
+    The k-gram hash is the identical md5 family (first 15 hex chars of
+    'win:<gram>' as a 60-bit int), memoized per task because corpus
+    grams repeat heavily; the memo resets at 2M entries to bound task
+    memory. Rightmost tie-break: the deque pops ``>=`` from the back,
+    so an equal hash further right evicts its twin — exactly
+    min(struct(h, -pos)).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    from whisper_pandas_spark.operators.dedup import _spread
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def compute(batches):
+        import hashlib
+        from collections import deque
+
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            out_id, out_pos, out_fp = [], [], []
+            for doc_id, toks in zip(pdf["_id"], pdf["_toks"]):
+                if toks is None:
+                    continue
+                toks = list(toks)
+                n = len(toks)
+                if n < k:
+                    continue
+                if len(memo) > 2_000_000:
+                    memo.clear()
+                ng = n - k + 1
+                hs = []
+                for i in range(ng):
+                    g = " ".join(toks[i : i + k])
+                    h = memo.get(g)
+                    if h is None:
+                        h = int(
+                            hashlib.md5(("win:" + g).encode()).hexdigest()[
+                                :15
+                            ],
+                            16,
+                        )
+                        memo[g] = h
+                    hs.append(h)
+                sel: set[int] = set()
+                dq: deque[int] = deque()
+                for j in range(min(w, ng)):
+                    while dq and hs[dq[-1]] >= hs[j]:
+                        dq.pop()
+                    dq.append(j)
+                sel.add(dq[0])
+                for s in range(1, max(ng - w, 0) + 1):
+                    j = s + w - 1
+                    while dq and hs[dq[-1]] >= hs[j]:
+                        dq.pop()
+                    dq.append(j)
+                    while dq[0] < s:
+                        dq.popleft()
+                    sel.add(dq[0])
+                for p in sorted(sel):
+                    out_id.append(doc_id)
+                    out_pos.append(p)
+                    out_fp.append(hs[p])
+            if out_id:
+                yield pd.DataFrame(
+                    {id_col: out_id, "pos": out_pos, "fp": out_fp}
+                )
+
+    src = _spread(
+        df.filter(F.size(F.col(tokens_col)) >= k).select(
+            F.col(id_col).alias("_id"), F.col(tokens_col).alias("_toks")
+        )
+    )
+    return src.mapInPandas(
+        compute, f"`{id_col}` {id_type}, pos long, fp long"
+    )
+
+
 def winnow_overlap_pairs(
     fps: DataFrame,
     id_col: str,

@@ -198,11 +198,20 @@ def wordpiece_encode_ids(
     piece_set = set(pieces)
     ids = {p: i for i, p in enumerate(sorted(piece_set))}
 
-    words = df.filter(F.col(text_col).isNotNull()).select(
+    # posexplode_outer over the pre-filtered token array: a pre-token-less
+    # document (NULL/empty/punctuation-only text) keeps ONE carrier row
+    # with a NULL word, so the zero-count backfill happens inside the
+    # per-doc aggregate itself and the corpus-sized distinct-ids left
+    # join (a third scan + sort-merge join) disappears from the plan.
+    # tokenize collapses separator runs, so filtering the ARRAY drops no
+    # interior positions — the pos sort order is unchanged.
+    words = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenize(F.col(text_col))).alias("pos", "word"),
-    ).filter(F.col("word") != "")
-    uniq = words.select("word").distinct()
+        F.posexplode_outer(
+            F.filter(tokenize(F.col(text_col)), lambda x: x != "")
+        ).alias("pos", "word"),
+    )
+    uniq = words.where(F.col("word").isNotNull()).select("word").distinct()
 
     def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -229,27 +238,30 @@ def wordpiece_encode_ids(
             )
 
     encoded = uniq.mapInPandas(enc, "word string, wid string, nt long, unk long")
-    assembled = (
-        words.join(encoded, "word")
+    # left join: every non-NULL word matches (encoded covers each
+    # distinct word); only the carrier rows come back NULL, and
+    # count("word") / collect_list-of-when skip them, reproducing the
+    # old left-join zero backfill exactly
+    return (
+        words.join(encoded, "word", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_pretokens"),
-            F.sum("nt").alias("n_tokens"),
-            F.sum("unk").alias("n_unk"),
+            F.count("word").cast("bigint").alias("n_pretokens"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.sum("unk"), F.lit(0)).cast("bigint").alias("n_unk"),
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "wid"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("word").isNotNull(),
+                                F.struct("pos", "wid"),
+                            )
+                        )
+                    ),
                     lambda s: s["wid"],
                 ),
                 ",",
             ).alias("ids_csv"),
         )
-    )
-    all_docs = df.select(F.col(id_col).alias("doc_id")).distinct()
-    return all_docs.join(assembled, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_pretokens", F.lit(0)).cast("bigint").alias("n_pretokens"),
-        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
-        F.coalesce("n_unk", F.lit(0)).cast("bigint").alias("n_unk"),
-        F.coalesce("ids_csv", F.lit("")).alias("ids_csv"),
     )

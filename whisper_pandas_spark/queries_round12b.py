@@ -343,14 +343,14 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (list_reverse + list_position — an independent idiom from the
     struct-min)."""
     from whisper_pandas_spark.functions.text import tokenize
-    from whisper_pandas_spark.operators.winnow import winnow_fingerprints
+    from whisper_pandas_spark.operators.winnow import winnow_fingerprints_arrow
 
     docs = _table(spark, sf_dir, "documents").select(
         "doc_id", tokenize("text").alias("toks")
     )
-    return winnow_fingerprints(
+    return winnow_fingerprints_arrow(
         docs, "doc_id", "toks", k=_WINNOW_K, w=_WINNOW_W
-    )
+    ).orderBy("doc_id", "pos")
 
 
 # ---------------------------------------------------------------------------
@@ -1688,7 +1688,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every >= w+k-1-token shared run surfaces as a pair."""
     from whisper_pandas_spark.functions.text import tokenize
     from whisper_pandas_spark.operators.winnow import (
-        winnow_fingerprints,
+        winnow_fingerprints_arrow,
         winnow_overlap_pairs,
     )
 
@@ -1701,7 +1701,9 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     toked = docs.select("doc_id", tokenize("text").alias("toks"))
-    fps = winnow_fingerprints(
+    # the Arrow variant skips the window form's (id, pos) sort — the
+    # overlap join is order-independent
+    fps = winnow_fingerprints_arrow(
         toked, "doc_id", "toks", k=_WINNOW_K, w=_WINNOW_W
     )
     return winnow_overlap_pairs(
