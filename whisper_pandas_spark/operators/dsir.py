@@ -73,19 +73,28 @@ def dsir_weights(
     e.g. ``F.col('lang') == 'en'``); the raw model is the whole input.
     Documents with zero alphanumeric tokens score 0.0 with n_tokens 0.
     """
-    # explode_outer over the pre-filtered token array: a token-less
-    # document keeps exactly ONE (doc, is_t, NULL-bucket) carrier row, so
-    # the zero-score backfill happens inside the aggregate itself and the
-    # final corpus-sized left join against the id list (one full-table
+    # explode_outer + NULL-bucket carrier rows: a token-less document
+    # (NULL text, or tokenize's single '' token for alnum-free text)
+    # keeps exactly ONE (doc, is_t, NULL-bucket) row, so the zero-score
+    # backfill happens inside the aggregate itself and the final
+    # corpus-sized left join against the id list (one full-table
     # exchange + sort-merge on each side) disappears from the plan.
+    # Deliberately NOT F.filter on the array — higher-order array
+    # lambdas are CodegenFallback (interpreted per element, the repo's
+    # pinned trap); the when() guard is codegen and tokenize never
+    # produces interior empties, so '' only ever appears as the lone
+    # element of an empty tokenization.
     toks = (
         docs.select(
             F.col(id_col).alias("doc"),
             target_pred.cast("int").alias("is_t"),
-            F.filter(tokenize(text_col), lambda x: x != "").alias("t"),
+            F.explode_outer(tokenize(text_col)).alias("tok"),
         )
-        .select("doc", "is_t", F.explode_outer("t").alias("tok"))
-        .select("doc", "is_t", dsir_bucket(F.col("tok")).alias("b"))
+        .select(
+            "doc",
+            "is_t",
+            F.when(F.col("tok") != "", dsir_bucket(F.col("tok"))).alias("b"),
+        )
     )
     # ONE corpus pass: reduce the token stream to per-(doc, bucket)
     # counts first (is_t is constant per doc, so carrying it in the key

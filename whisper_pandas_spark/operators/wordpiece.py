@@ -198,20 +198,21 @@ def wordpiece_encode_ids(
     piece_set = set(pieces)
     ids = {p: i for i, p in enumerate(sorted(piece_set))}
 
-    # posexplode_outer over the pre-filtered token array: a pre-token-less
-    # document (NULL/empty/punctuation-only text) keeps ONE carrier row
-    # with a NULL word, so the zero-count backfill happens inside the
-    # per-doc aggregate itself and the corpus-sized distinct-ids left
-    # join (a third scan + sort-merge join) disappears from the plan.
-    # tokenize collapses separator runs, so filtering the ARRAY drops no
-    # interior positions — the pos sort order is unchanged.
+    # posexplode_outer carrier rows: a pre-token-less document (NULL
+    # text, or tokenize's single '' token for alnum-free text) keeps ONE
+    # row with a NULL/'' word, so the zero-count backfill happens inside
+    # the per-doc aggregate itself and the corpus-sized distinct-ids
+    # left join (a third scan + sort-merge join) disappears from the
+    # plan. No F.filter on the array — HOF lambdas are CodegenFallback
+    # (interpreted per element); tokenize never produces interior
+    # empties, so '' only appears as the lone element of an empty
+    # tokenization and the real positions are unchanged.
     words = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode_outer(
-            F.filter(tokenize(F.col(text_col)), lambda x: x != "")
-        ).alias("pos", "word"),
+        F.posexplode_outer(tokenize(F.col(text_col))).alias("pos", "word"),
     )
-    uniq = words.where(F.col("word").isNotNull()).select("word").distinct()
+    _real = F.col("word").isNotNull() & (F.col("word") != "")
+    uniq = words.where(_real).select("word").distinct()
 
     def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -238,25 +239,21 @@ def wordpiece_encode_ids(
             )
 
     encoded = uniq.mapInPandas(enc, "word string, wid string, nt long, unk long")
-    # left join: every non-NULL word matches (encoded covers each
-    # distinct word); only the carrier rows come back NULL, and
-    # count("word") / collect_list-of-when skip them, reproducing the
-    # old left-join zero backfill exactly
+    # left join: every real word matches (encoded covers each distinct
+    # word); only the carrier rows come back NULL, and the when()-guarded
+    # aggregates skip them, reproducing the old left-join zero backfill
     return (
         words.join(encoded, "word", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("word").cast("bigint").alias("n_pretokens"),
+            F.count(F.when(_real, 1)).cast("bigint").alias("n_pretokens"),
             F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias("n_tokens"),
             F.coalesce(F.sum("unk"), F.lit(0)).cast("bigint").alias("n_unk"),
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.when(
-                                F.col("word").isNotNull(),
-                                F.struct("pos", "wid"),
-                            )
+                            F.when(_real, F.struct("pos", "wid"))
                         )
                     ),
                     lambda s: s["wid"],
