@@ -727,8 +727,10 @@ def test_round13_guard_law_plan_pins(spark):
       DESIGN (corpus x small broadcast query set — the brute-force ANN
       idiom; the build side being a broadcast IS the guard), so the
       nested-loop ban applies to the others only.
-    - dedup_winnow_pairs additionally may not put Python in the plan
-      (the fingerprint build is the lead()-window codegen idiom).
+    - dedup_winnow_pairs: the distinct (id, fp) table is materialized
+      ONCE (round-14: without the barrier the Arrow fingerprint build
+      re-ran once per consumer — 4x), so the returned plan joins
+      checkpoint reads; never row-at-a-time Python.
     - the round-13 entries: byte-span dedup is pure codegen (no Python
       at all); the compression-ratio pass is exactly ONE Arrow stage
       and zero exchanges before the final sort; the multimodal
@@ -751,7 +753,8 @@ def test_round13_guard_law_plan_pins(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
     plan = formatted_plan(QUERIES["dedup_winnow_pairs"](spark, SF))
-    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan  # the materialized (id, fp) barrier
 
     plan = formatted_plan(QUERIES["dedup_duplicate_spans_bytes"](spark, SF))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

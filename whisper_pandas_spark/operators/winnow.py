@@ -242,8 +242,16 @@ def winnow_overlap_pairs(
       useful. Dropping them bounds any value's join fan-out at
       max_fp_docs^2 and is the documented recall trade;
     - the pair count is a partial aggregation on (doc_i, doc_j).
+
+    The distinct (id, fp) table is eager-localCheckpointed: it feeds
+    the stop-fingerprint count AND both self-join sides, so without the
+    barrier the whole upstream fingerprint build re-runs once per
+    consumer (4 Arrow passes observed in the round-14 plan audit);
+    narrow by construction, blocks GC-release with the DataFrame.
     """
-    distinct_fps = fps.select(id_col, "fp").distinct()
+    distinct_fps = (
+        fps.select(id_col, "fp").distinct().localCheckpoint(eager=True)
+    )
     small = (
         distinct_fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("nd"))
