@@ -199,15 +199,55 @@ def train_and_classify(
     from whisper_pandas_spark.operators.dedup import _spread
 
     # _spread BOTH passes: a single-file fixture arrives as one scan
-    # partition, which would run the training explode AND the Arrow
+    # partition, which would run the training count AND the Arrow
     # classify single-core; no-op on a wide scan (deliberately NOT
     # checkpointed — at real scale that would materialize the corpus;
     # the two consumers just re-read the scan)
     spread = _spread(df.select(F.col(id_col), F.col(lang_col), F.col(text_col)))
-    grams = _char_ngrams(spread, text_col, ns).select(
-        F.col(lang_col).alias("lang"), "g"
+    # Training counts in ONE Arrow pass (round 14): per-task
+    # (lang -> Counter) partials replace the SQL char-gram explode —
+    # the exchange carries the same partially-combined (lang, gram,
+    # count) rows either way, but the 2x|chars| explode+substring row
+    # generation becomes a C-speed Counter loop (same loop the classify
+    # closure below already runs per doc; measured 1.14 -> 0.89 s on
+    # the sf0.1 training half, profiles verified identical). Gram
+    # semantics match _char_ngrams exactly: Python str.lower()/slicing
+    # and Spark lower()/substring both operate on code points — the
+    # equivalence the round-13 classify pass already pinned.
+    ns_train = tuple(int(n) for n in ns)
+
+    def _count_grams(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        per_lang: dict = {}
+        for pdf in batches:
+            for lang, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                t = (text or "").lower()
+                c = per_lang.setdefault(lang, Counter())
+                for n in ns_train:
+                    for i in range(len(t) - n + 1):
+                        c[t[i : i + n]] += 1
+        rows = [
+            (lang, g, int(v))
+            for lang, cc in per_lang.items()
+            for g, v in cc.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["lang", "g", "c"])
+
+    partial = spread.select(F.col(lang_col), F.col(text_col)).mapInPandas(
+        _count_grams, "lang string, g string, c long"
     )
-    profiles = _rank_profile(grams, ["lang"], k, "lr")
+    w_lang = Window.partitionBy("lang").orderBy(F.desc("__c"), F.col("g"))
+    profiles = (
+        partial.groupBy("lang", "g")
+        .agg(F.sum("c").alias("__c"))
+        .withColumn("lr", F.row_number().over(w_lang))
+        .where(F.col("lr") <= k)
+        .select("lang", "g", "lr")
+    )
     prof: dict[str, dict[str, int]] = {}
     for r in profiles.collect():  # L x k rows — bounded driver read
         prof.setdefault(r["lang"], {})[r["g"]] = r["lr"]
