@@ -205,6 +205,69 @@ def _rep_spin() -> float:
     return _spin_probe(5_000_000)
 
 
+def _burn(seconds: float) -> None:
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < seconds:
+        x += 1
+    assert x >= 0
+
+
+def _stat_fields() -> list[int] | None:
+    """Cumulative jiffies from the aggregate /proc/stat cpu line:
+    user nice system idle iowait irq softirq steal."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return [int(x) for x in parts[1:9]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(a: list[int] | None, b: list[int] | None) -> float | None:
+    """Fraction of WANTED cpu time stolen by the hypervisor between two
+    /proc/stat samples: steal / (user+nice+system+steal). Idle time is
+    excluded from the denominator so the number reads 'of the compute
+    this host tried to do, how much did it not get' — the quantity that
+    inflates a timed Spark stage."""
+    if a is None or b is None:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    user, nice, system, _idle, _iow, _irq, _sirq, steal = d
+    busy = user + nice + system + steal
+    if busy <= 0:
+        return None
+    return round(100.0 * steal / busy, 1)
+
+
+def _steal_probe(seconds: float = 1.5) -> float | None:
+    """Parallel-load steal probe (round 14, second continuation): the
+    single-thread spin probe CANNOT see hypervisor steal that only
+    manifests when every core is busy — measured 16.5% steal at
+    loadavg 0.28 / spin 0.73 (both 'quiet'), uniformly inflating a
+    whole 'quiet'-stamped capture by 20-40%. Spin all cores for
+    ``seconds`` and read the steal fraction off /proc/stat; on a truly
+    quiet host this reads 0-2%. Returns None where /proc/stat is not
+    available (the artifact then simply carries no steal evidence)."""
+    import multiprocessing as mp
+
+    a = _stat_fields()
+    if a is None:
+        return None
+    try:
+        procs = [
+            mp.Process(target=_burn, args=(seconds,))
+            for _ in range(os.cpu_count() or 1)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+    except OSError:
+        return None
+    return _steal_pct(a, _stat_fields())
+
+
 def main() -> None:
     from whisper_pandas_spark.registry import QUERIES, reset_result_caches
 
@@ -254,7 +317,31 @@ def main() -> None:
         time.sleep(sleep_s)
         spin_s = _spin_probe()
         spin_waited += 1
-    start_quiet = load_at_start <= quiet_load and spin_s <= quiet_spin
+    # Multi-core steal gate (round 14, second continuation): loadavg and
+    # the single-thread spin probe both read quiet while the hypervisor
+    # steals 16%+ of CPU under parallel load (steal only manifests when
+    # cores are busy — which is exactly when the bench runs). Probe with
+    # an all-core burn, wait it out on the same bounded cadence, and
+    # measure steal ACROSS the whole timed session from /proc/stat so the
+    # artifact records the contention that actually overlapped the
+    # timings, not just the edges.
+    quiet_steal = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_STEAL", "5.0"))
+    steal_waits = int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_WAITS", "4"))
+    steal_pct = _steal_probe()
+    steal_waited = 0
+    while (
+        steal_pct is not None
+        and steal_pct > quiet_steal
+        and steal_waited < steal_waits
+    ):
+        time.sleep(sleep_s)
+        steal_pct = _steal_probe()
+        steal_waited += 1
+    start_quiet = (
+        load_at_start <= quiet_load
+        and spin_s <= quiet_spin
+        and (steal_pct is None or steal_pct <= quiet_steal)
+    )
 
     spark = get_spark(app_name="whisper_pandas_spark_bench")
 
@@ -335,19 +422,31 @@ def main() -> None:
                 if record_spin:
                     spin_series.setdefault(name, []).append(_rep_spin())
 
+    stat_t0 = _stat_fields()
     timed_pass(reps, with_spin)
     spin_s_end = _spin_probe()
+    steal_session = _steal_pct(stat_t0, _stat_fields())
 
     # Host degraded mid-session after a quiet start: top up every query
     # to best-of-5 with per-rep spin stamps, then re-probe. The artifact
     # then carries BOTH the degraded-window reps and the top-up reps —
-    # best-of-5 across all of them is the primary value.
-    if start_quiet and spin_s_end > quiet_spin and full_reps > reps:
+    # best-of-5 across all of them is the primary value. Session-wide
+    # steal above the quiet threshold counts as degradation: the timed
+    # window was contended even if the edge probes were not.
+    degraded = spin_s_end > quiet_spin or (
+        steal_session is not None and steal_session > quiet_steal
+    )
+    if start_quiet and degraded and full_reps > reps:
         with_spin = True
         timed_pass(full_reps - reps, True)
         spin_s_end = _spin_probe()
+        steal_session = _steal_pct(stat_t0, _stat_fields())
 
-    capture_quiet = start_quiet and spin_s_end <= quiet_spin
+    capture_quiet = (
+        start_quiet
+        and spin_s_end <= quiet_spin
+        and (steal_session is None or steal_session <= quiet_steal)
+    )
 
     def record(name: str, target: dict[str, float]) -> None:
         ts = sorted(all_times[name])
@@ -407,6 +506,12 @@ def main() -> None:
                 "spin_waits": spin_waited,
                 "spin_s": spin_s,
                 "spin_s_end": spin_s_end,
+                # all-core steal probe at the start gate and the
+                # /proc/stat steal fraction across the timed session —
+                # quiet means <= quiet_steal (default 5%) at both
+                "steal_pct_start": steal_pct,
+                "steal_waits": steal_waited,
+                "steal_pct_session": steal_session,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
