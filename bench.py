@@ -389,22 +389,29 @@ def main() -> None:
     all_names = names + names2 + names3
 
     def timed_pass(rep_count: int, record_spin: bool) -> None:
-        ws = all_times.setdefault("whisper_scan_83mb", [])
-        sp = spin_series.setdefault("whisper_scan_83mb", [])
-        ws.extend(
-            _bench_whisper_scan(spark, rep_count, sp if record_spin else None)
-        )
-        for name in all_names:
-            fn = QUERIES[name]
-            # Ask the JVM to collect BEFORE the timed reps so one query's
-            # garbage doesn't bill the next query's first run (single
-            # shared heap on local[32]; cross-query GC debt was the
-            # dominant run-to-run noise source, not CPU).
-            spark._jvm.System.gc()
-            # best of N: damp JIT-warmup and co-tenant noise — the
-            # steady-state number is what a capacity plan would use.
-            times = all_times.setdefault(name, [])
-            for _ in range(rep_count):
+        # Reps are INTERLEAVED by pass (rep 1 of every query, then rep 2
+        # of every query, ...) rather than run back-to-back per query:
+        # host steal arrives in waves measured at the minute scale
+        # (BENCH_NOTES, second continuation), so back-to-back reps let a
+        # single wave poison every rep of one query while its neighbors
+        # escape clean. Pass-interleaving spaces one query's reps minutes
+        # apart, so best-of-N samples independent host states. Per-query
+        # best-of-N semantics, the noop-sink action, the per-query GC
+        # barrier and the cache reset are unchanged — only rep ORDER.
+        for _ in range(rep_count):
+            ws = all_times.setdefault("whisper_scan_83mb", [])
+            sp = spin_series.setdefault("whisper_scan_83mb", [])
+            ws.extend(_bench_whisper_scan(spark, 1, sp if record_spin else None))
+            for name in all_names:
+                fn = QUERIES[name]
+                # Ask the JVM to collect BEFORE the timed rep so one
+                # query's garbage doesn't bill the next query's run
+                # (single shared heap on local[32]; cross-query GC debt
+                # was the dominant run-to-run noise source, not CPU).
+                spark._jvm.System.gc()
+                # best of N: damp JIT-warmup and co-tenant noise — the
+                # steady-state number is what a capacity plan would use.
+                times = all_times.setdefault(name, [])
                 # drop shared result materializations (e.g. the MinHash
                 # pair checkpoint) so every timed run pays the FULL
                 # pipeline
