@@ -229,9 +229,27 @@ def label_propagation(
     # exchange). The symmetrized-set result is identical: dup (u,v)
     # pairs from multiple co-occurrences collapse after the union
     # instead of before it.
+    #
+    # Symmetrize by exploding both orientations out of ONE pass over the
+    # caller's frame instead of unionAll of two subplans: the union form
+    # evaluates the (possibly join- or aggregate-shaped) edge derivation
+    # once PER BRANCH — exchange reuse dedups only the exchange, not the
+    # operators above it (round 14, guide §2.4). Row multiset identical:
+    # each (u, v) emits exactly (u→v, v→u) either way.
     both = (
-        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("a"), F.col("v").alias("b")
+                    ),
+                    F.struct(
+                        F.col("v").alias("a"), F.col("u").alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .repartition(shp, "b")
         .dropDuplicates(["a", "b"])
         .persist()

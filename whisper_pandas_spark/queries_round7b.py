@@ -614,9 +614,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whisper_pandas_spark.operators.graph import triangle_participation
 
     li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    # co-order pairs without the lineitem self-join — one grouped
+    # exchange + double explode; pair set identical (see
+    # graph_label_propagation; round 14, guide §2.2/§3). The operator
+    # dedups the canonical edge list, so pre-dedup multiplicity is moot.
+    arr = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        arr.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
+    )
     return (
         triangle_participation(edges)
         .orderBy(F.desc("n_tri"), "node")
@@ -755,9 +762,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whisper_pandas_spark.operators.graph import label_propagation
 
     li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    edges = a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    # Co-order pairs WITHOUT the lineitem self-join (round 14, guide
+    # §2.2/§3): collect the per-order distinct part set in ONE exchange,
+    # then emit ordered pairs via a double explode — the self-join form
+    # shuffled the 6×|orders| line table twice and re-ran per union
+    # branch. Pair SET identical: {u, v} (u < v) appears iff some order
+    # contains both parts — per-order duplicate partkeys only changed
+    # pre-dedup multiplicity, and label_propagation dedups the
+    # symmetrized set before any round.
+    arr = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        arr.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") < F.col("dst"))
+    )
     return label_propagation(edges, iters=3).orderBy("node")
 
 
