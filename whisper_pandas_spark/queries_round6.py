@@ -962,17 +962,11 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    # symmetrize via explode of both orientations so the orders⋈lineitem
-    # join above runs ONCE — the unionByName form evaluated it once per
-    # branch (round 14, guide §2.4; same row multiset either way)
-    edges = base.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
-                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
-            )
-        ).alias("e")
-    ).select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+    # symmetrize by union, not explode (measured on the same trade
+    # graph — see graph_bfs_distances; round 14)
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     pr = pagerank(edges, iters=_PR_ITERS)
     n = F.lit(pr.count())  # node count for the 1.0-=-uniform rescale
     return (
