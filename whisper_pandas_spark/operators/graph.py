@@ -190,22 +190,42 @@ def label_propagation(
     run (and therefore a SQL replay of it) bit-reproducible, where the
     textbook random tie-break is not. Isolated nodes keep their label.
 
-    Scale shape: the symmetrized edge list is hash-partitioned on the
-    neighbor key ONCE (repartition(b) + persist — the cached plan keeps
-    that HashPartitioning), so every round's edge-label join reuses it
-    and only the node-sized label table moves; the pick is the two-level
-    codegen aggregate — (node, label) partial count, then ``min_by(label,
-    struct(-c, label))`` — both whole-stage-codegen HashAggregates with
-    map-side partial aggregation. (``mode(label, deterministic=true)``
-    would fuse them into one exchange, but it is a TypedImperativeAggregate
-    whose ObjectHashAggregate falls back to sort-based aggregation past
-    128 groups per partition — measured 4-10x slower and wildly unstable
-    on a 200k-node graph, round 14.) Labels checkpoint per round
-    (localCheckpoint — `checkpoint()` on a real cluster) so plan depth
-    is constant in `iters`, the same discipline as pagerank/kmeans
-    above. Synchronous LPA on bipartite-ish structures can oscillate —
-    callers pick `iters` (small, as recommended in the paper) rather
-    than iterate to convergence.
+    Scale shape (round 15): the symmetrized edge list is hash-partitioned
+    on the neighbor key ONCE (repartition(b) + persist — the cached plan
+    keeps that HashPartitioning), and each round pays exactly TWO
+    exchanges, one node-sized and one edge-sized:
+
+    - the label table (node-sized) moves to the edge layout for a
+      SHUFFLE_HASH join — build side is the per-partition slice of the
+      node-sized label table, so no sort of the edge cache or the label
+      table (the former sort-merge join re-sorted the 2|E| cache every
+      round, guide §3.1);
+    - the joined (node, label) stream repartitions on ``node`` alone,
+      and BOTH aggregates of the pick run on that one exchange:
+      HashPartitioning(node) satisfies ClusteredDistribution(node, label)
+      for the count and ClusteredDistribution(node) for the argmax, so
+      neither adds an exchange (guide §2.4 — compatibly-keyed operations
+      share one exchange; measured 1.09 -> 0.70 s per round at sf0.1).
+      The pick is ``min_by(label, struct(-c, label))`` — a struct-keyed
+      min is a SortAggregate (struct agg buffers are not hash-mutable),
+      but with the exchange fused away its sort is partition-local over
+      the per-node count table. (``mode(label, deterministic=true)``
+      would fuse count+pick into one function but is a
+      TypedImperativeAggregate whose ObjectHashAggregate falls back to
+      sort-based aggregation past 128 groups per partition — measured
+      4-10x slower on a 200k-node graph, round 14.)
+
+    Round 1 needs neither the join nor the count: every neighbor label
+    is its node id and the edge set is deduped, so every (node, label)
+    count is exactly 1 and "most frequent, ties to smallest" collapses
+    to ``min(neighbor)`` — one map-side-combined hash aggregate.
+
+    Labels checkpoint per round (localCheckpoint — `checkpoint()` on a
+    real cluster) so plan depth is constant in `iters`, the same
+    discipline as pagerank/kmeans above. Synchronous LPA on
+    bipartite-ish structures can oscillate — callers pick `iters`
+    (small, as recommended in the paper) rather than iterate to
+    convergence.
 
     Returns (node, label) — nodes sharing a label after `iters` rounds
     are one community.
@@ -220,22 +240,18 @@ def label_propagation(
     # the 2|E| blocks are freed before returning instead of leaking in
     # the block manager until the ContextCleaner runs (bfs_distances
     # discipline); round 1 materializes it lazily inside its own job.
-    # ONE edge-sized exchange: the raw directed union repartitions on
-    # the join key b, and the dedup runs ON that layout —
-    # HashPartitioning(b) satisfies ClusteredDistribution(a, b) (b is a
-    # subset of the grouping keys), so dropDuplicates adds no second
-    # exchange where the former distinct-then-repartition paid two
-    # (round 14, guide §2.4: two operations keyed compatibly share one
-    # exchange). The symmetrized-set result is identical: dup (u,v)
-    # pairs from multiple co-occurrences collapse after the union
-    # instead of before it.
     #
-    # Symmetrize by exploding both orientations out of ONE pass over the
-    # caller's frame instead of unionAll of two subplans: the union form
-    # evaluates the (possibly join- or aggregate-shaped) edge derivation
-    # once PER BRANCH — exchange reuse dedups only the exchange, not the
-    # operators above it (round 14, guide §2.4). Row multiset identical:
-    # each (u, v) emits exactly (u→v, v→u) either way.
+    # ONE edge-sized exchange in the build: the exploded directed edge
+    # stream (both orientations out of one pass over the caller's frame
+    # — a unionAll would re-evaluate the possibly join- or
+    # aggregate-shaped edge derivation once per branch, round 14, guide
+    # §2.4) repartitions on the join key b, and the dedup runs ON that
+    # layout — HashPartitioning(b) satisfies ClusteredDistribution(a, b)
+    # (b is a subset of the grouping keys), so dropDuplicates adds no
+    # second exchange where a distinct-then-repartition would pay two.
+    # The symmetrized-set result is identical either way: dup (u, v)
+    # pairs from multiple co-occurrences collapse after the union
+    # instead of before it, and each (u, v) emits exactly (u→v, v→u).
     both = (
         und.select(
             F.explode(
@@ -257,22 +273,34 @@ def label_propagation(
     labels: DataFrame | None = None
     for i in range(iters):
         if labels is None:
-            # first round: every neighbor's label IS its node id, so the
-            # join against the identity label table is the identity —
-            # skip both the initial label-table build (a distinct +
-            # checkpoint) and the first join outright.
-            nbr = both.select("a", F.col("b").alias("label"))
-        else:
-            nbr = both.join(
-                labels.select(F.col("node").alias("b"), "label"), "b"
-            ).select("a", "label")
-        # argmax-count / min-label-on-tie: (node, label) partial count
-        # (duplicate neighbor labels combine map-side), then min_by over
-        # the reduced count table — minimizing (-c, label) maximizes c
-        # with ties to the smallest label. Both stages are codegen
-        # HashAggregates; the second exchange moves only the count table.
-        cnt = nbr.groupBy(F.col("a").alias("node"), "label").agg(
-            F.count(F.lit(1)).alias("c")
+            # first round: every neighbor's label IS its node id and the
+            # edge set is deduped, so every (node, label) count is 1 and
+            # the argmax-with-min-tie-break IS min(neighbor) — one
+            # map-side-combined hash aggregate, no join, no count table.
+            pick = both.groupBy(F.col("a").alias("node")).agg(
+                F.min("b").alias("label")
+            )
+            labels = pick.localCheckpoint(eager=True)
+            continue
+        # node-sized build side hash-joins against the cached edge
+        # layout — no sort of either side (the SMJ alternative re-sorts
+        # the 2|E| cache every round)
+        nbr = both.join(
+            labels.select(F.col("node").alias("b"), "label").hint(
+                "shuffle_hash"
+            ),
+            "b",
+        ).select("a", "label")
+        # argmax-count / min-label-on-tie over ONE shared exchange: the
+        # joined stream repartitions on the node key alone, and both
+        # aggregates below run on that layout (HashPartitioning(node)
+        # satisfies ClusteredDistribution(node, label) as well as
+        # ClusteredDistribution(node) — guide §2.4). Minimizing
+        # (-c, label) maximizes c with ties to the smallest label.
+        cnt = (
+            nbr.repartition(shp, "a")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
         )
         pick = cnt.groupBy("node").agg(
             F.min_by("label", F.struct(-F.col("c"), F.col("label"))).alias(
