@@ -258,6 +258,38 @@ def test_bfs_source_not_in_graph_still_reported(spark):
     assert got == {99: 0}
 
 
+def test_bfs_prepared_matches_default(spark):
+    """prepared=True (caller pre-dedups/materializes the edge list and
+    the internal distinct+persist is skipped) must be result-identical
+    to the default path — the round-15 query shape dedups the directed
+    list and symmetrizes via two reads of a checkpoint."""
+    from whisper_pandas_spark.operators.graph import bfs_distances
+
+    pairs = [(1, 2), (2, 3), (1, 2), (3, 4), (2, 3), (4, 5)]
+    edges = spark.createDataFrame(
+        _sym(pairs), "src long, dst long"
+    )
+    s = spark.createDataFrame([(1,)], "node long")
+    default = {
+        r.node: r.dist for r in bfs_distances(edges, s, max_hops=3).collect()
+    }
+    directed = (
+        spark.createDataFrame(pairs, "src long, dst long")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    import pyspark.sql.functions as F
+
+    sym = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    prepped = {
+        r.node: r.dist
+        for r in bfs_distances(sym, s, max_hops=3, prepared=True).collect()
+    }
+    assert prepped == default == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
 def test_bfs_validation(spark):
     from whisper_pandas_spark.operators.graph import bfs_distances
 

@@ -328,8 +328,16 @@ def bfs_distances(
     dst: str = "dst",
     node: str = "node",
     checkpoint: bool = True,
+    prepared: bool = False,
 ) -> DataFrame:
     """Multi-source BFS hop distances, bounded at ``max_hops``.
+
+    ``prepared=True``: the caller guarantees ``edges`` is already
+    distinct AND cheap to re-scan (e.g. a localCheckpoint/checkpoint
+    union), so the internal distinct+persist is skipped — the round-15
+    path for callers that dedup the DIRECTED list before symmetrizing
+    (half the dedup exchange, and the union branches read materialized
+    blocks instead of re-running the edge derivation per round).
 
     Returns (node, dist INT) for every node reachable from any source
     within ``max_hops`` edge traversals — dist 0 for the sources
@@ -361,14 +369,12 @@ def bfs_distances(
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"),
-            F.col(dst).cast("long").alias("dst"),
-        )
-        .distinct()
-        .persist()
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
     )
+    if not prepared:
+        e = e.distinct().persist()
     frontier = sources.select(
         F.col(node).cast("long").alias("node")
     ).distinct().withColumn("dist", F.lit(0).cast("int"))
@@ -389,7 +395,8 @@ def bfs_distances(
             frontier = frontier.localCheckpoint(eager=True)
         frontiers.append(frontier)
         seen = seen.unionByName(frontier.select("node"))
-    e.unpersist()
+    if not prepared:
+        e.unpersist()
     dist = frontiers[0]
     for f in frontiers[1:]:
         dist = dist.unionByName(f)

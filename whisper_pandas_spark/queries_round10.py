@@ -268,18 +268,32 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    # symmetrize by union (NOT explode — measured, round 14): the join
-    # above is broadcast-shaped, so the per-branch re-execution is cheap
-    # map-side codegen (and at scale an SMJ's exchanges are reused),
-    # while explode(array(struct,struct)) pays row expansion —
-    # interleaved A/B: union 2.96/3.10 vs explode 3.71/3.83 s best/median
-    edges = base.unionByName(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Dedup the DIRECTED list, materialize it ONCE, then symmetrize by
+    # unioning two reads of the checkpoint (round 15, guide §2.3/§2.4):
+    # customers map to even ids and suppliers to odd, so forward pairs
+    # can never collide with reversed ones and the union of the two
+    # distinct branches IS the distinct symmetrized set — the dedup
+    # exchange carries |directed| rows instead of 2x, and neither union
+    # branch re-runs the orders-lineitem join (prepared=True skips the
+    # operator's own distinct+persist; the checkpoint blocks are what
+    # every BFS round re-reads). Union, NOT explode — measured, round
+    # 14: explode(array(struct,struct)) pays row expansion, interleaved
+    # A/B union 2.96/3.10 vs explode 3.71/3.83 s best/median.
+    directed = (
+        base.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sources = cu.where(F.col("c_nationkey") == _BFS_NATION).select(
         (F.col("c_custkey") * 2).alias("node")
     )
-    dist = bfs_distances(edges, sources, max_hops=_BFS_HOPS)
+    dist = bfs_distances(edges, sources, max_hops=_BFS_HOPS, prepared=True)
     return dist.select(
         F.when(F.col("node") % 2 == 0, F.lit("c"))
         .otherwise(F.lit("s"))
