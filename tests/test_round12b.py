@@ -436,6 +436,37 @@ def _kmeans_brute(codes: dict[int, list[int]], k: int, iters: int):
     return assign()
 
 
+def test_int8_codes_arrow_bitmatches_expression_form(spark):
+    """The round-15 Arrow quantization pass must be element-for-element
+    equal to the expression form it replaced
+    (transform/aggregate HOFs over cast-to-double inputs), including
+    the all-zero-vector rule and a ragged/empty row."""
+    from pyspark.sql import functions as F
+
+    from whisper_pandas_spark.operators.embeddings import _quantize, _vabs_max
+    from whisper_pandas_spark.operators.kmeans import int8_codes
+
+    df = _km_fixture(spark).unionByName(
+        spark.createDataFrame(
+            [(9001, [0.0, 0.0, 0.0, 0.0]), (9002, [])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    v = F.col("embedding")
+    expr = {
+        r["vec_id"]: list(r["q"])
+        for r in df.select(
+            "vec_id", _quantize(v, _vabs_max(v)).alias("q")
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: list(r["q"])
+        for r in int8_codes(df, "vec_id", "embedding").collect()
+    }
+    assert arrow == expr
+    assert arrow[9001] == [0, 0, 0, 0] and arrow[9002] == []
+
+
 def test_kmeans_matches_bruteforce(spark):
     """The distributed loop equals a direct Python replication of the
     same algorithm (same init, tie rule, floored means) — assignment

@@ -36,7 +36,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from whisper_pandas_spark.operators.embeddings import _quantize, _vabs_max
 from whisper_pandas_spark.operators.similarity import ivf_assign
 
 
@@ -146,9 +145,55 @@ def kmeans_cosine(
 
 def int8_codes(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, q) — the raw int8 code vectors (array<bigint>), same
-    arithmetic as operators/embeddings.quantize_int8."""
-    v = F.col(vec_col)
-    return df.select(F.col(id_col), _quantize(v, _vabs_max(v)).alias("q"))
+    VALUES as operators/embeddings.quantize_int8.
+
+    One Arrow pass (round 15, guide §4.2): the expression form
+    ``_quantize(v, _vabs_max(v))`` inlines the scale fold INSIDE the
+    per-element transform lambda, and higher-order lambdas are
+    CodegenFallback — the max|v| aggregate re-interprets per ELEMENT,
+    O(dim^2) interpreted steps per row (measured 1.1-1.3 s for 2 500
+    dim-64 rows at sf0.1, the dominant semdedup stage). numpy runs the
+    identical IEEE chain — cast float64, s = max(|x|, initial 0.0),
+    floor(x / s * 127.0 + 0.5) — element-for-element bit-equal
+    (pytest-pinned against the expression form), all-zero vectors map
+    to all-zero codes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from whisper_pandas_spark.operators.embeddings import Q_LEVELS
+
+    id_ddl = f"{id_col} {df.schema[id_col].dataType.simpleString()}"
+
+    def codes_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = list(pdf["_v"])
+            if len({len(v) for v in vecs}) == 1 and len(vecs[0]) > 0:
+                x = np.array(vecs, dtype=np.float64)  # n x dim
+                s = np.abs(x).max(axis=1, initial=0.0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    q = np.floor(
+                        x / s[:, None] * Q_LEVELS + 0.5
+                    )
+                q[s == 0.0] = 0.0
+                out = q.astype(np.int64).tolist()
+            else:  # ragged/empty rows: per-row, same arithmetic
+                out = []
+                for vec in vecs:
+                    x = np.asarray(vec, dtype=np.float64)
+                    s = np.abs(x).max(initial=0.0)
+                    if s == 0.0:
+                        q = np.zeros(len(x), dtype=np.int64)
+                    else:
+                        q = np.floor(x / s * Q_LEVELS + 0.5).astype(np.int64)
+                    out.append(q.tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "q": out})
+
+    return df.select(F.col(id_col), F.col(vec_col).alias("_v")).mapInPandas(
+        codes_batches, f"{id_ddl}, q array<bigint>"
+    )
 
 
 def _assign(codes: DataFrame, centroids: list[list[int]]) -> DataFrame:
@@ -199,6 +244,50 @@ def _assign(codes: DataFrame, centroids: list[list[int]]) -> DataFrame:
     return out
 
 
+def _update_sums(codes: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Per-task partial Lloyd-update sums: (cluster, s array<long>, n).
+
+    One Arrow pass over ``q`` ALONE (the update step needs no ids or
+    distances): each task assigns its batches against the broadcast
+    centroid matrix (same exact-int64 argmin/tie rule as _assign) and
+    accumulates per-cluster component sums + counts across ALL its
+    batches, emitting at most k rows per task. The caller folds the
+    bounded k x tasks rows on the driver — int64 sums are associative,
+    so the totals are bit-identical to the former rows x dim
+    posexplode + (cluster, dim) exchange they replace."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.int64)  # k x dim
+    k = cmat.shape[0]
+
+    def partials(batches):
+        acc = np.zeros_like(cmat)  # k x dim
+        cnt = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.asarray(list(pdf["q"]), dtype=np.int64)  # n x dim
+            d = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            cl = d.argmin(axis=1)
+            np.add.at(acc, cl, q)
+            cnt += np.bincount(cl, minlength=k)
+        nz = np.flatnonzero(cnt)
+        if len(nz) == 0:
+            return  # empty task: yield nothing (never an untyped empty)
+        yield pd.DataFrame(
+            {
+                "cluster": nz.astype("int32"),
+                "s": [acc[c].tolist() for c in nz],
+                "n": cnt[nz],
+            }
+        )
+
+    return codes.select("q").mapInPandas(
+        partials, "cluster int, s array<long>, n long"
+    )
+
+
 def kmeans_int8(
     df: DataFrame,
     id_col: str,
@@ -217,8 +306,18 @@ def kmeans_int8(
 
     Init: the codes of the k smallest ids (deterministic, replayable —
     k-means++ would drag float randomness into the parity contract).
-    Each iteration: map-side assign -> one partial-agg exchange ->
-    k x dim bounded collect -> floored integer mean per component.
+    Each iteration is ONE zero-shuffle Arrow pass (round 15): the task
+    assigns its batches against the broadcast centroid matrix and emits
+    per-task partial sums — k rows of (cluster, s array<long>, n) — so
+    only k x tasks bounded rows cross the Python boundary and the
+    driver folds them into floored integer means (guide §2.3 "aggregate
+    before you shuffle" taken to its limit: the former form shipped the
+    full (id, q, cluster, dist) assignment back to the JVM and
+    posexploded rows x dim elements through a (cluster, dim) exchange).
+    Exactness unchanged: int64 partial sums are associative, and the
+    driver's floor(float(s)/n) is the same IEEE double division the
+    Spark expression performed (|s| <= rows * 127 stays well inside
+    double's exact-integer range).
 
     ``codes_df``: optionally a pre-materialized ``(id, q)`` code frame
     (int8_codes output, already spread/checkpointed) — callers that
@@ -233,10 +332,10 @@ def kmeans_int8(
     # run every Arrow assign pass on one worker (_spread docstring);
     # at real scale the scan already arrives wide and this is a no-op.
     # localCheckpoint materializes the quantization ONCE: the iteration
-    # runs 2-3 jobs over `codes` per Lloyd step, and _quantize's
-    # higher-order lambdas are CodegenFallback (interpreted) — without
-    # the checkpoint every job re-interprets the full quantization
-    # lineage (measured 2x total at the sf1 stress).
+    # runs 2-3 jobs over `codes` per Lloyd step — without the
+    # checkpoint every job re-runs the full quantization Arrow pass
+    # over its upstream lineage (measured 2x total at the sf1 stress,
+    # back when the pass was still the interpreted expression form).
     codes = (
         codes_df
         if codes_df is not None
@@ -250,25 +349,28 @@ def kmeans_int8(
     centroids = [list(r["q"]) for r in init_rows]
     dim = len(centroids[0])
 
+    import math
+
     for _ in range(iters):
-        assigned = _assign(codes, centroids)
-        comp = (
-            assigned.select("cluster", F.posexplode("q").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            # |s| <= rows * 127: exact in double, floor matches DuckDB //
-            .select(
-                "cluster",
-                "dim",
-                F.floor(F.col("s").cast("double") / F.col("n"))
-                .cast("long")
-                .alias("comp"),
-            )
-            .collect()
-        )
+        parts = _update_sums(codes, centroids).collect()
+        tot_s: dict[int, list[int]] = {}
+        tot_n: dict[int, int] = {}
+        for r in parts:
+            c = r["cluster"]
+            if c in tot_n:
+                tot_n[c] += r["n"]
+                ts = tot_s[c]
+                for i, v in enumerate(r["s"]):
+                    ts[i] += v
+            else:
+                tot_n[c] = r["n"]
+                tot_s[c] = list(r["s"])
         new = [list(c) for c in centroids]  # empty clusters keep previous
-        for r in comp:
-            new[r["cluster"]][r["dim"]] = r["comp"]
+        for c, n in tot_n.items():
+            # |s| <= rows * 127: exact in double, floor matches DuckDB //;
+            # float(s)/float(n) replicates the former Spark expression
+            # (cast to double, THEN divide) bit-for-bit
+            new[c] = [math.floor(float(s) / float(n)) for s in tot_s[c]]
         centroids = new
 
     final = _assign(codes, centroids)
