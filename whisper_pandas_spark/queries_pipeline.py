@@ -513,6 +513,7 @@ def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whisper_pandas_spark.operators.decontam import ngram_contamination
     from whisper_pandas_spark.operators.packing import pack_bins
     from whisper_pandas_spark.operators.textstats import quality_gate_filter
+    from whisper_pandas_spark.stage import stage_materialize
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     gated = quality_gate_filter(docs, "doc_id", "text")
@@ -522,17 +523,27 @@ def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("__keep"))
         .drop("__keep")
     )
-    # eager localCheckpoint, not persist: the frame feeds FOUR downstream
+    # eager stage barrier, not persist: the frame feeds FOUR downstream
     # consumers in the RETURNED lazy plan (train twice, heldout, the
     # non-train union), and the caller has no handle to unpersist — a
     # persist here would pin a fresh copy in the CacheManager on every
     # bench rep / driver run (the round-11 ADVICE leak class; checkpoint
-    # blocks are GC-released with the DataFrame)
-    assigned = split_assign(deduped, "doc_id", TEST_FRAC, VAL_FRAC).localCheckpoint(
-        eager=True
+    # blocks are GC-released with the DataFrame). stage_materialize
+    # binds to a RELIABLE checkpoint when the cluster configures one.
+    assigned = stage_materialize(
+        split_assign(deduped, "doc_id", TEST_FRAC, VAL_FRAC)
     )
     train = assigned.filter(F.col("split") == "train")
     heldout = assigned.filter(F.col("split") == "test")
+    # Decontam stays the TWO-pass form after a measured round-15
+    # experiment (tools/r15_decontam_probe.py, tools/r15_corpus_ab.py):
+    # fusing both sides into one carry_cols shingle pass behind a
+    # checkpoint was result-identical and ~parity locally (interleaved
+    # full-entry A/B old 2.31/2.45 vs fused 2.19/2.49 best/median), but
+    # the fused form materializes a corpus-sized (doc_id, hh) table to
+    # save NO shingle compute (both forms shingle the same 90% of docs
+    # exactly once) — at 100 TB that is extra executor-storage pressure
+    # for one saved stage launch, so the two-pass shape wins.
     dirty = ngram_contamination(train, heldout).select("doc_id")
     corpus = train.join(dirty, "doc_id", "left_anti").unionByName(
         assigned.filter(F.col("split") != "train")
