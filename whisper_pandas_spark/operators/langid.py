@@ -198,51 +198,87 @@ def train_and_classify(
         penalty = k
     from whisper_pandas_spark.operators.dedup import _spread
 
-    # _spread BOTH passes: a single-file fixture arrives as one scan
-    # partition, which would run the training count AND the Arrow
-    # classify single-core; no-op on a wide scan (deliberately NOT
-    # checkpointed — at real scale that would materialize the corpus;
-    # the two consumers just re-read the scan)
+    # _spread: a single-file fixture arrives as one scan partition,
+    # which would run the combined Arrow pass single-core; no-op on a
+    # wide scan.
     spread = _spread(df.select(F.col(id_col), F.col(lang_col), F.col(text_col)))
-    # Training counts in ONE Arrow pass (round 14): per-task
-    # (lang -> Counter) partials replace the SQL char-gram explode —
-    # the exchange carries the same partially-combined (lang, gram,
-    # count) rows either way, but the 2x|chars| explode+substring row
-    # generation becomes a C-speed Counter loop (same loop the classify
-    # closure below already runs per doc; measured 1.14 -> 0.89 s on
-    # the sf0.1 training half, profiles verified identical). Gram
-    # semantics match _char_ngrams exactly: Python str.lower()/slicing
-    # and Spark lower()/substring both operate on code points — the
-    # equivalence the round-13 classify pass already pinned.
-    ns_train = tuple(int(n) for n in ns)
+    # ONE text pass for BOTH halves (round 15, guide §1.2): the former
+    # shape counted every document's char n-grams TWICE — once for the
+    # per-task training partials, once in the classify pass. The
+    # combined pass below counts each document once, merges the counts
+    # into the per-task (lang -> Counter) training partials, AND emits
+    # the document's ranked top-k gram list (sort key (-count, gram) —
+    # the pinned profile order); classification then reads the
+    # materialized top-k table (k short strings per doc, ~two orders
+    # of magnitude narrower than the text) instead of re-tokenizing
+    # the corpus. Training totals are unchanged (per-doc Counters merge
+    # to the same per-lang sums), and the classify arithmetic consumes
+    # exactly the ranked grams it consumed before, so both halves stay
+    # bit-identical to the all-SQL twin (pytest pin). Gram semantics
+    # match _char_ngrams exactly: Python str.lower()/slicing and Spark
+    # lower()/substring both operate on code points — the equivalence
+    # the round-13 classify pass already pinned.
+    ns_t = tuple(int(n) for n in ns)
+    kk, pen = int(k), int(penalty)
+    id_type = df.schema[id_col].dataType.simpleString()
 
-    def _count_grams(batches):
+    def _pass1(batches):
         from collections import Counter
 
         import pandas as pd
 
         per_lang: dict = {}
+        ids_out, grams_out = [], []
         for pdf in batches:
-            for lang, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+            for doc_id, lang, text in zip(
+                pdf.iloc[:, 0], pdf.iloc[:, 1], pdf.iloc[:, 2]
+            ):
                 t = (text or "").lower()
-                c = per_lang.setdefault(lang, Counter())
-                for n in ns_train:
+                c: Counter = Counter()
+                for n in ns_t:
                     for i in range(len(t) - n + 1):
                         c[t[i : i + n]] += 1
+                lc = per_lang.setdefault(lang, Counter())
+                lc.update(c)
+                if c:  # gram-less docs drop (SQL-path semantics)
+                    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[
+                        :kk
+                    ]
+                    ids_out.append(doc_id)
+                    grams_out.append([g for g, _cnt in top])
+        if ids_out:
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids_out,
+                    "lang": None,
+                    "g": None,
+                    "c": None,
+                    "grams": grams_out,
+                }
+            )
         rows = [
-            (lang, g, int(v))
+            (None, lang, g, int(v), None)
             for lang, cc in per_lang.items()
             for g, v in cc.items()
         ]
         if rows:
-            yield pd.DataFrame(rows, columns=["lang", "g", "c"])
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lang", "g", "c", "grams"]
+            )
 
-    partial = spread.select(F.col(lang_col), F.col(text_col)).mapInPandas(
-        _count_grams, "lang string, g string, c long"
+    combined = (
+        spread.select(F.col(id_col), F.col(lang_col), F.col(text_col))
+        .mapInPandas(
+            _pass1,
+            f"doc_id {id_type}, lang string, g string, c long,"
+            " grams array<string>",
+        )
+        .localCheckpoint(eager=True)
     )
     w_lang = Window.partitionBy("lang").orderBy(F.desc("__c"), F.col("g"))
     profiles = (
-        partial.groupBy("lang", "g")
+        combined.where(F.col("doc_id").isNull())
+        .groupBy("lang", "g")
         .agg(F.sum("c").alias("__c"))
         .withColumn("lr", F.row_number().over(w_lang))
         .where(F.col("lr") <= k)
@@ -252,31 +288,18 @@ def train_and_classify(
     for r in profiles.collect():  # L x k rows — bounded driver read
         prof.setdefault(r["lang"], {})[r["g"]] = r["lr"]
     langs = sorted(prof)
-    id_type = df.schema[id_col].dataType.simpleString()
-    ns_t = tuple(int(n) for n in ns)
-    kk, pen = int(k), int(penalty)
 
     def classify(batches):
-        from collections import Counter
-
         import pandas as pd
 
         for pdf in batches:
             ids_out, preds, dists = [], [], []
-            for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
-                t = (text or "").lower()
-                c: Counter = Counter()
-                for n in ns_t:
-                    for i in range(len(t) - n + 1):
-                        c[t[i : i + n]] += 1
-                if not c:
-                    continue  # gram-less docs drop (SQL-path semantics)
-                top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:kk]
+            for doc_id, grams in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
                 best_lang, best_s = None, None
                 for lang in langs:
                     lp = prof[lang]
                     s = 0
-                    for dr, (g, _cnt) in enumerate(top, 1):
+                    for dr, g in enumerate(grams, 1):
                         lr = lp.get(g)
                         s += abs(dr - lr) if lr is not None else pen
                     if best_s is None or s < best_s:
@@ -293,7 +316,9 @@ def train_and_classify(
                     }
                 )
 
-    docs = spread.select(F.col(id_col), F.col(text_col))
+    docs = combined.where(F.col("doc_id").isNotNull()).select(
+        F.col("doc_id"), F.col("grams")
+    )
     return docs.mapInPandas(
         classify, f"`{id_col}` {id_type}, pred_lang string, lang_dist long"
     )
