@@ -791,8 +791,17 @@ def fuzzy_pairs_passjoin(
             F.substring(F.col("norm_a"), pos, slen).alias("seg"),
         )
     )
+    # SHUFFLE_HASH, explicitly (round 15, guide §3.1): both join inputs
+    # descend from the base0 checkpoint, whose unknown stats made the
+    # planner BROADCAST the ~316-keys-per-doc probe side (BuildLeft of
+    # a corpus-derived 1.6M-row relation at sf0.1 — measured 1.5-1.8 s,
+    # and a guaranteed 8 GB-broadcast-cap failure at 100 TB). Neither
+    # side of a corpus×corpus key join may broadcast at scale; the
+    # shuffled-hash form keys both sides on (block, ln, i, seg) and
+    # builds the 6-rows-per-doc segment side per partition — measured
+    # 1.53/1.65 -> 0.83/0.90 s best/median on the candidate subplan.
     pairs = (
-        cands.join(segs, ["block", "ln", "i", "seg"])
+        cands.join(segs.hint("shuffle_hash"), ["block", "ln", "i", "seg"])
         .where(F.col("doc_a") != F.col("doc_id"))
         .select(
             F.least("doc_a", "doc_id").alias("doc_i"),
