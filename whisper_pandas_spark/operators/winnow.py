@@ -258,11 +258,18 @@ def winnow_overlap_pairs(
         .filter(F.col("nd") <= max_fp_docs)
         .select("fp")
     )
-    kept = distinct_fps.join(small, "fp")
+    # SHUFFLE_HASH, explicitly (round 15, guide §3.1 — the PassJoin
+    # lesson): every relation here is corpus-derived (the distinct
+    # (id, fp) table, its fp-count filter, and both self-join sides),
+    # and the checkpoint's unknown stats let the planner BROADCAST one
+    # side of each join — fine at sf0.1, a corpus-sized broadcast at
+    # 100 TB. The hints key all three joins on fp and build the
+    # smaller side per partition; local timing is parity (measured).
+    kept = distinct_fps.join(small.hint("shuffle_hash"), "fp")
     a = kept.select(F.col("fp"), F.col(id_col).alias("doc_i"))
     b = kept.select(F.col("fp"), F.col(id_col).alias("doc_j"))
     return (
-        a.join(b, "fp")
+        a.join(b.hint("shuffle_hash"), "fp")
         .filter(F.col("doc_i") < F.col("doc_j"))
         .groupBy("doc_i", "doc_j")
         .agg(F.count(F.lit(1)).alias("n_shared"))
